@@ -1,0 +1,433 @@
+"""Combinable aggregate registry: partial / merge / finalize contract.
+
+PipelineDB requires every continuous-query aggregate to be *combinable*:
+a worker computes partial states per micro-batch, a combiner merges those
+with on-disk states, and an overlay view finalizes states at read time
+(reference: ``src/planner.c:59-189`` partial/combine marking,
+``pipelinedb--1.0.0.sql:110-140`` combine_* registrations,
+``src/analyzer.c:3370`` make_finalize_call).
+
+Spark translation: each aggregate is a triple of Column-expression
+builders —
+
+* ``partial(args)``  : agg exprs over the raw micro-batch producing the
+  state columns (runs inside Catalyst's own partial/final split, so
+  map-side combine still applies);
+* ``merge(s)``       : agg exprs over unioned state rows (old matrel
+  state ∪ new batch partials) producing the same state columns;
+* ``finalize(s,args)``: scalar expr over merged state producing the
+  user-visible value.
+
+State columns for an output column ``out`` are named ``out__<suffix>``.
+Everything here is built-in JVM expressions (whole-stage codegen) except
+the sketch aggregates, which use Arrow-batched pandas UDAFs over compact
+binary states (see ``pipelinedb_spark/sketches``).
+
+The same contract powers user-facing ``combine(col)`` re-rollups
+(reference ``src/analyzer.c:4662`` RewriteCombineAggs): re-aggregating a
+matrel's state columns under a coarser grouping is just ``merge`` again.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STATE_SEP = "__"
+
+
+def state_col(out: str, suffix: str) -> str:
+    return f"{out}{STATE_SEP}{suffix}"
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One combinable aggregate.
+
+    ``partial``: (args: list[sql-expr-str]) -> {suffix: Column agg expr}
+    ``merge``:   (s: suffix->Column)        -> {suffix: Column agg expr}
+    ``finalize``:(s: suffix->Column, args)  -> Column scalar expr
+    """
+
+    name: str
+    partial: Callable[[list[str]], dict[str, Column]]
+    merge: Callable[[Callable[[str], Column]], dict[str, Column]]
+    finalize: Callable[[Callable[[str], Column], list[str]], Column]
+    # True when the finalized value is itself the mergeable state
+    # (sketch columns like hll_agg / dist_agg / freq_agg outputs).
+    state_is_value: bool = False
+
+
+def _e(expr: str) -> Column:
+    return F.expr(expr)
+
+
+# ---------------------------------------------------------------------------
+# Simple algebraic aggregates
+# ---------------------------------------------------------------------------
+
+def _count_spec() -> AggSpec:
+    def partial(args):
+        if not args or args[0].strip() in ("*", "1"):
+            return {"n": F.count(F.lit(1))}
+        return {"n": F.count(_e(args[0]))}
+
+    return AggSpec(
+        "count",
+        partial,
+        lambda s: {"n": F.sum(s("n"))},
+        lambda s, a: s("n"),
+    )
+
+
+def _sum_spec() -> AggSpec:
+    return AggSpec(
+        "sum",
+        lambda args: {"s": F.sum(_e(args[0]))},
+        lambda s: {"s": F.sum(s("s"))},
+        lambda s, a: s("s"),
+    )
+
+
+def _avg_spec() -> AggSpec:
+    # avg state = (sum, count) — reference keeps transition arrays
+    # (pipelinedb--1.0.0.sql:142-265); Spark equivalent is explicit.
+    return AggSpec(
+        "avg",
+        lambda args: {
+            "s": F.sum(_e(args[0])),
+            "n": F.count(_e(args[0])),
+        },
+        lambda s: {"s": F.sum(s("s")), "n": F.sum(s("n"))},
+        lambda s, a: s("s") / s("n"),
+    )
+
+
+def _minmax_spec(name: str, fn) -> AggSpec:
+    return AggSpec(
+        name,
+        lambda args: {"m": fn(_e(args[0]))},
+        lambda s: {"m": fn(s("m"))},
+        lambda s, a: s("m"),
+    )
+
+
+def _bool_spec(name: str, fn) -> AggSpec:
+    return AggSpec(
+        name,
+        lambda args: {"b": fn(_e(args[0]))},
+        lambda s: {"b": fn(s("b"))},
+        lambda s, a: s("b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moment-based: variance / stddev family.  State = (n, s1, s2); merging
+# is plain summation, finalize applies the textbook formulas.  Reference
+# registers combinable var/stddev transition arrays at
+# pipelinedb--1.0.0.sql:458-689.
+# ---------------------------------------------------------------------------
+
+def _moment_partial(args):
+    x = _e(args[0])
+    xd = x.cast("double")
+    return {
+        "n": F.count(x),
+        "s1": F.sum(xd),
+        "s2": F.sum(xd * xd),
+    }
+
+
+_MOMENT_MERGE = lambda s: {"n": F.sum(s("n")), "s1": F.sum(s("s1")), "s2": F.sum(s("s2"))}
+
+
+def _var_samp_fin(s, a):
+    n, s1, s2 = s("n"), s("s1"), s("s2")
+    return F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+
+
+def _var_pop_fin(s, a):
+    n, s1, s2 = s("n"), s("s1"), s("s2")
+    return F.when(n > 0, (s2 - s1 * s1 / n) / n)
+
+
+def _moment_spec(name, fin) -> AggSpec:
+    return AggSpec(name, _moment_partial, _MOMENT_MERGE, fin)
+
+
+# ---------------------------------------------------------------------------
+# Two-variable statistics: corr / covar / regr_* family.  SQL-standard
+# argument order is (y, x).  State = (n, sx, sxx, sy, syy, sxy) over rows
+# where both args are non-null.  Reference: pipelinedb--1.0.0.sql:267-457.
+# ---------------------------------------------------------------------------
+
+def _bivar_partial(args):
+    y = _e(args[0]).cast("double")
+    x = _e(args[1]).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    xv = F.when(both, x)
+    yv = F.when(both, y)
+    return {
+        "n": F.count(xv),
+        "sx": F.sum(xv),
+        "sxx": F.sum(xv * xv),
+        "sy": F.sum(yv),
+        "syy": F.sum(yv * yv),
+        "sxy": F.sum(xv * yv),
+    }
+
+
+_BIVAR_MERGE = lambda s: {
+    k: F.sum(s(k)) for k in ("n", "sx", "sxx", "sy", "syy", "sxy")
+}
+
+
+def _bivar_fin(formula):
+    def fin(s, a):
+        n, sx, sxx, sy, syy, sxy = (
+            s("n"), s("sx"), s("sxx"), s("sy"), s("syy"), s("sxy"))
+        return formula(n, sx, sxx, sy, syy, sxy)
+    return fin
+
+
+def _sxx(n, sx, sxx):
+    return sxx - sx * sx / n
+
+
+def _bivar_specs() -> list[AggSpec]:
+    def spec(name, formula):
+        return AggSpec(name, _bivar_partial, _BIVAR_MERGE, _bivar_fin(formula))
+
+    return [
+        spec("corr", lambda n, sx, sxx, sy, syy, sxy: F.when(
+            (n > 0) & (_sxx(n, sx, sxx) > 0) & (_sxx(n, sy, syy) > 0),
+            (sxy - sx * sy / n) / F.sqrt(_sxx(n, sx, sxx) * _sxx(n, sy, syy)))),
+        spec("covar_pop", lambda n, sx, sxx, sy, syy, sxy: F.when(
+            n > 0, (sxy - sx * sy / n) / n)),
+        spec("covar_samp", lambda n, sx, sxx, sy, syy, sxy: F.when(
+            n > 1, (sxy - sx * sy / n) / (n - 1))),
+        spec("regr_count", lambda n, *_: n),
+        spec("regr_avgx", lambda n, sx, sxx, sy, syy, sxy: F.when(n > 0, sx / n)),
+        spec("regr_avgy", lambda n, sx, sxx, sy, syy, sxy: F.when(n > 0, sy / n)),
+        spec("regr_sxx", lambda n, sx, sxx, sy, syy, sxy: F.when(n > 0, _sxx(n, sx, sxx))),
+        spec("regr_syy", lambda n, sx, sxx, sy, syy, sxy: F.when(n > 0, _sxx(n, sy, syy))),
+        spec("regr_sxy", lambda n, sx, sxx, sy, syy, sxy: F.when(n > 0, sxy - sx * sy / n)),
+        spec("regr_slope", lambda n, sx, sxx, sy, syy, sxy: F.when(
+            (n > 0) & (_sxx(n, sx, sxx) != 0), (sxy - sx * sy / n) / _sxx(n, sx, sxx))),
+        spec("regr_intercept", lambda n, sx, sxx, sy, syy, sxy: F.when(
+            (n > 0) & (_sxx(n, sx, sxx) != 0),
+            (sy - sx * (sxy - sx * sy / n) / _sxx(n, sx, sxx)) / n)),
+        spec("regr_r2", lambda n, sx, sxx, sy, syy, sxy: F.when(
+            (n > 0) & (_sxx(n, sx, sxx) != 0) & (_sxx(n, sy, syy) != 0),
+            F.pow(sxy - sx * sy / n, F.lit(2)) / (_sxx(n, sx, sxx) * _sxx(n, sy, syy))
+        ).otherwise(F.when((n > 0) & (_sxx(n, sx, sxx) != 0) & (_sxx(n, sy, syy) == 0), F.lit(1.0)))),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Collection aggregates
+# ---------------------------------------------------------------------------
+
+def _array_agg_spec() -> AggSpec:
+    # reference: combinable_array_agg aggfuncs.c:62-271
+    return AggSpec(
+        "array_agg",
+        lambda args: {"a": F.collect_list(_e(args[0]))},
+        lambda s: {"a": F.flatten(F.collect_list(s("a")))},
+        lambda s, a: s("a"),
+    )
+
+
+def _set_agg_spec() -> AggSpec:
+    # reference: set_agg aggfuncs.c:377-445; finalized sorted for
+    # deterministic reads (PG set_agg is unordered).
+    return AggSpec(
+        "set_agg",
+        lambda args: {"st": F.collect_set(_e(args[0]))},
+        lambda s: {"st": F.array_distinct(F.flatten(F.collect_list(s("st"))))},
+        lambda s, a: F.sort_array(s("st")),
+    )
+
+
+def _exact_count_distinct_spec() -> AggSpec:
+    # reference: exact_count_distinct sql:1040-1047 (set-backed).
+    # Scale note: state grows with NDV; hll_count_distinct is the
+    # 100 TB-safe variant.
+    return AggSpec(
+        "exact_count_distinct",
+        lambda args: {"st": F.collect_set(_e(args[0]))},
+        lambda s: {"st": F.array_distinct(F.flatten(F.collect_list(s("st"))))},
+        lambda s, a: F.size(s("st")).cast("long"),
+    )
+
+
+def _string_agg_spec() -> AggSpec:
+    # delimiter must be a literal (true in every reference test);
+    # merge keeps the flat element list, finalize joins.
+    def partial(args):
+        return {"a": F.collect_list(_e(args[0]))}
+
+    def finalize(s, args):
+        delim = args[1].strip() if len(args) > 1 else "''"
+        return F.array_join(s("a"), F.expr(delim))
+
+    return AggSpec(
+        "string_agg",
+        partial,
+        lambda s: {"a": F.flatten(F.collect_list(s("a")))},
+        finalize,
+    )
+
+
+def _keyed_spec(name: str, fn) -> AggSpec:
+    # keyed_min/keyed_max (reference kv.c:332-393) == min_by/max_by.
+    # Mergeable state = the (key, value) pair struct; struct ordering is
+    # lexicographic so min/max over the struct keeps the right pair.
+    def partial(args):
+        key, val = _e(args[0]), _e(args[1])
+        pair = F.when(key.isNotNull(), F.struct(key.alias("k"), val.alias("v")))
+        return {"p": fn(pair)}
+
+    return AggSpec(
+        name,
+        partial,
+        lambda s: {"p": fn(s("p"))},
+        lambda s, a: s("p").getField("v"),
+    )
+
+
+def _first_values_spec() -> AggSpec:
+    # first_values(n, col...) — bounded smallest-n prefix by sort key(s)
+    # (reference firstvalues.c).  State = sorted top-n array, so memory
+    # per group is O(n) regardless of input size: 100 TB-safe.
+    def partial(args):
+        n = int(args[0])
+        cols = [_e(a) for a in args[1:]]
+        st = F.struct(*[c.alias(f"c{i}") for i, c in enumerate(cols)])
+        return {"fv": F.slice(F.sort_array(F.collect_list(st)), 1, n)}
+
+    def merge_factory(nargs_n):
+        def merge(s):
+            return {"fv": F.slice(F.sort_array(F.flatten(F.collect_list(s("fv")))), 1, nargs_n)}
+        return merge
+
+    # n is only known per-call; AggRegistry.bind handles that via
+    # make_bound (see bind()).
+    return AggSpec(
+        "first_values",
+        partial,
+        lambda s: {"fv": F.sort_array(F.flatten(F.collect_list(s("fv"))))},
+        lambda s, a: F.slice(s("fv"), 1, int(a[0])),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL family — backed by Spark's native Datasketches HLL
+# (hll_sketch_agg / hll_union_agg / hll_sketch_estimate, Spark 3.5+).
+# Reference: hllfuncs.c:177-500, hll.c.
+# ---------------------------------------------------------------------------
+
+def _hll_partial(args):
+    x = _e(args[0])
+    # Datasketches agg accepts int/long/string/binary; normalize others.
+    return {"h": F.hll_sketch_agg(x.cast("string"))}
+
+
+def _hll_count_distinct_spec() -> AggSpec:
+    return AggSpec(
+        "hll_count_distinct",
+        _hll_partial,
+        lambda s: {"h": F.hll_union_agg(s("h"))},
+        lambda s, a: F.hll_sketch_estimate(s("h")),
+    )
+
+
+def _hll_agg_spec() -> AggSpec:
+    return AggSpec(
+        "hll_agg",
+        _hll_partial,
+        lambda s: {"h": F.hll_union_agg(s("h"))},
+        lambda s, a: s("h"),
+        state_is_value=True,
+    )
+
+
+def _hll_union_agg_spec() -> AggSpec:
+    # input column already holds sketches
+    return AggSpec(
+        "hll_union_agg",
+        lambda args: {"h": F.hll_union_agg(_e(args[0]))},
+        lambda s: {"h": F.hll_union_agg(s("h"))},
+        lambda s, a: s("h"),
+        state_is_value=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+class AggRegistry:
+    def __init__(self) -> None:
+        self._specs: dict[str, AggSpec] = {}
+        for spec in self._builtins():
+            self._specs[spec.name] = spec
+
+    @staticmethod
+    def _builtins() -> list[AggSpec]:
+        specs = [
+            _count_spec(),
+            _sum_spec(),
+            _avg_spec(),
+            _minmax_spec("min", F.min),
+            _minmax_spec("max", F.max),
+            _bool_spec("bool_and", F.bool_and),
+            _bool_spec("bool_or", F.bool_or),
+            _bool_spec("bit_and", F.bit_and),
+            _bool_spec("bit_or", F.bit_or),
+            _moment_spec("var_samp", _var_samp_fin),
+            _moment_spec("variance", _var_samp_fin),
+            _moment_spec("var_pop", _var_pop_fin),
+            _moment_spec("stddev_samp", lambda s, a: F.sqrt(_var_samp_fin(s, a))),
+            _moment_spec("stddev", lambda s, a: F.sqrt(_var_samp_fin(s, a))),
+            _moment_spec("stddev_pop", lambda s, a: F.sqrt(_var_pop_fin(s, a))),
+            _array_agg_spec(),
+            _set_agg_spec(),
+            _exact_count_distinct_spec(),
+            _string_agg_spec(),
+            _keyed_spec("keyed_min", F.min),
+            _keyed_spec("keyed_max", F.max),
+            _first_values_spec(),
+            _hll_count_distinct_spec(),
+            _hll_agg_spec(),
+            _hll_union_agg_spec(),
+        ]
+        specs.extend(_bivar_specs())
+        return specs
+
+    def register(self, spec: AggSpec) -> None:
+        self._specs[spec.name] = spec
+
+    def get(self, name: str) -> AggSpec | None:
+        return self._specs.get(name.lower())
+
+    def __contains__(self, name: str) -> bool:
+        return name.lower() in self._specs
+
+    def names(self) -> list[str]:
+        return sorted(self._specs)
+
+
+REGISTRY = AggRegistry()
+
+
+def register_sketch_aggs() -> None:
+    """Attach the pandas-UDAF sketch aggregates (t-digest, CMS, FSS
+    top-k, bloom) to the global registry.  Lazy so importing this
+    module never forces Arrow/pandas initialisation."""
+    from pipelinedb_spark.sketches import register_all
+
+    register_all(REGISTRY)

@@ -1,0 +1,438 @@
+"""Continuous-query analyzer: validate the CQ SQL subset and split a
+``SELECT`` over a stream into (worker partial-agg plan, matrel schema,
+overlay finalize plan).
+
+Mirrors the behavior (not the implementation) of the reference's
+``TransformSelectStmtForContProcess`` (``src/analyzer.c:2762-3074``),
+``ValidateParsedContQuery`` (``src/analyzer.c:1183-1336``) and the
+streaming-variant rewrite table (``src/analyzer.c:84-107``).  The
+reference manipulates raw Postgres parse trees; here we do a light
+clause-level parse and hand every scalar expression through to Spark SQL
+untouched — Catalyst is the real expression compiler.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pipelinedb_spark.aggregates import REGISTRY, AggRegistry
+
+
+class CQError(ValueError):
+    """Continuous-query validation error (reference: ereport calls in
+    ValidateParsedContQuery)."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer helpers: find top-level occurrences (outside parens/quotes)
+# ---------------------------------------------------------------------------
+
+def _scan(sql: str):
+    """Yield (index, char, depth, in_string) for top-level scanning."""
+    depth = 0
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == '"':
+            j = sql.find('"', i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        yield i, c, depth
+        i += 1
+
+
+def split_top_level(sql: str, sep: str = ",") -> list[str]:
+    parts, last = [], 0
+    for i, c, depth in _scan(sql):
+        if c == sep and depth == 0:
+            parts.append(sql[last:i])
+            last = i + 1
+    parts.append(sql[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def find_keyword(sql: str, kw: str) -> int:
+    """Index of a top-level keyword (case-insensitive, word-bounded); -1."""
+    pat = re.compile(r"\b" + kw.replace(" ", r"\s+") + r"\b", re.I)
+    for m in pat.finditer(sql):
+        depth = 0
+        ok = True
+        for i, c, d in _scan(sql[: m.start() + 1]):
+            depth = d
+        if depth == 0:
+            # also make sure we're not inside a string literal: _scan
+            # skips strings, so depth from _scan is authoritative;
+            # verify position wasn't skipped
+            seen = {i for i, _, _ in _scan(sql)}
+            if m.start() in seen:
+                return m.start()
+    return -1
+
+
+_CLAUSES = ["SELECT", "FROM", "WHERE", "GROUP BY", "HAVING",
+            "ORDER BY", "LIMIT", "OFFSET"]
+
+
+def split_clauses(sql: str) -> dict[str, str]:
+    sql = sql.strip().rstrip(";")
+    positions = []
+    for kw in _CLAUSES:
+        idx = find_keyword(sql, kw)
+        if idx >= 0:
+            positions.append((idx, kw))
+    positions.sort()
+    out: dict[str, str] = {}
+    for j, (idx, kw) in enumerate(positions):
+        end = positions[j + 1][0] if j + 1 < len(positions) else len(sql)
+        out[kw] = sql[idx + len(kw): end].strip()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Aggregate extraction
+# ---------------------------------------------------------------------------
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+
+# Non-combinable → streaming variant rewrites (reference
+# StreamingVariants, src/analyzer.c:84-107).
+STREAMING_VARIANTS = {
+    "percentile_cont": "combinable_percentile_cont",
+    "rank": "combinable_rank",
+    "dense_rank": "combinable_dense_rank",
+    "percent_rank": "combinable_percent_rank",
+    "cume_dist": "combinable_cume_dist",
+}
+
+
+@dataclass
+class AggCall:
+    out: str            # output/state column prefix
+    func: str           # registry name
+    args: list[str]     # raw SQL arg expressions
+    text: str           # original call text (for error messages)
+
+
+@dataclass
+class CQPlan:
+    select_items: list[tuple[str, str]]        # (expr with placeholders, alias)
+    aggs: list[AggCall]
+    group_exprs: list[str]                     # raw SQL group expressions
+    group_names: list[str]                     # matrel column name per group expr
+    from_clause: str
+    stream: str                                # the single stream read
+    where: str | None
+    limit: int | None
+    distinct: bool
+    sw_column: str | None = None               # sliding-window time column
+    sw_seconds: float | None = None
+    sw_step_seconds: float | None = None
+    tables: list[str] = field(default_factory=list)
+
+
+def _find_call_end(sql: str, open_idx: int) -> int:
+    depth = 0
+    i = open_idx
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and not (sql[j] == "'" and (j + 1 >= n or sql[j + 1] != "'")):
+                j += 2 if sql[j] == "'" else 1
+            i = j
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise CQError(f"unbalanced parentheses in: {sql!r}")
+
+
+def _fold_within_group(expr: str) -> str:
+    """``fn(a) WITHIN GROUP (ORDER BY x [, y])`` → ``fn(a, x[, y])``
+    (reference folds WITHIN GROUP args into plain args,
+    src/analyzer.c:2091-2108)."""
+    pat = re.compile(r"\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+", re.I)
+    while True:
+        m = pat.search(expr)
+        if not m:
+            return expr
+        close = expr.find(")", m.end())
+        depth = 1
+        i = m.end()
+        while i < len(expr):
+            if expr[i] == "(":
+                depth += 1
+            elif expr[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+            i += 1
+        order_args = expr[m.end():close]
+        expr = expr[: m.start()] + ", " + order_args + ")" + expr[close + 1:]
+
+
+def extract_aggs(expr: str, registry: AggRegistry, used: set[str],
+                 alias_hint: str | None = None) -> tuple[str, list[AggCall]]:
+    """Replace aggregate calls in ``expr`` with ``{placeholder}`` refs,
+    returning the rewritten expression and the extracted calls.  This is
+    the hoisting step (reference src/analyzer.c:2880-3008)."""
+    expr = _fold_within_group(expr)
+    calls: list[AggCall] = []
+    out_parts: list[str] = []
+    i = 0
+    n = len(expr)
+    while i < n:
+        m = _IDENT_RE.match(expr, i)
+        if not m:
+            out_parts.append(expr[i])
+            i += 1
+            continue
+        word = m.group(0)
+        j = m.end()
+        while j < n and expr[j].isspace():
+            j += 1
+        fname = word.lower()
+        if j < n and expr[j] == "(" and (fname in registry or fname in STREAMING_VARIANTS or fname == "count"):
+            close = _find_call_end(expr, j)
+            inner = expr[j + 1: close]
+            args = split_top_level(inner) if inner.strip() else []
+            func = fname
+            # count(DISTINCT x) → streaming hll_count_distinct unless
+            # it's an exact-friendly rewrite requested upstream
+            if args and re.match(r"(?i)^DISTINCT\s+", args[0]):
+                bare = re.sub(r"(?i)^DISTINCT\s+", "", args[0])
+                if fname == "count":
+                    func, args = "hll_count_distinct", [bare] + args[1:]
+                elif fname == "array_agg":
+                    func, args = "set_agg", [bare] + args[1:]
+                else:
+                    raise CQError(
+                        f"DISTINCT is only supported by count/array_agg in "
+                        f"continuous queries: {word}({inner})")
+            func = STREAMING_VARIANTS.get(func, func)
+            if func not in registry:
+                raise CQError(f"aggregate {word} is not combinable / not supported")
+            base = alias_hint if (alias_hint and not calls and expr.strip() == expr[m.start():close + 1].strip()) else fname
+            out = base
+            k = 0
+            while out in used:
+                k += 1
+                out = f"{base}_{k}"
+            used.add(out)
+            calls.append(AggCall(out=out, func=func, args=args,
+                                 text=expr[m.start():close + 1]))
+            out_parts.append("{" + out + "}")
+            i = close + 1
+        else:
+            out_parts.append(word)
+            i = m.end()
+    return "".join(out_parts), calls
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window detection
+# ---------------------------------------------------------------------------
+
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800, "ms": 0.001, "millisecond": 0.001,
+    "milliseconds": 0.001,
+}
+
+
+def parse_interval(text: str) -> float:
+    """'5 minutes' / '1 hour 30 minutes' → seconds."""
+    total = 0.0
+    for num, unit in re.findall(r"([\d.]+)\s*([A-Za-z]+)", text):
+        u = unit.lower()
+        if u not in _INTERVAL_UNITS:
+            raise CQError(f"unsupported interval unit: {unit!r}")
+        total += float(num) * _INTERVAL_UNITS[u]
+    if total <= 0:
+        raise CQError(f"cannot parse interval: {text!r}")
+    return total
+
+
+_SW_RE = re.compile(
+    r"(?P<col>[A-Za-z_][\w.]*)\s*>=?\s*"
+    r"(?:clock_timestamp|now|current_timestamp)\s*\(\s*\)\s*-\s*"
+    r"interval\s*'(?P<iv>[^']+)'", re.I)
+
+
+def detect_sliding_window(where: str | None) -> tuple[str | None, float | None, str | None]:
+    """Find ``ts > clock_timestamp() - interval 'X'`` in WHERE; return
+    (column, seconds, remaining_where).  Reference:
+    find_clock_timestamp_expr src/analyzer.c:321-423."""
+    if not where:
+        return None, None, where
+    m = _SW_RE.search(where)
+    if not m:
+        return None, None, where
+    col = m.group("col")
+    secs = parse_interval(m.group("iv"))
+    rest = (where[: m.start()] + where[m.end():]).strip()
+    rest = re.sub(r"^\s*AND\s+|\s+AND\s*$", "", rest, flags=re.I).strip()
+    return col, secs, (rest or None)
+
+
+# ---------------------------------------------------------------------------
+# Main entry
+# ---------------------------------------------------------------------------
+
+def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
+            sw: str | None = None, step_factor: float = 5.0) -> CQPlan:
+    clauses = split_clauses(sql)
+    if "SELECT" not in clauses or "FROM" not in clauses:
+        raise CQError("continuous queries must be SELECT ... FROM ...")
+    if "HAVING" in clauses:
+        raise CQError("continuous queries don't support HAVING clauses; "
+                      "use a WHERE clause on the continuous view instead")
+    if "ORDER BY" in clauses:
+        raise CQError("continuous queries don't support ORDER BY")
+    if re.match(r"(?i)^\s*WITH\b", sql.strip()):
+        raise CQError("continuous queries don't support CTEs")
+    if re.search(r"(?i)\bOVER\s*\(", sql):
+        raise CQError("continuous queries don't support window functions")
+
+    select_text = clauses["SELECT"]
+    distinct = False
+    if re.match(r"(?i)^DISTINCT\b", select_text):
+        distinct = True
+        select_text = re.sub(r"(?i)^DISTINCT\s+", "", select_text)
+    if re.search(r"(^|[\s,(])\*\s*(,|$)", select_text.strip()) and select_text.strip() == "*":
+        raise CQError("can't select \"*\" in continuous queries")
+
+    from_clause = clauses["FROM"]
+    # identify relations named in FROM (stream + tables)
+    rel_tokens = re.findall(r"[A-Za-z_][\w.]*", from_clause)
+    streams_in_from = [t for t in rel_tokens if t in stream_names]
+    uniq_streams = list(dict.fromkeys(streams_in_from))
+    if len(uniq_streams) == 0:
+        raise CQError("continuous queries must include a stream in the FROM clause")
+    if len(uniq_streams) > 1:
+        raise CQError("continuous queries don't support stream-to-stream JOINs")
+    stream = uniq_streams[0]
+
+    where = clauses.get("WHERE")
+    sw_col, sw_secs, where = detect_sliding_window(where)
+    if sw:  # WITH (sw='X') storage option (reference analyzer.c:1771-)
+        if sw_col:
+            raise CQError("sw option conflicts with sliding-window WHERE predicate")
+        sw_col, sw_secs = "arrival_timestamp", parse_interval(sw)
+
+    limit = None
+    if "LIMIT" in clauses:
+        limit = int(clauses["LIMIT"].split()[0])
+
+    # select items + aliases
+    items = split_top_level(select_text)
+    used: set[str] = set()
+    parsed_items: list[tuple[str, str]] = []
+    all_aggs: list[AggCall] = []
+    raw_items: list[tuple[str, str]] = []
+    for idx, item in enumerate(items):
+        m = re.search(r"(?i)\s+AS\s+(" + _IDENT_RE.pattern + r"|\"[^\"]+\")\s*$", item)
+        if m:
+            alias = m.group(1).strip('"')
+            body = item[: m.start()].strip()
+        else:
+            body = item.strip()
+            alias = body if _IDENT_RE.fullmatch(body) else None
+        raw_items.append((body, alias))
+
+    group_exprs = []
+    if "GROUP BY" in clauses:
+        group_exprs = split_top_level(clauses["GROUP BY"])
+
+    if distinct:
+        if group_exprs:
+            raise CQError("SELECT DISTINCT with GROUP BY is not supported")
+        group_exprs = [b for b, _ in raw_items]
+
+    # resolve GROUP BY ordinals / aliases to expressions
+    resolved_groups: list[str] = []
+    for g in group_exprs:
+        if g.isdigit():
+            resolved_groups.append(raw_items[int(g) - 1][0])
+        else:
+            hit = next((b for b, a in raw_items if a == g and b != g), None)
+            resolved_groups.append(hit if hit is not None else g)
+    group_exprs = resolved_groups
+
+    # hoist aggregates from each select item
+    norm_group = {re.sub(r"\s+", "", g).lower() for g in group_exprs}
+    for body, alias in raw_items:
+        rewritten, calls = extract_aggs(body, registry, used, alias_hint=alias)
+        if calls:
+            all_aggs.extend(calls)
+            name = alias or calls[0].out
+        else:
+            if re.sub(r"\s+", "", body).lower() not in norm_group and not distinct:
+                raise CQError(
+                    f"column {body!r} must appear in the GROUP BY clause or "
+                    f"be used in an aggregate function")
+            name = alias or re.sub(r"\W+", "_", body).strip("_")
+        parsed_items.append((rewritten, name))
+
+    # matrel names for group exprs: reuse select alias when the group
+    # expr textually matches a plain select item, else hidden _gN
+    # (INTERNAL_COLNAME_PREFIX, reference src/analyzer.c:64).
+    group_names = []
+    for i, g in enumerate(group_exprs):
+        gnorm = re.sub(r"\s+", "", g).lower()
+        hit = None
+        for (body, alias), (rew, name) in zip(raw_items, parsed_items):
+            if re.sub(r"\s+", "", body).lower() == gnorm and "{" not in rew:
+                hit = name
+                break
+        group_names.append(hit if hit else f"_g{i}")
+
+    step = None
+    if sw_col is not None:
+        if not group_exprs and not all_aggs:
+            raise CQError("sliding windows require aggregation")
+        step = max(1.0, sw_secs * step_factor / 100.0)
+
+    tables = [t for t in dict.fromkeys(rel_tokens)
+              if t not in stream_names and t.upper() not in
+              ("JOIN", "ON", "LEFT", "RIGHT", "INNER", "OUTER", "FULL",
+               "CROSS", "AS", "AND", "OR", "USING")]
+
+    return CQPlan(
+        select_items=parsed_items,
+        aggs=all_aggs,
+        group_exprs=group_exprs,
+        group_names=group_names,
+        from_clause=from_clause,
+        stream=stream,
+        where=where,
+        limit=limit,
+        distinct=distinct,
+        sw_column=sw_col,
+        sw_seconds=sw_secs,
+        sw_step_seconds=step,
+        tables=tables,
+    )

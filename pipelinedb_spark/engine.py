@@ -1,0 +1,521 @@
+"""The continuous-query engine: streams, continuous views, transforms.
+
+Public surface mirrors PipelineDB's DDL/DML verbs
+(``CREATE FOREIGN TABLE … SERVER pipelinedb`` → ``create_stream``,
+``CREATE VIEW … WITH (action=materialize)`` → ``create_view``,
+``INSERT INTO stream`` → ``insert``, reading a CV → ``read_view``,
+``output_of('cv')`` → ``output_of``, ``CREATE VIEW … action=transform``
+→ ``create_transform``).  Reference lifecycle:
+``src/pipeline_query.c:1600-1995`` (ExecCreateContViewStmt),
+``src/worker.c:339-467`` (worker), ``src/combiner.c:1323-1633``
+(combine/sync_combine), ``src/reaper.c`` (TTL).
+
+Execution model: PipelineDB is a micro-batch engine (10k-row batches,
+50 ms combiner commits).  Here every ``insert`` is one micro-batch that
+flows worker-partial-agg → bucketed matrel MERGE → output-stream
+emission, all as Spark DataFrame jobs.  ``attach_stream`` additionally
+runs the same pipeline continuously from a Structured Streaming source
+via ``foreachBatch`` (see ``streaming/runtime.py``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipelinedb_spark.aggregates import REGISTRY, AggRegistry, state_col
+from pipelinedb_spark.analyzer import CQError, CQPlan, analyze
+from pipelinedb_spark.matrel import BUCKET_COL, MatrelStore
+
+ARRIVAL_COL = "arrival_timestamp"
+STEP_COL = "_step"
+
+
+@dataclass
+class StreamDef:
+    name: str
+    schema: T.StructType
+    # CVs/transforms consuming this stream, in creation order
+    readers: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Stats:
+    input_rows: int = 0
+    output_rows: int = 0
+    batches: int = 0
+    errors: int = 0
+
+
+class ContView:
+    """One continuous view: analyzer plan + matrel + overlay builder."""
+
+    def __init__(self, ctx: "PipelineContext", name: str, sql: str,
+                 plan: CQPlan, ttl: float | None, ttl_column: str | None,
+                 max_age_fn: Callable[[], float] | None = None) -> None:
+        self.ctx = ctx
+        self.name = name
+        self.sql = sql
+        self.plan = plan
+        self.ttl = ttl
+        self.ttl_column = ttl_column
+        self.active = True
+        self.stats = Stats()
+        self.matrel = MatrelStore(ctx.spark, ctx.matrel_root, name,
+                                  num_buckets=ctx.num_buckets)
+        self._registry = ctx.registry
+        self._group_cols = list(plan.group_names)
+        if plan.sw_column is not None:
+            self._group_cols = self._group_cols + [STEP_COL]
+
+    # -- worker: micro-batch → partial states -------------------------------
+    def worker(self, pre_df: DataFrame) -> DataFrame:
+        plan = self.plan
+        if plan.where:
+            pre_df = pre_df.filter(F.expr(plan.where))
+        keys = [F.expr(g).alias(n)
+                for g, n in zip(plan.group_exprs, plan.group_names)]
+        if plan.sw_column is not None:
+            step = float(plan.sw_step_seconds)
+            keys.append(
+                F.timestamp_seconds(
+                    F.floor(F.col(plan.sw_column).cast("double") / step) * step
+                ).alias(STEP_COL))
+        aggs = []
+        for call in plan.aggs:
+            spec = self._registry.get(call.func)
+            for suffix, col in spec.partial(call.args).items():
+                aggs.append(col.alias(state_col(call.out, suffix)))
+        if not aggs:
+            # pure-DISTINCT CV: presence marker so merge has a state col
+            aggs = [F.count(F.lit(1)).alias(state_col("_present", "n"))]
+        return pre_df.groupBy(*keys).agg(*aggs)
+
+    # -- combiner: merge partials over (old ∪ delta) ------------------------
+    def merge_fn(self, df: DataFrame) -> DataFrame:
+        keys = [F.col(c) for c in self._group_cols] + [F.col(BUCKET_COL)]
+        aggs = []
+        for call in self.plan.aggs:
+            spec = self._registry.get(call.func)
+            s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
+            for suffix, col in spec.merge(s).items():
+                aggs.append(col.alias(state_col(call.out, suffix)))
+        if not aggs:
+            aggs = [F.sum(F.col(state_col("_present", "n")))
+                    .alias(state_col("_present", "n"))]
+        return df.groupBy(*keys).agg(*aggs)
+
+    # -- overlay: finalize states into user-visible rows ---------------------
+    def finalize(self, states: DataFrame, extra_cols: list[str] | None = None,
+                 recombine: bool = True) -> DataFrame:
+        plan = self.plan
+        df = states
+        if plan.sw_column is not None and recombine:
+            # re-combine in-window step buckets under the original keys
+            # (reference view_combines, src/analyzer.c:2798-2805)
+            df = self.merge_fn(df.withColumn(BUCKET_COL, F.lit(0)))
+        fin_names: dict[str, str] = {}
+        for call in plan.aggs:
+            spec = self._registry.get(call.func)
+            s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
+            df = df.withColumn(f"__fin_{call.out}", spec.finalize(s, call.args))
+            fin_names[call.out] = f"__fin_{call.out}"
+        # map normalized group-expr text -> matrel column
+        gmap = {re.sub(r"\s+", "", g).lower(): n
+                for g, n in zip(plan.group_exprs, plan.group_names)}
+        out_cols = []
+        for expr_text, alias in plan.select_items:
+            if "{" in expr_text:
+                sql_expr = expr_text
+                for out, fin in fin_names.items():
+                    sql_expr = sql_expr.replace("{" + out + "}", f"`{fin}`")
+                out_cols.append(F.expr(sql_expr).alias(alias))
+            else:
+                norm = re.sub(r"\s+", "", expr_text).lower()
+                src = gmap.get(norm, expr_text)
+                out_cols.append(F.col(src).alias(alias))
+        if extra_cols:
+            out_cols = [F.col(c) for c in extra_cols] + out_cols
+        out = df.select(*out_cols)
+        if plan.limit is not None:
+            out = out.limit(plan.limit)
+        return out
+
+    # -- per-batch processing -----------------------------------------------
+    def process_batch(self, pre_df: DataFrame) -> DataFrame | None:
+        """Run worker + combiner for one micro-batch; returns the osrel
+        rows (old/new/delta) or None when nothing changed."""
+        delta = self.worker(pre_df)
+        if not delta.take(1):
+            return None
+        delta = delta.localCheckpoint(eager=True)  # batch is small; cut lineage
+        old, merged = self.matrel.merge(delta, self._group_cols, self.merge_fn)
+        self.stats.batches += 1
+        return self._osrel_rows(old, merged, delta)
+
+    def _osrel_rows(self, old: DataFrame | None, merged: DataFrame,
+                    delta: DataFrame) -> DataFrame:
+        """old/new(/delta) change rows (reference src/combiner.c:1578-1601;
+        no-op elision compare_slots src/combiner.c:731-786).  Output
+        schema matches the reference osrel: struct columns old/new/delta
+        whose fields are the CV's user-visible row type."""
+        keys = self._group_cols
+        kcols = [f"__key_{i}" for i in range(len(keys))]
+
+        def keyed(df: DataFrame, as_name: str) -> DataFrame:
+            for kc, k in zip(kcols, keys):
+                df = df.withColumn(kc, F.col(k))
+            fin = self.finalize(df, extra_cols=kcols, recombine=False)
+            val_cols = [c for c in fin.columns if c not in kcols]
+            return fin.select(
+                *[F.col(kc) for kc in kcols],
+                F.struct(*[F.col(c) for c in val_cols]).alias(as_name))
+
+        new_struct = keyed(merged, "new")
+        delta_struct = keyed(delta.withColumn(BUCKET_COL, F.lit(0)), "delta")
+        if old is not None and old.take(1):
+            old_struct = keyed(old, "old")
+            joined = (new_struct.join(old_struct, on=kcols, how="left")
+                      if kcols else new_struct.crossJoin(old_struct))
+        else:
+            joined = new_struct.withColumn("old", F.lit(None).cast(
+                new_struct.schema["new"].dataType))
+        joined = (joined.join(delta_struct, on=kcols, how="left")
+                  if kcols else joined.crossJoin(delta_struct))
+        # no-op update elision
+        changed = joined.filter(
+            F.col("old").isNull() | (~F.col("old").eqNullSafe(F.col("new"))))
+        return changed.select("old", "new", "delta")
+
+    # -- reads ---------------------------------------------------------------
+    def read(self, at: float | None = None) -> DataFrame:
+        states = self.matrel.read()
+        if states is None:
+            empty = self.ctx.spark.createDataFrame([], self._overlay_schema())
+            return empty
+        if self.plan.sw_column is not None:
+            now = at if at is not None else time.time()
+            cutoff = now - float(self.plan.sw_seconds)
+            states = states.filter(
+                F.col(STEP_COL).cast("double") >=
+                F.lit(cutoff) - float(self.plan.sw_step_seconds))
+        return self.finalize(states)
+
+    def _overlay_schema(self) -> T.StructType:
+        probe = self.worker(self.ctx.empty_stream_df(self.plan.stream))
+        probe = probe.withColumn(BUCKET_COL, F.lit(0))
+        return self.finalize(probe, recombine=False).schema
+
+    def reap(self, now: float | None = None) -> int:
+        """Delete TTL-expired rows (reference src/reaper.c:63-128)."""
+        if self.ttl is None:
+            return 0
+        col = self.ttl_column or (STEP_COL if self.plan.sw_column else None)
+        if col is None:
+            return 0
+        cutoff = (now if now is not None else time.time()) - self.ttl
+        return self.matrel.delete_where(F.col(col).cast("double") < cutoff)
+
+
+class Transform:
+    """Stateless continuous transform (reference
+    ``src/pipeline_query.c:984`` DefineContTransform,
+    ``src/transform_receiver.c``)."""
+
+    def __init__(self, ctx: "PipelineContext", name: str, sql: str,
+                 stream: str, outputfunc: Callable[[DataFrame], None] | None):
+        self.ctx = ctx
+        self.name = name
+        self.sql = sql
+        self.stream = stream
+        self.outputfunc = outputfunc
+        self.active = True
+        self.stats = Stats()
+
+    def process_batch(self, batch: DataFrame) -> DataFrame:
+        batch.createOrReplaceTempView(self.stream)
+        out = self.ctx.spark.sql(self.sql)
+        if self.outputfunc is not None:
+            self.outputfunc(out)
+        self.stats.batches += 1
+        return out
+
+
+class PipelineContext:
+    """Top-level engine handle — one per SparkSession + state directory."""
+
+    def __init__(self, spark: SparkSession, root: str | None = None,
+                 num_buckets: int = 32,
+                 registry: AggRegistry = REGISTRY) -> None:
+        self.spark = spark
+        self.root = root or tempfile.mkdtemp(prefix="pipelinedb_spark_")
+        self.matrel_root = os.path.join(self.root, "matrels")
+        os.makedirs(self.matrel_root, exist_ok=True)
+        self.num_buckets = num_buckets
+        self.registry = registry
+        self.streams: dict[str, StreamDef] = {}
+        self.views: dict[str, ContView] = {}
+        self.transforms: dict[str, Transform] = {}
+        self.tables: dict[str, DataFrame] = {}
+        # accumulated output-stream rows, name -> list[pandas.DataFrame]
+        self._osrel_buf: dict[str, list[pd.DataFrame]] = {}
+        self._osrel_schema: dict[str, T.StructType] = {}
+
+    # -- DDL -----------------------------------------------------------------
+    def create_stream(self, name: str, schema: T.StructType | str) -> StreamDef:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if name in self.streams:
+            raise CQError(f"stream {name} already exists")
+        if ARRIVAL_COL not in schema.fieldNames():
+            schema = schema.add(ARRIVAL_COL, T.TimestampType())
+        sd = StreamDef(name=name, schema=schema)
+        self.streams[name] = sd
+        return sd
+
+    def register_table(self, name: str, df: DataFrame) -> None:
+        """Static dimension table usable in stream-table joins."""
+        self.tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def create_view(self, name: str, sql: str, sw: str | None = None,
+                    step_factor: float = 5.0, ttl: str | None = None,
+                    ttl_column: str | None = None) -> ContView:
+        if name in self.views or name in self.transforms:
+            raise CQError(f"continuous view {name} already exists")
+        sql = self._rewrite_output_of(sql)
+        plan = analyze(sql, set(self.streams), self.registry,
+                       sw=sw, step_factor=step_factor)
+        ttl_secs = None
+        if ttl is not None:
+            from pipelinedb_spark.analyzer import parse_interval
+            ttl_secs = parse_interval(ttl)
+        elif plan.sw_seconds is not None:
+            ttl_secs = plan.sw_seconds + 2 * (plan.sw_step_seconds or 0)
+        cv = ContView(self, name, sql, plan, ttl_secs, ttl_column)
+        self.views[name] = cv
+        self.streams[plan.stream].readers.append(name)
+        self._register_osrel(name)
+        return cv
+
+    def create_transform(self, name: str, sql: str,
+                         outputfunc: Callable[[DataFrame], None] | None = None
+                         ) -> Transform:
+        sql = self._rewrite_output_of(sql)
+        clauses_stream = None
+        for s in self.streams:
+            if re.search(r"\b" + re.escape(s) + r"\b", sql):
+                clauses_stream = s
+                break
+        if clauses_stream is None:
+            raise CQError("transform must read from a stream")
+        t = Transform(self, name, sql, clauses_stream, outputfunc)
+        self.transforms[name] = t
+        self.streams[clauses_stream].readers.append(name)
+        self._register_osrel(name)
+        return t
+
+    def _register_osrel(self, name: str) -> None:
+        osrel = f"{name}_osrel"
+        if osrel not in self.streams:
+            # schema resolved lazily on first emission
+            self.streams[osrel] = StreamDef(name=osrel, schema=T.StructType())
+        self._osrel_buf.setdefault(osrel, [])
+
+    def _rewrite_output_of(self, sql: str) -> str:
+        # FROM output_of('cv') → FROM cv_osrel (reference
+        # src/analyzer.c:776-828)
+        return re.sub(r"(?i)output_of\s*\(\s*'([^']+)'\s*\)", r"\1_osrel", sql)
+
+    def drop_view(self, name: str) -> None:
+        cv = self.views.pop(name, None)
+        if cv:
+            cv.matrel.drop()
+            for sd in self.streams.values():
+                if name in sd.readers:
+                    sd.readers.remove(name)
+            self.streams.pop(f"{name}_osrel", None)
+
+    # -- DML -----------------------------------------------------------------
+    def insert(self, stream: str, rows: Iterable[Any] | DataFrame,
+               columns: list[str] | None = None) -> int:
+        """INSERT INTO stream — one micro-batch through every consumer.
+        Reference data path: src/stream_fdw.c:477-585 →
+        microbatch_send_to_worker → worker → combiner."""
+        sd = self.streams.get(stream)
+        if sd is None:
+            raise CQError(f"unknown stream {stream}")
+        batch = self._coerce_batch(sd, rows, columns)
+        n = batch.count()
+        if n == 0:
+            return 0
+        self._dispatch(stream, batch)
+        return n
+
+    def _coerce_batch(self, sd: StreamDef, rows, columns) -> DataFrame:
+        """Name-based projection + cast onto the declared stream schema
+        (reference exec_stream_project/coerce_raw_input
+        src/stream_fdw.c:325-433)."""
+        if isinstance(rows, DataFrame):
+            src = rows
+        else:
+            rows = list(rows)
+            if rows and isinstance(rows[0], dict):
+                src = self.spark.createDataFrame(pd.DataFrame(rows))
+            else:
+                declared = [f.name for f in sd.schema.fields
+                            if f.name != ARRIVAL_COL]
+                cols = columns or declared[: len(rows[0]) if rows else 0]
+                src = self.spark.createDataFrame(rows, schema=cols)
+        out_cols = []
+        for f in sd.schema.fields:
+            if f.name in src.columns:
+                out_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif f.name == ARRIVAL_COL:
+                out_cols.append(F.current_timestamp().alias(ARRIVAL_COL))
+            else:
+                out_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return src.select(*out_cols)
+
+    def _dispatch(self, stream: str, batch: DataFrame,
+                  _depth: int = 0) -> None:
+        if _depth > 16:
+            raise CQError("continuous-query cycle detected")
+        sd = self.streams[stream]
+        readers = [r for r in sd.readers]
+        if not readers:
+            return
+        batch = batch.localCheckpoint(eager=True)
+        batch.createOrReplaceTempView(stream)
+        for rname in readers:
+            if rname in self.views:
+                cv = self.views[rname]
+                if not cv.active:
+                    continue
+                pre = self._worker_input(cv.plan, stream, batch)
+                os_rows = cv.process_batch(pre)
+                if os_rows is not None:
+                    self._emit_osrel(f"{rname}_osrel", os_rows, _depth)
+            elif rname in self.transforms:
+                t = self.transforms[rname]
+                if not t.active:
+                    continue
+                out = t.process_batch(batch)
+                self._emit_osrel(f"{rname}_osrel", out, _depth)
+
+    def _worker_input(self, plan: CQPlan, stream: str,
+                      batch: DataFrame) -> DataFrame:
+        if re.fullmatch(r"[A-Za-z_][\w.]*", plan.from_clause.strip()):
+            return batch  # simple FROM stream
+        batch.createOrReplaceTempView(stream)
+        return self.spark.sql(f"SELECT * FROM {plan.from_clause}")
+
+    def _emit_osrel(self, osrel: str, rows: DataFrame, depth: int) -> None:
+        pdf = rows.toPandas()
+        if len(pdf) == 0:
+            return
+        self._osrel_buf.setdefault(osrel, []).append(pdf)
+        self._osrel_schema[osrel] = rows.schema
+        sd = self.streams.get(osrel)
+        if sd is not None and sd.readers:
+            self._dispatch_osrel(osrel, rows, depth)
+
+    def _dispatch_osrel(self, osrel: str, rows: DataFrame, depth: int) -> None:
+        sd = self.streams[osrel]
+        if not sd.schema.fields:
+            sd.schema = rows.schema
+        self._dispatch(osrel, rows, _depth=depth + 1)
+
+    # -- reads ----------------------------------------------------------------
+    def read_view(self, name: str, at: float | None = None) -> DataFrame:
+        return self.views[name].read(at=at)
+
+    def read_matrel(self, name: str) -> DataFrame:
+        df = self.views[name].matrel.read()
+        if df is None:
+            cv = self.views[name]
+            probe = cv.worker(self.empty_stream_df(cv.plan.stream))
+            return probe.withColumn(BUCKET_COL, F.lit(0)).limit(0)
+        return df
+
+    def output_of(self, name: str) -> DataFrame:
+        osrel = f"{name}_osrel"
+        bufs = self._osrel_buf.get(osrel, [])
+        if not bufs:
+            schema = self._osrel_schema.get(osrel)
+            if schema is None:
+                return self.spark.createDataFrame([], T.StructType())
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(pd.concat(bufs, ignore_index=True),
+                                          schema=self._osrel_schema[osrel])
+
+    def combine_read(self, name: str, group_by: list[str] | None = None,
+                     at: float | None = None) -> DataFrame:
+        """Read-time re-rollup over persisted partial states — the
+        ``combine(col)`` feature (reference RewriteCombineAggs
+        src/analyzer.c:4662; test user_combine.sql)."""
+        cv = self.views[name]
+        states = cv.matrel.read()
+        if states is None:
+            return cv.read(at=at).limit(0)
+        if cv.plan.sw_column is not None:
+            now = at if at is not None else time.time()
+            states = states.filter(
+                F.col(STEP_COL).cast("double") >=
+                F.lit(now - float(cv.plan.sw_seconds)) -
+                float(cv.plan.sw_step_seconds))
+        group_by = group_by or []
+        keys = [F.col(c) for c in group_by]
+        aggs = []
+        for call in cv.plan.aggs:
+            spec = cv.ctx.registry.get(call.func)
+            s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
+            for suffix, col in spec.merge(s).items():
+                aggs.append(col.alias(state_col(call.out, suffix)))
+        merged = states.groupBy(*keys).agg(*aggs) if aggs else states
+        df = merged
+        out_cols = list(group_by)
+        for call in cv.plan.aggs:
+            spec = cv.ctx.registry.get(call.func)
+            s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
+            df = df.withColumn(call.out, spec.finalize(s, call.args))
+            out_cols.append(call.out)
+        return df.select(*out_cols)
+
+    # -- ops ------------------------------------------------------------------
+    def activate(self, name: str, on: bool = True) -> None:
+        if name in self.views:
+            self.views[name].active = on
+        elif name in self.transforms:
+            self.transforms[name].active = on
+
+    def deactivate(self, name: str) -> None:
+        self.activate(name, False)
+
+    def truncate_view(self, name: str) -> None:
+        self.views[name].matrel.truncate()
+
+    def flush(self) -> None:
+        """Sync barrier (reference pipeline_flush): the synchronous
+        insert path is already fully flushed; streaming attachments
+        call processAllAvailable (see streaming/runtime.py)."""
+
+    def reap_ttl(self, name: str, now: float | None = None) -> int:
+        return self.views[name].reap(now=now)
+
+    def empty_stream_df(self, stream: str) -> DataFrame:
+        return self.spark.createDataFrame([], self.streams[stream].schema)
+
+    def close(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
