@@ -371,7 +371,9 @@ class PipelineContext:
             src = rows
         else:
             rows = list(rows)
-            if rows and isinstance(rows[0], dict):
+            if not rows:
+                return self.spark.createDataFrame([], sd.schema)
+            if isinstance(rows[0], dict):
                 src = self.spark.createDataFrame(pd.DataFrame(rows))
             else:
                 declared = [f.name for f in sd.schema.fields
