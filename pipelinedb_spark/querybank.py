@@ -1,0 +1,519 @@
+"""Query bank: every SURVEY §2 operator expressed as a (PySpark
+DataFrame builder, ANSI-SQL duckdb oracle) pair over the driver's
+TPC-H-ish test tables.
+
+Determinism contract: the driver hash-compares Spark vs duckdb values,
+so every floating aggregate here is computed as an *exact* decimal sum
+cast back to double on BOTH sides (identical IEEE inputs → identical
+decimal rounding → identical sums → identical doubles), never as a
+float sum whose value depends on summation order.  Derived statistics
+(variance, correlation, regression) are assembled from those exact
+components with the same double arithmetic on both sides.
+
+Queries whose semantics are approximate (HLL, CMS, t-digest, top-k
+sketches, MinHash/SimHash) have no oracle entry — the driver records a
+rows-only check and tests/test_sketches.py asserts tolerance vs exact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp, so read nanos as long and truncate to µs.  Every
+        # oracle mirrors this with CAST(ts AS TIMESTAMP) (duckdb
+        # ns→µs truncation), keeping both engines bit-identical.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division — float division would lose precision on
+            # ~1.7e18 ns values (> 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col, scale: int = 6):
+    """Order-independent exact sum of a double expression: round each
+    value to DECIMAL(38,scale) (deterministic), sum exactly, cast back
+    to double."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast(T.DecimalType(38, scale))).cast("double")
+
+
+def sql_dsum(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Relational / aggregation core (SURVEY §2.2, §2.3)
+# ---------------------------------------------------------------------------
+
+@query("q1_pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+       {sql_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+       {sql_dsum('l_discount')} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    """TPC-H Q1 shape: the flagship streaming-aggregation workload
+    (maps to a CV `SELECT ... FROM lineitem_stream GROUP BY ...`,
+    reference test cont_sum.sql/cont_avg.sql pattern)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 dsum("l_extendedprice").alias("sum_base_price"),
+                 dsum(disc_price).alias("sum_disc_price"),
+                 dsum(charge).alias("sum_charge"),
+                 (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+                 (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+                 (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@query("q3_top_revenue_orders", f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    """Multi-way join + agg + deterministic top-k (stream-table join
+    pattern, reference stream_table_join.sql; broadcast the small
+    customer side)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+@query("stream_table_join_enrich", f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS orders_cnt,
+       {sql_dsum('o.o_totalprice')} AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""")
+def stream_table_join_enrich(spark, sf_dir):
+    """Stream(orders)-to-dimension-tables join: dims broadcast so the
+    fact never shuffles for the join (the CQ stream-table join shape,
+    reference src/analyzer.c:1245-1273)."""
+    o = t(spark, sf_dir, "orders")
+    c = F.broadcast(t(spark, sf_dir, "customer"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"),
+                     F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("orders_cnt"),
+                 dsum("o_totalprice").alias("total_revenue")))
+
+
+@query("grouping_sets_rollup", f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def grouping_sets_rollup(spark, sf_dir):
+    """GROUPING SETS inside a CQ (reference cont_grouping_sets.sql)."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+@query("distinct_pairs", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def distinct_pairs(spark, sf_dir):
+    """SELECT DISTINCT → GROUP BY rewrite (reference
+    src/analyzer.c:3019-3042, test cont_distinct.sql)."""
+    return t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus").distinct()
+
+
+@query("exact_count_distinct_users", """
+SELECT event_type, COUNT(DISTINCT user_id) AS ndv_users, COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def exact_count_distinct_users(spark, sf_dir):
+    """exact_count_distinct (reference sql:1040-1047)."""
+    return (t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("ndv_users"),
+                 F.count("*").alias("n")))
+
+
+@query("bool_bit_aggs", """
+SELECT event_type,
+       BOOL_AND(value > 0) AS all_pos,
+       BOOL_OR(value > 100) AS any_big,
+       BIT_AND(user_id) AS band,
+       BIT_OR(user_id) AS bor
+FROM events GROUP BY event_type
+""")
+def bool_bit_aggs(spark, sf_dir):
+    """bool_and/bool_or/bit_and/bit_or (reference cont_bool_agg.sql)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_pos"),
+        F.bool_or(F.col("value") > 100).alias("any_big"),
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"))
+
+
+# -- moment / bivariate statistics, built from exact decimal components ----
+
+_STATS_SQL = f"""
+WITH comp AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         {sql_dsum('value', 8)} AS s1,
+         {sql_dsum('value * value', 8)} AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+       (s2 - s1 * s1 / n) / n AS var_pop,
+       SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp,
+       SQRT((s2 - s1 * s1 / n) / n) AS stddev_pop
+FROM comp
+"""
+
+
+@query("stats_moments", _STATS_SQL)
+def stats_moments(spark, sf_dir):
+    """var/stddev family over the (n,s1,s2) combinable state the matrel
+    stores (reference pipelinedb--1.0.0.sql:458-689)."""
+    ev = t(spark, sf_dir, "events")
+    comp = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dsum("value", 8).alias("s1"),
+        dsum(F.col("value") * F.col("value"), 8).alias("s2"))
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return comp.select(
+        "event_type", "n",
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_samp"),
+        ((s2 - s1 * s1 / n) / n).alias("var_pop"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_samp"),
+        F.sqrt((s2 - s1 * s1 / n) / n).alias("stddev_pop"))
+
+
+_REGR_SQL = f"""
+WITH comp AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {sql_dsum('l_quantity', 8)} AS sx,
+         {sql_dsum('l_quantity * l_quantity', 8)} AS sxx,
+         {sql_dsum('l_extendedprice', 8)} AS sy,
+         {sql_dsum('l_extendedprice * l_extendedprice', 4)} AS syy,
+         {sql_dsum('l_quantity * l_extendedprice', 4)} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr,
+       (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+       (sxy - sx * sy / n) / (sxx - sx * sx / n) AS regr_slope,
+       (sy - sx * ((sxy - sx * sy / n) / (sxx - sx * sx / n))) / n AS regr_intercept,
+       POWER(sxy - sx * sy / n, 2) / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS regr_r2,
+       sx / n AS regr_avgx, sy / n AS regr_avgy
+FROM comp
+"""
+
+
+@query("regr_family", _REGR_SQL)
+def regr_family(spark, sf_dir):
+    """corr/covar/regr_* over the 6-component combinable state
+    (reference pipelinedb--1.0.0.sql:267-457, test cont_regr.sql).
+    y = extendedprice, x = quantity."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x, 8).alias("sx"), dsum(x * x, 8).alias("sxx"),
+        dsum(y, 8).alias("sy"), dsum(y * y, 4).alias("syy"),
+        dsum(x * y, 4).alias("sxy"))
+    n = F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    cxy = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    slope = cxy / vx
+    return comp.select(
+        "l_returnflag", "n",
+        (cxy / F.sqrt(vx * vy)).alias("corr"),
+        (cxy / (n - 1)).alias("covar_samp"),
+        slope.alias("regr_slope"),
+        ((sy - sx * slope) / n).alias("regr_intercept"),
+        (F.pow(cxy, F.lit(2)) / (vx * vy)).alias("regr_r2"),
+        (sx / n).alias("regr_avgx"),
+        (sy / n).alias("regr_avgy"))
+
+
+@query("keyed_min_max", """
+WITH ranked AS (
+  SELECT event_type, user_id, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn_max
+  FROM events
+)
+SELECT a.event_type,
+       a.user_id AS min_value_user,
+       b.user_id AS max_value_user
+FROM (SELECT event_type, user_id FROM ranked WHERE rn_min = 1) a
+JOIN (SELECT event_type, user_id FROM ranked WHERE rn_max = 1) b
+  ON a.event_type = b.event_type
+""")
+def keyed_min_max(spark, sf_dir):
+    """keyed_min/keyed_max == min_by/max_by with a deterministic
+    (value, event_id) tiebreak (reference src/kv.c:332-393, test
+    keyed_min_max.sql)."""
+    ev = t(spark, sf_dir, "events")
+    key_min = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.min_by("user_id", key_min).alias("min_value_user"),
+        F.max_by("user_id", key_min).alias("max_value_user"))
+
+
+@query("first_values_smallest", """
+SELECT event_type,
+       (list(value ORDER BY value ASC, event_id ASC))[1:3] AS first3
+FROM events GROUP BY event_type
+""")
+def first_values_smallest(spark, sf_dir):
+    """first_values(3, value) — bounded smallest-n prefix (reference
+    src/firstvalues.c).  Deterministic via (value, event_id) sort."""
+    ev = t(spark, sf_dir, "events")
+    pair = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.transform(F.slice(F.sort_array(F.collect_list(pair)), 1, 3),
+                    lambda s: s.getField("value")).alias("first3"))
+
+
+@query("string_set_array_aggs", """
+SELECT r.r_name AS region,
+       string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+       COUNT(DISTINCT n.n_name) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def string_set_array_aggs(spark, sf_dir):
+    """string_agg / set_agg / set_cardinality (reference
+    aggfuncs.c:377-445, sql:2439-2534) with sorted-set determinism."""
+    n = t(spark, sf_dir, "nation")
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (n.join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",")
+                 .alias("nations_csv"),
+                 F.size(F.collect_set("n_name")).cast("long").alias("n_nations")))
+
+
+@query("topk_per_group", """
+WITH agg AS (
+  SELECT p.p_brand, l.l_partkey, COUNT(*) AS cnt
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+), ranked AS (
+  SELECT p_brand, l_partkey, cnt,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY cnt DESC, l_partkey ASC) AS rk
+  FROM agg
+)
+SELECT p_brand, l_partkey, cnt, rk FROM ranked WHERE rk <= 3
+""")
+def topk_per_group(spark, sf_dir):
+    """Exact top-k per group — the matrel-side two-stage top-k the
+    reference gets from topk_agg (reference src/topkfuncs.c); the
+    sketch variant is `topk_agg_sketch` (rows-only)."""
+    from pyspark.sql import Window
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(t(spark, sf_dir, "part"))
+    agg = (li.join(p, li.l_partkey == p.p_partkey)
+           .groupBy("p_brand", "l_partkey").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    return (agg.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("p_brand", "l_partkey", "cnt", "rk"))
+
+
+@query("percentiles_exact", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""")
+def percentiles_exact(spark, sf_dir):
+    """percentile_cont WITHIN GROUP — exact form (reference rewrites to
+    t-digest `combinable_percentile_cont`, hllfuncs.c:780-1005; the
+    sketch variant is `dist_quantiles_sketch`, rows-only)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"))
+
+
+@query("hypothetical_rank", """
+SELECT l_returnflag,
+       COUNT(*) + 1 - COUNT(CASE WHEN l_quantity < 25.0 THEN 1 END) AS gt_or_eq,
+       COUNT(CASE WHEN l_quantity < 25.0 THEN 1 END) + 1 AS hrank,
+       CAST(COUNT(CASE WHEN l_quantity < 25.0 THEN 1 END) AS DOUBLE) / COUNT(*) AS hpercent_rank,
+       CAST(COUNT(CASE WHEN l_quantity <= 25.0 THEN 1 END) + 1 AS DOUBLE) / (COUNT(*) + 1) AS hcume_dist
+FROM lineitem GROUP BY l_returnflag
+""")
+def hypothetical_rank(spark, sf_dir):
+    """Hypothetical-set rank/percent_rank/cume_dist of v=25.0 from
+    combinable counters [n, count_less, count_leq] (reference
+    cq_hypothetical_* hllfuncs.c:1096-1233)."""
+    li = t(spark, sf_dir, "lineitem")
+    v = F.lit(25.0)
+    lt = F.count(F.when(F.col("l_quantity") < v, 1))
+    leq = F.count(F.when(F.col("l_quantity") <= v, 1))
+    n = F.count("*")
+    return li.groupBy("l_returnflag").agg(
+        (n + 1 - lt).alias("gt_or_eq"),
+        (lt + 1).alias("hrank"),
+        (lt.cast("double") / n).alias("hpercent_rank"),
+        ((leq + 1).cast("double") / (n + 1)).alias("hcume_dist"))
+
+
+# ---------------------------------------------------------------------------
+# Time / streaming semantics (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query("date_round_buckets", f"""
+SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT) * 300 AS bucket_s,
+       COUNT(*) AS cnt,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1
+""")
+def date_round_buckets(spark, sf_dir):
+    """date_round(ts, '5 min') step bucketing — the sliding-window
+    matrel key (reference timestamptz_round src/miscutils.c:305-332,
+    step bucketing src/analyzer.c:429-466)."""
+    ev = t(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("double") / 300) * 300).cast("bigint")
+    return (ev.groupBy(bucket.alias("bucket_s"))
+            .agg(F.count("*").alias("cnt"),
+                 dsum("value").alias("sum_value")))
+
+
+@query("sliding_window_agg", f"""
+WITH anchor AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+SELECT event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sum_value
+FROM events, anchor
+WHERE CAST(ts AS TIMESTAMP) > mx - INTERVAL 7 DAY
+GROUP BY event_type
+""")
+def sliding_window_agg(spark, sf_dir):
+    """Sliding-window aggregate over the last 7 days (anchored at
+    max(ts) for determinism; live engine anchors at clock_timestamp,
+    reference src/analyzer.c:321-423)."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (ev.crossJoin(F.broadcast(mx))
+            .filter(F.col("ts") > F.col("mx") - F.expr("INTERVAL 7 DAY"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value")))
+
+
+@query("sw_step_overlay_combine", f"""
+WITH anchor AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+steps AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS step_h,
+         COUNT(*) AS cnt, {sql_dsum('value')} AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, SUM(s.cnt) AS cnt,
+       CAST(SUM(CAST(s.sum_value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM steps s, anchor a
+WHERE s.step_h * 3600 > epoch(a.mx) - 7 * 86400
+GROUP BY s.event_type
+""")
+def sw_step_overlay_combine(spark, sf_dir):
+    """The sliding-window two-level plan the engine actually runs:
+    partial states per hour step (matrel), then read-time re-combine of
+    in-window steps (reference proj_and_group_for_sliding_window
+    src/analyzer.c:2715-2756, view_combines :2798-2805)."""
+    ev = t(spark, sf_dir, "events")
+    step = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    steps = (ev.groupBy(F.col("event_type"), step.alias("step_h"))
+             .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value")))
+    mx = ev.agg(F.max("ts").alias("mx"))
+    in_win = (steps.crossJoin(F.broadcast(mx))
+              .filter(F.col("step_h") * 3600 >
+                      F.col("mx").cast("double") - 7 * 86400))
+    return (in_win.groupBy("event_type")
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.sum(F.col("sum_value").cast(T.DecimalType(38, 6)))
+                 .cast("double").alias("sum_value")))
+
+
+@query("json_object_int_sum", """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def json_object_int_sum(spark, sf_dir):
+    """json_object_int_sum: sum integer values per JSON key (reference
+    src/json.c:2728-2826, sql:2537-2574)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.count("*").alias("n"))

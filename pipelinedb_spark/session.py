@@ -35,6 +35,7 @@ _DEFAULTS = {
     # ANSI off: PipelineDB/PG-style permissive casts in stream coercion.
     "spark.sql.ansi.enabled": "false",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
