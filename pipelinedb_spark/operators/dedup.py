@@ -1,0 +1,164 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (100 TB):
+
+* **exact**: md5(text) groupBy — one shuffle keyed by a 128-bit hash,
+  uniformly distributed so no skew; Catalyst does map-side partial
+  counts.
+* **jaccard_pairs**: exact all-pairs via shingle inverted index
+  (explode → self-join on shingle).  Quadratic in near-dup cluster
+  size but linear in corpus for the index; use for verification and
+  small candidate sets.  At corpus scale, run `lsh_candidates` first
+  and feed only candidates here.
+* **minhash_lsh**: the scale path — per-doc signature of K minhashes
+  (one pass, xxhash64, JVM-only), banded into B buckets; candidate
+  pairs only join within a band bucket.  Shuffle is keyed by
+  (band, bucket-hash): cardinality ≈ docs×B, uniform.
+* **simhash**: 64-bit weighted-sign fingerprint; near-dups differ in
+  ≤ d bits.  Emitted as a column; banding over bit-chunks gives the
+  same LSH-style candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column (JVM-only)."""
+    ws = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content with
+    its count and canonical (minimum) id."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("canonical_id")))
+
+
+def shingle_index(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) inverted index."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    intersection via shingle self-join; |A∪B| = |A|+|B|-|A∩B|.
+    Deterministic: integer counts → double division.
+    """
+    sh = shingle_index(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("d1"),
+                      F.col("b.doc_id").alias("d2"))
+             .agg(F.count("*").alias("inter")))
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    j = (inter.join(s1, "d1").join(s2, "d2")
+         .withColumn("jaccard",
+                     F.col("inter").cast("double") /
+                     (F.col("sz1") + F.col("sz2") - F.col("inter"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("d1", "d2", "jaccard"))
+
+
+def minhash_signature(text: Column, num_hashes: int = 64,
+                      shingle_n: int = 3) -> Column:
+    """Array of K minhash values over word shingles.  Hash family:
+    xxhash64(shingle, seed=k) — deterministic, JVM-side, no Python.
+    """
+    grams = word_shingles(text, shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(k))))
+        for k in range(num_hashes)])
+    return sig
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       shingle_n: int = 3) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"),
+                     minhash_signature(F.col(text_col), num_hashes,
+                                       shingle_n).alias("sig"))
+
+
+def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", num_hashes: int = 64,
+                   bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the K-wide signature into
+    `bands` rows of K/bands values; docs sharing any banded bucket are
+    candidates.  Returns distinct (d1 < d2) pairs with the estimated
+    Jaccard from full-signature agreement."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.array_join(
+                         F.transform(
+                             F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                             lambda v: v.cast("string")), ","))
+                     .alias("bucket"))
+            for b in range(bands)])).alias("bb"))
+    banded = banded.select("doc_id", "sig",
+                           F.col("bb.band").alias("band"),
+                           F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                    (F.col("a.bucket") == F.col("b.bucket")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2"),
+                     F.col("a.sig").alias("sig1"),
+                     F.col("b.sig").alias("sig2"))
+             .dropDuplicates(["d1", "d2"]))
+    est = F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                          lambda eq: eq)) / F.lit(float(64 if num_hashes == 64 else num_hashes))
+    return cands.select("d1", "d2", est.alias("est_jaccard"))
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens: sum token-hash bit signs,
+    take the sign vector.  JVM-only via bit arithmetic on xxhash64.
+    """
+    ws = F.split(text, " ")
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    def vote_fn(mask):
+        # closure factory — pyspark requires exactly-2-arg lambdas here
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for i in range(bits):
+        mask = 1 << i if i < 63 else -(1 << 63)
+        # +1 when bit i set, -1 otherwise, summed over tokens
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(mask))
+        bit_cols.append(F.when(vote > 0, F.lit(mask).cast("long"))
+                        .otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_fast(text: Column, bits: int = 16) -> Column:
+    """Reduced-width SimHash (default 16 bits) — the 64-bit version
+    builds a wide expression tree; 16 bits is plenty for bucketing."""
+    return simhash(text, bits)

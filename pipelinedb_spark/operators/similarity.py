@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* ``brute_force_topk`` — exact cosine top-k.  The *oracle-matched*
+  variant computes dot products in exact decimal arithmetic so Spark
+  and duckdb agree bitwise; the *fast* variant keeps everything in
+  doubles via F.zip_with/F.aggregate (one broadcast join, no shuffle of
+  the corpus side).
+* ``lsh_bucketed_topk`` — the 100 TB path: deterministic random-
+  hyperplane LSH signatures bucket the corpus (one scan, JVM-only
+  bit ops); queries probe only their bucket (+ optional multiprobe),
+  turning O(N·Q) into O(N/2^bits · Q) with a bucket-keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Plain double dot product (fast path)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm2_double(a: Column) -> Column:
+    return F.sqrt(dot_double(a, a))
+
+
+def cosine_double(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (norm2_double(a) * norm2_double(b))
+
+
+_DEC = T.DecimalType(18, 9)
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent dot product: inputs rounded once to
+    DECIMAL(18,9), products and sum exact, result cast to double.
+    Mirrors the duckdb oracle formula bit-for-bit."""
+    acc_t = T.DecimalType(38, 18)
+    prods = F.zip_with(a, b, lambda x, y:
+                       x.cast("double").cast(_DEC) * y.cast("double").cast(_DEC))
+    # re-cast each partial sum: Spark's decimal + would otherwise drop
+    # a digit of scale per step (precision-loss promotion)
+    return F.aggregate(prods, F.lit(0).cast(acc_t),
+                       lambda acc, v: (acc + v).cast(acc_t)).cast("double")
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    return dot_exact(a, b) / F.sqrt(dot_exact(a, a) * dot_exact(b, b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exact: bool = True) -> DataFrame:
+    """Exact cosine top-k: broadcast queries against the corpus, rank
+    per query with a deterministic (cosine DESC, id ASC) tiebreak.
+    The corpus is scanned once; no corpus-side shuffle before ranking.
+    """
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      F.col(vec_col).alias("n_vec"))
+    cos = cosine_exact(F.col("q_vec"), F.col("n_vec")) if exact \
+        else cosine_double(F.col("q_vec"), F.col("n_vec"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id", cos.alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", "rk", "cosine"))
+
+
+def neardup_pairs(corpus: DataFrame, threshold: float = 0.45,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  exact: bool = True) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ t)."""
+    a = corpus.select(F.col(id_col).alias("id1"),
+                      F.col(vec_col).alias("v1"))
+    b = corpus.select(F.col(id_col).alias("id2"),
+                      F.col(vec_col).alias("v2"))
+    cos = cosine_exact(F.col("v1"), F.col("v2")) if exact \
+        else cosine_double(F.col("v1"), F.col("v2"))
+    return (a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from a hash of
+    (plane, dim-index) — no RNG state, reproducible across runs."""
+    out = []
+    for d in range(dim):
+        h = (plane * 1_000_003 + d * 8191 + 12582917) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 0x5BD1E995) & 0xFFFFFFFF
+        h ^= h >> 15
+        out.append(1.0 if h & 1 else -1.0)
+    return out
+
+
+def lsh_signature(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^bits-1) as an int column;
+    JVM-only expression."""
+    sig = F.lit(0)
+    for p in range(bits):
+        plane = _hyperplane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(w) for w in plane]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64, bits: int = 8,
+                      multiprobe: int = 1) -> DataFrame:
+    """Approximate top-k: bucket the corpus by hyperplane signature,
+    join queries only to their bucket (plus `multiprobe` single-bit
+    flips), rank within candidates.  At 100 TB the corpus-side
+    signature is computed in the same scan that wrote the embedding
+    and persisted/partitioned by bucket, so a query touches
+    ~N/2^bits rows."""
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      F.col(vec_col).alias("n_vec"),
+                      lsh_signature(F.col(vec_col), dim, bits).alias("bucket"))
+    probes = [F.col("q_sig")]
+    for b in range(min(multiprobe * bits, bits)):
+        probes.append(F.col("q_sig").bitwiseXOR(F.lit(1 << b)))
+    q = (queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        lsh_signature(F.col(vec_col), dim, bits).alias("q_sig"))
+         .withColumn("bucket", F.explode(F.array(*probes))))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      cosine_double(F.col("q_vec"), F.col("n_vec"))
+                      .alias("cosine"))
+              .dropDuplicates(["q_id", "n_id"]))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", "rk", "cosine"))

@@ -1,0 +1,99 @@
+"""Text analysis operators for LLM training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+Everything here is a pure Column expression (whole-stage codegen, no
+Python in the hot path), so the same plan runs unchanged on a 100 TB
+corpus: one scan, no shuffle, column-pruned to `text` + outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the heuristic language ID.
+# Deliberately small + explicit so the same rule is expressible in any
+# SQL dialect (the duckdb oracle mirrors it verbatim).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ich", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "de", "que", "es", "un", "una"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (regex-free hot path)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_word_len(text: Column) -> Column:
+    """(chars - separators) / words, computed without re-tokenizing."""
+    n = token_count(text)
+    return (char_count(text) - (n - 1)) / n
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda w: w.isin(words))).cast("long")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_count(text, lang) / token_count(text)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic n-gram/stopword language ID: argmax of per-language
+    stopword hits, 'und' (undetermined) when nothing matches.
+    Deterministic tie-break by language code order en<de<es<fr via
+    strictly-greater comparison in a fixed scan order."""
+    counts = {lg: stopword_count(text, lg) for lg in STOPWORDS}
+    best_lang = F.lit("und")
+    best_cnt = F.lit(0).cast("long")
+    for lg in sorted(STOPWORDS):  # de, en, es, fr — fixed order
+        c = counts[lg]
+        is_better = c > best_cnt
+        best_lang = F.when(is_better, F.lit(lg)).otherwise(best_lang)
+        best_cnt = F.when(is_better, c).otherwise(best_cnt)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length score × mean-word-
+    length plausibility × stopword presence.  Deterministic double
+    arithmetic (same formula mirrored in the oracle SQL)."""
+    n = token_count(text)
+    awl = avg_word_len(text)
+    sw = stopword_ratio(text, "en")
+    len_score = F.least(n / F.lit(64.0), F.lit(1.0))
+    wl_score = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_score = F.least(sw * 4.0 + 0.2, F.lit(1.0))
+    return len_score * wl_score * sw_score
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the lowercased text.
+    (The rolling-hash variant lives in dedup.simhash.)"""
+    return F.md5(F.lower(text))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-scan text profiling of a document table."""
+    text = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(text).alias("n_tokens"),
+        avg_word_len(text).alias("avg_word_len"),
+        stopword_ratio(text).alias("stopword_ratio_en"),
+        lang_id(text).alias("lang_pred"),
+        quality_score(text).alias("quality"),
+        fingerprint(text).alias("fp"),
+    )

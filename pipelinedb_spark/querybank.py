@@ -517,3 +517,228 @@ def json_object_int_sum(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
         F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data pipeline operators (SURVEY §7 beyond-reference surface)
+# ---------------------------------------------------------------------------
+
+_SW_EN = "'the','a','of','and','to','in','is','that'"
+_SW_DE = "'der','die','das','und','nicht','ist','ich','ein'"
+_SW_FR = "'le','la','les','et','est','un','une','que'"
+_SW_ES = "'el','la','los','de','que','es','un','una'"
+
+
+@query("text_profile", f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_EN}))) AS c_en,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_DE}))) AS c_de,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_FR}))) AS c_fr,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_ES}))) AS c_es
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len,
+       CAST(c_en AS DOUBLE) / n_tokens AS stopword_ratio_en,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       least(n_tokens / 64.0, 1.0)
+         * (CASE WHEN (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) >= 2.0
+                  AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) <= 12.0
+                 THEN 1.0 ELSE 0.5 END)
+         * least((CAST(c_en AS DOUBLE) / n_tokens) * 4.0 + 0.2, 1.0) AS quality,
+       md5(lower(text)) AS fp
+FROM base
+""")
+def text_profile(spark, sf_dir):
+    """Text analysis: token count, word stats, stopword ratio, heuristic
+    language ID, quality score, fingerprint — one JVM-only scan
+    (operators/text.py)."""
+    from pipelinedb_spark.operators.text import analyze_documents
+    docs = t(spark, sf_dir, "documents")
+    return analyze_documents(docs).select(
+        "doc_id", "n_tokens", "avg_word_len", "stopword_ratio_en",
+        "lang_pred", "quality", "fp")
+
+
+@query("token_count_by_source", """
+SELECT source, SUM(len(string_split(text, ' '))) AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+""")
+def token_count_by_source(spark, sf_dir):
+    """Corpus token accounting per source (operators/text.py)."""
+    from pipelinedb_spark.operators.text import token_count
+    docs = t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.sum(token_count(F.col("text"))).alias("total_tokens"),
+                 F.count("*").alias("n_docs")))
+
+
+@query("dedup_exact", """
+SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash (operators/dedup.py)."""
+    from pipelinedb_spark.operators.dedup import exact_duplicates
+    return exact_duplicates(t(spark, sf_dir, "documents"))
+
+
+@query("ngram_jaccard_neardup", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              UNNEST(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in range(1, len(ws) - 1)])) AS s
+       FROM w),
+p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
+""")
+def ngram_jaccard_neardup(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index
+    (operators/dedup.py jaccard_pairs)."""
+    from pipelinedb_spark.operators.dedup import jaccard_pairs
+    return jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("minhash_lsh_candidates")
+def minhash_lsh_candidates(spark, sf_dir):
+    """MinHash+LSH candidate pairs — the 100 TB dedup path (64 hashes,
+    16 bands).  Hash-dependent, so rows-only; recall vs exact Jaccard
+    asserted in tests/test_operators.py."""
+    from pipelinedb_spark.operators.dedup import lsh_candidates
+    return lsh_candidates(t(spark, sf_dir, "documents"),
+                          num_hashes=64, bands=16)
+
+
+@query("simhash_fingerprints")
+def simhash_fingerprints(spark, sf_dir):
+    """16-bit SimHash fingerprints (rows-only; hash-defined)."""
+    from pipelinedb_spark.operators.dedup import simhash_fast
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       simhash_fast(F.col("text"), 16).alias("simhash"))
+
+
+_ANN_ORACLE = """
+WITH norms AS (
+  SELECT vec_id,
+         CAST(list_sum([CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+                        * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+                        for x in embedding]) AS DOUBLE) AS n2
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(list_sum([CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+                        * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+                        for i in range(1, len(q.embedding) + 1)]) AS DOUBLE) AS dot
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+scored AS (
+  SELECT p.q_id, p.n_id, p.dot / sqrt(nq.n2 * nc.n2) AS cosine
+  FROM pairs p JOIN norms nq ON p.q_id = nq.vec_id
+               JOIN norms nc ON p.n_id = nc.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, n_id, rk, ROUND(cosine, 9) AS cosine FROM ranked WHERE rk <= 5
+"""
+
+
+@query("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 10 query vectors — the ANN
+    baseline (operators/similarity.py); decimal-exact dot products so
+    Spark and duckdb rank identically."""
+    from pipelinedb_spark.operators.similarity import brute_force_topk
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries_df, k=5, exact=True)
+    # last-ulp decimal→double conversion differs between engines; the
+    # ranking uses raw values, the reported score is rounded
+    return out.withColumn("cosine", F.round("cosine", 9))
+
+
+@query("embedding_neardup_pairs", """
+WITH norms AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum([CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+                        * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+                        for x in embedding]) AS DOUBLE) AS n2
+  FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+                      * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+                      for i in range(1, len(a.embedding) + 1)]) AS DOUBLE)
+         / sqrt(a.n2 * b.n2), 9) AS cosine
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+                     * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+                     for i in range(1, len(a.embedding) + 1)]) AS DOUBLE)
+        / sqrt(a.n2 * b.n2) >= 0.45
+""")
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (exact)."""
+    from pipelinedb_spark.operators.similarity import neardup_pairs
+    out = neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return out.withColumn("cosine", F.round("cosine", 9))
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k — the scale path (rows-only;
+    recall vs brute force asserted in tests/test_operators.py)."""
+    from pipelinedb_spark.operators.similarity import lsh_bucketed_topk
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, queries_df, k=5, dim=64, bits=6,
+                             multiprobe=1)
+
+
+@query("media_metadata", """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 1920 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 1080 + 1 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_frames,
+       CAST(NULL AS INTEGER) AS sample_rate
+FROM documents
+""")
+def media_metadata(spark, sf_dir):
+    """Multimodal plumbing: binary payload → Arrow-batched mapInPandas
+    metadata extraction (operators/multimodal.py; decode kernel is the
+    documented deterministic stub)."""
+    from pipelinedb_spark.operators.multimodal import (attach_binary,
+                                                       extract_metadata)
+    docs = t(spark, sf_dir, "documents")
+    return extract_metadata(attach_binary(docs, kind="image"))
+
+
+@query("media_frame_sample", """
+SELECT doc_id AS media_id,
+       UNNEST(range(0, octet_length(encode(text)) % 300 + 1, 30)) AS frame_idx
+FROM documents WHERE doc_id % 2 = 0
+""")
+def media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled frame index."""
+    from pipelinedb_spark.operators.multimodal import (attach_binary,
+                                                       frame_sample)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return frame_sample(attach_binary(docs, kind="video"), every_n=30)
