@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect overhead distorting the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "stream_table_join_enrich",
+    "grouping_sets_rollup",
+    "exact_count_distinct_users",
+    "stats_moments",
+    "regr_family",
+    "topk_per_group",
+    "percentiles_exact",
+    "date_round_buckets",
+    "sliding_window_agg",
+    "sw_step_overlay_combine",
+    "dedup_exact",
+    "text_profile",
+    "ngram_jaccard_neardup",
+    "minhash_lsh_candidates",
+    "ann_cosine_topk",
+    "hll_ndv_sketch",
+    "cv_engine_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pipelinedb_spark import get_spark
+    from pipelinedb_spark.querybank import Q
+
+    spark = get_spark("pipelinedb_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths so per-query numbers measure the plan,
+    # not first-run JIT
+    Q["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite") \
+        .format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

