@@ -367,6 +367,144 @@ def _hll_union_agg_spec() -> AggSpec:
 
 
 # ---------------------------------------------------------------------------
+# Hypothetical-set aggregates: combinable rank / percent_rank /
+# cume_dist / dense_rank.  Reference rewrites the ordered-set forms to
+# counter-based streaming variants (cq_hypothetical_* hllfuncs.c:1096-
+# 1233): state = [n, count_less, count_leq]; dense_rank keeps an HLL of
+# distinct smaller values.  Analyzer folds WITHIN GROUP args so the
+# call shape is fn(v, x).
+# ---------------------------------------------------------------------------
+
+def _hs_partial(args):
+    v, x = _e(args[0]), _e(args[1])
+    return {
+        "n": F.count(x),
+        "lt": F.count(F.when(x < v, 1)),
+        "leq": F.count(F.when(x <= v, 1)),
+    }
+
+
+_HS_MERGE = lambda s: {k: F.sum(s(k)) for k in ("n", "lt", "leq")}
+
+
+def _hs_specs() -> list[AggSpec]:
+    return [
+        AggSpec("combinable_rank", _hs_partial, _HS_MERGE,
+                lambda s, a: (s("lt") + 1).cast("long")),
+        AggSpec("combinable_percent_rank", _hs_partial, _HS_MERGE,
+                lambda s, a: F.when(s("n") > 0,
+                                    s("lt").cast("double") / s("n"))
+                .otherwise(F.lit(0.0))),
+        AggSpec("combinable_cume_dist", _hs_partial, _HS_MERGE,
+                lambda s, a: (s("leq") + 1).cast("double") / (s("n") + 1)),
+        AggSpec("combinable_dense_rank",
+                lambda args: {"h": F.hll_sketch_agg(
+                    F.when(_e(args[1]) < _e(args[0]),
+                           _e(args[1]).cast("string")))},
+                lambda s: {"h": F.hll_union_agg(s("h"))},
+                lambda s, a: (F.hll_sketch_estimate(s("h")) + 1).cast("long")),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# bucket_agg(expr, bucket_id) — assign each value to the bucket of its
+# LATEST observation, expose per-bucket distinct cardinalities
+# (reference aggfuncs.c:462-931, test bucket_agg.sql).  State: map
+# value -> (bucket_id, ts); merge keeps the later (ts, bucket) per
+# value; finalize = array of (bucket_id, count distinct values) sorted
+# by bucket id.
+# ---------------------------------------------------------------------------
+
+def _bucket_agg_spec() -> AggSpec:
+    def partial(args):
+        val = _e(args[0]).cast("string")
+        bucket = _e(args[1]).cast("int")
+        ts = _e(args[2]) if len(args) > 2 else F.col("arrival_timestamp")
+        # per-value latest (ts, bucket): max_by over struct then map
+        pair = F.struct(ts.cast("double").alias("t"), bucket.alias("b"),
+                        val.alias("v"))
+        return {"m": F.map_from_entries(F.aggregate(
+            F.collect_list(pair), F.array().cast(
+                "array<struct<key:string,value:struct<t:double,b:int>>>"),
+            lambda acc, p: _bucket_fold(acc, p)))}
+
+    def merge(s):
+        # merge maps: per key keep entry with max t
+        return {"m": F.map_from_entries(F.aggregate(
+            F.flatten(F.collect_list(F.map_entries(s("m")))),
+            F.array().cast(
+                "array<struct<key:string,value:struct<t:double,b:int>>>"),
+            lambda acc, p: _bucket_fold_entry(acc, p)))}
+
+    def finalize(s, a):
+        entries = F.map_entries(s("m"))
+        buckets = F.array_distinct(F.transform(
+            entries, lambda e: e.getField("value").getField("b")))
+        counts = F.transform(
+            F.array_sort(buckets),
+            lambda b: F.struct(
+                b.alias("bucket_id"),
+                F.size(F.filter(entries, lambda e:
+                                e.getField("value").getField("b") == b))
+                .cast("long").alias("count")))
+        return counts
+
+    return AggSpec("bucket_agg", partial, merge, finalize)
+
+
+def _bucket_fold(acc, p):
+    key = p.getField("v")
+    new = F.struct(p.getField("t").alias("t"), p.getField("b").alias("b"))
+    return _fold_keep_latest(acc, key, new)
+
+
+def _bucket_fold_entry(acc, e):
+    key = e.getField("key")
+    new = e.getField("value")
+    return _fold_keep_latest(acc, key, new)
+
+
+def _fold_keep_latest(acc, key, new):
+    existing = F.filter(acc, lambda kv: kv.getField("key") == key)
+    rest = F.filter(acc, lambda kv: kv.getField("key") != key)
+    keep = F.when(
+        (F.size(existing) > 0) &
+        (F.element_at(existing, 1).getField("value").getField("t") >=
+         new.getField("t")),
+        F.element_at(existing, 1).getField("value")).otherwise(new)
+    return F.concat(rest, F.array(F.struct(key.alias("key"),
+                                           keep.alias("value"))))
+
+
+# ---------------------------------------------------------------------------
+# JSON aggregates: json_agg / json_object_agg (reference json.c:1876-,
+# jsonb.c:1523-; combinable via element-list states).
+# ---------------------------------------------------------------------------
+
+def _json_agg_spec() -> AggSpec:
+    return AggSpec(
+        "json_agg",
+        lambda args: {"a": F.collect_list(_e(args[0]))},
+        lambda s: {"a": F.flatten(F.collect_list(s("a")))},
+        lambda s, a: F.to_json(s("a")),
+    )
+
+
+def _json_object_agg_spec() -> AggSpec:
+    def partial(args):
+        k, v = _e(args[0]), _e(args[1])
+        return {"a": F.collect_list(F.struct(k.cast("string").alias("key"),
+                                             v.alias("value")))}
+
+    return AggSpec(
+        "json_object_agg",
+        partial,
+        lambda s: {"a": F.flatten(F.collect_list(s("a")))},
+        lambda s, a: F.to_json(F.map_from_entries(s("a"))),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -404,8 +542,12 @@ class AggRegistry:
             _hll_count_distinct_spec(),
             _hll_agg_spec(),
             _hll_union_agg_spec(),
+            _bucket_agg_spec(),
+            _json_agg_spec(),
+            _json_object_agg_spec(),
         ]
         specs.extend(_bivar_specs())
+        specs.extend(_hs_specs())
         return specs
 
     def register(self, spec: AggSpec) -> None:

@@ -1,0 +1,188 @@
+"""Engine streaming semantics: transforms, output streams (old/new/
+delta + chaining), sliding windows with decay, TTL reaper, stream-table
+joins, hypothetical-set aggs, json aggs.
+
+Mirrors reference tests cont_transform.sql, output_streams.sql,
+delta_streams.sql, test_sliding_windows.py, ttl_expiration.sql,
+stream_table_join.sql, cont_hs_agg.sql, cont_json_agg.sql.
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_transform_and_outputfunc(ctx):
+    captured = []
+    ctx.create_stream("ts1", "x int, y int")
+    ctx.create_transform(
+        "t_double",
+        "SELECT x * 2 AS x2, y FROM ts1 WHERE x > 0",
+        outputfunc=lambda df: captured.append(df.count()))
+    ctx.insert("ts1", [{"x": 1, "y": 10}, {"x": -5, "y": 20}, {"x": 3, "y": 30}])
+    out = ctx.output_of("t_double")
+    assert sorted((r["x2"], r["y"]) for r in out.collect()) == [(2, 10), (6, 30)]
+    assert captured == [2]
+
+
+def test_transform_chain_into_cv(ctx):
+    """Transform output stream feeds a downstream CV (the
+    insert_into_stream chaining pattern, reference stream_fdw.c:589)."""
+    ctx.create_stream("ts2", "k string, v long")
+    ctx.create_transform("t_filter", "SELECT k, v FROM ts2 WHERE v >= 10")
+    ctx.create_view("cv_chain",
+                    "SELECT k, count(*) AS n, sum(v) AS s "
+                    "FROM output_of('t_filter') GROUP BY k")
+    ctx.insert("ts2", [{"k": "a", "v": 5}, {"k": "a", "v": 15},
+                       {"k": "b", "v": 20}])
+    ctx.insert("ts2", [{"k": "a", "v": 25}])
+    got = {r["k"]: r for r in ctx.read_view("cv_chain").collect()}
+    assert got["a"]["n"] == 2 and got["a"]["s"] == 40
+    assert got["b"]["n"] == 1 and got["b"]["s"] == 20
+
+
+def test_output_stream_old_new_delta(ctx):
+    ctx.create_stream("os1", "x int, y int")
+    ctx.create_view("cv_os", "SELECT x, sum(y) AS s FROM os1 GROUP BY x")
+    ctx.insert("os1", [{"x": 1, "y": 10}])
+    ctx.insert("os1", [{"x": 1, "y": 5}, {"x": 2, "y": 7}])
+    rows = ctx.output_of("cv_os").collect()
+    # insert events: old is NULL; update events: old -> new with delta
+    ins = [r for r in rows if r["old"] is None]
+    upd = [r for r in rows if r["old"] is not None]
+    assert {(r["new"]["x"], r["new"]["s"]) for r in ins} == {(1, 10), (2, 7)}
+    assert len(upd) == 1
+    u = upd[0]
+    assert u["old"]["s"] == 10 and u["new"]["s"] == 15 and u["delta"]["s"] == 5
+
+
+def test_noop_update_elision(ctx):
+    """A batch that doesn't change a group's value must not emit an
+    output-stream row for it (reference compare_slots combiner.c:731)."""
+    ctx.create_stream("os2", "k string, v int")
+    ctx.create_view("cv_min", "SELECT k, min(v) AS lo FROM os2 GROUP BY k")
+    ctx.insert("os2", [{"k": "a", "v": 5}])
+    ctx.insert("os2", [{"k": "a", "v": 9}])  # min unchanged
+    rows = ctx.output_of("cv_min").collect()
+    assert len(rows) == 1  # only the initial insert
+
+
+def test_cv_over_cv_output_stream(ctx):
+    """CV reading another CV's output stream (dataflow DAG)."""
+    ctx.create_stream("os3", "k string, v long")
+    ctx.create_view("cv_a", "SELECT k, count(*) AS n FROM os3 GROUP BY k")
+    ctx.create_view("cv_updates",
+                    "SELECT count(*) AS changes FROM output_of('cv_a')")
+    ctx.insert("os3", [{"k": "a", "v": 1}])
+    ctx.insert("os3", [{"k": "a", "v": 2}, {"k": "b", "v": 3}])
+    # 1 insert event + (1 update + 1 insert) = 3 change rows
+    assert ctx.read_view("cv_updates").collect()[0]["changes"] == 3
+
+
+def test_sliding_window_decay(ctx):
+    """SW values must decay as the window slides (reference
+    test_sliding_windows.py:5-45): read at a later wall-clock 'now'."""
+    ctx.create_stream("sw1", "k string, v long")
+    ctx.create_view(
+        "cv_sw",
+        "SELECT k, count(*) AS n, sum(v) AS s FROM sw1 "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '30 seconds' "
+        "GROUP BY k")
+    cv = ctx.views["cv_sw"]
+    assert cv.plan.sw_seconds == 30.0
+    ctx.insert("sw1", [{"k": "a", "v": 1}, {"k": "a", "v": 2}])
+    now = time.time()
+    got = {r["k"]: r for r in ctx.read_view("cv_sw", at=now).collect()}
+    assert got["a"]["n"] == 2 and got["a"]["s"] == 3
+    # 2 minutes later every step is out of window
+    later = now + 120
+    assert ctx.read_view("cv_sw", at=later).count() == 0
+
+
+def test_sliding_window_combine_equals_full(ctx):
+    """combine() over a wide-enough SW CV equals the non-SW CV
+    (reference test_sliding_windows.py equivalence check)."""
+    ctx.create_stream("sw2", "k string, v long")
+    ctx.create_view(
+        "cv_sw_wide",
+        "SELECT k, count(*) AS n FROM sw2 "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
+        "GROUP BY k")
+    ctx.create_view("cv_all", "SELECT k, count(*) AS n FROM sw2 GROUP BY k")
+    ctx.insert("sw2", [{"k": "a", "v": i} for i in range(10)])
+    ctx.insert("sw2", [{"k": "b", "v": i} for i in range(5)])
+    sw = {r["k"]: r["n"] for r in ctx.read_view("cv_sw_wide").collect()}
+    full = {r["k"]: r["n"] for r in ctx.read_view("cv_all").collect()}
+    assert sw == full
+
+
+def test_ttl_reaper(ctx):
+    ctx.create_stream("tt1", "k string, v long")
+    ctx.create_view(
+        "cv_ttl",
+        "SELECT k, count(*) AS n FROM tt1 "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '10 seconds' "
+        "GROUP BY k")
+    ctx.insert("tt1", [{"k": "a", "v": 1}])
+    assert ctx.read_matrel("cv_ttl").count() == 1
+    # reap as if 10 minutes passed: everything expired
+    deleted = ctx.reap_ttl("cv_ttl", now=time.time() + 600)
+    assert deleted == 1
+    assert ctx.read_matrel("cv_ttl").count() == 0
+
+
+def test_stream_table_join(ctx, spark):
+    """Stream-table join inside a CQ (reference stream_table_join.sql):
+    one stream, static dimension, join in the worker."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["uid", "tier"])
+    ctx.register_table("users_dim", dim)
+    ctx.create_stream("stj", "uid int, amount double")
+    ctx.create_view(
+        "cv_by_tier",
+        "SELECT tier, count(*) AS n, sum(amount) AS total "
+        "FROM stj JOIN users_dim ON stj.uid = users_dim.uid GROUP BY tier")
+    ctx.insert("stj", [{"uid": 1, "amount": 10.0}, {"uid": 2, "amount": 5.0}])
+    ctx.insert("stj", [{"uid": 1, "amount": 2.5}, {"uid": 99, "amount": 100.0}])
+    got = {r["tier"]: r for r in ctx.read_view("cv_by_tier").collect()}
+    assert got["gold"]["n"] == 2 and got["gold"]["total"] == 12.5
+    assert got["silver"]["n"] == 1
+
+
+def test_hypothetical_set_aggs(ctx):
+    ctx.create_stream("hs1", "g string, x long")
+    ctx.create_view(
+        "cv_hs",
+        "SELECT g, rank(50, x) AS rk, percent_rank(50, x) AS pr, "
+        "cume_dist(50, x) AS cd FROM hs1 GROUP BY g")
+    ctx.insert("hs1", [{"g": "a", "x": v} for v in [10, 20, 30, 40]])
+    ctx.insert("hs1", [{"g": "a", "x": v} for v in [60, 70, 80, 90]])
+    row = ctx.read_view("cv_hs").collect()[0]
+    assert row["rk"] == 5            # 4 values below 50 → rank 5
+    assert row["pr"] == pytest.approx(0.5)
+    assert row["cd"] == pytest.approx(5 / 9)
+
+
+def test_json_aggs(ctx):
+    ctx.create_stream("js1", "k string, v long")
+    ctx.create_view(
+        "cv_json",
+        "SELECT k, json_agg(v) AS arr, json_object_agg(v, v) AS obj "
+        "FROM js1 GROUP BY k")
+    ctx.insert("js1", [{"k": "a", "v": 1}, {"k": "a", "v": 2}])
+    row = ctx.read_view("cv_json").collect()[0]
+    import json
+    assert sorted(json.loads(row["arr"])) == [1, 2]
+    assert json.loads(row["obj"]) == {"1": 1, "2": 2}
+
+
+def test_activate_deactivate(ctx):
+    ctx.create_stream("ad1", "k string, v long")
+    ctx.create_view("cv_ad", "SELECT k, count(*) AS n FROM ad1 GROUP BY k")
+    ctx.insert("ad1", [{"k": "a", "v": 1}])
+    ctx.deactivate("cv_ad")
+    ctx.insert("ad1", [{"k": "a", "v": 2}])  # ignored while inactive
+    ctx.activate("cv_ad")
+    ctx.insert("ad1", [{"k": "a", "v": 3}])
+    assert ctx.read_view("cv_ad").collect()[0]["n"] == 2
