@@ -153,15 +153,18 @@ class ContView:
         return out
 
     # -- per-batch processing -----------------------------------------------
-    def process_batch(self, pre_df: DataFrame) -> DataFrame | None:
+    def process_batch(self, pre_df: DataFrame,
+                      emit_changes: bool = True) -> DataFrame | None:
         """Run worker + combiner for one micro-batch; returns the osrel
-        rows (old/new/delta) or None when nothing changed."""
+        rows (old/new/delta) or None when nothing changed / not asked."""
         delta = self.worker(pre_df)
         if not delta.take(1):
             return None
         delta = delta.localCheckpoint(eager=True)  # batch is small; cut lineage
         old, merged = self.matrel.merge(delta, self._group_cols, self.merge_fn)
         self.stats.batches += 1
+        if not emit_changes:
+            return None
         return self._osrel_rows(old, merged, delta)
 
     def _osrel_rows(self, old: DataFrame | None, merged: DataFrame,
@@ -257,7 +260,8 @@ class PipelineContext:
 
     def __init__(self, spark: SparkSession, root: str | None = None,
                  num_buckets: int = 32,
-                 registry: AggRegistry = REGISTRY) -> None:
+                 registry: AggRegistry = REGISTRY,
+                 track_output_streams: bool = True) -> None:
         self.spark = spark
         self.root = root or tempfile.mkdtemp(prefix="pipelinedb_spark_")
         self.matrel_root = os.path.join(self.root, "matrels")
@@ -268,6 +272,10 @@ class PipelineContext:
         self.views: dict[str, ContView] = {}
         self.transforms: dict[str, Transform] = {}
         self.tables: dict[str, DataFrame] = {}
+        # When False, old/new/delta rows are only computed for osrels
+        # that downstream CQs actually read (reference emits output
+        # streams only to subscribers) — halves per-batch Spark jobs.
+        self.track_output_streams = track_output_streams
         # accumulated output-stream rows, name -> list[pandas.DataFrame]
         self._osrel_buf: dict[str, list[pd.DataFrame]] = {}
         self._osrel_schema: dict[str, T.StructType] = {}
@@ -406,9 +414,13 @@ class PipelineContext:
                 if not cv.active:
                     continue
                 pre = self._worker_input(cv.plan, stream, batch)
-                os_rows = cv.process_batch(pre)
+                osrel = f"{rname}_osrel"
+                want_os = (self.track_output_streams or
+                           bool(self.streams.get(osrel) and
+                                self.streams[osrel].readers))
+                os_rows = cv.process_batch(pre, emit_changes=want_os)
                 if os_rows is not None:
-                    self._emit_osrel(f"{rname}_osrel", os_rows, _depth)
+                    self._emit_osrel(osrel, os_rows, _depth)
             elif rname in self.transforms:
                 t = self.transforms[rname]
                 if not t.active:

@@ -830,7 +830,9 @@ def _engine_ctx(spark, tag: str):
     import tempfile
     from pipelinedb_spark import PipelineContext
     root = tempfile.mkdtemp(prefix=f"pdb_qb_{tag}_")
-    return PipelineContext(spark, root=root, num_buckets=16)
+    # bench/correctness path: no one reads these CVs' output streams
+    return PipelineContext(spark, root=root, num_buckets=16,
+                           track_output_streams=False)
 
 
 @query("cv_engine_rollup", f"""

@@ -1,0 +1,107 @@
+"""Structured Streaming runtime: run continuous views from real
+streaming sources.
+
+The synchronous ``PipelineContext.insert`` path is PipelineDB's
+micro-batch data path made explicit.  This module drives the *same*
+worker/combiner code from a Structured Streaming query via
+``foreachBatch`` — which is exactly how a production deployment would
+attach Kafka: the source micro-batch replaces the insert batch, the
+checkpoint gives exactly-once across restarts because the matrel merge
+is idempotent per epoch (reference: at-least-once combiner commits +
+acks, ``src/microbatch.h:50-92``; Spark upgrade: checkpointed epochs).
+
+Sources:
+* ``attach_file_stream`` — file-drop directory (the COPY-into-stream
+  analog, reference ``src/copy.c``); new parquet/json files become
+  micro-batches.
+* ``attach_rate_stream`` — synthetic rate source for soak testing.
+* Kafka would be ``spark.readStream.format("kafka")`` with the same
+  ``foreachBatch``; not wired here because the container lacks the
+  Kafka connector jar.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from pipelinedb_spark.engine import ARRIVAL_COL, PipelineContext
+
+
+class StreamAttachment:
+    """A running Structured Streaming query feeding one stream's
+    consumers through the engine's micro-batch path."""
+
+    def __init__(self, ctx: PipelineContext, stream: str,
+                 query: StreamingQuery) -> None:
+        self.ctx = ctx
+        self.stream = stream
+        self.query = query
+
+    def process_all_available(self) -> None:
+        """pipeline_flush analog (reference miscutils.c:869-877)."""
+        self.query.processAllAvailable()
+
+    def stop(self) -> None:
+        self.query.stop()
+
+
+def _foreach_batch(ctx: PipelineContext, stream: str
+                   ) -> Callable[[DataFrame, int], None]:
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        sd = ctx.streams[stream]
+        coerced = ctx._coerce_batch(sd, batch_df, None)
+        if coerced.take(1):
+            ctx._dispatch(stream, coerced)
+
+    return handle
+
+
+def attach_file_stream(ctx: PipelineContext, stream: str, source_dir: str,
+                       fmt: str = "parquet",
+                       checkpoint_dir: str | None = None,
+                       trigger_seconds: float | None = None
+                       ) -> StreamAttachment:
+    """Attach a file-drop directory as a continuous source for
+    ``stream``.  Files appearing in ``source_dir`` flow through every
+    CV/transform reading the stream."""
+    sd = ctx.streams[stream]
+    schema = sd.schema
+    # arrival_timestamp is stamped at ingest, not read from files
+    src_schema = type(schema)([f for f in schema.fields
+                               if f.name != ARRIVAL_COL])
+    reader = (ctx.spark.readStream.schema(src_schema).format(fmt))
+    if fmt == "json":
+        reader = reader.option("multiLine", "false")
+    stream_df = reader.load(source_dir)
+    checkpoint = checkpoint_dir or os.path.join(ctx.root, "checkpoints", stream)
+    writer = (stream_df.writeStream
+              .foreachBatch(_foreach_batch(ctx, stream))
+              .option("checkpointLocation", checkpoint))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    query = writer.start()
+    return StreamAttachment(ctx, stream, query)
+
+
+def attach_rate_stream(ctx: PipelineContext, stream: str,
+                       rows_per_second: int = 100,
+                       value_exprs: dict[str, str] | None = None
+                       ) -> StreamAttachment:
+    """Synthetic rate source: maps the rate source's (timestamp, value)
+    into the stream's schema via ``value_exprs`` SQL snippets."""
+    from pyspark.sql import functions as F
+
+    src = (ctx.spark.readStream.format("rate")
+           .option("rowsPerSecond", rows_per_second).load())
+    if value_exprs:
+        src = src.select(*[F.expr(e).alias(n) for n, e in value_exprs.items()])
+    checkpoint = os.path.join(ctx.root, "checkpoints", f"rate_{stream}")
+    query = (src.writeStream
+             .foreachBatch(_foreach_batch(ctx, stream))
+             .option("checkpointLocation", checkpoint)
+             .start())
+    return StreamAttachment(ctx, stream, query)

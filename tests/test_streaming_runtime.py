@@ -1,0 +1,33 @@
+"""Structured Streaming attachment: file-drop source feeding a CV
+through foreachBatch (the Kafka-shaped production path)."""
+
+import os
+import time
+
+
+def test_file_stream_feeds_cv(ctx, spark, tmp_path):
+    from pipelinedb_spark.streaming.runtime import attach_file_stream
+
+    src_dir = str(tmp_path / "drop")
+    os.makedirs(src_dir, exist_ok=True)
+
+    ctx.create_stream("fs1", "k string, v long")
+    ctx.create_view("cv_fs", "SELECT k, count(*) AS n, sum(v) AS s "
+                             "FROM fs1 GROUP BY k")
+
+    att = attach_file_stream(ctx, "fs1", src_dir, fmt="json")
+    try:
+        with open(os.path.join(src_dir, "batch1.json"), "w") as f:
+            f.write('{"k": "a", "v": 1}\n{"k": "a", "v": 2}\n{"k": "b", "v": 5}\n')
+        att.process_all_available()
+        got = {r["k"]: r for r in ctx.read_view("cv_fs").collect()}
+        assert got["a"]["n"] == 2 and got["a"]["s"] == 3
+        assert got["b"]["n"] == 1
+
+        with open(os.path.join(src_dir, "batch2.json"), "w") as f:
+            f.write('{"k": "a", "v": 10}\n')
+        att.process_all_available()
+        got = {r["k"]: r for r in ctx.read_view("cv_fs").collect()}
+        assert got["a"]["n"] == 3 and got["a"]["s"] == 13
+    finally:
+        att.stop()
