@@ -145,6 +145,9 @@ class CQPlan:
     sw_seconds: float | None = None
     sw_step_seconds: float | None = None
     tables: list[str] = field(default_factory=list)
+    # GROUPING SETS/CUBE/ROLLUP: list of sets (each a list of exprs from
+    # group_exprs); None for plain GROUP BY (reference analyzer.c:2819)
+    grouping_sets: list[list[str]] | None = None
 
 
 def _find_call_end(sql: str, open_idx: int) -> int:
@@ -364,8 +367,39 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
         raw_items.append((body, alias))
 
     group_exprs = []
+    grouping_sets: list[list[str]] | None = None
     if "GROUP BY" in clauses:
-        group_exprs = split_top_level(clauses["GROUP BY"])
+        gb_text = clauses["GROUP BY"].strip()
+        m_gs = re.match(r"(?i)^(GROUPING\s+SETS|CUBE|ROLLUP)\s*\((.*)\)\s*$",
+                        gb_text, re.S)
+        if m_gs:
+            kind = re.sub(r"\s+", " ", m_gs.group(1).upper())
+            inner = m_gs.group(2)
+            if kind == "GROUPING SETS":
+                grouping_sets = []
+                for part in split_top_level(inner):
+                    part = part.strip()
+                    if part.startswith("(") and part.endswith(")"):
+                        part = part[1:-1]
+                    grouping_sets.append(
+                        [p for p in split_top_level(part) if p] if part.strip()
+                        else [])
+            else:
+                base = split_top_level(inner)
+                if kind == "CUBE":
+                    from itertools import combinations
+                    grouping_sets = [list(c) for r in range(len(base), -1, -1)
+                                     for c in combinations(base, r)]
+                else:  # ROLLUP
+                    grouping_sets = [base[:i] for i in range(len(base), -1, -1)]
+            seen_g: list[str] = []
+            for gset in grouping_sets:
+                for g in gset:
+                    if g not in seen_g:
+                        seen_g.append(g)
+            group_exprs = seen_g
+        else:
+            group_exprs = split_top_level(gb_text)
 
     if distinct:
         if group_exprs:
@@ -373,14 +407,15 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
         group_exprs = [b for b, _ in raw_items]
 
     # resolve GROUP BY ordinals / aliases to expressions
-    resolved_groups: list[str] = []
-    for g in group_exprs:
+    def resolve_g(g: str) -> str:
         if g.isdigit():
-            resolved_groups.append(raw_items[int(g) - 1][0])
-        else:
-            hit = next((b for b, a in raw_items if a == g and b != g), None)
-            resolved_groups.append(hit if hit is not None else g)
-    group_exprs = resolved_groups
+            return raw_items[int(g) - 1][0]
+        hit = next((b for b, a in raw_items if a == g and b != g), None)
+        return hit if hit is not None else g
+
+    group_exprs = [resolve_g(g) for g in group_exprs]
+    if grouping_sets is not None:
+        grouping_sets = [[resolve_g(g) for g in s] for s in grouping_sets]
 
     # hoist aggregates from each select item
     norm_group = {re.sub(r"\s+", "", g).lower() for g in group_exprs}
@@ -435,4 +470,5 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
         sw_seconds=sw_secs,
         sw_step_seconds=step,
         tables=tables,
+        grouping_sets=grouping_sets,
     )

@@ -40,6 +40,7 @@ from pipelinedb_spark.matrel import BUCKET_COL, MatrelStore
 
 ARRIVAL_COL = "arrival_timestamp"
 STEP_COL = "_step"
+GID_COL = "_gid"
 
 
 @dataclass
@@ -76,6 +77,11 @@ class ContView:
                                   num_buckets=ctx.num_buckets)
         self._registry = ctx.registry
         self._group_cols = list(plan.group_names)
+        if plan.grouping_sets is not None:
+            # grouping sets: matrel keyed by group cols + grouping_id
+            # (reference keeps grouping sets on the worker and groups
+            # the combiner by the hoisted columns, analyzer.c:2819-2859)
+            self._group_cols = self._group_cols + [GID_COL]
         if plan.sw_column is not None:
             self._group_cols = self._group_cols + [STEP_COL]
 
@@ -100,6 +106,18 @@ class ContView:
         if not aggs:
             # pure-DISTINCT CV: presence marker so merge has a state col
             aggs = [F.count(F.lit(1)).alias(state_col("_present", "n"))]
+        if plan.grouping_sets is not None:
+            # aliased keys don't match set exprs; group on raw exprs,
+            # rename the leading grouping columns positionally after
+            raw_keys = [F.expr(g) for g in plan.group_exprs]
+            if plan.sw_column is not None:
+                raise CQError("sliding windows with grouping sets are "
+                              "not supported")
+            sets = [[F.expr(g) for g in s] for s in plan.grouping_sets]
+            out = (pre_df.groupingSets(sets, *raw_keys)
+                   .agg(*aggs, F.grouping_id().alias(GID_COL)))
+            renames = dict(zip(out.columns[: len(raw_keys)], plan.group_names))
+            return out.withColumnsRenamed(renames)
         return pre_df.groupBy(*keys).agg(*aggs)
 
     # -- combiner: merge partials over (old ∪ delta) ------------------------
@@ -357,10 +375,13 @@ class PipelineContext:
 
     # -- DML -----------------------------------------------------------------
     def insert(self, stream: str, rows: Iterable[Any] | DataFrame,
-               columns: list[str] | None = None) -> int:
+               columns: list[str] | None = None,
+               targets: list[str] | None = None) -> int:
         """INSERT INTO stream — one micro-batch through every consumer.
         Reference data path: src/stream_fdw.c:477-585 →
-        microbatch_send_to_worker → worker → combiner."""
+        microbatch_send_to_worker → worker → combiner.
+        ``targets`` restricts which CQs consume this insert (the
+        stream_targets GUC, reference src/config.c:349-355)."""
         sd = self.streams.get(stream)
         if sd is None:
             raise CQError(f"unknown stream {stream}")
@@ -368,7 +389,7 @@ class PipelineContext:
         n = batch.count()
         if n == 0:
             return 0
-        self._dispatch(stream, batch)
+        self._dispatch(stream, batch, targets=targets)
         return n
 
     def _coerce_batch(self, sd: StreamDef, rows, columns) -> DataFrame:
@@ -399,11 +420,12 @@ class PipelineContext:
         return src.select(*out_cols)
 
     def _dispatch(self, stream: str, batch: DataFrame,
-                  _depth: int = 0) -> None:
+                  _depth: int = 0, targets: list[str] | None = None) -> None:
         if _depth > 16:
             raise CQError("continuous-query cycle detected")
         sd = self.streams[stream]
-        readers = [r for r in sd.readers]
+        readers = [r for r in sd.readers
+                   if targets is None or r in targets]
         if not readers:
             return
         batch = batch.localCheckpoint(eager=True)
@@ -508,6 +530,25 @@ class PipelineContext:
         return df.select(*out_cols)
 
     # -- ops ------------------------------------------------------------------
+    def combine_table(self, name: str, states: DataFrame) -> None:
+        """Bulk-merge a table of partial-state rows into a CV's matrel
+        (backfill / repartition tool; reference combine_table
+        src/combiner.c:2250-2351).  ``states`` must have the matrel's
+        group + state columns."""
+        cv = self.views[name]
+        cv.matrel.merge(states, cv._group_cols, cv.merge_fn)
+
+    def copy_from(self, stream: str, path: str, fmt: str = "parquet",
+                  options: dict[str, str] | None = None) -> int:
+        """COPY stream FROM file — bulk file→stream ingestion
+        (reference DoStreamCopy src/copy.c:601)."""
+        reader = self.spark.read.format(fmt)
+        if fmt in ("csv", "json"):
+            reader = reader.option("header", "true")
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return self.insert(stream, reader.load(path))
+
     def activate(self, name: str, on: bool = True) -> None:
         if name in self.views:
             self.views[name].active = on

@@ -1,0 +1,118 @@
+"""Extended engine surface: grouping sets CVs, sub-SELECT in FROM,
+LIMIT, combine_table, copy_from, stream_targets, bucket_agg.
+
+Mirrors reference tests cont_grouping_sets.sql, cont_subselect.sql,
+cont_limit.sql, stream_targets.sql, bucket_agg.sql.
+"""
+
+import pytest
+
+
+def rows(df, *cols):
+    out = [tuple(r) for r in df.select(*cols).collect()]
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def test_grouping_sets_cv(ctx):
+    ctx.create_stream("gs1", "x string, y string, v long")
+    ctx.create_view(
+        "cv_gs",
+        "SELECT x, y, count(*) AS n, sum(v) AS s FROM gs1 "
+        "GROUP BY GROUPING SETS ((x, y), (x), ())")
+    ctx.insert("gs1", [{"x": "a", "y": "p", "v": 1},
+                       {"x": "a", "y": "q", "v": 2}])
+    ctx.insert("gs1", [{"x": "b", "y": "p", "v": 10},
+                       {"x": "a", "y": "p", "v": 4}])
+    got = rows(ctx.read_view("cv_gs"), "x", "y", "n", "s")
+    assert got == sorted([
+        ("a", "p", 2, 5), ("a", "q", 1, 2), ("b", "p", 1, 10),
+        ("a", None, 3, 7), ("b", None, 1, 10),
+        (None, None, 4, 17),
+    ], key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def test_rollup_cv(ctx):
+    ctx.create_stream("gs2", "x string, y string, v long")
+    ctx.create_view(
+        "cv_rollup",
+        "SELECT x, y, count(*) AS n FROM gs2 GROUP BY ROLLUP (x, y)")
+    ctx.insert("gs2", [{"x": "a", "y": "p", "v": 1},
+                       {"x": "b", "y": "q", "v": 2}])
+    got = rows(ctx.read_view("cv_rollup"), "x", "y", "n")
+    # (x,y), (x), () sets
+    assert (None, None, 2) in got
+    assert ("a", None, 1) in got and ("b", None, 1) in got
+    assert ("a", "p", 1) in got and ("b", "q", 1) in got
+    assert len(got) == 5  # 2×(x,y) + 2×(x) + 1×()
+
+
+def test_subselect_in_from(ctx):
+    ctx.create_stream("ss1", "x int, y int")
+    ctx.create_view(
+        "cv_sub",
+        "SELECT g, count(*) AS n FROM "
+        "(SELECT x % 2 AS g, y FROM ss1 WHERE y > 0) sub GROUP BY g")
+    ctx.insert("ss1", [{"x": 1, "y": 5}, {"x": 2, "y": 5},
+                       {"x": 3, "y": -1}, {"x": 4, "y": 2}])
+    got = {r["g"]: r["n"] for r in ctx.read_view("cv_sub").collect()}
+    assert got == {1: 1, 0: 2}
+
+
+def test_limit_in_cv(ctx):
+    ctx.create_stream("lm1", "k string, v long")
+    ctx.create_view("cv_lim",
+                    "SELECT k, count(*) AS n FROM lm1 GROUP BY k LIMIT 2")
+    ctx.insert("lm1", [{"k": c, "v": 1} for c in "abcde"])
+    assert ctx.read_view("cv_lim").count() == 2
+    # matrel keeps all groups; LIMIT applies at read (overlay) time
+    assert ctx.read_matrel("cv_lim").count() == 5
+
+
+def test_combine_table_backfill(ctx, spark):
+    ctx.create_stream("cb1", "k string, v long")
+    ctx.create_view("cv_cb", "SELECT k, count(*) AS n, sum(v) AS s "
+                             "FROM cb1 GROUP BY k")
+    ctx.insert("cb1", [{"k": "a", "v": 1}])
+    # backfill partial states computed elsewhere (e.g. batch history)
+    hist = spark.createDataFrame([("a", 10, 100), ("b", 5, 50)],
+                                 ["k", "n__n", "s__s"])
+    ctx.combine_table("cv_cb", hist)
+    got = {r["k"]: r for r in ctx.read_view("cv_cb").collect()}
+    assert got["a"]["n"] == 11 and got["a"]["s"] == 101
+    assert got["b"]["n"] == 5 and got["b"]["s"] == 50
+
+
+def test_copy_from_file(ctx, tmp_path, spark):
+    ctx.create_stream("cp1", "k string, v long")
+    ctx.create_view("cv_cp", "SELECT k, sum(v) AS s FROM cp1 GROUP BY k")
+    src = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["k", "v"])
+    path = str(tmp_path / "copy_src")
+    src.write.parquet(path)
+    n = ctx.copy_from("cp1", path)
+    assert n == 3
+    got = {r["k"]: r["s"] for r in ctx.read_view("cv_cp").collect()}
+    assert got == {"a": 3, "b": 3}
+
+
+def test_stream_targets(ctx):
+    ctx.create_stream("tg1", "k string, v long")
+    ctx.create_view("cv_t1", "SELECT count(*) AS n FROM tg1")
+    ctx.create_view("cv_t2", "SELECT count(*) AS n FROM tg1")
+    ctx.insert("tg1", [{"k": "a", "v": 1}], targets=["cv_t1"])
+    ctx.insert("tg1", [{"k": "a", "v": 2}])
+    assert ctx.read_view("cv_t1").collect()[0]["n"] == 2
+    assert ctx.read_view("cv_t2").collect()[0]["n"] == 1
+
+
+def test_bucket_agg_cv(ctx):
+    ctx.create_stream("ba1", "g string, v string, b int, t long")
+    ctx.create_view(
+        "cv_ba",
+        "SELECT g, bucket_agg(v, b, t) AS buckets FROM ba1 GROUP BY g")
+    # v1 seen in bucket 1 at t=1, later moves to bucket 2 at t=10
+    ctx.insert("ba1", [{"g": "a", "v": "v1", "b": 1, "t": 1},
+                       {"g": "a", "v": "v2", "b": 1, "t": 2}])
+    ctx.insert("ba1", [{"g": "a", "v": "v1", "b": 2, "t": 10}])
+    row = ctx.read_view("cv_ba").collect()[0]
+    got = {e["bucket_id"]: e["count"] for e in row["buckets"]}
+    assert got == {1: 1, 2: 1}  # v2 stays in 1, v1 moved to 2
