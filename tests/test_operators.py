@@ -1,0 +1,118 @@
+"""LLM-pipeline operators: LSH recall vs exact Jaccard, ANN recall vs
+brute force, text analysis sanity, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from pipelinedb_spark.querybank import t
+    return t(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from pipelinedb_spark.querybank import t
+    return t(spark, SF, "embeddings").cache()
+
+
+def test_minhash_lsh_recall(docs):
+    """LSH candidates must recover (almost) all true near-dup pairs —
+    with 64 hashes / 16 bands the s-curve threshold is ≈ (1/16)^(1/4)
+    ≈ 0.5, so pairs at jaccard ≥ 0.7 should essentially all surface."""
+    from pipelinedb_spark.operators.dedup import jaccard_pairs, lsh_candidates
+    truth = {(r["d1"], r["d2"])
+             for r in jaccard_pairs(docs, threshold=0.7).collect()}
+    cands = {(r["d1"], r["d2"])
+             for r in lsh_candidates(docs, num_hashes=64, bands=16).collect()}
+    assert truth, "fixture should contain near-dup pairs"
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
+
+
+def test_minhash_estimates_jaccard(docs):
+    """Signature agreement ≈ true Jaccard for surfaced pairs."""
+    from pipelinedb_spark.operators.dedup import jaccard_pairs, lsh_candidates
+    exact = {(r["d1"], r["d2"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    est = {(r["d1"], r["d2"]): r["est_jaccard"]
+           for r in lsh_candidates(docs).collect()}
+    common = set(exact) & set(est)
+    assert common
+    for pair in common:
+        assert abs(exact[pair] - est[pair]) < 0.25, pair
+
+
+def test_ann_lsh_recall_vs_brute_force(emb):
+    from pipelinedb_spark.operators.similarity import (brute_force_topk,
+                                                       lsh_bucketed_topk)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=5, exact=False).collect()
+    approx = lsh_bucketed_topk(emb, q, k=5, dim=64, bits=4, multiprobe=1).collect()
+    truth = {(r["q_id"], r["n_id"]) for r in exact}
+    got = {(r["q_id"], r["n_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # 4-bit buckets + 1-bit multiprobe over 64-dim gaussian-ish vectors:
+    # coarse, but must find a solid fraction of true neighbors
+    assert recall >= 0.4, recall
+
+
+def test_exact_vs_double_cosine_agree(emb):
+    from pipelinedb_spark.operators.similarity import brute_force_topk
+    q = emb.filter(F.col("vec_id") < 3)
+    a = brute_force_topk(emb, q, k=3, exact=True).collect()
+    b = brute_force_topk(emb, q, k=3, exact=False).collect()
+    for ra, rb in zip(sorted(a, key=lambda r: (r["q_id"], r["rk"])),
+                      sorted(b, key=lambda r: (r["q_id"], r["rk"]))):
+        assert ra["n_id"] == rb["n_id"]
+        assert ra["cosine"] == pytest.approx(rb["cosine"], abs=1e-6)
+
+
+def test_lang_id_accuracy(spark):
+    """Heuristic language ID on texts with real per-language stopwords.
+    (The fixture corpus's `lang` column is a random label over shared
+    English-ish vocabulary, so it can't score a language detector.)"""
+    from pipelinedb_spark.operators.text import lang_id
+    samples = [
+        ("the quick fox is that a dog runs to the park and back", "en"),
+        ("der hund und die katze das ist nicht ein problem", "de"),
+        ("le chat et la maison est un endroit que nous aimons les", "fr"),
+        ("el perro y la casa es un lugar que los gatos aman", "es"),
+        ("xyzzy plugh waldo fred qux", "und"),
+    ]
+    df = spark.createDataFrame(samples, ["text", "expected"])
+    out = df.select("expected", lang_id(F.col("text")).alias("pred")).collect()
+    for r in out:
+        assert r["pred"] == r["expected"], (r["expected"], r["pred"])
+
+
+def test_simhash_similar_docs_close(docs, spark):
+    """Near-dup docs should have close simhash values (low bit diff)."""
+    from pipelinedb_spark.operators.dedup import jaccard_pairs, simhash_fast
+    pairs = jaccard_pairs(docs, threshold=0.8).limit(5).collect()
+    if not pairs:
+        pytest.skip("no high-jaccard pairs at this sf")
+    sh = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash_fast(F.col("text"), 16).alias("sh")).collect()}
+    for p in pairs:
+        diff = bin((sh[p["d1"]] ^ sh[p["d2"]]) & 0xFFFF).count("1")
+        assert diff <= 6, (p, diff)
+
+
+def test_multimodal_metadata_and_frames(docs):
+    from pipelinedb_spark.operators.multimodal import (attach_binary,
+                                                       extract_metadata,
+                                                       frame_sample,
+                                                       decode_pixels)
+    media = attach_binary(docs, kind="video")
+    meta = extract_metadata(media)
+    rows = meta.collect()
+    assert all(r["n_bytes"] > 0 for r in rows)
+    assert all(1 <= r["n_frames"] <= 300 for r in rows)
+    frames = frame_sample(media, every_n=30)
+    assert frames.count() >= len(rows)  # ≥1 frame per video
+    with pytest.raises(NotImplementedError):
+        decode_pixels(media)
