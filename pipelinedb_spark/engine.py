@@ -297,6 +297,63 @@ class PipelineContext:
         # accumulated output-stream rows, name -> list[pandas.DataFrame]
         self._osrel_buf: dict[str, list[pd.DataFrame]] = {}
         self._osrel_schema: dict[str, T.StructType] = {}
+        # Durable catalog: DDL replay log so a fresh context over the
+        # same root re-attaches streams/CVs to their matrels (the
+        # pipelinedb.cont_query / pipeline_stream catalogs, reference
+        # pipelinedb--1.0.0.sql:16-56).
+        self._catalog_path = os.path.join(self.root, "catalog.json")
+        self._replaying = False
+        self._catalog: list[dict] = []
+        self._load_catalog()
+
+    # -- catalog ---------------------------------------------------------------
+    def _load_catalog(self) -> None:
+        import json
+        if not os.path.exists(self._catalog_path):
+            return
+        with open(self._catalog_path) as f:
+            records = json.load(f)
+        self._replaying = True
+        try:
+            for rec in records:
+                if rec["kind"] == "stream":
+                    self.create_stream(
+                        rec["name"], T.StructType.fromJson(rec["schema"]))
+                elif rec["kind"] == "view":
+                    try:
+                        self.create_view(rec["name"], rec["sql"], **rec["opts"])
+                    except CQError as e:
+                        if "not combinable" not in str(e):
+                            raise
+                        # view uses a sketch aggregate: attach them and retry
+                        from pipelinedb_spark.aggregates import \
+                            register_sketch_aggs
+                        register_sketch_aggs()
+                        self.create_view(rec["name"], rec["sql"], **rec["opts"])
+                elif rec["kind"] == "transform":
+                    self.create_transform(rec["name"], rec["sql"])
+        finally:
+            self._replaying = False
+        self._catalog = records
+
+    def _catalog_add(self, rec: dict) -> None:
+        import json
+        if self._replaying:
+            return
+        self._catalog.append(rec)
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._catalog, f)
+        os.replace(tmp, self._catalog_path)
+
+    def _catalog_remove(self, kind: str, name: str) -> None:
+        import json
+        self._catalog = [r for r in self._catalog
+                         if not (r["kind"] == kind and r["name"] == name)]
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._catalog, f)
+        os.replace(tmp, self._catalog_path)
 
     # -- DDL -----------------------------------------------------------------
     def create_stream(self, name: str, schema: T.StructType | str) -> StreamDef:
@@ -308,6 +365,8 @@ class PipelineContext:
             schema = schema.add(ARRIVAL_COL, T.TimestampType())
         sd = StreamDef(name=name, schema=schema)
         self.streams[name] = sd
+        self._catalog_add({"kind": "stream", "name": name,
+                           "schema": schema.jsonValue()})
         return sd
 
     def register_table(self, name: str, df: DataFrame) -> None:
@@ -333,6 +392,9 @@ class PipelineContext:
         self.views[name] = cv
         self.streams[plan.stream].readers.append(name)
         self._register_osrel(name)
+        self._catalog_add({"kind": "view", "name": name, "sql": sql,
+                           "opts": {"sw": sw, "step_factor": step_factor,
+                                    "ttl": ttl, "ttl_column": ttl_column}})
         return cv
 
     def create_transform(self, name: str, sql: str,
@@ -350,6 +412,7 @@ class PipelineContext:
         self.transforms[name] = t
         self.streams[clauses_stream].readers.append(name)
         self._register_osrel(name)
+        self._catalog_add({"kind": "transform", "name": name, "sql": sql})
         return t
 
     def _register_osrel(self, name: str) -> None:
@@ -372,6 +435,7 @@ class PipelineContext:
                 if name in sd.readers:
                     sd.readers.remove(name)
             self.streams.pop(f"{name}_osrel", None)
+            self._catalog_remove("view", name)
 
     # -- DML -----------------------------------------------------------------
     def insert(self, stream: str, rows: Iterable[Any] | DataFrame,
