@@ -238,6 +238,15 @@ class ContView:
         probe = probe.withColumn(BUCKET_COL, F.lit(0))
         return self.finalize(probe, recombine=False).schema
 
+    # cache of the last ticker emission (group key -> row), reference
+    # combiner.c:78-96 (cached overlay tuples)
+    _sw_tick_cache: dict | None = None
+
+    def key_cols(self) -> list[str]:
+        """User-visible group columns of the overlay output."""
+        return [name for (expr, name) in self.plan.select_items
+                if "{" not in expr]
+
     def reap(self, now: float | None = None) -> int:
         """Delete TTL-expired rows (reference src/reaper.c:63-128)."""
         if self.ttl is None:
@@ -501,9 +510,13 @@ class PipelineContext:
                     continue
                 pre = self._worker_input(cv.plan, stream, batch)
                 osrel = f"{rname}_osrel"
-                want_os = (self.track_output_streams or
-                           bool(self.streams.get(osrel) and
-                                self.streams[osrel].readers))
+                # SW views emit only via the ticker (tick_sw), matching
+                # the reference (combiner.c:992 — SW osrel rows come
+                # from the SW tick, not per-batch combines)
+                want_os = (cv.plan.sw_column is None and
+                           (self.track_output_streams or
+                            bool(self.streams.get(osrel) and
+                                 self.streams[osrel].readers)))
                 os_rows = cv.process_batch(pre, emit_changes=want_os)
                 if os_rows is not None:
                     self._emit_osrel(osrel, os_rows, _depth)
@@ -632,6 +645,42 @@ class PipelineContext:
 
     def reap_ttl(self, name: str, now: float | None = None) -> int:
         return self.views[name].reap(now=now)
+
+    def tick_sw(self, name: str, now: float | None = None) -> int:
+        """Sliding-window output-stream ticker: recompute instantaneous
+        SW values, diff against the previous tick's rows, emit
+        (old, new) change rows to the CV's output stream, and GC
+        expired matrel steps (reference tick_sw_groups
+        src/combiner.c:992-1134; SW osrels carry no delta column).
+        Returns the number of change rows emitted."""
+        cv = self.views[name]
+        if cv.plan.sw_column is None:
+            raise CQError(f"{name} is not a sliding-window view")
+        now = now if now is not None else time.time()
+        cur_rows = cv.read(at=now).collect()
+        kcols = cv.key_cols()
+        cur = {tuple(r[k] for k in kcols): r.asDict() for r in cur_rows}
+        prev = cv._sw_tick_cache if cv._sw_tick_cache is not None else {}
+        changes = []
+        for key, row in cur.items():
+            old = prev.get(key)
+            if old != row:
+                changes.append({"old": old, "new": row})
+        for key, row in prev.items():
+            if key not in cur:
+                changes.append({"old": row, "new": None})  # slid out
+        cv._sw_tick_cache = cur
+        cv.reap(now=now)
+        if changes:
+            row_type = T.StructType([
+                T.StructField(f.name, f.dataType)
+                for f in cv.read(at=now).schema.fields])
+            schema = T.StructType([T.StructField("old", row_type),
+                                   T.StructField("new", row_type)])
+            df = self.spark.createDataFrame(
+                [(c["old"], c["new"]) for c in changes], schema)
+            self._emit_osrel(f"{name}_osrel", df, 0)
+        return len(changes)
 
     def empty_stream_df(self, stream: str) -> DataFrame:
         return self.spark.createDataFrame([], self.streams[stream].schema)

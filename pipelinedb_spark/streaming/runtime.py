@@ -49,13 +49,37 @@ class StreamAttachment:
         self.query.stop()
 
 
+def _epoch_path(ctx: PipelineContext, stream: str) -> str:
+    d = os.path.join(ctx.root, "epochs")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{stream}.last_epoch")
+
+
 def _foreach_batch(ctx: PipelineContext, stream: str
                    ) -> Callable[[DataFrame, int], None]:
+    """Exactly-once bridge: Structured Streaming replays the last
+    uncommitted epoch after a crash/restart, so the matrel merge must
+    be idempotent per epoch.  We record the last fully-merged epoch id
+    (atomic rename, after the merge committed) and skip replays —
+    epoch-id + idempotent-sink is the canonical foreachBatch
+    exactly-once recipe, and upgrades the reference's at-least-once
+    combiner commits (src/microbatch.h:50-92)."""
+    marker = _epoch_path(ctx, stream)
+
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as f:
+                last = int(f.read().strip() or -1)
+            if epoch_id <= last:
+                return  # replayed epoch — already merged
         sd = ctx.streams[stream]
         coerced = ctx._coerce_batch(sd, batch_df, None)
         if coerced.take(1):
             ctx._dispatch(stream, coerced)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, marker)
 
     return handle
 

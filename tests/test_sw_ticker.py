@@ -1,0 +1,48 @@
+"""Sliding-window output-stream ticker + streaming exactly-once."""
+
+import os
+import time
+
+
+def test_sw_ticker_emits_decay(ctx):
+    ctx.create_stream("tk1", "k string, v long")
+    ctx.create_view(
+        "cv_tick",
+        "SELECT k, count(*) AS n FROM tk1 "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '60 seconds' "
+        "GROUP BY k")
+    ctx.insert("tk1", [{"k": "a", "v": 1}, {"k": "a", "v": 2}])
+    now = time.time()
+
+    # first tick: the group appears (old=None)
+    n1 = ctx.tick_sw("cv_tick", now=now)
+    assert n1 == 1
+    # same instant again: nothing changed → no emission
+    assert ctx.tick_sw("cv_tick", now=now + 1) == 0
+    # after the window slides past everything: group disappears
+    n3 = ctx.tick_sw("cv_tick", now=now + 300)
+    assert n3 == 1
+    rows = ctx.output_of("cv_tick").collect()
+    assert len(rows) == 2
+    first, last = rows[0], rows[1]
+    assert first["old"] is None and first["new"]["n"] == 2
+    assert last["new"] is None and last["old"]["n"] == 2
+    # ticker also reaped the expired steps
+    assert ctx.read_matrel("cv_tick").count() == 0
+
+
+def test_streaming_epoch_replay_is_idempotent(ctx, tmp_path):
+    """Replayed foreachBatch epochs (restart recovery) must not
+    double-count — the exactly-once upgrade over the reference's
+    at-least-once acks."""
+    from pipelinedb_spark.streaming.runtime import _foreach_batch
+
+    ctx.create_stream("eo1", "k string, v long")
+    ctx.create_view("cv_eo", "SELECT k, count(*) AS n FROM eo1 GROUP BY k")
+    handle = _foreach_batch(ctx, "eo1")
+    batch = ctx.spark.createDataFrame([("a", 1)], ["k", "v"])
+    handle(batch, 0)
+    handle(batch, 1)
+    handle(batch, 1)  # replay of epoch 1 after simulated crash
+    handle(batch, 0)  # stale replay
+    assert ctx.read_view("cv_eo").collect()[0]["n"] == 2
