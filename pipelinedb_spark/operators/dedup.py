@@ -44,11 +44,17 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def shingle_index(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) inverted index."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+                  text_col: str = "text", n: int = 3,
+                  hashed: bool = True) -> DataFrame:
+    """(id, shingle) inverted index.  ``hashed`` replaces the shingle
+    string with its xxhash64 — 8-byte join/shuffle keys instead of
+    ~20-byte strings (collision odds ~(S²/2⁶⁵): irrelevant next to the
+    sketch error of any downstream use)."""
+    s = F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    out = df.select(F.col(id_col).alias("doc_id"), s)
+    if hashed:
+        out = out.select("doc_id", F.xxhash64("s").alias("s"))
+    return out
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",

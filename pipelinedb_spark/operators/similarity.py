@@ -61,12 +61,18 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     per query with a deterministic (cosine DESC, id ASC) tiebreak.
     The corpus is scanned once; no corpus-side shuffle before ranking.
     """
+    norm = dot_exact if exact else (lambda a, b: dot_double(a, b))
     q = queries.select(F.col(id_col).alias("q_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col), F.col(vec_col)).alias("q_n2"))
     c = corpus.select(F.col(id_col).alias("n_id"),
-                      F.col(vec_col).alias("n_vec"))
-    cos = cosine_exact(F.col("q_vec"), F.col("n_vec")) if exact \
-        else cosine_double(F.col("q_vec"), F.col("n_vec"))
+                      F.col(vec_col).alias("n_vec"),
+                      norm(F.col(vec_col), F.col(vec_col)).alias("n_n2"))
+    dot = dot_exact(F.col("q_vec"), F.col("n_vec")) if exact \
+        else dot_double(F.col("q_vec"), F.col("n_vec"))
+    # norms precomputed per vector (N + Q dot products instead of
+    # 3·N·Q — the per-pair work is one dot product)
+    cos = dot / F.sqrt(F.col("q_n2") * F.col("n_n2"))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id", cos.alias("cosine")))
@@ -81,13 +87,22 @@ def neardup_pairs(corpus: DataFrame, threshold: float = 0.45,
                   exact: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ t)."""
     a = corpus.select(F.col(id_col).alias("id1"),
-                      F.col(vec_col).alias("v1"))
+                      F.col(vec_col).alias("v1"),
+                      dot_double(F.col(vec_col), F.col(vec_col)).alias("n1"))
     b = corpus.select(F.col(id_col).alias("id2"),
-                      F.col(vec_col).alias("v2"))
-    cos = cosine_exact(F.col("v1"), F.col("v2")) if exact \
-        else cosine_double(F.col("v1"), F.col("v2"))
-    return (a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2", cos.alias("cosine"))
+                      F.col(vec_col).alias("v2"),
+                      dot_double(F.col(vec_col), F.col(vec_col)).alias("n2"))
+    fast_cos = (dot_double(F.col("v1"), F.col("v2")) /
+                F.sqrt(F.col("n1") * F.col("n2")))
+    cands = (a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+             .select("id1", "id2", "v1", "v2", fast_cos.alias("fcos"))
+             # cheap double pass prunes the O(N²) space; the 1e-6
+             # margin dwarfs double-vs-decimal divergence (~1e-9)
+             .filter(F.col("fcos") >= threshold - 1e-6))
+    if not exact:
+        return cands.select("id1", "id2", F.col("fcos").alias("cosine"))
+    cos = cosine_exact(F.col("v1"), F.col("v2"))
+    return (cands.select("id1", "id2", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
