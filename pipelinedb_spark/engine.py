@@ -43,6 +43,38 @@ STEP_COL = "_step"
 GID_COL = "_gid"
 
 
+def _py_coerce(value: Any, dtype: T.DataType) -> Any:
+    """Input-representation coercion for Python-literal inserts: cast
+    each value to the declared field type, with the string-parse
+    fallback PipelineDB applies (reference coerce_raw_input
+    src/stream_fdw.c:325-433).  None / NaN → null."""
+    if value is None:
+        return None
+    if isinstance(value, float) and value != value:  # NaN
+        return None
+    try:
+        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType,
+                              T.ByteType)):
+            return int(value)
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            return float(value)
+        if isinstance(dtype, T.StringType):
+            return value if isinstance(value, str) else str(value)
+        if isinstance(dtype, T.BooleanType):
+            if isinstance(value, str):
+                return value.strip().lower() in ("t", "true", "1", "yes", "on")
+            return bool(value)
+        if isinstance(dtype, T.DecimalType):
+            import decimal
+            return decimal.Decimal(str(value))
+        if isinstance(dtype, T.TimestampType) and isinstance(value, str):
+            import datetime
+            return datetime.datetime.fromisoformat(value)
+    except (ValueError, TypeError) as e:
+        raise CQError(f"cannot coerce {value!r} to {dtype.simpleString()}: {e}")
+    return value
+
+
 @dataclass
 class StreamDef:
     name: str
@@ -462,7 +494,7 @@ class PipelineContext:
         n = batch.count()
         if n == 0:
             return 0
-        self._dispatch(stream, batch, targets=targets)
+        self._dispatch(stream, batch, targets=targets, n_rows=n)
         return n
 
     def _coerce_batch(self, sd: StreamDef, rows, columns) -> DataFrame:
@@ -475,13 +507,19 @@ class PipelineContext:
             rows = list(rows)
             if not rows:
                 return self.spark.createDataFrame([], sd.schema)
+            declared = [f.name for f in sd.schema.fields
+                        if f.name != ARRIVAL_COL]
             if isinstance(rows[0], dict):
-                src = self.spark.createDataFrame(pd.DataFrame(rows))
+                cols = declared
+                dict_rows = rows
             else:
-                declared = [f.name for f in sd.schema.fields
-                            if f.name != ARRIVAL_COL]
-                cols = columns or declared[: len(rows[0]) if rows else 0]
-                src = self.spark.createDataFrame(rows, schema=cols)
+                cols = columns or declared[: len(rows[0])]
+                dict_rows = [dict(zip(cols, r)) for r in rows]
+            fields = [sd.schema[c] for c in cols if c in sd.schema.fieldNames()]
+            schema = T.StructType(fields)
+            data = [tuple(_py_coerce(r.get(f.name), f.dataType)
+                          for f in fields) for r in dict_rows]
+            src = self.spark.createDataFrame(data, schema)
         out_cols = []
         for f in sd.schema.fields:
             if f.name in src.columns:
@@ -493,7 +531,8 @@ class PipelineContext:
         return src.select(*out_cols)
 
     def _dispatch(self, stream: str, batch: DataFrame,
-                  _depth: int = 0, targets: list[str] | None = None) -> None:
+                  _depth: int = 0, targets: list[str] | None = None,
+                  n_rows: int | None = None) -> None:
         if _depth > 16:
             raise CQError("continuous-query cycle detected")
         sd = self.streams[stream]
@@ -518,6 +557,8 @@ class PipelineContext:
                             bool(self.streams.get(osrel) and
                                  self.streams[osrel].readers)))
                 os_rows = cv.process_batch(pre, emit_changes=want_os)
+                if n_rows is not None:
+                    cv.stats.input_rows += n_rows
                 if os_rows is not None:
                     self._emit_osrel(osrel, os_rows, _depth)
             elif rname in self.transforms:
@@ -525,6 +566,8 @@ class PipelineContext:
                 if not t.active:
                     continue
                 out = t.process_batch(batch)
+                if n_rows is not None:
+                    t.stats.input_rows += n_rows
                 self._emit_osrel(f"{rname}_osrel", out, _depth)
 
     def _worker_input(self, plan: CQPlan, stream: str,
@@ -540,6 +583,10 @@ class PipelineContext:
             return
         self._osrel_buf.setdefault(osrel, []).append(pdf)
         self._osrel_schema[osrel] = rows.schema
+        src = osrel[: -len("_osrel")]
+        owner = self.views.get(src) or self.transforms.get(src)
+        if owner is not None:
+            owner.stats.output_rows += len(pdf)
         sd = self.streams.get(osrel)
         if sd is not None and sd.readers:
             self._dispatch_osrel(osrel, rows, depth)
@@ -684,6 +731,39 @@ class PipelineContext:
 
     def empty_stream_df(self, stream: str) -> DataFrame:
         return self.spark.createDataFrame([], self.streams[stream].schema)
+
+    # -- introspection (pipelinedb.views / proc_stats analogs,
+    #    reference miscutils.c catalogs + stats.c counters) -----------------
+    def list_views(self) -> DataFrame:
+        rows = []
+        for name, cv in self.views.items():
+            rows.append((name, "materialize", cv.sql, cv.active,
+                         cv.plan.sw_seconds, cv.ttl))
+        for name, tr in self.transforms.items():
+            rows.append((name, "transform", tr.sql, tr.active, None, None))
+        return self.spark.createDataFrame(
+            rows, "name string, action string, query string, active boolean, "
+                  "sw_seconds double, ttl_seconds double")
+
+    def list_streams(self) -> DataFrame:
+        rows = [(name, sd.schema.simpleString(), sd.readers)
+                for name, sd in self.streams.items()]
+        return self.spark.createDataFrame(
+            rows, "name string, schema string, readers array<string>")
+
+    def stats_df(self) -> DataFrame:
+        rows = []
+        for name, cv in self.views.items():
+            st = cv.stats
+            rows.append((name, "view", st.input_rows, st.output_rows,
+                         st.batches, st.errors))
+        for name, tr in self.transforms.items():
+            st = tr.stats
+            rows.append((name, "transform", st.input_rows, st.output_rows,
+                         st.batches, st.errors))
+        return self.spark.createDataFrame(
+            rows, "name string, kind string, input_rows long, "
+                  "output_rows long, batches long, errors long")
 
     def close(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

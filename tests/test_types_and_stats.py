@@ -1,0 +1,80 @@
+"""Type-variant aggregate coverage (reference runs each aggregate per
+value type: int8, float, decimal, bool, text, bytea — cont_avg.sql,
+typed_streams.sql, cont_complex_types.sql) + stats/catalog listings."""
+
+import datetime
+import pytest
+
+
+def test_avg_sum_decimal(ctx):
+    ctx.create_stream("ty1", "k string, v decimal(38,12)")
+    ctx.create_view("cv_dec", "SELECT k, avg(v) AS a, sum(v) AS s, "
+                              "count(v) AS n FROM ty1 GROUP BY k")
+    from decimal import Decimal
+    ctx.insert("ty1", [{"k": "a", "v": Decimal("1.5")},
+                       {"k": "a", "v": Decimal("2.5")}])
+    ctx.insert("ty1", [{"k": "a", "v": Decimal("3.0")}])
+    row = ctx.read_view("cv_dec").collect()[0]
+    assert float(row["s"]) == 7.0
+    assert float(row["a"]) == pytest.approx(7.0 / 3.0)
+
+
+def test_min_max_timestamp_and_string(ctx):
+    ctx.create_stream("ty2", "k string, ts timestamp, name string")
+    ctx.create_view("cv_mm",
+                    "SELECT k, min(ts) AS first_ts, max(ts) AS last_ts, "
+                    "min(name) AS lo, max(name) AS hi FROM ty2 GROUP BY k")
+    t1 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = datetime.datetime(2024, 6, 15, 9, 30, 0)
+    ctx.insert("ty2", [{"k": "a", "ts": t1, "name": "zeta"},
+                       {"k": "a", "ts": t2, "name": "alpha"}])
+    row = ctx.read_view("cv_mm").collect()[0]
+    assert row["first_ts"] == t1 and row["last_ts"] == t2
+    assert row["lo"] == "alpha" and row["hi"] == "zeta"
+
+
+def test_typed_stream_coercion(ctx):
+    """Inserts are coerced field-by-name to the declared schema
+    (reference coerce_raw_input stream_fdw.c:325-433): extra fields
+    dropped, missing fields null, strings cast to numbers."""
+    ctx.create_stream("ty3", "k string, v long, f double")
+    ctx.create_view("cv_co", "SELECT k, sum(v) AS s, count(f) AS nf "
+                             "FROM ty3 GROUP BY k")
+    ctx.insert("ty3", [{"k": "a", "v": "42", "extra": "ignored"},
+                       {"k": "a", "v": 8, "f": 1.5}])
+    row = ctx.read_view("cv_co").collect()[0]
+    assert row["s"] == 50
+    assert row["nf"] == 1  # missing f → null → not counted
+
+
+def test_complex_array_column_in_stream(ctx):
+    ctx.create_stream("ty4", "k string, tags array<string>")
+    ctx.create_view(
+        "cv_tags",
+        "SELECT k, count(*) AS n, set_agg(size(tags)) AS sizes "
+        "FROM ty4 GROUP BY k")
+    ctx.insert("ty4", [{"k": "a", "tags": ["x", "y"]},
+                       {"k": "a", "tags": ["z"]}])
+    row = ctx.read_view("cv_tags").collect()[0]
+    assert row["n"] == 2 and row["sizes"] == [1, 2]
+
+
+def test_stats_and_listings(ctx):
+    ctx.create_stream("st1", "k string, v long")
+    ctx.create_view("cv_stat", "SELECT k, count(*) AS n FROM st1 GROUP BY k")
+    ctx.create_transform("tr_stat", "SELECT k FROM st1 WHERE v > 0")
+    ctx.insert("st1", [{"k": "a", "v": 1}, {"k": "b", "v": -1}])
+    ctx.insert("st1", [{"k": "a", "v": 2}])
+
+    views = {r["name"]: r for r in ctx.list_views().collect()}
+    assert views["cv_stat"]["action"] == "materialize"
+    assert views["tr_stat"]["action"] == "transform"
+
+    streams = {r["name"]: r for r in ctx.list_streams().collect()}
+    assert "cv_stat" in streams["st1"]["readers"]
+
+    stats = {r["name"]: r for r in ctx.stats_df().collect()}
+    assert stats["cv_stat"]["input_rows"] == 3
+    assert stats["cv_stat"]["batches"] == 2
+    assert stats["tr_stat"]["input_rows"] == 3
+    assert stats["tr_stat"]["output_rows"] == 2  # v > 0 rows emitted
