@@ -897,3 +897,132 @@ def cv_engine_combine_rollup(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         ctx.close()
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage: temporal/string min-max, sorted
+# array_agg, set operations, decimal aggregation, supplier/part dims
+# ---------------------------------------------------------------------------
+
+@query("minmax_temporal_string", """
+SELECT o_orderpriority,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order,
+       MIN(o_orderstatus) AS lo_status,
+       MAX(o_orderstatus) AS hi_status,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""")
+def minmax_temporal_string(spark, sf_dir):
+    """min/max over timestamp and string types (reference
+    cont_min_max.sql covers per-type variants)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min("o_orderstatus").alias("lo_status"),
+        F.max("o_orderstatus").alias("hi_status"),
+        F.count("*").alias("n"))
+
+
+@query("array_agg_sorted", """
+SELECT r.r_name AS region,
+       list(n.n_name ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def array_agg_sorted(spark, sf_dir):
+    """array_agg with deterministic order (reference
+    combinable_array_agg aggfuncs.c:62-271)."""
+    n = t(spark, sf_dir, "nation")
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (n.join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.sort_array(F.collect_list("n_name")).alias("nations")))
+
+
+@query("set_ops_over_aggregates", """
+WITH hi AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 49),
+lo AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity <= 2)
+SELECT l_partkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+UNION ALL
+SELECT l_partkey, 'hi_only' AS tag FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+""")
+def set_ops_over_aggregates(spark, sf_dir):
+    """UNION/INTERSECT/EXCEPT over CV-shaped results (usable over CVs,
+    not inside CQs — reference stream_fdw.c:149-156)."""
+    li = t(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= 49).select("l_partkey").distinct()
+    lo = li.filter(F.col("l_quantity") <= 2).select("l_partkey").distinct()
+    both = hi.intersect(lo).withColumn("tag", F.lit("both"))
+    hi_only = hi.exceptAll(lo).distinct().withColumn("tag", F.lit("hi_only"))
+    return both.unionByName(hi_only)
+
+
+@query("decimal_avg_sum", """
+SELECT l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty_dec,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(l_quantity) AS avg_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_linestatus
+""")
+def decimal_avg_sum(spark, sf_dir):
+    """numeric/decimal aggregation path (reference sum/avg numeric
+    variants pipelinedb--1.0.0.sql:142-265)."""
+    li = t(spark, sf_dir, "lineitem")
+    sdec = F.sum(F.col("l_quantity").cast(T.DecimalType(38, 6)))
+    return li.groupBy("l_linestatus").agg(
+        sdec.alias("sum_qty_dec"),
+        (sdec.cast("double") / F.count("l_quantity")).alias("avg_qty"),
+        F.count("*").alias("n"))
+
+
+@query("supplier_part_rollup", f"""
+SELECT s.s_nationkey, p.p_brand,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice')} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 20
+GROUP BY s.s_nationkey, p.p_brand
+""")
+def supplier_part_rollup(spark, sf_dir):
+    """Two broadcast dims + filter pushdown on the dim side."""
+    li = t(spark, sf_dir, "lineitem")
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    p = F.broadcast(t(spark, sf_dir, "part").filter(F.col("p_size") <= 20))
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
+            .join(p, li.l_partkey == p.p_partkey)
+            .groupBy("s_nationkey", "p_brand")
+            .agg(F.count("*").alias("n_lines"),
+                 dsum("l_extendedprice").alias("revenue")))
+
+
+@query("events_hourly_top_type", f"""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour_s,
+         event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT hour_s, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY hour_s
+                            ORDER BY cnt DESC, event_type ASC) AS rk
+  FROM hourly
+)
+SELECT hour_s, event_type, cnt FROM ranked WHERE rk = 1
+""")
+def events_hourly_top_type(spark, sf_dir):
+    """Per-hour leading event type — window-function read over a
+    CV-shaped hourly rollup (reference allows OVER only on CV reads,
+    analyzer.c:1216-1220)."""
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    hourly = (ev.groupBy(hour.alias("hour_s"), F.col("event_type"))
+              .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("hour_s").orderBy(F.desc("cnt"),
+                                             F.asc("event_type"))
+    return (hourly.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1).drop("rk"))
