@@ -490,6 +490,44 @@ def _json_agg_spec() -> AggSpec:
     )
 
 
+def _json_object_int_sum_spec() -> AggSpec:
+    """Sum integer values per JSON key across documents (reference
+    json_object_int_sum src/json.c:2728-2826).  State: sorted entry
+    array of (key, sum); merge folds entries summing per key."""
+    def partial(args):
+        entries = F.map_entries(
+            F.from_json(_e(args[0]), "map<string,bigint>"))
+        return {"m": F.aggregate(
+            F.flatten(F.collect_list(entries)),
+            F.array().cast("array<struct<key:string,value:bigint>>"),
+            _json_sum_fold)}
+
+    def merge(s):
+        return {"m": F.aggregate(
+            F.flatten(F.collect_list(s("m"))),
+            F.array().cast("array<struct<key:string,value:bigint>>"),
+            _json_sum_fold)}
+
+    return AggSpec(
+        "json_object_int_sum",
+        partial,
+        merge,
+        lambda s, a: F.to_json(F.map_from_entries(F.array_sort(s("m")))),
+    )
+
+
+def _json_sum_fold(acc, e):
+    key = e.getField("key")
+    val = e.getField("value")
+    hit = F.filter(acc, lambda kv: kv.getField("key") == key)
+    rest = F.filter(acc, lambda kv: kv.getField("key") != key)
+    new_val = F.when(F.size(hit) > 0,
+                     F.element_at(hit, 1).getField("value") + val
+                     ).otherwise(val)
+    return F.concat(rest, F.array(F.struct(key.alias("key"),
+                                           new_val.alias("value"))))
+
+
 def _json_object_agg_spec() -> AggSpec:
     def partial(args):
         k, v = _e(args[0]), _e(args[1])
@@ -545,6 +583,7 @@ class AggRegistry:
             _bucket_agg_spec(),
             _json_agg_spec(),
             _json_object_agg_spec(),
+            _json_object_int_sum_spec(),
         ]
         specs.extend(_bivar_specs())
         specs.extend(_hs_specs())

@@ -207,10 +207,12 @@ class ContView:
                       emit_changes: bool = True) -> DataFrame | None:
         """Run worker + combiner for one micro-batch; returns the osrel
         rows (old/new/delta) or None when nothing changed / not asked."""
-        delta = self.worker(pre_df)
+        # checkpoint BEFORE the emptiness probe: the probe and the merge
+        # then reuse one materialization instead of computing the
+        # aggregation twice
+        delta = self.worker(pre_df).localCheckpoint(eager=True)
         if not delta.take(1):
             return None
-        delta = delta.localCheckpoint(eager=True)  # batch is small; cut lineage
         old, merged = self.matrel.merge(delta, self._group_cols, self.merge_fn)
         self.stats.batches += 1
         if not emit_changes:
@@ -491,10 +493,12 @@ class PipelineContext:
         if sd is None:
             raise CQError(f"unknown stream {stream}")
         batch = self._coerce_batch(sd, rows, columns)
+        batch = batch.localCheckpoint(eager=True)
         n = batch.count()
         if n == 0:
             return 0
-        self._dispatch(stream, batch, targets=targets, n_rows=n)
+        self._dispatch(stream, batch, targets=targets, n_rows=n,
+                       checkpointed=True)
         return n
 
     def _coerce_batch(self, sd: StreamDef, rows, columns) -> DataFrame:
@@ -532,7 +536,8 @@ class PipelineContext:
 
     def _dispatch(self, stream: str, batch: DataFrame,
                   _depth: int = 0, targets: list[str] | None = None,
-                  n_rows: int | None = None) -> None:
+                  n_rows: int | None = None,
+                  checkpointed: bool = False) -> None:
         if _depth > 16:
             raise CQError("continuous-query cycle detected")
         sd = self.streams[stream]
@@ -540,7 +545,8 @@ class PipelineContext:
                    if targets is None or r in targets]
         if not readers:
             return
-        batch = batch.localCheckpoint(eager=True)
+        if not checkpointed:
+            batch = batch.localCheckpoint(eager=True)
         batch.createOrReplaceTempView(stream)
         for rname in readers:
             if rname in self.views:
