@@ -20,7 +20,6 @@ via ``foreachBatch`` (see ``streaming/runtime.py``).
 
 from __future__ import annotations
 
-import itertools
 import os
 import re
 import shutil
@@ -108,6 +107,10 @@ class ContView:
         self.matrel = MatrelStore(ctx.spark, ctx.matrel_root, name,
                                   num_buckets=ctx.num_buckets)
         self._registry = ctx.registry
+        # pending micro-batches awaiting a combiner commit (the
+        # reference's in-memory pre-combine between commit intervals,
+        # src/combiner.c:1323-1369 + need_sync :1994)
+        self._pending: list[DataFrame] = []
         self._group_cols = list(plan.group_names)
         if plan.grouping_sets is not None:
             # grouping sets: matrel keyed by group cols + grouping_id
@@ -203,6 +206,22 @@ class ContView:
         return out
 
     # -- per-batch processing -----------------------------------------------
+    def accumulate(self, pre_df: DataFrame) -> None:
+        """Buffer a micro-batch without committing (commit-interval
+        mode): the worker/combiner run once over the accumulated
+        batches at the next commit or read."""
+        self._pending.append(pre_df)
+
+    def commit_pending(self, emit_changes: bool = False) -> DataFrame | None:
+        if not self._pending:
+            return None
+        batches = self._pending
+        self._pending = []
+        unioned = batches[0]
+        for b in batches[1:]:
+            unioned = unioned.unionByName(b, allowMissingColumns=True)
+        return self.process_batch(unioned, emit_changes=emit_changes)
+
     def process_batch(self, pre_df: DataFrame,
                       emit_changes: bool = True) -> DataFrame | None:
         """Run worker + combiner for one micro-batch; returns the osrel
@@ -322,7 +341,8 @@ class PipelineContext:
     def __init__(self, spark: SparkSession, root: str | None = None,
                  num_buckets: int = 32,
                  registry: AggRegistry = REGISTRY,
-                 track_output_streams: bool = True) -> None:
+                 track_output_streams: bool = True,
+                 commit_interval_batches: int = 1) -> None:
         self.spark = spark
         self.root = root or tempfile.mkdtemp(prefix="pipelinedb_spark_")
         self.matrel_root = os.path.join(self.root, "matrels")
@@ -337,6 +357,10 @@ class PipelineContext:
         # that downstream CQs actually read (reference emits output
         # streams only to subscribers) — halves per-batch Spark jobs.
         self.track_output_streams = track_output_streams
+        # >1 = the reference's commit_interval: inserts accumulate and
+        # the worker/combiner run once per N batches (or on read/flush),
+        # amortizing per-job overhead (src/config.c:373-379).
+        self.commit_interval_batches = max(1, commit_interval_batches)
         # accumulated output-stream rows, name -> list[pandas.DataFrame]
         self._osrel_buf: dict[str, list[pd.DataFrame]] = {}
         self._osrel_schema: dict[str, T.StructType] = {}
@@ -493,10 +517,15 @@ class PipelineContext:
         if sd is None:
             raise CQError(f"unknown stream {stream}")
         batch = self._coerce_batch(sd, rows, columns)
-        batch = batch.localCheckpoint(eager=True)
         n = batch.count()
         if n == 0:
             return 0
+        # micro-batches are small (reference caps at 10k rows): coalesce
+        # so the checkpoint writes a few real partitions instead of 32
+        # near-empty tasks
+        parts = max(1, min(int(n // 25_000) + 1,
+                           self.spark.sparkContext.defaultParallelism))
+        batch = batch.coalesce(parts).localCheckpoint(eager=True)
         self._dispatch(stream, batch, targets=targets, n_rows=n,
                        checkpointed=True)
         return n
@@ -562,9 +591,16 @@ class PipelineContext:
                            (self.track_output_streams or
                             bool(self.streams.get(osrel) and
                                  self.streams[osrel].readers)))
-                os_rows = cv.process_batch(pre, emit_changes=want_os)
                 if n_rows is not None:
                     cv.stats.input_rows += n_rows
+                if self.commit_interval_batches > 1:
+                    cv.accumulate(pre)
+                    if len(cv._pending) >= self.commit_interval_batches:
+                        os_rows = cv.commit_pending(emit_changes=want_os)
+                    else:
+                        os_rows = None
+                else:
+                    os_rows = cv.process_batch(pre, emit_changes=want_os)
                 if os_rows is not None:
                     self._emit_osrel(osrel, os_rows, _depth)
             elif rname in self.transforms:
@@ -604,10 +640,25 @@ class PipelineContext:
         self._dispatch(osrel, rows, _depth=depth + 1)
 
     # -- reads ----------------------------------------------------------------
+    def _flush_cv(self, name: str) -> None:
+        cv = self.views.get(name)
+        if cv is None or not cv._pending:
+            return
+        osrel = f"{name}_osrel"
+        want_os = (cv.plan.sw_column is None and
+                   (self.track_output_streams or
+                    bool(self.streams.get(osrel) and
+                         self.streams[osrel].readers)))
+        os_rows = cv.commit_pending(emit_changes=want_os)
+        if os_rows is not None:
+            self._emit_osrel(osrel, os_rows, 0)
+
     def read_view(self, name: str, at: float | None = None) -> DataFrame:
+        self._flush_cv(name)
         return self.views[name].read(at=at)
 
     def read_matrel(self, name: str) -> DataFrame:
+        self._flush_cv(name)
         df = self.views[name].matrel.read()
         if df is None:
             cv = self.views[name]
@@ -631,6 +682,7 @@ class PipelineContext:
         """Read-time re-rollup over persisted partial states — the
         ``combine(col)`` feature (reference RewriteCombineAggs
         src/analyzer.c:4662; test user_combine.sql)."""
+        self._flush_cv(name)
         cv = self.views[name]
         states = cv.matrel.read()
         if states is None:
@@ -692,11 +744,14 @@ class PipelineContext:
         self.views[name].matrel.truncate()
 
     def flush(self) -> None:
-        """Sync barrier (reference pipeline_flush): the synchronous
-        insert path is already fully flushed; streaming attachments
-        call processAllAvailable (see streaming/runtime.py)."""
+        """Sync barrier (reference pipeline_flush): commit every CV's
+        pending batches; streaming attachments additionally call
+        processAllAvailable (see streaming/runtime.py)."""
+        for name in list(self.views):
+            self._flush_cv(name)
 
     def reap_ttl(self, name: str, now: float | None = None) -> int:
+        self._flush_cv(name)
         return self.views[name].reap(now=now)
 
     def tick_sw(self, name: str, now: float | None = None) -> int:
@@ -706,6 +761,7 @@ class PipelineContext:
         expired matrel steps (reference tick_sw_groups
         src/combiner.c:992-1134; SW osrels carry no delta column).
         Returns the number of change rows emitted."""
+        self._flush_cv(name)
         cv = self.views[name]
         if cv.plan.sw_column is None:
             raise CQError(f"{name} is not a sliding-window view")
