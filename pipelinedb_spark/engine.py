@@ -371,6 +371,8 @@ class PipelineContext:
         self._catalog_path = os.path.join(self.root, "catalog.json")
         self._replaying = False
         self._catalog: list[dict] = []
+        from pipelinedb_spark.functions import register_sql_functions
+        register_sql_functions(spark)
         self._load_catalog()
 
     # -- catalog ---------------------------------------------------------------

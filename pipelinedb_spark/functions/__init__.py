@@ -1,1 +1,42 @@
 """Scalar function surface mirroring PipelineDB's SQL functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# SQL-body temporary functions so continuous-query SQL can call the
+# PipelineDB names directly (reference pipelinedb--1.0.0.sql:2590-2618;
+# impl src/miscutils.c:305-332, src/hashfuncs.c:93-173).  All pure SQL
+# bodies — they inline into Catalyst plans, no UDF overhead.
+_SQL_FUNCTIONS = [
+    ("date_round",
+     "(ts TIMESTAMP, step_s DOUBLE) RETURNS TIMESTAMP RETURN "
+     "timestamp_seconds(floor(cast(ts AS DOUBLE) / step_s) * step_s)"),
+    ("year_trunc",
+     "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('year', ts)"),
+    ("month_trunc",
+     "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('month', ts)"),
+    ("day_trunc",
+     "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('day', ts)"),
+    ("hour_trunc",
+     "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('hour', ts)"),
+    ("minute_trunc",
+     "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('minute', ts)"),
+    ("second_trunc",
+     "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('second', ts)"),
+    ("hash_group",
+     "(x STRING) RETURNS BIGINT RETURN xxhash64(x)"),
+    ("hash_group2",
+     "(x STRING, y STRING) RETURNS BIGINT RETURN xxhash64(x, y)"),
+    ("hash_group3",
+     "(x STRING, y STRING, z STRING) RETURNS BIGINT RETURN xxhash64(x, y, z)"),
+    ("ls_hash_group",
+     "(ts TIMESTAMP, x STRING) RETURNS BIGINT RETURN "
+     "shiftleft(cast(cast(ts AS DOUBLE) / 3600 AS BIGINT) & 16777215, 40) "
+     "| (xxhash64(x) & 1099511627775)"),
+]
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    for name, body in _SQL_FUNCTIONS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")

@@ -116,3 +116,40 @@ def test_bucket_agg_cv(ctx):
     row = ctx.read_view("cv_ba").collect()[0]
     got = {e["bucket_id"]: e["count"] for e in row["buckets"]}
     assert got == {1: 1, 2: 1}  # v2 stays in 1, v1 moved to 2
+
+
+def test_sql_functions_in_cv(ctx):
+    """date_round / hash_group usable directly in CV SQL (reference
+    date_round.sql, hash_group.sql)."""
+    ctx.create_stream("fn1", "k string, v long, ts timestamp")
+    ctx.create_view(
+        "cv_fn",
+        "SELECT date_round(ts, 300) AS bucket, count(*) AS n "
+        "FROM fn1 GROUP BY date_round(ts, 300)")
+    import datetime
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [{"k": "a", "v": i,
+             "ts": base + datetime.timedelta(seconds=100 * i)}
+            for i in range(10)]
+    ctx.insert("fn1", rows)
+    got = sorted((r["bucket"], r["n"]) for r in ctx.read_view("cv_fn").collect())
+    assert got[0][0] == base and got[0][1] == 3  # 0,100,200s in first bucket
+    assert sum(n for _, n in got) == 10
+    # hash_group as a scalar in plain SQL
+    r = ctx.spark.sql("SELECT hash_group('x') AS h, hash_group2('x','y') AS h2").collect()[0]
+    assert isinstance(r["h"], int) and isinstance(r["h2"], int)
+
+
+def test_combine_read_over_sketch_cv(ctx):
+    """combine() re-rollup over sketch state columns: HLL states merge
+    under a coarser grouping (user_combine.sql over approximate aggs)."""
+    ctx.create_stream("cr1", "g1 string, g2 string, v long")
+    ctx.create_view(
+        "cv_hll2",
+        "SELECT g1, g2, count(DISTINCT v) AS ndv FROM cr1 GROUP BY g1, g2")
+    ctx.insert("cr1", [{"g1": "x", "g2": "p", "v": i} for i in range(100)])
+    ctx.insert("cr1", [{"g1": "x", "g2": "q", "v": i} for i in range(50, 150)])
+    got = {r["g1"]: r["ndv"] for r in
+           ctx.combine_read("cv_hll2", group_by=["g1"]).collect()}
+    # union of 0..99 and 50..149 = 150 distinct; HLL error ~1%
+    assert abs(got["x"] - 150) <= 5
