@@ -115,7 +115,10 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     candidates.  Returns distinct (d1 < d2) pairs with the estimated
     Jaccard from full-signature agreement."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # materialize signatures once — the self-join would otherwise run
+    # the whole shingle+hash pipeline for both sides
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes,
+                              shingle_n).localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id", "sig",
         F.explode(F.array(*[

@@ -186,3 +186,19 @@ def test_activate_deactivate(ctx):
     ctx.activate("cv_ad")
     ctx.insert("ad1", [{"k": "a", "v": 3}])
     assert ctx.read_view("cv_ad").collect()[0]["n"] == 2
+
+
+def test_delta_stream_typed_consumption(ctx):
+    """Downstream CV aggregates typed fields of the change rows:
+    summing (delta).n gives total row count (delta_streams.sql)."""
+    ctx.create_stream("ds1", "k string, v long")
+    ctx.create_view("cv_base", "SELECT k, count(*) AS n FROM ds1 GROUP BY k")
+    ctx.create_view(
+        "cv_from_delta",
+        "SELECT sum(delta.n) AS total_rows, count(*) AS n_changes "
+        "FROM output_of('cv_base')")
+    ctx.insert("ds1", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    ctx.insert("ds1", [{"k": "a", "v": 3}])
+    row = ctx.read_view("cv_from_delta").collect()[0]
+    assert row["total_rows"] == 3  # deltas sum to total inserted rows
+    assert row["n_changes"] == 3   # 2 inserts + 1 update
