@@ -1026,3 +1026,61 @@ def events_hourly_top_type(spark, sf_dir):
                                              F.asc("event_type"))
     return (hourly.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1).drop("rk"))
+
+
+@query("cv_engine_sliding_window", f"""
+SELECT event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sv
+FROM events GROUP BY event_type
+""")
+def cv_engine_sliding_window(spark, sf_dir):
+    """END-TO-END SW ENGINE CHECK: a 1-hour sliding-window CV read
+    immediately after ingest sees every row in-window, so its overlay
+    (step re-combine + finalize) must equal the full batch aggregate —
+    the test_sliding_windows.py equivalence, driver-verified."""
+    ctx = _engine_ctx(spark, "sw")
+    try:
+        ctx.create_stream("ev_sw", "event_id long, event_type string, "
+                                   "value double")
+        ctx.create_view(
+            "cv_sw_q",
+            "SELECT event_type, count(*) AS cnt, "
+            "sum(CAST(value AS DECIMAL(38,6))) AS sv_dec FROM ev_sw "
+            "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
+            "GROUP BY event_type")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value")
+        for i in range(2):
+            ctx.insert("ev_sw", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
+        out = ctx.read_view("cv_sw_q")
+        return out.select("event_type", "cnt",
+                          F.col("sv_dec").cast("double").alias("sv")
+                          ).localCheckpoint(eager=True)
+    finally:
+        ctx.close()
+
+
+@query("cv_engine_grouping_sets", f"""
+SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, COUNT(*) AS cnt
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), (event_type), ())
+""")
+def cv_engine_grouping_sets(spark, sf_dir):
+    """END-TO-END GROUPING SETS ENGINE CHECK vs batch SQL
+    (cont_grouping_sets.sql, driver-verified)."""
+    ctx = _engine_ctx(spark, "gs")
+    try:
+        ctx.create_stream("ev_gs", "event_id long, user_id long, "
+                                   "event_type string")
+        ctx.create_view(
+            "cv_gs_q",
+            "SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, "
+            "count(*) AS cnt FROM ev_gs "
+            "GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), "
+            "(event_type), ())")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type")
+        for i in range(2):
+            ctx.insert("ev_gs", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
+        return ctx.read_view("cv_gs_q").localCheckpoint(eager=True)
+    finally:
+        ctx.close()
