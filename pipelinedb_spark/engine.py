@@ -796,6 +796,21 @@ class PipelineContext:
     def empty_stream_df(self, stream: str) -> DataFrame:
         return self.spark.createDataFrame([], self.streams[stream].schema)
 
+    def sql(self, query: str, at: float | None = None) -> DataFrame:
+        """Ad-hoc SQL over continuous views (the ordinary read path,
+        reference §3.3: any PG query may scan overlay views and — when
+        ``matrels_writable``-style access is wanted — matrels).  Every
+        CV's overlay is registered as ``<name>``, its matrel as
+        ``<name>_mrel``, before the query runs, so joins/window
+        functions/ORDER BY over CVs all work."""
+        for name, cv in self.views.items():
+            self._flush_cv(name)
+            cv.read(at=at).createOrReplaceTempView(name)
+            m = cv.matrel.read()
+            if m is not None:
+                m.createOrReplaceTempView(f"{name}_mrel")
+        return self.spark.sql(query)
+
     # -- introspection (pipelinedb.views / proc_stats analogs,
     #    reference miscutils.c catalogs + stats.c counters) -----------------
     def list_views(self) -> DataFrame:

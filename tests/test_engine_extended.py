@@ -153,3 +153,25 @@ def test_combine_read_over_sketch_cv(ctx):
            ctx.combine_read("cv_hll2", group_by=["g1"]).collect()}
     # union of 0..99 and 50..149 = 150 distinct; HLL error ~1%
     assert abs(got["x"] - 150) <= 5
+
+
+def test_ad_hoc_sql_over_cvs(ctx):
+    """Ordinary SQL over CVs: joins between CVs, ORDER BY, window
+    functions — everything the CQ analyzer rejects is fine at read
+    time (reference §3.3 read path)."""
+    ctx.create_stream("aq1", "k string, v long")
+    ctx.create_view("cv_sum1", "SELECT k, sum(v) AS s FROM aq1 GROUP BY k")
+    ctx.create_view("cv_cnt1", "SELECT k, count(*) AS n FROM aq1 GROUP BY k")
+    ctx.insert("aq1", [{"k": "a", "v": 10}, {"k": "a", "v": 5},
+                       {"k": "b", "v": 7}])
+    rows = ctx.sql("""
+        SELECT s.k, s.s, c.n,
+               RANK() OVER (ORDER BY s.s DESC) AS rk
+        FROM cv_sum1 s JOIN cv_cnt1 c ON s.k = c.k
+        ORDER BY rk
+    """).collect()
+    assert [(r["k"], r["s"], r["n"], r["rk"]) for r in rows] == [
+        ("a", 15, 2, 1), ("b", 7, 1, 2)]
+    # matrel access exposes partial-state columns
+    m = ctx.sql("SELECT k, `s__s` FROM cv_sum1_mrel ORDER BY k").collect()
+    assert [(r[0], r[1]) for r in m] == [("a", 15), ("b", 7)]

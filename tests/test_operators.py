@@ -19,27 +19,33 @@ def emb(spark):
     return t(spark, SF, "embeddings").cache()
 
 
-def test_minhash_lsh_recall(docs):
+@pytest.fixture(scope="module")
+def jaccard_rows(docs):
+    from pipelinedb_spark.operators.dedup import jaccard_pairs
+    return jaccard_pairs(docs, threshold=0.5).collect()
+
+
+@pytest.fixture(scope="module")
+def lsh_rows(docs):
+    from pipelinedb_spark.operators.dedup import lsh_candidates
+    return lsh_candidates(docs, num_hashes=64, bands=16).collect()
+
+
+def test_minhash_lsh_recall(jaccard_rows, lsh_rows):
     """LSH candidates must recover (almost) all true near-dup pairs —
     with 64 hashes / 16 bands the s-curve threshold is ≈ (1/16)^(1/4)
     ≈ 0.5, so pairs at jaccard ≥ 0.7 should essentially all surface."""
-    from pipelinedb_spark.operators.dedup import jaccard_pairs, lsh_candidates
-    truth = {(r["d1"], r["d2"])
-             for r in jaccard_pairs(docs, threshold=0.7).collect()}
-    cands = {(r["d1"], r["d2"])
-             for r in lsh_candidates(docs, num_hashes=64, bands=16).collect()}
+    truth = {(r["d1"], r["d2"]) for r in jaccard_rows if r["jaccard"] >= 0.7}
+    cands = {(r["d1"], r["d2"]) for r in lsh_rows}
     assert truth, "fixture should contain near-dup pairs"
     recall = len(truth & cands) / len(truth)
     assert recall >= 0.9, (recall, len(truth))
 
 
-def test_minhash_estimates_jaccard(docs):
+def test_minhash_estimates_jaccard(jaccard_rows, lsh_rows):
     """Signature agreement ≈ true Jaccard for surfaced pairs."""
-    from pipelinedb_spark.operators.dedup import jaccard_pairs, lsh_candidates
-    exact = {(r["d1"], r["d2"]): r["jaccard"]
-             for r in jaccard_pairs(docs, threshold=0.5).collect()}
-    est = {(r["d1"], r["d2"]): r["est_jaccard"]
-           for r in lsh_candidates(docs).collect()}
+    exact = {(r["d1"], r["d2"]): r["jaccard"] for r in jaccard_rows}
+    est = {(r["d1"], r["d2"]): r["est_jaccard"] for r in lsh_rows}
     common = set(exact) & set(est)
     assert common
     for pair in common:
@@ -89,10 +95,10 @@ def test_lang_id_accuracy(spark):
         assert r["pred"] == r["expected"], (r["expected"], r["pred"])
 
 
-def test_simhash_similar_docs_close(docs, spark):
+def test_simhash_similar_docs_close(docs, spark, jaccard_rows):
     """Near-dup docs should have close simhash values (low bit diff)."""
-    from pipelinedb_spark.operators.dedup import jaccard_pairs, simhash_fast
-    pairs = jaccard_pairs(docs, threshold=0.8).limit(5).collect()
+    from pipelinedb_spark.operators.dedup import simhash_fast
+    pairs = [r for r in jaccard_rows if r["jaccard"] >= 0.8][:5]
     if not pairs:
         pytest.skip("no high-jaccard pairs at this sf")
     sh = {r["doc_id"]: r["sh"] for r in docs.select(

@@ -31,3 +31,33 @@ def test_file_stream_feeds_cv(ctx, spark, tmp_path):
         assert got["a"]["n"] == 3 and got["a"]["s"] == 13
     finally:
         att.stop()
+
+
+def test_file_stream_restart_exactly_once(ctx, spark, tmp_path):
+    """Stop the attachment, restart against the same checkpoint, add
+    more files: counts must reflect each row exactly once."""
+    from pipelinedb_spark.streaming.runtime import attach_file_stream
+
+    src_dir = str(tmp_path / "drop2")
+    os.makedirs(src_dir, exist_ok=True)
+    ctx.create_stream("fs2", "k string, v long")
+    ctx.create_view("cv_fs2", "SELECT k, count(*) AS n FROM fs2 GROUP BY k")
+
+    ckpt = str(tmp_path / "ckpt2")
+    att = attach_file_stream(ctx, "fs2", src_dir, fmt="json",
+                             checkpoint_dir=ckpt)
+    with open(os.path.join(src_dir, "b1.json"), "w") as f:
+        f.write('{"k": "a", "v": 1}\n{"k": "a", "v": 2}\n')
+    att.process_all_available()
+    att.stop()
+
+    # restart against the same checkpoint; drop another file
+    att2 = attach_file_stream(ctx, "fs2", src_dir, fmt="json",
+                              checkpoint_dir=ckpt)
+    try:
+        with open(os.path.join(src_dir, "b2.json"), "w") as f:
+            f.write('{"k": "a", "v": 3}\n')
+        att2.process_all_available()
+        assert ctx.read_view("cv_fs2").collect()[0]["n"] == 3
+    finally:
+        att2.stop()
