@@ -481,9 +481,9 @@ def _fold_keep_latest(acc, key, new):
 # jsonb.c:1523-; combinable via element-list states).
 # ---------------------------------------------------------------------------
 
-def _json_agg_spec() -> AggSpec:
+def _json_agg_spec(name: str = "json_agg") -> AggSpec:
     return AggSpec(
-        "json_agg",
+        name,
         lambda args: {"a": F.collect_list(_e(args[0]))},
         lambda s: {"a": F.flatten(F.collect_list(s("a")))},
         lambda s, a: F.to_json(s("a")),
@@ -528,14 +528,14 @@ def _json_sum_fold(acc, e):
                                            new_val.alias("value"))))
 
 
-def _json_object_agg_spec() -> AggSpec:
+def _json_object_agg_spec(name: str = "json_object_agg") -> AggSpec:
     def partial(args):
         k, v = _e(args[0]), _e(args[1])
         return {"a": F.collect_list(F.struct(k.cast("string").alias("key"),
                                              v.alias("value")))}
 
     return AggSpec(
-        "json_object_agg",
+        name,
         partial,
         lambda s: {"a": F.flatten(F.collect_list(s("a")))},
         lambda s, a: F.to_json(F.map_from_entries(s("a"))),
@@ -582,7 +582,9 @@ class AggRegistry:
             _hll_union_agg_spec(),
             _bucket_agg_spec(),
             _json_agg_spec(),
+            _json_agg_spec("jsonb_agg"),
             _json_object_agg_spec(),
+            _json_object_agg_spec("jsonb_object_agg"),
             _json_object_int_sum_spec(),
         ]
         specs.extend(_bivar_specs())

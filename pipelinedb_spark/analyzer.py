@@ -148,6 +148,9 @@ class CQPlan:
     # GROUPING SETS/CUBE/ROLLUP: list of sets (each a list of exprs from
     # group_exprs); None for plain GROUP BY (reference analyzer.c:2819)
     grouping_sets: list[list[str]] | None = None
+    # DISTINCT ON (cols): overlay-level dedup on these columns
+    # (reference: DISTINCT ON -> view-level distinct, analyzer.c:3019)
+    distinct_on: list[str] | None = None
 
 
 def _find_call_end(sql: str, open_idx: int) -> int:
@@ -322,7 +325,25 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
 
     select_text = clauses["SELECT"]
     distinct = False
-    if re.match(r"(?i)^DISTINCT\b", select_text):
+    distinct_on: list[str] | None = None
+    m_don = re.match(r"(?i)^DISTINCT\s+ON\s*\(", select_text)
+    if m_don:
+        close = select_text.find(")", m_don.end())
+        depth = 1
+        i = m_don.end()
+        while i < len(select_text):
+            if select_text[i] == "(":
+                depth += 1
+            elif select_text[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+            i += 1
+        distinct_on = split_top_level(select_text[m_don.end():close])
+        select_text = select_text[close + 1:].strip()
+        distinct = True
+    elif re.match(r"(?i)^DISTINCT\b", select_text):
         distinct = True
         select_text = re.sub(r"(?i)^DISTINCT\s+", "", select_text)
     if re.search(r"(^|[\s,(])\*\s*(,|$)", select_text.strip()) and select_text.strip() == "*":
@@ -471,4 +492,5 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
         sw_step_seconds=step,
         tables=tables,
         grouping_sets=grouping_sets,
+        distinct_on=distinct_on,
     )

@@ -201,6 +201,9 @@ class ContView:
         if extra_cols:
             out_cols = [F.col(c) for c in extra_cols] + out_cols
         out = df.select(*out_cols)
+        if plan.distinct_on and not extra_cols:
+            # DISTINCT ON: view-level dedup on the ON columns
+            out = out.dropDuplicates(plan.distinct_on)
         if plan.limit is not None:
             out = out.limit(plan.limit)
         return out

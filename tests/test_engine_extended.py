@@ -175,3 +175,24 @@ def test_ad_hoc_sql_over_cvs(ctx):
     # matrel access exposes partial-state columns
     m = ctx.sql("SELECT k, `s__s` FROM cv_sum1_mrel ORDER BY k").collect()
     assert [(r[0], r[1]) for r in m] == [("a", 15), ("b", 7)]
+
+
+def test_distinct_on(ctx):
+    """DISTINCT ON (k) k, v → one row per k at read time (reference:
+    view-level distinct)."""
+    ctx.create_stream("don1", "k string, v long")
+    ctx.create_view("cv_don", "SELECT DISTINCT ON (k) k, v FROM don1")
+    ctx.insert("don1", [{"k": "a", "v": 1}, {"k": "a", "v": 2},
+                        {"k": "b", "v": 3}])
+    rows_ = ctx.read_view("cv_don").collect()
+    assert sorted(r["k"] for r in rows_) == ["a", "b"]
+    assert len(rows_) == 2
+
+
+def test_jsonb_aliases(ctx):
+    ctx.create_stream("jb1", "k string, v long")
+    ctx.create_view("cv_jb",
+                    "SELECT k, jsonb_agg(v) AS arr FROM jb1 GROUP BY k")
+    ctx.insert("jb1", [{"k": "a", "v": 7}])
+    import json
+    assert json.loads(ctx.read_view("cv_jb").collect()[0]["arr"]) == [7]
