@@ -805,7 +805,14 @@ class PipelineContext:
         ``matrels_writable``-style access is wanted — matrels).  Every
         CV's overlay is registered as ``<name>``, its matrel as
         ``<name>_mrel``, before the query runs, so joins/window
-        functions/ORDER BY over CVs all work."""
+        functions/ORDER BY over CVs all work.  ``combine(col)`` queries
+        over a single CV re-aggregate persisted partial states under
+        the query's (coarser) grouping (reference RewriteCombineAggs
+        src/analyzer.c:4662, test user_combine.sql)."""
+        if re.search(r"(?i)\bcombine\s*\(", query):
+            rewritten = self._rewrite_combine_sql(query, at)
+            if rewritten is not None:
+                return rewritten
         for name, cv in self.views.items():
             self._flush_cv(name)
             cv.read(at=at).createOrReplaceTempView(name)
@@ -813,6 +820,39 @@ class PipelineContext:
             if m is not None:
                 m.createOrReplaceTempView(f"{name}_mrel")
         return self.spark.sql(query)
+
+    def _rewrite_combine_sql(self, query: str, at: float | None
+                             ) -> DataFrame | None:
+        """Support the canonical combine() shape:
+        ``SELECT [cols,] combine(c)[ AS a][, ...] FROM cv [GROUP BY
+        cols]``.  Returns None when the query doesn't match (caller
+        falls through to plain SQL, where combine() will error)."""
+        from pipelinedb_spark.analyzer import split_clauses, split_top_level
+        clauses = split_clauses(query)
+        cv_name = clauses.get("FROM", "").strip()
+        if cv_name not in self.views or "HAVING" in clauses:
+            return None
+        cv = self.views[cv_name]
+        group_by = (split_top_level(clauses["GROUP BY"])
+                    if "GROUP BY" in clauses else [])
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", g) for g in group_by):
+            return None
+        combined = self.combine_read(cv_name, group_by=group_by, at=at)
+        out_cols = []
+        for item in split_top_level(clauses["SELECT"]):
+            m = re.fullmatch(
+                r"(?is)combine\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+AS\s+(\w+))?",
+                item.strip())
+            if m:
+                src, alias = m.group(1), m.group(2) or m.group(1)
+                if src not in combined.columns:
+                    return None
+                out_cols.append(F.col(src).alias(alias))
+            elif re.fullmatch(r"[A-Za-z_]\w*", item.strip()):
+                out_cols.append(F.col(item.strip()))
+            else:
+                return None
+        return combined.select(*out_cols)
 
     # -- introspection (pipelinedb.views / proc_stats analogs,
     #    reference miscutils.c catalogs + stats.c counters) -----------------

@@ -111,6 +111,37 @@ def attach_file_stream(ctx: PipelineContext, stream: str, source_dir: str,
     return StreamAttachment(ctx, stream, query)
 
 
+class SWTicker:
+    """Background sliding-window ticker: periodically re-emits changed
+    window results to the CV's output stream (the reference runs this
+    inside the combiner every sw_step_ms, src/combiner.c:992)."""
+
+    def __init__(self, ctx: PipelineContext, view: str,
+                 interval_seconds: float) -> None:
+        import threading
+
+        self.ctx = ctx
+        self.view = view
+        self.interval = interval_seconds
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "SWTicker":
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            try:
+                self.ctx.tick_sw(self.view)
+            except Exception:
+                pass  # keep ticking; next tick retries
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
 def attach_rate_stream(ctx: PipelineContext, stream: str,
                        rows_per_second: int = 100,
                        value_exprs: dict[str, str] | None = None

@@ -196,3 +196,23 @@ def test_jsonb_aliases(ctx):
     ctx.insert("jb1", [{"k": "a", "v": 7}])
     import json
     assert json.loads(ctx.read_view("cv_jb").collect()[0]["arr"]) == [7]
+
+
+def test_sql_combine_rewrite(ctx):
+    """combine() in plain SQL over a CV re-rolls partial states up to
+    the query's grouping (user_combine.sql:24-50)."""
+    import pytest as _pytest
+    ctx.create_stream("uc1", "g1 string, g2 string, v long")
+    ctx.create_view("cv_uc", "SELECT g1, g2, avg(v) AS a, count(*) AS n "
+                             "FROM uc1 GROUP BY g1, g2")
+    ctx.insert("uc1", [{"g1": "x", "g2": "p", "v": 2},
+                       {"g1": "x", "g2": "q", "v": 4},
+                       {"g1": "y", "g2": "p", "v": 100}])
+    got = {r["g1"]: r for r in ctx.sql(
+        "SELECT g1, combine(a) AS a, combine(n) AS n FROM cv_uc GROUP BY g1"
+    ).collect()}
+    assert got["x"]["a"] == _pytest.approx(3.0)   # weighted, not avg-of-avgs
+    assert got["x"]["n"] == 2
+    # global combine
+    row = ctx.sql("SELECT combine(a) AS a FROM cv_uc").collect()[0]
+    assert row["a"] == _pytest.approx(106 / 3)
