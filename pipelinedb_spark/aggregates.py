@@ -59,6 +59,10 @@ class AggSpec:
     # True when the finalized value is itself the mergeable state
     # (sketch columns like hll_agg / dist_agg / freq_agg outputs).
     state_is_value: bool = False
+    # True when partial/merge use grouped-agg pandas UDFs: Spark can't
+    # mix those with JVM aggregates in one agg(), so the engine runs
+    # them in a second grouped pass joined back on the keys.
+    pandas: bool = False
 
 
 def _e(expr: str) -> Column:

@@ -74,6 +74,32 @@ def _py_coerce(value: Any, dtype: T.DataType) -> Any:
     return value
 
 
+def grouped_agg(df: DataFrame, key_cols: list, key_names: list[str],
+                jvm_aggs: list, pd_aggs: list) -> DataFrame:
+    """groupBy().agg() that tolerates a mix of JVM aggregates and
+    grouped-agg pandas UDFs (Spark forbids them in one agg()): when
+    both are present, run two grouped passes over the same (bounded,
+    checkpointed) micro-batch and join back on the keys null-safely."""
+    if not pd_aggs:
+        return df.groupBy(*key_cols).agg(*jvm_aggs)
+    if not jvm_aggs:
+        return df.groupBy(*key_cols).agg(*pd_aggs)
+    a = df.groupBy(*key_cols).agg(*jvm_aggs).alias("a")
+    b = df.groupBy(*key_cols).agg(*pd_aggs).alias("b")
+    if not key_names:
+        joined = a.crossJoin(b)
+        b_vals = b.columns
+    else:
+        cond = None
+        for k in key_names:
+            c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = a.join(b, cond, "inner")
+        b_vals = [c for c in b.columns if c not in key_names]
+    return joined.select(*[F.col(f"a.{c}") for c in a.columns],
+                         *[F.col(f"b.{c}") for c in b_vals])
+
+
 @dataclass
 class StreamDef:
     name: str
@@ -133,14 +159,15 @@ class ContView:
                 F.timestamp_seconds(
                     F.floor(F.col(plan.sw_column).cast("double") / step) * step
                 ).alias(STEP_COL))
-        aggs = []
+        jvm_aggs, pd_aggs = [], []
         for call in plan.aggs:
             spec = self._registry.get(call.func)
+            target = pd_aggs if spec.pandas else jvm_aggs
             for suffix, col in spec.partial(call.args).items():
-                aggs.append(col.alias(state_col(call.out, suffix)))
-        if not aggs:
+                target.append(col.alias(state_col(call.out, suffix)))
+        if not jvm_aggs and not pd_aggs:
             # pure-DISTINCT CV: presence marker so merge has a state col
-            aggs = [F.count(F.lit(1)).alias(state_col("_present", "n"))]
+            jvm_aggs = [F.count(F.lit(1)).alias(state_col("_present", "n"))]
         if plan.grouping_sets is not None:
             # aliased keys don't match set exprs; group on raw exprs,
             # rename the leading grouping columns positionally after
@@ -148,26 +175,34 @@ class ContView:
             if plan.sw_column is not None:
                 raise CQError("sliding windows with grouping sets are "
                               "not supported")
+            if pd_aggs:
+                raise CQError("grouping sets with sketch (pandas) "
+                              "aggregates are not supported")
             sets = [[F.expr(g) for g in s] for s in plan.grouping_sets]
             out = (pre_df.groupingSets(sets, *raw_keys)
-                   .agg(*aggs, F.grouping_id().alias(GID_COL)))
+                   .agg(*jvm_aggs, F.grouping_id().alias(GID_COL)))
             renames = dict(zip(out.columns[: len(raw_keys)], plan.group_names))
             return out.withColumnsRenamed(renames)
-        return pre_df.groupBy(*keys).agg(*aggs)
+        key_names = [n for n in plan.group_names]
+        if plan.sw_column is not None:
+            key_names.append(STEP_COL)
+        return grouped_agg(pre_df, keys, key_names, jvm_aggs, pd_aggs)
 
     # -- combiner: merge partials over (old ∪ delta) ------------------------
     def merge_fn(self, df: DataFrame) -> DataFrame:
-        keys = [F.col(c) for c in self._group_cols] + [F.col(BUCKET_COL)]
-        aggs = []
+        key_names = self._group_cols + [BUCKET_COL]
+        keys = [F.col(c) for c in key_names]
+        jvm_aggs, pd_aggs = [], []
         for call in self.plan.aggs:
             spec = self._registry.get(call.func)
+            target = pd_aggs if spec.pandas else jvm_aggs
             s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
             for suffix, col in spec.merge(s).items():
-                aggs.append(col.alias(state_col(call.out, suffix)))
-        if not aggs:
-            aggs = [F.sum(F.col(state_col("_present", "n")))
-                    .alias(state_col("_present", "n"))]
-        return df.groupBy(*keys).agg(*aggs)
+                target.append(col.alias(state_col(call.out, suffix)))
+        if not jvm_aggs and not pd_aggs:
+            jvm_aggs = [F.sum(F.col(state_col("_present", "n")))
+                        .alias(state_col("_present", "n"))]
+        return grouped_agg(df, keys, key_names, jvm_aggs, pd_aggs)
 
     # -- overlay: finalize states into user-visible rows ---------------------
     def finalize(self, states: DataFrame, extra_cols: list[str] | None = None,
@@ -700,13 +735,15 @@ class PipelineContext:
                 float(cv.plan.sw_step_seconds))
         group_by = group_by or []
         keys = [F.col(c) for c in group_by]
-        aggs = []
+        jvm_aggs, pd_aggs = [], []
         for call in cv.plan.aggs:
             spec = cv.ctx.registry.get(call.func)
+            target = pd_aggs if spec.pandas else jvm_aggs
             s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
             for suffix, col in spec.merge(s).items():
-                aggs.append(col.alias(state_col(call.out, suffix)))
-        merged = states.groupBy(*keys).agg(*aggs) if aggs else states
+                target.append(col.alias(state_col(call.out, suffix)))
+        merged = (grouped_agg(states, keys, group_by, jvm_aggs, pd_aggs)
+                  if (jvm_aggs or pd_aggs) else states)
         df = merged
         out_cols = list(group_by)
         for call in cv.plan.aggs:

@@ -40,3 +40,20 @@ _SQL_FUNCTIONS = [
 def register_sql_functions(spark: SparkSession) -> None:
     for name, body in _SQL_FUNCTIONS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+    # sketch probe functions by name, so CQ SQL can compose them with
+    # the sketch aggregates (reference: topk(), freq(), dist_quantile()
+    # etc. as ordinary SQL functions over sketch columns)
+    from pipelinedb_spark.functions import sketch_fns as sf
+
+    for name, udf in [
+        ("dist_quantile", sf.dist_quantile), ("dist_cdf", sf.dist_cdf),
+        ("freq", sf.freq), ("freq_total", sf.freq_total),
+        ("freq_norm", sf.freq_norm), ("topk_values", sf.topk_values),
+        ("topk_freqs", sf.topk_freqs), ("topk", sf.topk),
+        ("bloom_contains", sf.bloom_contains),
+        ("bloom_cardinality", sf.bloom_cardinality),
+    ]:
+        spark.udf.register(name, udf)
+    # hll_cardinality == native hll_sketch_estimate
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION hll_cardinality"
+              "(s BINARY) RETURNS BIGINT RETURN hll_sketch_estimate(s)")

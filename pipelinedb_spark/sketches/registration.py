@@ -125,7 +125,7 @@ def register_all(registry: AggRegistry) -> None:
     registry.register(AggSpec(
         "dist_agg", dist_partial,
         lambda s: {"td": _tdigest_merge(s("td"))},
-        lambda s, a: s("td"), state_is_value=True))
+        lambda s, a: s("td"), state_is_value=True, pandas=True))
 
     # percentile_cont(p) WITHIN GROUP (ORDER BY x) → t-digest backed
     # (reference hllfuncs.c:780-1005); analyzer folds args to (p, x).
@@ -135,19 +135,19 @@ def register_all(registry: AggRegistry) -> None:
     registry.register(AggSpec(
         "combinable_percentile_cont", pc_partial,
         lambda s: {"td": _tdigest_merge(s("td"))},
-        lambda s, a: _tdigest_quantile_udf(s("td"), F.lit(_lit_number(a[0])))))
+        lambda s, a: _tdigest_quantile_udf(s("td"), F.lit(_lit_number(a[0]))), pandas=True))
 
     # freq_agg(x) — count-min sketch (reference freqfuncs.c:26-409).
     registry.register(AggSpec(
         "freq_agg",
         lambda args: {"cms": _cms_build()(_expr(args[0]).cast("string"))},
         lambda s: {"cms": _cms_merge(s("cms"))},
-        lambda s, a: s("cms"), state_is_value=True))
+        lambda s, a: s("cms"), state_is_value=True, pandas=True))
     registry.register(AggSpec(
         "freq_merge_agg",
         lambda args: {"cms": _cms_merge(_expr(args[0]))},
         lambda s: {"cms": _cms_merge(s("cms"))},
-        lambda s, a: s("cms"), state_is_value=True))
+        lambda s, a: s("cms"), state_is_value=True, pandas=True))
 
     # topk_agg(x, k) — filtered-space-saving (reference topkfuncs.c).
     def topk_partial(args):
@@ -157,12 +157,12 @@ def register_all(registry: AggRegistry) -> None:
     registry.register(AggSpec(
         "topk_agg", topk_partial,
         lambda s: {"ss": _topk_merge(s("ss"))},
-        lambda s, a: s("ss"), state_is_value=True))
+        lambda s, a: s("ss"), state_is_value=True, pandas=True))
     registry.register(AggSpec(
         "topk_merge_agg",
         lambda args: {"ss": _topk_merge(_expr(args[0]))},
         lambda s: {"ss": _topk_merge(s("ss"))},
-        lambda s, a: s("ss"), state_is_value=True))
+        lambda s, a: s("ss"), state_is_value=True, pandas=True))
 
     # bloom_agg(x) / bloom_union_agg / bloom_intersection_agg
     # (reference bloomfuncs.c:30-454).
@@ -170,14 +170,14 @@ def register_all(registry: AggRegistry) -> None:
         "bloom_agg",
         lambda args: {"bf": _bloom_build()(_expr(args[0]).cast("string"))},
         lambda s: {"bf": _bloom_merge()(s("bf"))},
-        lambda s, a: s("bf"), state_is_value=True))
+        lambda s, a: s("bf"), state_is_value=True, pandas=True))
     registry.register(AggSpec(
         "bloom_union_agg",
         lambda args: {"bf": _bloom_merge()(_expr(args[0]))},
         lambda s: {"bf": _bloom_merge()(s("bf"))},
-        lambda s, a: s("bf"), state_is_value=True))
+        lambda s, a: s("bf"), state_is_value=True, pandas=True))
     registry.register(AggSpec(
         "bloom_intersection_agg",
         lambda args: {"bf": _bloom_merge(intersect=True)(_expr(args[0]))},
         lambda s: {"bf": _bloom_merge(intersect=True)(s("bf"))},
-        lambda s, a: s("bf"), state_is_value=True))
+        lambda s, a: s("bf"), state_is_value=True, pandas=True))

@@ -129,3 +129,20 @@ def test_cv_bloom(ctx):
     assert sf.bloom_contains_py(bytes(bf), "x5")
     assert sf.bloom_contains_py(bytes(bf), "y99")
     assert not sf.bloom_contains_py(bytes(bf), "zzz-not-there")
+
+
+def test_sketch_probe_functions_in_cv_sql(ctx):
+    """Sketch probes compose with sketch aggregates inside CV SQL —
+    the reference's `SELECT topk(topk_agg(x, 3)) FROM s` shape."""
+    from pipelinedb_spark import register_sketch_aggs
+    register_sketch_aggs()
+    ctx.create_stream("sq1", "k string, v long")
+    ctx.create_view(
+        "cv_probe",
+        "SELECT k, topk_values(topk_agg(v, 3), 3) AS top3, "
+        "hll_cardinality(hll_agg(v)) AS ndv_est FROM sq1 GROUP BY k")
+    ctx.insert("sq1", [{"k": "a", "v": v} for v in [1] * 10 + [2] * 5 + [3]])
+    ctx.insert("sq1", [{"k": "a", "v": v} for v in [2] * 10])
+    row = ctx.read_view("cv_probe").collect()[0]
+    assert row["top3"] == ["2", "1", "3"]
+    assert abs(row["ndv_est"] - 3) <= 1
