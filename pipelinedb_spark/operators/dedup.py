@@ -146,6 +146,47 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     return cands.select("d1", "d2", est.alias("est_jaccard"))
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster_id) with cluster_id = min doc id of the component, i.e.
+    "keep one canonical doc per duplicate cluster".
+
+    Iterative min-label propagation over the undirected pair graph:
+    each round every node adopts the smallest label among itself and
+    its neighbours; converges in O(component diameter) rounds.  Each
+    round is one shuffle keyed by doc id — the standard large-scale
+    connected-components recipe (duplicate clusters are tiny, so this
+    terminates in a few rounds even on a 100 TB corpus).
+    """
+    edges = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+             .unionByName(pairs.select(F.col("d2").alias("a"),
+                                       F.col("d1").alias("b")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("doc_id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.b == labels.doc_id)
+                        .groupBy(F.col("a").alias("doc_id"))
+                        .agg(F.min("cluster_id").alias("nbr_min")))
+        new_labels = (labels.join(neighbor_min, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("cluster_id"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("cluster_id")))
+                              .alias("cluster_id"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .take(1))
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens: sum token-hash bit signs,
     take the sign vector.  JVM-only via bit arithmetic on xxhash64.

@@ -1084,3 +1084,53 @@ def cv_engine_grouping_sets(spark, sf_dir):
         return ctx.read_view("cv_gs_q").localCheckpoint(eager=True)
     finally:
         ctx.close()
+
+
+@query("vocabulary_topk", """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS freq FROM toks
+GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100
+""")
+def vocabulary_topk(spark, sf_dir):
+    """Corpus vocabulary: token frequencies, top-100 (training-data
+    tokenizer/vocab building block; one scan + one shuffle on token)."""
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("token")).limit(100))
+
+
+@query("dedup_cluster_assignment", """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              UNNEST(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in range(1, len(ws) - 1)])) AS s
+       FROM w),
+p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT d1, d2
+  FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+walk AS (
+  SELECT a AS doc_id, a AS cluster_id FROM edges
+  UNION
+  SELECT e.a, w.cluster_id FROM walk w JOIN edges e ON e.b = w.doc_id
+)
+SELECT doc_id, MIN(cluster_id) AS cluster_id FROM walk GROUP BY doc_id
+""")
+def dedup_cluster_assignment(spark, sf_dir):
+    """Near-dup clustering: connected components over jaccard>=0.5
+    pairs, cluster_id = min doc id (canonical-doc selection).  Oracle
+    computes the same components with a recursive CTE."""
+    from pipelinedb_spark.operators.dedup import dedup_clusters, jaccard_pairs
+    pairs = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup_clusters(pairs)
