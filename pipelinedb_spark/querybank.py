@@ -1134,3 +1134,37 @@ def dedup_cluster_assignment(spark, sf_dir):
     from pipelinedb_spark.operators.dedup import dedup_clusters, jaccard_pairs
     pairs = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
     return dedup_clusters(pairs)
+
+
+@query("q5_local_supplier_volume", f"""
+SELECT n.n_name AS nation,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with a co-nationality predicate; all
+    dims broadcast, lineitem-orders is the only big join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(s, (li.l_suppkey == s.s_suppkey) &
+                  (c.c_nationkey == s.s_nationkey))
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))

@@ -61,3 +61,28 @@ def test_file_stream_restart_exactly_once(ctx, spark, tmp_path):
         assert ctx.read_view("cv_fs2").collect()[0]["n"] == 3
     finally:
         att2.stop()
+
+
+def test_rate_stream_attachment(ctx):
+    """Synthetic rate source feeds a CV continuously."""
+    import time as _time
+    from pipelinedb_spark.streaming.runtime import attach_rate_stream
+
+    ctx.create_stream("rs1", "k string, v long")
+    ctx.create_view("cv_rate", "SELECT k, count(*) AS n FROM rs1 GROUP BY k")
+    att = attach_rate_stream(
+        ctx, "rs1", rows_per_second=200,
+        value_exprs={"k": "concat('k', value % 4)", "v": "value"})
+    try:
+        deadline = _time.time() + 30
+        total = 0
+        while _time.time() < deadline:
+            att.process_all_available()
+            rows_ = ctx.read_view("cv_rate").collect()
+            total = sum(r["n"] for r in rows_)
+            if total >= 100:
+                break
+            _time.sleep(0.5)
+        assert total >= 100, total
+    finally:
+        att.stop()
