@@ -24,9 +24,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from pipelinedb_spark import tune_existing
     from pipelinedb_spark.querybank import Q
 
-    return dict(Q)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver's session may not share our defaults; force the
+            # runtime-settable ones the oracles depend on (UTC session
+            # timezone, Arrow) before building the plan
+            tune_existing(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in Q.items()}
 
 
 def oracle_sql() -> dict[str, str]:

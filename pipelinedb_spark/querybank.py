@@ -90,7 +90,11 @@ def q1(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    # NTZ literal: l_shipdate is TIMESTAMP_NTZ in the parquet; a
+    # session-timezone TIMESTAMP literal would shift the boundary on
+    # non-UTC driver sessions
+    return (li.filter(F.col("l_shipdate") <=
+                      F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(dsum("l_quantity").alias("sum_qty"),
                  dsum("l_extendedprice").alias("sum_base_price"),
