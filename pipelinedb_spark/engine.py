@@ -142,6 +142,14 @@ class ContView:
             # grouping sets: matrel keyed by group cols + grouping_id
             # (reference keeps grouping sets on the worker and groups
             # the combiner by the hoisted columns, analyzer.c:2819-2859)
+            # fail fast at DDL time (reference builds worker plans at
+            # CREATE to fail fast, pipeline_query.c:1989-1992)
+            if plan.sw_column is not None:
+                raise CQError("sliding windows with grouping sets are "
+                              "not supported")
+            if any(ctx.registry.get(c.func).pandas for c in plan.aggs):
+                raise CQError("grouping sets with sketch (pandas) "
+                              "aggregates are not supported")
             self._group_cols = self._group_cols + [GID_COL]
         if plan.sw_column is not None:
             self._group_cols = self._group_cols + [STEP_COL]
