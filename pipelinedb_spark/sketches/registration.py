@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.functions import PandasUDFType, pandas_udf
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, DoubleType
 
 from pipelinedb_spark.aggregates import AggRegistry, AggSpec
@@ -39,13 +39,13 @@ def _lit_number(arg: str) -> float:
 # -- grouped-agg UDAF builders (created per call so literal args bind) ------
 
 def _tdigest_build(compression: float):
-    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    @pandas_udf(BinaryType())
     def build(v: pd.Series) -> bytes:
         return TDigest(compression).add_many(v.dropna().to_numpy()).serialize()
     return build
 
 
-@pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+@pandas_udf(BinaryType())
 def _tdigest_merge(states: pd.Series) -> bytes:
     acc = TDigest()
     for s in states.dropna():
@@ -54,7 +54,7 @@ def _tdigest_merge(states: pd.Series) -> bytes:
 
 
 def _cms_build():
-    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    @pandas_udf(BinaryType())
     def build(v: pd.Series) -> bytes:
         sk = CountMinSketch()
         sk.add_many(v.dropna().to_numpy())
@@ -62,7 +62,7 @@ def _cms_build():
     return build
 
 
-@pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+@pandas_udf(BinaryType())
 def _cms_merge(states: pd.Series) -> bytes:
     acc = None
     for s in states.dropna():
@@ -72,13 +72,13 @@ def _cms_merge(states: pd.Series) -> bytes:
 
 
 def _topk_build(k: int):
-    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    @pandas_udf(BinaryType())
     def build(v: pd.Series) -> bytes:
         return SpaceSaving(k).add_many(v.dropna().tolist()).serialize()
     return build
 
 
-@pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+@pandas_udf(BinaryType())
 def _topk_merge(states: pd.Series) -> bytes:
     acc = None
     for s in states.dropna():
@@ -88,14 +88,14 @@ def _topk_merge(states: pd.Series) -> bytes:
 
 
 def _bloom_build():
-    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    @pandas_udf(BinaryType())
     def build(v: pd.Series) -> bytes:
         return BloomFilter().add_many(v.dropna().to_numpy()).serialize()
     return build
 
 
 def _bloom_merge(intersect: bool = False):
-    @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+    @pandas_udf(BinaryType())
     def merge(states: pd.Series) -> bytes:
         acc = None
         for s in states.dropna():
