@@ -1172,3 +1172,35 @@ def q5_local_supplier_volume(spark, sf_dir):
             .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue"),
                  F.count("*").alias("n_lines")))
+
+
+@query("sessionization", """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         LAG(CAST(ts AS TIMESTAMP)) OVER
+           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_seq
+""")
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): one window pass +
+    one agg (operators/sessions.py); the streaming twin uses
+    applyInPandasWithState."""
+    from pipelinedb_spark.operators.sessions import session_stats
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return session_stats(ev, gap_seconds=1800.0)
