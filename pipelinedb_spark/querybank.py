@@ -333,17 +333,26 @@ def keyed_min_max(spark, sf_dir):
 
 @query("first_values_smallest", """
 SELECT event_type,
-       (list(value ORDER BY value ASC, event_id ASC))[1:3] AS first3
+       array_to_string(
+         list_transform((list(value ORDER BY value ASC, event_id ASC))[1:3],
+                        v -> CAST(CAST(v AS DECIMAL(28,6)) AS VARCHAR)),
+         ',') AS first3
 FROM events GROUP BY event_type
 """)
 def first_values_smallest(spark, sf_dir):
     """first_values(3, value) — bounded smallest-n prefix (reference
-    src/firstvalues.c).  Deterministic via (value, event_id) sort."""
+    src/firstvalues.c).  Deterministic via (value, event_id) sort; the
+    array is rendered as a fixed-scale CSV string so the driver's
+    canonicalizer (which cannot hash array cells) compares it."""
     ev = t(spark, sf_dir, "events")
     pair = F.struct(F.col("value"), F.col("event_id"))
     return ev.groupBy("event_type").agg(
-        F.transform(F.slice(F.sort_array(F.collect_list(pair)), 1, 3),
-                    lambda s: s.getField("value")).alias("first3"))
+        F.array_join(
+            F.transform(F.slice(F.sort_array(F.collect_list(pair)), 1, 3),
+                        lambda s: s.getField("value")
+                                   .cast(T.DecimalType(28, 6))
+                                   .cast("string")),
+            ",").alias("first3"))
 
 
 @query("string_set_array_aggs", """
@@ -483,7 +492,7 @@ steps AS (
          COUNT(*) AS cnt, {sql_dsum('value')} AS sum_value
   FROM events GROUP BY 1, 2
 )
-SELECT s.event_type, SUM(s.cnt) AS cnt,
+SELECT s.event_type, CAST(SUM(s.cnt) AS BIGINT) AS cnt,
        CAST(SUM(CAST(s.sum_value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
 FROM steps s, anchor a
 WHERE s.step_h * 3600 > epoch(a.mx) - 7 * 86400
@@ -510,7 +519,7 @@ def sw_step_overlay_combine(spark, sf_dir):
 
 @query("json_object_int_sum", """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """)
@@ -572,7 +581,7 @@ def text_profile(spark, sf_dir):
 
 
 @query("token_count_by_source", """
-SELECT source, SUM(len(string_split(text, ' '))) AS total_tokens,
+SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY source
 """)
@@ -931,18 +940,21 @@ def minmax_temporal_string(spark, sf_dir):
 
 @query("array_agg_sorted", """
 SELECT r.r_name AS region,
-       list(n.n_name ORDER BY n.n_name) AS nations
+       array_to_string(list(n.n_name ORDER BY n.n_name), ',') AS nations
 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """)
 def array_agg_sorted(spark, sf_dir):
     """array_agg with deterministic order (reference
-    combinable_array_agg aggfuncs.c:62-271)."""
+    combinable_array_agg aggfuncs.c:62-271).  Rendered as a CSV string
+    so the driver's canonicalizer (which cannot hash array cells)
+    compares it; the native array form is covered in pytest."""
     n = t(spark, sf_dir, "nation")
     r = F.broadcast(t(spark, sf_dir, "region"))
     return (n.join(r, n.n_regionkey == r.r_regionkey)
             .groupBy(F.col("r_name").alias("region"))
-            .agg(F.sort_array(F.collect_list("n_name")).alias("nations")))
+            .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                 .alias("nations")))
 
 
 @query("set_ops_over_aggregates", """
@@ -965,7 +977,7 @@ def set_ops_over_aggregates(spark, sf_dir):
 
 @query("decimal_avg_sum", """
 SELECT l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty_dec,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty_dec,
        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
          / COUNT(l_quantity) AS avg_qty,
        COUNT(*) AS n
@@ -973,11 +985,13 @@ FROM lineitem GROUP BY l_linestatus
 """)
 def decimal_avg_sum(spark, sf_dir):
     """numeric/decimal aggregation path (reference sum/avg numeric
-    variants pipelinedb--1.0.0.sql:142-265)."""
+    variants pipelinedb--1.0.0.sql:142-265).  The decimal sum is
+    rendered as its fixed-scale string so duckdb's DECIMAL128 and
+    Spark's Decimal(38,6) hash identically in the driver."""
     li = t(spark, sf_dir, "lineitem")
     sdec = F.sum(F.col("l_quantity").cast(T.DecimalType(38, 6)))
     return li.groupBy("l_linestatus").agg(
-        sdec.alias("sum_qty_dec"),
+        sdec.cast(T.DecimalType(38, 6)).cast("string").alias("sum_qty_dec"),
         (sdec.cast("double") / F.count("l_quantity")).alias("avg_qty"),
         F.count("*").alias("n"))
 
