@@ -272,13 +272,22 @@ class ContView:
                       emit_changes: bool = True) -> DataFrame | None:
         """Run worker + combiner for one micro-batch; returns the osrel
         rows (old/new/delta) or None when nothing changed / not asked."""
-        # checkpoint BEFORE the emptiness probe: the probe and the merge
-        # then reuse one materialization instead of computing the
-        # aggregation twice
-        delta = self.worker(pre_df).localCheckpoint(eager=True)
-        if not delta.take(1):
+        # bucket before the checkpoint, and piggyback the affected-
+        # bucket probe on the checkpoint job itself (Observation): one
+        # job materializes the partial states AND yields the bucket set
+        # (which doubles as the emptiness check — no take(1) job)
+        from pyspark.sql import Observation
+        obs = Observation()
+        delta = (self.worker(pre_df)
+                 .withColumn(BUCKET_COL,
+                             self.matrel.bucket_expr(self._group_cols))
+                 .observe(obs, F.collect_set(F.col(BUCKET_COL)).alias("bks"))
+                 .localCheckpoint(eager=True))
+        affected = sorted(int(b) for b in obs.get["bks"])
+        if not affected:
             return None
-        old, merged = self.matrel.merge(delta, self._group_cols, self.merge_fn)
+        old, merged = self.matrel.merge(delta, self._group_cols,
+                                        self.merge_fn, affected=affected)
         self.stats.batches += 1
         if not emit_changes:
             return None
@@ -564,16 +573,44 @@ class PipelineContext:
         sd = self.streams.get(stream)
         if sd is None:
             raise CQError(f"unknown stream {stream}")
-        batch = self._coerce_batch(sd, rows, columns)
-        n = batch.count()
-        if n == 0:
-            return 0
-        # micro-batches are small (reference caps at 10k rows): coalesce
-        # so the checkpoint writes a few real partitions instead of 32
-        # near-empty tasks
-        parts = max(1, min(int(n // 25_000) + 1,
-                           self.spark.sparkContext.defaultParallelism))
-        batch = batch.coalesce(parts).localCheckpoint(eager=True)
+        if isinstance(rows, DataFrame):
+            batch = self._coerce_batch(sd, rows, columns)
+            consumers = [c for r in sd.readers
+                         if (targets is None or r in targets) and
+                         (c := self.views.get(r) or self.transforms.get(r))
+                         is not None and c.active]
+            if (len(consumers) == 1 and consumers[0] in self.views.values()
+                    and self.commit_interval_batches == 1):
+                # single synchronous view: piggyback the row count on
+                # the worker's own materialization (Observation) — no
+                # count job and no separate input checkpoint
+                from pyspark.sql import Observation
+                obs = Observation()
+                batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
+                self._dispatch(stream, batch, targets=targets,
+                               n_rows=None, checkpointed=True)
+                n = int(obs.get["n"])
+                consumers[0].stats.input_rows += n
+                return n
+            # several consumers (or deferred commits): checkpoint FIRST
+            # so the source plan (often a parquet scan) materializes
+            # once; the count then reads checkpointed blocks
+            batch = batch.localCheckpoint(eager=True)
+            n = batch.count()
+            if n == 0:
+                return 0
+        else:
+            rows = list(rows)
+            n = len(rows)  # known driver-side: no count job at all
+            if n == 0:
+                return 0
+            batch = self._coerce_batch(sd, rows, columns)
+            # micro-batches are small (reference caps at 10k rows):
+            # coalesce so the checkpoint writes a few real partitions
+            # instead of 32 near-empty tasks
+            parts = max(1, min(int(n // 25_000) + 1,
+                               self.spark.sparkContext.defaultParallelism))
+            batch = batch.coalesce(parts).localCheckpoint(eager=True)
         self._dispatch(stream, batch, targets=targets, n_rows=n,
                        checkpointed=True)
         return n

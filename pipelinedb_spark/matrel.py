@@ -81,20 +81,28 @@ class MatrelStore:
                       F.lit(self.num_buckets)).cast("int")
 
     def merge(self, delta: DataFrame, group_cols: list[str],
-              merge_agg_fn) -> tuple[DataFrame | None, DataFrame]:
+              merge_agg_fn,
+              affected: list[int] | None = None
+              ) -> tuple[DataFrame | None, DataFrame]:
         """Merge a batch of partial-state rows into the matrel.
 
         ``merge_agg_fn(df)`` must group ``df`` by ``group_cols`` +
         ``__bucket`` and produce one merged state row per group.
+
+        ``affected`` may pass the delta's distinct bucket ids when the
+        caller already computed them (saves a probe job); otherwise
+        they are collected here.
 
         Returns ``(old_rows_of_affected_buckets, merged_affected)`` so
         the caller can compute old/new output-stream rows.  Mirrors the
         combiner flow (``combine()`` → ``select_existing_groups`` →
         ``sync_combine``, ``src/combiner.c:1323-1633``).
         """
-        delta = delta.withColumn(BUCKET_COL, self.bucket_expr(group_cols))
-        affected = [r[BUCKET_COL] for r in
-                    delta.select(BUCKET_COL).distinct().collect()]
+        if BUCKET_COL not in delta.columns:
+            delta = delta.withColumn(BUCKET_COL, self.bucket_expr(group_cols))
+        if affected is None:
+            affected = [r[BUCKET_COL] for r in
+                        delta.select(BUCKET_COL).distinct().collect()]
         old = self.read(affected)
         unioned = delta if old is None else old.unionByName(delta)
         merged = merge_agg_fn(unioned)
