@@ -63,6 +63,17 @@ class AggSpec:
     # mix those with JVM aggregates in one agg(), so the engine runs
     # them in a second grouped pass joined back on the keys.
     pandas: bool = False
+    # Optional args-aware merge (s, call_args) — used when the merged
+    # state must be re-bounded with a per-call argument (e.g.
+    # first_values' n) so matrel state stays O(bound) per group.
+    merge_with_args: Callable[
+        [Callable[[str], Column], list[str]], dict[str, Column]] | None = None
+
+    def merge_exprs(self, s: Callable[[str], Column],
+                    args: list[str]) -> dict[str, Column]:
+        if self.merge_with_args is not None:
+            return self.merge_with_args(s, args)
+        return self.merge(s)
 
 
 def _e(expr: str) -> Column:
@@ -268,15 +279,25 @@ def _exact_count_distinct_spec() -> AggSpec:
     )
 
 
+def _parse_str_literal(lit: str) -> str:
+    """'abc''d' → abc'd — SQL string literal to Python str."""
+    lit = lit.strip()
+    if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
+        return lit[1:-1].replace("''", "'")
+    return lit
+
+
 def _string_agg_spec() -> AggSpec:
     # delimiter must be a literal (true in every reference test);
-    # merge keeps the flat element list, finalize joins.
+    # merge keeps the flat element list, finalize joins.  array_join
+    # requires a PYTHON string delimiter (not a Column), so the SQL
+    # literal is parsed driver-side.
     def partial(args):
         return {"a": F.collect_list(_e(args[0]))}
 
     def finalize(s, args):
-        delim = args[1].strip() if len(args) > 1 else "''"
-        return F.array_join(s("a"), F.expr(delim))
+        delim = _parse_str_literal(args[1]) if len(args) > 1 else ""
+        return F.array_join(s("a"), delim)
 
     return AggSpec(
         "string_agg",
@@ -313,18 +334,18 @@ def _first_values_spec() -> AggSpec:
         st = F.struct(*[c.alias(f"c{i}") for i, c in enumerate(cols)])
         return {"fv": F.slice(F.sort_array(F.collect_list(st)), 1, n)}
 
-    def merge_factory(nargs_n):
-        def merge(s):
-            return {"fv": F.slice(F.sort_array(F.flatten(F.collect_list(s("fv")))), 1, nargs_n)}
-        return merge
+    def merge_with_args(s, a):
+        # re-truncate to n on every merge: matrel state stays O(n) per
+        # group like the reference's bounded prefix (firstvalues.c)
+        return {"fv": F.slice(
+            F.sort_array(F.flatten(F.collect_list(s("fv")))), 1, int(a[0]))}
 
-    # n is only known per-call; AggRegistry.bind handles that via
-    # make_bound (see bind()).
     return AggSpec(
         "first_values",
         partial,
         lambda s: {"fv": F.sort_array(F.flatten(F.collect_list(s("fv"))))},
         lambda s, a: F.slice(s("fv"), 1, int(a[0])),
+        merge_with_args=merge_with_args,
     )
 
 

@@ -288,19 +288,40 @@ _SW_RE = re.compile(
     r"interval\s*'(?P<iv>[^']+)'", re.I)
 
 
+def split_conjuncts(where: str) -> list[str]:
+    """Split a WHERE clause into top-level AND conjuncts (paren- and
+    string-literal-aware)."""
+    top = {i for i, _, d in _scan(where) if d == 0}
+    parts, last = [], 0
+    for m in re.finditer(r"(?i)\bAND\b", where):
+        # positions inside strings/parens are absent from `top`
+        if m.start() in top:
+            parts.append(where[last:m.start()])
+            last = m.end()
+    parts.append(where[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def detect_sliding_window(where: str | None) -> tuple[str | None, float | None, str | None]:
     """Find ``ts > clock_timestamp() - interval 'X'`` in WHERE; return
-    (column, seconds, remaining_where).  Reference:
-    find_clock_timestamp_expr src/analyzer.c:321-423."""
+    (column, seconds, remaining_where).  The matching conjunct is
+    removed whole — mid-conjunction predicates splice cleanly
+    (reference removes the matched parse-tree node,
+    find_clock_timestamp_expr src/analyzer.c:321-423)."""
     if not where:
         return None, None, where
-    m = _SW_RE.search(where)
-    if not m:
+    if not _SW_RE.search(where):
         return None, None, where
-    col = m.group("col")
-    secs = parse_interval(m.group("iv"))
-    rest = (where[: m.start()] + where[m.end():]).strip()
-    rest = re.sub(r"^\s*AND\s+|\s+AND\s*$", "", rest, flags=re.I).strip()
+    col = secs = None
+    rest_parts = []
+    for conj in split_conjuncts(where):
+        m = _SW_RE.search(conj)
+        if m is not None and col is None:
+            col = m.group("col")
+            secs = parse_interval(m.group("iv"))
+        else:
+            rest_parts.append(conj)
+    rest = " AND ".join(rest_parts).strip()
     return col, secs, (rest or None)
 
 

@@ -28,7 +28,6 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -205,7 +204,7 @@ class ContView:
             spec = self._registry.get(call.func)
             target = pd_aggs if spec.pandas else jvm_aggs
             s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
-            for suffix, col in spec.merge(s).items():
+            for suffix, col in spec.merge_exprs(s, call.args).items():
                 target.append(col.alias(state_col(call.out, suffix)))
         if not jvm_aggs and not pd_aggs:
             jvm_aggs = [F.sum(F.col(state_col("_present", "n")))
@@ -287,7 +286,8 @@ class ContView:
         if not affected:
             return None
         old, merged = self.matrel.merge(delta, self._group_cols,
-                                        self.merge_fn, affected=affected)
+                                        self.merge_fn, affected=affected,
+                                        pin_old=emit_changes)
         self.stats.batches += 1
         if not emit_changes:
             return None
@@ -348,7 +348,7 @@ class ContView:
 
     # cache of the last ticker emission (group key -> row), reference
     # combiner.c:78-96 (cached overlay tuples)
-    _sw_tick_cache: dict | None = None
+    _sw_tick_df: DataFrame | None = None
 
     def key_cols(self) -> list[str]:
         """User-visible group columns of the overlay output."""
@@ -416,8 +416,15 @@ class PipelineContext:
         # the worker/combiner run once per N batches (or on read/flush),
         # amortizing per-job overhead (src/config.c:373-379).
         self.commit_interval_batches = max(1, commit_interval_batches)
-        # accumulated output-stream rows, name -> list[pandas.DataFrame]
-        self._osrel_buf: dict[str, list[pd.DataFrame]] = {}
+        # Output-stream rows live on DISK (bucketed parquet segments),
+        # never in driver memory: each emission appends a segment dir
+        # and `output_of()` reads the segments back as a DataFrame.
+        # Retention is bounded (reference osrels are streams — readers
+        # consume them; we keep a bounded replay tail).
+        self.osrel_root = os.path.join(self.root, "osrels")
+        os.makedirs(self.osrel_root, exist_ok=True)
+        self.osrel_retention_segments = 256
+        self._osrel_seq: dict[str, int] = {}
         self._osrel_schema: dict[str, T.StructType] = {}
         # Durable catalog: DDL replay log so a fresh context over the
         # same root re-attaches streams/CVs to their matrels (the
@@ -544,7 +551,12 @@ class PipelineContext:
         if osrel not in self.streams:
             # schema resolved lazily on first emission
             self.streams[osrel] = StreamDef(name=osrel, schema=T.StructType())
-        self._osrel_buf.setdefault(osrel, [])
+        base = os.path.join(self.osrel_root, osrel)
+        if os.path.isdir(base):
+            # fresh context over an existing root: resume the sequence
+            segs = [int(e[4:]) for e in os.listdir(base)
+                    if e.startswith("seg_")]
+            self._osrel_seq[osrel] = (max(segs) + 1) if segs else 0
 
     def _rewrite_output_of(self, sql: str) -> str:
         # FROM output_of('cv') → FROM cv_osrel (reference
@@ -559,6 +571,8 @@ class PipelineContext:
                 if name in sd.readers:
                     sd.readers.remove(name)
             self.streams.pop(f"{name}_osrel", None)
+            shutil.rmtree(os.path.join(self.osrel_root, f"{name}_osrel"),
+                          ignore_errors=True)
             self._catalog_remove("view", name)
 
     # -- DML -----------------------------------------------------------------
@@ -605,12 +619,12 @@ class PipelineContext:
             if n == 0:
                 return 0
             batch = self._coerce_batch(sd, rows, columns)
-            # micro-batches are small (reference caps at 10k rows):
-            # coalesce so the checkpoint writes a few real partitions
-            # instead of 32 near-empty tasks
-            parts = max(1, min(int(n // 25_000) + 1,
-                               self.spark.sparkContext.defaultParallelism))
-            batch = batch.coalesce(parts).localCheckpoint(eager=True)
+            # NOTE: no .coalesce() here — a no-shuffle coalesce before
+            # localCheckpoint stalls ~2-5 s in the locality-aware
+            # partition grouper (measured; partitions have no preferred
+            # locations).  Near-empty checkpoint blocks are harmless:
+            # AQE re-coalesces after the worker's shuffle anyway.
+            batch = batch.localCheckpoint(eager=True)
         self._dispatch(stream, batch, targets=targets, n_rows=n,
                        checkpointed=True)
         return n
@@ -628,7 +642,12 @@ class PipelineContext:
             declared = [f.name for f in sd.schema.fields
                         if f.name != ARRIVAL_COL]
             if isinstance(rows[0], dict):
-                cols = declared
+                cols = list(declared)
+                # clients may set arrival_timestamp explicitly (the
+                # reference allows it; SW tests use synthetic time) —
+                # keep it when any row supplies it
+                if any(ARRIVAL_COL in r for r in rows):
+                    cols.append(ARRIVAL_COL)
                 dict_rows = rows
             else:
                 cols = columns or declared[: len(rows[0])]
@@ -640,10 +659,18 @@ class PipelineContext:
             src = self.spark.createDataFrame(data, schema)
         out_cols = []
         for f in sd.schema.fields:
-            if f.name in src.columns:
+            if f.name == ARRIVAL_COL:
+                if f.name in src.columns:
+                    # rows without an explicit arrival time fall back
+                    # to the ingest clock
+                    out_cols.append(
+                        F.coalesce(F.col(f.name).cast(f.dataType),
+                                   F.current_timestamp())
+                        .alias(ARRIVAL_COL))
+                else:
+                    out_cols.append(F.current_timestamp().alias(ARRIVAL_COL))
+            elif f.name in src.columns:
                 out_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-            elif f.name == ARRIVAL_COL:
-                out_cols.append(F.current_timestamp().alias(ARRIVAL_COL))
             else:
                 out_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return src.select(*out_cols)
@@ -704,19 +731,48 @@ class PipelineContext:
         batch.createOrReplaceTempView(stream)
         return self.spark.sql(f"SELECT * FROM {plan.from_clause}")
 
-    def _emit_osrel(self, osrel: str, rows: DataFrame, depth: int) -> None:
-        pdf = rows.toPandas()
-        if len(pdf) == 0:
-            return
-        self._osrel_buf.setdefault(osrel, []).append(pdf)
+    def _emit_osrel(self, osrel: str, rows: DataFrame, depth: int) -> int:
+        """Append change rows to the osrel's parquet segment log.  The
+        rows never pass through the driver (reference combiner emits
+        osrel tuples executor-side, src/combiner.c:1578-1601); the row
+        count rides the write job as an Observation.  Returns the
+        number of rows emitted."""
+        from pyspark.sql import Observation
+        obs = Observation()
+        seq = self._osrel_seq.get(osrel, 0)
+        seg = os.path.join(self.osrel_root, osrel, f"seg_{seq}")
+        rows.observe(obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite").parquet(seg)
+        n = int(obs.get["n"])
+        if n == 0:
+            shutil.rmtree(seg, ignore_errors=True)
+            return 0
+        self._osrel_seq[osrel] = seq + 1
         self._osrel_schema[osrel] = rows.schema
+        self._osrel_gc(osrel)
         src = osrel[: -len("_osrel")]
         owner = self.views.get(src) or self.transforms.get(src)
         if owner is not None:
-            owner.stats.output_rows += len(pdf)
+            owner.stats.output_rows += n
         sd = self.streams.get(osrel)
         if sd is not None and sd.readers:
-            self._dispatch_osrel(osrel, rows, depth)
+            # downstream CQs read the just-written segment — a stable
+            # snapshot, no recompute of the change-row plan
+            self._dispatch_osrel(osrel, self.spark.read.parquet(seg), depth)
+        return n
+
+    def _osrel_segments(self, osrel: str) -> list[str]:
+        base = os.path.join(self.osrel_root, osrel)
+        if not os.path.isdir(base):
+            return []
+        segs = sorted((int(e[4:]), e) for e in os.listdir(base)
+                      if e.startswith("seg_"))
+        return [os.path.join(base, e) for _, e in segs]
+
+    def _osrel_gc(self, osrel: str) -> None:
+        segs = self._osrel_segments(osrel)
+        for path in segs[: max(0, len(segs) - self.osrel_retention_segments)]:
+            shutil.rmtree(path, ignore_errors=True)
 
     def _dispatch_osrel(self, osrel: str, rows: DataFrame, depth: int) -> None:
         sd = self.streams[osrel]
@@ -752,15 +808,16 @@ class PipelineContext:
         return df
 
     def output_of(self, name: str) -> DataFrame:
+        """Retained tail of a CQ's output stream, read from disk —
+        scale-safe for high-cardinality CVs and long-running engines."""
         osrel = f"{name}_osrel"
-        bufs = self._osrel_buf.get(osrel, [])
-        if not bufs:
+        segs = self._osrel_segments(osrel)
+        if not segs:
             schema = self._osrel_schema.get(osrel)
             if schema is None:
                 return self.spark.createDataFrame([], T.StructType())
             return self.spark.createDataFrame([], schema)
-        return self.spark.createDataFrame(pd.concat(bufs, ignore_index=True),
-                                          schema=self._osrel_schema[osrel])
+        return self.spark.read.parquet(*segs)
 
     def combine_read(self, name: str, group_by: list[str] | None = None,
                      at: float | None = None) -> DataFrame:
@@ -785,7 +842,7 @@ class PipelineContext:
             spec = cv.ctx.registry.get(call.func)
             target = pd_aggs if spec.pandas else jvm_aggs
             s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
-            for suffix, col in spec.merge(s).items():
+            for suffix, col in spec.merge_exprs(s, call.args).items():
                 target.append(col.alias(state_col(call.out, suffix)))
         merged = (grouped_agg(states, keys, group_by, jvm_aggs, pd_aggs)
                   if (jvm_aggs or pd_aggs) else states)
@@ -853,30 +910,34 @@ class PipelineContext:
         if cv.plan.sw_column is None:
             raise CQError(f"{name} is not a sliding-window view")
         now = now if now is not None else time.time()
-        cur_rows = cv.read(at=now).collect()
+        # snapshot this tick's instantaneous SW rows executor-side; the
+        # diff against the previous tick is a DataFrame full-outer join
+        # with no-op elision — no driver collect of CV rows, so a SW CV
+        # with millions of groups ticks fine (reference tick_sw_groups
+        # src/combiner.c:992-1134 likewise diffs in the combiner).
+        cur = cv.read(at=now).localCheckpoint(eager=True)
         kcols = cv.key_cols()
-        cur = {tuple(r[k] for k in kcols): r.asDict() for r in cur_rows}
-        prev = cv._sw_tick_cache if cv._sw_tick_cache is not None else {}
-        changes = []
-        for key, row in cur.items():
-            old = prev.get(key)
-            if old != row:
-                changes.append({"old": old, "new": row})
-        for key, row in prev.items():
-            if key not in cur:
-                changes.append({"old": row, "new": None})  # slid out
-        cv._sw_tick_cache = cur
+        kaliases = [f"__k{i}" for i in range(len(kcols))]
+
+        def sided(df: DataFrame, side: str) -> DataFrame:
+            keys = [F.col(k).alias(a) for k, a in zip(kcols, kaliases)]
+            return df.select(*keys,
+                             F.struct(*[F.col(c) for c in df.columns])
+                             .alias(side))
+
+        new_side = sided(cur, "new")
+        prev_df = cv._sw_tick_df
+        if prev_df is not None:
+            joined = new_side.join(sided(prev_df, "old"), on=kaliases,
+                                   how="full_outer")
+        else:
+            joined = new_side.withColumn(
+                "old", F.lit(None).cast(new_side.schema["new"].dataType))
+        changes = (joined.filter(~F.col("old").eqNullSafe(F.col("new")))
+                   .select("old", "new"))
+        cv._sw_tick_df = cur
         cv.reap(now=now)
-        if changes:
-            row_type = T.StructType([
-                T.StructField(f.name, f.dataType)
-                for f in cv.read(at=now).schema.fields])
-            schema = T.StructType([T.StructField("old", row_type),
-                                   T.StructField("new", row_type)])
-            df = self.spark.createDataFrame(
-                [(c["old"], c["new"]) for c in changes], schema)
-            self._emit_osrel(f"{name}_osrel", df, 0)
-        return len(changes)
+        return self._emit_osrel(f"{name}_osrel", changes, 0)
 
     def empty_stream_df(self, stream: str) -> DataFrame:
         return self.spark.createDataFrame([], self.streams[stream].schema)

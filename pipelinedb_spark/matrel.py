@@ -82,7 +82,8 @@ class MatrelStore:
 
     def merge(self, delta: DataFrame, group_cols: list[str],
               merge_agg_fn,
-              affected: list[int] | None = None
+              affected: list[int] | None = None,
+              pin_old: bool = False
               ) -> tuple[DataFrame | None, DataFrame]:
         """Merge a batch of partial-state rows into the matrel.
 
@@ -92,6 +93,14 @@ class MatrelStore:
         ``affected`` may pass the delta's distinct bucket ids when the
         caller already computed them (saves a probe job); otherwise
         they are collected here.
+
+        ``pin_old`` snapshots the old affected-bucket rows
+        (localCheckpoint) so the returned ``old`` stays readable after
+        this commit's version GC unlinks the files it came from — set
+        it when you will consume ``old`` after the merge (e.g. for
+        old/new change rows).  The merged write then reads the pinned
+        blocks instead of re-scanning the old parquet, so the extra
+        job pays for itself.
 
         Returns ``(old_rows_of_affected_buckets, merged_affected)`` so
         the caller can compute old/new output-stream rows.  Mirrors the
@@ -104,6 +113,8 @@ class MatrelStore:
             affected = [r[BUCKET_COL] for r in
                         delta.select(BUCKET_COL).distinct().collect()]
         old = self.read(affected)
+        if old is not None and pin_old:
+            old = old.localCheckpoint(eager=True)
         unioned = delta if old is None else old.unionByName(delta)
         merged = merge_agg_fn(unioned)
         self._commit(merged, affected)

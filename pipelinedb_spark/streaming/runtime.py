@@ -5,10 +5,10 @@ The synchronous ``PipelineContext.insert`` path is PipelineDB's
 micro-batch data path made explicit.  This module drives the *same*
 worker/combiner code from a Structured Streaming query via
 ``foreachBatch`` — which is exactly how a production deployment would
-attach Kafka: the source micro-batch replaces the insert batch, the
-checkpoint gives exactly-once across restarts because the matrel merge
-is idempotent per epoch (reference: at-least-once combiner commits +
-acks, ``src/microbatch.h:50-92``; Spark upgrade: checkpointed epochs).
+attach Kafka: the source micro-batch replaces the insert batch, and a
+per-checkpoint epoch marker makes replayed epochs no-ops (effectively
+once; the marker/merge window is at-least-once, the same contract as
+the reference's combiner commits + acks, ``src/microbatch.h:50-92``).
 
 Sources:
 * ``attach_file_stream`` — file-drop directory (the COPY-into-stream
@@ -28,7 +28,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from pipelinedb_spark.engine import ARRIVAL_COL, PipelineContext
+from pipelinedb_spark.engine import ARRIVAL_COL, CQError, PipelineContext
 
 
 class StreamAttachment:
@@ -47,24 +47,49 @@ class StreamAttachment:
 
     def stop(self) -> None:
         self.query.stop()
+        active = getattr(self.ctx, "_stream_attachments", {})
+        if active.get(self.stream) is self:
+            del active[self.stream]
 
 
-def _epoch_path(ctx: PipelineContext, stream: str) -> str:
+def _claim_stream(ctx: PipelineContext, stream: str) -> dict:
+    """One live attachment per stream: epoch ids are per streaming
+    query, so two sources feeding one stream would interleave
+    independent epoch counters and the replay guard would drop real
+    batches."""
+    active = getattr(ctx, "_stream_attachments", None)
+    if active is None:
+        active = {}
+        ctx._stream_attachments = active
+    prev = active.get(stream)
+    if prev is not None and prev.query.isActive:
+        raise CQError(f"stream {stream} already has an active streaming "
+                      "attachment; stop it before attaching another")
+    return active
+
+
+def _epoch_path(ctx: PipelineContext, stream: str, checkpoint: str) -> str:
+    """Replay marker, keyed by (stream, checkpoint location): epoch ids
+    are scoped to one streaming query's checkpoint, so a fresh
+    checkpoint dir must get a fresh marker."""
+    import hashlib
     d = os.path.join(ctx.root, "epochs")
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"{stream}.last_epoch")
+    ck = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    return os.path.join(d, f"{stream}.{ck}.last_epoch")
 
 
-def _foreach_batch(ctx: PipelineContext, stream: str
+def _foreach_batch(ctx: PipelineContext, stream: str, checkpoint: str
                    ) -> Callable[[DataFrame, int], None]:
-    """Exactly-once bridge: Structured Streaming replays the last
-    uncommitted epoch after a crash/restart, so the matrel merge must
-    be idempotent per epoch.  We record the last fully-merged epoch id
-    (atomic rename, after the merge committed) and skip replays —
-    epoch-id + idempotent-sink is the canonical foreachBatch
-    exactly-once recipe, and upgrades the reference's at-least-once
-    combiner commits (src/microbatch.h:50-92)."""
-    marker = _epoch_path(ctx, stream)
+    """Effectively-once bridge: Structured Streaming replays the last
+    uncommitted epoch after a crash/restart; we record the last fully-
+    merged epoch id (atomic rename, after the merge committed) and
+    skip replays.  The marker write is not atomic with the matrel
+    merge, so a crash in between replays one epoch into an
+    already-merged matrel — at-least-once in that window, the same
+    contract as the reference's combiner acks
+    (src/microbatch.h:50-92)."""
+    marker = _epoch_path(ctx, stream, checkpoint)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if os.path.exists(marker):
@@ -93,6 +118,7 @@ def attach_file_stream(ctx: PipelineContext, stream: str, source_dir: str,
     ``stream``.  Files appearing in ``source_dir`` flow through every
     CV/transform reading the stream."""
     sd = ctx.streams[stream]
+    active = _claim_stream(ctx, stream)
     schema = sd.schema
     # arrival_timestamp is stamped at ingest, not read from files
     src_schema = type(schema)([f for f in schema.fields
@@ -103,12 +129,14 @@ def attach_file_stream(ctx: PipelineContext, stream: str, source_dir: str,
     stream_df = reader.load(source_dir)
     checkpoint = checkpoint_dir or os.path.join(ctx.root, "checkpoints", stream)
     writer = (stream_df.writeStream
-              .foreachBatch(_foreach_batch(ctx, stream))
+              .foreachBatch(_foreach_batch(ctx, stream, checkpoint))
               .option("checkpointLocation", checkpoint))
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     query = writer.start()
-    return StreamAttachment(ctx, stream, query)
+    att = StreamAttachment(ctx, stream, query)
+    active[stream] = att
+    return att
 
 
 class SWTicker:
@@ -150,13 +178,16 @@ def attach_rate_stream(ctx: PipelineContext, stream: str,
     into the stream's schema via ``value_exprs`` SQL snippets."""
     from pyspark.sql import functions as F
 
+    active = _claim_stream(ctx, stream)
     src = (ctx.spark.readStream.format("rate")
            .option("rowsPerSecond", rows_per_second).load())
     if value_exprs:
         src = src.select(*[F.expr(e).alias(n) for n, e in value_exprs.items()])
     checkpoint = os.path.join(ctx.root, "checkpoints", f"rate_{stream}")
     query = (src.writeStream
-             .foreachBatch(_foreach_batch(ctx, stream))
+             .foreachBatch(_foreach_batch(ctx, stream, checkpoint))
              .option("checkpointLocation", checkpoint)
              .start())
-    return StreamAttachment(ctx, stream, query)
+    att = StreamAttachment(ctx, stream, query)
+    active[stream] = att
+    return att

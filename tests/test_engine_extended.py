@@ -216,3 +216,73 @@ def test_sql_combine_rewrite(ctx):
     # global combine
     row = ctx.sql("SELECT combine(a) AS a FROM cv_uc").collect()[0]
     assert row["a"] == _pytest.approx(106 / 3)
+
+
+def test_string_agg_cv_engine_path(ctx):
+    """string_agg through the full partial/merge/finalize engine path —
+    the delimiter is a SQL literal parsed to a Python str (array_join
+    rejects Column delimiters)."""
+    ctx.create_stream("sa1", "k string, w string")
+    ctx.create_view("cv_sa",
+                    "SELECT k, string_agg(w, ',') AS ws FROM sa1 GROUP BY k")
+    ctx.insert("sa1", [{"k": "a", "w": "x"}])
+    ctx.insert("sa1", [{"k": "a", "w": "y"}])
+    got = ctx.read_view("cv_sa").collect()[0]["ws"]
+    assert sorted(got.split(",")) == ["x", "y"]
+
+
+def test_string_agg_quoted_delimiter(ctx):
+    ctx.create_stream("sa2", "k string, w string")
+    ctx.create_view("cv_sa2",
+                    "SELECT k, string_agg(w, '; ') AS ws FROM sa2 GROUP BY k")
+    ctx.insert("sa2", [{"k": "a", "w": "x"}, {"k": "a", "w": "y"}])
+    got = ctx.read_view("cv_sa2").collect()[0]["ws"]
+    assert sorted(got.split("; ")) == ["x", "y"]
+
+
+def test_first_values_state_bounded(ctx):
+    """first_values matrel state stays O(n) across batches (reference
+    bounded prefix, src/firstvalues.c) — the merge re-truncates."""
+    ctx.create_stream("fv1", "k string, v long")
+    ctx.create_view("cv_fv",
+                    "SELECT k, first_values(3, v) AS fv FROM fv1 GROUP BY k")
+    for b in range(4):
+        ctx.insert("fv1", [{"k": "a", "v": 100 - 10 * b - i}
+                           for i in range(5)])
+    states = ctx.read_matrel("cv_fv").collect()
+    assert len(states) == 1
+    st = states[0]["fv__fv"]
+    assert len(st) == 3, f"state should hold n=3 elements, got {len(st)}"
+    out = ctx.read_view("cv_fv").collect()[0]["fv"]
+    assert [r["c0"] for r in out] == [66, 67, 68]
+
+
+def test_sw_predicate_mid_conjunction(ctx):
+    """SW predicate spliced out of the middle of an AND chain leaves a
+    parseable remainder (reference removes the parse-tree node)."""
+    ctx.create_stream("swm", "k string, v long")
+    ctx.create_view(
+        "cv_swm",
+        "SELECT k, count(*) AS n FROM swm "
+        "WHERE v > 0 AND arrival_timestamp > clock_timestamp() - "
+        "interval '1 hour' AND k <> 'skip' GROUP BY k")
+    ctx.insert("swm", [{"k": "a", "v": 5}, {"k": "a", "v": -1},
+                       {"k": "skip", "v": 5}])
+    got = {r["k"]: r["n"] for r in ctx.read_view("cv_swm").collect()}
+    assert got == {"a": 1}
+
+
+def test_explicit_arrival_timestamp_dict_rows(ctx):
+    """Dict-shaped inserts may set arrival_timestamp explicitly
+    (synthetic time for SW tests); rows without it get the ingest
+    clock."""
+    from datetime import datetime, timezone
+    ctx.create_stream("at1", "k string, v long")
+    ctx.create_view("cv_at", "SELECT k, count(*) AS n FROM at1 "
+                             "WHERE arrival_timestamp > clock_timestamp() - "
+                             "interval '1 hour' GROUP BY k")
+    old = datetime(2000, 1, 1, tzinfo=timezone.utc)
+    ctx.insert("at1", [{"k": "old", "v": 1, "arrival_timestamp": old},
+                       {"k": "new", "v": 1}])
+    got = {r["k"]: r["n"] for r in ctx.read_view("cv_at").collect()}
+    assert got == {"new": 1}  # the year-2000 row is out of window

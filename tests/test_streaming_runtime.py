@@ -86,3 +86,28 @@ def test_rate_stream_attachment(ctx):
         assert total >= 100, total
     finally:
         att.stop()
+
+
+def test_double_attachment_rejected(spark, tmp_path):
+    """Epoch ids are per streaming query: a second live attachment to
+    the same stream would interleave counters, so it is rejected."""
+    import pytest
+    from pipelinedb_spark import CQError, PipelineContext
+    from pipelinedb_spark.streaming.runtime import attach_rate_stream
+
+    ctx = PipelineContext(spark, root=str(tmp_path / "pdb2"), num_buckets=4)
+    ctx.create_stream("rs", "v long")
+    ctx.create_view("cv_rs", "SELECT count(*) AS n FROM rs")
+    att = attach_rate_stream(ctx, "rs", rows_per_second=10,
+                             value_exprs={"v": "value"})
+    try:
+        with pytest.raises(CQError, match="already has an active"):
+            attach_rate_stream(ctx, "rs", rows_per_second=10,
+                               value_exprs={"v": "value"})
+    finally:
+        att.stop()
+    # after stop, re-attachment is allowed again
+    att2 = attach_rate_stream(ctx, "rs", rows_per_second=10,
+                              value_exprs={"v": "value"})
+    att2.stop()
+    ctx.close()

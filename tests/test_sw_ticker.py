@@ -33,13 +33,13 @@ def test_sw_ticker_emits_decay(ctx):
 
 def test_streaming_epoch_replay_is_idempotent(ctx, tmp_path):
     """Replayed foreachBatch epochs (restart recovery) must not
-    double-count — the exactly-once upgrade over the reference's
-    at-least-once acks."""
+    double-count (effectively-once; the marker is keyed by checkpoint
+    location so independent queries don't share counters)."""
     from pipelinedb_spark.streaming.runtime import _foreach_batch
 
     ctx.create_stream("eo1", "k string, v long")
     ctx.create_view("cv_eo", "SELECT k, count(*) AS n FROM eo1 GROUP BY k")
-    handle = _foreach_batch(ctx, "eo1")
+    handle = _foreach_batch(ctx, "eo1", str(tmp_path / "ck_eo1"))
     batch = ctx.spark.createDataFrame([("a", 1)], ["k", "v"])
     handle(batch, 0)
     handle(batch, 1)
