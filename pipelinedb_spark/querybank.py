@@ -118,13 +118,15 @@ LIMIT 10
 """)
 def q3(spark, sf_dir):
     """Multi-way join + agg + deterministic top-k (stream-table join
-    pattern, reference stream_table_join.sql; broadcast the small
-    customer side)."""
+    pattern, reference stream_table_join.sql).  customer scales with
+    the fact tables, so it is NOT broadcast — the filtered side goes
+    through a shuffle join (AQE turns it into a broadcast at small SF
+    on its own when it fits)."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("o_orderkey", "o_orderdate")
             .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue"))
@@ -143,11 +145,12 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name
 """)
 def stream_table_join_enrich(spark, sf_dir):
-    """Stream(orders)-to-dimension-tables join: dims broadcast so the
-    fact never shuffles for the join (the CQ stream-table join shape,
-    reference src/analyzer.c:1245-1273)."""
+    """Stream(orders)-to-dimension-tables join: true dims (nation,
+    region) broadcast; customer is sf-proportional so it keeps a
+    shuffle join (the CQ stream-table join shape, reference
+    src/analyzer.c:1245-1273)."""
     o = t(spark, sf_dir, "orders")
-    c = F.broadcast(t(spark, sf_dir, "customer"))
+    c = t(spark, sf_dir, "customer")
     n = F.broadcast(t(spark, sf_dir, "nation"))
     r = F.broadcast(t(spark, sf_dir, "region"))
     return (o.join(c, o.o_custkey == c.c_custkey)
@@ -1285,8 +1288,10 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """)
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join with a co-nationality predicate; all
-    dims broadcast, lineitem-orders is the only big join."""
+    """TPC-H Q5 shape: 6-way join with a co-nationality predicate.
+    True dims (supplier/nation/region) broadcast; customer scales with
+    the facts so it keeps a shuffle join (AQE may still broadcast it
+    at small SF where it fits the threshold)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -1294,7 +1299,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = F.broadcast(t(spark, sf_dir, "nation"))
     r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(s, (li.l_suppkey == s.s_suppkey) &
                   (c.c_nationkey == s.s_nationkey))
             .join(n, s.s_nationkey == n.n_nationkey)

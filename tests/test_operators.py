@@ -122,3 +122,19 @@ def test_multimodal_metadata_and_frames(docs):
     assert frames.count() >= len(rows)  # ≥1 frame per video
     with pytest.raises(NotImplementedError):
         decode_pixels(media)
+
+
+def test_neardup_lsh_matches_quadratic(spark, sf_dir):
+    """The default LSH-fronted neardup path must reproduce the exact
+    all-pairs result (allow_quadratic=True) at the default threshold,
+    with no cartesian product in the physical plan."""
+    from pipelinedb_spark.operators.similarity import neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lsh = neardup_pairs(emb, threshold=0.45)
+    quad = neardup_pairs(emb, threshold=0.45, allow_quadratic=True)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    a = sorted((r.id1, r.id2, round(r.cosine, 9)) for r in lsh.collect())
+    b = sorted((r.id1, r.id2, round(r.cosine, 9)) for r in quad.collect())
+    assert a == b and len(a) > 0
