@@ -3,8 +3,11 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — one entry per implemented operator from SURVEY.md §2
 (see pipelinedb_spark/querybank.py for the catalog).
-``oracle_sql()`` — matching duckdb oracles; sketch/approximate ops omit
-the oracle (rows-only check) and are tolerance-tested in tests/.
+``oracle_sql()`` — matching duckdb oracles.  Approximate/sketch ops use
+self-verifying oracles: the Spark query emits exact anchors plus
+within-accuracy-bound booleans computed against its own exact
+computation; the duckdb side computes the same anchors exactly and
+asserts the bounds TRUE (tolerances also pytest-checked in tests/).
 """
 
 from __future__ import annotations

@@ -50,9 +50,9 @@ def _scan(sql: str):
             j = sql.find('"', i + 1)
             i = (j if j != -1 else n) + 1
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         yield i, c, depth
         i += 1

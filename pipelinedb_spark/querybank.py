@@ -854,6 +854,46 @@ def dist_quantiles_sketch(spark, sf_dir):
         (F.abs(F.col("r90") - 0.9) <= 0.02).alias("p90_ok"))
 
 
+@query("percentile_cont_array", """
+SELECT event_type, COUNT(*) AS n,
+       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+FROM events GROUP BY event_type
+""")
+def percentile_cont_array(spark, sf_dir):
+    """percentile_cont(ARRAY[0.25,0.5,0.75]) WITHIN GROUP — the array
+    form the reference registers alongside the scalar
+    (pipelinedb--1.0.0.sql:1538,1569), t-digest backed.  Verified by
+    rank error: the fraction of values ≤ each estimated quantile must
+    sit within 2% of its target rank."""
+    from pipelinedb_spark.sketches.registration import (
+        _tdigest_build, _tdigest_quantiles_udf)
+    ev = t(spark, sf_dir, "events")
+    states = ev.groupBy("event_type").agg(
+        _tdigest_build(200.0)(F.col("value")).alias("td"))
+    est = states.select(
+        "event_type",
+        _tdigest_quantiles_udf(
+            "td", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"))
+    est = est.select("event_type",
+                     F.col("qs")[0].alias("q25"),
+                     F.col("qs")[1].alias("q50"),
+                     F.col("qs")[2].alias("q75"))
+    ranks = (ev.join(F.broadcast(est), "event_type")
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.avg((F.col("value") <= F.col("q25")).cast("double"))
+                  .alias("r25"),
+                  F.avg((F.col("value") <= F.col("q50")).cast("double"))
+                  .alias("r50"),
+                  F.avg((F.col("value") <= F.col("q75")).cast("double"))
+                  .alias("r75")))
+    return ranks.select(
+        "event_type", "n",
+        (F.abs(F.col("r25") - 0.25) <= 0.02).alias("p25_ok"),
+        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("p50_ok"),
+        (F.abs(F.col("r75") - 0.75) <= 0.02).alias("p75_ok"))
+
+
 @query("topk_agg_sketch", """
 WITH c AS (
   SELECT event_type, CAST(user_id % 20 AS VARCHAR) AS value,

@@ -16,10 +16,12 @@ states.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType
 
 from pipelinedb_spark.aggregates import AggRegistry, AggSpec
 from pipelinedb_spark.sketches.bloom import BloomFilter
@@ -115,6 +117,25 @@ def _tdigest_quantile_udf(state, q):
     return TDigest.deserialize(bytes(state)).quantile(float(q))
 
 
+@F.udf(ArrayType(DoubleType()))
+def _tdigest_quantiles_udf(state, qs):
+    if state is None:
+        return None
+    td = TDigest.deserialize(bytes(state))
+    return [td.quantile(float(q)) for q in qs]
+
+
+def _parse_pct_arg(arg: str) -> float | list[float]:
+    """percentile argument: scalar literal or ARRAY[...] literal
+    (reference registers scalar AND float8[] aggregate forms,
+    pipelinedb--1.0.0.sql:1538,1569)."""
+    s = arg.strip()
+    m = re.match(r"(?i)^array\s*\[(.*)\]$", s, re.S)
+    if m:
+        return [float(x.strip().strip("'")) for x in m.group(1).split(",")]
+    return _lit_number(s)
+
+
 def register_all(registry: AggRegistry) -> None:
     # dist_agg(x [,compression]) — t-digest column (reference
     # distfuncs.c:25-397); state IS the value.
@@ -129,13 +150,23 @@ def register_all(registry: AggRegistry) -> None:
 
     # percentile_cont(p) WITHIN GROUP (ORDER BY x) → t-digest backed
     # (reference hllfuncs.c:780-1005); analyzer folds args to (p, x).
+    # p may be a scalar literal OR an ARRAY[...] literal — the
+    # reference registers both forms (sql:1538,1569); the array form
+    # finalizes to float8[].
     def pc_partial(args):
         return {"td": _tdigest_build(200.0)(_expr(args[1]).cast("double"))}
+
+    def pc_finalize(s, a):
+        p = _parse_pct_arg(a[0])
+        if isinstance(p, list):
+            return _tdigest_quantiles_udf(
+                s("td"), F.array(*[F.lit(q) for q in p]))
+        return _tdigest_quantile_udf(s("td"), F.lit(p))
 
     registry.register(AggSpec(
         "combinable_percentile_cont", pc_partial,
         lambda s: {"td": _tdigest_merge(s("td"))},
-        lambda s, a: _tdigest_quantile_udf(s("td"), F.lit(_lit_number(a[0]))), pandas=True))
+        pc_finalize, pandas=True))
 
     # freq_agg(x) — count-min sketch (reference freqfuncs.c:26-409).
     registry.register(AggSpec(

@@ -146,3 +146,90 @@ def test_sketch_probe_functions_in_cv_sql(ctx):
     row = ctx.read_view("cv_probe").collect()[0]
     assert row["top3"] == ["2", "1", "3"]
     assert abs(row["ndv_est"] - 3) <= 1
+
+
+def test_hll_element_functions(spark):
+    """hll_empty / hll_add / hll_print / hll_cardinality(element) —
+    the element-wise HLL surface (reference sql:1086-1206)."""
+    import pyspark.sql.functions as F
+    from pipelinedb_spark.functions import sketch_fns as sf
+    from pipelinedb_spark.sketches.hll import HyperLogLog
+
+    # driver-side sanity on the estimator
+    h = HyperLogLog()
+    for i in range(5000):
+        h.add(f"v{i}")
+    assert abs(h.cardinality() - 5000) / 5000 < 0.03
+    assert "cardinality" in h.summary()
+
+    df = spark.range(1000).select(
+        F.lit(1).alias("g"), F.col("id").cast("string").alias("v"))
+    # fold element updates: state column threaded through hll_add
+    folded = df.select(sf.hll_add(sf.hll_empty(), F.col("v")).alias("h"))
+    one = folded.select(
+        sf.hll_cardinality(F.col("h"), element_format=True).alias("c"),
+        sf.hll_print(F.col("h")).alias("p")).collect()[0]
+    assert one["c"] == 1 and "HyperLogLog" in one["p"]
+    # pairwise merge of element states
+    merged = folded.limit(2).agg(
+        F.collect_list("h").alias("hs")).select(
+        sf.hll_merge(F.col("hs")[0], F.col("hs")[1]).alias("m"))
+    got = merged.select(
+        sf.hll_cardinality(F.col("m"), element_format=True).alias("c")
+    ).collect()[0]["c"]
+    assert got == 2
+
+
+def test_sketch_element_updaters(spark):
+    """bloom_add / topk_increment / freq_add / dist_add /
+    tdigest_compress / *_empty constructors."""
+    import pyspark.sql.functions as F
+    from pipelinedb_spark.functions import sketch_fns as sf
+
+    df = spark.createDataFrame([("x",), ("y",)], ["v"])
+    row = df.select(
+        sf.bloom_contains(sf.bloom_add(sf.bloom_empty(), F.col("v")),
+                          F.col("v")).alias("has_self"),
+        sf.bloom_contains(sf.bloom_add(sf.bloom_empty(), F.col("v")),
+                          F.lit("absent-key")).alias("has_absent"),
+        sf.freq(sf.freq_add(sf.freq_add(sf.cmsketch_empty(), F.col("v")),
+                            F.col("v"), 2), F.col("v")).alias("f3"),
+        sf.topk_values(
+            sf.topk_increment(sf.topk_empty(3), F.col("v"), 5),
+            F.lit(1)).alias("top1"),
+        sf.dist_quantile(
+            sf.tdigest_compress(
+                sf.dist_add(sf.dist_add(sf.dist_empty(), F.lit(1.0)),
+                            F.lit(3.0))),
+            F.lit(1.0)).alias("dmax"),
+    ).collect()[0]
+    assert row["has_self"] is True
+    assert row["has_absent"] is False
+    assert row["f3"] == 3
+    assert row["top1"] == ["x"] or row["top1"] == ["y"]
+    assert row["dmax"] == 3.0
+
+
+def test_percentile_cont_array_in_cv(ctx):
+    """percentile_cont(ARRAY[..]) WITHIN GROUP through the CV engine —
+    the float8[] aggregate form (sql:1538,1569)."""
+    from pipelinedb_spark import register_sketch_aggs
+    register_sketch_aggs()
+    ctx.create_stream("pca1", "k string, v double")
+    ctx.create_view(
+        "cv_pca",
+        "SELECT k, percentile_cont(ARRAY[0.25, 0.5, 0.75]) "
+        "WITHIN GROUP (ORDER BY v) AS qs FROM pca1 GROUP BY k")
+    ctx.insert("pca1", [{"k": "a", "v": float(i)} for i in range(1, 101)])
+    qs = ctx.read_view("cv_pca").collect()[0]["qs"]
+    assert len(qs) == 3
+    for got, want in zip(qs, [25.0, 50.0, 75.0]):
+        assert abs(got - want) <= 3.0, (got, want)
+    # scalar form still works
+    ctx.create_view(
+        "cv_pcs",
+        "SELECT k, percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med "
+        "FROM pca1 GROUP BY k")
+    ctx.insert("pca1", [{"k": "b", "v": float(i)} for i in range(1, 11)])
+    rows = {r["k"]: r["med"] for r in ctx.read_view("cv_pcs").collect()}
+    assert abs(rows["b"] - 5.5) <= 1.0
