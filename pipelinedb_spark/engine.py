@@ -966,36 +966,113 @@ class PipelineContext:
 
     def _rewrite_combine_sql(self, query: str, at: float | None
                              ) -> DataFrame | None:
-        """Support the canonical combine() shape:
-        ``SELECT [cols,] combine(c)[ AS a][, ...] FROM cv [GROUP BY
-        cols]``.  Returns None when the query doesn't match (caller
-        falls through to plain SQL, where combine() will error)."""
+        """General ``combine(col)`` rewrite (reference RewriteCombineAggs
+        src/analyzer.c:4662; test user_combine.sql:24-50): the CV in the
+        FROM clause is replaced by its matrel *states*, the FROM/WHERE
+        (including joins against other relations) run as plain SQL over
+        those states, the GROUP BY re-merges partial states under the
+        query's grouping, and each ``combine(x)`` in the SELECT list is
+        finalized — arbitrary expressions around combine results are
+        allowed (``round(combine(x), 2)``, ``combine(x)/combine(n)``).
+        Exactly one CV per query; returns None when the shape doesn't
+        match (caller falls through to plain SQL)."""
         from pipelinedb_spark.analyzer import split_clauses, split_top_level
         clauses = split_clauses(query)
-        cv_name = clauses.get("FROM", "").strip()
-        if cv_name not in self.views or "HAVING" in clauses:
+        from_clause = clauses.get("FROM", "").strip()
+        if not from_clause or "HAVING" in clauses:
             return None
-        cv = self.views[cv_name]
-        group_by = (split_top_level(clauses["GROUP BY"])
-                    if "GROUP BY" in clauses else [])
-        if not all(re.fullmatch(r"[A-Za-z_]\w*", g) for g in group_by):
+        cv_names = [n for n in self.views
+                    if re.search(rf"(?i)\b{re.escape(n)}\b", from_clause)]
+        if len(cv_names) != 1:
             return None
-        combined = self.combine_read(cv_name, group_by=group_by, at=at)
+        cv_name, cv = cv_names[0], self.views[cv_names[0]]
+        states = self.read_matrel(cv_name)
+        if cv.plan.sw_column is not None:
+            now = at if at is not None else time.time()
+            states = states.filter(
+                F.col(STEP_COL).cast("double") >=
+                F.lit(now - float(cv.plan.sw_seconds)) -
+                float(cv.plan.sw_step_seconds))
+        sview = f"__{cv_name}_states"
+        states.createOrReplaceTempView(sview)
+        # register any plain tables referenced alongside the CV
+        for tname, tdf in self.tables.items():
+            tdf.createOrReplaceTempView(tname)
+        from2 = re.sub(rf"(?i)\b{re.escape(cv_name)}\b", sview, from_clause)
+        where = f" WHERE {clauses['WHERE']}" if "WHERE" in clauses else ""
+        try:
+            base = self.spark.sql(f"SELECT * FROM {from2}{where}")
+        except Exception:
+            return None
+        # group keys: bare identifiers keep their name, expressions get
+        # positional aliases; select items referencing the same text map
+        # onto them
+        group_exprs = (split_top_level(clauses["GROUP BY"])
+                       if "GROUP BY" in clauses else [])
+        key_names, keys = [], []
+        gmap: dict[str, str] = {}
+        for i, g in enumerate(group_exprs):
+            name = g if re.fullmatch(r"[A-Za-z_]\w*", g) else f"__g{i}"
+            key_names.append(name)
+            keys.append(F.expr(g).alias(name))
+            gmap[re.sub(r"\s+", "", g).lower()] = name
+        # re-merge partial states under the query grouping
+        jvm_aggs, pd_aggs = [], []
+        for call in cv.plan.aggs:
+            spec = self.registry.get(call.func)
+            target = pd_aggs if spec.pandas else jvm_aggs
+            s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
+            for suffix, col in spec.merge_exprs(s, call.args).items():
+                target.append(col.alias(state_col(call.out, suffix)))
+        if not (jvm_aggs or pd_aggs):
+            return None
+        try:
+            merged = grouped_agg(base, keys, key_names, jvm_aggs, pd_aggs)
+            # finalize every combinable column, then evaluate SELECT
+            # items with combine(x) → the finalized column
+            fin = {}
+            df = merged
+            for call in cv.plan.aggs:
+                spec = self.registry.get(call.func)
+                s = lambda suffix, out=call.out: F.col(state_col(out, suffix))
+                fname = f"__fin_{call.out}"
+                df = df.withColumn(fname, spec.finalize(s, call.args))
+                fin[call.out] = fname
+        except Exception:
+            return None
         out_cols = []
         for item in split_top_level(clauses["SELECT"]):
-            m = re.fullmatch(
-                r"(?is)combine\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+AS\s+(\w+))?",
-                item.strip())
-            if m:
-                src, alias = m.group(1), m.group(2) or m.group(1)
-                if src not in combined.columns:
+            item = item.strip()
+            m_alias = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", item)
+            expr_text, alias = ((m_alias.group(1), m_alias.group(2))
+                                if m_alias else (item, None))
+
+            def sub(m: "re.Match[str]") -> str:
+                src = m.group(1)
+                return f"`{fin[src]}`" if src in fin else m.group(0)
+
+            rewritten = re.sub(r"(?i)\bcombine\s*\(\s*([A-Za-z_]\w*)\s*\)",
+                               sub, expr_text)
+            if rewritten == expr_text:
+                # plain (non-combine) item: must be a grouping expr
+                norm = re.sub(r"\s+", "", expr_text).lower()
+                src = gmap.get(norm, expr_text)
+                try:
+                    out_cols.append(F.col(src).alias(alias or src))
+                    continue
+                except Exception:
                     return None
-                out_cols.append(F.col(src).alias(alias))
-            elif re.fullmatch(r"[A-Za-z_]\w*", item.strip()):
-                out_cols.append(F.col(item.strip()))
-            else:
+            try:
+                col = F.expr(rewritten)
+            except Exception:
                 return None
-        return combined.select(*out_cols)
+            out_cols.append(col.alias(alias) if alias else
+                            col.alias(re.sub(r"\W+", "_", expr_text)
+                                      .strip("_").lower()))
+        try:
+            return df.select(*out_cols)
+        except Exception:
+            return None
 
     # -- introspection (pipelinedb.views / proc_stats analogs,
     #    reference miscutils.c catalogs + stats.c counters) -----------------

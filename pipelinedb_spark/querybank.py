@@ -1072,6 +1072,45 @@ def cv_engine_combine_rollup(spark, sf_dir):
         ctx.close()
 
 
+@query("cv_engine_combine_join", """
+SELECT event_type, CAST(user_id % 10 % 2 AS BIGINT) AS parity,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv
+FROM events GROUP BY 1, 2
+""")
+def cv_engine_combine_join(spark, sf_dir):
+    """END-TO-END combine()-in-SQL WITH A JOIN: a CV grouped by
+    (event_type, band) is joined against a dimension table and
+    re-combined under (event_type, parity) — the general
+    RewriteCombineAggs shape (reference src/analyzer.c:4662,
+    user_combine.sql:24-50) — and must equal direct batch SQL."""
+    ctx = _engine_ctx(spark, "cj")
+    try:
+        ctx.create_stream("ev_cj", "event_id long, user_id long, "
+                                   "event_type string, value double")
+        ctx.create_view(
+            "cv_cj",
+            "SELECT event_type, user_id % 10 AS band, count(*) AS n, "
+            "sum(CAST(value AS DECIMAL(38,6))) AS sv "
+            "FROM ev_cj GROUP BY event_type, user_id % 10")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value")
+        for i in range(2):
+            ctx.insert("ev_cj", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
+        dim = spark.range(10).select(
+            F.col("id").alias("band"),
+            (F.col("id") % 2).alias("parity"))
+        ctx.register_table("band_dim", dim)
+        out = ctx.sql(
+            "SELECT event_type, parity, combine(n) AS n, "
+            "CAST(combine(sv) AS DOUBLE) AS sv "
+            "FROM cv_cj JOIN band_dim ON cv_cj.band = band_dim.band "
+            "GROUP BY event_type, parity")
+        return out.localCheckpoint(eager=True)
+    finally:
+        ctx.close()
+
+
 # ---------------------------------------------------------------------------
 # Additional relational coverage: temporal/string min-max, sorted
 # array_agg, set operations, decimal aggregation, supplier/part dims

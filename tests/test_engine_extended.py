@@ -286,3 +286,26 @@ def test_explicit_arrival_timestamp_dict_rows(ctx):
                        {"k": "new", "v": 1}])
     got = {r["k"]: r["n"] for r in ctx.read_view("cv_at").collect()}
     assert got == {"new": 1}  # the year-2000 row is out of window
+
+
+def test_sql_combine_with_join_and_exprs(ctx, spark):
+    """combine() inside SQL with a JOIN against a dimension and
+    expressions over combine results (user_combine.sql:24-50)."""
+    import pytest as _pytest
+    ctx.create_stream("uc2", "g1 string, v long")
+    ctx.create_view("cv_uc2", "SELECT g1, avg(v) AS a, count(*) AS n "
+                              "FROM uc2 GROUP BY g1")
+    ctx.insert("uc2", [{"g1": "x", "v": 2}, {"g1": "x", "v": 4},
+                       {"g1": "y", "v": 10}, {"g1": "z", "v": 100}])
+    dim = spark.createDataFrame(
+        [("x", "lo"), ("y", "lo"), ("z", "hi")], ["g1", "band"])
+    ctx.register_table("dim_band", dim)
+    got = {r["band"]: r for r in ctx.sql(
+        "SELECT band, combine(a) AS a, combine(n) AS n, "
+        "round(combine(a) * 2, 1) AS a2 "
+        "FROM cv_uc2 JOIN dim_band ON cv_uc2.g1 = dim_band.g1 "
+        "GROUP BY band").collect()}
+    assert got["lo"]["a"] == _pytest.approx(16 / 3)   # weighted across groups
+    assert got["lo"]["n"] == 3
+    assert got["lo"]["a2"] == _pytest.approx(round(16 / 3 * 2, 1))
+    assert got["hi"]["a"] == _pytest.approx(100.0)
