@@ -326,6 +326,52 @@ def detect_sliding_window(where: str | None) -> tuple[str | None, float | None, 
 
 
 # ---------------------------------------------------------------------------
+# Sub-SELECT validation (reference ValidateSubselect,
+# src/analyzer.c:1344-1407): inner queries of a CQ's FROM clause must be
+# simple projections — the continuous semantics of aggregates/DISTINCT/
+# ORDER BY etc. inside a subquery would silently differ from batch SQL.
+# ---------------------------------------------------------------------------
+
+_SUBSELECT_AGGS = {"count", "sum", "avg", "min", "max", "stddev",
+                   "variance", "var_samp", "var_pop", "stddev_samp",
+                   "stddev_pop", "array_agg", "string_agg", "json_agg",
+                   "collect_list", "collect_set", "first", "last"}
+
+
+def _validate_subselects(from_clause: str, registry: AggRegistry) -> None:
+    desc = "subqueries in continuous views"
+    for m in re.finditer(r"(?i)\(\s*(SELECT|WITH)\b", from_clause):
+        # extract the balanced-paren inner text (string-aware)
+        start = m.start()
+        end = None
+        for i, c, d in _scan(from_clause[start:]):
+            if c == ")" and d == 0:
+                end = start + i
+                break
+        inner = from_clause[start + 1: end] if end else from_clause[start + 1:]
+        if re.match(r"(?i)^\s*WITH\b", inner):
+            raise CQError(f"{desc} cannot contain CTEs")
+        sub = split_clauses(inner)
+        for kw, what in [("GROUP BY", "GROUP BY clauses"),
+                         ("HAVING", "HAVING clauses"),
+                         ("ORDER BY", "ORDER BY clauses"),
+                         ("LIMIT", "LIMIT clauses"),
+                         ("OFFSET", "OFFSET clauses")]:
+            if kw in sub:
+                raise CQError(f"{desc} cannot contain {what}")
+        if re.match(r"(?i)^\s*DISTINCT\b", sub.get("SELECT", "")):
+            raise CQError(f"{desc} cannot contain DISTINCT clauses")
+        if re.search(r"(?i)\bOVER\s*\(", inner):
+            raise CQError(f"{desc} cannot contain window functions")
+        if re.search(r"(?i)\bFOR\s+UPDATE\b", inner):
+            raise CQError(f"{desc} cannot contain FOR UPDATE clauses")
+        for fname in re.findall(r"([A-Za-z_]\w*)\s*\(", inner):
+            f = fname.lower()
+            if f in _SUBSELECT_AGGS or f in registry:
+                raise CQError(f"{desc} cannot contain aggregates")
+
+
+# ---------------------------------------------------------------------------
 # Main entry
 # ---------------------------------------------------------------------------
 
@@ -371,6 +417,7 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
         raise CQError("can't select \"*\" in continuous queries")
 
     from_clause = clauses["FROM"]
+    _validate_subselects(from_clause, registry)
     # identify relations named in FROM (stream + tables)
     rel_tokens = re.findall(r"[A-Za-z_][\w.]*", from_clause)
     streams_in_from = [t for t in rel_tokens if t in stream_names]

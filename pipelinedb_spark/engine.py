@@ -146,9 +146,6 @@ class ContView:
             if plan.sw_column is not None:
                 raise CQError("sliding windows with grouping sets are "
                               "not supported")
-            if any(ctx.registry.get(c.func).pandas for c in plan.aggs):
-                raise CQError("grouping sets with sketch (pandas) "
-                              "aggregates are not supported")
             self._group_cols = self._group_cols + [GID_COL]
         if plan.sw_column is not None:
             self._group_cols = self._group_cols + [STEP_COL]
@@ -176,20 +173,47 @@ class ContView:
             # pure-DISTINCT CV: presence marker so merge has a state col
             jvm_aggs = [F.count(F.lit(1)).alias(state_col("_present", "n"))]
         if plan.grouping_sets is not None:
-            # aliased keys don't match set exprs; group on raw exprs,
-            # rename the leading grouping columns positionally after
-            raw_keys = [F.expr(g) for g in plan.group_exprs]
             if plan.sw_column is not None:
                 raise CQError("sliding windows with grouping sets are "
                               "not supported")
-            if pd_aggs:
-                raise CQError("grouping sets with sketch (pandas) "
-                              "aggregates are not supported")
-            sets = [[F.expr(g) for g in s] for s in plan.grouping_sets]
-            out = (pre_df.groupingSets(sets, *raw_keys)
-                   .agg(*jvm_aggs, F.grouping_id().alias(GID_COL)))
-            renames = dict(zip(out.columns[: len(raw_keys)], plan.group_names))
-            return out.withColumnsRenamed(renames)
+            if not pd_aggs:
+                # aliased keys don't match set exprs; group on raw
+                # exprs, rename leading grouping columns positionally
+                raw_keys = [F.expr(g) for g in plan.group_exprs]
+                sets = [[F.expr(g) for g in s] for s in plan.grouping_sets]
+                out = (pre_df.groupingSets(sets, *raw_keys)
+                       .agg(*jvm_aggs, F.grouping_id().alias(GID_COL)))
+                renames = dict(zip(out.columns[: len(raw_keys)],
+                                   plan.group_names))
+                return out.withColumnsRenamed(renames)
+            # pandas (sketch) aggregates can't ride Spark's native
+            # grouping sets (grouped-agg UDFs don't mix into
+            # groupingSets agg) — expand set-by-set: one grouped pass
+            # per set with absent keys as typed NULLs and the same
+            # grouping_id bit layout (MSB = first group expr), then
+            # union.  S extra passes over the micro-batch, same shape
+            # Spark's own expansion uses internally.
+            nkeys = len(plan.group_exprs)
+            frames = []
+            for s_exprs in plan.grouping_sets:
+                snorm = {re.sub(r"\s+", "", e).lower() for e in s_exprs}
+                keys2, gid = [], 0
+                for i, (g, name) in enumerate(zip(plan.group_exprs,
+                                                  plan.group_names)):
+                    present = re.sub(r"\s+", "", g).lower() in snorm
+                    expr = (F.expr(g) if present
+                            else F.when(F.lit(False), F.expr(g)))
+                    keys2.append(expr.alias(name))
+                    if not present:
+                        gid |= 1 << (nkeys - 1 - i)
+                frames.append(
+                    grouped_agg(pre_df, keys2, plan.group_names,
+                                list(jvm_aggs), list(pd_aggs))
+                    .withColumn(GID_COL, F.lit(gid).cast("bigint")))
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
         key_names = [n for n in plan.group_names]
         if plan.sw_column is not None:
             key_names.append(STEP_COL)

@@ -1072,6 +1072,59 @@ def cv_engine_combine_rollup(spark, sf_dir):
         ctx.close()
 
 
+@query("cv_engine_grouping_sets_hll", """
+WITH gs AS (
+  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity,
+         COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS ndv_exact
+  FROM events
+  GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)),
+                          (event_type), ())
+)
+SELECT event_type, parity, cnt, ndv_exact, TRUE AS ndv_within_bound
+FROM gs
+""")
+def cv_engine_grouping_sets_hll(spark, sf_dir):
+    """END-TO-END GROUPING SETS × HLL ENGINE CHECK: an approximate
+    aggregate rides the grouping-sets worker/combiner (reference
+    supports grouping sets with its full agg library,
+    src/analyzer.c:2819-2859) — each grouping combination's HLL
+    estimate must sit within 5% of exact NDV (p=14 ≈0.81% rse)."""
+    ctx = _engine_ctx(spark, "gshll")
+    try:
+        ctx.create_stream("ev_gh", "event_id long, user_id long, "
+                                   "event_type string")
+        ctx.create_view(
+            "cv_gh",
+            "SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, "
+            "count(*) AS cnt, hll_count_distinct(user_id) AS ndv "
+            "FROM ev_gh "
+            "GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), "
+            "(event_type), ())")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type")
+        for i in range(2):
+            ctx.insert("ev_gh", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
+        got = ctx.read_view("cv_gh")
+        exact = ev.groupingSets(
+            [[F.col("event_type"), (F.col("user_id") % 2).cast("bigint")],
+             [F.col("event_type")], []],
+            F.col("event_type"), (F.col("user_id") % 2).cast("bigint")) \
+            .agg(F.count_distinct("user_id").alias("ndv_exact"))
+        exact = exact.toDF("event_type", "parity", "ndv_exact")
+        ek = [F.coalesce(F.col("event_type"), F.lit("∅")).alias("__k1"),
+              F.coalesce(F.col("parity"), F.lit(-1)).alias("__k2")]
+        g = got.select(*ek, "event_type", "parity", "cnt", "ndv")
+        e = exact.select(*ek, "ndv_exact")
+        out = (g.join(e, ["__k1", "__k2"])
+               .select("event_type", "parity", "cnt", "ndv_exact",
+                       (F.abs(F.col("ndv") - F.col("ndv_exact")) /
+                        F.col("ndv_exact") < 0.05)
+                       .alias("ndv_within_bound")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        ctx.close()
+
+
 @query("cv_engine_combine_join", """
 SELECT event_type, CAST(user_id % 10 % 2 AS BIGINT) AS parity,
        COUNT(*) AS n,

@@ -309,3 +309,64 @@ def test_sql_combine_with_join_and_exprs(ctx, spark):
     assert got["lo"]["n"] == 3
     assert got["lo"]["a2"] == _pytest.approx(round(16 / 3 * 2, 1))
     assert got["hi"]["a"] == _pytest.approx(100.0)
+
+
+def test_subselect_validation(ctx):
+    """ValidateSubselect analog (reference src/analyzer.c:1344-1407):
+    aggregates / DISTINCT / ORDER BY / GROUP BY / LIMIT / window fns /
+    CTEs inside a CQ's FROM subquery are CREATE-time errors."""
+    import pytest
+    from pipelinedb_spark import CQError
+    ctx.create_stream("sv1", "x int, y int")
+    bad = [
+        ("SELECT n FROM (SELECT count(*) AS n FROM sv1) s",
+         "aggregates"),
+        ("SELECT g, count(*) AS n FROM "
+         "(SELECT x AS g FROM sv1 GROUP BY x) s GROUP BY g",
+         "GROUP BY"),
+        ("SELECT g, count(*) AS n FROM "
+         "(SELECT DISTINCT x AS g FROM sv1) s GROUP BY g",
+         "DISTINCT"),
+        ("SELECT g, count(*) AS n FROM "
+         "(SELECT x AS g FROM sv1 ORDER BY x) s GROUP BY g",
+         "ORDER BY"),
+        ("SELECT g, count(*) AS n FROM "
+         "(SELECT x AS g FROM sv1 LIMIT 5) s GROUP BY g",
+         "LIMIT"),
+        ("SELECT g, count(*) AS n FROM "
+         "(SELECT row_number() OVER (ORDER BY x) AS g FROM sv1) s "
+         "GROUP BY g",
+         "window functions"),
+    ]
+    for i, (sql, frag) in enumerate(bad):
+        with pytest.raises(CQError, match=frag):
+            ctx.create_view(f"cv_sv_bad{i}", sql)
+    # a legal projection subquery still works
+    ctx.create_view("cv_sv_ok",
+                    "SELECT g, count(*) AS n FROM "
+                    "(SELECT x % 2 AS g FROM sv1 WHERE y > 0) s GROUP BY g")
+    ctx.insert("sv1", [{"x": 1, "y": 1}, {"x": 2, "y": 1}])
+    assert {r["g"]: r["n"] for r in ctx.read_view("cv_sv_ok").collect()} \
+        == {0: 1, 1: 1}
+
+
+def test_grouping_sets_with_sketch_agg(ctx):
+    """Grouping sets with a pandas (sketch) aggregate — the per-set
+    expansion path (reference supports grouping sets with its full agg
+    library, src/analyzer.c:2819-2859)."""
+    from pipelinedb_spark import register_sketch_aggs
+    register_sketch_aggs()
+    ctx.create_stream("gsk1", "k string, v double")
+    ctx.create_view(
+        "cv_gsk",
+        "SELECT k, count(*) AS n, "
+        "dist_quantile(dist_agg(v), 0.5) AS med "
+        "FROM gsk1 GROUP BY GROUPING SETS ((k), ())")
+    ctx.insert("gsk1", [{"k": "a", "v": float(i)} for i in range(1, 11)])
+    ctx.insert("gsk1", [{"k": "b", "v": float(i)} for i in range(101, 111)])
+    rows = ctx.read_view("cv_gsk").collect()
+    by_k = {r["k"]: r for r in rows}
+    assert by_k["a"]["n"] == 10 and abs(by_k["a"]["med"] - 5.5) <= 1.0
+    assert by_k["b"]["n"] == 10 and abs(by_k["b"]["med"] - 105.5) <= 1.0
+    assert by_k[None]["n"] == 20  # () grand total, merged across batches
+    assert 5.0 <= by_k[None]["med"] <= 106.0
