@@ -54,6 +54,24 @@ def main() -> None:
     # not first-run JIT
     Q["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite") \
         .format("noop").save()
+    # ... including the engine's checkpoint/parquet-commit paths, which
+    # cv_engine_rollup would otherwise pay first-use JIT for
+    import tempfile
+
+    from pipelinedb_spark import PipelineContext
+    _wctx = PipelineContext(spark, root=tempfile.mkdtemp(prefix="bench_warm_"),
+                            num_buckets=4, track_output_streams=False)
+    _wctx.create_stream("warm_s", "k string, v double, u long")
+    _wctx.create_view("warm_cv", "SELECT k, count(*) AS n, "
+                                 "sum(CAST(v AS DECIMAL(38,6))) AS sv, "
+                                 "exact_count_distinct(u) AS ndv "
+                                 "FROM warm_s GROUP BY k")
+    _warm_df = spark.createDataFrame(
+        [("w", 1.0, 1), ("w", 2.0, 2)], "k string, v double, u long")
+    _wctx.insert("warm_s", _warm_df)  # DataFrame path (Observation count)
+    _wctx.insert("warm_s", [{"k": "w", "v": 3.0, "u": 3}])
+    _wctx.read_view("warm_cv").collect()
+    _wctx.close()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

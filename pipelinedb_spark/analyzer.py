@@ -69,20 +69,14 @@ def split_top_level(sql: str, sep: str = ",") -> list[str]:
 
 
 def find_keyword(sql: str, kw: str) -> int:
-    """Index of a top-level keyword (case-insensitive, word-bounded); -1."""
+    """Index of a top-level keyword (case-insensitive, word-bounded); -1.
+    One _scan pass builds the set of top-level (outside parens/strings)
+    positions; matches are checked against it — O(n + matches)."""
     pat = re.compile(r"\b" + kw.replace(" ", r"\s+") + r"\b", re.I)
+    top = {i for i, _, d in _scan(sql) if d == 0}
     for m in pat.finditer(sql):
-        depth = 0
-        ok = True
-        for i, c, d in _scan(sql[: m.start() + 1]):
-            depth = d
-        if depth == 0:
-            # also make sure we're not inside a string literal: _scan
-            # skips strings, so depth from _scan is authoritative;
-            # verify position wasn't skipped
-            seen = {i for i, _, _ in _scan(sql)}
-            if m.start() in seen:
-                return m.start()
+        if m.start() in top:
+            return m.start()
     return -1
 
 

@@ -68,6 +68,44 @@ def _py_coerce(value: Any, dtype: T.DataType) -> Any:
         if isinstance(dtype, T.TimestampType) and isinstance(value, str):
             import datetime
             return datetime.datetime.fromisoformat(value)
+        # complex types (reference cont_complex_types.sql,
+        # typed_streams.sql): recurse element-wise
+        if isinstance(dtype, T.ArrayType):
+            if isinstance(value, str):
+                import json
+                value = json.loads(value)
+            if not isinstance(value, (list, tuple)):
+                raise CQError(f"cannot coerce {value!r} to "
+                              f"{dtype.simpleString()}: not a sequence")
+            return [_py_coerce(v, dtype.elementType) for v in value]
+        if isinstance(dtype, T.MapType):
+            if isinstance(value, str):
+                import json
+                value = json.loads(value)
+            if not isinstance(value, dict):
+                raise CQError(f"cannot coerce {value!r} to "
+                              f"{dtype.simpleString()}: not a mapping")
+            return {_py_coerce(k, dtype.keyType):
+                    _py_coerce(v, dtype.valueType)
+                    for k, v in value.items()}
+        if isinstance(dtype, T.StructType):
+            if isinstance(value, str):
+                import json
+                value = json.loads(value)
+            if isinstance(value, dict):
+                return tuple(_py_coerce(value.get(f.name), f.dataType)
+                             for f in dtype.fields)
+            if isinstance(value, (list, tuple)):
+                if len(value) != len(dtype.fields):
+                    raise CQError(
+                        f"cannot coerce {value!r} to "
+                        f"{dtype.simpleString()}: field count mismatch")
+                return tuple(_py_coerce(v, f.dataType)
+                             for v, f in zip(value, dtype.fields))
+            raise CQError(f"cannot coerce {value!r} to "
+                          f"{dtype.simpleString()}")
+    except CQError:
+        raise
     except (ValueError, TypeError) as e:
         raise CQError(f"cannot coerce {value!r} to {dtype.simpleString()}: {e}")
     return value

@@ -139,6 +139,53 @@ def attach_file_stream(ctx: PipelineContext, stream: str, source_dir: str,
     return att
 
 
+def attach_kafka_stream(ctx: PipelineContext, stream: str,
+                        bootstrap_servers: str, topic: str,
+                        checkpoint_dir: str | None = None,
+                        starting_offsets: str = "latest",
+                        trigger_seconds: float | None = None
+                        ) -> StreamAttachment:
+    """Attach a Kafka topic as a continuous source for ``stream`` —
+    the production ingestion path (reference reads streams over its
+    wire protocol; Spark's equivalent is ``format("kafka")`` +
+    ``foreachBatch`` into the same worker/combiner).  Message values
+    are JSON-decoded against the stream's declared schema.
+
+    Requires the ``spark-sql-kafka`` connector package on the
+    classpath; this container ships without it, so the attachment
+    raises a clear CQError at start instead of an opaque
+    ClassNotFoundException."""
+    sd = ctx.streams[stream]
+    active = _claim_stream(ctx, stream)
+    from pyspark.sql import functions as F
+    src_schema = type(sd.schema)([f for f in sd.schema.fields
+                                  if f.name != ARRIVAL_COL])
+    checkpoint = checkpoint_dir or os.path.join(
+        ctx.root, "checkpoints", f"kafka_{stream}")
+    try:
+        raw = (ctx.spark.readStream.format("kafka")
+               .option("kafka.bootstrap.servers", bootstrap_servers)
+               .option("subscribe", topic)
+               .option("startingOffsets", starting_offsets)
+               .load())
+    except Exception as e:  # connector jar missing / broker unreachable
+        raise CQError(
+            "kafka source unavailable: the spark-sql-kafka connector "
+            f"package is required on the classpath ({e})") from e
+    parsed = (raw.select(F.from_json(F.col("value").cast("string"),
+                                     src_schema).alias("r"))
+              .select("r.*"))
+    writer = (parsed.writeStream
+              .foreachBatch(_foreach_batch(ctx, stream, checkpoint))
+              .option("checkpointLocation", checkpoint))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    query = writer.start()
+    att = StreamAttachment(ctx, stream, query)
+    active[stream] = att
+    return att
+
+
 class SWTicker:
     """Background sliding-window ticker: periodically re-emits changed
     window results to the CV's output stream (the reference runs this

@@ -78,3 +78,45 @@ def test_stats_and_listings(ctx):
     assert stats["cv_stat"]["batches"] == 2
     assert stats["tr_stat"]["input_rows"] == 3
     assert stats["tr_stat"]["output_rows"] == 2  # v > 0 rows emitted
+
+
+def test_complex_typed_stream_coercion(ctx):
+    """Array / map / struct stream columns coerce element-wise on
+    insert (reference cont_complex_types.sql, typed_streams.sql) —
+    including JSON-string inputs."""
+    ctx.create_stream(
+        "cx1",
+        "k string, xs array<int>, m map<string,int>, "
+        "s struct<a:int,b:string>")
+    ctx.create_view(
+        "cv_cx",
+        "SELECT k, count(*) AS n, sum(size(xs)) AS total_elems, "
+        "max(s.a) AS max_a FROM cx1 GROUP BY k")
+    ctx.insert("cx1", [
+        {"k": "a", "xs": [1, 2, "3"], "m": {"x": "7"},
+         "s": {"a": 5, "b": "z"}},
+        {"k": "a", "xs": "[4, 5]", "m": '{"y": 8}',
+         "s": '{"a": 9, "b": "w"}'},
+    ])
+    row = ctx.read_view("cv_cx").collect()[0]
+    assert row["n"] == 2 and row["total_elems"] == 5 and row["max_a"] == 9
+
+
+def test_complex_coercion_errors(ctx):
+    import pytest
+    from pipelinedb_spark import CQError
+    ctx.create_stream("cx2", "k string, xs array<int>")
+    with pytest.raises(CQError, match="not a sequence"):
+        ctx.insert("cx2", [{"k": "a", "xs": 42}])
+
+
+def test_kafka_source_gated(ctx):
+    """format('kafka') wiring exists; without the connector jar it
+    fails with a clear CQError, not a ClassNotFoundException."""
+    import pytest
+    from pipelinedb_spark import CQError
+    from pipelinedb_spark.streaming.runtime import attach_kafka_stream
+    ctx.create_stream("kf1", "k string, v long")
+    ctx.create_view("cv_kf", "SELECT k, count(*) AS n FROM kf1 GROUP BY k")
+    with pytest.raises(CQError, match="kafka source unavailable"):
+        attach_kafka_stream(ctx, "kf1", "localhost:9092", "topic")
