@@ -69,7 +69,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sh = shingle_index(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    # the exploded shingle index scales with the corpus — broadcasting
+    # it (Spark's pick under the 64 MB threshold at small SF) is the
+    # wrong plan at any scale; pin the shuffle-hash join on the 8-byte
+    # hashed-shingle keys
+    b = sh.alias("b").hint("shuffle_hash")
     inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
                     (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("d1"),
@@ -204,7 +208,7 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
                                "left_semi"),
                        id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
     inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
                     (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("d1"),

@@ -854,6 +854,51 @@ def dist_quantiles_sketch(spark, sf_dir):
         (F.abs(F.col("r90") - 0.9) <= 0.02).alias("p90_ok"))
 
 
+@query("distinct_on_latest", """
+SELECT DISTINCT ON (event_type) event_type, event_id, user_id
+FROM events
+ORDER BY event_type, ts DESC, event_id DESC
+""")
+def distinct_on_latest(spark, sf_dir):
+    """DISTINCT ON (k) ... ORDER BY k, ts DESC — latest row per key
+    (reference supports DISTINCT ON in CQs, analyzer.c distinct
+    handling; engine path covered by test_distinct_on).  Spark shape:
+    row_number window with the same deterministic tiebreak."""
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"),
+                                                 F.desc("event_id"))
+    return (ev.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("event_type", "event_id", "user_id"))
+
+
+@query("hypothetical_dense_rank", """
+SELECT event_type,
+       COUNT(DISTINCT CASE WHEN user_id % 100 < 50 THEN user_id % 100 END)
+         + 1 AS dr_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""")
+def hypothetical_dense_rank(spark, sf_dir):
+    """dense_rank(50) WITHIN GROUP (ORDER BY user_id % 100) — the
+    HLL-backed hypothetical-set variant (reference
+    cq_hypothetical_dense_rank, hllfuncs.c:1096-1233): rank = distinct
+    smaller values + 1, estimated by HLL; must sit within 5% of the
+    exact distinct count (exact at this NDV)."""
+    ev = t(spark, sf_dir, "events")
+    x = F.col("user_id") % 100
+    est = (F.hll_sketch_estimate(F.hll_sketch_agg(
+        F.when(x < 50, x.cast("string")))) + 1).cast("long")
+    exact = (F.count_distinct(F.when(x < 50, x)) + 1).cast("long")
+    agg = ev.groupBy("event_type").agg(est.alias("dr_est"),
+                                       exact.alias("dr_exact"))
+    return agg.select(
+        "event_type", "dr_exact",
+        (F.abs(F.col("dr_est") - F.col("dr_exact")) /
+         F.col("dr_exact") < 0.05).alias("within_bound"))
+
+
 @query("percentile_cont_array", """
 SELECT event_type, COUNT(*) AS n,
        TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
