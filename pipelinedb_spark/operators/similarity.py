@@ -36,20 +36,29 @@ def cosine_double(a: Column, b: Column) -> Column:
     return dot_double(a, b) / (norm2_double(a) * norm2_double(b))
 
 
-_DEC = T.DecimalType(18, 9)
+# Scaled-integer exact dot product: components quantized once to
+# 1e-8 (floor(x·1e8 + 0.5), exact on IEEE doubles in any engine), then
+# pure long multiply/add — codegen-friendly where the former
+# DECIMAL(18,9) formula ran on interpreted BigDecimal.  Value bounds:
+# |x| ≤ 1 ⇒ component ≤ 1e8, product ≤ 1e16, 64-dim sum ≤ 6.4e17 —
+# inside long range; the final long→double conversion is IEEE
+# round-to-nearest, identical in Spark and duckdb, so the oracle
+# matches bit-for-bit.
+_DOT_SCALE = 1e8
+
+
+def _quantized(v: Column) -> Column:
+    return F.floor(v.cast("double") * F.lit(_DOT_SCALE) + F.lit(0.5)) \
+        .cast("long")
 
 
 def dot_exact(a: Column, b: Column) -> Column:
-    """Order-independent dot product: inputs rounded once to
-    DECIMAL(18,9), products and sum exact, result cast to double.
-    Mirrors the duckdb oracle formula bit-for-bit."""
-    acc_t = T.DecimalType(38, 18)
-    prods = F.zip_with(a, b, lambda x, y:
-                       x.cast("double").cast(_DEC) * y.cast("double").cast(_DEC))
-    # re-cast each partial sum: Spark's decimal + would otherwise drop
-    # a digit of scale per step (precision-loss promotion)
-    return F.aggregate(prods, F.lit(0).cast(acc_t),
-                       lambda acc, v: (acc + v).cast(acc_t)).cast("double")
+    """Order-independent exact dot product of 1e-8-quantized vectors;
+    mirrors the duckdb oracle formula bit-for-bit (scale factored out
+    by the cosine's normalization)."""
+    prods = F.zip_with(a, b, lambda x, y: _quantized(x) * _quantized(y))
+    return F.aggregate(prods, F.lit(0).cast("long"),
+                       lambda acc, v: acc + v).cast("double")
 
 
 def cosine_exact(a: Column, b: Column) -> Column:

@@ -675,15 +675,15 @@ def simhash_fingerprints(spark, sf_dir):
 _ANN_ORACLE = """
 WITH norms AS (
   SELECT vec_id,
-         CAST(list_sum([CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
-                        * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+         CAST(list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
                         for x in embedding]) AS DOUBLE) AS n2
   FROM embeddings
 ),
 pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         CAST(list_sum([CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
-                        * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+         CAST(list_sum([CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
                         for i in range(1, len(q.embedding) + 1)]) AS DOUBLE) AS dot
   FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 10
@@ -719,19 +719,19 @@ def ann_cosine_topk(spark, sf_dir):
 @query("embedding_neardup_pairs", """
 WITH norms AS (
   SELECT vec_id, embedding,
-         CAST(list_sum([CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
-                        * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+         CAST(list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
                         for x in embedding]) AS DOUBLE) AS n2
   FROM embeddings
 )
 SELECT a.vec_id AS id1, b.vec_id AS id2,
-       ROUND(CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
-                      * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+       ROUND(CAST(list_sum([CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(CAST(b.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
                       for i in range(1, len(a.embedding) + 1)]) AS DOUBLE)
          / sqrt(a.n2 * b.n2), 9) AS cosine
 FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-WHERE CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
-                     * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+WHERE CAST(list_sum([CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                     * CAST(FLOOR(CAST(b.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
                      for i in range(1, len(a.embedding) + 1)]) AS DOUBLE)
         / sqrt(a.n2 * b.n2) >= 0.45
 """)
