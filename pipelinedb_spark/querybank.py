@@ -1517,3 +1517,155 @@ def sessionization(spark, sf_dir):
     from pipelinedb_spark.operators.sessions import session_stats
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return session_stats(ev, gap_seconds=1800.0)
+
+
+@query("q7_volume_shipping", f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year.  Both nation legs broadcast (true dims); the
+    supplier-side nation filter is applied *before* the lineitem join
+    so only matching suppliers reach the shuffle; customer stays a
+    shuffle join (sf-proportional).  At 100 TB the plan is two fact
+    shuffles (l⋈o, ⋈c) + three broadcasts."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"),
+            F.expr("TIMESTAMP_NTZ '1997-12-31 00:00:00'")))
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("s_nk")))
+    c2 = (c.join(F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                                      F.col("n_name").alias("cust_nation"))),
+                 F.col("c_nationkey") == F.col("c_nk")))
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c2, o.o_custkey == c2.c_custkey)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue")))
+
+
+@query("q8_market_share", f"""
+SELECT o_year,
+       {sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+         / {sql_dsum('volume')} AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) all_nations
+GROUP BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share inside a region for one
+    part type.  part is filtered to one of six types *before* its join
+    and broadcast (dim); nation/region/supplier broadcast; the only
+    shuffles are the two fact joins (l⋈o, o⋈c) and the final 2-group
+    agg — the scale-limiting shape is the fact shuffle, unavoidable."""
+    p = F.broadcast(t(spark, sf_dir, "part")
+                    .filter(F.col("p_type") == "ECONOMY")
+                    .select("p_partkey"))
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"),
+            F.expr("TIMESTAMP_NTZ '1997-12-31 00:00:00'")))
+    n1 = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nations = F.broadcast(
+        n1.join(r, n1.n_regionkey == r.r_regionkey).select("n_nationkey"))
+    c = (t(spark, sf_dir, "customer")
+         .join(eur_nations, F.col("c_nationkey") == F.col("n_nationkey")))
+    n2 = F.broadcast(t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("nation")))
+    s = F.broadcast(t(spark, sf_dir, "supplier")
+                    .join(n2, F.col("s_nationkey") == F.col("s_nk")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg((dsum(F.when(F.col("nation") == "NATION_3", vol)
+                       .otherwise(F.lit(0.0)))
+                  / dsum(vol)).alias("mkt_share")))
+
+
+@query("q9_product_profit", f"""
+SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.1 * p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year.  The
+    testdata has no partsupp table, so supply cost is proxied as 10%
+    of p_retailprice per unit (documented deviation; the join/agg
+    shape — part-filtered fact scan, dim broadcasts, two fact
+    shuffles — is Q9's).  LIKE-filtered part broadcast; at 100 TB the
+    p_name filter prunes ~1/|colors| of lineitem via the broadcast
+    hash join before any shuffle."""
+    p = F.broadcast(t(spark, sf_dir, "part")
+                    .filter(F.col("p_name").like("%red%"))
+                    .select("p_partkey", "p_retailprice"))
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    n = F.broadcast(t(spark, sf_dir, "nation")
+                    .select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("nation")))
+    s = F.broadcast(t(spark, sf_dir, "supplier")
+                    .join(n, F.col("s_nationkey") == F.col("s_nk")))
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(dsum(amount).alias("sum_profit")))
