@@ -179,11 +179,6 @@ class ContView:
             # grouping sets: matrel keyed by group cols + grouping_id
             # (reference keeps grouping sets on the worker and groups
             # the combiner by the hoisted columns, analyzer.c:2819-2859)
-            # fail fast at DDL time (reference builds worker plans at
-            # CREATE to fail fast, pipeline_query.c:1989-1992)
-            if plan.sw_column is not None:
-                raise CQError("sliding windows with grouping sets are "
-                              "not supported")
             self._group_cols = self._group_cols + [GID_COL]
         if plan.sw_column is not None:
             self._group_cols = self._group_cols + [STEP_COL]
@@ -211,10 +206,7 @@ class ContView:
             # pure-DISTINCT CV: presence marker so merge has a state col
             jvm_aggs = [F.count(F.lit(1)).alias(state_col("_present", "n"))]
         if plan.grouping_sets is not None:
-            if plan.sw_column is not None:
-                raise CQError("sliding windows with grouping sets are "
-                              "not supported")
-            if not pd_aggs:
+            if not pd_aggs and plan.sw_column is None:
                 # aliased keys don't match set exprs; group on raw
                 # exprs, rename leading grouping columns positionally
                 raw_keys = [F.expr(g) for g in plan.group_exprs]
@@ -226,12 +218,17 @@ class ContView:
                 return out.withColumnsRenamed(renames)
             # pandas (sketch) aggregates can't ride Spark's native
             # grouping sets (grouped-agg UDFs don't mix into
-            # groupingSets agg) — expand set-by-set: one grouped pass
-            # per set with absent keys as typed NULLs and the same
-            # grouping_id bit layout (MSB = first group expr), then
-            # union.  S extra passes over the micro-batch, same shape
-            # Spark's own expansion uses internally.
+            # groupingSets agg), and SW needs the step bucket as an
+            # always-present key outside the grouping_id bit layout —
+            # expand set-by-set: one grouped pass per set with absent
+            # keys as typed NULLs and the same grouping_id bit layout
+            # (MSB = first group expr), then union.  S extra passes
+            # over the micro-batch, same shape Spark's own expansion
+            # uses internally.
             nkeys = len(plan.group_exprs)
+            set_names = list(plan.group_names)
+            if plan.sw_column is not None:
+                set_names.append(STEP_COL)
             frames = []
             for s_exprs in plan.grouping_sets:
                 snorm = {re.sub(r"\s+", "", e).lower() for e in s_exprs}
@@ -244,8 +241,10 @@ class ContView:
                     keys2.append(expr.alias(name))
                     if not present:
                         gid |= 1 << (nkeys - 1 - i)
+                if plan.sw_column is not None:
+                    keys2.append(keys[-1])  # step-bucket key
                 frames.append(
-                    grouped_agg(pre_df, keys2, plan.group_names,
+                    grouped_agg(pre_df, keys2, set_names,
                                 list(jvm_aggs), list(pd_aggs))
                     .withColumn(GID_COL, F.lit(gid).cast("bigint")))
             out = frames[0]
@@ -258,8 +257,10 @@ class ContView:
         return grouped_agg(pre_df, keys, key_names, jvm_aggs, pd_aggs)
 
     # -- combiner: merge partials over (old ∪ delta) ------------------------
-    def merge_fn(self, df: DataFrame) -> DataFrame:
-        key_names = self._group_cols + [BUCKET_COL]
+    def merge_fn(self, df: DataFrame,
+                 key_cols: list[str] | None = None) -> DataFrame:
+        key_names = (self._group_cols if key_cols is None
+                     else key_cols) + [BUCKET_COL]
         keys = [F.col(c) for c in key_names]
         jvm_aggs, pd_aggs = [], []
         for call in self.plan.aggs:
@@ -280,8 +281,12 @@ class ContView:
         df = states
         if plan.sw_column is not None and recombine:
             # re-combine in-window step buckets under the original keys
-            # (reference view_combines, src/analyzer.c:2798-2805)
-            df = self.merge_fn(df.withColumn(BUCKET_COL, F.lit(0)))
+            # — STEP_COL must be excluded from the merge keys or rows
+            # stay one-per-step (reference view_combines,
+            # src/analyzer.c:2798-2805)
+            df = self.merge_fn(
+                df.withColumn(BUCKET_COL, F.lit(0)),
+                key_cols=[c for c in self._group_cols if c != STEP_COL])
         fin_names: dict[str, str] = {}
         for call in plan.aggs:
             spec = self._registry.get(call.func)

@@ -1401,6 +1401,48 @@ def cv_engine_grouping_sets(spark, sf_dir):
         ctx.close()
 
 
+@query("cv_engine_sw_grouping_sets", f"""
+SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, COUNT(*) AS cnt,
+       {sql_dsum('value')} AS sv
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), (event_type), ())
+""")
+def cv_engine_sw_grouping_sets(spark, sf_dir):
+    """END-TO-END SW × GROUPING SETS ENGINE CHECK: arrival timestamps
+    synthesized across ~14 step buckets inside the 1-hour window, so
+    the read exercises per-set grouping_id keys AND cross-step
+    re-combine; all rows in-window ⇒ overlay equals the batch
+    grouping-sets aggregate (cont_grouping_sets.sql × sliding
+    windows)."""
+    ctx = _engine_ctx(spark, "swgs")
+    try:
+        ctx.create_stream("ev_swgs", "event_id long, user_id long, "
+                                     "event_type string, value double")
+        ctx.create_view(
+            "cv_swgs_q",
+            "SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, "
+            "count(*) AS cnt, sum(CAST(value AS DECIMAL(38,6))) AS sv_dec "
+            "FROM ev_swgs "
+            "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
+            "GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), "
+            "(event_type), ())")
+        ev = (t(spark, sf_dir, "events")
+              .select("event_id", "user_id", "event_type", "value")
+              .withColumn("arrival_timestamp",
+                          F.current_timestamp()
+                          - F.make_interval(mins=(F.col("event_id") % 40)
+                                            .cast("int"))))
+        for i in range(2):
+            ctx.insert("ev_swgs",
+                       ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
+        out = ctx.read_view("cv_swgs_q")
+        return out.select("event_type", "parity", "cnt",
+                          F.col("sv_dec").cast("double").alias("sv")
+                          ).localCheckpoint(eager=True)
+    finally:
+        ctx.close()
+
+
 @query("vocabulary_topk", """
 WITH toks AS (
   SELECT UNNEST(string_split(text, ' ')) AS token FROM documents

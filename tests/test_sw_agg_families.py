@@ -82,3 +82,63 @@ def test_sw_regr_twin(ctx):
                         ("m", slope), ("b", intercept)):
         assert sw[field] == pytest.approx(full[field], rel=1e-12)
         assert full[field] == pytest.approx(want)
+
+
+def test_sw_collapses_step_buckets(ctx):
+    """Rows landing in different step buckets must re-combine into one
+    overlay row per group on read (reference view_combines,
+    src/analyzer.c:2798-2805) — regression: merge keyed on _step
+    returned one row per bucket."""
+    import datetime
+    ctx.create_stream("sws_steps", "k string, v double")
+    ctx.create_view(
+        "cv_sw_steps",
+        "SELECT k, count(*) AS n, sum(v) AS sv, avg(v) AS av FROM sws_steps "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
+        "GROUP BY k")
+    now = datetime.datetime.now(datetime.timezone.utc)
+    mins = datetime.timedelta(minutes=1)
+    # 1-hour window -> 3-minute steps; 30 and 20 minutes ago differ
+    ctx.insert("sws_steps", [
+        {"k": "x", "v": 1.0, "arrival_timestamp": now - 30 * mins},
+        {"k": "y", "v": 7.0, "arrival_timestamp": now - 30 * mins}])
+    ctx.insert("sws_steps", [
+        {"k": "x", "v": 2.0, "arrival_timestamp": now - 20 * mins}])
+    ctx.insert("sws_steps", [  # out of window: must not count
+        {"k": "x", "v": 100.0, "arrival_timestamp": now - 180 * mins}])
+    rows = sorted(tuple(r) for r in ctx.read_view("cv_sw_steps").collect())
+    assert rows == [("x", 2, 3.0, 1.5), ("y", 1, 7.0, 7.0)]
+
+
+def test_sw_with_grouping_sets(ctx):
+    """Sliding window combined with GROUPING SETS: per-set rows keep
+    their grouping_id while step buckets re-combine on read
+    (reference cont_grouping_sets.sql + sliding windows,
+    src/analyzer.c:2819-2859)."""
+    import datetime
+    ctx.create_stream("swgs", "x string, y string, v double")
+    ctx.create_view(
+        "cv_swgs",
+        "SELECT x, y, count(*) AS n, sum(v) AS s FROM swgs "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
+        "GROUP BY GROUPING SETS ((x, y), (x), ())")
+    now = datetime.datetime.now(datetime.timezone.utc)
+    mins = datetime.timedelta(minutes=1)
+    ctx.insert("swgs", [
+        {"x": "a", "y": "p", "v": 1.0, "arrival_timestamp": now - 30 * mins},
+        {"x": "a", "y": "q", "v": 2.0, "arrival_timestamp": now - 30 * mins}])
+    ctx.insert("swgs", [  # different step bucket
+        {"x": "b", "y": "p", "v": 4.0, "arrival_timestamp": now - 20 * mins},
+        {"x": "a", "y": "p", "v": 8.0, "arrival_timestamp": now - 20 * mins}])
+    ctx.insert("swgs", [  # out of window
+        {"x": "a", "y": "p", "v": 100.0,
+         "arrival_timestamp": now - 240 * mins}])
+    rows = {(r["x"], r["y"]): (r["n"], r["s"])
+            for r in ctx.read_view("cv_swgs").collect()}
+    assert rows[("a", "p")] == (2, 9.0)
+    assert rows[("a", "q")] == (1, 2.0)
+    assert rows[("b", "p")] == (1, 4.0)
+    assert rows[("a", None)] == (3, 11.0)
+    assert rows[("b", None)] == (1, 4.0)
+    assert rows[(None, None)] == (4, 15.0)
+    assert len(rows) == 6
