@@ -371,6 +371,10 @@ def _validate_subselects(from_clause: str, registry: AggRegistry) -> None:
 
 def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
             sw: str | None = None, step_factor: float = 5.0) -> CQPlan:
+    # PostgreSQL composite field access over change rows — `(delta).n`,
+    # `(new).x`, `(old).x` (reference delta_streams.sql) — normalizes
+    # to Spark struct access `delta.n`
+    sql = re.sub(r"\(\s*(old|new|delta)\s*\)\s*\.", r"\1.", sql)
     clauses = split_clauses(sql)
     if "SELECT" not in clauses or "FROM" not in clauses:
         raise CQError("continuous queries must be SELECT ... FROM ...")

