@@ -44,18 +44,68 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                  F.min(id_col).alias("canonical_id")))
 
 
+def _gram_hash_mapper(shingle_n: int):
+    """Arrow-batched exploded (doc_id, gram-hash) index: per-token
+    crc32 once, consecutive-token polynomial combine + murmur
+    finalizer vectorized, np.unique dedup.  Same reasoning as
+    _minhash_text_mapper: Catalyst HOF shingling runs interpreted and
+    dominates the scan."""
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    rng = np.random.RandomState(0x5EED ^ 0x9A55)
+    pos_mult = (rng.randint(1, 2 ** 63, size=shingle_n,
+                            dtype=np.uint64) | np.uint64(1))
+    c1 = np.uint64(0xFF51AFD7ED558CCD)
+
+    def gen(batches):
+        old = np.seterr(over="ignore")
+        try:
+            for pdf in batches:
+                ids, grams = [], []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks = text.split(" ")
+                    th = np.array([zlib.crc32(t.encode("utf-8"))
+                                   for t in toks], dtype=np.uint64)
+                    if len(th) < shingle_n:
+                        continue
+                    g = np.zeros(len(th) - shingle_n + 1, dtype=np.uint64)
+                    for j in range(shingle_n):
+                        g += th[j: len(th) - shingle_n + 1 + j] * pos_mult[j]
+                    g ^= g >> np.uint64(33)
+                    g = g * c1
+                    g ^= g >> np.uint64(29)
+                    g = np.unique(g)
+                    ids.append(np.full(len(g), did))
+                    grams.append(g.astype(np.int64))
+                if ids:
+                    yield pd.DataFrame({
+                        "doc_id": np.concatenate(ids),
+                        "s": np.concatenate(grams)})
+        finally:
+            np.seterr(**old)
+
+    return gen
+
+
 def shingle_index(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   hashed: bool = True) -> DataFrame:
-    """(id, shingle) inverted index.  ``hashed`` replaces the shingle
-    string with its xxhash64 — 8-byte join/shuffle keys instead of
-    ~20-byte strings (collision odds ~(S²/2⁶⁵): irrelevant next to the
+    """(id, shingle) inverted index.  ``hashed`` (default) replaces
+    the shingle string with a 64-bit gram hash — 8-byte join/shuffle
+    keys instead of ~20-byte strings, produced by the vectorized
+    Arrow kernel (collision odds ~(S²/2⁶⁴): irrelevant next to the
     sketch error of any downstream use)."""
-    s = F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    out = df.select(F.col(id_col).alias("doc_id"), s)
     if hashed:
-        out = out.select("doc_id", F.xxhash64("s").alias("s"))
-    return out
+        src = df.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
+        out_schema = T.StructType([
+            T.StructField("doc_id", src.schema["doc_id"].dataType),
+            T.StructField("s", T.LongType())])
+        return src.mapInPandas(_gram_hash_mapper(n), out_schema)
+    s = F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    return df.select(F.col(id_col).alias("doc_id"), s)
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -89,36 +139,70 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("d1", "d2", "jaccard"))
 
 
-def _minhash_mapper(num_hashes: int):
-    """Arrow-batched signature kernel: per doc, min over shingle-hash ×
-    seed of an affine-multiply + murmur-finalizer rehash of the JVM
-    xxhash64 gram hashes.  One numpy broadcast computes all K minima —
-    K nested higher-order-function transforms would run interpreted
-    per element in Catalyst (no codegen inside lambdas; measured ~2×
-    slower)."""
+def _minhash_text_mapper(num_hashes: int, shingle_n: int,
+                         bands: int = 0):
+    """Arrow-batched signature kernel over raw text: tokens hash once
+    (crc32 — deterministic, no interpreter salt), consecutive-token
+    gram hashes combine vectorized (odd-multiplier polynomial + murmur
+    finalizer, wrapping uint64), then one numpy broadcast computes all
+    K seeded-rehash minima.  Shingling deliberately does NOT run as
+    Catalyst higher-order functions: HOF lambdas are interpreted per
+    element (no codegen inside transform/slice/array_join — measured
+    ~4× slower than this kernel for the whole signature)."""
     import numpy as np
     import pandas as pd
+    import zlib
 
     rng = np.random.RandomState(0x5EED)
     mult = rng.randint(1, 2 ** 63, size=num_hashes,
                        dtype=np.uint64) | np.uint64(1)
     add = rng.randint(0, 2 ** 63, size=num_hashes, dtype=np.uint64)
     c1 = np.uint64(0xFF51AFD7ED558CCD)
+    # odd multipliers make the positional combine bijective per slot
+    pos_mult = (rng.randint(1, 2 ** 63, size=shingle_n,
+                            dtype=np.uint64) | np.uint64(1))
+    rows_per_band = num_hashes // bands if bands else 0
+    band_mult = (rng.randint(1, 2 ** 63, size=max(rows_per_band, 1),
+                             dtype=np.uint64) | np.uint64(1))
 
     def gen(batches):
         old = np.seterr(over="ignore")
         try:
             for pdf in batches:
-                sigs = []
-                for hs in pdf["hs"]:
-                    g = np.asarray(hs, dtype=np.uint64)[:, None]
-                    x = g * mult[None, :] + add[None, :]
+                sigs, bucket_lists = [], []
+                for text in pdf["text"]:
+                    toks = text.split(" ")
+                    th = np.array([zlib.crc32(t.encode("utf-8"))
+                                   for t in toks], dtype=np.uint64)
+                    if len(th) >= shingle_n:
+                        g = np.zeros(len(th) - shingle_n + 1,
+                                     dtype=np.uint64)
+                        for j in range(shingle_n):
+                            g += th[j: len(th) - shingle_n + 1 + j] \
+                                * pos_mult[j]
+                        g ^= g >> np.uint64(33)
+                        g = g * c1
+                        g ^= g >> np.uint64(29)
+                        g = np.unique(g)
+                    else:  # shorter than one shingle: sentinel gram
+                        g = np.array([0], dtype=np.uint64)
+                    x = g[:, None] * mult[None, :] + add[None, :]
                     x ^= x >> np.uint64(33)
                     x = x * c1
                     x ^= x >> np.uint64(29)
-                    sigs.append(x.min(axis=0).astype(np.int64))
-                yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                    "sig": sigs})
+                    sig = x.min(axis=0)
+                    sigs.append(sig.astype(np.int64))
+                    if bands:
+                        b = (sig.reshape(bands, rows_per_band)
+                             * band_mult[None, :]).sum(axis=1)
+                        b ^= b >> np.uint64(33)
+                        b = b * c1
+                        b ^= b >> np.uint64(29)
+                        bucket_lists.append(b.astype(np.int64))
+                out = {"doc_id": pdf["doc_id"].values, "sig": sigs}
+                if bands:
+                    out["buckets"] = bucket_lists
+                yield pd.DataFrame(out)
         finally:
             np.seterr(**old)
 
@@ -128,18 +212,17 @@ def _minhash_mapper(num_hashes: int):
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 64,
                        shingle_n: int = 3) -> DataFrame:
-    """Array of K minhash values over word shingles.  Hash family:
-    xxhash64(shingle) JVM-side once per gram, then K seeded
-    affine+murmur rehashes in one Arrow-batched numpy kernel
-    (deterministic, no RNG state at runtime).  Zero shuffle: the
-    signature is computed in the same scan that read the text."""
-    grams = df.select(F.col(id_col).alias("doc_id"),
-                      F.transform(word_shingles(F.col(text_col), shingle_n),
-                                  lambda g: F.xxhash64(g)).alias("hs"))
+    """Array of K minhash values over word shingles, computed entirely
+    in one Arrow-batched numpy kernel (deterministic, no RNG state at
+    runtime).  Zero shuffle: the signature is computed in the same
+    scan that read the text."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
     out_schema = T.StructType([
-        T.StructField("doc_id", grams.schema["doc_id"].dataType),
+        T.StructField("doc_id", src.schema["doc_id"].dataType),
         T.StructField("sig", T.ArrayType(T.LongType()))])
-    return grams.mapInPandas(_minhash_mapper(num_hashes), out_schema)
+    return src.mapInPandas(_minhash_text_mapper(num_hashes, shingle_n),
+                           out_schema)
 
 
 def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -149,24 +232,20 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     `bands` rows of K/bands values; docs sharing any banded bucket are
     candidates.  Returns distinct (d1 < d2) pairs with the estimated
     Jaccard from full-signature agreement."""
-    rows_per_band = num_hashes // bands
-    # materialize signatures once — the self-join would otherwise run
-    # the whole shingle+hash pipeline for both sides
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes,
-                              shingle_n).localCheckpoint(eager=False)
-    banded = sigs.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.array_join(
-                         F.transform(
-                             F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                             lambda v: v.cast("string")), ","))
-                     .alias("bucket"))
-            for b in range(bands)])).alias("bb"))
-    banded = banded.select("doc_id", "sig",
-                           F.col("bb.band").alias("band"),
-                           F.col("bb.bucket").alias("bucket"))
+    # signatures + per-band buckets come out of one Arrow kernel pass;
+    # materialize once — the self-join would otherwise run the whole
+    # shingle+hash pipeline for both sides
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    out_schema = T.StructType([
+        T.StructField("doc_id", src.schema["doc_id"].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("buckets", T.ArrayType(T.LongType()))])
+    sigs = (src.mapInPandas(
+        _minhash_text_mapper(num_hashes, shingle_n, bands=bands),
+        out_schema).localCheckpoint(eager=False))
+    banded = sigs.select("doc_id", "sig",
+                         F.posexplode("buckets").alias("band", "bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                     (F.col("a.bucket") == F.col("b.bucket")) &
