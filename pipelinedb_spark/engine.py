@@ -409,7 +409,9 @@ class ContView:
         return self.finalize(states)
 
     def _overlay_schema(self) -> T.StructType:
-        probe = self.worker(self.ctx.empty_stream_df(self.plan.stream))
+        empty = self.ctx.empty_stream_df(self.plan.stream)
+        pre = self.ctx._worker_input(self.plan, self.plan.stream, empty)
+        probe = self.worker(pre)
         probe = probe.withColumn(BUCKET_COL, F.lit(0))
         return self.finalize(probe, recombine=False).schema
 
@@ -587,6 +589,15 @@ class PipelineContext:
         elif plan.sw_seconds is not None:
             ttl_secs = plan.sw_seconds + 2 * (plan.sw_step_seconds or 0)
         cv = ContView(self, name, sql, plan, ttl_secs, ttl_column)
+        # fail fast at CREATE: resolve the worker plan against the
+        # (empty) stream schema so unknown columns / bad expressions
+        # error now, not at first insert (reference builds worker
+        # plans at CREATE, analyze_cont_view.sql "column doesn't
+        # exist"; pipeline_query.c:1989-1992)
+        try:
+            cv._overlay_schema()
+        except Exception as exc:
+            raise CQError(f"invalid continuous query: {exc}") from exc
         self.views[name] = cv
         self.streams[plan.stream].readers.append(name)
         self._register_osrel(name)
@@ -1019,6 +1030,12 @@ class PipelineContext:
         over a single CV re-aggregate persisted partial states under
         the query's (coarser) grouping (reference RewriteCombineAggs
         src/analyzer.c:4662, test user_combine.sql)."""
+        m_ins = re.match(r"(?i)^\s*INSERT\s+INTO\s+(\w+)\s*"
+                         r"(?:\(([^)]*)\)\s*)?(\(?\s*SELECT\b.*)$",
+                         query, re.S)
+        if m_ins and m_ins.group(1) in self.streams:
+            return self._insert_select(m_ins.group(1), m_ins.group(2),
+                                       m_ins.group(3))
         if re.search(r"(?i)\bcombine\s*\(", query):
             rewritten = self._rewrite_combine_sql(query, at)
             if rewritten is not None:
@@ -1030,6 +1047,33 @@ class PipelineContext:
             if m is not None:
                 m.createOrReplaceTempView(f"{name}_mrel")
         return self.spark.sql(query)
+
+    def _insert_select(self, stream: str, col_list: str | None,
+                       select_sql: str) -> DataFrame:
+        """``INSERT INTO stream [(cols)] SELECT ...`` — stream inserts
+        fed by a query over ordinary tables (reference
+        stream_insert_subselect.sql).  Selecting from another stream
+        is rejected, as in the reference (streams are not scannable
+        relations)."""
+        sel = select_sql.strip()
+        while sel.startswith("(") and sel.endswith(")"):
+            sel = sel[1:-1].strip()
+        for sname in self.streams:
+            if re.search(rf"(?i)\bFROM\s+{re.escape(sname)}\b", sel):
+                raise CQError("can't SELECT from stream "
+                              f"{sname} in a stream INSERT")
+        for tname, tdf in self.tables.items():
+            tdf.createOrReplaceTempView(tname)
+        df = self.spark.sql(sel)
+        if col_list:
+            cols = [c.strip() for c in col_list.split(",")]
+            if len(cols) != len(df.columns):
+                raise CQError("INSERT column list arity doesn't match "
+                              "the SELECT output")
+            df = df.toDF(*cols)
+        n = self.insert(stream, df)
+        return self.spark.createDataFrame(
+            [(n,)], T.StructType([T.StructField("inserted", T.LongType())]))
 
     def _rewrite_combine_sql(self, query: str, at: float | None
                              ) -> DataFrame | None:

@@ -186,3 +186,20 @@ def test_ddl_validation_errors(ctx):
         ctx.create_view("bad5", "SELECT k, v FROM s12 GROUP BY k")
     with pytest.raises(CQError):
         ctx.create_view("bad6", "SELECT rank() OVER (ORDER BY v) FROM s12")
+
+
+def test_unknown_stream_column_rejected_at_create(ctx):
+    """CREATE-time worker-plan resolution: a CQ referencing a column
+    the stream doesn't declare errors immediately (reference
+    analyze_cont_view.sql 'column doesn't exist')."""
+    import pytest
+    from pipelinedb_spark import CQError
+    ctx.create_stream("val1", "x int, key string")
+    with pytest.raises(CQError, match="(?i)invalid continuous query"):
+        ctx.create_view("cv_badcol",
+                        "SELECT col, count(*) AS n FROM val1 GROUP BY col")
+    # the failed create must leave no registration behind
+    ctx.create_view("cv_goodcol",
+                    "SELECT key, count(*) AS n FROM val1 GROUP BY key")
+    ctx.insert("val1", [{"x": 1, "key": "a"}])
+    assert ctx.read_view("cv_goodcol").collect()[0]["n"] == 1

@@ -370,3 +370,26 @@ def test_grouping_sets_with_sketch_agg(ctx):
     assert by_k["b"]["n"] == 10 and abs(by_k["b"]["med"] - 105.5) <= 1.0
     assert by_k[None]["n"] == 20  # () grand total, merged across batches
     assert 5.0 <= by_k[None]["med"] <= 106.0
+
+
+def test_insert_into_stream_select(ctx):
+    """INSERT INTO stream (cols) SELECT ... over a registered table
+    (stream_insert_subselect.sql); selecting from a stream inside a
+    stream INSERT is rejected."""
+    import pytest
+    from pipelinedb_spark import CQError
+    spark = ctx.spark
+    src = spark.range(1, 101).selectExpr("id AS x")
+    ctx.register_table("sub_t", src)
+    ctx.create_stream("ss_sub", "x long")
+    ctx.create_view("cv_sub", "SELECT count(DISTINCT x) AS ndv, "
+                              "count(*) AS n FROM ss_sub")
+    out = ctx.sql("INSERT INTO ss_sub (x) (SELECT * FROM sub_t)")
+    assert out.collect()[0]["inserted"] == 100
+    ctx.sql("INSERT INTO ss_sub (x) "
+            "(SELECT * FROM (SELECT x AS y FROM sub_t) s0)")
+    row = ctx.read_view("cv_sub").collect()[0]
+    assert row["n"] == 200
+    ctx.create_stream("ss_sub2", "x long")
+    with pytest.raises(CQError):
+        ctx.sql("INSERT INTO ss_sub (x) (SELECT x FROM ss_sub2)")
