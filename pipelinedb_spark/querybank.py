@@ -1789,3 +1789,181 @@ def q9_product_profit(spark, sf_dir):
             .groupBy("nation",
                      F.year("o_orderdate").cast("long").alias("o_year"))
             .agg(dsum(amount).alias("sum_profit")))
+
+
+@query("q10_returned_items", f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       c.c_acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1995-10-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by lost revenue from returned
+    items in a quarter.  orders is date-pruned before its fact join;
+    customer is sf-proportional so it shuffle-joins (AQE may demote to
+    broadcast when it fits); only nation is an explicit broadcast dim.
+    Deterministic top-20 via (revenue DESC, custkey) — a two-stage
+    TakeOrdered, no full sort.  Reference analog: a TTL'd CV over an
+    orders stream read with ORDER BY ... LIMIT."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-07-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1995-10-01 00:00:00'")))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(t(spark, sf_dir, "nation")
+                    .select("n_nationkey", F.col("n_name").alias("nation")))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+@query("q12_ship_priority_classes", """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            THEN 'late' ELSE 'ontime' END AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""")
+def q12_ship_priority_classes(spark, sf_dir):
+    """TPC-H Q12 shape: conditional CASE counts per shipping class.
+    The testdata has no l_shipmode/l_receiptdate, so the class is
+    derived from ship delay vs order date (documented deviation; the
+    operator shape — fact-fact equi-join, derived grouping column,
+    CASE-conditional counts with map-side partial agg — is Q12's).
+    Both counts ride one shuffle whose cardinality is 2 groups."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.when(F.col("l_shipdate")
+                            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                            "late").otherwise("ontime").alias("ship_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@query("q14_promo_revenue", f"""
+SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type LIKE 'PROMO%' THEN "
+                         "l.l_extendedprice * (1 - l.l_discount) "
+                         "ELSE 0.0 END")}
+       / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}
+       AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1995-10-01'
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: share of revenue from promo parts in one month.
+    The date filter prunes lineitem at the scan (pushed predicate);
+    part joins broadcast (true dim, two columns after pruning).  A
+    single global aggregate — partial sums per partition, one-row
+    merge; both dsum components share one scan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1995-09-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1995-10-01 00:00:00'")))
+    p = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), vol).otherwise(F.lit(0.0))
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .agg((F.lit(100.0) * dsum(promo) / dsum(vol))
+                 .alias("promo_revenue_pct")))
+
+
+@query("q18_large_orders", f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity')} > 300.0
+) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers with large-volume orders.  The
+    HAVING subquery is one pre-aggregation of lineitem on its natural
+    key (the shuffle carries order cardinality, not line cardinality);
+    the surviving handful of orders then joins orders/customer — at
+    100 TB the filtered aggregate is tiny, and AQE broadcasts it into
+    the orders join at runtime, so no second fact-sized shuffle."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(dsum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300.0))
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+@query("q19_disjunctive_revenue", f"""
+SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive predicates spanning both join
+    sides (no l_shipmode/l_shipinstruct in the testdata, so the
+    disjunction uses brand/size/quantity only — the shape is Q19's).
+    part pre-filters to the brand/size union (pushed to its scan) and
+    broadcasts; the residual OR evaluates inside the broadcast hash
+    join, so lineitem is scanned once and never shuffled."""
+    p = F.broadcast(
+        t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .filter(((F.col("p_brand") == "Brand#12")
+                 & F.col("p_size").between(1, 5))
+                | ((F.col("p_brand") == "Brand#23")
+                   & F.col("p_size").between(1, 10))
+                | ((F.col("p_brand") == "Brand#34")
+                   & F.col("p_size").between(1, 15))))
+    li = t(spark, sf_dir, "lineitem")
+    cond = (((F.col("p_brand") == "Brand#12")
+             & F.col("p_size").between(1, 5)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23")
+               & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#34")
+               & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(20, 30)))
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
