@@ -51,44 +51,54 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen paths so per-query numbers measure the plan,
-    # not first-run JIT
-    Q["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite") \
-        .format("noop").save()
-    # ... including the engine's checkpoint/parquet-commit paths, which
-    # cv_engine_rollup would otherwise pay first-use JIT for
-    import tempfile
+    # not first-run JIT; warm-up failures must never kill the run
+    try:
+        Q["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite") \
+            .format("noop").save()
+        # ... including the engine's checkpoint/parquet-commit paths,
+        # which cv_engine_rollup would otherwise pay first-use JIT for
+        import tempfile
 
-    from pipelinedb_spark import PipelineContext
-    _wctx = PipelineContext(spark, root=tempfile.mkdtemp(prefix="bench_warm_"),
-                            num_buckets=4, track_output_streams=False)
-    _wctx.create_stream("warm_s", "k string, v double, u long")
-    _wctx.create_view("warm_cv", "SELECT k, count(*) AS n, "
-                                 "sum(CAST(v AS DECIMAL(38,6))) AS sv, "
-                                 "exact_count_distinct(u) AS ndv "
-                                 "FROM warm_s GROUP BY k")
-    _warm_df = spark.createDataFrame(
-        [("w", 1.0, 1), ("w", 2.0, 2)], "k string, v double, u long")
-    _wctx.insert("warm_s", _warm_df)  # DataFrame path (Observation count)
-    _wctx.insert("warm_s", [{"k": "w", "v": 3.0, "u": 3}])
-    _wctx.read_view("warm_cv").collect()
-    _wctx.close()
+        from pipelinedb_spark import PipelineContext
+        _wctx = PipelineContext(spark,
+                                root=tempfile.mkdtemp(prefix="bench_warm_"),
+                                num_buckets=4, track_output_streams=False)
+        _wctx.create_stream("warm_s", "k string, v double, u long")
+        _wctx.create_view("warm_cv", "SELECT k, count(*) AS n, "
+                                     "sum(CAST(v AS DECIMAL(38,6))) AS sv, "
+                                     "exact_count_distinct(u) AS ndv "
+                                     "FROM warm_s GROUP BY k")
+        _warm_df = spark.createDataFrame(
+            [("w", 1.0, 1), ("w", 2.0, 2)], "k string, v double, u long")
+        _wctx.insert("warm_s", _warm_df)  # DataFrame path (Observation)
+        _wctx.insert("warm_s", [{"k": "w", "v": 3.0, "u": 3}])
+        _wctx.read_view("warm_cv").collect()
+        _wctx.close()
+    except Exception as exc:
+        print(f"warmup failed (continuing): {exc}", file=sys.stderr)
 
     # best-of-2 per query: the first run includes whole-stage-codegen
     # compilation of that query's operators (one-time JIT, not plan
     # cost); the second measures the steady-state plan.  Both runs are
     # full end-to-end computations through the noop sink.
+    # per-query error isolation: one broken query must not erase the
+    # whole artifact — it gets an "error" entry and the loop continues
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = Q.get(name)
         if fn is None:
             continue
         best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -98,6 +108,7 @@ def main() -> None:
         "runs_per_query": 2,
         "timing": "best-of-2 (steady-state plan; first run pays codegen)",
         "queries": times,
+        **({"errors": errors} if errors else {}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

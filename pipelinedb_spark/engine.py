@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pipelinedb_spark.aggregates import REGISTRY, AggRegistry, state_col
+from pipelinedb_spark.functions.time import ts_epoch
 from pipelinedb_spark.analyzer import CQError, CQPlan, analyze
 from pipelinedb_spark.matrel import BUCKET_COL, MatrelStore
 
@@ -194,7 +195,7 @@ class ContView:
             step = float(plan.sw_step_seconds)
             keys.append(
                 F.timestamp_seconds(
-                    F.floor(F.col(plan.sw_column).cast("double") / step) * step
+                    F.floor(ts_epoch(F.col(plan.sw_column)) / step) * step
                 ).alias(STEP_COL))
         jvm_aggs, pd_aggs = [], []
         for call in plan.aggs:
@@ -404,7 +405,7 @@ class ContView:
             now = at if at is not None else time.time()
             cutoff = now - float(self.plan.sw_seconds)
             states = states.filter(
-                F.col(STEP_COL).cast("double") >=
+                ts_epoch(F.col(STEP_COL)) >=
                 F.lit(cutoff) - float(self.plan.sw_step_seconds))
         return self.finalize(states)
 
@@ -432,7 +433,7 @@ class ContView:
         if col is None:
             return 0
         cutoff = (now if now is not None else time.time()) - self.ttl
-        return self.matrel.delete_where(F.col(col).cast("double") < cutoff)
+        return self.matrel.delete_where(ts_epoch(F.col(col)) < cutoff)
 
 
 class Transform:
@@ -593,11 +594,14 @@ class PipelineContext:
         # (empty) stream schema so unknown columns / bad expressions
         # error now, not at first insert (reference builds worker
         # plans at CREATE, analyze_cont_view.sql "column doesn't
-        # exist"; pipeline_query.c:1989-1992)
-        try:
-            cv._overlay_schema()
-        except Exception as exc:
-            raise CQError(f"invalid continuous query: {exc}") from exc
+        # exist"; pipeline_query.c:1989-1992).  Skipped when the source
+        # schema is still unknown (an osrel whose owner couldn't be
+        # resolved eagerly) — then resolution stays lazy as before.
+        if self.streams[plan.stream].schema.fields:
+            try:
+                cv._overlay_schema()
+            except Exception as exc:
+                raise CQError(f"invalid continuous query: {exc}") from exc
         self.views[name] = cv
         self.streams[plan.stream].readers.append(name)
         self._register_osrel(name)
@@ -624,11 +628,35 @@ class PipelineContext:
         self._catalog_add({"kind": "transform", "name": name, "sql": sql})
         return t
 
+    def _osrel_create_schema(self, name: str) -> T.StructType:
+        """Resolve a CQ's output-stream schema at CREATE time so a later
+        ``CREATE ... FROM output_of('name')`` validates against real
+        columns instead of an empty struct (reference materializes the
+        osrel rowtype at DefineContView, src/pipeline_query.c:640-668:
+        old/new/delta composite of the CV's row type).  Best-effort: on
+        any resolution failure fall back to the lazy empty schema."""
+        try:
+            if name in self.views:
+                row = self.views[name]._overlay_schema()
+                st = T.StructType([T.StructField(f.name, f.dataType, True)
+                                   for f in row.fields])
+                return T.StructType([
+                    T.StructField(c, st, True)
+                    for c in ("old", "new", "delta")])
+            if name in self.transforms:
+                tr = self.transforms[name]
+                self.empty_stream_df(tr.stream) \
+                    .createOrReplaceTempView(tr.stream)
+                return self.spark.sql(tr.sql).schema
+        except Exception:
+            pass
+        return T.StructType()
+
     def _register_osrel(self, name: str) -> None:
         osrel = f"{name}_osrel"
         if osrel not in self.streams:
-            # schema resolved lazily on first emission
-            self.streams[osrel] = StreamDef(name=osrel, schema=T.StructType())
+            self.streams[osrel] = StreamDef(
+                name=osrel, schema=self._osrel_create_schema(name))
         base = os.path.join(self.osrel_root, osrel)
         if os.path.isdir(base):
             # fresh context over an existing root: resume the sequence
@@ -910,7 +938,7 @@ class PipelineContext:
         if cv.plan.sw_column is not None:
             now = at if at is not None else time.time()
             states = states.filter(
-                F.col(STEP_COL).cast("double") >=
+                ts_epoch(F.col(STEP_COL)) >=
                 F.lit(now - float(cv.plan.sw_seconds)) -
                 float(cv.plan.sw_step_seconds))
         group_by = group_by or []
@@ -1101,7 +1129,7 @@ class PipelineContext:
         if cv.plan.sw_column is not None:
             now = at if at is not None else time.time()
             states = states.filter(
-                F.col(STEP_COL).cast("double") >=
+                ts_epoch(F.col(STEP_COL)) >=
                 F.lit(now - float(cv.plan.sw_seconds)) -
                 float(cv.plan.sw_step_seconds))
         sview = f"__{cv_name}_states"

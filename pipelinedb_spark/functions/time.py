@@ -11,13 +11,23 @@ from pyspark.sql import functions as F
 from pipelinedb_spark.analyzer import parse_interval
 
 
+def ts_epoch(ts: Column) -> Column:
+    """Epoch seconds as DOUBLE for any timestamp-like column.
+
+    Parquet timestamps read as TIMESTAMP_NTZ, and Spark refuses
+    NTZ -> DOUBLE directly; the session is pinned UTC so NTZ == UTC and
+    an intermediate TIMESTAMP cast is exact.  Numeric inputs round-trip
+    unchanged (seconds -> timestamp -> seconds)."""
+    return ts.cast("timestamp").cast("double")
+
+
 def date_round(ts: Column, interval: str) -> Column:
     """Round a timestamp down to the nearest multiple of ``interval``
     ('5 minutes', '1 hour', ...).  The sliding-window step bucketing
     primitive."""
     secs = parse_interval(interval)
     return F.timestamp_seconds(
-        F.floor(ts.cast("double") / secs) * F.lit(secs))
+        F.floor(ts_epoch(ts) / secs) * F.lit(secs))
 
 
 def year(ts: Column) -> Column:

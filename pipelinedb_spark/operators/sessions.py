@@ -43,7 +43,8 @@ def sessionize(df: DataFrame, user_col: str = "user_id",
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = (prev_ts.isNull() |
-                   (F.col(ts_col).cast("double") - prev_ts.cast("double")
+                   (F.col(ts_col).cast("timestamp").cast("double")
+                    - prev_ts.cast("timestamp").cast("double")
                     > gap_seconds)).cast("int")
     return df.withColumn(
         "session_seq",

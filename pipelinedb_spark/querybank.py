@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pipelinedb_spark.functions.time import ts_epoch
+
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
@@ -38,13 +40,14 @@ def query(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
-        # timestamp, so read nanos as long and truncate to µs.  Every
-        # oracle mirrors this with CAST(ts AS TIMESTAMP) (duckdb
-        # ns→µs truncation), keeping both engines bit-identical.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts may be parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp, so the session sets nanosAsLong once (session.py /
+        # tune_existing — per-read toggling was racy) and we truncate
+        # any bigint ts to µs here.  Every oracle mirrors this with
+        # CAST(ts AS TIMESTAMP) (duckdb ns→µs truncation), keeping both
+        # engines bit-identical.  Micros-encoded files read as
+        # TIMESTAMP_NTZ directly; epoch math goes through ts_epoch().
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division — float division would lose precision on
             # ~1.7e18 ns values (> 2^53)
@@ -489,7 +492,7 @@ def date_round_buckets(spark, sf_dir):
     matrel key (reference timestamptz_round src/miscutils.c:305-332,
     step bucketing src/analyzer.c:429-466)."""
     ev = t(spark, sf_dir, "events")
-    bucket = (F.floor(F.col("ts").cast("double") / 300) * 300).cast("bigint")
+    bucket = (F.floor(ts_epoch(F.col("ts")) / 300) * 300).cast("bigint")
     return (ev.groupBy(bucket.alias("bucket_s"))
             .agg(F.count("*").alias("cnt"),
                  dsum("value").alias("sum_value")))
@@ -534,13 +537,13 @@ def sw_step_overlay_combine(spark, sf_dir):
     in-window steps (reference proj_and_group_for_sliding_window
     src/analyzer.c:2715-2756, view_combines :2798-2805)."""
     ev = t(spark, sf_dir, "events")
-    step = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    step = F.floor(ts_epoch(F.col("ts")) / 3600).cast("bigint")
     steps = (ev.groupBy(F.col("event_type"), step.alias("step_h"))
              .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value")))
     mx = ev.agg(F.max("ts").alias("mx"))
     in_win = (steps.crossJoin(F.broadcast(mx))
               .filter(F.col("step_h") * 3600 >
-                      F.col("mx").cast("double") - 7 * 86400))
+                      ts_epoch(F.col("mx")) - 7 * 86400))
     return (in_win.groupBy("event_type")
             .agg(F.sum("cnt").alias("cnt"),
                  F.sum(F.col("sum_value").cast(T.DecimalType(38, 6)))
@@ -1412,7 +1415,7 @@ def events_hourly_top_type(spark, sf_dir):
     analyzer.c:1216-1220)."""
     from pyspark.sql import Window
     ev = t(spark, sf_dir, "events")
-    hour = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    hour = F.floor(ts_epoch(F.col("ts")) / 3600).cast("bigint")
     hourly = (ev.groupBy(hour.alias("hour_s"), F.col("event_type"))
               .agg(F.count("*").alias("cnt")))
     w = Window.partitionBy("hour_s").orderBy(F.desc("cnt"),

@@ -34,6 +34,10 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # ANSI off: PipelineDB/PG-style permissive casts in stream coercion.
     "spark.sql.ansi.enabled": "false",
+    # parquet TIMESTAMP(NANOS) (testdata events.ts in some generators)
+    # has no Spark type — surface it as bigint ns; set once here, not
+    # toggled per-read (racy on a shared session).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -67,6 +71,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
     ):
         try:
             spark.conf.set(k, _DEFAULTS[k])
