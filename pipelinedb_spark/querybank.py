@@ -1054,6 +1054,41 @@ def topk_agg_sketch(spark, sf_dir):
         (F.col("pos") + 1).cast("long").alias("rk"))
 
 
+@query("weighted_topk_agg", """
+WITH c AS (
+  SELECT event_type, CAST(user_id % 20 AS VARCHAR) AS value,
+         CAST(SUM(user_id % 7 + 1) AS BIGINT) AS wfreq
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, value, wfreq,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY wfreq DESC, value ASC) AS rk
+  FROM c
+)
+SELECT event_type, value, wfreq, rk FROM r WHERE rk <= 5
+""")
+def weighted_topk_agg(spark, sf_dir):
+    """topk_agg(x, k, weight) — weighted Filtered-Space-Saving
+    (reference topk_agg_weightedtrans src/topkfuncs.c:34-686, SQL
+    registration pipelinedb--1.0.0.sql:1748-1901, test topk.sql).
+    Domain (20 keys) is within capacity (k*4 = 20) so the weighted
+    sketch is exact and the oracle is the exact weighted top-5."""
+    from pipelinedb_spark.functions.sketch_fns import topk as topk_fn
+    from pipelinedb_spark.sketches.registration import _topk_build_weighted
+    ev = t(spark, sf_dir, "events")
+    states = ev.groupBy("event_type").agg(
+        _topk_build_weighted(5)(
+            (F.col("user_id") % 20).cast("string"),
+            (F.col("user_id") % 7 + 1).cast("long")).alias("ss"))
+    probed = states.select(
+        "event_type",
+        F.posexplode(topk_fn("ss", F.lit(5))).alias("pos", "e"))
+    return probed.select(
+        "event_type", F.col("e.value").alias("value"),
+        F.col("e.freq").alias("wfreq"),
+        (F.col("pos") + 1).cast("long").alias("rk"))
+
+
 @query("freq_sketch_probe", """
 SELECT event_type,
        CAST(SUM(CASE WHEN user_id % 100 = 7 THEN 1 ELSE 0 END) AS BIGINT)

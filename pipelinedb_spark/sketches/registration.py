@@ -80,6 +80,20 @@ def _topk_build(k: int):
     return build
 
 
+def _topk_build_weighted(k: int):
+    """Weighted FSS build — each value contributes its weight instead
+    of 1 (reference topk_agg_weightedtrans, src/topkfuncs.c:34-686;
+    registration pipelinedb--1.0.0.sql:1748-1901).  NULL weights count
+    as 1, matching the unweighted transition."""
+    @pandas_udf(BinaryType())
+    def build(v: pd.Series, w: pd.Series) -> bytes:
+        mask = v.notna()
+        vals = v[mask].tolist()
+        wts = w[mask].fillna(1).astype("int64").tolist()
+        return SpaceSaving(k).add_many(vals, wts).serialize()
+    return build
+
+
 @pandas_udf(BinaryType())
 def _topk_merge(states: pd.Series) -> bytes:
     acc = None
@@ -180,9 +194,14 @@ def register_all(registry: AggRegistry) -> None:
         lambda s: {"cms": _cms_merge(s("cms"))},
         lambda s, a: s("cms"), state_is_value=True, pandas=True))
 
-    # topk_agg(x, k) — filtered-space-saving (reference topkfuncs.c).
+    # topk_agg(x, k[, weight]) — filtered-space-saving (reference
+    # topkfuncs.c; weighted transition topkfuncs.c:34-686).
     def topk_partial(args):
         k = int(_lit_number(args[1])) if len(args) > 1 else 10
+        if len(args) > 2:
+            return {"ss": _topk_build_weighted(k)(
+                _expr(args[0]).cast("string"),
+                _expr(args[2]).cast("long"))}
         return {"ss": _topk_build(k)(_expr(args[0]).cast("string"))}
 
     registry.register(AggSpec(

@@ -97,6 +97,33 @@ def test_cv_topk_and_freq(ctx):
     assert sf.freq_total_py(bytes(fq)) == len(rows1) + len(rows2)
 
 
+def test_cv_weighted_topk(ctx):
+    """topk_agg(x, k, weight): counts advance by weight (reference
+    weighted FSS topkfuncs.c:34-686, test topk.sql weighted cases)."""
+    from pipelinedb_spark import register_sketch_aggs
+    register_sketch_aggs()
+    from pipelinedb_spark.functions import sketch_fns as sf
+
+    ctx.create_stream("skw", "k string, v long, w long")
+    ctx.create_view("cv_wtopk",
+                    "SELECT k, topk_agg(v, 3, w) AS tk FROM skw GROUP BY k")
+    # weights dominate raw frequency: v=9 appears once with weight 100
+    ctx.insert("skw", [{"k": "a", "v": 1, "w": 2}] * 10 +
+                      [{"k": "a", "v": 2, "w": 1}] * 15 +
+                      [{"k": "a", "v": 9, "w": 100}])
+    ctx.insert("skw", [{"k": "a", "v": 3, "w": 5}] * 4)
+    tk = ctx.read_view("cv_wtopk").collect()[0]["tk"]
+    top = dict(sf.topk_py(bytes(tk), 3))
+    assert top["9"] == 100          # single row, weight 100
+    assert top["1"] == 20           # 10 rows * weight 2
+    assert top["3"] == 20           # merged across batches: 4 * 5
+    # NULL weight counts as 1 (matches unweighted transition)
+    ctx.insert("skw", [{"k": "b", "v": 7, "w": None}] * 3)
+    tkb = [r["tk"] for r in ctx.read_view("cv_wtopk").collect()
+           if r["k"] == "b"][0]
+    assert dict(sf.topk_py(bytes(tkb), 1))["7"] == 3
+
+
 def test_cv_percentile_and_dist(ctx):
     from pipelinedb_spark import register_sketch_aggs
     register_sketch_aggs()
