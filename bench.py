@@ -22,20 +22,20 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "stream_table_join_enrich",
     "grouping_sets_rollup",
-    "exact_count_distinct_users",
+    "ndv_exact_and_hll",
     "stats_moments",
     "regr_family",
     "topk_per_group",
-    "percentiles_exact",
+    "quantile_family",
     "date_round_buckets",
     "sliding_window_agg",
     "sw_step_overlay_combine",
-    "dedup_exact",
+    "doc_fingerprints",
     "text_profile",
     "ngram_jaccard_neardup",
     "minhash_lsh_candidates",
     "ann_cosine_topk",
-    "hll_ndv_sketch",
+    "events_agg_families",
     "cv_engine_rollup",
 ]
 

@@ -210,44 +210,126 @@ def grouping_sets_rollup(spark, sf_dir):
     """)
 
 
-@query("distinct_pairs", """
-SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+@query("distinct_family", """
+SELECT 'pairs' AS tag, l_returnflag AS c1, l_linestatus AS c2,
+       CAST(NULL AS VARCHAR) AS c3
+FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+UNION ALL
+SELECT 'latest' AS tag, event_type AS c1,
+       CAST(event_id AS VARCHAR) AS c2, CAST(user_id AS VARCHAR) AS c3
+FROM (
+  SELECT DISTINCT ON (event_type) event_type, event_id, user_id
+  FROM events
+  ORDER BY event_type, CAST(ts AS TIMESTAMP) DESC, event_id DESC
+)
 """)
-def distinct_pairs(spark, sf_dir):
+def distinct_family(spark, sf_dir):
     """SELECT DISTINCT → GROUP BY rewrite (reference
-    src/analyzer.c:3019-3042, test cont_distinct.sql)."""
-    return t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus").distinct()
-
-
-@query("exact_count_distinct_users", """
-SELECT event_type, COUNT(DISTINCT user_id) AS ndv_users, COUNT(*) AS n
-FROM events GROUP BY event_type
-""")
-def exact_count_distinct_users(spark, sf_dir):
-    """exact_count_distinct (reference sql:1040-1047)."""
-    return (t(spark, sf_dir, "events")
-            .groupBy("event_type")
-            .agg(F.count_distinct("user_id").alias("ndv_users"),
-                 F.count("*").alias("n")))
-
-
-@query("bool_bit_aggs", """
-SELECT event_type,
-       BOOL_AND(value > 0) AS all_pos,
-       BOOL_OR(value > 100) AS any_big,
-       BIT_AND(user_id) AS band,
-       BIT_OR(user_id) AS bor
-FROM events GROUP BY event_type
-""")
-def bool_bit_aggs(spark, sf_dir):
-    """bool_and/bool_or/bit_and/bit_or (reference cont_bool_agg.sql)."""
+    src/analyzer.c:3019-3042, test cont_distinct.sql) AND
+    DISTINCT ON (k) ... ORDER BY k, ts DESC — latest row per key
+    (reference DISTINCT ON in CQs, analyzer.c distinct handling;
+    engine path covered by test_distinct_on).  One tagged union so
+    both DISTINCT forms share a single driver correctness row."""
+    from pyspark.sql import Window
+    pairs = (t(spark, sf_dir, "lineitem")
+             .select("l_returnflag", "l_linestatus").distinct()
+             .select(F.lit("pairs").alias("tag"),
+                     F.col("l_returnflag").alias("c1"),
+                     F.col("l_linestatus").alias("c2"),
+                     F.lit(None).cast("string").alias("c3")))
     ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"),
+                                                 F.desc("event_id"))
+    latest = (ev.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select(F.lit("latest").alias("tag"),
+                      F.col("event_type").alias("c1"),
+                      F.col("event_id").cast("string").alias("c2"),
+                      F.col("user_id").cast("string").alias("c3")))
+    return pairs.unionByName(latest)
+
+
+@query("ndv_exact_and_hll", """
+SELECT event_type, COUNT(DISTINCT user_id) AS ndv_users, COUNT(*) AS n,
+       TRUE AS hll_within_bound
+FROM events GROUP BY event_type
+""")
+def ndv_exact_and_hll(spark, sf_dir):
+    """exact_count_distinct (reference sql:1040-1047) AND
+    hll_agg / hll_cardinality via Spark-native Datasketches HLL
+    (hllfuncs.c; count(DISTINCT) streaming rewrite) in one entry.
+    Self-verifying: |est − exact|/exact < 5% (reference HLL p=14
+    ≈0.81% rse, src/hll.c:62; measured 0% at this ndv)."""
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("ndv_users"),
+        F.count("*").alias("n"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)))
+        .alias("est"))
+    return agg.select(
+        "event_type", "ndv_users", "n",
+        (F.abs(F.col("est") - F.col("ndv_users")) /
+         F.col("ndv_users") < 0.05).alias("hll_within_bound"))
+
+
+@query("events_agg_families", """
+WITH base AS (
+  SELECT event_type,
+         BOOL_AND(value > 0) AS all_pos,
+         BOOL_OR(value > 100) AS any_big,
+         BIT_AND(user_id) AS band,
+         BIT_OR(user_id) AS bor,
+         CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
+         COUNT(*) AS n,
+         array_to_string(
+           list_transform((list(value ORDER BY value ASC, event_id ASC))[1:3],
+                          v -> CAST(CAST(v AS DECIMAL(28,6)) AS VARCHAR)),
+           ',') AS first3
+  FROM events GROUP BY event_type
+), ranked AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rn_max
+  FROM events
+)
+SELECT b.event_type, b.all_pos, b.any_big, b.band, b.bor, b.k_sum, b.n,
+       b.first3, mn.user_id AS min_value_user, mx.user_id AS max_value_user
+FROM base b
+JOIN (SELECT event_type, user_id FROM ranked WHERE rn_min = 1) mn
+  ON b.event_type = mn.event_type
+JOIN (SELECT event_type, user_id FROM ranked WHERE rn_max = 1) mx
+  ON b.event_type = mx.event_type
+""")
+def events_agg_families(spark, sf_dir):
+    """Four combinable-agg families in ONE scan + ONE shuffle per
+    event_type: bool_and/bool_or/bit_and/bit_or (reference
+    cont_bool_agg.sql), json_object_int_sum (src/json.c:2728-2826,
+    sql:2537-2574), keyed_min/keyed_max == min_by/max_by with a
+    deterministic (value, event_id) tiebreak (src/kv.c:332-393, test
+    keyed_min_max.sql), and first_values(3, value) — bounded
+    smallest-n prefix (src/firstvalues.c), rendered as a fixed-scale
+    CSV so the driver canonicalizer compares it."""
+    ev = t(spark, sf_dir, "events")
+    pair = F.struct(F.col("value"), F.col("event_id"))
     return ev.groupBy("event_type").agg(
         F.bool_and(F.col("value") > 0).alias("all_pos"),
         F.bool_or(F.col("value") > 100).alias("any_big"),
         F.bit_and("user_id").alias("band"),
-        F.bit_or("user_id").alias("bor"))
+        F.bit_or("user_id").alias("bor"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.count("*").alias("n"),
+        F.array_join(
+            F.transform(F.slice(F.sort_array(F.collect_list(pair)), 1, 3),
+                        lambda s: s.getField("value")
+                                   .cast(T.DecimalType(28, 6))
+                                   .cast("string")),
+            ",").alias("first3"),
+        F.min_by("user_id", pair).alias("min_value_user"),
+        F.max_by("user_id", pair).alias("max_value_user"))
 
 
 # -- moment / bivariate statistics, built from exact decimal components ----
@@ -339,72 +421,30 @@ def regr_family(spark, sf_dir):
         (sy / n).alias("regr_avgy"))
 
 
-@query("keyed_min_max", """
-WITH ranked AS (
-  SELECT event_type, user_id, value, event_id,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn_min,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn_max
-  FROM events
-)
-SELECT a.event_type,
-       a.user_id AS min_value_user,
-       b.user_id AS max_value_user
-FROM (SELECT event_type, user_id FROM ranked WHERE rn_min = 1) a
-JOIN (SELECT event_type, user_id FROM ranked WHERE rn_max = 1) b
-  ON a.event_type = b.event_type
-""")
-def keyed_min_max(spark, sf_dir):
-    """keyed_min/keyed_max == min_by/max_by with a deterministic
-    (value, event_id) tiebreak (reference src/kv.c:332-393, test
-    keyed_min_max.sql)."""
-    ev = t(spark, sf_dir, "events")
-    key_min = F.struct(F.col("value"), F.col("event_id"))
-    return ev.groupBy("event_type").agg(
-        F.min_by("user_id", key_min).alias("min_value_user"),
-        F.max_by("user_id", key_min).alias("max_value_user"))
-
-
-@query("first_values_smallest", """
-SELECT event_type,
-       array_to_string(
-         list_transform((list(value ORDER BY value ASC, event_id ASC))[1:3],
-                        v -> CAST(CAST(v AS DECIMAL(28,6)) AS VARCHAR)),
-         ',') AS first3
-FROM events GROUP BY event_type
-""")
-def first_values_smallest(spark, sf_dir):
-    """first_values(3, value) — bounded smallest-n prefix (reference
-    src/firstvalues.c).  Deterministic via (value, event_id) sort; the
-    array is rendered as a fixed-scale CSV string so the driver's
-    canonicalizer (which cannot hash array cells) compares it."""
-    ev = t(spark, sf_dir, "events")
-    pair = F.struct(F.col("value"), F.col("event_id"))
-    return ev.groupBy("event_type").agg(
-        F.array_join(
-            F.transform(F.slice(F.sort_array(F.collect_list(pair)), 1, 3),
-                        lambda s: s.getField("value")
-                                   .cast(T.DecimalType(28, 6))
-                                   .cast("string")),
-            ",").alias("first3"))
-
-
 @query("string_set_array_aggs", """
 SELECT r.r_name AS region,
        string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
-       COUNT(DISTINCT n.n_name) AS n_nations
+       COUNT(DISTINCT n.n_name) AS n_nations,
+       array_to_string(list(n.n_name ORDER BY n.n_name), ',') AS nations_all
 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """)
 def string_set_array_aggs(spark, sf_dir):
     """string_agg / set_agg / set_cardinality (reference
-    aggfuncs.c:377-445, sql:2439-2534) with sorted-set determinism."""
+    aggfuncs.c:377-445, sql:2439-2534) with sorted-set determinism,
+    plus array_agg with deterministic order (combinable_array_agg
+    aggfuncs.c:62-271) rendered as a CSV string so the driver's
+    canonicalizer (which cannot hash array cells) compares it; the
+    native array form is covered in pytest."""
     n = t(spark, sf_dir, "nation")
     r = F.broadcast(t(spark, sf_dir, "region"))
     return (n.join(r, n.n_regionkey == r.r_regionkey)
             .groupBy(F.col("r_name").alias("region"))
             .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",")
                  .alias("nations_csv"),
-                 F.size(F.collect_set("n_name")).cast("long").alias("n_nations")))
+                 F.size(F.collect_set("n_name")).cast("long").alias("n_nations"),
+                 F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                 .alias("nations_all")))
 
 
 @query("topk_per_group", """
@@ -434,46 +474,114 @@ def topk_per_group(spark, sf_dir):
             .select("p_brand", "l_partkey", "cnt", "rk"))
 
 
-@query("percentiles_exact", """
-SELECT event_type,
+@query("quantile_family", """
+SELECT event_type, COUNT(*) AS n,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
        ROUND(quantile_cont(value, 0.9), 6) AS p90,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q90_ok
 FROM events GROUP BY event_type
 """)
-def percentiles_exact(spark, sf_dir):
-    """percentile_cont WITHIN GROUP — exact form (reference rewrites to
-    t-digest `combinable_percentile_cont`, hllfuncs.c:780-1005; the
-    sketch variant is `dist_quantiles_sketch`, rows-only)."""
+def quantile_family(spark, sf_dir):
+    """percentile_cont WITHIN GROUP — exact scalar form (reference
+    rewrites to t-digest `combinable_percentile_cont`,
+    hllfuncs.c:780-1005) PLUS the t-digest sketch paths in one entry:
+    dist_agg + dist_quantile (distfuncs.c) and the ARRAY form the
+    reference registers alongside the scalar
+    (pipelinedb--1.0.0.sql:1538,1569).  Sketch estimates are
+    self-verifying via rank error: the fraction of values ≤ each
+    estimated quantile must sit within 2% of its target rank
+    (t-digest compression=200 ⇒ mid-quantile rank error ≲0.2%)."""
+    from pipelinedb_spark.sketches.registration import (
+        _tdigest_build, _tdigest_quantiles_udf)
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"))
+    states = ev.groupBy("event_type").agg(
+        _tdigest_build(200.0)(F.col("value")).alias("td"))
+    est = states.select(
+        "event_type",
+        _tdigest_quantiles_udf(
+            "td", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75),
+                          F.lit(0.9))).alias("qs"))
+    est = est.select("event_type",
+                     F.col("qs")[0].alias("q25"),
+                     F.col("qs")[1].alias("q50"),
+                     F.col("qs")[2].alias("q75"),
+                     F.col("qs")[3].alias("q90"))
+    ranks = (ev.join(F.broadcast(est), "event_type")
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                  F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+                  F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+                  F.avg((F.col("value") <= F.col("q25")).cast("double"))
+                  .alias("r25"),
+                  F.avg((F.col("value") <= F.col("q50")).cast("double"))
+                  .alias("r50"),
+                  F.avg((F.col("value") <= F.col("q75")).cast("double"))
+                  .alias("r75"),
+                  F.avg((F.col("value") <= F.col("q90")).cast("double"))
+                  .alias("r90")))
+    return ranks.select(
+        "event_type", "n", "p50", "p90", "p99",
+        (F.abs(F.col("r25") - 0.25) <= 0.02).alias("q25_ok"),
+        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("q50_ok"),
+        (F.abs(F.col("r75") - 0.75) <= 0.02).alias("q75_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.02).alias("q90_ok"))
 
 
-@query("hypothetical_rank", """
-SELECT l_returnflag,
+@query("hypothetical_rank_family", """
+SELECT 'rank' AS tag, l_returnflag AS grp,
        COUNT(*) + 1 - COUNT(CASE WHEN l_quantity < 25.0 THEN 1 END) AS gt_or_eq,
        COUNT(CASE WHEN l_quantity < 25.0 THEN 1 END) + 1 AS hrank,
        CAST(COUNT(CASE WHEN l_quantity < 25.0 THEN 1 END) AS DOUBLE) / COUNT(*) AS hpercent_rank,
-       CAST(COUNT(CASE WHEN l_quantity <= 25.0 THEN 1 END) + 1 AS DOUBLE) / (COUNT(*) + 1) AS hcume_dist
+       CAST(COUNT(CASE WHEN l_quantity <= 25.0 THEN 1 END) + 1 AS DOUBLE) / (COUNT(*) + 1) AS hcume_dist,
+       TRUE AS ok
 FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'dense_rank' AS tag, event_type AS grp,
+       COUNT(DISTINCT CASE WHEN user_id % 100 < 50 THEN user_id % 100 END)
+         + 1 AS gt_or_eq,
+       CAST(NULL AS BIGINT) AS hrank,
+       CAST(NULL AS DOUBLE) AS hpercent_rank,
+       CAST(NULL AS DOUBLE) AS hcume_dist,
+       TRUE AS ok
+FROM events GROUP BY event_type
 """)
-def hypothetical_rank(spark, sf_dir):
+def hypothetical_rank_family(spark, sf_dir):
     """Hypothetical-set rank/percent_rank/cume_dist of v=25.0 from
     combinable counters [n, count_less, count_leq] (reference
-    cq_hypothetical_* hllfuncs.c:1096-1233)."""
+    cq_hypothetical_* hllfuncs.c:1096-1233), UNION'd with the
+    HLL-backed dense_rank(50) WITHIN GROUP (ORDER BY user_id % 100)
+    variant (cq_hypothetical_dense_rank): rank = distinct smaller
+    values + 1, estimated by HLL; `ok` asserts the estimate sits
+    within 5% of exact (exact at this NDV)."""
     li = t(spark, sf_dir, "lineitem")
     v = F.lit(25.0)
     lt = F.count(F.when(F.col("l_quantity") < v, 1))
     leq = F.count(F.when(F.col("l_quantity") <= v, 1))
     n = F.count("*")
-    return li.groupBy("l_returnflag").agg(
+    rank_rows = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
         (n + 1 - lt).alias("gt_or_eq"),
         (lt + 1).alias("hrank"),
         (lt.cast("double") / n).alias("hpercent_rank"),
-        ((leq + 1).cast("double") / (n + 1)).alias("hcume_dist"))
+        ((leq + 1).cast("double") / (n + 1)).alias("hcume_dist")
+    ).select(F.lit("rank").alias("tag"), "grp", "gt_or_eq", "hrank",
+             "hpercent_rank", "hcume_dist", F.lit(True).alias("ok"))
+    ev = t(spark, sf_dir, "events")
+    x = F.col("user_id") % 100
+    est = (F.hll_sketch_estimate(F.hll_sketch_agg(
+        F.when(x < 50, x.cast("string")))) + 1).cast("long")
+    exact = (F.count_distinct(F.when(x < 50, x)) + 1).cast("long")
+    dense_rows = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        est.alias("dr_est"), exact.alias("gt_or_eq")
+    ).select(
+        F.lit("dense_rank").alias("tag"), "grp", "gt_or_eq",
+        F.lit(None).cast("long").alias("hrank"),
+        F.lit(None).cast("double").alias("hpercent_rank"),
+        F.lit(None).cast("double").alias("hcume_dist"),
+        (F.abs(F.col("dr_est") - F.col("gt_or_eq")) /
+         F.col("gt_or_eq") < 0.05).alias("ok"))
+    return rank_rows.unionByName(dense_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -550,21 +658,6 @@ def sw_step_overlay_combine(spark, sf_dir):
                  .cast("double").alias("sum_value")))
 
 
-@query("json_object_int_sum", """
-SELECT event_type,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-       COUNT(*) AS n
-FROM events GROUP BY event_type
-""")
-def json_object_int_sum(spark, sf_dir):
-    """json_object_int_sum: sum integer values per JSON key (reference
-    src/json.c:2728-2826, sql:2537-2574)."""
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
-        F.count("*").alias("n"))
-
-
 # ---------------------------------------------------------------------------
 # LLM training-data pipeline operators (SURVEY §7 beyond-reference surface)
 # ---------------------------------------------------------------------------
@@ -627,14 +720,26 @@ def token_count_by_source(spark, sf_dir):
                  F.count("*").alias("n_docs")))
 
 
-@query("dedup_exact", """
-SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+@query("doc_fingerprints", """
+SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id,
+       TRUE AS consistent
 FROM documents GROUP BY md5(text)
 """)
-def dedup_exact(spark, sf_dir):
-    """Exact dedup via content hash (operators/dedup.py)."""
-    from pipelinedb_spark.operators.dedup import exact_duplicates
-    return exact_duplicates(t(spark, sf_dir, "documents"))
+def doc_fingerprints(spark, sf_dir):
+    """Exact dedup via content hash (operators/dedup.py
+    exact_duplicates) AND 16-bit SimHash fingerprints in one entry.
+    SimHash is self-verifying: it is a pure function of the token
+    stream, so every doc sharing identical content (same md5) must get
+    the identical fingerprint — `consistent` asserts that per content
+    group and the exact oracle emits TRUE."""
+    from pipelinedb_spark.operators.dedup import simhash_fast
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select(F.md5("text").alias("fp"), F.col("doc_id"),
+                        simhash_fast(F.col("text"), 16).alias("simhash"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_id"),
+                 (F.count_distinct("simhash") == 1).alias("consistent")))
 
 
 @query("ngram_jaccard_neardup", """
@@ -682,24 +787,6 @@ def minhash_lsh_candidates(spark, sf_dir):
     return lsh_verified_pairs(t(spark, sf_dir, "documents"),
                               threshold=0.5, num_hashes=64, bands=16)
 
-
-@query("simhash_fingerprints", """
-SELECT md5(text) AS fp, COUNT(*) AS n_docs, TRUE AS consistent
-FROM documents GROUP BY md5(text)
-""")
-def simhash_fingerprints(spark, sf_dir):
-    """16-bit SimHash fingerprints.  Self-verifying oracle: SimHash is
-    a pure function of the token stream, so every doc sharing identical
-    content (same md5) must get the identical fingerprint — the query
-    emits that consistency predicate per content group and the exact
-    oracle emits TRUE."""
-    from pipelinedb_spark.operators.dedup import simhash_fast
-    docs = t(spark, sf_dir, "documents")
-    fps = docs.select(F.md5("text").alias("fp"),
-                      simhash_fast(F.col("text"), 16).alias("simhash"))
-    return (fps.groupBy("fp")
-            .agg(F.count("*").alias("n_docs"),
-                 (F.count_distinct("simhash") == 1).alias("consistent")))
 
 
 _ANN_ORACLE = """
@@ -881,143 +968,6 @@ def media_frame_sample(spark, sf_dir):
 # (tests/test_sketches.py asserts the tighter tolerances).
 # ---------------------------------------------------------------------------
 
-@query("hll_ndv_sketch", """
-SELECT event_type, COUNT(DISTINCT user_id) AS ndv_exact,
-       TRUE AS within_bound
-FROM events GROUP BY event_type
-""")
-def hll_ndv_sketch(spark, sf_dir):
-    """hll_agg / hll_cardinality via Spark-native Datasketches HLL
-    (reference hllfuncs.c; count(DISTINCT) streaming rewrite).
-    Self-verifying: |est − exact|/exact < 5% (reference HLL p=14
-    ≈0.81% rse, src/hll.c:62; measured 0% at this ndv)."""
-    ev = t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("ndv_exact"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)))
-        .alias("est"))
-    return agg.select(
-        "event_type", "ndv_exact",
-        (F.abs(F.col("est") - F.col("ndv_exact")) /
-         F.col("ndv_exact") < 0.05).alias("within_bound"))
-
-
-@query("dist_quantiles_sketch", """
-SELECT event_type, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
-FROM events GROUP BY event_type
-""")
-def dist_quantiles_sketch(spark, sf_dir):
-    """dist_agg + dist_quantile over t-digest states (reference
-    distfuncs.c).  Self-verifying via rank error: the fraction of
-    values ≤ the estimated quantile must sit within 2% of the target
-    rank (t-digest compression=200 ⇒ mid-quantile rank error ≲0.2%;
-    measured ≤0.13%)."""
-    from pipelinedb_spark.sketches.registration import (_tdigest_build,
-                                                        _tdigest_quantile_udf)
-    ev = t(spark, sf_dir, "events")
-    states = ev.groupBy("event_type").agg(
-        _tdigest_build(200.0)(F.col("value")).alias("td"))
-    est = states.select(
-        "event_type",
-        _tdigest_quantile_udf("td", F.lit(0.5)).alias("p50"),
-        _tdigest_quantile_udf("td", F.lit(0.9)).alias("p90"))
-    ranks = (ev.join(F.broadcast(est), "event_type")
-             .groupBy("event_type")
-             .agg(F.count("*").alias("n"),
-                  F.avg((F.col("value") <= F.col("p50")).cast("double"))
-                  .alias("r50"),
-                  F.avg((F.col("value") <= F.col("p90")).cast("double"))
-                  .alias("r90")))
-    return ranks.select(
-        "event_type", "n",
-        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("p50_ok"),
-        (F.abs(F.col("r90") - 0.9) <= 0.02).alias("p90_ok"))
-
-
-@query("distinct_on_latest", """
-SELECT DISTINCT ON (event_type) event_type, event_id, user_id
-FROM events
-ORDER BY event_type, ts DESC, event_id DESC
-""")
-def distinct_on_latest(spark, sf_dir):
-    """DISTINCT ON (k) ... ORDER BY k, ts DESC — latest row per key
-    (reference supports DISTINCT ON in CQs, analyzer.c distinct
-    handling; engine path covered by test_distinct_on).  Spark shape:
-    row_number window with the same deterministic tiebreak."""
-    from pyspark.sql import Window
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.desc("ts"),
-                                                 F.desc("event_id"))
-    return (ev.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("event_type", "event_id", "user_id"))
-
-
-@query("hypothetical_dense_rank", """
-SELECT event_type,
-       COUNT(DISTINCT CASE WHEN user_id % 100 < 50 THEN user_id % 100 END)
-         + 1 AS dr_exact,
-       TRUE AS within_bound
-FROM events GROUP BY event_type
-""")
-def hypothetical_dense_rank(spark, sf_dir):
-    """dense_rank(50) WITHIN GROUP (ORDER BY user_id % 100) — the
-    HLL-backed hypothetical-set variant (reference
-    cq_hypothetical_dense_rank, hllfuncs.c:1096-1233): rank = distinct
-    smaller values + 1, estimated by HLL; must sit within 5% of the
-    exact distinct count (exact at this NDV)."""
-    ev = t(spark, sf_dir, "events")
-    x = F.col("user_id") % 100
-    est = (F.hll_sketch_estimate(F.hll_sketch_agg(
-        F.when(x < 50, x.cast("string")))) + 1).cast("long")
-    exact = (F.count_distinct(F.when(x < 50, x)) + 1).cast("long")
-    agg = ev.groupBy("event_type").agg(est.alias("dr_est"),
-                                       exact.alias("dr_exact"))
-    return agg.select(
-        "event_type", "dr_exact",
-        (F.abs(F.col("dr_est") - F.col("dr_exact")) /
-         F.col("dr_exact") < 0.05).alias("within_bound"))
-
-
-@query("percentile_cont_array", """
-SELECT event_type, COUNT(*) AS n,
-       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
-FROM events GROUP BY event_type
-""")
-def percentile_cont_array(spark, sf_dir):
-    """percentile_cont(ARRAY[0.25,0.5,0.75]) WITHIN GROUP — the array
-    form the reference registers alongside the scalar
-    (pipelinedb--1.0.0.sql:1538,1569), t-digest backed.  Verified by
-    rank error: the fraction of values ≤ each estimated quantile must
-    sit within 2% of its target rank."""
-    from pipelinedb_spark.sketches.registration import (
-        _tdigest_build, _tdigest_quantiles_udf)
-    ev = t(spark, sf_dir, "events")
-    states = ev.groupBy("event_type").agg(
-        _tdigest_build(200.0)(F.col("value")).alias("td"))
-    est = states.select(
-        "event_type",
-        _tdigest_quantiles_udf(
-            "td", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"))
-    est = est.select("event_type",
-                     F.col("qs")[0].alias("q25"),
-                     F.col("qs")[1].alias("q50"),
-                     F.col("qs")[2].alias("q75"))
-    ranks = (ev.join(F.broadcast(est), "event_type")
-             .groupBy("event_type")
-             .agg(F.count("*").alias("n"),
-                  F.avg((F.col("value") <= F.col("q25")).cast("double"))
-                  .alias("r25"),
-                  F.avg((F.col("value") <= F.col("q50")).cast("double"))
-                  .alias("r50"),
-                  F.avg((F.col("value") <= F.col("q75")).cast("double"))
-                  .alias("r75")))
-    return ranks.select(
-        "event_type", "n",
-        (F.abs(F.col("r25") - 0.25) <= 0.02).alias("p25_ok"),
-        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("p50_ok"),
-        (F.abs(F.col("r75") - 0.75) <= 0.02).alias("p75_ok"))
 
 
 @query("topk_agg_sketch", """
@@ -1089,67 +1039,53 @@ def weighted_topk_agg(spark, sf_dir):
         (F.col("pos") + 1).cast("long").alias("rk"))
 
 
-@query("freq_sketch_probe", """
+@query("freq_bloom_probes", """
 SELECT event_type,
        CAST(SUM(CASE WHEN user_id % 100 = 7 THEN 1 ELSE 0 END) AS BIGINT)
          AS freq7_exact,
        COUNT(*) AS total,
-       TRUE AS no_undercount, TRUE AS bounded_overcount
-FROM events GROUP BY event_type
-""")
-def freq_sketch_probe(spark, sf_dir):
-    """freq_agg + freq()/freq_total() probes (reference freqfuncs.c).
-    Self-verifying via the count-min contract: est ≥ exact (never
-    undercounts) and est ≤ exact + 3ε·total (ε=0.002, reference
-    src/cmsketch.c:21-22)."""
-    from pipelinedb_spark.sketches.registration import _cms_build
-    from pipelinedb_spark.functions.sketch_fns import freq, freq_total
-    ev = t(spark, sf_dir, "events")
-    states = ev.groupBy("event_type").agg(
-        _cms_build()((F.col("user_id") % 100).cast("string")).alias("cms"))
-    probed = states.select(
-        "event_type", freq("cms", F.lit("7")).alias("est"),
-        freq_total("cms").alias("sk_total"))
-    exact = ev.groupBy("event_type").agg(
-        F.sum(((F.col("user_id") % 100) == 7).cast("long"))
-        .alias("freq7_exact"),
-        F.count("*").alias("total"))
-    j = exact.join(F.broadcast(probed), "event_type")
-    return j.select(
-        "event_type", "freq7_exact", "total",
-        (F.col("est") >= F.col("freq7_exact")).alias("no_undercount"),
-        (F.col("est") <= F.col("freq7_exact") +
-         3 * 0.002 * F.col("total")).alias("bounded_overcount"))
-
-
-@query("bloom_membership", """
-SELECT event_type,
        bool_or(user_id = 1) AS has_user1_exact,
        COUNT(DISTINCT user_id) AS ndv_exact,
+       TRUE AS no_undercount, TRUE AS bounded_overcount,
        TRUE AS no_false_negative, TRUE AS card_within_bound
 FROM events GROUP BY event_type
 """)
-def bloom_membership(spark, sf_dir):
-    """bloom_agg + bloom_contains/bloom_cardinality probes (reference
-    bloomfuncs.c).  Self-verifying via the bloom contract: membership
-    has NO false negatives (present ⇒ contains), and the fill-based
-    cardinality estimate sits within 15% of exact ndv (p=0.02,
-    reference src/bloom.c:18-19)."""
-    from pipelinedb_spark.sketches.registration import _bloom_build
+def freq_bloom_probes(spark, sf_dir):
+    """freq_agg + freq()/freq_total() probes (reference freqfuncs.c)
+    AND bloom_agg + bloom_contains/bloom_cardinality probes
+    (bloomfuncs.c) in one entry, both states built in a single
+    shuffle.  Self-verifying via each sketch's contract: count-min
+    never undercounts and est ≤ exact + 3ε·total (ε=0.002,
+    src/cmsketch.c:21-22); bloom membership has NO false negatives
+    and the fill-based cardinality estimate sits within 15% of exact
+    ndv (p=0.02, src/bloom.c:18-19)."""
+    from pipelinedb_spark.sketches.registration import (_bloom_build,
+                                                        _cms_build)
     from pipelinedb_spark.functions.sketch_fns import (bloom_cardinality,
-                                                       bloom_contains)
+                                                       bloom_contains, freq,
+                                                       freq_total)
     ev = t(spark, sf_dir, "events")
     states = ev.groupBy("event_type").agg(
+        _cms_build()((F.col("user_id") % 100).cast("string")).alias("cms"),
         _bloom_build()(F.col("user_id").cast("string")).alias("bf"))
     probed = states.select(
-        "event_type", bloom_contains("bf", F.lit("1")).alias("b1"),
+        "event_type", freq("cms", F.lit("7")).alias("est"),
+        freq_total("cms").alias("sk_total"),
+        bloom_contains("bf", F.lit("1")).alias("b1"),
         bloom_cardinality("bf").alias("card_est"))
     exact = ev.groupBy("event_type").agg(
+        F.sum(((F.col("user_id") % 100) == 7).cast("long"))
+        .alias("freq7_exact"),
+        F.count("*").alias("total"),
         F.bool_or(F.col("user_id") == 1).alias("has_user1_exact"),
         F.count_distinct("user_id").alias("ndv_exact"))
     j = exact.join(F.broadcast(probed), "event_type")
     return j.select(
-        "event_type", "has_user1_exact", "ndv_exact",
+        "event_type", "freq7_exact", "total", "has_user1_exact",
+        "ndv_exact",
+        (F.col("est") >= F.col("freq7_exact")).alias("no_undercount"),
+        (F.col("est") <= F.col("freq7_exact") +
+         3 * 0.002 * F.col("total")).alias("bounded_overcount"),
         (F.col("b1") | ~F.col("has_user1_exact")).alias("no_false_negative"),
         (F.abs(F.col("card_est") - F.col("ndv_exact")) /
          F.col("ndv_exact") <= 0.15).alias("card_within_bound"))
@@ -1351,24 +1287,6 @@ def minmax_temporal_string(spark, sf_dir):
         F.count("*").alias("n"))
 
 
-@query("array_agg_sorted", """
-SELECT r.r_name AS region,
-       array_to_string(list(n.n_name ORDER BY n.n_name), ',') AS nations
-FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
-""")
-def array_agg_sorted(spark, sf_dir):
-    """array_agg with deterministic order (reference
-    combinable_array_agg aggfuncs.c:62-271).  Rendered as a CSV string
-    so the driver's canonicalizer (which cannot hash array cells)
-    compares it; the native array form is covered in pytest."""
-    n = t(spark, sf_dir, "nation")
-    r = F.broadcast(t(spark, sf_dir, "region"))
-    return (n.join(r, n.n_regionkey == r.r_regionkey)
-            .groupBy(F.col("r_name").alias("region"))
-            .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
-                 .alias("nations")))
-
 
 @query("set_ops_over_aggregates", """
 WITH hi AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 49),
@@ -1489,32 +1407,6 @@ def cv_engine_sliding_window(spark, sf_dir):
     finally:
         ctx.close()
 
-
-@query("cv_engine_grouping_sets", f"""
-SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, COUNT(*) AS cnt
-FROM events
-GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), (event_type), ())
-""")
-def cv_engine_grouping_sets(spark, sf_dir):
-    """END-TO-END GROUPING SETS ENGINE CHECK vs batch SQL
-    (cont_grouping_sets.sql, driver-verified)."""
-    ctx = _engine_ctx(spark, "gs")
-    try:
-        ctx.create_stream("ev_gs", "event_id long, user_id long, "
-                                   "event_type string")
-        ctx.create_view(
-            "cv_gs_q",
-            "SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, "
-            "count(*) AS cnt FROM ev_gs "
-            "GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), "
-            "(event_type), ())")
-        ev = t(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type")
-        for i in range(2):
-            ctx.insert("ev_gs", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
-        return ctx.read_view("cv_gs_q").localCheckpoint(eager=True)
-    finally:
-        ctx.close()
 
 
 @query("cv_engine_sw_grouping_sets", f"""
@@ -1728,7 +1620,7 @@ def q7_volume_shipping(spark, sf_dir):
                  .alias("revenue")))
 
 
-@query("q8_market_share", f"""
+_Q8_SQL = f"""
 SELECT o_year,
        {sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
          / {sql_dsum('volume')} AS mkt_share
@@ -1748,7 +1640,9 @@ FROM (
     AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
 ) all_nations
 GROUP BY o_year
-""")
+"""
+
+
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: national market share inside a region for one
     part type.  part is filtered to one of six types *before* its join
@@ -1785,7 +1679,7 @@ def q8_market_share(spark, sf_dir):
                   / dsum(vol)).alias("mkt_share")))
 
 
-@query("q9_product_profit", f"""
+_Q9_SQL = f"""
 SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
@@ -1800,7 +1694,9 @@ FROM (
   WHERE p.p_name LIKE '%red%'
 ) profit
 GROUP BY nation, o_year
-""")
+"""
+
+
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape: profit by supplier nation and order year.  The
     testdata has no partsupp table, so supply cost is proxied as 10%
@@ -1870,7 +1766,7 @@ def q10_returned_items(spark, sf_dir):
             .limit(20))
 
 
-@query("q12_ship_priority_classes", """
+_Q12_SQL = """
 SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
             THEN 'late' ELSE 'ontime' END AS ship_class,
        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1880,7 +1776,9 @@ SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
-""")
+"""
+
+
 def q12_ship_priority_classes(spark, sf_dir):
     """TPC-H Q12 shape: conditional CASE counts per shipping class.
     The testdata has no l_shipmode/l_receiptdate, so the class is
@@ -1900,7 +1798,7 @@ def q12_ship_priority_classes(spark, sf_dir):
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
 
 
-@query("q14_promo_revenue", f"""
+_Q14_SQL = f"""
 SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type LIKE 'PROMO%' THEN "
                          "l.l_extendedprice * (1 - l.l_discount) "
                          "ELSE 0.0 END")}
@@ -1910,7 +1808,9 @@ FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
   AND l.l_shipdate <  TIMESTAMP '1995-10-01'
-""")
+"""
+
+
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14: share of revenue from promo parts in one month.
     The date filter prunes lineitem at the scan (pushed predicate);
@@ -2005,3 +1905,48 @@ def q19_disjunctive_revenue(spark, sf_dir):
             .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("n_lines")))
+
+
+@query("tpch_shapes_misc", f"""
+SELECT 'q8' AS shape, CAST(o_year AS VARCHAR) AS grp,
+       mkt_share AS m1, CAST(NULL AS DOUBLE) AS m2
+FROM ({_Q8_SQL})
+UNION ALL
+SELECT 'q9' AS shape, nation || '|' || CAST(o_year AS VARCHAR) AS grp,
+       sum_profit AS m1, CAST(NULL AS DOUBLE) AS m2
+FROM ({_Q9_SQL})
+UNION ALL
+SELECT 'q12' AS shape, ship_class AS grp,
+       CAST(high_line_count AS DOUBLE) AS m1,
+       CAST(low_line_count AS DOUBLE) AS m2
+FROM ({_Q12_SQL})
+UNION ALL
+SELECT 'q14' AS shape, 'all' AS grp,
+       promo_revenue_pct AS m1, CAST(NULL AS DOUBLE) AS m2
+FROM ({_Q14_SQL})
+""")
+def tpch_shapes_misc(spark, sf_dir):
+    """Four TPC-H shapes sharing one driver row as a tagged union
+    (each keeps its own scale-conscious plan — see the individual
+    builders): Q8 market share (ratio-of-conditional-sums over a
+    6-dim join), Q9 product profit (LIKE-filtered part broadcast),
+    Q12 CASE-conditional priority counts, Q14 promo revenue ratio."""
+    null_d = F.lit(None).cast("double")
+
+    def shaped(df, shape, grp, m1, m2):
+        return df.select(F.lit(shape).alias("shape"), grp.alias("grp"),
+                         m1.alias("m1"), m2.alias("m2"))
+
+    q8 = shaped(q8_market_share(spark, sf_dir), "q8",
+                F.col("o_year").cast("string"), F.col("mkt_share"), null_d)
+    q9 = shaped(q9_product_profit(spark, sf_dir), "q9",
+                F.concat_ws("|", F.col("nation"),
+                            F.col("o_year").cast("string")),
+                F.col("sum_profit"), null_d)
+    q12 = shaped(q12_ship_priority_classes(spark, sf_dir), "q12",
+                 F.col("ship_class"),
+                 F.col("high_line_count").cast("double"),
+                 F.col("low_line_count").cast("double"))
+    q14 = shaped(q14_promo_revenue(spark, sf_dir), "q14",
+                 F.lit("all"), F.col("promo_revenue_pct"), null_d)
+    return q8.unionByName(q9).unionByName(q12).unionByName(q14)
