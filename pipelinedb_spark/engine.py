@@ -537,24 +537,23 @@ class PipelineContext:
             self._replaying = False
         self._catalog = records
 
-    def _catalog_add(self, rec: dict) -> None:
+    def _catalog_flush(self) -> None:
         import json
-        if self._replaying:
-            return
-        self._catalog.append(rec)
         tmp = self._catalog_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._catalog, f)
         os.replace(tmp, self._catalog_path)
 
+    def _catalog_add(self, rec: dict) -> None:
+        if self._replaying:
+            return
+        self._catalog.append(rec)
+        self._catalog_flush()
+
     def _catalog_remove(self, kind: str, name: str) -> None:
-        import json
         self._catalog = [r for r in self._catalog
                          if not (r["kind"] == kind and r["name"] == name)]
-        tmp = self._catalog_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._catalog, f)
-        os.replace(tmp, self._catalog_path)
+        self._catalog_flush()
 
     # -- DDL -----------------------------------------------------------------
     def create_stream(self, name: str, schema: T.StructType | str) -> StreamDef:
@@ -568,6 +567,44 @@ class PipelineContext:
         self.streams[name] = sd
         self._catalog_add({"kind": "stream", "name": name,
                            "schema": schema.jsonValue()})
+        return sd
+
+    def alter_stream(self, name: str,
+                     add_column: str | T.StructType | None = None
+                     ) -> StreamDef:
+        """``ALTER STREAM ... ADD COLUMN`` — the only column DDL the
+        reference permits on streams (commands.c:360-381 rejects DROP/
+        ALTER TYPE/etc.; pipeline_stream.c:63-84 re-resolves the stream
+        row type).  ``add_column`` is a DDL fragment ("x int, y text")
+        or a StructType.  Live semantics match the reference: existing
+        CVs keep running (their plans reference only old columns), new
+        inserts may populate the new columns, and the widened schema is
+        persisted to the catalog so a fresh context replays it."""
+        sd = self.streams.get(name)
+        if sd is None:
+            raise CQError(f"stream {name} does not exist")
+        if name.endswith("_osrel"):
+            raise CQError("cannot alter a CQ output stream")
+        if add_column is None:
+            raise CQError("alter_stream supports ADD COLUMN only "
+                          "(reference commands.c:360-381)")
+        add = (add_column if isinstance(add_column, T.StructType)
+               else T.StructType.fromDDL(add_column))
+        for f in add.fields:
+            if f.name in sd.schema.fieldNames():
+                raise CQError(
+                    f"column {f.name} already exists in stream {name}")
+        # keep arrival_timestamp last — insert coercion appends it
+        fields = [f for f in sd.schema.fields if f.name != ARRIVAL_COL]
+        fields += list(add.fields)
+        if ARRIVAL_COL in sd.schema.fieldNames():
+            fields.append(sd.schema[ARRIVAL_COL])
+        sd.schema = T.StructType(fields)
+        for rec in self._catalog:
+            if rec["kind"] == "stream" and rec["name"] == name:
+                rec["schema"] = sd.schema.jsonValue()
+        if not self._replaying:
+            self._catalog_flush()
         return sd
 
     def register_table(self, name: str, df: DataFrame) -> None:

@@ -39,3 +39,49 @@ def test_catalog_drop_view(spark, tmp_path):
     ctx.drop_view("cv_gone")
     ctx2 = PipelineContext(spark, root=root, num_buckets=8)
     assert "cv_gone" not in ctx2.views
+
+
+def test_alter_stream_add_column(spark, tmp_path):
+    """ALTER STREAM ADD COLUMN (reference commands.c:360-381,
+    pipeline_stream.c:63-84): existing CVs keep running, new inserts
+    populate the new column, new CVs may reference it, and the widened
+    schema survives catalog replay."""
+    from pipelinedb_spark import CQError, PipelineContext
+    import pytest
+
+    root = str(tmp_path / "pdb_alter")
+    ctx = PipelineContext(spark, root=root, num_buckets=8)
+    ctx.create_stream("sa", "k string, v long")
+    ctx.create_view("cv_old", "SELECT k, count(*) AS n, sum(v) AS s "
+                              "FROM sa GROUP BY k")
+    ctx.insert("sa", [{"k": "a", "v": 1}])
+
+    ctx.alter_stream("sa", add_column="w double")
+    # old CV still consumes post-alter inserts (w ignored by its plan)
+    ctx.insert("sa", [{"k": "a", "v": 2, "w": 0.5}])
+    got = {r["k"]: r for r in ctx.read_view("cv_old").collect()}
+    assert got["a"]["n"] == 2 and got["a"]["s"] == 3
+    # a new CV can aggregate the new column
+    ctx.create_view("cv_new", "SELECT k, sum(w) AS sw FROM sa GROUP BY k")
+    ctx.insert("sa", [{"k": "a", "v": 3, "w": 1.5},
+                      {"k": "b", "w": 2.0}])
+    got = {r["k"]: r for r in ctx.read_view("cv_new").collect()}
+    assert got["a"]["sw"] == 1.5 and got["b"]["sw"] == 2.0
+    # rejections: duplicate column, unknown stream, osrel, non-ADD
+    with pytest.raises(CQError):
+        ctx.alter_stream("sa", add_column="v long")
+    with pytest.raises(CQError):
+        ctx.alter_stream("nope", add_column="x int")
+    with pytest.raises(CQError):
+        ctx.alter_stream("cv_old_osrel", add_column="x int")
+    with pytest.raises(CQError):
+        ctx.alter_stream("sa")
+
+    # replay: fresh context sees the widened schema and keeps working
+    ctx2 = PipelineContext(spark, root=root, num_buckets=8)
+    assert "w" in ctx2.streams["sa"].schema.fieldNames()
+    ctx2.insert("sa", [{"k": "b", "v": 9, "w": 4.0}])
+    got = {r["k"]: r for r in ctx2.read_view("cv_new").collect()}
+    assert got["b"]["sw"] == 6.0
+    got = {r["k"]: r for r in ctx2.read_view("cv_old").collect()}
+    assert got["b"]["s"] == 9
