@@ -1007,6 +1007,65 @@ class PipelineContext:
         cv = self.views[name]
         cv.matrel.merge(states, cv._group_cols, cv.merge_fn)
 
+    def dump_state(self, name: str, path: str) -> int:
+        """Export a CV's matrel partial states to a portable directory
+        (the pg_dump path of reference test_dump_restore.py: the dump
+        carries matrel rows + catalog entries, and restoring them
+        reproduces CV results without replaying the stream).  Writes
+        the partial-state parquet plus a DUMP.json recording the CV's
+        SQL for compatibility checking at restore.  Returns the number
+        of state rows dumped."""
+        import json
+        if name not in self.views:
+            raise CQError(f"continuous view {name} does not exist")
+        self._flush_cv(name)
+        cv = self.views[name]
+        states = cv.matrel.read()
+        os.makedirs(path, exist_ok=True)
+        n = 0
+        if states is not None:
+            from pyspark.sql import Observation
+            obs = Observation()
+            states.observe(obs, F.count(F.lit(1)).alias("n")) \
+                .write.mode("overwrite").parquet(os.path.join(path, "states"))
+            n = int(obs.get["n"])
+        with open(os.path.join(path, "DUMP.json"), "w") as f:
+            json.dump({"name": name, "sql": cv.sql, "rows": n}, f)
+        return n
+
+    def restore_state(self, name: str, path: str,
+                      merge: bool = False) -> int:
+        """Import matrel partial states written by ``dump_state`` into
+        an existing CV with the same definition (reference
+        test_dump_restore.py).  ``merge=False`` replaces the matrel —
+        the dump/restore-into-fresh-install flow; ``merge=True``
+        combines the dumped states with the live ones (partial states
+        are combinable by design, the same property combine_table
+        uses) — the shard-migration flow.  Bucket ids are recomputed
+        for this context's bucket count, so dumps move between
+        engines with different num_buckets."""
+        import json
+        cv = self.views.get(name)
+        if cv is None:
+            raise CQError(f"continuous view {name} does not exist")
+        with open(os.path.join(path, "DUMP.json")) as f:
+            meta = json.load(f)
+        if " ".join(meta["sql"].split()) != " ".join(cv.sql.split()):
+            raise CQError(
+                f"dump of {meta['name']!r} does not match the definition "
+                f"of {name!r}; restore into a CV created with the same SQL")
+        if meta["rows"] == 0:
+            if not merge:
+                cv.matrel.truncate()
+            return 0
+        states = self.spark.read.parquet(os.path.join(path, "states")) \
+            .drop(BUCKET_COL)
+        if merge:
+            cv.matrel.merge(states, cv._group_cols, cv.merge_fn)
+        else:
+            cv.matrel.overwrite(states, cv._group_cols)
+        return int(meta["rows"])
+
     def copy_from(self, stream: str, path: str, fmt: str = "parquet",
                   options: dict[str, str] | None = None) -> int:
         """COPY stream FROM file — bulk file→stream ingestion

@@ -67,3 +67,49 @@ def test_json_object_int_sum_cv(ctx):
     import json as _json
     row = ctx.read_view("cv_jsum").collect()[0]
     assert _json.loads(row["sums"]) == {"x": 11, "y": 7, "z": 7}
+
+
+def test_dump_restore_roundtrip(ctx, tmp_path):
+    """dump → truncate → restore reproduces the CV exactly, restored
+    states stay combinable with new inserts, merge=True combines two
+    dumps, and a definition mismatch is rejected (reference
+    test_dump_restore.py)."""
+    import pytest
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("dr1", "k string, v double, u long")
+    ctx.create_view("cv_dr", "SELECT k, count(*) AS n, avg(v) AS a, "
+                             "exact_count_distinct(u) AS ndv "
+                             "FROM dr1 GROUP BY k")
+    ctx.insert("dr1", [{"k": "a", "v": 1.0, "u": 1},
+                       {"k": "a", "v": 3.0, "u": 2},
+                       {"k": "b", "v": 5.0, "u": 1}])
+    before = sorted(tuple(r) for r in ctx.read_view("cv_dr").collect())
+
+    dump = str(tmp_path / "dump_cv_dr")
+    n = ctx.dump_state("cv_dr", dump)
+    assert n == 2  # one state row per group
+
+    ctx.truncate_view("cv_dr")
+    assert ctx.read_view("cv_dr").count() == 0
+    assert ctx.restore_state("cv_dr", dump) == 2
+    assert sorted(tuple(r) for r in ctx.read_view("cv_dr").collect()) == before
+
+    # restored partial states remain combinable with fresh inserts
+    ctx.insert("dr1", [{"k": "a", "v": 5.0, "u": 3}])
+    got = {r["k"]: r for r in ctx.read_view("cv_dr").collect()}
+    assert got["a"]["n"] == 3 and got["a"]["a"] == 3.0 and got["a"]["ndv"] == 3
+
+    # merge=True: combining a dump into live state sums the partials
+    ctx.truncate_view("cv_dr")
+    ctx.restore_state("cv_dr", dump, merge=True)
+    ctx.restore_state("cv_dr", dump, merge=True)
+    got = {r["k"]: r for r in ctx.read_view("cv_dr").collect()}
+    assert got["a"]["n"] == 4 and got["b"]["n"] == 2
+    assert got["a"]["a"] == 2.0          # avg unchanged by doubling
+    assert got["a"]["ndv"] == 2          # distinct set unchanged
+
+    # definition mismatch rejected
+    ctx.create_view("cv_other", "SELECT k, count(*) AS n FROM dr1 GROUP BY k")
+    with pytest.raises(CQError):
+        ctx.restore_state("cv_other", dump)
