@@ -159,7 +159,8 @@ class ContView:
 
     def __init__(self, ctx: "PipelineContext", name: str, sql: str,
                  plan: CQPlan, ttl: float | None, ttl_column: str | None,
-                 max_age_fn: Callable[[], float] | None = None) -> None:
+                 max_age_fn: Callable[[], float] | None = None,
+                 pk: str | None = None) -> None:
         self.ctx = ctx
         self.name = name
         self.sql = sql
@@ -183,6 +184,24 @@ class ContView:
             self._group_cols = self._group_cols + [GID_COL]
         if plan.sw_column is not None:
             self._group_cols = self._group_cols + [STEP_COL]
+        # user-designated matrel primary key (reference WITH (pk='col'),
+        # pipeline_query.c:1735-1770, test cont_pk.sql): the designated
+        # column replaces the group-hash as the matrel's row identity.
+        if pk is not None:
+            if not isinstance(pk, str):
+                raise CQError("continuous view primary keys must be "
+                              "specified with a valid column name")
+            valid = set(plan.group_names) | {c.out for c in plan.aggs}
+            if pk not in valid:
+                raise CQError(f'primary key column "{pk}" not found')
+        self.pk = pk
+        # bucket identity: a pk that is a group column keys the matrel
+        # buckets alone (point-lookups prune by pk hash); a pk on an
+        # aggregate output cannot drive bucketing (its value changes
+        # with every merge), so bucketing stays on the group hash and
+        # pk uniqueness is enforced at read (finalize) time.
+        self._bucket_cols = ([pk] if pk in set(plan.group_names)
+                             else self._group_cols)
 
     # -- worker: micro-batch → partial states -------------------------------
     def worker(self, pre_df: DataFrame) -> DataFrame:
@@ -311,6 +330,22 @@ class ContView:
         if extra_cols:
             out_cols = [F.col(c) for c in extra_cols] + out_cols
         out = df.select(*out_cols)
+        if (self.pk is not None and not extra_cols
+                and plan.grouping_sets is None
+                and plan.group_names != [self.pk]):
+            # pk uniqueness when the designated pk is NOT the full group
+            # identity (e.g. WITH (pk='count'), reference cont_pk.sql
+            # test_pk1): conflicting rows collapse to one survivor per
+            # pk value.  Deterministic: smallest remaining tuple wins.
+            # (Deviation from PG: the reference surfaces whichever row
+            # the constraint machinery left behind; we pick the minimum
+            # — documented, deterministic, same uniqueness guarantee.)
+            from pyspark.sql import Window
+            others = [c for c in out.columns if c != self.pk]
+            w = Window.partitionBy(self.pk).orderBy(
+                *[F.asc_nulls_last(c) for c in others])
+            out = (out.withColumn("__pk_rn", F.row_number().over(w))
+                   .filter(F.col("__pk_rn") == 1).drop("__pk_rn"))
         if plan.distinct_on and not extra_cols:
             # DISTINCT ON: view-level dedup on the ON columns
             out = out.dropDuplicates(plan.distinct_on)
@@ -347,7 +382,7 @@ class ContView:
         obs = Observation()
         delta = (self.worker(pre_df)
                  .withColumn(BUCKET_COL,
-                             self.matrel.bucket_expr(self._group_cols))
+                             self.matrel.bucket_expr(self._bucket_cols))
                  .observe(obs, F.collect_set(F.col(BUCKET_COL)).alias("bks"))
                  .localCheckpoint(eager=True))
         affected = sorted(int(b) for b in obs.get["bks"])
@@ -614,7 +649,8 @@ class PipelineContext:
 
     def create_view(self, name: str, sql: str, sw: str | None = None,
                     step_factor: float = 5.0, ttl: str | None = None,
-                    ttl_column: str | None = None) -> ContView:
+                    ttl_column: str | None = None,
+                    pk: str | None = None) -> ContView:
         if name in self.views or name in self.transforms:
             raise CQError(f"continuous view {name} already exists")
         sql = self._rewrite_output_of(sql)
@@ -626,7 +662,7 @@ class PipelineContext:
             ttl_secs = parse_interval(ttl)
         elif plan.sw_seconds is not None:
             ttl_secs = plan.sw_seconds + 2 * (plan.sw_step_seconds or 0)
-        cv = ContView(self, name, sql, plan, ttl_secs, ttl_column)
+        cv = ContView(self, name, sql, plan, ttl_secs, ttl_column, pk=pk)
         # fail fast at CREATE: resolve the worker plan against the
         # (empty) stream schema so unknown columns / bad expressions
         # error now, not at first insert (reference builds worker
@@ -644,7 +680,8 @@ class PipelineContext:
         self._register_osrel(name)
         self._catalog_add({"kind": "view", "name": name, "sql": sql,
                            "opts": {"sw": sw, "step_factor": step_factor,
-                                    "ttl": ttl, "ttl_column": ttl_column}})
+                                    "ttl": ttl, "ttl_column": ttl_column,
+                                    "pk": pk}})
         return cv
 
     def create_transform(self, name: str, sql: str,
@@ -1005,7 +1042,7 @@ class PipelineContext:
         src/combiner.c:2250-2351).  ``states`` must have the matrel's
         group + state columns."""
         cv = self.views[name]
-        cv.matrel.merge(states, cv._group_cols, cv.merge_fn)
+        cv.matrel.merge(states, cv._bucket_cols, cv.merge_fn)
 
     def dump_state(self, name: str, path: str) -> int:
         """Export a CV's matrel partial states to a portable directory
@@ -1061,9 +1098,9 @@ class PipelineContext:
         states = self.spark.read.parquet(os.path.join(path, "states")) \
             .drop(BUCKET_COL)
         if merge:
-            cv.matrel.merge(states, cv._group_cols, cv.merge_fn)
+            cv.matrel.merge(states, cv._bucket_cols, cv.merge_fn)
         else:
-            cv.matrel.overwrite(states, cv._group_cols)
+            cv.matrel.overwrite(states, cv._bucket_cols)
         return int(meta["rows"])
 
     def copy_from(self, stream: str, path: str, fmt: str = "parquet",

@@ -393,3 +393,37 @@ def test_insert_into_stream_select(ctx):
     ctx.create_stream("ss_sub2", "x long")
     with pytest.raises(CQError):
         ctx.sql("INSERT INTO ss_sub (x) (SELECT x FROM ss_sub2)")
+
+
+def test_cv_user_designated_pk(ctx):
+    """WITH (pk='col') — user-designated matrel primary key (reference
+    pipeline_query.c:1735-1770, test cont_pk.sql)."""
+    import pytest
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("pk_s", "x long")
+    # pk on the group column: matrel identity/bucketing keyed by x
+    ctx.create_view("test_pk0", "SELECT x, count(*) AS n "
+                                "FROM pk_s GROUP BY x", pk="x")
+    ctx.insert("pk_s", [{"x": v} for v in range(1, 21)])
+    ctx.insert("pk_s", [{"x": v} for v in range(1, 31)])
+    got = {r["x"]: r["n"] for r in ctx.read_view("test_pk0").collect()}
+    assert got[1] == 2 and got[20] == 2 and got[21] == 1 and len(got) == 30
+
+    # pk on an aggregate output (cont_pk.sql test_pk1): uniqueness is
+    # enforced per pk value — conflicting groups collapse to one
+    # deterministic survivor
+    ctx.create_view("test_pk1", "SELECT x, count(*) AS n "
+                                "FROM pk_s GROUP BY x", pk="n")
+    ctx.insert("pk_s", [{"x": 100}, {"x": 100}, {"x": 101}, {"x": 101}])
+    rows = ctx.read_view("test_pk1").collect()
+    ns = [r["n"] for r in rows]
+    assert len(ns) == len(set(ns))  # pk unique in the visible view
+
+    # rejections (cont_pk.sql wrong_arg_type / no_column)
+    with pytest.raises(CQError):
+        ctx.create_view("wrong_arg_type",
+                        "SELECT count(*) AS n FROM pk_s", pk=1)
+    with pytest.raises(CQError):
+        ctx.create_view("no_column",
+                        "SELECT count(*) AS n FROM pk_s", pk="not_here")
