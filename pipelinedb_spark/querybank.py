@@ -1272,19 +1272,28 @@ SELECT o_orderpriority,
        MAX(o_orderdate) AS last_order,
        MIN(o_orderstatus) AS lo_status,
        MAX(o_orderstatus) AS hi_status,
-       COUNT(*) AS n
+       COUNT(*) AS n,
+       CAST(SUM(epoch(CAST(o_orderdate AS TIMESTAMP))
+                - epoch(TIMESTAMP '1992-01-01')) AS BIGINT) AS sum_age_s
 FROM orders GROUP BY o_orderpriority
 """)
 def minmax_temporal_string(spark, sf_dir):
     """min/max over timestamp and string types (reference
-    cont_min_max.sql covers per-type variants)."""
+    cont_min_max.sql covers per-type variants) plus sum(interval) —
+    the interval member of the reference's sum polymorphic family
+    (pipelinedb--1.0.0.sql:142-265): a true DayTimeInterval sum
+    (timestamp difference → interval → interval SUM), surfaced as
+    total seconds for the oracle."""
     o = t(spark, sf_dir, "orders")
+    base = F.expr("TIMESTAMP_NTZ '1992-01-01 00:00:00'")
     return o.groupBy("o_orderpriority").agg(
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
         F.min("o_orderstatus").alias("lo_status"),
         F.max("o_orderstatus").alias("hi_status"),
-        F.count("*").alias("n"))
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderdate").cast("timestamp_ntz") - base)
+        .cast("bigint").alias("sum_age_s"))
 
 
 

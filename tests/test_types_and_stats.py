@@ -120,3 +120,35 @@ def test_kafka_source_gated(ctx):
     ctx.create_view("cv_kf", "SELECT k, count(*) AS n FROM kf1 GROUP BY k")
     with pytest.raises(CQError, match="kafka source unavailable"):
         attach_kafka_stream(ctx, "kf1", "localhost:9092", "topic")
+
+
+def test_cv_sum_interval(ctx):
+    """sum/avg/min over INTERVAL columns and interval arithmetic in a
+    CQ (reference sum polymorphic family includes interval,
+    pipelinedb--1.0.0.sql:142-265)."""
+    import datetime
+    ctx.create_stream("iv_s", "k string, iv interval day to second")
+    ctx.create_view("cv_iv", "SELECT k, sum(iv) AS total, avg(iv) AS mean, "
+                             "min(iv) AS shortest FROM iv_s GROUP BY k")
+    td = datetime.timedelta
+    ctx.insert("iv_s", [{"k": "a", "iv": td(hours=1)},
+                        {"k": "a", "iv": td(minutes=30)}])
+    ctx.insert("iv_s", [{"k": "a", "iv": td(seconds=30)},
+                        {"k": "b", "iv": td(days=1)}])
+    got = {r["k"]: r for r in ctx.read_view("cv_iv").collect()}
+    assert got["a"]["total"] == td(hours=1, minutes=30, seconds=30)
+    assert got["a"]["mean"] == td(minutes=30, seconds=10)
+    assert got["a"]["shortest"] == td(seconds=30)
+    assert got["b"]["total"] == td(days=1)
+
+    # interval arithmetic inside the CQ: ts2 - ts1 aggregated
+    ctx.create_stream("iv_s2", "t0 timestamp, t1 timestamp")
+    ctx.create_view("cv_gap", "SELECT count(*) AS n, sum(t1 - t0) AS gap "
+                              "FROM iv_s2")
+    d = datetime.datetime
+    ctx.insert("iv_s2", [{"t0": d(2020, 1, 1, 0, 0, 0),
+                          "t1": d(2020, 1, 1, 2, 0, 0)},
+                         {"t0": d(2020, 1, 2, 0, 0, 0),
+                          "t1": d(2020, 1, 2, 0, 45, 0)}])
+    row = ctx.read_view("cv_gap").collect()[0]
+    assert row["n"] == 2 and row["gap"] == td(hours=2, minutes=45)
