@@ -44,15 +44,83 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                  F.min(id_col).alias("canonical_id")))
 
 
-def _gram_hash_mapper(shingle_n: int):
-    """Arrow-batched exploded (doc_id, gram-hash) index: per-token
-    crc32 once, consecutive-token polynomial combine + murmur
-    finalizer vectorized, np.unique dedup.  Same reasoning as
-    _minhash_text_mapper: Catalyst HOF shingling runs interpreted and
-    dominates the scan."""
+def _batch_token_hashes(texts):
+    """Vectorized token hashing for one Arrow batch: split each text
+    once, then hash EVERY token of the batch in a single
+    ``pd.util.hash_array`` call (cython siphash with a fixed key —
+    deterministic across processes; ``categorize=True`` factorizes the
+    batch vocabulary so each distinct token is hashed once).  Replaces
+    the former per-token ``zlib.crc32`` Python loop, which was the
+    per-core throughput ceiling of the dedup scan.  Returns the flat
+    uint64 hash array plus per-doc offsets (offs[i]:offs[i+1])."""
     import numpy as np
     import pandas as pd
-    import zlib
+
+    tok_lists = [t.split(" ") if isinstance(t, str) else []
+                 for t in texts]
+    lens = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    offs = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offs
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for ts in tok_lists:
+        flat[pos:pos + len(ts)] = ts
+        pos += len(ts)
+    th = pd.util.hash_array(flat, categorize=True).astype(np.uint64)
+    return th, offs
+
+
+def _batch_grams(texts, shingle_n, pos_mult, c1):
+    """Fully-vectorized distinct gram hashes for a whole Arrow batch:
+    one flat token-hash pass, ONE polynomial combine over the flat
+    token array (cross-doc shingles masked by a doc-index compare),
+    murmur finalize, then per-doc dedup via a single lexsort — no
+    per-doc Python/numpy-call loop at all.  Profiling showed the
+    per-doc loop's numpy call overhead (~16 µs × docs), not token
+    hashing, was the kernel's per-core ceiling.  Returns (doc_index,
+    gram_hash) arrays sorted by doc index; docs shorter than one
+    shingle simply emit nothing."""
+    import numpy as np
+
+    th, offs = _batch_token_hashes(texts)
+    nd = len(texts)
+    n = len(th)
+    m = n - shingle_n + 1
+    if m <= 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    g = np.zeros(m, dtype=np.uint64)
+    for j in range(shingle_n):
+        g += th[j: m + j] * pos_mult[j]
+    g ^= g >> np.uint64(33)
+    g = g * c1
+    g ^= g >> np.uint64(29)
+    tok_doc = np.repeat(np.arange(nd, dtype=np.int64), np.diff(offs))
+    valid = tok_doc[:m] == tok_doc[shingle_n - 1: n]
+    g = g[valid]
+    gdoc = tok_doc[:m][valid]
+    order = np.lexsort((g, gdoc))
+    g = g[order]
+    gdoc = gdoc[order]
+    if len(g):
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (g[1:] != g[:-1]) | (gdoc[1:] != gdoc[:-1])
+        g = g[keep]
+        gdoc = gdoc[keep]
+    return gdoc, g
+
+
+def _gram_hash_mapper(shingle_n: int):
+    """Arrow-batched exploded (doc_id, gram-hash) index: batch-wide
+    vectorized token hashing (_batch_token_hashes), consecutive-token
+    polynomial combine + murmur finalizer vectorized, np.unique dedup.
+    Same reasoning as _minhash_text_mapper: Catalyst HOF shingling
+    runs interpreted and dominates the scan."""
+    import numpy as np
+    import pandas as pd
 
     rng = np.random.RandomState(0x5EED ^ 0x9A55)
     pos_mult = (rng.randint(1, 2 ** 63, size=shingle_n,
@@ -63,26 +131,12 @@ def _gram_hash_mapper(shingle_n: int):
         old = np.seterr(over="ignore")
         try:
             for pdf in batches:
-                ids, grams = [], []
-                for did, text in zip(pdf["doc_id"], pdf["text"]):
-                    toks = text.split(" ")
-                    th = np.array([zlib.crc32(t.encode("utf-8"))
-                                   for t in toks], dtype=np.uint64)
-                    if len(th) < shingle_n:
-                        continue
-                    g = np.zeros(len(th) - shingle_n + 1, dtype=np.uint64)
-                    for j in range(shingle_n):
-                        g += th[j: len(th) - shingle_n + 1 + j] * pos_mult[j]
-                    g ^= g >> np.uint64(33)
-                    g = g * c1
-                    g ^= g >> np.uint64(29)
-                    g = np.unique(g)
-                    ids.append(np.full(len(g), did))
-                    grams.append(g.astype(np.int64))
-                if ids:
+                gdoc, g = _batch_grams(pdf["text"], shingle_n,
+                                       pos_mult, c1)
+                if len(g):
                     yield pd.DataFrame({
-                        "doc_id": np.concatenate(ids),
-                        "s": np.concatenate(grams)})
+                        "doc_id": pdf["doc_id"].to_numpy()[gdoc],
+                        "s": g.astype(np.int64)})
         finally:
             np.seterr(**old)
 
@@ -141,17 +195,17 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def _minhash_text_mapper(num_hashes: int, shingle_n: int,
                          bands: int = 0):
-    """Arrow-batched signature kernel over raw text: tokens hash once
-    (crc32 — deterministic, no interpreter salt), consecutive-token
-    gram hashes combine vectorized (odd-multiplier polynomial + murmur
-    finalizer, wrapping uint64), then one numpy broadcast computes all
-    K seeded-rehash minima.  Shingling deliberately does NOT run as
+    """Arrow-batched signature kernel over raw text: the whole batch's
+    tokens hash in one vectorized call (_batch_token_hashes —
+    deterministic, no interpreter salt), consecutive-token gram hashes
+    combine vectorized (odd-multiplier polynomial + murmur finalizer,
+    wrapping uint64), then one numpy broadcast computes all K
+    seeded-rehash minima.  Shingling deliberately does NOT run as
     Catalyst higher-order functions: HOF lambdas are interpreted per
     element (no codegen inside transform/slice/array_join — measured
     ~4× slower than this kernel for the whole signature)."""
     import numpy as np
     import pandas as pd
-    import zlib
 
     rng = np.random.RandomState(0x5EED)
     mult = rng.randint(1, 2 ** 63, size=num_hashes,
@@ -169,39 +223,62 @@ def _minhash_text_mapper(num_hashes: int, shingle_n: int,
         old = np.seterr(over="ignore")
         try:
             for pdf in batches:
-                sigs, bucket_lists = [], []
-                for text in pdf["text"]:
-                    toks = text.split(" ")
-                    th = np.array([zlib.crc32(t.encode("utf-8"))
-                                   for t in toks], dtype=np.uint64)
-                    if len(th) >= shingle_n:
-                        g = np.zeros(len(th) - shingle_n + 1,
-                                     dtype=np.uint64)
-                        for j in range(shingle_n):
-                            g += th[j: len(th) - shingle_n + 1 + j] \
-                                * pos_mult[j]
-                        g ^= g >> np.uint64(33)
-                        g = g * c1
-                        g ^= g >> np.uint64(29)
-                        g = np.unique(g)
-                    else:  # shorter than one shingle: sentinel gram
-                        g = np.array([0], dtype=np.uint64)
-                    x = g[:, None] * mult[None, :] + add[None, :]
+                nd = len(pdf["text"])
+                gdoc, g = _batch_grams(pdf["text"], shingle_n,
+                                       pos_mult, c1)
+                # docs shorter than one shingle get the sentinel gram 0
+                counts = np.bincount(gdoc, minlength=nd) \
+                    if len(gdoc) else np.zeros(nd, dtype=np.int64)
+                missing = np.flatnonzero(counts == 0)
+                if len(missing):
+                    gdoc = np.concatenate([gdoc, missing])
+                    g = np.concatenate(
+                        [g, np.zeros(len(missing), dtype=np.uint64)])
+                    order = np.argsort(gdoc, kind="stable")
+                    gdoc, g = gdoc[order], g[order]
+                    counts[missing] = 1
+                starts = np.zeros(nd, dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                # all K seeded-rehash minima for the WHOLE batch:
+                # doc-aligned gram chunks build the (grams × K) murmur
+                # matrix IN PLACE into one reusable ≲32 MB buffer (no
+                # per-chunk temporaries / fresh page-faulted
+                # allocations), then a cython groupby-min collapses
+                # each chunk to per-doc signatures (measured ~5× over
+                # np.minimum.reduceat, which walks 2-D segments in a
+                # Python-level inner loop)
+                sig_mat = np.empty((nd, num_hashes), dtype=np.uint64)
+                chunk_grams = 65536
+                # a chunk spans ≤ chunk_grams plus its last doc's grams
+                buf = np.empty((min(chunk_grams + int(counts.max()),
+                                    len(g)), num_hashes),
+                               dtype=np.uint64)
+                d0 = 0
+                while d0 < nd:
+                    d1 = d0 + 1
+                    g0 = starts[d0]
+                    while d1 < nd and starts[d1] - g0 < chunk_grams:
+                        d1 += 1
+                    g1 = starts[d1] if d1 < nd else len(g)
+                    x = buf[: g1 - g0]
+                    np.multiply(g[g0:g1, None], mult[None, :], out=x)
+                    x += add[None, :]
                     x ^= x >> np.uint64(33)
-                    x = x * c1
+                    x *= c1
                     x ^= x >> np.uint64(29)
-                    sig = x.min(axis=0)
-                    sigs.append(sig.astype(np.int64))
-                    if bands:
-                        b = (sig.reshape(bands, rows_per_band)
-                             * band_mult[None, :]).sum(axis=1)
-                        b ^= b >> np.uint64(33)
-                        b = b * c1
-                        b ^= b >> np.uint64(29)
-                        bucket_lists.append(b.astype(np.int64))
-                out = {"doc_id": pdf["doc_id"].values, "sig": sigs}
+                    sig_mat[d0:d1] = (pd.DataFrame(x)
+                                      .groupby(gdoc[g0:g1], sort=True)
+                                      .min().to_numpy())
+                    d0 = d1
+                out = {"doc_id": pdf["doc_id"].values,
+                       "sig": list(sig_mat.astype(np.int64))}
                 if bands:
-                    out["buckets"] = bucket_lists
+                    b = (sig_mat.reshape(nd, bands, rows_per_band)
+                         * band_mult[None, None, :]).sum(axis=2)
+                    b ^= b >> np.uint64(33)
+                    b = b * c1
+                    b ^= b >> np.uint64(29)
+                    out["buckets"] = list(b.astype(np.int64))
                 yield pd.DataFrame(out)
         finally:
             np.seterr(**old)
