@@ -446,7 +446,41 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return out
 
 
+def _simhash_kernel(bits: int):
+    """Arrow-batched SimHash: batch-wide token hashing
+    (_batch_token_hashes), then ONE bit-unpack broadcast and ONE cython
+    groupby-sum produce every doc's bit votes — no per-doc or per-bit
+    Python/Catalyst work.  Replaces the Catalyst HOF formulation,
+    which evaluated `bits` interpreted F.aggregate lambdas per doc
+    (measured ~10× slower at 16 bits)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def k(texts):
+        th, offs = _batch_token_hashes(texts)
+        nd = len(texts)
+        lens = np.diff(offs)
+        shifts = np.arange(bits, dtype=np.uint64)
+        bit_mat = ((th[:, None] >> shifts[None, :]) & np.uint64(1)) \
+            .astype(np.int64)
+        tok_doc = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        sums = pd.DataFrame(bit_mat).groupby(tok_doc, sort=True).sum()
+        out = np.zeros(nd, dtype=np.int64)
+        present = sums.index.to_numpy()
+        votes = 2 * sums.to_numpy() - lens[present][:, None]
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        out[present] = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
+        return pd.Series(out)
+
+    return k
+
+
 def simhash_fast(text: Column, bits: int = 16) -> Column:
-    """Reduced-width SimHash (default 16 bits) — the 64-bit version
-    builds a wide expression tree; 16 bits is plenty for bucketing."""
-    return simhash(text, bits)
+    """Reduced-width SimHash (default 16 bits) via the vectorized
+    Arrow kernel; 16 bits is plenty for bucketing.  Widths ≥ 64 fall
+    back to the Catalyst formulation (sign-bit packing)."""
+    if bits >= 64:
+        return simhash(text, bits)
+    return _simhash_kernel(bits)(text)
