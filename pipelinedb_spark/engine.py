@@ -461,12 +461,28 @@ class ContView:
                 if "{" not in expr]
 
     def reap(self, now: float | None = None) -> int:
-        """Delete TTL-expired rows (reference src/reaper.c:63-128)."""
+        """Delete TTL-expired rows (reference src/reaper.c:63-128).
+        ``ttl_column`` names a user-visible CV column; group columns
+        live in the matrel under their own name, while a
+        single-state aggregate output (e.g. ``max(ts) AS mx``) maps to
+        its state column."""
         if self.ttl is None:
             return 0
         col = self.ttl_column or (STEP_COL if self.plan.sw_column else None)
         if col is None:
             return 0
+        if col not in self.plan.group_names and col != STEP_COL:
+            for call in self.plan.aggs:
+                if call.out == col:
+                    spec = self._registry.get(call.func)
+                    suffixes = list(spec.partial(call.args).keys())
+                    if len(suffixes) != 1:
+                        raise CQError(
+                            f"ttl_column {col!r} is a multi-state "
+                            f"aggregate; TTL needs a single-state "
+                            f"column")
+                    col = state_col(call.out, suffixes[0])
+                    break
         cutoff = (now if now is not None else time.time()) - self.ttl
         return self.matrel.delete_where(ts_epoch(F.col(col)) < cutoff)
 
@@ -1348,6 +1364,76 @@ class PipelineContext:
 
     # -- introspection (pipelinedb.views / proc_stats analogs,
     #    reference miscutils.c catalogs + stats.c counters) -----------------
+    def version(self) -> str:
+        """pipelinedb.version() analog (reference pipeline_version,
+        sql:2620-2623)."""
+        from pipelinedb_spark import __version__
+        return (f"pipelinedb_spark {__version__} "
+                f"(PipelineDB 1.0.0-compatible surface) "
+                f"on Spark {self.spark.version}")
+
+    def set_ttl(self, name: str, ttl: str | None = None,
+                ttl_column: str | None = None) -> tuple:
+        """pipelinedb.set_ttl(cv, interval, column) — change or clear a
+        CV's TTL at runtime (reference pipeline_set_ttl,
+        sql:2636-2639).  Returns (name, ttl_seconds, ttl_column);
+        persisted to the catalog for replay."""
+        cv = self.views.get(name)
+        if cv is None:
+            raise CQError(f"continuous view {name} does not exist")
+        if cv.plan.sw_column is not None:
+            raise CQError("cannot set TTL on a sliding-window view "
+                          "(its window defines expiration)")
+        if ttl is None:
+            cv.ttl, cv.ttl_column = None, None
+        else:
+            from pipelinedb_spark.analyzer import parse_interval
+            cv.ttl = parse_interval(ttl)
+            cv.ttl_column = ttl_column
+        for rec in self._catalog:
+            if rec["kind"] == "view" and rec["name"] == name:
+                rec["opts"]["ttl"] = ttl
+                rec["opts"]["ttl_column"] = ttl_column
+        if not self._replaying:
+            self._catalog_flush()
+        return (name, cv.ttl, cv.ttl_column)
+
+    def ttl_expire(self, name: str) -> int:
+        """pipelinedb.ttl_expire(cv) — synchronously delete this CV's
+        TTL-expired rows, returning the delete count (reference
+        pipeline_ttl_expire, sql:2630-2633; reaper.c:63-128)."""
+        cv = self.views.get(name)
+        if cv is None:
+            raise CQError(f"continuous view {name} does not exist")
+        self._flush_cv(name)
+        return cv.reap()
+
+    def get_worker_querydef(self, name: str) -> str:
+        """Worker-plan introspection (reference
+        pipeline_get_worker_querydef, sql:2661-2664): the partial-agg
+        plan this CV runs per micro-batch, as Spark's formatted plan."""
+        cv = self.views.get(name)
+        if cv is None:
+            raise CQError(f"continuous view {name} does not exist")
+        probe = cv.worker(self.empty_stream_df(cv.plan.stream))
+        return probe._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    def get_combiner_querydef(self, name: str) -> str:
+        """Combiner-plan introspection (reference
+        pipeline_get_combiner_querydef, sql:2666-2669): the
+        merge-partials plan, as Spark's formatted plan."""
+        cv = self.views.get(name)
+        if cv is None:
+            raise CQError(f"continuous view {name} does not exist")
+        probe = cv.worker(self.empty_stream_df(cv.plan.stream)) \
+            .withColumn(BUCKET_COL, F.lit(0))
+        merged = cv.merge_fn(probe)
+        return merged._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
     def list_views(self) -> DataFrame:
         rows = []
         for name, cv in self.views.items():

@@ -427,3 +427,41 @@ def test_cv_user_designated_pk(ctx):
     with pytest.raises(CQError):
         ctx.create_view("no_column",
                         "SELECT count(*) AS n FROM pk_s", pk="not_here")
+
+
+def test_introspection_surface(ctx):
+    """pipelinedb.version / set_ttl / ttl_expire / worker & combiner
+    querydefs (reference sql:2620-2669, pipeline_set_ttl,
+    pipeline_ttl_expire, pipeline_get_*_querydef)."""
+    import time
+    import pytest
+    from pipelinedb_spark import CQError
+
+    assert "pipelinedb_spark" in ctx.version()
+
+    ctx.create_stream("intro_s", "k string, v double, ts timestamp")
+    ctx.create_view("cv_intro", "SELECT k, count(*) AS n, max(ts) AS mx "
+                                "FROM intro_s GROUP BY k")
+    wdef = ctx.get_worker_querydef("cv_intro")
+    cdef = ctx.get_combiner_querydef("cv_intro")
+    assert "Aggregate" in wdef and "Aggregate" in cdef
+
+    # set_ttl + synchronous ttl_expire: expired groups get reaped
+    now = time.time()
+    import datetime
+    old = datetime.datetime.utcfromtimestamp(now - 7200)
+    new = datetime.datetime.utcfromtimestamp(now)
+    ctx.insert("intro_s", [{"k": "old", "v": 1.0, "ts": old},
+                           {"k": "new", "v": 2.0, "ts": new}])
+    assert ctx.ttl_expire("cv_intro") == 0          # no TTL yet
+    ctx.set_ttl("cv_intro", "1 hour", "mx")
+    assert ctx.ttl_expire("cv_intro") == 1          # 'old' group reaped
+    assert [r["k"] for r in ctx.read_view("cv_intro").collect()] == ["new"]
+    # clearing the TTL stops expiration
+    ctx.set_ttl("cv_intro", None)
+    assert ctx.ttl_expire("cv_intro") == 0
+
+    with pytest.raises(CQError):
+        ctx.set_ttl("nope", "1 hour", "mx")
+    with pytest.raises(CQError):
+        ctx.get_worker_querydef("nope")
