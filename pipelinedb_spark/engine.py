@@ -202,6 +202,9 @@ class ContView:
         # pk uniqueness is enforced at read (finalize) time.
         self._bucket_cols = ([pk] if pk in set(plan.group_names)
                              else self._group_cols)
+        # matrel CHECK constraints: name -> boolean SQL expr over the
+        # CV's user-visible columns (reference matrel_constraints.sql)
+        self.constraints: dict[str, str] = {}
 
     # -- worker: micro-batch → partial states -------------------------------
     def worker(self, pre_df: DataFrame) -> DataFrame:
@@ -388,13 +391,54 @@ class ContView:
         affected = sorted(int(b) for b in obs.get["bks"])
         if not affected:
             return None
-        old, merged = self.matrel.merge(delta, self._group_cols,
-                                        self.merge_fn, affected=affected,
-                                        pin_old=emit_changes)
+        old, merged = self.matrel.merge(
+            delta, self._group_cols, self.merge_fn, affected=affected,
+            pin_old=emit_changes or bool(self.constraints),
+            constrain_fn=(self._apply_constraints if self.constraints
+                          else None))
         self.stats.batches += 1
         if not emit_changes:
             return None
         return self._osrel_rows(old, merged, delta)
+
+    def _apply_constraints(self, old: DataFrame | None,
+                           merged: DataFrame) -> DataFrame:
+        """Enforce matrel CHECK constraints at upsert (reference
+        matrel_constraints.sql semantics: a merged row violating any
+        constraint is rejected — the group keeps its previous matrel
+        row, and a brand-new violating group is dropped).  Constraints
+        are written over the CV's user-visible columns, so each merged
+        state row is finalized (without SW recombine) for evaluation."""
+        keys = self._group_cols + [BUCKET_COL]
+        kcols = [f"__ck_{i}" for i in range(len(keys))]
+
+        def keyed(df: DataFrame) -> DataFrame:
+            for kc, k in zip(kcols, keys):
+                df = df.withColumn(kc, F.col(k))
+            return df
+
+        fin = self.finalize(keyed(merged), extra_cols=kcols,
+                            recombine=False)
+        cond = None
+        for expr_text in self.constraints.values():
+            c = F.expr(expr_text)
+            cond = c if cond is None else (cond & c)
+        ok_keys = fin.filter(cond).select(*kcols)
+        keep_new = merged.join(
+            ok_keys,
+            on=[merged[k].eqNullSafe(ok_keys[kc])
+                for k, kc in zip(keys, kcols)],
+            how="left_semi")
+        if old is None:
+            return keep_new
+        bad_keys = fin.filter(~F.coalesce(cond, F.lit(False))) \
+            .select(*kcols)
+        keep_old = old.join(
+            bad_keys,
+            on=[old[k].eqNullSafe(bad_keys[kc])
+                for k, kc in zip(keys, kcols)],
+            how="left_semi")
+        return keep_new.unionByName(keep_old)
 
     def _osrel_rows(self, old: DataFrame | None, merged: DataFrame,
                     delta: DataFrame) -> DataFrame:
@@ -584,6 +628,9 @@ class PipelineContext:
                         self.create_view(rec["name"], rec["sql"], **rec["opts"])
                 elif rec["kind"] == "transform":
                     self.create_transform(rec["name"], rec["sql"])
+                elif rec["kind"] == "constraint":
+                    self.add_matrel_constraint(
+                        rec["view"], rec["cname"], rec["check"])
         finally:
             self._replaying = False
         self._catalog = records
@@ -1118,6 +1165,33 @@ class PipelineContext:
         else:
             cv.matrel.overwrite(states, cv._bucket_cols)
         return int(meta["rows"])
+
+    def add_matrel_constraint(self, view: str, name: str,
+                              check: str) -> None:
+        """``ALTER TABLE <cv>_mrel ADD CONSTRAINT ... CHECK (...)``
+        (reference matrel_constraints.sql): a boolean expression over
+        the CV's user-visible columns enforced at every upsert —
+        violating merges are rejected and the group keeps its previous
+        row (new violating groups never materialize).  Validated at
+        ADD against the CV's row type; persisted for catalog replay."""
+        cv = self.views.get(view)
+        if cv is None:
+            raise CQError(f"continuous view {view} does not exist")
+        try:
+            self.spark.createDataFrame([], cv._overlay_schema()) \
+                .filter(F.expr(check))
+        except Exception as exc:
+            raise CQError(f"invalid constraint {name!r}: {exc}") from exc
+        cv.constraints[name] = check
+        self._catalog_add({"kind": "constraint", "name": f"{view}.{name}",
+                           "view": view, "cname": name, "check": check})
+
+    def drop_matrel_constraint(self, view: str, name: str) -> None:
+        cv = self.views.get(view)
+        if cv is None:
+            raise CQError(f"continuous view {view} does not exist")
+        cv.constraints.pop(name, None)
+        self._catalog_remove("constraint", f"{view}.{name}")
 
     def copy_from(self, stream: str, path: str, fmt: str = "parquet",
                   options: dict[str, str] | None = None) -> int:

@@ -83,7 +83,8 @@ class MatrelStore:
     def merge(self, delta: DataFrame, group_cols: list[str],
               merge_agg_fn,
               affected: list[int] | None = None,
-              pin_old: bool = False
+              pin_old: bool = False,
+              constrain_fn=None
               ) -> tuple[DataFrame | None, DataFrame]:
         """Merge a batch of partial-state rows into the matrel.
 
@@ -117,6 +118,11 @@ class MatrelStore:
             old = old.localCheckpoint(eager=True)
         unioned = delta if old is None else old.unionByName(delta)
         merged = merge_agg_fn(unioned)
+        if constrain_fn is not None:
+            # matrel CHECK constraints (reference matrel_constraints.sql):
+            # violating upserts are rejected — the group keeps its
+            # previous row (or is dropped entirely when new)
+            merged = constrain_fn(old, merged)
         self._commit(merged, affected)
         return old, merged
 

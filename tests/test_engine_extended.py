@@ -465,3 +465,40 @@ def test_introspection_surface(ctx):
         ctx.set_ttl("nope", "1 hour", "mx")
     with pytest.raises(CQError):
         ctx.get_worker_querydef("nope")
+
+
+def test_matrel_check_constraints(ctx):
+    """Mirror of reference matrel_constraints.sql: CHECK constraints on
+    the matrel reject violating upserts — groups keep their last valid
+    row; new violating groups never materialize."""
+    import pytest
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("mc_s0", "x int, y int")
+    ctx.create_view("mc_v0", "SELECT x, sum(y) AS sum, count(*) AS count "
+                             "FROM mc_s0 GROUP BY x")
+    ctx.add_matrel_constraint("mc_v0", "chk0", "x > 5")
+    ctx.add_matrel_constraint("mc_v0", "chk1", "count < 3")
+    ctx.add_matrel_constraint("mc_v0", "chk2", "sum < 3")
+
+    batch = [{"x": x, "y": 1} for x in range(1, 11)]
+    ctx.insert("mc_s0", batch)
+    got = sorted((r["x"], r["sum"], r["count"])
+                 for r in ctx.read_view("mc_v0").collect())
+    assert got == [(x, 1, 1) for x in range(6, 11)]
+
+    for _ in range(3):
+        ctx.insert("mc_s0", batch)
+    got = sorted((r["x"], r["sum"], r["count"])
+                 for r in ctx.read_view("mc_v0").collect())
+    # exactly the reference's expected output: stuck at (2, 2)
+    assert got == [(x, 2, 2) for x in range(6, 11)]
+
+    # invalid constraint rejected at ADD; drop restores normal merging
+    with pytest.raises(CQError):
+        ctx.add_matrel_constraint("mc_v0", "bad", "no_such_col < 1")
+    ctx.drop_matrel_constraint("mc_v0", "chk1")
+    ctx.drop_matrel_constraint("mc_v0", "chk2")
+    ctx.insert("mc_s0", batch)
+    got = {r["x"]: r["count"] for r in ctx.read_view("mc_v0").collect()}
+    assert got[6] == 3
