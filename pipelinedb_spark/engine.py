@@ -1287,6 +1287,23 @@ class PipelineContext:
         if m_ins and m_ins.group(1) in self.streams:
             return self._insert_select(m_ins.group(1), m_ins.group(2),
                                        m_ins.group(3))
+        m_vals = re.match(r"(?i)^\s*INSERT\s+INTO\s+(\w+)\s*"
+                          r"(?:\(([^)]*)\)\s*)?VALUES\s*(.*)$",
+                          query, re.S)
+        if m_vals and m_vals.group(1) in self.streams:
+            # INSERT INTO stream [(cols)] VALUES (expr, ...), ... with
+            # arbitrary SQL expressions in the tuples (reference
+            # stream_exprs.sql) — rewritten onto the SELECT insert path
+            # via a Spark inline table
+            stream, col_list, tuples = m_vals.groups()
+            if col_list:
+                cols = [c.strip() for c in col_list.split(",")]
+            else:
+                cols = [f.name for f in self.streams[stream].schema.fields
+                        if f.name != ARRIVAL_COL]
+            sel = (f"SELECT * FROM (VALUES {tuples.strip().rstrip(';')}) "
+                   f"AS __v({', '.join(cols)})")
+            return self._insert_select(stream, col_list, sel)
         if re.search(r"(?i)\bcombine\s*\(", query):
             rewritten = self._rewrite_combine_sql(query, at)
             if rewritten is not None:

@@ -502,3 +502,21 @@ def test_matrel_check_constraints(ctx):
     ctx.insert("mc_s0", batch)
     got = {r["x"]: r["count"] for r in ctx.read_view("mc_v0").collect()}
     assert got[6] == 3
+
+
+def test_insert_values_expressions(ctx):
+    """INSERT INTO stream VALUES with SQL expressions in the tuples
+    (reference stream_exprs.sql); missing fields default to NULL."""
+    ctx.create_stream("tex_s", "b boolean, t string, n double")
+    ctx.create_view("cv_tex", "SELECT count(*) AS c, count(b) AS cb, "
+                              "count(t) AS ct, count(n) AS cn, "
+                              "sum(n) AS sn FROM tex_s")
+    ctx.sql("INSERT INTO tex_s (b, t, n) VALUES "
+            "(true and true, substring('string!', 1, 3), 1.5 + 100.25), "
+            "(1 < 2, 'first' || 'second', pow(2, 5))")
+    ctx.sql("INSERT INTO tex_s (b) VALUES (false)")
+    ctx.sql("INSERT INTO tex_s (t) VALUES (lower('UPPER'))")
+    row = ctx.read_view("cv_tex").collect()[0]
+    assert row["c"] == 4 and row["cb"] == 3
+    assert row["ct"] == 3 and row["cn"] == 2
+    assert row["sn"] == 101.75 + 32.0
