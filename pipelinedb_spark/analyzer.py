@@ -145,6 +145,11 @@ class CQPlan:
     # DISTINCT ON (cols): overlay-level dedup on these columns
     # (reference: DISTINCT ON -> view-level distinct, analyzer.c:3019)
     distinct_on: list[str] | None = None
+    # no-aggregate CV (reference create_cont_view.sql cqcreate0-2):
+    # every projected event row materializes.  State is count-compressed
+    # (one matrel row per distinct projected tuple + multiplicity);
+    # reads expand the multiset back.
+    append: bool = False
 
 
 def _find_call_end(sql: str, open_idx: int) -> int:
@@ -504,15 +509,28 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
     if grouping_sets is not None:
         grouping_sets = [[resolve_g(g) for g in s] for s in grouping_sets]
 
-    # hoist aggregates from each select item
+    # hoist aggregates from each select item (two passes: the append-CV
+    # decision needs to know whether ANY item aggregates)
+    extracted = [(body, alias) + extract_aggs(body, registry, used,
+                                              alias_hint=alias)
+                 for body, alias in raw_items]
+    append = (not any(calls for *_, calls in extracted)
+              and not group_exprs and not distinct
+              and grouping_sets is None)
+    if append:
+        # no aggregates anywhere: every projected event row
+        # materializes (reference create_cont_view.sql cqcreate0-2).
+        # All items become the matrel key; multiplicity rides a hidden
+        # presence count, expanded back at read.
+        group_exprs = [b for b, _ in raw_items]
     norm_group = {re.sub(r"\s+", "", g).lower() for g in group_exprs}
-    for body, alias in raw_items:
-        rewritten, calls = extract_aggs(body, registry, used, alias_hint=alias)
+    for body, alias, rewritten, calls in extracted:
         if calls:
             all_aggs.extend(calls)
             name = alias or calls[0].out
         else:
-            if re.sub(r"\s+", "", body).lower() not in norm_group and not distinct:
+            if (re.sub(r"\s+", "", body).lower() not in norm_group
+                    and not distinct):
                 raise CQError(
                     f"column {body!r} must appear in the GROUP BY clause or "
                     f"be used in an aggregate function")
@@ -559,4 +577,5 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
         tables=tables,
         grouping_sets=grouping_sets,
         distinct_on=distinct_on,
+        append=append,
     )

@@ -332,6 +332,14 @@ class ContView:
                 out_cols.append(F.col(src).alias(alias))
         if extra_cols:
             out_cols = [F.col(c) for c in extra_cols] + out_cols
+        if plan.append and not extra_cols:
+            # no-agg CV: expand the count-compressed multiset back to
+            # one row per materialized event (reference cqcreate0-2
+            # matrels hold every event row; we store one row per
+            # distinct projected tuple + multiplicity)
+            n = F.col(state_col("_present", "n")).cast("int")
+            df = df.withColumn("__rep",
+                               F.explode(F.sequence(F.lit(1), n)))
         out = df.select(*out_cols)
         if (self.pk is not None and not extra_cols
                 and plan.grouping_sets is None

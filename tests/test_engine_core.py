@@ -203,3 +203,28 @@ def test_unknown_stream_column_rejected_at_create(ctx):
                     "SELECT key, count(*) AS n FROM val1 GROUP BY key")
     ctx.insert("val1", [{"x": 1, "key": "a"}])
     assert ctx.read_view("cv_goodcol").collect()[0]["n"] == 1
+
+
+def test_no_aggregate_append_cv(ctx):
+    """No-aggregate CVs materialize every projected event row
+    (reference create_cont_view.sql cqcreate0-2); duplicates are
+    preserved as a multiset, and the sliding-window no-agg form
+    (cqcreate5) expires rows with the window."""
+    import time
+    ctx.create_stream("ap_s", "key int, url string")
+    ctx.create_view("cq0", "SELECT key FROM ap_s")
+    ctx.create_view("cq1", "SELECT substring(url, 1, 2) AS su FROM ap_s")
+    ctx.insert("ap_s", [{"key": 1, "url": "abc"},
+                        {"key": 2, "url": "abd"}])
+    ctx.insert("ap_s", [{"key": 1, "url": "zzz"}])
+    assert sorted(r["key"] for r in ctx.read_view("cq0").collect()) \
+        == [1, 1, 2]
+    assert sorted(r["su"] for r in ctx.read_view("cq1").collect()) \
+        == ["ab", "ab", "zz"]
+
+    # SW no-agg CV (cqcreate5): rows leave the window
+    ctx.create_view("cq5", "SELECT key FROM ap_s WHERE arrival_timestamp "
+                           "> clock_timestamp() - interval '1 hour'")
+    ctx.insert("ap_s", [{"key": 7, "url": "x"}, {"key": 7, "url": "y"}])
+    assert sorted(r["key"] for r in ctx.read_view("cq5").collect()) == [7, 7]
+    assert ctx.read_view("cq5", at=time.time() + 7200).count() == 0
