@@ -142,3 +142,37 @@ def test_sw_with_grouping_sets(ctx):
     assert rows[("b", None)] == (1, 4.0)
     assert rows[(None, None)] == (4, 15.0)
     assert len(rows) == 6
+
+
+def test_sw_ordered_and_hypothetical_sets(ctx):
+    """SW twins of the ordered-set and hypothetical-set rewrites plus
+    bool/object aggs (reference cont_sw_os_agg.sql, cont_sw_hs_agg.sql,
+    cont_sw_bool_agg.sql, cont_sw_object_agg.sql): with every row
+    in-window, the SW overlay (t-digest / counter states re-combined
+    across step buckets) must match the batch answer."""
+    from pipelinedb_spark import register_sketch_aggs
+    register_sketch_aggs()
+
+    ctx.create_stream("swos", "k string, v double")
+    ctx.create_view(
+        "cv_swos",
+        "SELECT k, percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med, "
+        "rank(3.0) WITHIN GROUP (ORDER BY v) AS rk, "
+        "cume_dist(3.0) WITHIN GROUP (ORDER BY v) AS cd, "
+        "bool_and(v > 0) AS all_pos, bool_or(v > 90) AS any_big "
+        "FROM swos "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
+        "GROUP BY k")
+    vals = {"a": [1.0, 2.0, 3.0, 4.0, 100.0], "b": [5.0, -7.0, 9.0]}
+    rows = [{"k": k, "v": v} for k, vs in vals.items() for v in vs]
+    ctx.insert("swos", rows[: len(rows) // 2])
+    ctx.insert("swos", rows[len(rows) // 2:])
+    got = {r["k"]: r for r in ctx.read_view("cv_swos").collect()}
+    # exact medians at this size (t-digest is exact for tiny inputs)
+    assert abs(got["a"]["med"] - 3.0) < 0.3
+    assert abs(got["b"]["med"] - 5.0) < 0.5
+    # hypothetical rank of 3.0: count_less + 1
+    assert got["a"]["rk"] == 3 and got["b"]["rk"] == 2
+    assert abs(got["a"]["cd"] - 4 / 6) < 1e-9   # (leq + 1)/(n + 1)
+    assert got["a"]["all_pos"] is True and got["b"]["all_pos"] is False
+    assert got["a"]["any_big"] is True and got["b"]["any_big"] is False
