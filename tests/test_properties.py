@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the Spark-free numeric core:
+sketch merge laws and the 3-limb exact-sum decomposition.  These are
+the invariants the engine's correctness rests on, checked across
+randomized inputs rather than fixtures (complements the reference's
+regress fixtures, SURVEY §5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LIMB = 20
+_MASK = (1 << _LIMB) - 1
+
+
+def _limbs(q: int) -> tuple[int, int, int]:
+    # mirror querybank.dsum's arithmetic-shift decomposition
+    return (q >> 40, (q >> 20) & _MASK, q & _MASK)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                max_size=50))
+def test_three_limb_sum_exact(vals):
+    """sum of 3-limb decompositions reassembles to the exact integer
+    sum of the quantized values, in any order (the map-side-combine
+    safety property of dsum; querybank.py:63-89)."""
+    import math
+    qs = [math.floor(v * 1e6 + 0.5) for v in vals]
+    hi = sum(_limbs(q)[0] for q in qs)
+    mid = sum(_limbs(q)[1] for q in qs)
+    lo = sum(_limbs(q)[2] for q in qs)
+    assert hi * (1 << 40) + mid * (1 << 20) + lo == sum(qs)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=14), min_size=1,
+                max_size=300),
+       st.integers(min_value=1, max_value=6))
+def test_space_saving_exact_within_capacity(vals, split_at):
+    """FSS is exact when NDV <= capacity, and merge order doesn't
+    change the answer (reference fss.c exactness contract)."""
+    from collections import Counter
+    from pipelinedb_spark.sketches.topk import SpaceSaving
+    cut = len(vals) * split_at // 7
+    s1 = SpaceSaving(5).add_many([str(v) for v in vals[:cut]])
+    s2 = SpaceSaving(5).add_many([str(v) for v in vals[cut:]])
+    merged = s1.merge(s2)
+    truth = Counter(str(v) for v in vals)
+    for k, c in merged.topk(5):
+        assert truth[k] == c  # 15 distinct <= capacity 20: exact
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=500))
+def test_hll_updatable_roundtrip(vals):
+    """hll_add / merge keep cardinality within the p=14 error bound."""
+    from pipelinedb_spark.sketches.hll import HyperLogLog
+    h = HyperLogLog()
+    for v in vals:
+        h.add(str(v))
+    h2 = HyperLogLog.deserialize(h.serialize())
+    exact = len(set(vals))
+    assert abs(h2.cardinality() - exact) <= max(2, 0.05 * exact)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                          allow_nan=False, allow_infinity=False),
+                min_size=20, max_size=400),
+       st.floats(min_value=0.1, max_value=0.9))
+def test_tdigest_quantile_rank_bound(vals, q):
+    """merged t-digest quantile estimates sit within 5% rank error."""
+    from pipelinedb_spark.sketches.tdigest import TDigest
+    half = len(vals) // 2
+    import numpy as np
+    t1 = TDigest(200.0).add_many(np.array(vals[:half] or [0.0]))
+    t2 = TDigest(200.0).add_many(np.array(vals[half:] or [0.0]))
+    est = t1.merge(t2).quantile(q)
+    # with ties the achievable rank is an interval [frac(<), frac(<=)]
+    rank_lo = sum(1 for v in vals if v < est) / len(vals)
+    rank_hi = sum(1 for v in vals if v <= est) / len(vals)
+    tol = 0.05 + 1.0 / len(vals)
+    assert rank_lo - tol <= q <= rank_hi + tol
