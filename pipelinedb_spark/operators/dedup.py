@@ -323,7 +323,12 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         out_schema).localCheckpoint(eager=False))
     banded = sigs.select("doc_id", "sig",
                          F.posexplode("buckets").alias("band", "bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # the banded table scales with the corpus (docs × bands): Spark's
+    # broadcast pick under the threshold at small SF is the wrong plan
+    # at any real scale — pin the shuffle-hash join on (band, bucket),
+    # exactly as jaccard_pairs pins its shingle self-join
+    a = banded.alias("a")
+    b = banded.alias("b").hint("shuffle_hash")
     # Shape note: signatures ride the bucket join and the pair-dedup
     # shuffle (~2K·8 bytes per candidate row).  The alternative —
     # dedup bare id pairs, then join both signatures back from `sigs`
