@@ -132,7 +132,12 @@ def neardup_pairs(corpus: DataFrame, threshold: float = 0.45,
                                 F.posexplode(sig(F.col(vec_col)))
                                 .alias("tbl", "bucket"))
                   .localCheckpoint(eager=False))
-        ta, tb = tagged.alias("ta"), tagged.alias("tb")
+        # the tagged table scales with the corpus (docs × tables):
+        # pin the shuffle-hash self-join on (tbl, bucket) — Spark's
+        # small-SF broadcast pick is the wrong plan at any real scale
+        # (same decision as the shingle and minhash-band self-joins)
+        ta = tagged.alias("ta")
+        tb = tagged.alias("tb").hint("shuffle_hash")
         pair_ids = (ta.join(tb, (F.col("ta.tbl") == F.col("tb.tbl")) &
                             (F.col("ta.bucket") == F.col("tb.bucket")) &
                             (F.col("ta.id") < F.col("tb.id")))
