@@ -825,6 +825,54 @@ class PipelineContext:
             shutil.rmtree(os.path.join(self.osrel_root, f"{name}_osrel"),
                           ignore_errors=True)
             self._catalog_remove("view", name)
+            for rec in list(self._catalog):
+                if rec["kind"] == "constraint" and rec.get("view") == name:
+                    self._catalog_remove("constraint", rec["name"])
+
+    def drop_transform(self, name: str) -> None:
+        tr = self.transforms.pop(name, None)
+        if tr:
+            for sd in self.streams.values():
+                if name in sd.readers:
+                    sd.readers.remove(name)
+            self.streams.pop(f"{name}_osrel", None)
+            shutil.rmtree(os.path.join(self.osrel_root, f"{name}_osrel"),
+                          ignore_errors=True)
+            self._catalog_remove("transform", name)
+
+    def drop_stream(self, name: str, cascade: bool = False) -> None:
+        """DROP FOREIGN TABLE [CASCADE] (reference: dropping a stream
+        requires CASCADE when continuous queries read it, and then
+        drops them too — test create_cont_view.sql / cont_alter.sql
+        'drop cascades to view')."""
+        sd = self.streams.get(name)
+        if sd is None:
+            raise CQError(f"stream {name} does not exist")
+        if name.endswith("_osrel"):
+            raise CQError("cannot drop a CQ output stream directly")
+        if sd.readers and not cascade:
+            raise CQError(
+                f"cannot drop stream {name}: continuous queries "
+                f"{sorted(sd.readers)} depend on it (use cascade=True)")
+        # dropping a reader CQ removes its osrel, whose own readers
+        # must cascade too — recurse until the closure is gone
+        def drop_cq(r: str) -> None:
+            os_sd = self.streams.get(f"{r}_osrel")
+            if os_sd is not None:
+                for rr in list(os_sd.readers):
+                    drop_cq(rr)
+            if r in self.views:
+                self.drop_view(r)
+            elif r in self.transforms:
+                self.drop_transform(r)
+
+        while sd.readers:
+            r = sd.readers[0]
+            drop_cq(r)
+            if r in sd.readers:     # stale registry entry
+                sd.readers.remove(r)
+        self.streams.pop(name, None)
+        self._catalog_remove("stream", name)
 
     # -- DML -----------------------------------------------------------------
     def insert(self, stream: str, rows: Iterable[Any] | DataFrame,

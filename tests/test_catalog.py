@@ -85,3 +85,42 @@ def test_alter_stream_add_column(spark, tmp_path):
     assert got["b"]["sw"] == 6.0
     got = {r["k"]: r for r in ctx2.read_view("cv_old").collect()}
     assert got["b"]["s"] == 9
+
+
+def test_drop_stream_cascade(spark, tmp_path):
+    """DROP stream requires cascade when CQs read it; cascade drops
+    the dependent CQ closure including CQs chained over output
+    streams (reference 'drop cascades to view' notices)."""
+    import pytest
+    from pipelinedb_spark import CQError, PipelineContext
+
+    root = str(tmp_path / "pdb_drop")
+    ctx = PipelineContext(spark, root=root, num_buckets=4)
+    ctx.create_stream("dc_s", "k string, v long")
+    ctx.create_view("dc_cv", "SELECT k, count(*) AS n FROM dc_s GROUP BY k")
+    ctx.create_transform("dc_t", "SELECT k, v * 2 AS v2 FROM dc_s")
+    ctx.create_view("dc_chain",
+                    "SELECT count(*) AS n FROM output_of('dc_t')")
+    ctx.insert("dc_s", [{"k": "a", "v": 1}])
+
+    with pytest.raises(CQError):
+        ctx.drop_stream("dc_s")                 # readers exist
+    with pytest.raises(CQError):
+        ctx.drop_stream("dc_cv_osrel", cascade=True)  # osrel protected
+    with pytest.raises(CQError):
+        ctx.drop_stream("nope")
+
+    ctx.drop_stream("dc_s", cascade=True)
+    assert not ctx.views and not ctx.transforms
+    assert "dc_s" not in ctx.streams and "dc_t_osrel" not in ctx.streams
+
+    # catalog agrees after replay
+    ctx2 = PipelineContext(spark, root=root, num_buckets=4)
+    assert not ctx2.views and not ctx2.transforms and "dc_s" not in ctx2.streams
+
+    # drop_transform alone detaches only the transform
+    ctx2.create_stream("dc_s2", "k string")
+    ctx2.create_transform("dc_t2", "SELECT k FROM dc_s2")
+    ctx2.drop_transform("dc_t2")
+    assert not ctx2.transforms
+    assert ctx2.streams["dc_s2"].readers == []
