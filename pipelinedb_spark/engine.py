@@ -1222,6 +1222,53 @@ class PipelineContext:
             cv.matrel.overwrite(states, cv._bucket_cols)
         return int(meta["rows"])
 
+    # matrels_writable GUC analog (reference cont_matrel.sql:
+    # UPDATE/DELETE/INSERT against a matrel are rejected unless
+    # pipelinedb.matrels_writable is on)
+    matrels_writable: bool = False
+
+    def _writable_matrel(self, name: str) -> "ContView":
+        cv = self.views.get(name)
+        if cv is None:
+            raise CQError(f"continuous view {name} does not exist")
+        if not self.matrels_writable:
+            raise CQError("cannot modify materialization table: set "
+                          "ctx.matrels_writable = True "
+                          "(pipelinedb.matrels_writable)")
+        self._flush_cv(name)
+        return cv
+
+    def update_matrel(self, name: str, set_exprs: dict[str, str],
+                      where: str | None = None) -> None:
+        """``UPDATE <cv>_mrel SET col = expr [WHERE ...]`` over the
+        matrel's state columns (reference cont_matrel.sql; for simple
+        aggregates like count the state column IS the visible value).
+        Subsequent stream inserts merge on top of the edited states."""
+        cv = self._writable_matrel(name)
+        states = cv.matrel.read()
+        if states is None:
+            return
+        cond = F.expr(where) if where else F.lit(True)
+        df = states
+        for col, expr in set_exprs.items():
+            if col not in df.columns:
+                raise CQError(f"matrel column {col!r} does not exist "
+                              f"(state columns: "
+                              f"{[c for c in df.columns]})")
+            df = df.withColumn(col, F.when(cond, F.expr(expr))
+                               .otherwise(F.col(col)))
+        cv.matrel.overwrite(df.drop(BUCKET_COL), cv._bucket_cols)
+
+    def delete_matrel_rows(self, name: str,
+                           where: str | None = None) -> int:
+        """``DELETE FROM <cv>_mrel [WHERE ...]`` (reference
+        cont_matrel.sql); no WHERE empties the matrel."""
+        cv = self._writable_matrel(name)
+        if where is None:
+            cv.matrel.truncate()
+            return -1
+        return cv.matrel.delete_where(F.expr(where))
+
     def add_matrel_constraint(self, view: str, name: str,
                               check: str) -> None:
         """``ALTER TABLE <cv>_mrel ADD CONSTRAINT ... CHECK (...)``

@@ -520,3 +520,38 @@ def test_insert_values_expressions(ctx):
     assert row["c"] == 4 and row["cb"] == 3
     assert row["ct"] == 3 and row["cn"] == 2
     assert row["sn"] == 101.75 + 32.0
+
+
+def test_writable_matrels(ctx):
+    """Mirror of reference cont_matrel.sql: matrel writes rejected
+    until matrels_writable; UPDATE/DELETE flow through to CV reads and
+    later stream inserts merge on top of the edited states."""
+    import pytest
+    from pipelinedb_spark import CQError
+    from pipelinedb_spark.aggregates import state_col
+
+    ctx.create_stream("cm_s", "x long")
+    ctx.create_view("cont_matrel", "SELECT count(*) AS count FROM cm_s")
+    ctx.insert("cm_s", [{"x": 1}])
+    assert ctx.read_view("cont_matrel").collect()[0]["count"] == 1
+
+    ncol = state_col("count", "n")
+    with pytest.raises(CQError):
+        ctx.update_matrel("cont_matrel", {ncol: "2"})
+    with pytest.raises(CQError):
+        ctx.delete_matrel_rows("cont_matrel")
+
+    ctx.matrels_writable = True
+    ctx.update_matrel("cont_matrel", {ncol: "2"})
+    assert ctx.read_view("cont_matrel").collect()[0]["count"] == 2
+    ctx.insert("cm_s", [{"x": 1}])
+    assert ctx.read_view("cont_matrel").collect()[0]["count"] == 3
+
+    ctx.delete_matrel_rows("cont_matrel")
+    assert ctx.read_view("cont_matrel").count() == 0
+    ctx.insert("cm_s", [{"x": 1}])
+    assert ctx.read_view("cont_matrel").collect()[0]["count"] == 1
+
+    with pytest.raises(CQError):
+        ctx.update_matrel("cont_matrel", {"no_such_state": "1"})
+    ctx.matrels_writable = False
