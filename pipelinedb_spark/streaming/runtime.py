@@ -217,6 +217,41 @@ class SWTicker:
         self._thread.join(timeout=5)
 
 
+class TTLReaper:
+    """Background TTL reaper: periodically deletes expired matrel rows
+    across every TTL'd CV (the reference runs a dedicated reaper
+    process per database, src/reaper.c:228-352; batch size / interval
+    GUCs config.c:397-411)."""
+
+    def __init__(self, ctx: PipelineContext,
+                 interval_seconds: float = 60.0) -> None:
+        import threading
+
+        self.ctx = ctx
+        self.interval = interval_seconds
+        self.deleted = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "TTLReaper":
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            for name, cv in list(self.ctx.views.items()):
+                if cv.ttl is None:
+                    continue
+                try:
+                    self.deleted += self.ctx.reap_ttl(name)
+                except Exception:
+                    pass  # keep reaping; next cycle retries
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
 def attach_rate_stream(ctx: PipelineContext, stream: str,
                        rows_per_second: int = 100,
                        value_exprs: dict[str, str] | None = None

@@ -111,3 +111,31 @@ def test_double_attachment_rejected(spark, tmp_path):
                               value_exprs={"v": "value"})
     att2.stop()
     ctx.close()
+
+
+def test_background_ttl_reaper(ctx):
+    """TTLReaper periodically deletes expired rows across TTL'd CVs
+    (reference reaper process, src/reaper.c:228-352)."""
+    import time
+    from pipelinedb_spark.streaming.runtime import TTLReaper
+
+    ctx.create_stream("rp_s", "k string, ts timestamp")
+    ctx.create_view("cv_rp", "SELECT k, max(ts) AS mx, count(*) AS n "
+                             "FROM rp_s GROUP BY k")
+    ctx.set_ttl("cv_rp", "1 second", "mx")
+    import datetime
+    old = datetime.datetime.utcnow() - datetime.timedelta(hours=1)
+    now = datetime.datetime.utcnow() + datetime.timedelta(hours=1)
+    ctx.insert("rp_s", [{"k": "dead", "ts": old}, {"k": "live", "ts": now}])
+    reaper = TTLReaper(ctx, interval_seconds=0.5).start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            ks = [r["k"] for r in ctx.read_view("cv_rp").collect()]
+            if ks == ["live"]:
+                break
+            time.sleep(0.5)
+        assert ks == ["live"]
+        assert reaper.deleted >= 1
+    finally:
+        reaper.stop()
