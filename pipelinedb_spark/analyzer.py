@@ -116,12 +116,47 @@ STREAMING_VARIANTS = {
 }
 
 
+_LITERAL_ARG_RE = re.compile(
+    r"^\s*(?:[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|'(?:[^']|'')*'|\*)\s*$")
+
+
 @dataclass
 class AggCall:
     out: str            # output/state column prefix
     func: str           # registry name
     args: list[str]     # raw SQL arg expressions
     text: str           # original call text (for error messages)
+    # FILTER (WHERE ...) condition — applied WORKER-side only; the
+    # combiner merges unfiltered states exactly as the reference strips
+    # the clause from combiner aggs (src/analyzer.c:3053-3068)
+    filter: str | None = None
+
+    def worker_args(self) -> list[str]:
+        """Args for the worker's partial aggregation, with the FILTER
+        condition folded in.  Every registry aggregate is NULL-strict
+        (built-ins skip NULL inputs; sketch UDAFs dropna), so
+        ``FILTER (WHERE c)`` ≡ nulling out the data args on non-
+        matching rows — PG's row-removal semantics.  Literal/parameter
+        args (numbers, strings, ``*``) are left untouched: they are
+        direct arguments, not per-row inputs."""
+        if self.filter is None:
+            return self.args
+        cond = f"({self.filter})"
+        wrapped, any_data = [], False
+        for a in self.args:
+            if _LITERAL_ARG_RE.match(a):
+                wrapped.append(a)
+            else:
+                wrapped.append(f"CASE WHEN {cond} THEN ({a}) END")
+                any_data = True
+        if not any_data:
+            if self.func == "count":
+                # count(*) FILTER (WHERE c) → count of matching rows
+                return [f"CASE WHEN {cond} THEN 1 END"]
+            raise CQError(
+                f"FILTER is not supported here (no per-row argument "
+                f"to restrict): {self.text}")
+        return wrapped
 
 
 @dataclass
@@ -239,7 +274,21 @@ def extract_aggs(expr: str, registry: AggRegistry, used: set[str],
             func = STREAMING_VARIANTS.get(func, func)
             if func not in registry:
                 raise CQError(f"aggregate {word} is not combinable / not supported")
-            base = alias_hint if (alias_hint and not calls and expr.strip() == expr[m.start():close + 1].strip()) else fname
+            # agg(...) FILTER (WHERE cond) — reference parses the
+            # clause on worker aggregates and strips it on combiner
+            # aggs (src/analyzer.c:3053-3068; cont_dist_agg.sql:38)
+            call_end, filt = close, None
+            fm = re.compile(r"\s*FILTER\s*\(", re.I).match(expr, close + 1)
+            if fm:
+                fclose = _find_call_end(expr, fm.end() - 1)
+                inner_f = expr[fm.end(): fclose].strip()
+                wm = re.match(r"(?i)^WHERE\s+", inner_f)
+                if not wm:
+                    raise CQError(f"malformed FILTER clause in: "
+                                  f"{expr[m.start():fclose + 1]}")
+                filt = inner_f[wm.end():].strip()
+                call_end = fclose
+            base = alias_hint if (alias_hint and not calls and expr.strip() == expr[m.start():call_end + 1].strip()) else fname
             out = base
             k = 0
             while out in used:
@@ -247,9 +296,10 @@ def extract_aggs(expr: str, registry: AggRegistry, used: set[str],
                 out = f"{base}_{k}"
             used.add(out)
             calls.append(AggCall(out=out, func=func, args=args,
-                                 text=expr[m.start():close + 1]))
+                                 text=expr[m.start():call_end + 1],
+                                 filter=filt))
             out_parts.append("{" + out + "}")
-            i = close + 1
+            i = call_end + 1
         else:
             out_parts.append(word)
             i = m.end()

@@ -20,6 +20,7 @@ via ``foreachBatch`` (see ``streaming/runtime.py``).
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import shutil
@@ -223,7 +224,7 @@ class ContView:
         for call in plan.aggs:
             spec = self._registry.get(call.func)
             target = pd_aggs if spec.pandas else jvm_aggs
-            for suffix, col in spec.partial(call.args).items():
+            for suffix, col in spec.partial(call.worker_args()).items():
                 target.append(col.alias(state_col(call.out, suffix)))
         if not jvm_aggs and not pd_aggs:
             # pure-DISTINCT CV: presence marker so merge has a state col
@@ -429,7 +430,10 @@ class ContView:
                             recombine=False)
         cond = None
         for expr_text in self.constraints.values():
-            c = F.expr(expr_text)
+            # SQL CHECK semantics (PG ExecConstraints): a check that
+            # evaluates to NULL is SATISFIED, so coalesce each check
+            # to true before combining.
+            c = F.coalesce(F.expr(expr_text), F.lit(True))
             cond = c if cond is None else (cond & c)
         ok_keys = fin.filter(cond).select(*kcols)
         keep_new = merged.join(
@@ -439,8 +443,7 @@ class ContView:
             how="left_semi")
         if old is None:
             return keep_new
-        bad_keys = fin.filter(~F.coalesce(cond, F.lit(False))) \
-            .select(*kcols)
+        bad_keys = fin.filter(~cond).select(*kcols)
         keep_old = old.join(
             bad_keys,
             on=[old[k].eqNullSafe(bad_keys[kc])
@@ -523,20 +526,29 @@ class ContView:
         col = self.ttl_column or (STEP_COL if self.plan.sw_column else None)
         if col is None:
             return 0
-        if col not in self.plan.group_names and col != STEP_COL:
-            for call in self.plan.aggs:
-                if call.out == col:
-                    spec = self._registry.get(call.func)
-                    suffixes = list(spec.partial(call.args).keys())
-                    if len(suffixes) != 1:
-                        raise CQError(
-                            f"ttl_column {col!r} is a multi-state "
-                            f"aggregate; TTL needs a single-state "
-                            f"column")
-                    col = state_col(call.out, suffixes[0])
-                    break
+        col = self.resolve_ttl_column(col)
         cutoff = (now if now is not None else time.time()) - self.ttl
         return self.matrel.delete_where(ts_epoch(F.col(col)) < cutoff)
+
+    def resolve_ttl_column(self, col: str) -> str:
+        """Map a user-visible TTL column to its matrel column: group
+        columns (and the SW step column) keep their name; a
+        single-state aggregate output maps to its state column.
+        Raises for unknown or multi-state columns so a bad
+        ``ttl_column`` fails at ``set_ttl`` time, not in the reaper."""
+        if col in self.plan.group_names or col == STEP_COL:
+            return col
+        for call in self.plan.aggs:
+            if call.out == col:
+                spec = self._registry.get(call.func)
+                suffixes = list(spec.partial(call.args).keys())
+                if len(suffixes) != 1:
+                    raise CQError(
+                        f"ttl_column {col!r} is a multi-state "
+                        f"aggregate; TTL needs a single-state column")
+                return state_col(call.out, suffixes[0])
+        raise CQError(f"ttl_column {col!r} is not a column of "
+                      f"continuous view {self.name}")
 
 
 class Transform:
@@ -766,6 +778,17 @@ class PipelineContext:
                 break
         if clauses_stream is None:
             raise CQError("transform must read from a stream")
+        # Validate the SELECT resolves against the stream's schema NOW,
+        # so a broken transform fails at create_transform rather than
+        # surfacing later as an UNRESOLVED_COLUMN when a downstream CQ
+        # is created over its (silently empty) output stream.
+        from pyspark.errors import AnalysisException
+        try:
+            self.empty_stream_df(clauses_stream) \
+                .createOrReplaceTempView(clauses_stream)
+            self.spark.sql(sql)
+        except AnalysisException as exc:
+            raise CQError(f"invalid transform query: {exc}") from exc
         t = Transform(self, name, sql, clauses_stream, outputfunc)
         self.transforms[name] = t
         self.streams[clauses_stream].readers.append(name)
@@ -778,8 +801,11 @@ class PipelineContext:
         ``CREATE ... FROM output_of('name')`` validates against real
         columns instead of an empty struct (reference materializes the
         osrel rowtype at DefineContView, src/pipeline_query.c:640-668:
-        old/new/delta composite of the CV's row type).  Best-effort: on
-        any resolution failure fall back to the lazy empty schema."""
+        old/new/delta composite of the CV's row type).  The CQ's query
+        was validated at CREATE, so failures here are unexpected —
+        logged and fallen back to the lazy empty schema rather than
+        silently swallowed."""
+        from pyspark.errors import AnalysisException
         try:
             if name in self.views:
                 row = self.views[name]._overlay_schema()
@@ -793,8 +819,10 @@ class PipelineContext:
                 self.empty_stream_df(tr.stream) \
                     .createOrReplaceTempView(tr.stream)
                 return self.spark.sql(tr.sql).schema
-        except Exception:
-            pass
+        except AnalysisException as exc:
+            logging.getLogger(__name__).warning(
+                "could not resolve output-stream schema for %s "
+                "(falling back to lazy empty schema): %s", name, exc)
         return T.StructType()
 
     def _register_osrel(self, name: str) -> None:
@@ -1249,14 +1277,19 @@ class PipelineContext:
         if states is None:
             return
         cond = F.expr(where) if where else F.lit(True)
-        df = states
-        for col, expr in set_exprs.items():
-            if col not in df.columns:
+        for col in set_exprs:
+            if col not in states.columns:
                 raise CQError(f"matrel column {col!r} does not exist "
                               f"(state columns: "
-                              f"{[c for c in df.columns]})")
-            df = df.withColumn(col, F.when(cond, F.expr(expr))
-                               .otherwise(F.col(col)))
+                              f"{[c for c in states.columns]})")
+        # SQL UPDATE evaluates every SET right-hand side against the OLD
+        # row, so build all replacements over the original columns in
+        # one select (sequential withColumn would let a later expr see
+        # an earlier assignment's new value).
+        df = states.select(*[
+            (F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c))
+             if c in set_exprs else F.col(c)).alias(c)
+            for c in states.columns])
         cv.matrel.overwrite(df.drop(BUCKET_COL), cv._bucket_cols)
 
     def delete_matrel_rows(self, name: str,
@@ -1582,6 +1615,9 @@ class PipelineContext:
             cv.ttl, cv.ttl_column = None, None
         else:
             from pipelinedb_spark.analyzer import parse_interval
+            if ttl_column is not None:
+                cv.resolve_ttl_column(ttl_column)  # typo fails here,
+                # not silently in the background reaper
             cv.ttl = parse_interval(ttl)
             cv.ttl_column = ttl_column
         for rec in self._catalog:

@@ -133,19 +133,27 @@ class MatrelStore:
 
     def delete_where(self, condition) -> int:
         """TTL reaper: rewrite buckets dropping rows matching
-        ``condition`` (reference ``src/reaper.c:63-128``)."""
+        ``condition`` (reference ``src/reaper.c:63-128``).
+
+        One probe job computes the delete count AND the affected bucket
+        set together (was two counts + a distinct = 3 jobs), then one
+        write rewrites only the affected buckets.  SQL DELETE
+        semantics: only rows where the condition is TRUE are deleted
+        (a NULL predicate keeps the row)."""
         cur = self.read()
         if cur is None:
             return 0
-        before = cur.count()
-        kept = cur.filter(~condition)
-        after = kept.count()
-        if after == before:
+        hit = F.coalesce(condition, F.lit(False))
+        probe = cur.agg(
+            F.count(F.when(hit, True)).alias("deleted"),
+            F.collect_set(F.when(hit, F.col(BUCKET_COL))).alias("bks")
+        ).first()
+        deleted = int(probe["deleted"])
+        if not deleted:
             return 0
-        affected = [r[BUCKET_COL] for r in cur.filter(condition)
-                    .select(BUCKET_COL).distinct().collect()]
-        self._commit(kept.filter(F.col(BUCKET_COL).isin(affected)), affected)
-        return before - after
+        affected = sorted(int(b) for b in probe["bks"])
+        self._commit(self.read(affected).filter(~hit), affected)
+        return deleted
 
     def truncate(self) -> None:
         m = self._read_manifest()

@@ -224,6 +224,9 @@ def _minhash_text_mapper(num_hashes: int, shingle_n: int,
         try:
             for pdf in batches:
                 nd = len(pdf["text"])
+                if nd == 0:
+                    continue  # empty Arrow batch: counts.max() below
+                    # would raise on a zero-length array
                 gdoc, g = _batch_grams(pdf["text"], shingle_n,
                                        pos_mult, c1)
                 # docs shorter than one shingle get the sentinel gram 0

@@ -1107,14 +1107,18 @@ def _engine_ctx(spark, tag: str):
 
 @query("cv_engine_rollup", f"""
 SELECT event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sv,
-       COUNT(DISTINCT user_id) AS ndv
+       COUNT(DISTINCT user_id) AS ndv,
+       COUNT(*) FILTER (WHERE value > 50) AS big_cnt
 FROM events GROUP BY event_type
 """)
 def cv_engine_rollup(spark, sf_dir):
     """END-TO-END ENGINE CHECK: insert events through the continuous-
     query engine in 3 micro-batches; the incrementally merged matrel
     must equal batch SQL (reference regress pattern: create CV →
-    INSERT → SELECT, e.g. cont_count.sql)."""
+    INSERT → SELECT, e.g. cont_count.sql).  Includes an aggregate
+    FILTER clause (reference src/analyzer.c:3053-3068,
+    cont_dist_agg.sql:38): filtered worker partials, unfiltered
+    combiner merge."""
     ctx = _engine_ctx(spark, "rollup")
     try:
         ctx.create_stream("ev_s", "event_id long, user_id long, "
@@ -1123,7 +1127,8 @@ def cv_engine_rollup(spark, sf_dir):
             "cv_roll",
             "SELECT event_type, count(*) AS cnt, "
             "sum(CAST(value AS DECIMAL(38,6))) AS sv_dec, "
-            "exact_count_distinct(user_id) AS ndv "
+            "exact_count_distinct(user_id) AS ndv, "
+            "count(*) FILTER (WHERE value > 50) AS big_cnt "
             "FROM ev_s GROUP BY event_type")
         ev = t(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value")
@@ -1133,7 +1138,7 @@ def cv_engine_rollup(spark, sf_dir):
         return out.select(
             "event_type", "cnt",
             F.col("sv_dec").cast("double").alias("sv"),
-            "ndv").localCheckpoint(eager=True)
+            "ndv", "big_cnt").localCheckpoint(eager=True)
     finally:
         ctx.close()
 

@@ -87,7 +87,10 @@ class TDigest:
             return float(self.means[-1])
         i = np.searchsorted(cum, target) - 1
         frac = (target - cum[i]) / (cum[i + 1] - cum[i])
-        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+        # Endpoint-exact lerp: a + frac*(b-a) can overshoot b by ~1 ulp when
+        # frac == 1.0 (FP tie boundary), stepping past a run of equal
+        # centroids; (1-frac)*a + frac*b returns b exactly at frac == 1.
+        return float((1.0 - frac) * self.means[i] + frac * self.means[i + 1])
 
     def cdf(self, x: float) -> float:
         self._compress()

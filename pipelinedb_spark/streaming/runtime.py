@@ -22,6 +22,7 @@ Sources:
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Callable
 
@@ -230,6 +231,7 @@ class TTLReaper:
         self.ctx = ctx
         self.interval = interval_seconds
         self.deleted = 0
+        self.failures: dict[str, int] = {}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -244,8 +246,14 @@ class TTLReaper:
                     continue
                 try:
                     self.deleted += self.ctx.reap_ttl(name)
-                except Exception:
-                    pass  # keep reaping; next cycle retries
+                except Exception as exc:
+                    # keep reaping other views; next cycle retries this
+                    # one — but count and log so a persistently failing
+                    # TTL is visible, not silent
+                    self.failures[name] = self.failures.get(name, 0) + 1
+                    logging.getLogger(__name__).warning(
+                        "TTL reap failed for %s (%d failures): %s",
+                        name, self.failures[name], exc)
 
     def stop(self) -> None:
         self._stop.set()
