@@ -40,8 +40,50 @@ HEADLINE = [
 ]
 
 
+# scaling-evidence subset: the queries whose plans carry the
+# at-100TB claims (corpus self-joins, engine commits, wide aggs)
+SCALE_SUBSET = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "ndv_exact_and_hll",
+    "regr_family",
+    "quantile_family",
+    "text_profile",
+    "doc_fingerprints",
+    "minhash_lsh_candidates",
+    "ann_cosine_topk",
+    "events_agg_families",
+    "cv_engine_rollup",
+]
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=None,
+                    help="scale dir or name (e.g. sf1). Names resolve "
+                         "under /root/testdata, else /tmp/sfgen "
+                         "(auto-generated 10x replication of sf0.1 via "
+                         "scripts/gen_scale.py — bench-only data). "
+                         "Runs the SCALE_SUBSET instead of the full "
+                         "headline list.")
+    args = ap.parse_args()
+
+    queries = HEADLINE
+    if args.sf:
+        queries = SCALE_SUBSET
+        if os.path.isdir(args.sf):
+            sf_dir = args.sf
+        elif os.path.isdir(f"/root/testdata/{args.sf}"):
+            sf_dir = f"/root/testdata/{args.sf}"
+        else:
+            sf_dir = f"/tmp/sfgen/{args.sf}"
+            if not os.path.isdir(sf_dir):
+                from scripts.gen_scale import generate
+                generate("/root/testdata/sf0.1", 10, sf_dir)
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                                "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from pipelinedb_spark import get_spark
@@ -85,7 +127,7 @@ def main() -> None:
     # whole artifact — it gets an "error" entry and the loop continues
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in queries:
         fn = Q.get(name)
         if fn is None:
             continue

@@ -435,31 +435,54 @@ def _hs_specs() -> list[AggSpec]:
 # bucket_agg(expr, bucket_id) — assign each value to the bucket of its
 # LATEST observation, expose per-bucket distinct cardinalities
 # (reference aggfuncs.c:462-931, test bucket_agg.sql).  State: map
-# value -> (bucket_id, ts); merge keeps the later (ts, bucket) per
-# value; finalize = array of (bucket_id, count distinct values) sorted
-# by bucket id.
+# xxhash64(value) -> (bucket_id, ts) — the reference likewise stores
+# value HASHES, not values (BucketAggState keeps 32-bit hashes), so
+# state row width is bounded per distinct value regardless of value
+# length (a wide-row hazard at scale otherwise).  Merge keeps the
+# later (ts, bucket) per hash; finalize = array of (bucket_id, count
+# distinct values) sorted by bucket id.
 # ---------------------------------------------------------------------------
+
+def _latest_per_key(flat):
+    """array<struct<k,nt,b>> (nt = negated timestamp) → map entries
+    keeping, per key, the element with the LATEST timestamp.  Sort by
+    (k asc, nt asc ≡ t desc) then keep each key's first occurrence via
+    adjacent-dedup — O(n log n), vs the fold-with-filter formulation
+    whose accumulator rescan made it O(n²) per group per batch."""
+    srt = F.array_sort(flat)
+    # keep an element iff its key differs from its predecessor's
+    # (F.get is 0-based and NULL out-of-range, so i==0 passes via
+    # three-valued OR without an ANSI index error)
+    deduped = F.filter(
+        srt, lambda e, i: (i == F.lit(0)) |
+        (e.getField("k") != F.get(srt, i - 1).getField("k")))
+    return F.map_from_entries(F.transform(
+        deduped, lambda e: F.struct(
+            e.getField("k").alias("key"),
+            F.struct((-e.getField("nt")).alias("t"),
+                     e.getField("b").alias("b")).alias("value"))))
+
 
 def _bucket_agg_spec() -> AggSpec:
     def partial(args):
-        val = _e(args[0]).cast("string")
+        val = F.xxhash64(_e(args[0]).cast("string"))
         bucket = _e(args[1]).cast("int")
         ts = _e(args[2]) if len(args) > 2 else F.col("arrival_timestamp")
-        # per-value latest (ts, bucket): max_by over struct then map
-        pair = F.struct(ts.cast("double").alias("t"), bucket.alias("b"),
-                        val.alias("v"))
-        return {"m": F.map_from_entries(F.aggregate(
-            F.collect_list(pair), F.array().cast(
-                "array<struct<key:string,value:struct<t:double,b:int>>>"),
-            lambda acc, p: _bucket_fold(acc, p)))}
+        # per-value latest (ts, bucket): sortable (k, -t, b) triple
+        trip = F.struct(val.alias("k"),
+                        (-ts.cast("double")).alias("nt"),
+                        bucket.alias("b"))
+        return {"m": _latest_per_key(F.collect_list(trip))}
 
     def merge(s):
         # merge maps: per key keep entry with max t
-        return {"m": F.map_from_entries(F.aggregate(
+        flat = F.transform(
             F.flatten(F.collect_list(F.map_entries(s("m")))),
-            F.array().cast(
-                "array<struct<key:string,value:struct<t:double,b:int>>>"),
-            lambda acc, p: _bucket_fold_entry(acc, p)))}
+            lambda e: F.struct(
+                e.getField("key").alias("k"),
+                (-e.getField("value").getField("t")).alias("nt"),
+                e.getField("value").getField("b").alias("b")))
+        return {"m": _latest_per_key(flat)}
 
     def finalize(s, a):
         entries = F.map_entries(s("m"))
@@ -475,30 +498,6 @@ def _bucket_agg_spec() -> AggSpec:
         return counts
 
     return AggSpec("bucket_agg", partial, merge, finalize)
-
-
-def _bucket_fold(acc, p):
-    key = p.getField("v")
-    new = F.struct(p.getField("t").alias("t"), p.getField("b").alias("b"))
-    return _fold_keep_latest(acc, key, new)
-
-
-def _bucket_fold_entry(acc, e):
-    key = e.getField("key")
-    new = e.getField("value")
-    return _fold_keep_latest(acc, key, new)
-
-
-def _fold_keep_latest(acc, key, new):
-    existing = F.filter(acc, lambda kv: kv.getField("key") == key)
-    rest = F.filter(acc, lambda kv: kv.getField("key") != key)
-    keep = F.when(
-        (F.size(existing) > 0) &
-        (F.element_at(existing, 1).getField("value").getField("t") >=
-         new.getField("t")),
-        F.element_at(existing, 1).getField("value")).otherwise(new)
-    return F.concat(rest, F.array(F.struct(key.alias("key"),
-                                           keep.alias("value"))))
 
 
 # ---------------------------------------------------------------------------

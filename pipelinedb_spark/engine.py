@@ -575,6 +575,51 @@ class Transform:
         return out
 
 
+class PreparedInsert:
+    """A prepared stream-insert statement (reference
+    prepared_stream_insert.sql; EXECUTE data path
+    src/stream_fdw.c:477-585).  ``execute`` binds positional params to
+    the prepared column list and buffers the row; buffers flush as one
+    micro-batch at ``batch_size``, on ``flush()``/``close()``, or
+    whenever a consuming CV is read."""
+
+    def __init__(self, ctx: "PipelineContext", stream: str,
+                 columns: list[str], batch_size: int = 256) -> None:
+        self.ctx = ctx
+        self.stream = stream
+        self.columns = columns
+        self.batch_size = max(1, batch_size)
+        self._rows: list[dict] = []
+
+    def execute(self, *params) -> None:
+        if len(params) != len(self.columns):
+            raise CQError(
+                f"prepared insert on {self.stream} expects "
+                f"{len(self.columns)} parameters "
+                f"({self.columns}), got {len(params)}")
+        self._rows.append(dict(zip(self.columns, params)))
+        if len(self._rows) >= self.batch_size:
+            self.flush()
+
+    __call__ = execute
+
+    def execute_many(self, param_rows: Iterable[Iterable[Any]]) -> None:
+        for row in param_rows:
+            self.execute(*row)
+
+    def flush(self) -> int:
+        if not self._rows:
+            return 0
+        rows, self._rows = self._rows, []
+        return self.ctx.insert(self.stream, rows, columns=self.columns)
+
+    def close(self) -> None:
+        """DEALLOCATE: flush any pending rows and unregister."""
+        self.flush()
+        if self in self.ctx._prepared:
+            self.ctx._prepared.remove(self)
+
+
 class PipelineContext:
     """Top-level engine handle — one per SparkSession + state directory."""
 
@@ -618,6 +663,8 @@ class PipelineContext:
         self._catalog_path = os.path.join(self.root, "catalog.json")
         self._replaying = False
         self._catalog: list[dict] = []
+        # live PREPARE handles (prepared stream inserts)
+        self._prepared: list["PreparedInsert"] = []
         from pipelinedb_spark.functions import register_sql_functions
         register_sql_functions(spark)
         self._load_catalog()
@@ -856,6 +903,79 @@ class PipelineContext:
             for rec in list(self._catalog):
                 if rec["kind"] == "constraint" and rec.get("view") == name:
                     self._catalog_remove("constraint", rec["name"])
+
+    def rename_view(self, old: str, new: str) -> None:
+        """``ALTER VIEW <cv> RENAME TO <new>`` (reference
+        cont_alter.sql:5, src/commands.c): the CV, its matrel store,
+        its output stream, and every catalog record move to the new
+        name; CQs reading the CV's output stream keep working.  The
+        matrel's *relation* name in the reference stays put — here the
+        storage directory must follow the CV name so catalog replay
+        finds it, but users address the matrel only through the CV."""
+        cv = self.views.get(old)
+        if cv is None:
+            raise CQError(f"continuous view {old} does not exist")
+        if (new in self.views or new in self.transforms
+                or new in self.streams):
+            raise CQError(f"name {new!r} is already in use")
+        self._flush_cv(old)
+        self.views.pop(old)
+        cv.name = new
+        self.views[new] = cv
+        cv.matrel.rename(new)
+        # source-stream reader registration
+        for sd in self.streams.values():
+            sd.readers = [new if r == old else r for r in sd.readers]
+        # output stream: rekey + move segments on disk
+        old_os, new_os = f"{old}_osrel", f"{new}_osrel"
+        if old_os in self.streams:
+            sd = self.streams.pop(old_os)
+            sd.name = new_os
+            self.streams[new_os] = sd
+        for mapping in (self._osrel_seq, self._osrel_schema):
+            if old_os in mapping:
+                mapping[new_os] = mapping.pop(old_os)
+        old_osdir = os.path.join(self.osrel_root, old_os)
+        if os.path.isdir(old_osdir):
+            os.rename(old_osdir, os.path.join(self.osrel_root, new_os))
+        # downstream CQs created over output_of(old): repoint their
+        # stream reference and stored SQL so catalog replay agrees
+        for reader in list(self.views.values()) + list(
+                self.transforms.values()):
+            tgt = reader.plan.stream if hasattr(reader, "plan") \
+                else reader.stream
+            if tgt != old_os:
+                continue
+            if hasattr(reader, "plan"):
+                reader.plan.stream = new_os
+            else:
+                reader.stream = new_os
+            new_sql = re.sub(r"\b" + re.escape(old_os) + r"\b", new_os,
+                             reader.sql)
+            reader.sql = new_sql
+            for rec in self._catalog:
+                if rec["kind"] in ("view", "transform") \
+                        and rec["name"] == reader.name:
+                    rec["sql"] = new_sql
+        for rec in self._catalog:
+            if rec["kind"] == "view" and rec["name"] == old:
+                rec["name"] = new
+            elif rec["kind"] == "constraint" and rec.get("view") == old:
+                rec["view"] = new
+                rec["name"] = f"{new}.{rec['cname']}"
+        if not self._replaying:
+            self._catalog_flush()
+
+    def rename_matrel(self, name: str) -> None:
+        """Direct matrel renames are rejected exactly like the
+        reference (cont_alter.sql:6: 'cannot rename materialization
+        table') — the matrel's identity is bound to its CV."""
+        for cv_name in self.views:
+            if name in (cv_name, f"{cv_name}_mrel"):
+                raise CQError(
+                    f'cannot rename materialization table "{cv_name}_mrel" '
+                    f'for continuous view "{cv_name}"')
+        raise CQError(f"materialization table {name} does not exist")
 
     def drop_transform(self, name: str) -> None:
         tr = self.transforms.pop(name, None)
@@ -1122,6 +1242,9 @@ class PipelineContext:
             self._emit_osrel(osrel, os_rows, 0)
 
     def read_view(self, name: str, at: float | None = None) -> DataFrame:
+        cv = self.views.get(name)
+        if cv is not None and self._prepared:
+            self._flush_prepared(cv.plan.stream)
         self._flush_cv(name)
         return self.views[name].read(at=at)
 
@@ -1356,8 +1479,41 @@ class PipelineContext:
         """Sync barrier (reference pipeline_flush): commit every CV's
         pending batches; streaming attachments additionally call
         processAllAvailable (see streaming/runtime.py)."""
+        for p in list(self._prepared):
+            p.flush()
         for name in list(self.views):
             self._flush_cv(name)
+
+    # -- prepared inserts (PREPARE / EXECUTE) ------------------------------
+    def prepare_insert(self, stream: str,
+                       columns: list[str] | None = None,
+                       batch_size: int = 256) -> "PreparedInsert":
+        """``PREPARE p AS INSERT INTO stream (cols) VALUES ($1, ...)``
+        analog (reference prepared_stream_insert.sql,
+        src/stream_fdw.c:477-585).  Returns a handle whose
+        ``execute(*params)`` binds one row; rows buffer client-side and
+        ship as one micro-batch per ``batch_size`` (the reference
+        likewise microbatches prepared inserts per commit) — reads of
+        any consuming CV flush pending rows first, so results are
+        always consistent with every EXECUTE so far."""
+        sd = self.streams.get(stream)
+        if sd is None:
+            raise CQError(f"unknown stream {stream}")
+        valid = [f.name for f in sd.schema.fields]
+        if columns is None:
+            columns = valid
+        for c in columns:
+            if c not in valid:
+                raise CQError(f"column {c!r} does not exist in stream "
+                              f"{stream} (columns: {valid})")
+        p = PreparedInsert(self, stream, list(columns), batch_size)
+        self._prepared.append(p)
+        return p
+
+    def _flush_prepared(self, stream: str) -> None:
+        for p in list(self._prepared):
+            if p.stream == stream:
+                p.flush()
 
     def reap_ttl(self, name: str, now: float | None = None) -> int:
         self._flush_cv(name)

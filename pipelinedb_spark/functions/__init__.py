@@ -34,6 +34,19 @@ _SQL_FUNCTIONS = [
      "(ts TIMESTAMP, x STRING) RETURNS BIGINT RETURN "
      "shiftleft(cast(cast(ts AS DOUBLE) / 3600 AS BIGINT) & 16777215, 40) "
      "| (xxhash64(x) & 1099511627775)"),
+    # bucket_agg accessors over the finalized (bucket_id, count) array
+    # (reference pipelinedb--1.0.0.sql:2371-2396 bucket_ids /
+    # bucket_cardinalities / bucket_cardinality over the bytea state)
+    ("bucket_ids",
+     "(b ARRAY<STRUCT<bucket_id: INT, count: BIGINT>>) "
+     "RETURNS ARRAY<INT> RETURN transform(b, e -> e.bucket_id)"),
+    ("bucket_cardinalities",
+     "(b ARRAY<STRUCT<bucket_id: INT, count: BIGINT>>) "
+     "RETURNS ARRAY<BIGINT> RETURN transform(b, e -> e.count)"),
+    ("bucket_cardinality",
+     "(b ARRAY<STRUCT<bucket_id: INT, count: BIGINT>>, id INT) "
+     "RETURNS BIGINT RETURN "
+     "coalesce(get(filter(b, e -> e.bucket_id = id), 0).count, 0L)"),
 ]
 
 

@@ -202,5 +202,24 @@ class MatrelStore:
             if entry not in live_dirs and v < keep_version - keep_last:
                 shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
 
+    def rename(self, new_name: str) -> None:
+        """Move the store to a sibling directory and rewrite manifest
+        paths (the store's directory is derived from the CV name, so a
+        view rename must carry the data for catalog replay to find
+        it)."""
+        parent = os.path.dirname(self.dir)
+        new_dir = os.path.join(parent, new_name)
+        if os.path.exists(new_dir):
+            raise FileExistsError(f"matrel dir {new_dir} already exists")
+        old_dir = self.dir
+        os.rename(old_dir, new_dir)
+        self.name = new_name
+        self.dir = new_dir
+        self._manifest_path = os.path.join(new_dir, "MANIFEST")
+        m = self._read_manifest()
+        m["buckets"] = {b: os.path.join(new_dir, os.path.relpath(p, old_dir))
+                        for b, p in m["buckets"].items()}
+        self._write_manifest(m)
+
     def drop(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)

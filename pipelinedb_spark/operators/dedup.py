@@ -483,20 +483,28 @@ def _simhash_kernel(bits: int):
             .astype(np.int64)
         tok_doc = np.repeat(np.arange(nd, dtype=np.int64), lens)
         sums = pd.DataFrame(bit_mat).groupby(tok_doc, sort=True).sum()
-        out = np.zeros(nd, dtype=np.int64)
+        out = np.zeros(nd, dtype=np.uint64)
         present = sums.index.to_numpy()
         votes = 2 * sums.to_numpy() - lens[present][:, None]
-        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
-        out[present] = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
-        return pd.Series(out)
+        # pack in uint64 so bit 63 (the int64 sign bit) is just another
+        # weight — the final view reinterprets the bits as long
+        weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+        out[present] = ((votes > 0).astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(out.view(np.int64))
 
     return k
 
 
 def simhash_fast(text: Column, bits: int = 16) -> Column:
-    """Reduced-width SimHash (default 16 bits) via the vectorized
-    Arrow kernel; 16 bits is plenty for bucketing.  Widths ≥ 64 fall
-    back to the Catalyst formulation (sign-bit packing)."""
-    if bits >= 64:
-        return simhash(text, bits)
+    """SimHash via the vectorized Arrow kernel at any width up to 64
+    (default 16 — plenty for bucketing).  The 64-bit packing uses the
+    int64 sign bit as bit 63 (uint64 accumulate, reinterpret as long).
+    Note the kernel tokenizes identically to :func:`simhash` but hashes
+    tokens with the batch siphash kernel rather than xxhash64, so the
+    two variants implement the same public SimHash construction over
+    different token-hash families; fingerprints are consistent within
+    a variant, not across them.  Lower-width kernel outputs are the
+    low bits of wider ones (per-bit votes don't depend on width)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash width must be 1..64, got {bits}")
     return _simhash_kernel(bits)(text)

@@ -106,7 +106,8 @@ class TDigest:
         i = max(0, min(i, len(self.means) - 2))
         span = self.means[i + 1] - self.means[i]
         frac = (x - self.means[i]) / span if span > 0 else 0.0
-        return float((cum[i] + frac * (cum[i + 1] - cum[i])) / total)
+        # endpoint-exact lerp (same tie-boundary guard as quantile())
+        return float(((1.0 - frac) * cum[i] + frac * cum[i + 1]) / total)
 
     def count(self) -> float:
         return float(self.weights.sum())

@@ -2,6 +2,8 @@
 replays stream/CV/transform DDL and re-attaches matrels (the
 pipelinedb.cont_query catalog analog)."""
 
+import pytest
+
 
 def test_catalog_replay(spark, tmp_path):
     from pipelinedb_spark import PipelineContext
@@ -124,3 +126,47 @@ def test_drop_stream_cascade(spark, tmp_path):
     ctx2.drop_transform("dc_t2")
     assert not ctx2.transforms
     assert ctx2.streams["dc_s2"].readers == []
+
+
+def test_rename_view(spark, tmp_path):
+    """ALTER VIEW RENAME (cont_alter.sql:5-7): create, insert, rename,
+    read under the new name, insert more, catalog replay agrees; a
+    downstream CQ over output_of(old) keeps receiving; direct matrel
+    rename is rejected like the reference."""
+    from pipelinedb_spark import PipelineContext, CQError
+
+    root = str(tmp_path / "pdb_rn")
+    ctx = PipelineContext(spark, root=root, num_buckets=4)
+    ctx.create_stream("rn_s", "k string, v long")
+    ctx.create_view("rn_cv", "SELECT k, count(*) AS n FROM rn_s GROUP BY k")
+    ctx.create_view("rn_down",
+                    "SELECT count(*) AS changes FROM output_of('rn_cv')")
+    ctx.insert("rn_s", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+
+    with pytest.raises(CQError, match="cannot rename materialization"):
+        ctx.rename_matrel("rn_cv_mrel")
+    with pytest.raises(CQError, match="does not exist"):
+        ctx.rename_view("nope", "other")
+    with pytest.raises(CQError, match="already in use"):
+        ctx.rename_view("rn_cv", "rn_down")
+
+    ctx.rename_view("rn_cv", "lolcat")
+    assert "rn_cv" not in ctx.views and "lolcat" in ctx.views
+    got = {r["k"]: r["n"] for r in ctx.read_view("lolcat").collect()}
+    assert got == {"a": 1, "b": 1}
+    # merges continue under the new name, and the downstream CQ over
+    # the (renamed) output stream still receives change rows
+    ctx.insert("rn_s", [{"k": "a", "v": 3}])
+    got = {r["k"]: r["n"] for r in ctx.read_view("lolcat").collect()}
+    assert got == {"a": 2, "b": 1}
+    assert ctx.read_view("rn_down").collect()[0]["changes"] >= 3
+
+    # replay from the catalog: new name resolves, old is gone,
+    # matrel contents survived the rename
+    ctx2 = PipelineContext(spark, root=root, num_buckets=4)
+    assert "lolcat" in ctx2.views and "rn_cv" not in ctx2.views
+    got = {r["k"]: r["n"] for r in ctx2.read_view("lolcat").collect()}
+    assert got == {"a": 2, "b": 1}
+    ctx2.insert("rn_s", [{"k": "c", "v": 9}])
+    got = {r["k"]: r["n"] for r in ctx2.read_view("lolcat").collect()}
+    assert got == {"a": 2, "b": 1, "c": 1}

@@ -118,6 +118,46 @@ def test_bucket_agg_cv(ctx):
     assert got == {1: 1, 2: 1}  # v2 stays in 1, v1 moved to 2
 
 
+def test_bucket_agg_accessors(ctx):
+    """bucket_ids / bucket_cardinalities / bucket_cardinality over the
+    finalized bucket_agg value (reference
+    pipelinedb--1.0.0.sql:2371-2396; regress bucket_agg.sql: element
+    moves between buckets, new element lands in the vacated one)."""
+    ctx.create_stream("ba2", "x int, y int, t long")
+    ctx.create_view("cv_ba2",
+                    "SELECT bucket_agg(x, y, t) AS ba FROM ba2")
+    ctx.insert("ba2", [{"x": 0, "y": 0, "t": 1}])
+    r = ctx.read_view("cv_ba2").selectExpr(
+        "bucket_ids(ba) AS ids", "bucket_cardinalities(ba) AS cards",
+        "bucket_cardinality(ba, 0) AS c0").collect()[0]
+    assert r["ids"] == [0] and r["cards"] == [1] and r["c0"] == 1
+    # move element 0 into bucket 1
+    ctx.insert("ba2", [{"x": 0, "y": 1, "t": 2}])
+    r = ctx.read_view("cv_ba2").selectExpr(
+        "bucket_ids(ba) AS ids", "bucket_cardinality(ba, 0) AS c0",
+        "bucket_cardinality(ba, 1) AS c1").collect()[0]
+    assert r["ids"] == [1] and r["c0"] == 0 and r["c1"] == 1
+    # new element into the now-empty bucket 0
+    ctx.insert("ba2", [{"x": 1, "y": 0, "t": 3}])
+    r = ctx.read_view("cv_ba2").selectExpr(
+        "bucket_ids(ba) AS ids",
+        "bucket_cardinalities(ba) AS cards").collect()[0]
+    assert r["ids"] == [0, 1] and r["cards"] == [1, 1]
+    # bulk: 9 more values into bucket 2
+    ctx.insert("ba2", [{"x": v, "y": 2, "t": 4} for v in range(2, 11)])
+    r = ctx.read_view("cv_ba2").selectExpr(
+        "bucket_ids(ba) AS ids", "bucket_cardinality(ba, 2) AS c2"
+    ).collect()[0]
+    assert r["ids"] == [0, 1, 2] and r["c2"] == 9
+    # an earlier-timestamped re-observation must NOT move the value
+    # (bucket3 case in the regress test)
+    ctx.insert("ba2", [{"x": 0, "y": 5, "t": 0}])
+    r = ctx.read_view("cv_ba2").selectExpr(
+        "bucket_cardinality(ba, 5) AS c5",
+        "bucket_cardinality(ba, 1) AS c1").collect()[0]
+    assert r["c5"] == 0 and r["c1"] == 1
+
+
 def test_sql_functions_in_cv(ctx):
     """date_round / hash_group usable directly in CV SQL (reference
     date_round.sql, hash_group.sql)."""
@@ -555,3 +595,44 @@ def test_writable_matrels(ctx):
     with pytest.raises(CQError):
         ctx.update_matrel("cont_matrel", {"no_such_state": "1"})
     ctx.matrels_writable = False
+
+
+def test_prepared_stream_insert(ctx):
+    """PREPARE/EXECUTE stream inserts (prepared_stream_insert.sql):
+    positional binds, partial column lists (missing columns NULL),
+    buffered EXECUTEs visible on any consuming-CV read, arity errors
+    rejected, DEALLOCATE flushes."""
+    import pytest
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("pi_s", "x double, y int, z int")
+    ctx.create_view("pi0", "SELECT count(*) AS n FROM pi_s")
+    ctx.create_view("pi1", "SELECT sum(x) AS fsum, sum(y) AS isum FROM pi_s")
+
+    prep0 = ctx.prepare_insert("pi_s", ["x"])
+    prep1 = ctx.prepare_insert("pi_s", ["x", "y"])
+    for _ in range(7):
+        prep0.execute(1.0)
+    for _ in range(7):
+        prep0(1.5)
+    for _ in range(10):
+        prep1.execute(1.0, 1)
+
+    with pytest.raises(CQError, match="parameters"):
+        prep0.execute(1.0, 2)
+    with pytest.raises(CQError, match="does not exist"):
+        ctx.prepare_insert("pi_s", ["nope"])
+    with pytest.raises(CQError, match="unknown stream"):
+        ctx.prepare_insert("nope", ["x"])
+
+    # reads flush the prepared buffers first
+    assert ctx.read_view("pi0").collect()[0]["n"] == 24
+    row = ctx.read_view("pi1").collect()[0]
+    assert row["fsum"] == pytest.approx(7 * 1.0 + 7 * 1.5 + 10 * 1.0)
+    assert row["isum"] == 10
+
+    # execute_many + explicit close (DEALLOCATE) flush
+    prep1.execute_many([(2.0, 5), (3.0, 6)])
+    prep1.close()
+    assert prep1 not in ctx._prepared
+    assert ctx.read_view("pi0").collect()[0]["n"] == 26

@@ -108,6 +108,29 @@ def test_simhash_similar_docs_close(docs, spark, jaccard_rows):
         assert diff <= 6, (p, diff)
 
 
+def test_simhash64_kernel_packing(docs, spark, jaccard_rows):
+    """Full-width (64-bit) SimHash through the Arrow kernel: the low 16
+    bits must equal the 16-bit kernel output (per-bit votes are
+    width-independent), the sign bit must actually be used as bit 63,
+    and near-dup docs stay hamming-close at full width."""
+    from pipelinedb_spark.operators.dedup import simhash_fast
+    rows = docs.select(
+        "doc_id",
+        simhash_fast(F.col("text"), 64).alias("sh64"),
+        simhash_fast(F.col("text"), 16).alias("sh16")).collect()
+    assert rows
+    for r in rows:
+        assert (r["sh64"] & 0xFFFF) == (r["sh16"] & 0xFFFF), r["doc_id"]
+    # ~half of fingerprints should have bit 63 set (negative longs)
+    neg = sum(1 for r in rows if r["sh64"] < 0)
+    assert 0 < neg < len(rows), "bit 63 never (or always) set"
+    sh = {r["doc_id"]: r["sh64"] for r in rows}
+    pairs = [p for p in jaccard_rows if p["jaccard"] >= 0.8][:5]
+    for p in pairs:
+        diff = bin((sh[p["d1"]] ^ sh[p["d2"]]) & ((1 << 64) - 1)).count("1")
+        assert diff <= 20, (p, diff)
+
+
 def test_multimodal_metadata_and_frames(docs):
     from pipelinedb_spark.operators.multimodal import (attach_binary,
                                                        extract_metadata,
