@@ -72,9 +72,15 @@ def generate(src: str, factor: int, out: str) -> None:
                 if c in keys:
                     sel.append(f"{c} + {r * strides[keys[c]]} AS {c}")
                 elif table == "documents" and c == "text" and r > 0:
-                    # distinct replica vocabulary prefix so dedup /
-                    # minhash don't see replicas as exact/near dups
-                    sel.append(f"'r{r} ' || text AS text")
+                    # tag EVERY token with the replica id so replica
+                    # vocabularies (and therefore shingles / minhash
+                    # bands) are fully disjoint — replicas must not
+                    # read as near-duplicates of each other, or the
+                    # scaled corpus has 10x the true near-dup density
+                    # of the source and LSH candidate counts scale
+                    # quadratically by construction
+                    sel.append(f"'r{r}' || replace(text, ' ', ' r{r}') "
+                               f"AS text")
                 else:
                     sel.append(c)
             parts.append(f"SELECT {', '.join(sel)} FROM '{path}'")

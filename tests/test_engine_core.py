@@ -228,3 +228,56 @@ def test_no_aggregate_append_cv(ctx):
     ctx.insert("ap_s", [{"key": 7, "url": "x"}, {"key": 7, "url": "y"}])
     assert sorted(r["key"] for r in ctx.read_view("cq5").collect()) == [7, 7]
     assert ctx.read_view("cq5", at=time.time() + 7200).count() == 0
+
+
+def test_sanity_target_list_shapes(ctx):
+    """cont_view_sanity.sql: aggregates before group columns in the
+    target list, aggregates over expressions (max(x + y)), expressions
+    OF aggregates (count(*) + sum(v)), and group-by-expression keys all
+    materialize and merge correctly across batches."""
+    ctx.create_stream("san1", "key string, value double, x int, y int, "
+                              "k string, v int")
+    ctx.create_view("cv_weird_tl",
+                    "SELECT count(*) AS cnt, key, sum(value) AS s "
+                    "FROM san1 GROUP BY key")
+    ctx.create_view("cv_agg_of_expr",
+                    "SELECT key, count(*) AS cnt, max(x + y) AS mxy "
+                    "FROM san1 GROUP BY key")
+    ctx.create_view("cv_expr_of_agg",
+                    "SELECT k, count(*) + sum(v) AS cs FROM san1 "
+                    "GROUP BY k")
+    ctx.create_view("cv_grp_expr",
+                    "SELECT count(*) AS cnt, substring(key, 1, 2) AS su "
+                    "FROM san1 GROUP BY substring(key, 1, 2)")
+
+    ctx.insert("san1", [
+        {"key": "x", "value": 10.0, "x": -1000, "y": 1000, "k": "a", "v": 1},
+        {"key": "x", "value": 20.0, "x": 0, "y": 1, "k": "a", "v": 2},
+        {"key": "y", "value": 200.0, "x": 1, "y": 0, "k": "b", "v": 4},
+    ])
+    ctx.insert("san1", [
+        {"key": "x", "value": 30.0, "x": 10, "y": 20, "k": "a", "v": 3},
+        {"key": "z", "value": 1.0, "x": -1000, "y": 1001, "k": "b", "v": 5},
+    ])
+
+    weird = {r["key"]: (r["cnt"], r["s"])
+             for r in ctx.read_view("cv_weird_tl").collect()}
+    assert weird == {"x": (3, 60.0), "y": (1, 200.0), "z": (1, 1.0)}
+    # column ORDER matches the declared target list
+    assert ctx.read_view("cv_weird_tl").columns == ["cnt", "key", "s"]
+
+    aoe = {r["key"]: r["mxy"]
+           for r in ctx.read_view("cv_agg_of_expr").collect()}
+    assert aoe == {"x": 30, "y": 1, "z": 1}
+
+    eoa = {r["k"]: r["cs"] for r in ctx.read_view("cv_expr_of_agg").collect()}
+    assert eoa == {"a": 3 + 6, "b": 2 + 9}
+
+    # group-by-expression: 'x'/'y'/'z' all 1-char keys → su = key here;
+    # add multi-char keys to actually exercise the substring
+    ctx.insert("san1", [{"key": "aab", "value": 0.0, "x": 0, "y": 0,
+                         "k": "c", "v": 0},
+                        {"key": "aaz", "value": 0.0, "x": 0, "y": 0,
+                         "k": "c", "v": 0}])
+    gexp = {r["su"]: r["cnt"] for r in ctx.read_view("cv_grp_expr").collect()}
+    assert gexp["aa"] == 2

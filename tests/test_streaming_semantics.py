@@ -217,3 +217,45 @@ def test_delta_stream_postgres_field_syntax(ctx):
     ctx.insert("ds2", [{"k": "a", "v": 5}])
     row = ctx.read_view("cv_pg_delta").collect()[0]
     assert row["dsum"] == 15 and row["peak"] == 15
+
+
+def test_sw_expiration_vacuum(ctx):
+    """sw_expiration.sql: a sliding-window CV's matrel accumulates
+    per-step rows beyond the visible window; ttl_expire (the vacuum
+    analog) deletes expired step buckets without changing in-window
+    reads, and the view repopulates after new inserts.  Window
+    evaluation time is injected (read_view(at=...), reap_ttl(now=...))
+    so the test is latency-independent."""
+    import time
+
+    ctx.create_stream("swx", "key string")
+    ctx.create_view(
+        "sw_vac",
+        "SELECT key, count(*) AS n FROM swx "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '30 second' "
+        "GROUP BY key")
+    for _ in range(2):
+        ctx.insert("swx", [{"key": k} for k in "abc"])
+    time.sleep(0.5)
+    for _ in range(2):
+        ctx.insert("swx", [{"key": k} for k in "abc"])
+    t_mid = time.time()
+    got = {r["key"]: r["n"]
+           for r in ctx.read_view("sw_vac", at=t_mid).collect()}
+    assert got == {"a": 4, "b": 4, "c": 4}
+    # out-of-window but unreaped: view (at a later clock) is empty
+    # while the matrel still holds the step rows (regress's
+    # "count(view) < count(mrel)" probe)
+    later = t_mid + 120
+    assert ctx.read_view("sw_vac", at=later).count() == 0
+    n_mrel = ctx.read_matrel("sw_vac").count()
+    assert n_mrel >= 3
+    # reap with everything still in-window: nothing deleted
+    assert ctx.reap_ttl("sw_vac", now=t_mid) == 0
+    # the implicit SW TTL (window + 2 steps) lapses at the later clock
+    assert ctx.reap_ttl("sw_vac", now=later) == n_mrel
+    assert ctx.read_matrel("sw_vac").count() == 0
+    # the view repopulates from fresh inserts after the vacuum
+    ctx.insert("swx", [{"key": "a"}, {"key": "b"}])
+    got = {r["key"]: r["n"] for r in ctx.read_view("sw_vac").collect()}
+    assert got == {"a": 1, "b": 1}
