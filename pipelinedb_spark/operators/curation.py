@@ -23,7 +23,13 @@ def _gram_hashes(text: Column, n: int) -> Column:
     that cannot appear inside whitespace tokens)."""
     ws = F.split(text, " ")
     m = F.size(ws) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(m - 1, F.lit(-1)))
+    # sequence(0, -1) yields a DESCENDING [0, -1] in Spark, not an
+    # empty array: a doc shorter than n tokens would otherwise emit
+    # two partial grams (harmless for contamination joins — a
+    # partial gram can't equal any real n-gram — but wrong in
+    # principle and it skews gram counts).
+    idx = F.when(m > 0, F.sequence(F.lit(0), m - 1)) \
+        .otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(
             "\x1f", *[F.get(ws, i + k) for k in range(n)])))
