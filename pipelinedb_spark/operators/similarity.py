@@ -366,3 +366,45 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (cands.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select("q_id", "n_id", "rk", "cosine"))
+
+
+def semantic_clusters(corpus: DataFrame, threshold: float = 0.85,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64, bits: int = 8, tables: int = 32,
+                      allow_quadratic: bool = False) -> DataFrame:
+    """Semantic duplicate clusters: (id, cluster_id) for EVERY corpus
+    row, cluster_id = min id of its cosine-≥-threshold component
+    (singletons keep their own id).
+
+    The SemDeDup-style embedding dedup recipe composed from the scale
+    paths already audited at 100 TB: LSH candidate pairs + exact
+    verification (`neardup_pairs`), then min-label connected
+    components (`dedup_clusters` — O(component diameter) shuffles,
+    and near-dup components are small-diameter by construction)."""
+    from pipelinedb_spark.operators.dedup import dedup_clusters
+
+    pairs = neardup_pairs(corpus, threshold, id_col, vec_col,
+                          exact=True, dim=dim, bits=bits, tables=tables,
+                          allow_quadratic=allow_quadratic)
+    comp = dedup_clusters(
+        pairs.select(F.col("id1").alias("d1"), F.col("id2").alias("d2")))
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(comp, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col),
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id")))
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = 64, bits: int = 8, tables: int = 32,
+                   allow_quadratic: bool = False) -> DataFrame:
+    """Keep one canonical row (min id) per semantic-duplicate cluster
+    — the corpus minus non-canonical members via a left-anti join on
+    the (small, duplicates-only) drop list, so the corpus side stays
+    a single scan."""
+    clusters = semantic_clusters(corpus, threshold, id_col, vec_col,
+                                 dim=dim, bits=bits, tables=tables,
+                                 allow_quadratic=allow_quadratic)
+    drop = (clusters.filter(F.col(id_col) != F.col("cluster_id"))
+            .select(id_col))
+    return corpus.join(F.broadcast(drop), id_col, "left_anti")
