@@ -5,8 +5,14 @@
     → exact dedup (md5 canonicalization)
     → MinHash-LSH near-dup candidates + exact-Jaccard verify
     → connected-component clusters, keep one canonical doc each
+    → repetition filter (Gopher dup-line/dup-n-gram/top-n-gram rules)
     → text quality filter (lang-id, stopword ratio, quality score)
-    → corpus stats (token counts, vocabulary)
+    → PII redaction (typed placeholders, residue-free)
+    → benchmark decontamination (8-gram overlap vs a held-out set)
+    → semantic dedup over embeddings (LSH + exact cosine, one
+      canonical vector per cluster)
+    → deterministic source mixing (hash-stratified sampling)
+    → corpus stats (whitespace + BPE-ish token counts, vocabulary)
 
 Every stage is the scale path (LSH banding, bucketed self-joins pinned
 shuffle-hash, no driver-side loops) — the same code runs on a cluster
@@ -55,26 +61,80 @@ def main() -> None:
     docs2 = docs1.join(drop, "doc_id", "left_anti")
     n2 = docs2.count()
 
-    # 4. quality filter: english-ish, low-garbage documents
-    profiled = analyze_documents(docs2)
+    # 4. repetition filter: drop loopy/templated docs (Gopher rules,
+    # minus the word-count gate — the synthetic corpus is short-doc)
+    from pipelinedb_spark.operators.quality import GOPHER_RULES, gopher_filter
+    rep_rules = {k: v for k, v in GOPHER_RULES.items()
+                 if k not in ("word_count", "mean_word_length")}
+    docs3 = gopher_filter(docs2, rules=rep_rules)
+    n3 = docs3.count()
+
+    # 5. quality filter: english-ish, low-garbage documents
+    profiled = analyze_documents(docs3)
     kept = profiled.filter((F.col("quality") >= 0.3) &
                            (F.col("n_tokens").between(5, 100000)))
-    n3 = kept.count()
+    n4 = kept.count()
 
-    # 5. corpus stats
-    stats = kept.agg(
+    # 6. PII redaction (typed placeholders; counts before/after)
+    from pipelinedb_spark.operators.pii import pii_profile, pii_redact
+    n_pii = pii_profile(kept).agg(F.sum("n_pii")).collect()[0][0]
+    kept = pii_redact(kept)
+
+    # 7. benchmark decontamination: hold out every 100th doc as a
+    # stand-in eval set, drop training docs sharing ≥3 distinct
+    # 8-grams with it
+    from pipelinedb_spark.operators.curation import decontaminate
+    eval_set = (docs.filter(F.col("doc_id") % 100 == 7)
+                .select(F.col("doc_id").alias("eval_id"), "text"))
+    train = decontaminate(
+        kept.join(eval_set.select(F.col("eval_id").alias("doc_id")),
+                  "doc_id", "left_anti"),
+        eval_set, min_hits=3)
+    n5 = train.count()
+
+    # 8. semantic dedup on the embedding table (vec_id ≍ doc_id here)
+    from pipelinedb_spark.operators.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    sem_kept = semantic_dedup(emb, threshold=0.45, bits=3, tables=24) \
+        .select(F.col("vec_id").alias("doc_id"))
+    train = train.join(sem_kept, "doc_id", "left_semi") \
+        .unionByName(train.join(emb.select(F.col("vec_id")
+                                           .alias("doc_id")),
+                                "doc_id", "left_anti"))
+    n6 = train.count()
+
+    # 9. deterministic source mixing: downweight the two largest
+    # sources (stable under retries/repartitioning — hash, not rand)
+    from pipelinedb_spark.operators.curation import stratified_sample
+    top2 = [r["source"] for r in train.groupBy("source").count()
+            .orderBy(F.desc("count")).limit(2).collect()]
+    mixed = stratified_sample(train, {s: 0.5 for s in top2},
+                              strata_col="source", key_col="doc_id",
+                              default_fraction=1.0)
+    n7 = mixed.count()
+
+    # 10. corpus stats
+    from pipelinedb_spark.operators.text import bpe_ish_token_count
+    stats = mixed.agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("tokens"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality")).collect()[0]
-    langs = (kept.groupBy("lang").count()
+    langs = (mixed.groupBy("lang").count()
              .orderBy(F.desc("count")).limit(5).collect())
 
-    print(f"raw documents:        {n0}")
-    print(f"after exact dedup:    {n1}  (-{n0 - n1})")
-    print(f"after near-dup dedup: {n2}  (-{n1 - n2})")
-    print(f"after quality filter: {n3}  (-{n2 - n3})")
-    print(f"tokens kept: {stats['tokens']}, avg quality "
-          f"{stats['avg_quality']}")
+    print(f"raw documents:          {n0}")
+    print(f"after exact dedup:      {n1}  (-{n0 - n1})")
+    print(f"after near-dup dedup:   {n2}  (-{n1 - n2})")
+    print(f"after repetition filter:{n3}  (-{n2 - n3})")
+    print(f"after quality filter:   {n4}  (-{n3 - n4})")
+    print(f"PII spans redacted:     {n_pii}")
+    print(f"after decontamination:  {n5}  (-{n4 - n5} + eval holdout)")
+    print(f"after semantic dedup:   {n6}  (-{n5 - n6})")
+    print(f"after source mixing:    {n7}  (-{n6 - n7})")
+    print(f"tokens kept: {stats['tokens']} ws / {stats['bpe_tokens']} "
+          f"bpe-ish, avg quality {stats['avg_quality']}")
     print("top langs:", [(r["lang"], r["count"]) for r in langs])
 
 

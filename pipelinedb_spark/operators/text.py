@@ -31,6 +31,27 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩
+# RE2 subset (no \s+(?!\S) lookahead — trailing whitespace runs
+# become their own tokens instead of merging, a ≤1-token-per-doc
+# difference) so the SAME string drives Spark and the duckdb oracle.
+BPE_ISH_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                   r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-boundary pre-tokens (contractions, letter runs, digit
+    runs, punctuation runs, each with an optional leading space) —
+    the standard BPE pre-split.  Counts from this are the right unit
+    for token budgets; whitespace `tokens()` undercounts punctuation-
+    heavy text."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("long")
+
+
 def char_count(text: Column) -> Column:
     return F.length(text).cast("long")
 

@@ -199,6 +199,7 @@ class SWTicker:
         self.ctx = ctx
         self.view = view
         self.interval = interval_seconds
+        self.failures = 0
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -210,8 +211,14 @@ class SWTicker:
         while not self._stop.wait(self.interval):
             try:
                 self.ctx.tick_sw(self.view)
-            except Exception:
-                pass  # keep ticking; next tick retries
+            except Exception as exc:
+                # keep ticking; next tick retries — but count and log
+                # so a persistently failing ticker is visible (same
+                # contract as TTLReaper)
+                self.failures += 1
+                logging.getLogger(__name__).warning(
+                    "SW tick failed for %s (%d failures): %s",
+                    self.view, self.failures, exc)
 
     def stop(self) -> None:
         self._stop.set()

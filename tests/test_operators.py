@@ -201,3 +201,36 @@ def test_ivf_full_probe_equals_brute_force(emb):
            ivf_topk(emb, q, k=5, n_lists=8, nprobe=8,
                     exact_rerank=True).collect()}
     assert bf == ivf
+
+
+def test_bpe_ish_tokens_match_duckdb(docs, spark, sf_dir):
+    """The BPE pre-tokenizer pattern lives in the Java-regex ∩ RE2
+    subset by design: duckdb running the SAME pattern string must
+    produce identical token lists on real corpus text AND on
+    punctuation/contraction torture cases."""
+    import duckdb
+
+    from pipelinedb_spark.operators.text import (BPE_ISH_PATTERN,
+                                                 bpe_ish_token_count,
+                                                 bpe_ish_tokens)
+
+    extra = spark.createDataFrame(
+        [(100001, "I can't believe it's 2026!  (already?)"),
+         (100002, "foo_bar: x=42, y=3.14; z->w"),
+         (100003, "  leading and trailing  ")],
+        ["doc_id", "text"])
+    df = docs.select("doc_id", "text").unionByName(extra)
+    got = {r["doc_id"]: (r["toks"], r["n"]) for r in df.select(
+        "doc_id", bpe_ish_tokens(F.col("text")).alias("toks"),
+        bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    exp = {r[0]: r[1] for r in con.sql(
+        "SELECT doc_id, regexp_extract_all(text, ?) FROM d",
+        params=[BPE_ISH_PATTERN]).fetchall()}
+    assert set(got) == set(exp)
+    for doc_id in exp:
+        assert got[doc_id][0] == exp[doc_id], doc_id
+        assert got[doc_id][1] == len(exp[doc_id]), doc_id
+    # punctuation-heavy text yields more BPE tokens than whitespace
+    assert got[100002][1] > len("foo_bar: x=42, y=3.14; z->w".split())
