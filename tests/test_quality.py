@@ -151,3 +151,71 @@ def test_null_and_empty_text_score_zero(spark):
     assert rows[3]["w"] == 0.0 and rows[3]["t"] == 0.0
     # NULL text propagates NULL (SQL semantics), never crashes
     assert rows[2]["w"] is None or rows[2]["w"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the Column-expression fold vs a pure-python reference
+# on adversarial random text (ties, empties, newlines, repeated runs).
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_ngram_fracs(text: str, n: int) -> tuple:
+    ws = [w for w in text.split(" ") if w]
+    grams = ["\x1f".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+    if not grams:
+        return 0.0, 0.0
+    c = Counter(grams)
+    glen = lambda g: len(g) - (n - 1)
+    total = sum(cnt * glen(g) for g, cnt in c.items())
+    top_cnt = max(c.values())
+    top_chars = max(cnt * glen(g) for g, cnt in c.items()
+                    if cnt == top_cnt)
+    dup = sum(cnt * glen(g) for g, cnt in c.items() if cnt > 1)
+    return top_chars / total, dup / total
+
+
+def _ref_dup_line_char(text: str) -> float:
+    lines = [l for l in text.split("\n") if l != ""]
+    if not lines:
+        return 0.0
+    c = Counter(lines)
+    total = sum(cnt * len(l) for l, cnt in c.items())
+    dup = sum(cnt * len(l) for l, cnt in c.items() if cnt > 1)
+    return dup / total if total else 0.0
+
+
+# tiny alphabet maximizes collisions/ties; spaces and newlines stress
+# the tokenizer edges
+_DOC = st.text(alphabet="ab \n", min_size=0, max_size=40)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=10),
+       st.integers(min_value=2, max_value=4))
+def test_property_ngram_fracs_equal_python(spark, texts, n):
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "t"])
+    got = {r["i"]: (r["top"], r["dup"]) for r in df.select(
+        "i", Q.top_ngram_char_fraction(F.col("t"), n).alias("top"),
+        Q.duplicate_ngram_char_fraction(F.col("t"), n).alias("dup"),
+    ).collect()}
+    for i, t in enumerate(texts):
+        et, ed = _ref_ngram_fracs(t, n)
+        assert got[i][0] == pytest.approx(et, abs=1e-12), (t, n)
+        assert got[i][1] == pytest.approx(ed, abs=1e-12), (t, n)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=10))
+def test_property_dup_line_char_equals_python(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "t"])
+    got = {r["i"]: r["f"] for r in df.select(
+        "i", Q.duplicate_line_char_fraction(F.col("t")).alias("f"),
+    ).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(_ref_dup_line_char(t),
+                                       abs=1e-12), repr(t)
