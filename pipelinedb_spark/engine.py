@@ -145,6 +145,12 @@ class StreamDef:
     schema: T.StructType
     # CVs/transforms consuming this stream, in creation order
     readers: list[str] = field(default_factory=list)
+    # per-stream ingest counters (reference get_stream_stats,
+    # sql:2792-2802 — input_bytes omitted: rows flow as columnar
+    # DataFrames, not serialized tuples, so a byte count would be
+    # fiction)
+    input_rows: int = 0
+    input_batches: int = 0
 
 
 @dataclass
@@ -153,6 +159,7 @@ class Stats:
     output_rows: int = 0
     batches: int = 0
     errors: int = 0
+    exec_ms: float = 0.0
 
 
 class ContView:
@@ -1052,6 +1059,7 @@ class PipelineContext:
                                n_rows=None, checkpointed=True)
                 n = int(obs.get["n"])
                 consumers[0].stats.input_rows += n
+                sd.input_rows += n  # dispatch couldn't know the count
                 return n
             # several consumers (or deferred commits): checkpoint FIRST
             # so the source plan (often a parquet scan) materializes
@@ -1133,6 +1141,9 @@ class PipelineContext:
                    if targets is None or r in targets]
         if not readers:
             return
+        sd.input_batches += 1
+        if n_rows is not None:
+            sd.input_rows += n_rows
         if not checkpointed:
             batch = batch.localCheckpoint(eager=True)
         batch.createOrReplaceTempView(stream)
@@ -1152,6 +1163,7 @@ class PipelineContext:
                                  self.streams[osrel].readers)))
                 if n_rows is not None:
                     cv.stats.input_rows += n_rows
+                t0 = time.monotonic()
                 if self.commit_interval_batches > 1:
                     cv.accumulate(pre)
                     if len(cv._pending) >= self.commit_interval_batches:
@@ -1160,13 +1172,16 @@ class PipelineContext:
                         os_rows = None
                 else:
                     os_rows = cv.process_batch(pre, emit_changes=want_os)
+                cv.stats.exec_ms += (time.monotonic() - t0) * 1000.0
                 if os_rows is not None:
                     self._emit_osrel(osrel, os_rows, _depth)
             elif rname in self.transforms:
                 t = self.transforms[rname]
                 if not t.active:
                     continue
+                t0 = time.monotonic()
                 out = t.process_batch(batch)
+                t.stats.exec_ms += (time.monotonic() - t0) * 1000.0
                 if n_rows is not None:
                     t.stats.input_rows += n_rows
                 self._emit_osrel(f"{rname}_osrel", out, _depth)
@@ -1838,18 +1853,41 @@ class PipelineContext:
             rows, "name string, schema string, readers array<string>")
 
     def stats_df(self) -> DataFrame:
+        """Per-CQ counters (reference pipelinedb.query_stats,
+        sql:2744-2764)."""
         rows = []
         for name, cv in self.views.items():
             st = cv.stats
             rows.append((name, "view", st.input_rows, st.output_rows,
-                         st.batches, st.errors))
+                         st.batches, st.errors, st.exec_ms))
         for name, tr in self.transforms.items():
             st = tr.stats
             rows.append((name, "transform", st.input_rows, st.output_rows,
-                         st.batches, st.errors))
+                         st.batches, st.errors, st.exec_ms))
         return self.spark.createDataFrame(
             rows, "name string, kind string, input_rows long, "
-                  "output_rows long, batches long, errors long")
+                  "output_rows long, batches long, errors long, "
+                  "exec_ms double")
+
+    def stream_stats(self) -> DataFrame:
+        """Per-stream ingest counters (reference
+        pipelinedb.stream_stats, sql:2792-2802; input_bytes omitted —
+        batches flow as columnar DataFrames, not serialized tuples)."""
+        rows = [(name, sd.input_rows, sd.input_batches)
+                for name, sd in self.streams.items()]
+        return self.spark.createDataFrame(
+            rows, "stream string, input_rows long, input_batches long")
+
+    def db_stats(self) -> DataFrame:
+        """Whole-context rollup by CQ kind (reference
+        pipelinedb.db_stats, sql:2766-2780)."""
+        return (self.stats_df().groupBy("kind")
+                .agg(F.sum("input_rows").alias("input_rows"),
+                     F.sum("output_rows").alias("output_rows"),
+                     F.sum("batches").alias("executions"),
+                     F.sum("errors").alias("errors"),
+                     F.sum("exec_ms").alias("exec_ms"))
+                .orderBy("kind"))
 
     def close(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -78,6 +78,19 @@ def test_stats_and_listings(ctx):
     assert stats["cv_stat"]["batches"] == 2
     assert stats["tr_stat"]["input_rows"] == 3
     assert stats["tr_stat"]["output_rows"] == 2  # v > 0 rows emitted
+    assert stats["cv_stat"]["exec_ms"] > 0
+
+    # stream-level ingest counters (reference stream_stats view)
+    ss = {r["stream"]: r for r in ctx.stream_stats().collect()}
+    assert ss["st1"]["input_rows"] == 3
+    assert ss["st1"]["input_batches"] == 2
+
+    # whole-context rollup by kind (reference db_stats view)
+    db = {r["kind"]: r for r in ctx.db_stats().collect()}
+    assert db["view"]["input_rows"] == 3
+    assert db["view"]["executions"] == 2
+    assert db["transform"]["output_rows"] == 2
+    assert db["view"]["exec_ms"] > 0
 
 
 def test_complex_typed_stream_coercion(ctx):
