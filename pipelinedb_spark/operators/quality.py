@@ -254,3 +254,86 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     for rule in rules.values():
         cond = cond & F.coalesce(rule(t), F.lit(False))
     return df.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning (public C4/T5 corpus rules): line-level filtering
+# inside one scan, plus corpus-wide repeated-paragraph removal.
+# ---------------------------------------------------------------------------
+
+def c4_clean_lines(df: DataFrame, text_col: str = "text",
+                   min_words: int = 5,
+                   require_terminal: bool = True,
+                   ban_words: tuple = ("javascript",),
+                   out_col: str | None = None) -> DataFrame:
+    """C4 line filter: keep only lines with ≥ ``min_words`` words,
+    ending in terminal punctuation (. ! ? or closing quote), and not
+    containing any banned word (case-insensitive); rejoin survivors
+    with newlines.  Pure Column HOFs — one scan, no shuffle."""
+    def keep(l: Column) -> Column:
+        ok = F.size(F.filter(F.split(l, " "),
+                             lambda w: w != "")) >= min_words
+        if require_terminal:
+            ok = ok & l.rlike(r'[.!?"]\s*$')
+        low = F.lower(l)
+        for w in ban_words:
+            ok = ok & ~low.contains(w.lower())
+        return ok
+
+    lines = F.filter(F.split(F.col(text_col), "\n"), keep)
+    return df.withColumn(out_col or text_col, F.concat_ws("\n", lines))
+
+
+def c4_doc_filter(df: DataFrame, text_col: str = "text",
+                  min_lines: int = 3,
+                  ban_phrases: tuple = ("lorem ipsum", "{")) -> DataFrame:
+    """C4 document gate: ≥ ``min_lines`` surviving non-empty lines and
+    none of the banned phrases anywhere (the curly-brace rule drops
+    leftover code)."""
+    nonempty = F.size(F.filter(F.split(F.col(text_col), "\n"),
+                               lambda l: l != ""))
+    cond = nonempty >= min_lines
+    low = F.lower(F.col(text_col))
+    for p in ban_phrases:
+        cond = cond & ~low.contains(p.lower())
+    return df.filter(cond)
+
+
+def drop_repeated_paragraphs(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_occurrences: int = 2) -> DataFrame:
+    """Corpus-wide boilerplate removal: delete every paragraph (line)
+    whose exact text occurs more than ``max_occurrences`` times across
+    the WHOLE corpus (the MassiveText cross-document repetition rule —
+    headers, footers, cookie banners).
+
+    Scale shape: paragraphs explode to (doc, pos, hash64); the
+    frequency count groups on the 8-byte hash (one shuffle); the
+    count join is hash-keyed on both corpus-scaled sides, so it is
+    pinned shuffle-hash (a broadcast of corpus-wide distinct
+    paragraphs would be wrong at any real scale); reconstruction
+    groups back by doc id (one shuffle) and reassembles surviving
+    lines in original order via array_sort on (pos, line) structs.
+    """
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("__pos", "__line"))
+             .withColumn("__h", F.xxhash64("__line")))
+    counts = (lines.groupBy("__h")
+              .agg(F.count("*").alias("__cnt"))
+              .filter(F.col("__cnt") > max_occurrences))
+    # empty lines are structure, not boilerplate — never drop them
+    kept = (lines.join(counts.hint("shuffle_hash"), "__h", "left_anti")
+            .unionByName(lines.filter(F.col("__line") == "")
+                         .join(counts.hint("shuffle_hash"), "__h",
+                               "left_semi")))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws(
+                   "\n",
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s["__line"])).alias("__clean")))
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+            .drop("__clean"))
