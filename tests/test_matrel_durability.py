@@ -47,8 +47,9 @@ def test_bucket_pruned_merge_touches_subset(ctx):
     store = ctx.views["cv_du3"].matrel
     with open(os.path.join(store.dir, "MANIFEST")) as f:
         before = json.load(f)["buckets"]
-    n_buckets = len(set(before.values()))
-    assert n_buckets > 1
+    # 64 keys hash across >1 bucket entry (packed commits share one
+    # version DIR, so count manifest entries, not distinct paths)
+    assert len(before) > 1
     ctx.insert("du3", [{"k": "key0", "v": 99}])
     with open(os.path.join(store.dir, "MANIFEST")) as f:
         after = json.load(f)["buckets"]
