@@ -114,3 +114,21 @@ def test_dump_restore_roundtrip(ctx, tmp_path):
     ctx.create_view("cv_other", "SELECT k, count(*) AS n FROM dr1 GROUP BY k")
     with pytest.raises(CQError):
         ctx.restore_state("cv_other", dump)
+
+
+def test_reader_snapshot_survives_later_commits(ctx):
+    """Snapshot isolation under packed commits: a DataFrame captured
+    before later merges still collects the OLD values afterwards —
+    the version tail GC (keep_last=2) must not unlink files a handed-
+    out plan references within that window."""
+    ctx.create_stream("du5", "k string, v long")
+    ctx.create_view("cv_du5", "SELECT k, sum(v) AS s FROM du5 GROUP BY k")
+    ctx.insert("du5", [{"k": "a", "v": 1}, {"k": "b", "v": 10}])
+    snap = ctx.read_view("cv_du5")
+    ctx.insert("du5", [{"k": "a", "v": 100}])
+    ctx.insert("du5", [{"k": "b", "v": 1000}])
+    # the snapshot still reflects the state at capture time
+    assert {r["k"]: r["s"] for r in snap.collect()} == {"a": 1, "b": 10}
+    # and the live view sees everything
+    assert {r["k"]: r["s"] for r in ctx.read_view("cv_du5").collect()} \
+        == {"a": 101, "b": 1010}
