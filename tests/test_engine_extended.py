@@ -543,6 +543,15 @@ def test_matrel_check_constraints(ctx):
     got = {r["x"]: r["count"] for r in ctx.read_view("mc_v0").collect()}
     assert got[6] == 3
 
+    # SQL CHECK semantics (PG ExecConstraints): a check evaluating to
+    # NULL is SATISFIED — an all-NULL sum must pass 'sum < 3'
+    ctx.create_stream("mc_s1", "x int, y int")
+    ctx.create_view("mc_v1", "SELECT x, sum(y) AS sum FROM mc_s1 GROUP BY x")
+    ctx.add_matrel_constraint("mc_v1", "chk", "sum < 3")
+    ctx.insert("mc_s1", [{"x": 1, "y": None}])
+    assert [(r["x"], r["sum"]) for r in ctx.read_view("mc_v1").collect()] \
+        == [(1, None)]
+
 
 def test_insert_values_expressions(ctx):
     """INSERT INTO stream VALUES with SQL expressions in the tuples
