@@ -175,17 +175,31 @@ def duplicate_line_char_fraction(text: Column) -> Column:
 
 def repetition_profile(df: DataFrame, text_col: str = "text",
                        top_ns: tuple = (2, 3, 4),
-                       dup_ns: tuple = (5, 6, 10)) -> DataFrame:
+                       dup_ns: tuple = (5, 6, 10),
+                       use_kernel: bool = True,
+                       keep_text: bool = False) -> DataFrame:
     """One-scan per-document repetition metrics.
 
-    The word array is materialized once in an intermediate projection
-    (same reason as text.analyze_documents: inlining makes Catalyst
-    re-split the text per derived metric); each n-gram statistic then
-    folds its own sorted gram array.
+    Default path: one Arrow-batched numpy kernel computing EVERY
+    metric in a single pass over the batch (vocabulary-folded token
+    hashing, polynomial gram combine, one lexsort + run-length
+    reductions per n — no per-doc Python loop), the same pattern as
+    the dedup scan kernels.  The interpreted Catalyst-HOF fold path
+    (``use_kernel=False``) is the oracle-checked reference
+    implementation; measured ~0.3 ms/doc vs ~0.01 ms/doc for the
+    kernel, which at corpus scale is the difference between a scan
+    and a bottleneck.
     """
+    if use_kernel:
+        return _repetition_profile_kernel(df, text_col, top_ns, dup_ns,
+                                          keep_text=keep_text)
     out = df.withColumn("_ws", _words(F.col(text_col)))
     ws = F.col("_ws")
     cols = [
+        F.size(ws).cast("long").alias("word_count"),
+        (F.aggregate(ws, F.lit(0).cast("long"),
+                     lambda a, w: a + F.length(w))
+         / F.greatest(F.size(ws), F.lit(1))).alias("mean_word_len"),
         duplicate_word_fraction(F.col(text_col))
         .alias("dup_word_frac"),
         duplicate_line_fraction(F.col(text_col))
@@ -205,12 +219,207 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
             F.when(st["total_chars"] > 0,
                    st["dup_chars"] / st["total_chars"])
             .otherwise(F.lit(0.0)).alias(f"dup_{n}gram_char_frac"))
-    keep = [c for c in df.columns if c != text_col]
+    keep = [c for c in df.columns if keep_text or c != text_col]
     return out.select(*keep, *cols)
 
 
-# Gopher rule thresholds (public report values); each rule is a named
-# predicate so the filter reports WHICH rule rejected a document.
+def _metric_names(top_ns: tuple, dup_ns: tuple) -> list:
+    return (["word_count", "mean_word_len", "dup_word_frac",
+             "dup_line_frac", "dup_line_char_frac"]
+            + [f"top_{n}gram_char_frac" for n in top_ns]
+            + [f"dup_{n}gram_char_frac" for n in dup_ns])
+
+
+def _batch_repetition_metrics(texts, top_ns, dup_ns):
+    """All repetition metrics for one Arrow batch, fully vectorized.
+
+    Token hashing follows dedup._batch_token_hashes (one cython
+    ``pd.util.hash_array`` over the batch-flat token array,
+    vocabulary-folded) but drops empty tokens to match ``_words``
+    and also carries per-token char lengths; each n then runs ONE
+    polynomial gram combine + ONE lexsort + run-length ``reduceat``
+    reductions across the whole batch.  Gram equality is by 64-bit
+    hash (collision odds ~G²/2⁶⁴ — the oracle tests would catch a
+    collision as a value mismatch)."""
+    import numpy as np
+    import pandas as pd
+
+    nd = len(texts)
+    tok_lists = [[w for w in t.split(" ") if w]
+                 if isinstance(t, str) else [] for t in texts]
+    counts = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64,
+                         count=nd)
+    offs = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    total = int(offs[-1])
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for ts in tok_lists:
+        flat[pos:pos + len(ts)] = ts
+        pos += len(ts)
+    if total:
+        th = pd.util.hash_array(flat, categorize=True).astype(np.uint64)
+        tl = pd.Series(flat).str.len().to_numpy(np.int64)
+    else:
+        th = np.empty(0, dtype=np.uint64)
+        tl = np.empty(0, dtype=np.int64)
+    cs = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(tl, out=cs[1:])
+    tok_doc = np.repeat(np.arange(nd, dtype=np.int64), counts)
+
+    out = {}
+    # word stats
+    char_sum = cs[offs[1:]] - cs[offs[:-1]]
+    out["word_count"] = counts.astype(np.int64)
+    out["mean_word_len"] = char_sum / np.maximum(counts, 1)
+
+    def run_stats(gdoc, g, glen):
+        """per-doc (n_units, n_runs, dup_chars, top_chars, total_chars)
+        over (doc, hash) runs."""
+        z = np.zeros(nd, dtype=np.int64)
+        res = dict(n_units=z.copy(), n_runs=z.copy(),
+                   dup_chars=z.copy(), top_chars=z.copy(),
+                   total_chars=z.copy())
+        m = len(g)
+        if m == 0:
+            return res
+        order = np.lexsort((g, gdoc))
+        gd, gh, gl = gdoc[order], g[order], glen[order]
+        new_run = np.ones(m, dtype=bool)
+        new_run[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+        rs = np.flatnonzero(new_run)
+        run_doc = gd[rs]
+        run_len = np.diff(np.append(rs, m))
+        run_chars = run_len * gl[rs]
+        doc_first = np.ones(len(rs), dtype=bool)
+        doc_first[1:] = run_doc[1:] != run_doc[:-1]
+        seg = np.flatnonzero(doc_first)
+        docs = run_doc[seg]
+        res["n_units"][docs] = np.add.reduceat(run_len, seg)
+        res["n_runs"][docs] = np.diff(np.append(seg, len(rs)))
+        res["total_chars"][docs] = np.add.reduceat(run_chars, seg)
+        res["dup_chars"][docs] = np.add.reduceat(
+            np.where(run_len > 1, run_chars, 0), seg)
+        doc_max = np.zeros(nd, dtype=np.int64)
+        doc_max[docs] = np.maximum.reduceat(run_len, seg)
+        cand = np.where(run_len == doc_max[run_doc], run_chars, -1)
+        res["top_chars"][docs] = np.maximum.reduceat(cand, seg)
+        return res
+
+    # word duplicate fraction via 1-gram runs
+    w = run_stats(tok_doc, th, tl)
+    out["dup_word_frac"] = np.where(
+        counts > 0, 1.0 - w["n_runs"] / np.maximum(counts, 1), 0.0)
+
+    # line metrics
+    line_lists = [[l for l in t.split("\n") if l != ""]
+                  if isinstance(t, str) else [] for t in texts]
+    lcounts = np.fromiter((len(ls) for ls in line_lists), dtype=np.int64,
+                          count=nd)
+    ltotal = int(lcounts.sum())
+    lflat = np.empty(ltotal, dtype=object)
+    pos = 0
+    for ls in line_lists:
+        lflat[pos:pos + len(ls)] = ls
+        pos += len(ls)
+    if ltotal:
+        lh = pd.util.hash_array(lflat, categorize=True).astype(np.uint64)
+        ll = pd.Series(lflat).str.len().to_numpy(np.int64)
+    else:
+        lh = np.empty(0, dtype=np.uint64)
+        ll = np.empty(0, dtype=np.int64)
+    ldoc = np.repeat(np.arange(nd, dtype=np.int64), lcounts)
+    ls = run_stats(ldoc, lh, ll)
+    out["dup_line_frac"] = np.where(
+        lcounts > 0, 1.0 - ls["n_runs"] / np.maximum(lcounts, 1), 0.0)
+    out["dup_line_char_frac"] = np.where(
+        ls["total_chars"] > 0,
+        ls["dup_chars"] / np.maximum(ls["total_chars"], 1), 0.0)
+
+    # n-gram metrics: polynomial combine over the flat token hashes,
+    # cross-doc shingles masked (same scheme as dedup._batch_grams)
+    rng = np.random.RandomState(0x9A17)
+    c1 = np.uint64(0xFF51AFD7ED558CCD)
+    for n, want_top in [(n, True) for n in top_ns] + \
+                       [(n, False) for n in dup_ns]:
+        key = (f"top_{n}gram_char_frac" if want_top
+               else f"dup_{n}gram_char_frac")
+        m = total - n + 1
+        if m <= 0:
+            out[key] = np.zeros(nd)
+            continue
+        pos_mult = (rng.randint(1, 2 ** 63, size=n, dtype=np.uint64)
+                    | np.uint64(1))
+        g = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            g += th[j: m + j] * pos_mult[j]
+        g ^= g >> np.uint64(33)
+        g = g * c1
+        g ^= g >> np.uint64(29)
+        valid = tok_doc[:m] == tok_doc[n - 1: total]
+        gv = g[valid]
+        gdoc = tok_doc[:m][valid]
+        glen = (cs[n:] - cs[:-n])[:m][valid]  # content chars only
+        st = run_stats(gdoc, gv, glen)
+        num = st["top_chars"] if want_top else st["dup_chars"]
+        out[key] = np.where(st["total_chars"] > 0,
+                            num / np.maximum(st["total_chars"], 1), 0.0)
+    return out
+
+
+def _repetition_profile_kernel(df: DataFrame, text_col: str,
+                               top_ns: tuple, dup_ns: tuple,
+                               keep_text: bool = False) -> DataFrame:
+    import numpy as np  # noqa: F401  (kernel dependency, fail early)
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    keep = [c for c in df.columns if keep_text or c != text_col]
+    metrics = _metric_names(top_ns, dup_ns)
+    fields = [df.schema[c] for c in keep]
+    fields += [T.StructField("word_count", T.LongType())]
+    fields += [T.StructField(m, T.DoubleType())
+               for m in metrics if m != "word_count"]
+    schema = T.StructType(fields)
+
+    def gen(batches):
+        old = np.seterr(over="ignore")
+        try:
+            for pdf in batches:
+                res = _batch_repetition_metrics(pdf[text_col], top_ns,
+                                                dup_ns)
+                cols = {c: pdf[c] for c in keep}
+                cols.update({m: res[m] for m in metrics})
+                yield pd.DataFrame(cols)
+        finally:
+            np.seterr(**old)
+
+    return df.mapInPandas(gen, schema)
+
+
+# Gopher rule thresholds (public report values) as predicates over
+# the repetition_profile metric columns — ONE metrics pass evaluates
+# every rule; each rule stays named so the filter can report WHICH
+# rule rejected a document.
+GOPHER_RULE_DEFS = {
+    "word_count": lambda m: (m["word_count"] >= 50)
+                            & (m["word_count"] <= 100_000),
+    "mean_word_length": lambda m: m["mean_word_len"].between(3.0, 10.0),
+    "dup_line_frac": lambda m: m["dup_line_frac"] <= 0.30,
+    "dup_line_char_frac": lambda m: m["dup_line_char_frac"] <= 0.20,
+    "top_2gram_char_frac": lambda m: m["top_2gram_char_frac"] <= 0.20,
+    "top_3gram_char_frac": lambda m: m["top_3gram_char_frac"] <= 0.18,
+    "top_4gram_char_frac": lambda m: m["top_4gram_char_frac"] <= 0.16,
+    "dup_5gram_char_frac": lambda m: m["dup_5gram_char_frac"] <= 0.15,
+    "dup_6gram_char_frac": lambda m: m["dup_6gram_char_frac"] <= 0.14,
+    "dup_10gram_char_frac": lambda m: m["dup_10gram_char_frac"] <= 0.10,
+}
+
+# legacy per-rule Column lambdas over raw text — kept as the API for
+# CUSTOM rules; built-in rule names route through the metrics pass
+# (evaluating these inline re-folds the gram arrays once per rule —
+# measured 125 s vs 2.5 s for the metrics pass at 50k docs)
 GOPHER_RULES = {
     "word_count": lambda t: (F.size(_words(t)) >= 50)
                             & (F.size(_words(t)) <= 100_000),
@@ -229,31 +438,50 @@ GOPHER_RULES = {
 }
 
 
+def _flags_over_metrics(df: DataFrame, text_col: str,
+                        rule_names: list) -> DataFrame:
+    """Metrics pass + one boolean column per built-in rule."""
+    prof = repetition_profile(df, text_col, keep_text=True)
+    m = {name: F.col(name) for name in _metric_names((2, 3, 4),
+                                                     (5, 6, 10))}
+    out = prof
+    for name in rule_names:
+        out = out.withColumn(
+            f"ok_{name}",
+            F.coalesce(GOPHER_RULE_DEFS[name](m), F.lit(False)))
+    return out.drop(*_metric_names((2, 3, 4), (5, 6, 10)))
+
+
 def quality_flags(df: DataFrame, text_col: str = "text",
                   rules: dict | None = None) -> DataFrame:
     """Append one boolean column per rule plus ``passes_quality``
-    (AND of all rules) — still one scan, no shuffle."""
+    (AND of all rules) — one metrics scan for built-in rules; custom
+    Column-lambda rules evaluate inline."""
     rules = GOPHER_RULES if rules is None else rules
+    builtin = [n for n in rules if n in GOPHER_RULE_DEFS]
+    custom = {n: r for n, r in rules.items()
+              if n not in GOPHER_RULE_DEFS}
+    out = (_flags_over_metrics(df, text_col, builtin) if builtin
+           else df)
     t = F.col(text_col)
-    out = df
+    for name, rule in custom.items():
+        out = out.withColumn(f"ok_{name}",
+                             F.coalesce(rule(t), F.lit(False)))
     all_ok = F.lit(True)
-    for name, rule in rules.items():
-        ok = F.coalesce(rule(t), F.lit(False))
-        out = out.withColumn(f"ok_{name}", ok)
+    for name in rules:
         all_ok = all_ok & F.col(f"ok_{name}")
     return out.withColumn("passes_quality", all_ok)
 
 
 def gopher_filter(df: DataFrame, text_col: str = "text",
                   rules: dict | None = None) -> DataFrame:
-    """Keep only documents passing every rule (the production path:
-    the per-rule flags never materialize)."""
+    """Keep only documents passing every rule.  Built-in rules ride
+    the single metrics pass; the flag columns are dropped from the
+    output, so this composes like a plain filter."""
     rules = GOPHER_RULES if rules is None else rules
-    t = F.col(text_col)
-    cond = F.lit(True)
-    for rule in rules.values():
-        cond = cond & F.coalesce(rule(t), F.lit(False))
-    return df.filter(cond)
+    flagged = quality_flags(df, text_col, rules)
+    return (flagged.filter(F.col("passes_quality"))
+            .select(*df.columns))
 
 
 # ---------------------------------------------------------------------------

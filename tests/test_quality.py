@@ -109,19 +109,50 @@ def test_line_metrics_on_constructed_docs(spark):
 
 
 def test_repetition_profile_one_scan_schema(spark, docs):
-    prof = Q.repetition_profile(docs.limit(50))
+    # filter, not limit: a global limit inserts its own
+    # SinglePartition exchange and would mask the no-shuffle check
+    prof = Q.repetition_profile(docs.filter(F.col("doc_id") < 50))
     cols = set(prof.columns)
     assert {"dup_word_frac", "dup_line_frac", "dup_line_char_frac",
-            "top_2gram_char_frac", "dup_5gram_char_frac"} <= cols
+            "top_2gram_char_frac", "dup_5gram_char_frac",
+            "word_count", "mean_word_len"} <= cols
     assert "text" not in cols  # text pruned from the output
     rows = prof.collect()
     assert len(rows) == 50
+    fracs = cols - {"doc_id", "lang", "source", "n_chars",
+                    "word_count", "mean_word_len"}
     for r in rows:
-        for c in cols - {"doc_id", "lang", "source", "n_chars"}:
+        for c in fracs:
             assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
+        assert r["word_count"] > 0 and r["mean_word_len"] > 0
     # single scan, no shuffle
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_kernel_profile_equals_column_fold(spark, docs):
+    """The Arrow kernel and the Catalyst-HOF fold are alternative
+    implementations of the SAME metric definitions — values must
+    agree to fp precision on real corpus text plus edge docs."""
+    extra = spark.createDataFrame(
+        [(90001, "aa\nbb\naa\ncccc", "x", "x", 0),
+         (90002, "", "x", "x", 0),
+         (90003, "  double  spaced  words  here  ", "x", "x", 0),
+         (90004, "spam ham " * 40, "x", "x", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df = docs.unionByName(extra)
+    a = {r["doc_id"]: r.asDict() for r in
+         Q.repetition_profile(df, use_kernel=True).collect()}
+    b = {r["doc_id"]: r.asDict() for r in
+         Q.repetition_profile(df, use_kernel=False).collect()}
+    assert set(a) == set(b)
+    for doc_id in a:
+        for k, va in a[doc_id].items():
+            vb = b[doc_id][k]
+            if isinstance(va, float):
+                assert va == pytest.approx(vb, abs=1e-12), (doc_id, k)
+            else:
+                assert va == vb, (doc_id, k)
 
 
 def test_gopher_filter_rejects_repetitive_docs(spark):
