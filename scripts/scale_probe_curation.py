@@ -71,7 +71,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/tmp/sfgen/sf1")
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=1)
     args = ap.parse_args()
 
     from pipelinedb_spark import get_spark
@@ -84,6 +84,8 @@ def main() -> None:
         for name, fn in probes(spark, sf_dir).items():
             best = min(_timed(fn) for _ in range(args.runs))
             out["queries"].setdefault(name, {})[sf_key] = round(best, 3)
+            print(f"# {sf_key} {name}: {best:.1f}s", file=sys.stderr,
+                  flush=True)
     for name, q in out["queries"].items():
         q["ratio"] = round(q["big"] / q["small"], 2) if q["small"] else None
     print(json.dumps(out))
