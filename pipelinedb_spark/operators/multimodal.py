@@ -46,6 +46,63 @@ def attach_binary(df: DataFrame, text_col: str = "text",
         F.encode(F.col(text_col), "utf-8").alias("payload"))
 
 
+def parse_media_header(payload: bytes) -> dict | None:
+    """REAL container-header metadata — dependency-free byte parsing
+    of the standard formats (this part of 'decode' needs no codec
+    library): PNG IHDR, JPEG SOF frame header, GIF logical screen
+    descriptor, WAV RIFF fmt/data chunks.  Returns None when the
+    payload is not a recognized container (callers fall back to the
+    deterministic fake so plumbing tests stay engine-agnostic)."""
+    p = payload
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+            return {"width": int.from_bytes(p[16:20], "big"),
+                    "height": int.from_bytes(p[20:24], "big"),
+                    "n_frames": 1, "sample_rate": None}
+        if p[:2] == b"\xff\xd8":  # JPEG: scan segments for SOFn
+            i = 2
+            while i + 9 < len(p):
+                if p[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = p[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+                if (0xC0 <= marker <= 0xCF
+                        and marker not in (0xC4, 0xC8, 0xCC)):
+                    return {"width": int.from_bytes(p[i + 7:i + 9], "big"),
+                            "height": int.from_bytes(p[i + 5:i + 7], "big"),
+                            "n_frames": 1, "sample_rate": None}
+                i += 2 + seg_len
+            return None
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return {"width": int.from_bytes(p[6:8], "little"),
+                    "height": int.from_bytes(p[8:10], "little"),
+                    "n_frames": max(1, p.count(b"\x00\x21\xf9")) or 1,
+                    "sample_rate": None}
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            i, rate, frames = 12, None, None
+            while i + 8 <= len(p):
+                cid = p[i:i + 4]
+                clen = int.from_bytes(p[i + 4:i + 8], "little")
+                if cid == b"fmt " and i + 24 <= len(p):
+                    channels = int.from_bytes(p[i + 10:i + 12], "little")
+                    rate = int.from_bytes(p[i + 12:i + 16], "little")
+                    bits = int.from_bytes(p[i + 22:i + 24], "little")
+                elif cid == b"data" and rate is not None:
+                    bytes_per_frame = max(1, channels * (bits // 8))
+                    frames = clen // bytes_per_frame
+                i += 8 + clen + (clen & 1)
+            if rate is not None:
+                return {"width": None, "height": None,
+                        "n_frames": frames, "sample_rate": rate}
+        return None
+    except (IndexError, ValueError):
+        return None  # truncated/corrupt container
+
+
 def _fake_decode(payload: bytes, kind: str) -> dict:
     """Deterministic stand-in for a real decoder.  Derives plausible
     metadata purely from payload length so any engine can oracle it."""
@@ -69,10 +126,11 @@ def extract_metadata(df: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(p, k) for p, k in
-                     zip(pdf["payload"], pdf["kind"])]
-            if not _HAS_CODECS:
-                pass  # real decoders would replace _fake_decode here
+            # real container headers first (PNG/JPEG/GIF/WAV parse
+            # without codec libs); deterministic fake for opaque
+            # payloads so plumbing tests stay engine-agnostic
+            metas = [parse_media_header(p) or _fake_decode(p, k)
+                     for p, k in zip(pdf["payload"], pdf["kind"])]
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

@@ -234,3 +234,52 @@ def test_bpe_ish_tokens_match_duckdb(docs, spark, sf_dir):
         assert got[doc_id][1] == len(exp[doc_id]), doc_id
     # punctuation-heavy text yields more BPE tokens than whitespace
     assert got[100002][1] > len("foo_bar: x=42, y=3.14; z->w".split())
+
+
+def test_media_header_parsing_real_containers(spark):
+    """parse_media_header does REAL byte-level container parsing —
+    constructed minimal PNG/JPEG/GIF/WAV payloads must yield their
+    true dimensions/rates, while opaque payloads fall back to the
+    deterministic fake."""
+    import struct
+
+    from pipelinedb_spark.operators.multimodal import (extract_metadata,
+                                                       parse_media_header)
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+           + b"\x00" * 4)
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9
+            + b"\xff\xd9")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    wav = (b"RIFF" + struct.pack("<I", 36 + 88200) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+           + b"data" + struct.pack("<I", 88200) + b"\x00" * 88200)
+
+    assert parse_media_header(png) == {
+        "width": 640, "height": 480, "n_frames": 1, "sample_rate": None}
+    j = parse_media_header(jpeg)
+    assert (j["width"], j["height"]) == (1920, 1080)
+    g = parse_media_header(gif)
+    assert (g["width"], g["height"]) == (320, 200)
+    w = parse_media_header(wav)
+    assert (w["sample_rate"], w["n_frames"]) == (44100, 22050)
+    assert parse_media_header(b"not a container at all") is None
+    assert parse_media_header(b"") is None
+    assert parse_media_header(png[:10]) is None  # truncated
+
+    rows = [(1, "image", bytearray(png)), (2, "image", bytearray(jpeg)),
+            (3, "image", bytearray(gif)), (4, "audio", bytearray(wav)),
+            (5, "image", bytearray(b"opaque bytes"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in extract_metadata(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert (got[2]["width"], got[2]["height"]) == (1920, 1080)
+    assert (got[3]["width"], got[3]["height"]) == (320, 200)
+    assert (got[4]["sample_rate"], got[4]["n_frames"]) == (44100, 22050)
+    # opaque payload falls back to the deterministic fake
+    assert got[5]["width"] == len(b"opaque bytes") % 1920 + 1
