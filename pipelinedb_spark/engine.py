@@ -582,6 +582,40 @@ class Transform:
         return out
 
 
+class PyTransform(Transform):
+    """Continuous transform whose body is a Python
+    ``DataFrame → DataFrame`` function instead of SQL — the Spark-first
+    generalization of the reference's trigger-function transforms
+    (``CREATE VIEW ... WITH (action=transform, outputfunc=...)``,
+    src/pipeline_query.c:984): any DataFrame-API operator (the whole
+    curation layer — gopher_filter, pii_redact, dedup kernels) can run
+    continuously over a stream, with its output flowing to the
+    transform's output stream for downstream CQs."""
+
+    def __init__(self, ctx: "PipelineContext", name: str, stream: str,
+                 fn: Callable[[DataFrame], DataFrame] | None,
+                 fn_ref: str | None,
+                 outputfunc: Callable[[DataFrame], None] | None):
+        super().__init__(ctx, name, f"<python:{fn_ref or 'unbound'}>",
+                         stream, outputfunc)
+        self.fn = fn
+        self.fn_ref = fn_ref
+        if fn is None:
+            self.active = False  # replay couldn't re-import the fn
+
+    def process_batch(self, batch: DataFrame) -> DataFrame:
+        if self.fn is None:
+            raise CQError(
+                f"python transform {self.name} has no bound function "
+                f"(catalog replay could not import {self.fn_ref!r}); "
+                f"re-bind with set_transform_fn")
+        out = self.fn(batch)
+        if self.outputfunc is not None:
+            self.outputfunc(out)
+        self.stats.batches += 1
+        return out
+
+
 class PreparedInsert:
     """A prepared stream-insert statement (reference
     prepared_stream_insert.sql; EXECUTE data path
@@ -702,6 +736,31 @@ class PipelineContext:
                         self.create_view(rec["name"], rec["sql"], **rec["opts"])
                 elif rec["kind"] == "transform":
                     self.create_transform(rec["name"], rec["sql"])
+                elif rec["kind"] == "py_transform":
+                    fn = None
+                    if rec.get("fn_ref"):
+                        try:
+                            import importlib
+                            mod, _, qual = rec["fn_ref"].partition(":")
+                            obj = importlib.import_module(mod)
+                            for part in qual.split("."):
+                                obj = getattr(obj, part)
+                            fn = obj
+                        except Exception as exc:
+                            logging.getLogger(__name__).warning(
+                                "replay: cannot import %s for python "
+                                "transform %s (created inactive): %s",
+                                rec["fn_ref"], rec["name"], exc)
+                    if fn is not None:
+                        self.create_python_transform(rec["name"],
+                                                     rec["stream"], fn)
+                    else:
+                        t = PyTransform(self, rec["name"], rec["stream"],
+                                        None, rec.get("fn_ref"), None)
+                        self.transforms[rec["name"]] = t
+                        self.streams[rec["stream"]].readers.append(
+                            rec["name"])
+                        self._register_osrel(rec["name"])
                 elif rec["kind"] == "constraint":
                     self.add_matrel_constraint(
                         rec["view"], rec["cname"], rec["check"])
@@ -850,6 +909,69 @@ class PipelineContext:
         self._catalog_add({"kind": "transform", "name": name, "sql": sql})
         return t
 
+    def create_python_transform(
+            self, name: str, stream: str,
+            fn: Callable[[DataFrame], DataFrame],
+            outputfunc: Callable[[DataFrame], None] | None = None
+    ) -> "PyTransform":
+        """Continuous transform with a Python DataFrame→DataFrame body
+        — runs any DataFrame-API operator (quality filters, PII
+        redaction, dedup fingerprints) per micro-batch, output flowing
+        to ``output_of(name)`` for downstream CQs.
+
+        The catalog stores ``module:qualname`` when ``fn`` is an
+        importable module-level function (the analog of the reference
+        referencing a trigger function by name) so replay re-binds it;
+        a lambda/closure still works in-session, but a fresh context
+        over the same root replays the transform INACTIVE until
+        ``set_transform_fn`` re-binds a function."""
+        if stream not in self.streams:
+            raise CQError(f"unknown stream {stream}")
+        if name in self.transforms or name in self.views:
+            raise CQError(f"continuous query {name} already exists")
+        # fail at CREATE, not first insert: the fn must accept the
+        # stream's schema and return a DataFrame
+        try:
+            probe = fn(self.empty_stream_df(stream))
+        except Exception as exc:
+            raise CQError(
+                f"invalid python transform: fn failed on the stream "
+                f"schema probe: {exc}") from exc
+        if not isinstance(probe, DataFrame):
+            raise CQError("python transform fn must return a DataFrame, "
+                          f"got {type(probe).__name__}")
+        fn_ref = None
+        mod = getattr(fn, "__module__", None)
+        qual = getattr(fn, "__qualname__", "")
+        if mod and mod != "__main__" and "<locals>" not in qual:
+            fn_ref = f"{mod}:{qual}"
+        t = PyTransform(self, name, stream, fn, fn_ref, outputfunc)
+        self.transforms[name] = t
+        self.streams[stream].readers.append(name)
+        self._register_osrel(name)
+        self._catalog_add({"kind": "py_transform", "name": name,
+                           "stream": stream, "fn_ref": fn_ref})
+        return t
+
+    def set_transform_fn(self, name: str,
+                         fn: Callable[[DataFrame], DataFrame]) -> None:
+        """Re-bind a python transform's function (after a replay that
+        could not import it, or to hot-swap logic); re-activates."""
+        t = self.transforms.get(name)
+        if not isinstance(t, PyTransform):
+            raise CQError(f"{name} is not a python transform")
+        t.fn = fn
+        t.active = True
+        mod = getattr(fn, "__module__", None)
+        qual = getattr(fn, "__qualname__", "")
+        if mod and mod != "__main__" and "<locals>" not in qual:
+            t.fn_ref = f"{mod}:{qual}"
+            for rec in self._catalog:
+                if rec["kind"] == "py_transform" and rec["name"] == name:
+                    rec["fn_ref"] = t.fn_ref
+            if not self._replaying:
+                self._catalog_flush()
+
     def _osrel_create_schema(self, name: str) -> T.StructType:
         """Resolve a CQ's output-stream schema at CREATE time so a later
         ``CREATE ... FROM output_of('name')`` validates against real
@@ -870,6 +992,10 @@ class PipelineContext:
                     for c in ("old", "new", "delta")])
             if name in self.transforms:
                 tr = self.transforms[name]
+                if isinstance(tr, PyTransform):
+                    if tr.fn is None:
+                        return T.StructType()  # unbound after replay
+                    return tr.fn(self.empty_stream_df(tr.stream)).schema
                 self.empty_stream_df(tr.stream) \
                     .createOrReplaceTempView(tr.stream)
                 return self.spark.sql(tr.sql).schema
@@ -994,6 +1120,7 @@ class PipelineContext:
             shutil.rmtree(os.path.join(self.osrel_root, f"{name}_osrel"),
                           ignore_errors=True)
             self._catalog_remove("transform", name)
+            self._catalog_remove("py_transform", name)
 
     def drop_stream(self, name: str, cascade: bool = False) -> None:
         """DROP FOREIGN TABLE [CASCADE] (reference: dropping a stream
