@@ -112,3 +112,103 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     u = (F.shiftrightunsigned(F.xxhash64(F.col(key_col), F.lit(seed)), 1)
          / F.lit(float(1 << 63)))
     return df.filter(u < frac)
+
+
+def plan_mixture(df: DataFrame, weights: dict[str, float],
+                 token_col: str, strata_col: str = "source",
+                 budget_tokens: int | None = None) -> dict[str, float]:
+    """Token-budget mixture planning: given per-stratum target WEIGHTS
+    and a total token budget, compute per-stratum keep fractions from
+    the corpus's actual per-stratum token totals.
+
+    target_s = budget · weight_s / Σweights, frac_s = min(1,
+    target_s / tokens_s).  A stratum smaller than its target keeps
+    everything (frac 1.0) — the standard under-sampled-domain case;
+    re-weighting by repetition is the trainer's job, not the
+    sampler's.  One small aggregate (|strata| rows) collects to the
+    driver; unlisted strata get fraction 0."""
+    from pyspark.sql import functions as F
+    totals = {r[strata_col]: r["t"] for r in
+              df.groupBy(strata_col)
+              .agg(F.sum(token_col).alias("t")).collect()}
+    if budget_tokens is None:
+        budget_tokens = sum(totals.get(s, 0) for s in weights)
+    wsum = float(sum(weights.values()))
+    fracs = {}
+    for s, w in weights.items():
+        tok = totals.get(s, 0)
+        target = budget_tokens * (w / wsum)
+        fracs[s] = 1.0 if tok <= target else (target / tok if tok else 0.0)
+    return fracs
+
+
+def sample_mixture(df: DataFrame, weights: dict[str, float],
+                   token_col: str, key_col: str,
+                   strata_col: str = "source",
+                   budget_tokens: int | None = None,
+                   seed: int = 0) -> DataFrame:
+    """plan_mixture + deterministic stratified sampling in one call —
+    the data-mixing step of a training pipeline, reproducible across
+    runs/retries because membership is a pure hash predicate."""
+    fracs = plan_mixture(df, weights, token_col, strata_col,
+                         budget_tokens)
+    return stratified_sample(df, fracs, strata_col, key_col,
+                             default_fraction=0.0, seed=seed)
+
+
+def pack_sequences(df: DataFrame, max_tokens: int,
+                   token_col: str, id_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Deterministic greedy sequence packing (training sample packing):
+    assign each document a (seq_id, seq_pos) such that token counts
+    within a sequence sum to ≤ ``max_tokens`` (a single over-long doc
+    gets its own sequence, flagged ``needs_truncation``).
+
+    Scale shape: packing is PARTITION-LOCAL — docs are hash-
+    redistributed on xxhash64(id, seed) and greedily packed within
+    each partition in hash order, so the result is deterministic
+    under retries and independent of input partitioning, and no
+    global coordination exists (global bin packing at corpus scale is
+    neither needed nor what production packers do).  seq_id =
+    partition_id · 2³² + local sequence index."""
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    keyed = (df.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+             .repartition(n_parts, F.col("__h"))
+             .sortWithinPartitions("__h"))
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField("seq_id", T.LongType()),
+           T.StructField("seq_pos", T.IntegerType()),
+           T.StructField("needs_truncation", T.BooleanType())])
+    out_cols = [f.name for f in df.schema.fields]
+
+    def gen(batches):
+        pid = TaskContext.get().partitionId()
+        base = pid << 32
+        seq, used, pos = 0, 0, 0
+        for pdf in batches:
+            seq_ids, seq_poss, truncs = [], [], []
+            for tok in pdf[token_col]:
+                tok = int(tok) if tok is not None and tok == tok else 0
+                over = tok > max_tokens
+                if used > 0 and (used + tok > max_tokens or over):
+                    seq, used, pos = seq + 1, 0, 0
+                seq_ids.append(base + seq)
+                seq_poss.append(pos)
+                truncs.append(over)
+                used += tok
+                pos += 1
+                if over:  # over-long doc sits alone; close its seq
+                    seq, used, pos = seq + 1, 0, 0
+            out = pdf[out_cols].copy()
+            out["seq_id"] = pd.array(seq_ids, dtype="int64")
+            out["seq_pos"] = pd.array(seq_poss, dtype="int32")
+            out["needs_truncation"] = truncs
+            yield out
+
+    return keyed.mapInPandas(gen, schema)

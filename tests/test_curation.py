@@ -97,3 +97,77 @@ def test_stratified_sample_fractions(spark, docs):
     for src, f_keep in fr.items():
         if src in base:
             assert abs(got.get(src, 0) / base[src] - f_keep) < 0.1, src
+
+
+def test_plan_and_sample_mixture(spark, docs):
+    """Mixture fractions hit the token budget proportionally; sampled
+    token mass per stratum lands near target; membership
+    deterministic."""
+    from pipelinedb_spark.operators.curation import (plan_mixture,
+                                                     sample_mixture)
+    from pipelinedb_spark.operators.text import token_count
+
+    d = docs.withColumn("n_tok", token_count(F.col("text")))
+    totals = {r["source"]: r["t"] for r in
+              d.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    weights = {"src0": 2.0, "src1": 1.0}
+    budget = int((totals["src0"] + totals["src1"]) * 0.5)
+    fracs = plan_mixture(d, weights, "n_tok", budget_tokens=budget)
+    assert set(fracs) == {"src0", "src1"}
+    # fraction math: frac = min(1, budget*w/Σw / total)
+    for s, w in weights.items():
+        target = budget * w / 3.0
+        exp = min(1.0, target / totals[s])
+        assert fracs[s] == pytest.approx(exp)
+
+    got = sample_mixture(d, weights, "n_tok", "doc_id",
+                         budget_tokens=budget)
+    # only the weighted strata survive
+    assert got.select("source").distinct().count() <= 2
+    # deterministic
+    a = {r["doc_id"] for r in got.select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample_mixture(
+        d, weights, "n_tok", "doc_id", budget_tokens=budget)
+        .select("doc_id").collect()}
+    assert a == b
+    # realized token mass tracks the target — per-stratum loosely
+    # (only ~25 docs/source at sf0.001, Bernoulli noise ~2/sqrt(n))
+    kept_tot = 0
+    for s, w in weights.items():
+        kept = (got.filter(F.col("source") == s)
+                .agg(F.sum("n_tok")).collect()[0][0]) or 0
+        kept_tot += kept
+        target = min(totals[s], budget * w / 3.0)
+        assert abs(kept - target) / max(target, 1) < 0.8, (s, kept, target)
+    # pooled across strata the noise tightens
+    assert abs(kept_tot - budget) / budget < 0.4, (kept_tot, budget)
+
+
+def test_pack_sequences_constraints_and_determinism(spark, docs):
+    from pipelinedb_spark.operators.curation import pack_sequences
+    from pipelinedb_spark.operators.text import token_count
+
+    d = docs.withColumn("n_tok", token_count(F.col("text")))
+    packed = pack_sequences(d, max_tokens=200, token_col="n_tok")
+    rows = packed.collect()
+    assert len(rows) == docs.count()          # every doc assigned
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq_id, members in by_seq.items():
+        toks = sum(m["n_tok"] for m in members)
+        if len(members) == 1 and members[0]["needs_truncation"]:
+            assert members[0]["n_tok"] > 200
+        else:
+            assert toks <= 200, (seq_id, toks)
+        # positions are 0..k-1
+        assert sorted(m["seq_pos"] for m in members) == \
+            list(range(len(members)))
+    # packing is reasonably tight: average fill ≥ 50% of max
+    fills = [sum(m["n_tok"] for m in ms) for ms in by_seq.values()]
+    assert sum(fills) / (len(fills) * 200) >= 0.5
+    # deterministic across runs and input partitioning
+    again = pack_sequences(d.repartition(13), max_tokens=200,
+                           token_col="n_tok").collect()
+    assert {(r["doc_id"], r["seq_id"], r["seq_pos"]) for r in rows} == \
+        {(r["doc_id"], r["seq_id"], r["seq_pos"]) for r in again}
