@@ -114,7 +114,13 @@ def main() -> None:
                               default_fraction=1.0)
     n7 = mixed.count()
 
-    # 10. corpus stats
+    # 10. sequence packing: deterministic greedy sample packing into
+    # 512-token training sequences
+    from pipelinedb_spark.operators.curation import pack_sequences
+    packed = pack_sequences(mixed, max_tokens=512, token_col="n_tokens")
+    n_seqs = packed.select("seq_id").distinct().count()
+
+    # 11. corpus stats
     from pipelinedb_spark.operators.text import bpe_ish_token_count
     stats = mixed.agg(
         F.count("*").alias("docs"),
@@ -133,6 +139,7 @@ def main() -> None:
     print(f"after decontamination:  {n5}  (-{n4 - n5} + eval holdout)")
     print(f"after semantic dedup:   {n6}  (-{n5 - n6})")
     print(f"after source mixing:    {n7}  (-{n6 - n7})")
+    print(f"packed into sequences:  {n_seqs}  (max 512 tokens each)")
     print(f"tokens kept: {stats['tokens']} ws / {stats['bpe_tokens']} "
           f"bpe-ish, avg quality {stats['avg_quality']}")
     print("top langs:", [(r["lang"], r["count"]) for r in langs])
