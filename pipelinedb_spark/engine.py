@@ -1617,6 +1617,17 @@ class PipelineContext:
     def truncate_view(self, name: str) -> None:
         self.views[name].matrel.truncate()
 
+    def compact_view(self, name: str) -> int:
+        """Rewrite a CV's matrel into one fresh packed version and drop
+        all old version dirs (VACUUM FULL analog) — bounds the disk
+        amplification of stale rows pinned by cold buckets.  Returns
+        the number of version dirs removed."""
+        cv = self.views.get(name)
+        if cv is None:
+            raise CQError(f"continuous view {name} does not exist")
+        self._flush_cv(name)
+        return cv.matrel.compact()
+
     def flush(self) -> None:
         """Sync barrier (reference pipeline_flush): commit every CV's
         pending batches; streaming attachments additionally call

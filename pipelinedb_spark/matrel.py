@@ -156,6 +156,27 @@ class MatrelStore:
         states = states.withColumn(BUCKET_COL, self.bucket_expr(group_cols))
         self._commit(states, None, full=True)
 
+    def compact(self) -> int:
+        """Rewrite every live row into one fresh packed version and
+        drop the old dirs (the VACUUM FULL analog).  A version dir
+        stays on disk while ANY bucket still references it, so a cold
+        bucket can pin stale copies of hot buckets indefinitely;
+        compaction bounds that amplification.  Returns the number of
+        version dirs removed.  (Same retention granularity existed in
+        the pre-packed leaf-dir layout — whole version dirs — so this
+        is the remedy for both.)"""
+        cur = self.read()
+        before = {e for e in os.listdir(self.dir) if e.startswith("v")}
+        if cur is None:
+            return 0
+        # read() plans lazily over the old files; checkpoint so the
+        # full-overwrite does not read dirs it is about to GC
+        self._commit(cur.localCheckpoint(eager=True), None, full=True)
+        self._gc(keep_version=self._read_manifest()["version"],
+                 keep_last=0)
+        after = {e for e in os.listdir(self.dir) if e.startswith("v")}
+        return len(before - after)
+
     def delete_where(self, condition) -> int:
         """TTL reaper: rewrite buckets dropping rows matching
         ``condition`` (reference ``src/reaper.c:63-128``).

@@ -132,3 +132,28 @@ def test_reader_snapshot_survives_later_commits(ctx):
     # and the live view sees everything
     assert {r["k"]: r["s"] for r in ctx.read_view("cv_du5").collect()} \
         == {"a": 101, "b": 1010}
+
+
+def test_compact_drops_old_versions_keeps_values(ctx):
+    """compact_view (VACUUM FULL analog): after many partial commits,
+    compaction rewrites live rows into one version, removes every old
+    dir, and reads are value-identical before/after; subsequent
+    inserts keep merging."""
+    ctx.create_stream("du6", "k string, v long")
+    ctx.create_view("cv_du6", "SELECT k, sum(v) AS s FROM du6 GROUP BY k")
+    for i in range(6):
+        ctx.insert("du6", [{"k": f"k{i % 3}", "v": i}])
+    store = ctx.views["cv_du6"].matrel
+    before = sorted(tuple(r) for r in ctx.read_view("cv_du6").collect())
+    n_dirs_before = sum(1 for e in os.listdir(store.dir)
+                        if e.startswith("v"))
+    removed = ctx.compact_view("cv_du6")
+    assert removed >= n_dirs_before - 1  # everything but the new dir
+    assert sum(1 for e in os.listdir(store.dir)
+               if e.startswith("v")) == 1
+    assert sorted(tuple(r) for r in ctx.read_view("cv_du6").collect()) \
+        == before
+    # still mergeable afterwards
+    ctx.insert("du6", [{"k": "k0", "v": 100}])
+    got = {r["k"]: r["s"] for r in ctx.read_view("cv_du6").collect()}
+    assert got["k0"] == dict(before)["k0"] + 100
