@@ -148,3 +148,32 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(text).alias("fp"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL / domain provenance (C4-style): pure regexp Column ops in the
+# Java-regex ∩ RE2 subset so the duckdb oracle runs the same pattern.
+# ---------------------------------------------------------------------------
+
+URL_PATTERN = r"https?://[^\s]+"
+_DOMAIN_PATTERN = r"https?://([^/\s:?#]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_domain(url: Column) -> Column:
+    """Lower-cased host part of a URL ('' when not a URL)."""
+    return F.lower(F.regexp_extract(url, _DOMAIN_PATTERN, 1))
+
+
+def domain_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus provenance stats: one row per domain mentioned anywhere
+    in the text — document frequency and total mentions.  One scan +
+    one groupBy on the (bounded, domain-cardinality) key."""
+    doms = df.select(
+        F.explode(extract_urls(F.col(text_col))).alias("__u"))
+    doms = doms.select(url_domain(F.col("__u")).alias("domain")) \
+        .filter(F.col("domain") != "")
+    return doms.groupBy("domain").agg(F.count("*").alias("n_mentions"))
