@@ -15,6 +15,8 @@ Two paths:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -408,3 +410,59 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     drop = (clusters.filter(F.col(id_col) != F.col("cluster_id"))
             .select(id_col))
     return corpus.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def ivf_persist(corpus: DataFrame, path: str,
+                centroids: np.ndarray | None = None,
+                n_lists: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                sample: int = 4096, seed: int = 7) -> np.ndarray:
+    """Materialize an IVF index on disk: the corpus written
+    partitioned by ``list_id`` (plus ``centroids.npy`` beside it), so
+    probes become PARTITION PRUNING at the parquet scan instead of a
+    post-scan filter.  This is the production shape the ivf_topk
+    docstring describes: at 100 TB a probe touches ~nprobe/n_lists of
+    the files, enforced by the storage layout."""
+    if centroids is None:
+        centroids = ivf_train(corpus, n_lists, id_col, vec_col,
+                               sample=sample, seed=seed)
+    assign = _ivf_assign_udf(centroids, nprobe=1)
+    (corpus.select(F.col(id_col), F.col(vec_col),
+                   assign(F.col(vec_col))[0].alias("list_id"))
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    # leading underscore: Spark's file index skips _-prefixed
+    # files, so the sidecar never confuses the parquet reader
+    np.save(os.path.join(path, "_centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_topk_persisted(spark, path: str, queries: DataFrame, k: int = 5,
+                       nprobe: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       exact_rerank: bool = False) -> DataFrame:
+    """ANN top-k over a persisted IVF index: each query probes its
+    ``nprobe`` nearest lists, and the ``list_id.isin(...)`` predicate
+    lands in the scan's PartitionFilters — unprobed lists are never
+    read (verifiable in the plan).  Scoring semantics are identical
+    to ``ivf_topk``."""
+    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
+    q = (queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        F.explode(q_assign(F.col(vec_col)))
+                        .alias("list_id")))
+    probed = sorted({int(r["list_id"]) for r in
+                     q.select("list_id").distinct().collect()})
+    c = (spark.read.parquet(path)
+         .filter(F.col("list_id").isin(probed))
+         .select(F.col(id_col).alias("n_id"),
+                 F.col(vec_col).alias("n_vec"), "list_id"))
+    cos_fn = cosine_exact if exact_rerank else cosine_double
+    cands = (c.join(F.broadcast(q), "list_id")
+             .filter(F.col("q_id") != F.col("n_id"))
+             .select("q_id", "n_id",
+                     cos_fn(F.col("q_vec"), F.col("n_vec")).alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (cands.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", "rk", "cosine"))

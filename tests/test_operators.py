@@ -283,3 +283,29 @@ def test_media_header_parsing_real_containers(spark):
     assert (got[4]["sample_rate"], got[4]["n_frames"]) == (44100, 22050)
     # opaque payload falls back to the deterministic fake
     assert got[5]["width"] == len(b"opaque bytes") % 1920 + 1
+
+
+def test_ivf_persisted_index_partition_pruning(emb, spark, tmp_path):
+    """Persisted IVF: results identical to the in-memory path at full
+    probe (exact rerank), and a 1-probe query's scan plan carries the
+    list_id predicate as a PartitionFilter (unprobed lists unread)."""
+    from pipelinedb_spark.operators.similarity import (ivf_persist,
+                                                       ivf_topk,
+                                                       ivf_topk_persisted)
+    path = str(tmp_path / "ivf_idx")
+    cents = ivf_persist(emb, path, n_lists=8)
+    q = emb.filter(F.col("vec_id") < 5)
+    mem = {(r["q_id"], r["n_id"], r["rk"]) for r in
+           ivf_topk(emb, q, k=5, n_lists=8, nprobe=8,
+                    exact_rerank=True, centroids=cents).collect()}
+    disk = {(r["q_id"], r["n_id"], r["rk"]) for r in
+            ivf_topk_persisted(spark, path, q, k=5, nprobe=8,
+                               exact_rerank=True).collect()}
+    assert mem == disk
+    one = ivf_topk_persisted(spark, path, q.limit(1), k=3, nprobe=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition filter actually constrains list_id
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
+    assert m, plan[:2000]

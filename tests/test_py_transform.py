@@ -110,3 +110,37 @@ def test_python_transform_lambda_replays_inactive(spark, tmp_path):
     vs = sorted(r["v"] for r in ctx2.output_of("up").collect())
     assert 8 in vs
     ctx2.close()
+
+
+def test_continuous_exact_dedup_cv(ctx, spark):
+    """Exact dedup expressed AS a continuous query: a CV grouping on
+    the content fingerprint maintains (canonical id, copy count)
+    incrementally across micro-batches, equal to the batch
+    exact_duplicates operator over all inserted rows."""
+    from pipelinedb_spark.operators.dedup import exact_duplicates
+
+    ctx.create_stream("dd_s", "doc_id long, text string")
+    # same fingerprint the batch operator uses (md5 of raw text)
+    ctx.create_view("cv_dedup",
+                    "SELECT md5(text) AS fp, "
+                    "min(doc_id) AS canonical_id, "
+                    "count(*) AS copies FROM dd_s GROUP BY md5(text)")
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "unique one"},
+        {"doc_id": 3, "text": "alpha beta gamma"},   # dup of 1
+        {"doc_id": 4, "text": "unique two"},
+        {"doc_id": 5, "text": "alpha beta gamma"},   # dup of 1
+    ]
+    ctx.insert("dd_s", rows[:2])
+    ctx.insert("dd_s", rows[2:4])
+    ctx.insert("dd_s", rows[4:])
+    got = {r["fp"]: (r["canonical_id"], r["copies"])
+           for r in ctx.read_view("cv_dedup").collect()}
+    batch = spark.createDataFrame(rows)
+    exp = {r["fp"]: (r["canonical_id"], r["n_docs"])
+           for r in exact_duplicates(batch).collect()}
+    assert got == exp
+    # the duplicate cluster is visible incrementally
+    fp_dup = [fp for fp, (c, n) in got.items() if n == 3]
+    assert len(fp_dup) == 1 and got[fp_dup[0]][0] == 1
