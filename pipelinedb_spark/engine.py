@@ -687,6 +687,10 @@ class PipelineContext:
         # the worker/combiner run once per N batches (or on read/flush),
         # amortizing per-job overhead (src/config.c:373-379).
         self.commit_interval_batches = max(1, commit_interval_batches)
+        # run per-view worker+combiner phases concurrently when one
+        # batch feeds several CVs (each CV owns its matrel store; the
+        # reference runs one combiner process per CQ group likewise)
+        self.parallel_dispatch = True
         # Output-stream rows live on DISK (bucketed parquet segments),
         # never in driver memory: each emission appends a segment dir
         # and `output_of()` reads the segments back as a DataFrame.
@@ -1274,32 +1278,58 @@ class PipelineContext:
         if not checkpointed:
             batch = batch.localCheckpoint(eager=True)
         batch.createOrReplaceTempView(stream)
-        for rname in readers:
-            if rname in self.views:
-                cv = self.views[rname]
-                if not cv.active:
-                    continue
-                pre = self._worker_input(cv.plan, stream, batch)
-                osrel = f"{rname}_osrel"
-                # SW views emit only via the ticker (tick_sw), matching
-                # the reference (combiner.c:992 — SW osrel rows come
-                # from the SW tick, not per-batch combines)
-                want_os = (cv.plan.sw_column is None and
-                           (self.track_output_streams or
-                            bool(self.streams.get(osrel) and
-                                 self.streams[osrel].readers)))
-                if n_rows is not None:
-                    cv.stats.input_rows += n_rows
-                t0 = time.monotonic()
-                if self.commit_interval_batches > 1:
-                    cv.accumulate(pre)
-                    if len(cv._pending) >= self.commit_interval_batches:
-                        os_rows = cv.commit_pending(emit_changes=want_os)
-                    else:
-                        os_rows = None
+
+        def run_view(rname: str):
+            """Worker + combiner for one CV; returns (osrel, rows)
+            for the SERIAL emission phase (osrel emission recursively
+            dispatches downstream CQs, so it must stay ordered and
+            unthreaded)."""
+            cv = self.views[rname]
+            pre = self._worker_input(cv.plan, stream, batch)
+            osrel = f"{rname}_osrel"
+            # SW views emit only via the ticker (tick_sw), matching
+            # the reference (combiner.c:992 — SW osrel rows come
+            # from the SW tick, not per-batch combines)
+            want_os = (cv.plan.sw_column is None and
+                       (self.track_output_streams or
+                        bool(self.streams.get(osrel) and
+                             self.streams[osrel].readers)))
+            if n_rows is not None:
+                cv.stats.input_rows += n_rows
+            t0 = time.monotonic()
+            if self.commit_interval_batches > 1:
+                cv.accumulate(pre)
+                if len(cv._pending) >= self.commit_interval_batches:
+                    os_rows = cv.commit_pending(emit_changes=want_os)
                 else:
-                    os_rows = cv.process_batch(pre, emit_changes=want_os)
-                cv.stats.exec_ms += (time.monotonic() - t0) * 1000.0
+                    os_rows = None
+            else:
+                os_rows = cv.process_batch(pre, emit_changes=want_os)
+            cv.stats.exec_ms += (time.monotonic() - t0) * 1000.0
+            return osrel, os_rows
+
+        view_names = [r for r in readers
+                      if r in self.views and self.views[r].active]
+        emissions: dict[str, tuple] = {}
+        if len(view_names) > 1 and self.parallel_dispatch:
+            # concurrent combiners: each CV's worker+merge touches its
+            # OWN matrel store, so the per-view phase parallelizes
+            # safely (the reference runs one combiner process per CQ
+            # group for the same reason); Spark schedules the
+            # concurrent jobs across the shared executor pool
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(view_names))) as pool:
+                for rname, res in zip(view_names,
+                                      pool.map(run_view, view_names)):
+                    emissions[rname] = res
+        else:
+            for rname in view_names:
+                emissions[rname] = run_view(rname)
+
+        for rname in readers:  # serial phase, original reader order
+            if rname in emissions:
+                osrel, os_rows = emissions[rname]
                 if os_rows is not None:
                     self._emit_osrel(osrel, os_rows, _depth)
             elif rname in self.transforms:
