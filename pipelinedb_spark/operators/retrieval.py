@@ -1,0 +1,88 @@
+"""BM25 keyword retrieval over the document corpus — the text-side
+counterpart of the embedding ANN operators (corpus search, example
+mining, hard-negative selection in training-data pipelines).
+
+Scale shape (100 TB corpus):
+
+* the index is three artifacts: a postings table (term, doc_id, tf)
+  — corpus-scaled, ONE explode+groupBy to build — plus a doc-length
+  table and a per-term document-frequency table (vocabulary-scaled);
+* a query touches only its terms' postings: the ``term IN (...)``
+  predicate prunes the postings scan (write the postings sorted/
+  partitioned by term in production and this is partition pruning,
+  same recipe as ivf_persist); the df lookup for a handful of query
+  terms collects driver-side (|query| rows);
+* scoring is pure Column arithmetic (the standard BM25 formula),
+  exactly mirrored by the duckdb oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _terms(text):
+    return F.filter(F.split(F.lower(text), " "), lambda w: w != "")
+
+
+def bm25_index(corpus: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> dict:
+    """Build the BM25 index tables: postings (term, doc_id, tf),
+    doc_lens (doc_id, dl), dfs (term, df), plus scalars N and avgdl.
+    Lower-cased whitespace terms (matching the rest of the text
+    layer)."""
+    toks = corpus.select(F.col(id_col),
+                         F.explode(_terms(F.col(text_col))).alias("term"))
+    postings = toks.groupBy("term", id_col) \
+        .agg(F.count("*").alias("tf"))
+    doc_lens = corpus.select(
+        F.col(id_col),
+        F.size(_terms(F.col(text_col))).alias("dl"))
+    dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
+    stats = doc_lens.agg(F.count("*").alias("n"),
+                         F.avg("dl").alias("avgdl")).first()
+    return {"postings": postings, "doc_lens": doc_lens, "dfs": dfs,
+            "n_docs": int(stats["n"]), "avgdl": float(stats["avgdl"]),
+            "id_col": id_col}
+
+
+def bm25_search(index: dict, query: str, k: int = 10,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents for a query string under BM25:
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Query terms are deduplicated; per-term idf values come from a
+    |query|-row driver lookup and ride the plan as literals, so the
+    corpus-side work is one pruned postings scan + one doc-length
+    join + one top-k."""
+    id_col = index["id_col"]
+    terms = sorted({w for w in query.lower().split(" ") if w})
+    if not terms:
+        raise ValueError("empty query")
+    n, avgdl = index["n_docs"], index["avgdl"]
+    dfs = {r["term"]: r["df"] for r in
+           index["dfs"].filter(F.col("term").isin(terms)).collect()}
+    idf = {t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+           for t in terms if t in dfs}
+    if not idf:
+        return (index["postings"].select(id_col)
+                .limit(0)
+                .withColumn("score", F.lit(0.0)))
+    idf_col = F.lit(0.0)
+    for t, v in idf.items():
+        idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
+    hits = (index["postings"]
+            .filter(F.col("term").isin(list(idf)))
+            .join(index["doc_lens"], id_col))
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = idf_col * tf * (k1 + 1.0) / denom
+    return (hits.groupBy(id_col)
+            .agg(F.sum(contrib).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

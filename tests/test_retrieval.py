@@ -1,0 +1,75 @@
+"""BM25 retrieval duckdb-oracled: identical formula over the same
+postings yields identical scores and ranking on real corpus text.
+"""
+
+import duckdb
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipelinedb_spark.operators.retrieval import bm25_index, bm25_search
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return bm25_index(docs)
+
+
+def _oracle_scores(sf_dir, terms, n, avgdl, k1=1.2, b=0.75):
+    con = duckdb.connect()
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    rows = con.sql(f"""
+        WITH tok AS (SELECT doc_id,
+                            UNNEST(list_filter(string_split(lower(text), ' '),
+                                               w -> w != '')) AS term
+                     FROM '{sf_dir}/documents.parquet'),
+        p AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        dfs AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1)
+        SELECT p.doc_id,
+               SUM(ln(1.0 + ({n} - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * p.tf * ({k1} + 1.0)
+                   / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / {avgdl})))
+        FROM p JOIN dl USING (doc_id) JOIN dfs USING (term)
+        WHERE p.term IN ({tlist})
+        GROUP BY 1
+    """).fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def test_bm25_scores_match_duckdb(spark, docs, index, sf_dir):
+    query = "spark table merge"
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_search(index, query, k=10_000).collect()}
+    exp = _oracle_scores(sf_dir, sorted(set(query.split())),
+                         index["n_docs"], index["avgdl"])
+    assert set(got) == set(exp)
+    for doc_id, s in exp.items():
+        assert got[doc_id] == pytest.approx(s, rel=1e-12), doc_id
+
+
+def test_bm25_topk_ranks_relevant_first(spark, docs, index):
+    # build a probe doc id that repeats a query term heavily
+    top = bm25_search(index, "spark", k=5).collect()
+    assert len(top) == 5
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # every hit actually contains the term
+    ids = [r["doc_id"] for r in top]
+    hits = docs.filter(F.col("doc_id").isin(ids)) \
+        .filter(F.lower(F.col("text")).contains("spark")).count()
+    assert hits == 5
+
+
+def test_bm25_unknown_terms_empty(spark, index):
+    out = bm25_search(index, "zzzzqqqq wwwwxxxx", k=5)
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        bm25_search(index, "   ")
