@@ -31,12 +31,18 @@ def probes(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from pipelinedb_spark.operators.curation import (contamination_pairs,
+                                                     pack_sequences,
                                                      stratified_sample)
+    from pipelinedb_spark.operators.lm import (lm_logprob_scores,
+                                               train_bigram_lm)
     from pipelinedb_spark.operators.pii import pii_profile, pii_redact
     from pipelinedb_spark.operators.quality import (gopher_filter,
                                                     repetition_profile)
+    from pipelinedb_spark.operators.retrieval import (bm25_index,
+                                                      bm25_search)
     from pipelinedb_spark.operators.similarity import semantic_clusters
-    from pipelinedb_spark.operators.text import bpe_ish_token_count
+    from pipelinedb_spark.operators.text import (bpe_ish_token_count,
+                                                 token_count)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -64,6 +70,15 @@ def probes(spark, sf_dir):
         # also measures real 10-clique dedup work.
         "semantic_clusters": lambda: _noop_sink(
             semantic_clusters(emb, 0.99, bits=16, tables=8)),
+        "bigram_lm_score": lambda: _noop_sink(
+            lm_logprob_scores(docs, train_bigram_lm(docs))),
+        "bm25_search": lambda: _noop_sink(
+            bm25_search(bm25_index(docs), "key value merge hash",
+                        k=100)),
+        "pack_sequences": lambda: _noop_sink(
+            pack_sequences(docs.withColumn(
+                "n_tok", token_count(F.col("text"))),
+                max_tokens=512, token_col="n_tok")),
     }
 
 
