@@ -86,3 +86,41 @@ def bm25_search(index: dict, query: str, k: int = 10,
             .agg(F.sum(contrib).alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def bm25_persist(index: dict, path: str) -> None:
+    """Materialize the index: postings range-partitioned AND sorted by
+    term (each parquet file covers a contiguous term range, so a
+    query's ``term IN (...)`` predicate skips whole files/row groups
+    via min-max stats — the string-key analog of ivf_persist's
+    partition pruning; millions of distinct terms rule out
+    partitionBy dirs), plus doc_lens, dfs, and a _meta.json sidecar
+    for the scalars."""
+    import json
+    import os
+
+    (index["postings"]
+     .repartitionByRange(F.col("term"))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(os.path.join(path, "postings")))
+    index["doc_lens"].write.mode("overwrite") \
+        .parquet(os.path.join(path, "doc_lens"))
+    index["dfs"].write.mode("overwrite") \
+        .parquet(os.path.join(path, "dfs"))
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"n_docs": index["n_docs"], "avgdl": index["avgdl"],
+                   "id_col": index["id_col"]}, f)
+
+
+def bm25_load(spark, path: str) -> dict:
+    """Re-open a persisted index; searches against it prune the
+    postings scan by the query's term set (PushedFilters)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    return {"postings": spark.read.parquet(os.path.join(path, "postings")),
+            "doc_lens": spark.read.parquet(os.path.join(path, "doc_lens")),
+            "dfs": spark.read.parquet(os.path.join(path, "dfs")),
+            **meta}

@@ -73,3 +73,25 @@ def test_bm25_unknown_terms_empty(spark, index):
     assert out.count() == 0
     with pytest.raises(ValueError):
         bm25_search(index, "   ")
+
+
+def test_bm25_persisted_index_pushes_term_filter(spark, docs, index,
+                                                 tmp_path):
+    from pipelinedb_spark.operators.retrieval import (bm25_load,
+                                                      bm25_persist,
+                                                      bm25_search)
+    path = str(tmp_path / "bm25_idx")
+    bm25_persist(index, path)
+    idx2 = bm25_load(spark, path)
+    q = "spark table merge"
+    a = [(r["doc_id"], r["score"]) for r in
+         bm25_search(index, q, k=20).collect()]
+    b = [(r["doc_id"], r["score"]) for r in
+         bm25_search(idx2, q, k=20).collect()]
+    assert len(a) == len(b)
+    for (ia, sa), (ib, sb) in zip(a, b):
+        assert ia == ib and sa == pytest.approx(sb, rel=1e-12)
+    # the term predicate reaches the parquet scan
+    plan = bm25_search(idx2, "spark", k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan and "term" in plan
