@@ -196,7 +196,10 @@ def pack_sequences(df: DataFrame, max_tokens: int,
             for tok in pdf[token_col]:
                 tok = int(tok) if tok is not None and tok == tok else 0
                 over = tok > max_tokens
-                if used > 0 and (used + tok > max_tokens or over):
+                # close on MEMBERSHIP (pos>0), not token mass: a
+                # zero-token doc leaves used==0 but still occupies the
+                # sequence, and an over-long doc must never join it
+                if pos > 0 and (used + tok > max_tokens or over):
                     seq, used, pos = seq + 1, 0, 0
                 seq_ids.append(base + seq)
                 seq_poss.append(pos)

@@ -83,3 +83,35 @@ def test_tdigest_quantile_rank_bound(vals, q):
     rank_hi = sum(1 for v in vals if v <= est) / len(vals)
     tol = 0.05 + 1.0 / len(vals)
     assert rank_lo - tol <= q <= rank_hi + tol
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=700), min_size=1,
+                max_size=120),
+       st.integers(min_value=50, max_value=400))
+def test_pack_sequences_invariants(tok_counts, max_tokens):
+    """pack_sequences on random token-count distributions: every doc
+    assigned exactly once; per-sequence sums within the cap unless a
+    lone over-long doc; positions contiguous from 0; over-long docs
+    alone and flagged.  (Spark-backed but tiny inputs — one job per
+    example.)"""
+    from pipelinedb_spark import get_spark
+    from pipelinedb_spark.operators.curation import pack_sequences
+
+    spark = get_spark("pipelinedb_spark_tests")
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tok_counts)], ["doc_id", "n_tok"])
+    rows = pack_sequences(df, max_tokens, "n_tok").collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(tok_counts)))
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for members in by_seq.values():
+        total = sum(m["n_tok"] for m in members)
+        overs = [m for m in members if m["needs_truncation"]]
+        if overs:
+            assert len(members) == 1 and members[0]["n_tok"] > max_tokens
+        else:
+            assert total <= max_tokens
+        assert sorted(m["seq_pos"] for m in members) == \
+            list(range(len(members)))
