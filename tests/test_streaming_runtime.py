@@ -139,3 +139,36 @@ def test_background_ttl_reaper(ctx):
         assert reaper.deleted >= 1
     finally:
         reaper.stop()
+
+
+def test_file_stream_through_python_transform_chain(ctx, spark, tmp_path):
+    """Structured Streaming source → python curation transform → CV:
+    dropped files flow through pii_redact continuously, the CV over
+    the transform's output stream aggregates, and redaction is
+    visible in the retained output rows."""
+    from pipelinedb_spark.streaming.runtime import attach_file_stream
+
+    def redact(df):
+        from pipelinedb_spark.operators.pii import pii_redact
+        return pii_redact(df)
+
+    src_dir = str(tmp_path / "drop_pt")
+    os.makedirs(src_dir, exist_ok=True)
+    ctx.create_stream("fs_pt", "doc_id long, text string")
+    ctx.create_python_transform("pt_clean", "fs_pt", redact)
+    ctx.create_view("cv_pt", "SELECT count(*) AS n_docs "
+                             "FROM output_of('pt_clean')")
+
+    att = attach_file_stream(ctx, "fs_pt", src_dir, fmt="json")
+    try:
+        with open(os.path.join(src_dir, "d1.json"), "w") as f:
+            f.write('{"doc_id": 1, "text": "mail x@y.io now"}\n'
+                    '{"doc_id": 2, "text": "nothing private"}\n')
+        att.process_all_available()
+        assert ctx.read_view("cv_pt").collect()[0]["n_docs"] == 2
+        out = {r["doc_id"]: r["text"]
+               for r in ctx.output_of("pt_clean").collect()}
+        assert "<email>" in out[1] and "x@y.io" not in out[1]
+        assert out[2] == "nothing private"
+    finally:
+        att.stop()
