@@ -966,6 +966,14 @@ class PipelineContext:
             raise CQError(f"{name} is not a python transform")
         t.fn = fn
         t.active = True
+        # a replay with an unimportable fn_ref registered the osrel
+        # with an EMPTY schema; refresh it from the re-bound fn so
+        # CREATE ... FROM output_of(name) validates against real
+        # columns before the first batch arrives
+        osrel = f"{name}_osrel"
+        sd = self.streams.get(osrel)
+        if sd is not None and not sd.schema.fields:
+            sd.schema = fn(self.empty_stream_df(t.stream)).schema
         mod = getattr(fn, "__module__", None)
         qual = getattr(fn, "__qualname__", "")
         if mod and mod != "__main__" and "<locals>" not in qual:
@@ -1311,6 +1319,19 @@ class PipelineContext:
         view_names = [r for r in readers
                       if r in self.views and self.views[r].active]
         emissions: dict[str, tuple] = {}
+        failures: dict[str, BaseException] = {}
+
+        def run_view_guarded(rname: str):
+            # per-view isolation: one failing view must not abort the
+            # batch before siblings that already COMMITTED their
+            # matrels get their osrel rows emitted (a committed-but-
+            # unemitted view silently starves downstream CQs of deltas)
+            try:
+                emissions[rname] = run_view(rname)
+            except BaseException as exc:  # re-raised after emission
+                failures[rname] = exc
+                self.views[rname].stats.errors += 1
+
         if len(view_names) > 1 and self.parallel_dispatch:
             # concurrent combiners: each CV's worker+merge touches its
             # OWN matrel store, so the per-view phase parallelizes
@@ -1320,12 +1341,10 @@ class PipelineContext:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(
                     max_workers=min(8, len(view_names))) as pool:
-                for rname, res in zip(view_names,
-                                      pool.map(run_view, view_names)):
-                    emissions[rname] = res
+                list(pool.map(run_view_guarded, view_names))
         else:
             for rname in view_names:
-                emissions[rname] = run_view(rname)
+                run_view_guarded(rname)
 
         for rname in readers:  # serial phase, original reader order
             if rname in emissions:
@@ -1342,6 +1361,9 @@ class PipelineContext:
                 if n_rows is not None:
                     t.stats.input_rows += n_rows
                 self._emit_osrel(f"{rname}_osrel", out, _depth)
+
+        if failures:  # surface the first failure, siblings fully emitted
+            raise failures[next(n for n in view_names if n in failures)]
 
     def _worker_input(self, plan: CQPlan, stream: str,
                       batch: DataFrame) -> DataFrame:

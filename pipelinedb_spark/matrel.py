@@ -93,8 +93,13 @@ class MatrelStore:
         valid = self.spark.createDataFrame(
             [(ver(p), int(b)) for b, p in entries.items()],
             f"__v string, {BUCKET_COL} int")
+        # Anchor to the version dir that directly CONTAINS the file
+        # (packed version dirs are flat): a bare /(v\d+)/ would take the
+        # FIRST match in the absolute path, so a store or ancestor dir
+        # named like v2 would mislabel every row and the validity
+        # left-semi join would silently drop everything.
         return (df.withColumn("__v", F.regexp_extract(
-                    F.input_file_name(), r"/(v\d+)/", 1))
+                    F.input_file_name(), r"/(v\d+)/[^/]*$", 1))
                 .join(F.broadcast(valid), ["__v", BUCKET_COL], "left_semi")
                 .drop("__v"))
 

@@ -458,9 +458,13 @@ def quality_flags(df: DataFrame, text_col: str = "text",
     (AND of all rules) — one metrics scan for built-in rules; custom
     Column-lambda rules evaluate inline."""
     rules = GOPHER_RULES if rules is None else rules
-    builtin = [n for n in rules if n in GOPHER_RULE_DEFS]
-    custom = {n: r for n, r in rules.items()
-              if n not in GOPHER_RULE_DEFS}
+    # A name rides the shared metrics pass ONLY when the caller kept the
+    # stock lambda (rules[n] is GOPHER_RULES[n]); a user-supplied lambda
+    # under a built-in name (e.g. a different threshold) must evaluate
+    # inline, not silently route to the default definition.
+    builtin = [n for n in rules
+               if n in GOPHER_RULE_DEFS and rules[n] is GOPHER_RULES.get(n)]
+    custom = {n: r for n, r in rules.items() if n not in builtin}
     out = (_flags_over_metrics(df, text_col, builtin) if builtin
            else df)
     t = F.col(text_col)

@@ -44,9 +44,12 @@ def bm25_index(corpus: DataFrame, text_col: str = "text",
     dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
     stats = doc_lens.agg(F.count("*").alias("n"),
                          F.avg("dl").alias("avgdl")).first()
+    n_docs = int(stats["n"])
+    # empty corpus: avg('dl') is NULL — keep the index usable (searches
+    # return empty) instead of crashing on float(None)
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
     return {"postings": postings, "doc_lens": doc_lens, "dfs": dfs,
-            "n_docs": int(stats["n"]), "avgdl": float(stats["avgdl"]),
-            "id_col": id_col}
+            "n_docs": n_docs, "avgdl": avgdl, "id_col": id_col}
 
 
 def bm25_search(index: dict, query: str, k: int = 10,
@@ -65,6 +68,10 @@ def bm25_search(index: dict, query: str, k: int = 10,
     if not terms:
         raise ValueError("empty query")
     n, avgdl = index["n_docs"], index["avgdl"]
+    if n == 0 or avgdl == 0.0:  # empty corpus → empty result
+        return (index["postings"].select(id_col)
+                .limit(0)
+                .withColumn("score", F.lit(0.0)))
     dfs = {r["term"]: r["df"] for r in
            index["dfs"].filter(F.col("term").isin(terms)).collect()}
     idf = {t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
@@ -73,19 +80,70 @@ def bm25_search(index: dict, query: str, k: int = 10,
         return (index["postings"].select(id_col)
                 .limit(0)
                 .withColumn("score", F.lit(0.0)))
-    idf_col = F.lit(0.0)
-    for t, v in idf.items():
-        idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
+    # per-term idf rides a broadcast-joined |terms|-row literal table —
+    # a chained CASE would build a |terms|-deep expression tree (500-term
+    # queries blow up codegen); the join keeps the plan flat
+    spark = index["postings"].sparkSession
+    idf_df = spark.createDataFrame(sorted(idf.items()),
+                                   "term string, __idf double")
     hits = (index["postings"]
             .filter(F.col("term").isin(list(idf)))
+            .join(F.broadcast(idf_df), "term")
             .join(index["doc_lens"], id_col))
     tf = F.col("tf").cast("double")
     denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    contrib = idf_col * tf * (k1 + 1.0) / denom
+    contrib = F.col("__idf") * tf * (k1 + 1.0) / denom
     return (hits.groupBy(id_col)
             .agg(F.sum(contrib).alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
+                     k1: float = 1.2, b: float = 0.75,
+                     query_id_col: str = "query_id",
+                     query_col: str = "query") -> DataFrame:
+    """Score a whole DataFrame of queries in ONE job — no per-query
+    driver lookups.  Returns (query_id, id_col, score, rank) with
+    ``rank`` 1..k per query (BM25 descending, doc id ascending ties).
+
+    Plan shape: the query set explodes to a (query_id, term) table,
+    idf comes from joining the vocabulary-scaled ``dfs`` table (no
+    collect), and that small per-query term/idf table broadcasts onto
+    the corpus-scaled postings — one pruned postings pass regardless
+    of query count, then a windowed top-k per query."""
+    from pyspark.sql import Window
+
+    id_col = index["id_col"]
+    n, avgdl = index["n_docs"], index["avgdl"]
+    id_type = index["postings"].schema[id_col].dataType
+    base = (queries.select(query_id_col)
+            .limit(0)
+            .withColumn(id_col, F.lit(None).cast(id_type))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0)))
+    if n == 0 or avgdl == 0.0:
+        return base
+    qterms = (queries.select(
+                  F.col(query_id_col),
+                  F.explode(_terms(F.col(query_col))).alias("term"))
+              .distinct())
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    qidf = qterms.join(index["dfs"], "term") \
+                 .select(query_id_col, "term", idf.alias("__idf"))
+    hits = (index["postings"]
+            .join(F.broadcast(qidf), "term")
+            .join(index["doc_lens"], id_col))
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = F.col("__idf") * tf * (k1 + 1.0) / denom
+    w = Window.partitionBy(query_id_col) \
+              .orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.groupBy(query_id_col, id_col)
+            .agg(F.sum(contrib).alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def bm25_persist(index: dict, path: str) -> None:

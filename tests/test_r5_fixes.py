@@ -1,0 +1,100 @@
+"""Round-5 hardening regressions: user-overridden quality rules are
+honored; matrel version extraction anchors to the store dir (a CV
+named like a version dir must not break multi-version reads); one
+failing view in a batch no longer starves committed siblings of their
+output-stream deltas; re-binding a replayed python transform
+refreshes its empty output-stream schema."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_quality_rule_override_is_honored(spark):
+    from pipelinedb_spark.operators.quality import (
+        GOPHER_RULES, duplicate_line_fraction, quality_flags)
+
+    df = spark.createDataFrame(
+        [(1, "same line\nsame line\nsame line\nother line")],
+        "doc_id long, text string")
+    # stock rule (threshold 0.30) fails this doc
+    strict = quality_flags(
+        df, rules={"dup_line_frac": GOPHER_RULES["dup_line_frac"]})
+    assert strict.collect()[0]["ok_dup_line_frac"] is False
+    # a user-supplied lambda under the SAME built-in name must be
+    # evaluated, not silently replaced by the stock definition
+    loose = quality_flags(
+        df, rules={"dup_line_frac":
+                   lambda t: duplicate_line_fraction(t) <= 0.95})
+    row = loose.collect()[0]
+    assert row["ok_dup_line_frac"] is True
+    assert row["passes_quality"] is True
+
+
+def test_cv_named_like_version_dir_reads_multi_version(ctx):
+    """Store dir name 'v2' matches the version-dir pattern; the
+    version extraction must take the dir CONTAINING the file, not the
+    first /vN/ in the absolute path (which here is the store itself
+    and would drop every older-version row from reads)."""
+    ctx.create_stream("vs", "k string, v long")
+    ctx.create_view("v2", "SELECT k, sum(v) AS s FROM vs GROUP BY k")
+    ctx.insert("vs", [{"k": f"k{j}", "v": 1} for j in range(64)])
+    ctx.insert("vs", [{"k": "k0", "v": 10}])  # rewrites one bucket
+    store = ctx.views["v2"].matrel
+    import json
+    with open(os.path.join(store.dir, "MANIFEST")) as f:
+        manifest = json.load(f)["buckets"]
+    vdirs = {os.path.relpath(p, store.dir).split(os.sep)[0]
+             for p in manifest.values()}
+    assert len(vdirs) >= 2  # the multi-path validity-join read path
+    got = {r["k"]: r["s"] for r in ctx.read_view("v2").collect()}
+    exp = {f"k{j}": 1 for j in range(64)}
+    exp["k0"] = 11
+    assert got == exp
+
+
+def test_sibling_view_emits_when_one_view_fails(ctx):
+    ctx.create_stream("pf", "k string, v long")
+    ctx.create_view("pf_a", "SELECT k, sum(v) AS s FROM pf GROUP BY k")
+    ctx.create_view("pf_b", "SELECT k, count(*) AS n FROM pf GROUP BY k")
+    # downstream CQ observes pf_a's deltas — with the old all-or-
+    # nothing dispatch, pf_b's crash skipped this emission entirely
+    ctx.create_view("pf_down",
+                    "SELECT count(*) AS n FROM output_of('pf_a')")
+
+    def boom(*a, **k):
+        raise RuntimeError("combiner crash")
+
+    ctx.views["pf_b"].process_batch = boom
+    with pytest.raises(RuntimeError, match="combiner crash"):
+        ctx.insert("pf", [{"k": "a", "v": 1}])
+    # sibling committed AND emitted: the downstream CV saw the delta
+    assert ctx.read_view("pf_a").collect()[0]["s"] == 1
+    assert ctx.read_view("pf_down").collect()[0]["n"] == 1
+    assert ctx.views["pf_b"].stats.errors == 1
+
+
+def test_rebind_refreshes_empty_osrel_schema(spark, tmp_path):
+    from pipelinedb_spark import PipelineContext
+
+    root = str(tmp_path / "pdb_sch")
+    ctx = PipelineContext(spark, root=root, num_buckets=8)
+    ctx.create_stream("s1", "k string, v long")
+    ctx.create_python_transform(
+        "up", "s1", lambda df: df.withColumn("v", F.col("v") + 1))
+
+    ctx2 = PipelineContext(spark, root=root, num_buckets=8)
+    assert not ctx2.streams["up_osrel"].schema.fields  # lambda unbound
+    ctx2.set_transform_fn(
+        "up", lambda df: df.withColumn("v", F.col("v") + 1))
+    names = [f.name for f in ctx2.streams["up_osrel"].schema.fields]
+    assert names[:2] == ["k", "v"]  # (+ implicit arrival_timestamp)
+    # CREATE over output_of must validate against the refreshed schema
+    # BEFORE any batch has flowed
+    ctx2.create_view("cv_up",
+                     "SELECT k, sum(v) AS s FROM output_of('up') "
+                     "GROUP BY k")
+    ctx2.insert("s1", [{"k": "a", "v": 1}])
+    assert ctx2.read_view("cv_up").collect()[0]["s"] == 2
+    ctx2.close()

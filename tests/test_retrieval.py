@@ -95,3 +95,80 @@ def test_bm25_persisted_index_pushes_term_filter(spark, docs, index,
     plan = bm25_search(idx2, "spark", k=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PushedFilters: [" in plan and "term" in plan
+
+
+def test_bm25_empty_corpus_guard(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = bm25_index(empty)
+    assert idx["n_docs"] == 0 and idx["avgdl"] == 0.0
+    assert bm25_search(idx, "anything", k=5).count() == 0
+    from pipelinedb_spark.operators.retrieval import bm25_search_many
+    qs = spark.createDataFrame([(1, "anything")],
+                               "query_id int, query string")
+    out = bm25_search_many(idx, qs)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+
+
+def test_bm25_200_term_query_matches_oracle(spark, tmp_path):
+    # 200 distinct KNOWN vocabulary terms in one query exercises the
+    # broadcast-joined idf table (a chained CASE would nest 200 deep);
+    # synthetic corpus because sf0.001's vocabulary is tiny
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(20, 80))))
+            for i in range(400)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs200.parquet")
+    corpus.write.mode("overwrite").parquet(pq)
+    idx = bm25_index(corpus)
+    terms = sorted(vocab)[:200]
+    query = " ".join(terms)
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_search(idx, query, k=100_000).collect()}
+    con = duckdb.connect()
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    exp = dict(con.sql(f"""
+        WITH tok AS (SELECT doc_id,
+                            UNNEST(list_filter(string_split(lower(text), ' '),
+                                               w -> w != '')) AS term
+                     FROM '{pq}/*.parquet'),
+        p AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        dfs AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1)
+        SELECT p.doc_id,
+               SUM(ln(1.0 + ({idx['n_docs']} - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * p.tf * (1.2 + 1.0)
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / {idx['avgdl']})))
+        FROM p JOIN dl USING (doc_id) JOIN dfs USING (term)
+        WHERE p.term IN ({tlist})
+        GROUP BY 1
+    """).fetchall())
+    assert set(got) == set(exp)
+    for doc_id, s in exp.items():
+        assert got[doc_id] == pytest.approx(s, rel=1e-12), doc_id
+
+
+def test_bm25_search_many_matches_single(spark, index):
+    from pipelinedb_spark.operators.retrieval import bm25_search_many
+    queries = ["spark table merge", "stream aggregate window",
+               "parquet file scan", "join filter group",
+               "hash partition shuffle", "quality text token",
+               "data pipeline batch", "index search score",
+               "document corpus term", "zzzzqqqq wwwwxxxx"]
+    qdf = spark.createDataFrame(list(enumerate(queries)),
+                                "query_id int, query string")
+    many = bm25_search_many(index, qdf, k=7).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, q in enumerate(queries):
+        exp = [(i + 1, r["doc_id"], r["score"]) for i, r in
+               enumerate(bm25_search(index, q, k=7).collect())]
+        got = sorted(by_q.get(qid, []))
+        assert [(rk, d) for rk, d, _ in got] == \
+               [(rk, d) for rk, d, _ in exp], q
+        for (_, _, sg), (_, _, se) in zip(got, exp):
+            assert sg == pytest.approx(se, rel=1e-12)
