@@ -11,19 +11,64 @@ to Spark's native Datasketches exprs (no Python); the HLL *element*
 family uses the library's own updatable PHLL format
 (``sketches/hll.py``) — the two formats do not mix, and
 ``hll_cardinality(col, element_format=True)`` selects the PHLL probe.
+
+All UDF forms are Arrow-batched ``pandas_udf``s: state bytes cross the
+JVM↔Python boundary in Arrow record batches instead of pickled rows,
+so applying an element updater or probe over a large column pays one
+(de)serialization per BATCH of transfer overhead, not per row (the
+per-row sketch update itself is the same work the reference's per-call
+C functions do).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from pipelinedb_spark.sketches.bloom import BloomFilter
 from pipelinedb_spark.sketches.cms import CountMinSketch
 from pipelinedb_spark.sketches.hll import HyperLogLog
 from pipelinedb_spark.sketches.tdigest import TDigest
 from pipelinedb_spark.sketches.topk import SpaceSaving
+
+
+def _null(v) -> bool:
+    """None/NaN scalar check (Arrow nulls arrive as None for object
+    series, NaN for float series)."""
+    return v is None or (isinstance(v, float) and v != v)
+
+
+def _memo_deser(cls):
+    """Per-batch deserialization memo: probing a sketch column joined
+    onto an event stream repeats the SAME state bytes across many rows
+    — deserialize each distinct state once per Arrow batch instead of
+    once per row (the dominant cost for large states)."""
+    cache: dict[bytes, object] = {}
+
+    def get(s):
+        b = bytes(s)
+        sk = cache.get(b)
+        if sk is None:
+            sk = cache[b] = cls.deserialize(b)
+        return sk
+    return get
+
+
+def _state_groups(state: pd.Series):
+    """(state_bytes, row-index ndarray) per distinct non-null state —
+    the probe UDFs deserialize once and run the sketch's VECTORIZED
+    query over each group's rows (typically one group per batch when a
+    matrel sketch is joined onto events)."""
+    groups: dict[bytes, list[int]] = {}
+    for i, s in enumerate(state):
+        if s is not None:
+            groups.setdefault(bytes(s), []).append(i)
+    return [(b, np.asarray(ix)) for b, ix in groups.items()]
+
 
 # -- HLL: aggregate states are native Spark (Datasketches) -------------------
 
@@ -49,12 +94,17 @@ def hll_empty(p: int = 14) -> Column:
     return F.lit(HyperLogLog(p).serialize())
 
 
-@F.udf(T.BinaryType())
-def _hll_add_udf(state, value):
-    if value is None:
-        return bytes(state) if state is not None else None
-    hll = HyperLogLog() if state is None else HyperLogLog.deserialize(state)
-    return hll.add(value).serialize()
+@pandas_udf(T.BinaryType())
+def _hll_add_udf(state: pd.Series, value: pd.Series) -> pd.Series:
+    out = []
+    for s, v in zip(state, value):
+        if _null(v):
+            out.append(bytes(s) if s is not None else None)
+            continue
+        hll = HyperLogLog() if s is None \
+            else HyperLogLog.deserialize(bytes(s))
+        out.append(hll.add(v).serialize())
+    return pd.Series(out, dtype=object)
 
 
 def hll_add(state: Column, value: Column) -> Column:
@@ -63,20 +113,27 @@ def hll_add(state: Column, value: Column) -> Column:
     return _hll_add_udf(state, value)
 
 
-@F.udf(T.LongType())
-def _hll_elem_cardinality(state):
-    return None if state is None else \
-        HyperLogLog.deserialize(bytes(state)).cardinality()
+@pandas_udf(T.LongType())
+def _hll_elem_cardinality(state: pd.Series) -> pd.Series:
+    out = np.full(len(state), None, dtype=object)
+    for b, ix in _state_groups(state):
+        out[ix] = HyperLogLog.deserialize(b).cardinality()
+    return pd.Series(out, dtype=object).astype("Int64")
 
 
-@F.udf(T.BinaryType())
-def _hll_merge_udf(a, b):
-    if a is None:
-        return bytes(b) if b is not None else None
-    if b is None:
-        return bytes(a)
-    return (HyperLogLog.deserialize(bytes(a))
-            .merge(HyperLogLog.deserialize(bytes(b))).serialize())
+@pandas_udf(T.BinaryType())
+def _hll_merge_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        if x is None:
+            out.append(bytes(y) if y is not None else None)
+        elif y is None:
+            out.append(bytes(x))
+        else:
+            out.append(HyperLogLog.deserialize(bytes(x))
+                       .merge(HyperLogLog.deserialize(bytes(y)))
+                       .serialize())
+    return pd.Series(out, dtype=object)
 
 
 def hll_merge(a: Column, b: Column) -> Column:
@@ -84,16 +141,18 @@ def hll_merge(a: Column, b: Column) -> Column:
     return _hll_merge_udf(a, b)
 
 
-@F.udf(T.StringType())
-def hll_print(state):
+@pandas_udf(T.StringType())
+def hll_print(state: pd.Series) -> pd.Series:
     """Human-readable HLL summary (reference hll_print,
     pipelinedb--1.0.0.sql:1206)."""
-    if state is None:
-        return None
-    data = bytes(state)
-    if HyperLogLog.is_element_format(data):
-        return HyperLogLog.deserialize(data).summary()
-    return f"datasketches hll ({len(data)} bytes)"
+    def one(s):
+        if s is None:
+            return None
+        data = bytes(s)
+        if HyperLogLog.is_element_format(data):
+            return HyperLogLog.deserialize(data).summary()
+        return f"datasketches hll ({len(data)} bytes)"
+    return pd.Series([one(s) for s in state], dtype=object)
 
 
 # -- t-digest ----------------------------------------------------------------
@@ -106,14 +165,24 @@ def dist_cdf_py(state: bytes, x: float) -> float:
     return TDigest.deserialize(bytes(state)).cdf(x)
 
 
-@F.udf(T.DoubleType())
-def dist_quantile(state, q):
-    return None if state is None else dist_quantile_py(state, float(q))
+@pandas_udf(T.DoubleType())
+def dist_quantile(state: pd.Series, q: pd.Series) -> pd.Series:
+    out = np.full(len(state), None, dtype=object)
+    qv = q.to_numpy(dtype="float64")
+    for b, ix in _state_groups(state):
+        res = TDigest.deserialize(b).quantile_many(qv[ix])
+        out[ix] = list(res)
+    return pd.Series(out, dtype=object)
 
 
-@F.udf(T.DoubleType())
-def dist_cdf(state, x):
-    return None if state is None else dist_cdf_py(state, float(x))
+@pandas_udf(T.DoubleType())
+def dist_cdf(state: pd.Series, x: pd.Series) -> pd.Series:
+    out = np.full(len(state), None, dtype=object)
+    xv = x.to_numpy(dtype="float64")
+    for b, ix in _state_groups(state):
+        res = TDigest.deserialize(b).cdf_many(xv[ix])
+        out[ix] = list(res)
+    return pd.Series(out, dtype=object)
 
 
 # -- count-min ----------------------------------------------------------------
@@ -126,23 +195,37 @@ def freq_total_py(state: bytes) -> int:
     return CountMinSketch.deserialize(bytes(state)).total()
 
 
-@F.udf(T.LongType())
-def freq(state, value):
-    return None if state is None else freq_py(state, value)
+@pandas_udf(T.LongType())
+def freq(state: pd.Series, value: pd.Series) -> pd.Series:
+    out = np.full(len(state), None, dtype=object)
+    vals = value.to_numpy(dtype=object)
+    for b, ix in _state_groups(state):
+        sk = CountMinSketch.deserialize(b)
+        batch = np.array([str(v) for v in vals[ix]], dtype=object)
+        out[ix] = [int(c) for c in sk.query_many(batch)]
+    return pd.Series(out, dtype=object).astype("Int64")
 
 
-@F.udf(T.LongType())
-def freq_total(state):
-    return None if state is None else freq_total_py(state)
+@pandas_udf(T.LongType())
+def freq_total(state: pd.Series) -> pd.Series:
+    out = np.full(len(state), None, dtype=object)
+    for b, ix in _state_groups(state):
+        out[ix] = CountMinSketch.deserialize(b).total()
+    return pd.Series(out, dtype=object).astype("Int64")
 
 
-@F.udf(T.DoubleType())
-def freq_norm(state, value):
-    if state is None:
-        return None
-    sk = CountMinSketch.deserialize(bytes(state))
-    tot = sk.total()
-    return (sk.query(str(value)) / tot) if tot else None
+@pandas_udf(T.DoubleType())
+def freq_norm(state: pd.Series, value: pd.Series) -> pd.Series:
+    out = np.full(len(state), None, dtype=object)
+    vals = value.to_numpy(dtype=object)
+    for b, ix in _state_groups(state):
+        sk = CountMinSketch.deserialize(b)
+        tot = sk.total()
+        if not tot:
+            continue  # stays None
+        batch = np.array([str(v) for v in vals[ix]], dtype=object)
+        out[ix] = list(sk.query_many(batch) / tot)
+    return pd.Series(out, dtype=object)
 
 
 # -- top-k ---------------------------------------------------------------------
@@ -151,21 +234,45 @@ def topk_py(state: bytes, k: int | None = None) -> list[tuple[str, int]]:
     return SpaceSaving.deserialize(bytes(state)).topk(k)
 
 
-@F.udf(T.ArrayType(T.StringType()))
-def topk_values(state, k):
-    return None if state is None else [v for v, _ in topk_py(state, int(k))]
+def _topk_memo():
+    """Memoize the ranked (value, freq) list per (state, k) — the list
+    itself, not just the deserialized sketch."""
+    cache: dict[tuple[bytes, int], list] = {}
+
+    def get(s, kk):
+        key = (bytes(s), int(kk))
+        r = cache.get(key)
+        if r is None:
+            r = cache[key] = SpaceSaving.deserialize(key[0]).topk(key[1])
+        return r
+    return get
 
 
-@F.udf(T.ArrayType(T.LongType()))
-def topk_freqs(state, k):
-    return None if state is None else [c for _, c in topk_py(state, int(k))]
+@pandas_udf(T.ArrayType(T.StringType()))
+def topk_values(state: pd.Series, k: pd.Series) -> pd.Series:
+    get = _topk_memo()
+    return pd.Series(
+        [None if s is None else [v for v, _ in get(s, kk)]
+         for s, kk in zip(state, k)], dtype=object)
 
 
-@F.udf(T.ArrayType(T.StructType([T.StructField("value", T.StringType()), T.StructField("freq", T.LongType())])))
-def topk(state, k):
-    if state is None:
-        return None
-    return [{"value": v, "freq": c} for v, c in topk_py(state, int(k))]
+@pandas_udf(T.ArrayType(T.LongType()))
+def topk_freqs(state: pd.Series, k: pd.Series) -> pd.Series:
+    get = _topk_memo()
+    return pd.Series(
+        [None if s is None else [c for _, c in get(s, kk)]
+         for s, kk in zip(state, k)], dtype=object)
+
+
+@pandas_udf(T.ArrayType(T.StructType([
+    T.StructField("value", T.StringType()),
+    T.StructField("freq", T.LongType())])))
+def topk(state: pd.Series, k: pd.Series) -> pd.Series:
+    get = _topk_memo()
+    return pd.Series(
+        [None if s is None
+         else [{"value": v, "freq": c} for v, c in get(s, kk)]
+         for s, kk in zip(state, k)], dtype=object)
 
 
 # -- bloom ----------------------------------------------------------------------
@@ -178,20 +285,26 @@ def bloom_cardinality_py(state: bytes) -> int:
     return BloomFilter.deserialize(bytes(state)).cardinality()
 
 
-@F.udf(T.BooleanType())
-def bloom_contains(state, value):
-    return None if state is None else bloom_contains_py(state, value)
+@pandas_udf(T.BooleanType())
+def bloom_contains(state: pd.Series, value: pd.Series) -> pd.Series:
+    out = np.full(len(state), None, dtype=object)
+    vals = value.to_numpy(dtype=object)
+    for b, ix in _state_groups(state):
+        bf = BloomFilter.deserialize(b)
+        batch = np.array([str(v) for v in vals[ix]], dtype=object)
+        out[ix] = [bool(r) for r in bf.contains_many(batch)]
+    return pd.Series(out, dtype=object)
 
 
-@F.udf(T.LongType())
-def bloom_cardinality(state):
-    return None if state is None else bloom_cardinality_py(state)
+@pandas_udf(T.LongType())
+def bloom_cardinality(state: pd.Series) -> pd.Series:
+    out = np.full(len(state), None, dtype=object)
+    for b, ix in _state_groups(state):
+        out[ix] = BloomFilter.deserialize(b).cardinality()
+    return pd.Series(out, dtype=object).astype("Int64")
 
 
 # -- element constructors / updaters (reference sql:1086-2174) ---------------
-
-import numpy as np  # noqa: E402  (element updaters batch via numpy)
-
 
 def bloom_empty(p: float | None = None, n: int | None = None) -> Column:
     """Fresh bloom filter literal (reference bloom_empty)."""
@@ -203,14 +316,18 @@ def bloom_empty(p: float | None = None, n: int | None = None) -> Column:
     return F.lit(BloomFilter(**kw).serialize())
 
 
-@F.udf(T.BinaryType())
-def _bloom_add_udf(state, value):
-    if value is None:
-        return bytes(state) if state is not None else None
-    bf = BloomFilter() if state is None else \
-        BloomFilter.deserialize(bytes(state))
-    bf.add_many(np.array([str(value)]))
-    return bf.serialize()
+@pandas_udf(T.BinaryType())
+def _bloom_add_udf(state: pd.Series, value: pd.Series) -> pd.Series:
+    out = []
+    for s, v in zip(state, value):
+        if _null(v):
+            out.append(bytes(s) if s is not None else None)
+            continue
+        bf = BloomFilter() if s is None \
+            else BloomFilter.deserialize(bytes(s))
+        bf.add_many(np.array([str(v)]))
+        out.append(bf.serialize())
+    return pd.Series(out, dtype=object)
 
 
 def bloom_add(state: Column, value: Column) -> Column:
@@ -223,13 +340,18 @@ def topk_empty(k: int = 10) -> Column:
     return F.lit(SpaceSaving(k).serialize())
 
 
-@F.udf(T.BinaryType())
-def _topk_increment_udf(state, value, weight):
-    if value is None:
-        return bytes(state) if state is not None else None
-    ss = SpaceSaving() if state is None else \
-        SpaceSaving.deserialize(bytes(state))
-    return ss.increment(str(value), int(weight)).serialize()
+@pandas_udf(T.BinaryType())
+def _topk_increment_udf(state: pd.Series, value: pd.Series,
+                        weight: pd.Series) -> pd.Series:
+    out = []
+    for s, v, w in zip(state, value, weight):
+        if _null(v):
+            out.append(bytes(s) if s is not None else None)
+            continue
+        ss = SpaceSaving() if s is None \
+            else SpaceSaving.deserialize(bytes(s))
+        out.append(ss.increment(str(v), int(w)).serialize())
+    return pd.Series(out, dtype=object)
 
 
 def topk_increment(state: Column, value: Column,
@@ -250,14 +372,19 @@ def cmsketch_empty(eps: float | None = None, p: float | None = None) -> Column:
     return F.lit(CountMinSketch(**kw).serialize())
 
 
-@F.udf(T.BinaryType())
-def _freq_add_udf(state, value, weight):
-    if value is None:
-        return bytes(state) if state is not None else None
-    sk = CountMinSketch() if state is None else \
-        CountMinSketch.deserialize(bytes(state))
-    sk.add_many(np.array([str(value)]), np.array([int(weight)]))
-    return sk.serialize()
+@pandas_udf(T.BinaryType())
+def _freq_add_udf(state: pd.Series, value: pd.Series,
+                  weight: pd.Series) -> pd.Series:
+    out = []
+    for s, v, w in zip(state, value, weight):
+        if _null(v):
+            out.append(bytes(s) if s is not None else None)
+            continue
+        sk = CountMinSketch() if s is None \
+            else CountMinSketch.deserialize(bytes(s))
+        sk.add_many(np.array([str(v)]), np.array([int(w)]))
+        out.append(sk.serialize())
+    return pd.Series(out, dtype=object)
 
 
 def freq_add(state: Column, value: Column,
@@ -272,14 +399,18 @@ def dist_empty(compression: float = 200.0) -> Column:
     return F.lit(TDigest(compression).serialize())
 
 
-@F.udf(T.BinaryType())
-def _dist_add_udf(state, value, weight):
-    if value is None:
-        return bytes(state) if state is not None else None
-    td = TDigest() if state is None else TDigest.deserialize(bytes(state))
-    for _ in range(int(weight)):
-        td.add_many(np.array([float(value)]))
-    return td.serialize()
+@pandas_udf(T.BinaryType())
+def _dist_add_udf(state: pd.Series, value: pd.Series,
+                  weight: pd.Series) -> pd.Series:
+    out = []
+    for s, v, w in zip(state, value, weight):
+        if _null(v):
+            out.append(bytes(s) if s is not None else None)
+            continue
+        td = TDigest() if s is None else TDigest.deserialize(bytes(s))
+        td.add_many(np.full(int(w), float(v)))
+        out.append(td.serialize())
+    return pd.Series(out, dtype=object)
 
 
 def dist_add(state: Column, value: Column,
@@ -289,12 +420,14 @@ def dist_add(state: Column, value: Column,
     return _dist_add_udf(state, value, w)
 
 
-@F.udf(T.BinaryType())
-def tdigest_compress(state):
+@pandas_udf(T.BinaryType())
+def tdigest_compress(state: pd.Series) -> pd.Series:
     """Force centroid compression of a t-digest state (reference
     tdigest_compress, src/tdigest.c)."""
-    if state is None:
-        return None
-    td = TDigest.deserialize(bytes(state))
-    td._compress()
-    return td.serialize()
+    def one(s):
+        if s is None:
+            return None
+        td = TDigest.deserialize(bytes(s))
+        td._compress()
+        return td.serialize()
+    return pd.Series([one(s) for s in state], dtype=object)

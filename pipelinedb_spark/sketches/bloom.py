@@ -54,6 +54,17 @@ class BloomFilter:
         bit = np.uint64(1) << (pos % np.uint64(64))
         return bool(np.all((self.bits[word] & bit) != 0))
 
+    def contains_many(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized membership over a whole probe batch."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        if values.dtype != object:
+            values = values.astype("object")
+        pos = self._positions(values)              # (h, n)
+        word = (pos // 64).astype(np.int64)
+        bit = np.uint64(1) << (pos % np.uint64(64))
+        return np.all((self.bits[word] & bit) != 0, axis=0)
+
     def cardinality(self) -> int:
         x = int(np.unpackbits(self.bits.view(np.uint8)).sum())
         if x == 0:

@@ -56,6 +56,16 @@ class CountMinSketch:
         pos = self._positions(np.array([value], dtype=object))
         return int(min(self.table[d, int(pos[d, 0])] for d in range(self.depth)))
 
+    def query_many(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized point queries over a whole probe batch."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        if values.dtype != object:
+            values = values.astype("object")
+        pos = self._positions(values).astype(np.int64)   # (depth, n)
+        ests = self.table[np.arange(self.depth)[:, None], pos]
+        return ests.min(axis=0)
+
     def total(self) -> int:
         return self.count
 

@@ -92,6 +92,25 @@ class TDigest:
         # centroids; (1-frac)*a + frac*b returns b exactly at frac == 1.
         return float((1.0 - frac) * self.means[i] + frac * self.means[i + 1])
 
+    def quantile_many(self, qs: np.ndarray) -> np.ndarray:
+        """Vectorized inverse CDF — one compress + cumsum for the whole
+        probe batch; element semantics identical to ``quantile()``."""
+        self._compress()
+        qs = np.asarray(qs, dtype=np.float64)
+        if len(self.means) == 0:
+            return np.full(len(qs), np.nan)
+        if len(self.means) == 1:
+            return np.full(len(qs), float(self.means[0]))
+        total = self.weights.sum()
+        targets = qs * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        i = np.clip(np.searchsorted(cum, targets) - 1, 0, len(cum) - 2)
+        frac = (targets - cum[i]) / (cum[i + 1] - cum[i])
+        # endpoint-exact lerp, same tie-boundary guard as quantile()
+        out = (1.0 - frac) * self.means[i] + frac * self.means[i + 1]
+        out = np.where(targets >= cum[-1], self.means[-1], out)
+        return np.where(targets <= cum[0], self.means[0], out)
+
     def cdf(self, x: float) -> float:
         self._compress()
         if len(self.means) == 0:
@@ -108,6 +127,31 @@ class TDigest:
         frac = (x - self.means[i]) / span if span > 0 else 0.0
         # endpoint-exact lerp (same tie-boundary guard as quantile())
         return float(((1.0 - frac) * cum[i] + frac * cum[i + 1]) / total)
+
+    def cdf_many(self, xs: np.ndarray) -> np.ndarray:
+        """Vectorized CDF; element semantics identical to ``cdf()``."""
+        self._compress()
+        xs = np.asarray(xs, dtype=np.float64)
+        if len(self.means) == 0:
+            return np.full(len(xs), np.nan)
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if len(self.means) == 1:
+            return np.where(xs < self.means[0], 0.0,
+                            np.where(xs > self.means[0], 1.0,
+                                     float(cum[0] / total)))
+        i = np.clip(np.searchsorted(self.means, xs) - 1, 0,
+                    len(self.means) - 2)
+        span = self.means[i + 1] - self.means[i]
+        safe = np.where(span > 0, span, 1.0)
+        frac = np.where(span > 0, (xs - self.means[i]) / safe, 0.0)
+        # endpoint-exact lerp (same tie-boundary guard as cdf())
+        out = ((1.0 - frac) * cum[i] + frac * cum[i + 1]) / total
+        out = np.where(xs >= self.means[-1], 1.0, out)
+        # scalar cdf checks the left edge FIRST, so it wins ties
+        return np.where(xs <= self.means[0],
+                        np.where(xs < self.means[0], 0.0,
+                                 float(cum[0] / total)), out)
 
     def count(self) -> float:
         return float(self.weights.sum())
