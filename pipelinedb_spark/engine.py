@@ -661,6 +661,37 @@ class PreparedInsert:
             self.ctx._prepared.remove(self)
 
 
+def _from_relations(from_clause: str) -> list[str]:
+    """Base relation identifiers of a FROM clause: split on top-level
+    commas and JOIN keywords, take each fragment's leading identifier
+    (subqueries contribute nothing).  Used so combine()-rewrite CV
+    detection matches RELATIONS only, never column references."""
+    from pipelinedb_spark.analyzer import split_top_level
+    rels: list[str] = []
+    for item in split_top_level(from_clause):
+        frags = re.split(
+            r"(?i)\b(?:natural\s+)?(?:left|right|full|inner|cross)?"
+            r"\s*(?:outer\s+)?join\b", item)
+        for frag in frags:
+            m = re.match(r"\s*([A-Za-z_][\w.]*)", frag)
+            if m:
+                rels.append(m.group(1))
+    return rels
+
+
+def _combine_calls(text: str):
+    """Yield the raw argument text of each (sw_)combine(...) call."""
+    for m in re.finditer(r"(?i)\b(?:sw_)?combine\s*\(", text):
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        yield text[m.end():i - 1]
+
+
 class PipelineContext:
     """Top-level engine handle — one per SparkSession + state directory."""
 
@@ -1801,7 +1832,7 @@ class PipelineContext:
             sel = (f"SELECT * FROM (VALUES {tuples.strip().rstrip(';')}) "
                    f"AS __v({', '.join(cols)})")
             return self._insert_select(stream, col_list, sel)
-        if re.search(r"(?i)\bcombine\s*\(", query):
+        if re.search(r"(?i)\b(?:sw_)?combine\s*\(", query):
             rewritten = self._rewrite_combine_sql(query, at)
             if rewritten is not None:
                 return rewritten
@@ -1857,11 +1888,39 @@ class PipelineContext:
         from_clause = clauses.get("FROM", "").strip()
         if not from_clause or "HAVING" in clauses:
             return None
-        cv_names = [n for n in self.views
-                    if re.search(rf"(?i)\b{re.escape(n)}\b", from_clause)]
+        # CV detection by FROM-clause RELATION identifiers (not a
+        # substring search over the whole clause — a join column or
+        # alias named like a CV must not trigger the rewrite)
+        rels = {r.lower() for r in _from_relations(from_clause)}
+        cv_names = [n for n in self.views if n.lower() in rels]
+        sel_combines = list(_combine_calls(clauses.get("SELECT", "")))
         if len(cv_names) != 1:
+            plain = {t.lower() for t in self.tables} | \
+                    {f"{v.lower()}_mrel" for v in self.views}
+            if sel_combines and not cv_names and rels & plain:
+                # combine() over a plain table (user_combine.sql:14)
+                raise CQError("relation is not a continuous view")
             return None
         cv_name, cv = cv_names[0], self.views[cv_names[0]]
+        # argument validation, mirroring the reference's targeted
+        # errors (user_combine.sql:8-22 / expected/user_combine.out)
+        agg_outs = {call.out for call in cv.plan.aggs}
+        cv_cols = {f.name for f in cv._overlay_schema().fields}
+        for inner in sel_combines:
+            args = [a.strip() for a in split_top_level(inner)]
+            if len(args) != 1:
+                raise CQError(
+                    f"function combine({inner.strip()}) does not exist: "
+                    "combine accepts a single aggregate column")
+            arg = args[0]
+            if not re.fullmatch(r"[A-Za-z_]\w*", arg):
+                raise CQError(
+                    "combine argument must be a single aggregate column")
+            if arg not in agg_outs:
+                if arg in cv_cols:
+                    raise CQError(
+                        "combine argument is not an aggregate column")
+                raise CQError(f'column "{arg}" does not exist')
         states = self.read_matrel(cv_name)
         if cv.plan.sw_column is not None:
             now = at if at is not None else time.time()
@@ -1876,10 +1935,16 @@ class PipelineContext:
             tdf.createOrReplaceTempView(tname)
         from2 = re.sub(rf"(?i)\b{re.escape(cv_name)}\b", sview, from_clause)
         where = f" WHERE {clauses['WHERE']}" if "WHERE" in clauses else ""
+        from pyspark.errors import AnalysisException
         try:
             base = self.spark.sql(f"SELECT * FROM {from2}{where}")
-        except Exception:
-            return None
+        except AnalysisException as exc:
+            # a validated combine query with a bad FROM/WHERE must
+            # surface ITS analysis error, not fall through to plain
+            # SQL and die on the unresolvable combine() function
+            logging.getLogger(__name__).warning(
+                "combine rewrite: FROM/WHERE analysis failed: %s", exc)
+            raise CQError(f"invalid combine query: {exc}") from exc
         # group keys: bare identifiers keep their name, expressions get
         # positional aliases; select items referencing the same text map
         # onto them
@@ -1914,7 +1979,10 @@ class PipelineContext:
                 fname = f"__fin_{call.out}"
                 df = df.withColumn(fname, spec.finalize(s, call.args))
                 fin[call.out] = fname
-        except Exception:
+        except Exception as exc:
+            logging.getLogger(__name__).warning(
+                "combine rewrite: merge/finalize failed, falling back "
+                "to plain SQL: %s", exc)
             return None
         out_cols = []
         for item in split_top_level(clauses["SELECT"]):
@@ -1927,8 +1995,9 @@ class PipelineContext:
                 src = m.group(1)
                 return f"`{fin[src]}`" if src in fin else m.group(0)
 
-            rewritten = re.sub(r"(?i)\bcombine\s*\(\s*([A-Za-z_]\w*)\s*\)",
-                               sub, expr_text)
+            rewritten = re.sub(
+                r"(?i)\b(?:sw_)?combine\s*\(\s*([A-Za-z_]\w*)\s*\)",
+                sub, expr_text)
             if rewritten == expr_text:
                 # plain (non-combine) item: must be a grouping expr
                 norm = re.sub(r"\s+", "", expr_text).lower()

@@ -98,3 +98,80 @@ def test_rebind_refreshes_empty_osrel_schema(spark, tmp_path):
     ctx2.insert("s1", [{"k": "a", "v": 1}])
     assert ctx2.read_view("cv_up").collect()[0]["s"] == 2
     ctx2.close()
+
+
+def test_combine_validation_errors(ctx, spark):
+    """Reference targeted errors (user_combine.sql:8-22 /
+    expected/user_combine.out:8-22)."""
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("ucv", "k string, x long")
+    ctx.create_view("cv_val", "SELECT k, avg(x) AS a FROM ucv GROUP BY k")
+    ctx.insert("ucv", [{"k": "a", "x": 1}])
+    # combine only accepts a single colref as an argument
+    with pytest.raises(CQError, match="single aggregate column"):
+        ctx.sql("SELECT combine(a + 1) FROM cv_val")
+    with pytest.raises(CQError, match="does not exist"):
+        ctx.sql("SELECT combine(a, a) FROM cv_val")
+    # combine isn't allowed on tables
+    ctx.register_table("plain_t", spark.createDataFrame(
+        [(0,), (1,), (2,)], "v long"))
+    with pytest.raises(CQError, match="not a continuous view"):
+        ctx.sql("SELECT combine(v) FROM plain_t")
+    # combine is only allowed on aggregate columns
+    with pytest.raises(CQError, match="not an aggregate column"):
+        ctx.sql("SELECT combine(k) FROM cv_val")
+    # column doesn't exist
+    with pytest.raises(CQError, match='column "nothere" does not exist'):
+        ctx.sql("SELECT combine(nothere) FROM cv_val")
+
+
+def test_sw_combine_token(ctx):
+    """sw_combine() is registered alongside combine() in the reference
+    (pipelinedb--1.0.0.sql:135-140); over a SW CV both window-filter
+    the states before re-merging."""
+    ctx.create_stream("swc", "k string, v long")
+    ctx.create_view(
+        "cv_swc",
+        "SELECT k, count(*) AS n FROM swc "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
+        "GROUP BY k")
+    ctx.insert("swc", [{"k": "a", "v": i} for i in range(7)])
+    ctx.insert("swc", [{"k": "b", "v": i} for i in range(3)])
+    a = ctx.sql("SELECT sw_combine(n) AS n FROM cv_swc").collect()[0]["n"]
+    b = ctx.sql("SELECT combine(n) AS n FROM cv_swc").collect()[0]["n"]
+    assert a == b == 10
+
+
+def test_combine_detection_is_relation_based(ctx, spark):
+    """A table COLUMN alias named like a CV must not trigger the
+    combine rewrite; with no CV relation and no combine() call the
+    query runs as plain SQL."""
+    ctx.create_stream("rb", "k string, v long")
+    ctx.create_view("cv_rb", "SELECT k, sum(v) AS s FROM rb GROUP BY k")
+    ctx.insert("rb", [{"k": "a", "v": 5}])
+    # a plain table whose COLUMN is named exactly like the CV
+    ctx.register_table("dim_rb", spark.createDataFrame(
+        [("a", 1)], ["cv_rb", "w"]))
+    # FROM references only the table; 'cv_rb' appears as a column —
+    # must run as plain SQL (no combine present)
+    got = ctx.sql("SELECT cv_rb, w FROM dim_rb").collect()
+    assert [(r["cv_rb"], r["w"]) for r in got] == [("a", 1)]
+    # and WITH a combine() call on that shape → table error, not a
+    # silent rewrite against the unrelated CV
+    from pipelinedb_spark import CQError
+    with pytest.raises(CQError, match="not a continuous view"):
+        ctx.sql("SELECT combine(w) FROM dim_rb")
+
+
+def test_malformed_combine_surfaces_analysis_error(ctx):
+    """A validated combine query with a bad WHERE column surfaces the
+    underlying analysis error instead of falling through to plain SQL
+    (old behavior: generic unresolved-combine error)."""
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("mf", "k string, v long")
+    ctx.create_view("cv_mf", "SELECT k, sum(v) AS s FROM mf GROUP BY k")
+    ctx.insert("mf", [{"k": "a", "v": 1}])
+    with pytest.raises(CQError, match="invalid combine query"):
+        ctx.sql("SELECT combine(s) FROM cv_mf WHERE no_such_col > 0")
