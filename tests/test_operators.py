@@ -143,8 +143,12 @@ def test_multimodal_metadata_and_frames(docs):
     assert all(1 <= r["n_frames"] <= 300 for r in rows)
     frames = frame_sample(media, every_n=30)
     assert frames.count() >= len(rows)  # ≥1 frame per video
-    with pytest.raises(NotImplementedError):
-        decode_pixels(media)
+    # utf-8 text payloads are not a recognized pixel container →
+    # null-stats rows (BMP/PPM decode for real; compressed formats
+    # raise — see test_decode_pixels_bmp_ppm_end_to_end)
+    px = decode_pixels(media).collect()
+    assert len(px) == len(rows)
+    assert all(r["format"] is None and r["px_sum"] is None for r in px)
 
 
 def test_neardup_lsh_matches_quadratic(spark, sf_dir):
@@ -309,3 +313,65 @@ def test_ivf_persisted_index_partition_pruning(emb, spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
     assert m, plan[:2000]
+
+
+def _make_bmp(pixels):
+    """24-bit uncompressed bottom-up BMP from an (h, w, 3) RGB array."""
+    import numpy as np
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    body = b"".join(
+        arr[y, :, ::-1].tobytes() + b"\x00" * pad      # RGB→BGR rows
+        for y in range(h - 1, -1, -1))                 # bottom-up
+    off = 14 + 40
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little")
+              + b"\x00" * 4 + off.to_bytes(4, "little"))
+    dib = ((40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + b"\x00" * 16)
+    return header + dib + body
+
+
+def _make_ppm(pixels):
+    import numpy as np
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def test_decode_pixels_bmp_ppm_end_to_end(spark):
+    """Uncompressed BMP + PPM flow payload→pixels→stats with no codec
+    libraries; compressed formats still raise NotImplementedError."""
+    import numpy as np
+    from pipelinedb_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(5)
+    img1 = rng.randint(0, 256, (5, 3, 3))   # odd width → row padding
+    img2 = rng.randint(0, 256, (4, 4, 3))
+    rows = [(1, "image", bytearray(_make_bmp(img1))),
+            (2, "image", bytearray(_make_ppm(img2))),
+            (3, "image", bytearray(b"not an image at all"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in decode_pixels(df).collect()}
+    for mid, img, fmt in [(1, img1, "bmp"), (2, img2, "ppm")]:
+        r = got[mid]
+        assert r["format"] == fmt
+        assert (r["width"], r["height"], r["channels"]) == \
+            (img.shape[1], img.shape[0], 3)
+        assert r["px_sum"] == int(img.sum())
+        for ch, name in enumerate(["mean_r", "mean_g", "mean_b"]):
+            assert r[name] == pytest.approx(
+                img[:, :, ch].mean(), rel=1e-12)
+    assert got[3]["format"] is None and got[3]["px_sum"] is None
+    # compressed container → honest NotImplementedError
+    png = spark.createDataFrame(
+        [(9, "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32))],
+        "media_id long, kind string, payload binary")
+    with pytest.raises(Exception, match="codec"):
+        decode_pixels(png).collect()
