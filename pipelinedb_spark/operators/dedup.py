@@ -307,11 +307,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", num_hashes: int = 64,
-                   bands: int = 16, shingle_n: int = 3) -> DataFrame:
+                   bands: int = 16, shingle_n: int = 3,
+                   max_bucket_size: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs: band the K-wide signature into
     `bands` rows of K/bands values; docs sharing any banded bucket are
     candidates.  Returns distinct (d1 < d2) pairs with the estimated
-    Jaccard from full-signature agreement."""
+    Jaccard from full-signature agreement.
+
+    ``max_bucket_size`` is the SKEW GUARD for boilerplate-heavy
+    corpora: a hot (band, bucket) with B members emits B²/2 pairs —
+    1k identical docs is ~500k pairs per band.  Buckets larger than
+    the cap switch to STAR pairing (the bucket's min doc id paired
+    with every other member): per-bucket output drops to B-1 rows
+    while CONNECTED-COMPONENT structure is preserved exactly, which
+    is what downstream dedup clustering consumes.  Pairwise
+    completeness inside oversized buckets is intentionally given up —
+    same bounded-state trade FSS top-k makes.  None (default) keeps
+    exact all-pairs output (the oracle shape)."""
     # signatures + per-band buckets come out of one Arrow kernel pass;
     # materialize once — the self-join would otherwise run the whole
     # shingle+hash pipeline for both sides
@@ -330,6 +342,13 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # broadcast pick under the threshold at small SF is the wrong plan
     # at any real scale — pin the shuffle-hash join on (band, bucket),
     # exactly as jaccard_pairs pins its shingle self-join
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bucket")
+        banded = (banded
+                  .withColumn("__r", F.row_number().over(
+                      w.orderBy("doc_id")))
+                  .withColumn("__n", F.count("*").over(w)))
     a = banded.alias("a")
     b = banded.alias("b").hint("shuffle_hash")
     # Shape note: signatures ride the bucket join and the pair-dedup
@@ -340,9 +359,14 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # (docs × K·8 each) and add two stages, while band-duplicate
     # candidate pairs are rare below ~0.9 similarity.  Revisit only if
     # a corpus shows heavy cross-band duplication.
-    cands = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                    (F.col("a.bucket") == F.col("b.bucket")) &
-                    (F.col("a.doc_id") < F.col("b.doc_id")))
+    cond = ((F.col("a.band") == F.col("b.band")) &
+            (F.col("a.bucket") == F.col("b.bucket")) &
+            (F.col("a.doc_id") < F.col("b.doc_id")))
+    if max_bucket_size is not None:
+        # small bucket → all pairs; oversized → star around the min id
+        cond = cond & ((F.col("a.__n") <= max_bucket_size) |
+                       (F.col("a.__r") == 1))
+    cands = (a.join(b, cond)
              .select(F.col("a.doc_id").alias("d1"),
                      F.col("b.doc_id").alias("d2"),
                      F.col("a.sig").alias("sig1"),
@@ -356,7 +380,8 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", threshold: float = 0.5,
                        num_hashes: int = 64, bands: int = 16,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """The production near-dup pipeline: MinHash-LSH candidate
     generation followed by EXACT n-gram Jaccard verification of only
     the candidate docs.  Returns (d1, d2, jaccard ≥ threshold).
@@ -370,7 +395,7 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     boundary (J≈0.5 → ~35%), matching reference topk/bloom-style
     approximation contracts."""
     cands = (lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                            shingle_n)
+                            shingle_n, max_bucket_size=max_bucket_size)
              .select("d1", "d2").localCheckpoint(eager=False))
     cand_docs = (cands.select(F.col("d1").alias("__cid"))
                  .unionByName(cands.select(F.col("d2").alias("__cid")))

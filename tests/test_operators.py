@@ -375,3 +375,48 @@ def test_decode_pixels_bmp_ppm_end_to_end(spark):
         "media_id long, kind string, payload binary")
     with pytest.raises(Exception, match="codec"):
         decode_pixels(png).collect()
+
+
+def test_lsh_skew_guard_bounds_hot_buckets(spark, sf_dir):
+    """1k identical docs (boilerplate corpus): uncapped LSH would emit
+    ~B²/2 candidate pairs per bucket; the skew guard's star pairing
+    bounds that to B-1 while keeping the duplicate CLUSTER connected."""
+    from pipelinedb_spark.operators.dedup import (dedup_clusters,
+                                                  lsh_candidates,
+                                                  lsh_verified_pairs)
+
+    boiler = [(i, "exact same boilerplate text repeated in every doc "
+                  "of this adversarial corpus again and again forever")
+              for i in range(1000)]
+    uniq = [(10_000 + i, f"document number {i} with its own distinct "
+                         f"words like token{i} and token{i + 1} here")
+            for i in range(20)]
+    df = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    capped = lsh_candidates(df, max_bucket_size=32)
+    n_pairs = capped.count()
+    # star topology: 999 pairs for the identical block (deduped across
+    # bands) + a handful among the unique docs — nowhere near 499 500
+    assert n_pairs < 1100, n_pairs
+    star = capped.filter(F.col("d1") == 0).count()
+    assert star == 999  # min doc id is the hub
+    # connectivity preserved: one cluster holding all 1000 copies
+    ver = lsh_verified_pairs(df, threshold=0.9, max_bucket_size=32)
+    clusters = dedup_clusters(ver.select("d1", "d2"))
+    sizes = clusters.groupBy("cluster_id").count().collect()
+    big = [r for r in sizes if r["count"] == 1000]
+    assert len(big) == 1 and big[0]["cluster_id"] == 0
+
+
+def test_lsh_skew_guard_recall_unchanged_on_normal_corpus(spark, sf_dir):
+    """With the cap above every real bucket size the candidate set is
+    IDENTICAL to the uncapped path on the normal corpus."""
+    from pipelinedb_spark.operators.dedup import lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    base = {(r["d1"], r["d2"]) for r in
+            lsh_candidates(docs).select("d1", "d2").collect()}
+    capped = {(r["d1"], r["d2"]) for r in
+              lsh_candidates(docs, max_bucket_size=100_000)
+              .select("d1", "d2").collect()}
+    assert base == capped and len(base) > 0
