@@ -25,6 +25,7 @@ import os
 import re
 import shutil
 import tempfile
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable
@@ -184,6 +185,11 @@ class ContView:
         # reference's in-memory pre-combine between commit intervals,
         # src/combiner.c:1323-1369 + need_sync :1994)
         self._pending: list[DataFrame] = []
+        # serializes matrel commits from concurrent writers (dispatch
+        # thread vs background reaper/auto-compaction): the manifest
+        # swap is last-writer-wins, so an unserialized merge racing a
+        # compact could drop the merge's bucket updates
+        self.commit_lock = threading.Lock()
         self._group_cols = list(plan.group_names)
         if plan.grouping_sets is not None:
             # grouping sets: matrel keyed by group cols + grouping_id
@@ -407,11 +413,12 @@ class ContView:
         affected = sorted(int(b) for b in obs.get["bks"])
         if not affected:
             return None
-        old, merged = self.matrel.merge(
-            delta, self._group_cols, self.merge_fn, affected=affected,
-            pin_old=emit_changes or bool(self.constraints),
-            constrain_fn=(self._apply_constraints if self.constraints
-                          else None))
+        with self.commit_lock:
+            old, merged = self.matrel.merge(
+                delta, self._group_cols, self.merge_fn, affected=affected,
+                pin_old=emit_changes or bool(self.constraints),
+                constrain_fn=(self._apply_constraints if self.constraints
+                              else None))
         self.stats.batches += 1
         if not emit_changes:
             return None
@@ -535,7 +542,8 @@ class ContView:
             return 0
         col = self.resolve_ttl_column(col)
         cutoff = (now if now is not None else time.time()) - self.ttl
-        return self.matrel.delete_where(ts_epoch(F.col(col)) < cutoff)
+        with self.commit_lock:
+            return self.matrel.delete_where(ts_epoch(F.col(col)) < cutoff)
 
     def resolve_ttl_column(self, col: str) -> str:
         """Map a user-visible TTL column to its matrel column: group

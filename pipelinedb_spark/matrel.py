@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__bucket"
 
 
+def _du(path: str) -> int:
+    """Recursive on-disk bytes of a directory (local-FS analog of a
+    FileSystem content summary)."""
+    total = 0
+    for base, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(base, f))
+            except OSError:
+                pass
+    return total
+
+
 class MatrelStore:
     def __init__(self, spark: SparkSession, root: str, name: str,
                  num_buckets: int = 32) -> None:
@@ -247,8 +260,62 @@ class MatrelStore:
             for b in affected:
                 if str(b) not in present and str(b) in new_buckets:
                     new_buckets.pop(str(b))
-        self._write_manifest({"version": version, "buckets": new_buckets})
+        # per-dir byte/bucket accounting for the stale-ratio compaction
+        # trigger: a dir's live fraction decays as later versions
+        # rewrite its buckets; bytes×(1 − live/written) estimates dead
+        # bytes without reading any parquet
+        ref_dirs = {os.path.relpath(p, self.dir).split(os.sep)[0]
+                    for p in new_buckets.values()}
+        dirs = {d: info for d, info in m.get("dirs", {}).items()
+                if d in ref_dirs}
+        dirs[f"v{version}"] = {"bytes": _du(vdir),
+                               "written": len(present)}
+        self._write_manifest({"version": version, "buckets": new_buckets,
+                              "dirs": dirs})
         self._gc(keep_version=version)
+
+    # -- stale accounting / auto-compaction ---------------------------------
+    def stale_stats(self) -> tuple[int, int]:
+        """(live_bytes, stale_bytes) estimate from manifest accounting:
+        for each referenced version dir, the fraction of its written
+        buckets that later versions superseded is counted stale (rows
+        are ~evenly sized across buckets by the group-hash bucketing).
+        Wholly-unreferenced dirs awaiting GC-tail expiry count fully
+        stale.  No parquet is read."""
+        m = self._read_manifest()
+        live_of: dict[str, int] = {}
+        for p in m["buckets"].values():
+            d = os.path.relpath(p, self.dir).split(os.sep)[0]
+            live_of[d] = live_of.get(d, 0) + 1
+        dirs = m.get("dirs", {})
+        live = stale = 0
+        for entry in os.listdir(self.dir):
+            if not entry.startswith("v") or \
+                    not os.path.isdir(os.path.join(self.dir, entry)):
+                continue
+            info = dirs.get(entry)
+            nbytes = info["bytes"] if info else \
+                _du(os.path.join(self.dir, entry))
+            written = max(1, info["written"]) if info else None
+            n_live = live_of.get(entry, 0)
+            if written is None:  # pre-accounting dir: split by liveness
+                frac = 1.0 if n_live else 0.0
+            else:
+                frac = min(1.0, n_live / written)
+            live += int(nbytes * frac)
+            stale += int(nbytes * (1.0 - frac))
+        return live, stale
+
+    def maybe_compact(self, max_stale_ratio: float = 1.0) -> bool:
+        """Compact when estimated dead bytes exceed ``max_stale_ratio``
+        × live bytes (VACUUM-threshold analog); bounds on-disk
+        amplification to (1 + ratio) × live data without manual
+        ``compact()`` calls.  Returns True when a compaction ran."""
+        live, stale = self.stale_stats()
+        if stale <= max_stale_ratio * max(live, 1):
+            return False
+        self.compact()
+        return True
 
     def _gc(self, keep_version: int, keep_last: int = 2) -> None:
         """Drop version dirs no longer referenced (keep a small tail for

@@ -229,15 +229,25 @@ class TTLReaper:
     """Background TTL reaper: periodically deletes expired matrel rows
     across every TTL'd CV (the reference runs a dedicated reaper
     process per database, src/reaper.c:228-352; batch size / interval
-    GUCs config.c:397-411)."""
+    GUCs config.c:397-411).
+
+    ``compact_stale_ratio`` adds the auto-VACUUM analog: after each
+    cycle every view's matrel compacts when its estimated dead bytes
+    exceed ratio × live bytes (reap/merge churn leaves superseded rows
+    in old version dirs; the trigger bounds on-disk amplification to
+    (1 + ratio) × live data with no manual ``compact()`` calls).
+    ``None`` disables auto-compaction."""
 
     def __init__(self, ctx: PipelineContext,
-                 interval_seconds: float = 60.0) -> None:
+                 interval_seconds: float = 60.0,
+                 compact_stale_ratio: float | None = 1.0) -> None:
         import threading
 
         self.ctx = ctx
         self.interval = interval_seconds
+        self.compact_stale_ratio = compact_stale_ratio
         self.deleted = 0
+        self.compactions = 0
         self.failures: dict[str, int] = {}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -246,21 +256,37 @@ class TTLReaper:
         self._thread.start()
         return self
 
+    def reap_once(self, now: float | None = None) -> int:
+        """One reap + auto-compact cycle over every TTL'd view; the
+        loop body of the background thread, callable synchronously
+        (tests, manual maintenance).  Returns rows deleted."""
+        deleted = 0
+        for name, cv in list(self.ctx.views.items()):
+            try:
+                if cv.ttl is not None:
+                    deleted += self.ctx.reap_ttl(name, now=now)
+                # stale bytes accrue from merge churn too, so the
+                # compaction check runs for EVERY view; the per-view
+                # commit lock serializes it against concurrent merges
+                if self.compact_stale_ratio is not None:
+                    with cv.commit_lock:
+                        if cv.matrel.maybe_compact(
+                                self.compact_stale_ratio):
+                            self.compactions += 1
+            except Exception as exc:
+                # keep reaping other views; next cycle retries this
+                # one — but count and log so a persistently failing
+                # TTL is visible, not silent
+                self.failures[name] = self.failures.get(name, 0) + 1
+                logging.getLogger(__name__).warning(
+                    "TTL reap/compact failed for %s (%d failures): %s",
+                    name, self.failures[name], exc)
+        self.deleted += deleted
+        return deleted
+
     def _run(self) -> None:
         while not self._stop.wait(self.interval):
-            for name, cv in list(self.ctx.views.items()):
-                if cv.ttl is None:
-                    continue
-                try:
-                    self.deleted += self.ctx.reap_ttl(name)
-                except Exception as exc:
-                    # keep reaping other views; next cycle retries this
-                    # one — but count and log so a persistently failing
-                    # TTL is visible, not silent
-                    self.failures[name] = self.failures.get(name, 0) + 1
-                    logging.getLogger(__name__).warning(
-                        "TTL reap failed for %s (%d failures): %s",
-                        name, self.failures[name], exc)
+            self.reap_once()
 
     def stop(self) -> None:
         self._stop.set()

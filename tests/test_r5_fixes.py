@@ -175,3 +175,56 @@ def test_malformed_combine_surfaces_analysis_error(ctx):
     ctx.insert("mf", [{"k": "a", "v": 1}])
     with pytest.raises(CQError, match="invalid combine query"):
         ctx.sql("SELECT combine(s) FROM cv_mf WHERE no_such_col > 0")
+
+
+def test_auto_compaction_bounds_disk_under_churn(ctx, spark):
+    """Continuous merge churn with a never-touched cold bucket: the
+    cold bucket pins its version dir, so the hot buckets' superseded
+    rows in that dir are dead bytes no GC reclaims.  The reaper's
+    stale-ratio trigger must compact automatically and keep on-disk
+    bytes within a constant factor of live data — no manual compact()
+    calls."""
+    from pipelinedb_spark.matrel import _du
+    from pipelinedb_spark.streaming.runtime import TTLReaper
+
+    ctx.create_stream("ac", "k string, v long")
+    ctx.create_view("cv_ac",
+                    "SELECT k, count(*) AS n, sum(v) AS s "
+                    "FROM ac GROUP BY k")
+    store = ctx.views["cv_ac"].matrel
+    # partition candidate keys by matrel bucket so hot churn never
+    # touches the cold bucket
+    pad = "x" * 2000
+    cand = [f"key{i:04d}_{pad}" for i in range(120)] + \
+           [f"c{i}" for i in range(40)]
+    bmap = {r["k"]: r["b"] for r in
+            spark.createDataFrame([(k,) for k in cand], "k string")
+            .select("k", store.bucket_expr(["k"]).alias("b")).collect()}
+    cold_bucket = bmap[f"c{0}"]
+    cold = [k for k in cand if bmap[k] == cold_bucket
+            and k.startswith("c")][:3]
+    hot = [k for k in cand if bmap[k] != cold_bucket
+           and k.startswith("key")][:60]
+    assert cold and len(hot) >= 40
+    reaper = TTLReaper(ctx, interval_seconds=3600,
+                       compact_stale_ratio=0.5)  # driven synchronously
+    rounds = 6
+    ctx.insert("ac", [{"k": k, "v": 1} for k in cold + hot])
+    reaper.reap_once()
+    for _ in range(rounds - 1):
+        ctx.insert("ac", [{"k": k, "v": 1} for k in hot])
+        reaper.reap_once()
+    assert reaper.compactions >= 1, "stale-ratio trigger never fired"
+    live, stale = store.stale_stats()
+    # bounded amplification: dead bytes stay under ratio x live (plus
+    # the transient <=2-version GC tail the estimate counts as stale)
+    assert stale <= 1.5 * live, (live, stale)
+    assert _du(store.dir) <= 4 * max(live, 1)
+    # correctness across compactions: cold rows intact, hot counts
+    # accumulated through every round
+    got = {r["k"]: (r["n"], r["s"])
+           for r in ctx.read_view("cv_ac").collect()}
+    for k in cold:
+        assert got[k] == (1, 1), k
+    for k in hot:
+        assert got[k] == (rounds, rounds), k
