@@ -113,11 +113,14 @@ def _foreach_batch(ctx: PipelineContext, stream: str, checkpoint: str
 def attach_file_stream(ctx: PipelineContext, stream: str, source_dir: str,
                        fmt: str = "parquet",
                        checkpoint_dir: str | None = None,
-                       trigger_seconds: float | None = None
+                       trigger_seconds: float | None = None,
+                       reader_options: dict | None = None
                        ) -> StreamAttachment:
     """Attach a file-drop directory as a continuous source for
     ``stream``.  Files appearing in ``source_dir`` flow through every
-    CV/transform reading the stream."""
+    CV/transform reading the stream.  ``reader_options`` passes
+    source options through (e.g. ``maxFilesPerTrigger`` to bound
+    micro-batch size under a backlog)."""
     sd = ctx.streams[stream]
     active = _claim_stream(ctx, stream)
     schema = sd.schema
@@ -127,6 +130,8 @@ def attach_file_stream(ctx: PipelineContext, stream: str, source_dir: str,
     reader = (ctx.spark.readStream.schema(src_schema).format(fmt))
     if fmt == "json":
         reader = reader.option("multiLine", "false")
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     stream_df = reader.load(source_dir)
     checkpoint = checkpoint_dir or os.path.join(ctx.root, "checkpoints", stream)
     writer = (stream_df.writeStream
