@@ -115,3 +115,49 @@ def test_pack_sequences_invariants(tok_counts, max_tokens):
             assert total <= max_tokens
         assert sorted(m["seq_pos"] for m in members) == \
             list(range(len(members)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=400),
+       st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1,
+                max_size=10))
+def test_tdigest_vectorized_probes_match_scalar(vals, qs):
+    """quantile_many/cdf_many must be BIT-identical to the scalar
+    quantile()/cdf() — the Arrow probe UDFs ride the vectorized path
+    and claim exact per-element parity."""
+    from pipelinedb_spark.sketches.tdigest import TDigest
+
+    td = TDigest(50.0)
+    td.add_many(np.array(vals))
+    got_q = td.quantile_many(np.array(qs))
+    for q, g in zip(qs, got_q):
+        assert g == td.quantile(q) or (np.isnan(g)
+                                       and np.isnan(td.quantile(q))), q
+    xs = vals[:10] + [min(vals) - 1.0, max(vals) + 1.0, vals[0]]
+    got_c = td.cdf_many(np.array(xs))
+    for x, g in zip(xs, got_c):
+        assert g == td.cdf(x), x
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=12), max_size=100),
+       st.lists(st.text(min_size=0, max_size=12), min_size=1,
+                max_size=50))
+def test_bloom_cms_vectorized_probes_match_scalar(members, probes):
+    """contains_many/query_many == per-element contains()/query()."""
+    from pipelinedb_spark.sketches.bloom import BloomFilter
+    from pipelinedb_spark.sketches.cms import CountMinSketch
+
+    bf = BloomFilter(n=1024)
+    cms = CountMinSketch(eps=0.02)
+    arr = np.array(members, dtype=object)
+    bf.add_many(arr)
+    cms.add_many(arr)
+    parr = np.array(probes, dtype=object)
+    got_b = bf.contains_many(parr)
+    got_c = cms.query_many(parr)
+    for p, gb, gc in zip(probes, got_b, got_c):
+        assert bool(gb) == bf.contains(p), p
+        assert int(gc) == cms.query(p), p
