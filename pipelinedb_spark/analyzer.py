@@ -185,6 +185,9 @@ class CQPlan:
     # (one matrel row per distinct projected tuple + multiplicity);
     # reads expand the multiset back.
     append: bool = False
+    # LIMIT ... OFFSET n (reference cont_limit.sql): the overlay skips
+    # the first n rows in ARRIVAL order for append CVs
+    offset: int | None = None
 
 
 def _find_call_end(sql: str, open_idx: int) -> int:
@@ -491,6 +494,9 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
     limit = None
     if "LIMIT" in clauses:
         limit = int(clauses["LIMIT"].split()[0])
+    offset = None
+    if "OFFSET" in clauses:
+        offset = int(clauses["OFFSET"].split()[0])
 
     # select items + aliases
     items = split_top_level(select_text)
@@ -628,4 +634,5 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
         grouping_sets=grouping_sets,
         distinct_on=distinct_on,
         append=append,
+        offset=offset,
     )

@@ -42,6 +42,7 @@ from pipelinedb_spark.matrel import BUCKET_COL, MatrelStore
 ARRIVAL_COL = "arrival_timestamp"
 STEP_COL = "_step"
 GID_COL = "_gid"
+SEQ_COL = "_seq"  # arrival serial for append CVs with LIMIT/OFFSET
 
 
 def _py_coerce(value: Any, dtype: T.DataType) -> Any:
@@ -198,6 +199,14 @@ class ContView:
             self._group_cols = self._group_cols + [GID_COL]
         if plan.sw_column is not None:
             self._group_cols = self._group_cols + [STEP_COL]
+        # append CV with LIMIT/OFFSET: rows carry an arrival serial so
+        # the overlay can return the FIRST limit rows after skipping
+        # offset, in arrival order (reference cont_limit.sql — the
+        # matrel's $pk serial plays this role there)
+        self._arrival_log = plan.append and plan.limit is not None
+        if self._arrival_log:
+            self._group_cols = self._group_cols + [SEQ_COL]
+        self._next_seq: int | None = None
         # user-designated matrel primary key (reference WITH (pk='col'),
         # pipeline_query.c:1735-1770, test cont_pk.sql): the designated
         # column replaces the group-hash as the matrel's row identity.
@@ -227,6 +236,18 @@ class ContView:
             pre_df = pre_df.filter(F.expr(plan.where))
         keys = [F.expr(g).alias(n)
                 for g, n in zip(plan.group_exprs, plan.group_names)]
+        if self._arrival_log:
+            # dense arrival serial: batch-local row_number (ordered by
+            # the partition-ordered monotonic id = ingest order) on top
+            # of the persisted high-water mark
+            from pyspark.sql import Window
+            base = self._seq_base()
+            pre_df = pre_df.withColumn(
+                SEQ_COL,
+                F.row_number().over(
+                    Window.orderBy(F.monotonically_increasing_id()))
+                + F.lit(base))
+            keys.append(F.col(SEQ_COL))
         if plan.sw_column is not None:
             step = float(plan.sw_step_seconds)
             keys.append(
@@ -346,6 +367,8 @@ class ContView:
                 out_cols.append(F.col(src).alias(alias))
         if extra_cols:
             out_cols = [F.col(c) for c in extra_cols] + out_cols
+        if self._arrival_log and not extra_cols:
+            out_cols.append(F.col(SEQ_COL))
         if plan.append and not extra_cols:
             # no-agg CV: expand the count-compressed multiset back to
             # one row per materialized event (reference cqcreate0-2
@@ -375,8 +398,28 @@ class ContView:
             # DISTINCT ON: view-level dedup on the ON columns
             out = out.dropDuplicates(plan.distinct_on)
         if plan.limit is not None:
-            out = out.limit(plan.limit)
+            if self._arrival_log and SEQ_COL in out.columns:
+                # reference cont_limit.sql semantics: the view returns
+                # the first `limit` rows AFTER skipping `offset`, in
+                # ARRIVAL order (the matrel $pk serial there)
+                out = out.orderBy(SEQ_COL)
+                if plan.offset:
+                    out = out.offset(plan.offset)
+                out = out.limit(plan.limit).drop(SEQ_COL)
+            else:
+                if plan.offset:
+                    out = out.offset(plan.offset)
+                out = out.limit(plan.limit)
         return out
+
+    def _seq_base(self) -> int:
+        """Arrival-serial high-water mark; recovered from the matrel on
+        the first batch after a restart."""
+        if self._next_seq is None:
+            cur = self.matrel.read()
+            self._next_seq = 0 if cur is None else \
+                int(cur.agg(F.max(SEQ_COL)).first()[0] or 0)
+        return self._next_seq
 
     # -- per-batch processing -----------------------------------------------
     def accumulate(self, pre_df: DataFrame) -> None:
@@ -405,12 +448,17 @@ class ContView:
         # (which doubles as the emptiness check — no take(1) job)
         from pyspark.sql import Observation
         obs = Observation()
+        obs_cols = [F.collect_set(F.col(BUCKET_COL)).alias("bks")]
+        if self._arrival_log:
+            obs_cols.append(F.max(F.col(SEQ_COL)).alias("mx_seq"))
         delta = (self.worker(pre_df)
                  .withColumn(BUCKET_COL,
                              self.matrel.bucket_expr(self._bucket_cols))
-                 .observe(obs, F.collect_set(F.col(BUCKET_COL)).alias("bks"))
+                 .observe(obs, *obs_cols)
                  .localCheckpoint(eager=True))
         affected = sorted(int(b) for b in obs.get["bks"])
+        if self._arrival_log and obs.get["mx_seq"] is not None:
+            self._next_seq = int(obs.get["mx_seq"])
         if not affected:
             return None
         with self.commit_lock:

@@ -144,7 +144,9 @@ def _parse_pct_arg(arg: str) -> float | list[float]:
     (reference registers scalar AND float8[] aggregate forms,
     pipelinedb--1.0.0.sql:1538,1569)."""
     s = arg.strip()
-    m = re.match(r"(?i)^array\s*\[(.*)\]$", s, re.S)
+    # PG syntax ARRAY[...] (the reference's form) and Spark's array(...)
+    m = re.match(r"(?i)^array\s*\[(.*)\]$", s, re.S) or \
+        re.match(r"(?i)^array\s*\((.*)\)$", s, re.S)
     if m:
         return [float(x.strip().strip("'")) for x in m.group(1).split(",")]
     return _lit_number(s)

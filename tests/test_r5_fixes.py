@@ -228,3 +228,54 @@ def test_auto_compaction_bounds_disk_under_churn(ctx, spark):
         assert got[k] == (1, 1), k
     for k in hot:
         assert got[k] == (rounds, rounds), k
+
+
+def test_cont_os_agg_percentile_shapes(ctx):
+    """Mirror of reference cont_os_agg.sql: global percentile CV,
+    ARRAY-form grouped percentile, and a select item SUMMING two
+    WITHIN GROUP aggregates over different ORDER BY expressions."""
+    from pipelinedb_spark import register_sketch_aggs
+    register_sketch_aggs()
+    ctx.create_stream("osrm", "g int, x int, y int, z int")
+    ctx.create_view("pc0", "SELECT percentile_cont(0.23) "
+                           "WITHIN GROUP (ORDER BY x) AS p FROM osrm")
+    ctx.create_view("pc1", "SELECT g, percentile_cont("
+                           "ARRAY[0, 0.2, 0.4, 0.6, 0.8, 1.0]) "
+                           "WITHIN GROUP (ORDER BY x - y) AS ps "
+                           "FROM osrm GROUP BY g")
+    ctx.create_view("pc2", "SELECT percentile_cont(0.67) "
+                           "WITHIN GROUP (ORDER BY x) + "
+                           "percentile_cont(0.88) "
+                           "WITHIN GROUP (ORDER BY z) AS v FROM osrm")
+    rows = [{"g": v % 10, "x": v, "y": -v, "z": v} for v in range(100)]
+    ctx.insert("osrm", rows[:60])
+    ctx.insert("osrm", rows[60:])
+    # rank-error contract on uniform 0..99 (t-digest is near-exact at
+    # this cardinality; the reference's expected values are likewise
+    # its own t-digest's output, not exact order statistics)
+    p = ctx.read_view("pc0").collect()[0]["p"]
+    assert abs(p - 22.77) < 2.0, p
+    g0 = {r["g"]: r["ps"] for r in ctx.read_view("pc1").collect()}
+    assert set(g0) == set(range(10))
+    ps = g0[0]  # x - y = 2x over x in {0,10,...,90}
+    assert len(ps) == 6 and ps[0] == 0.0 and ps[-1] == 180.0
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
+    v = ctx.read_view("pc2").collect()[0]["v"]
+    assert abs(v - (66.33 + 87.12)) < 4.0, v
+
+
+def test_cont_limit_offset_arrival_order(ctx):
+    """Mirror of reference cont_limit.sql: LIMIT 9 OFFSET 3 returns
+    arrivals 4..12 in arrival order; the matrel keeps every row (the
+    reference's $pk serial == our _seq column); restart-safe."""
+    ctx.create_stream("cls", "x int")
+    ctx.create_view("cqlimit", "SELECT x FROM cls LIMIT 9 OFFSET 3")
+    for lo in range(1, 22, 3):
+        ctx.insert("cls", [{"x": lo}, {"x": lo + 1}, {"x": lo + 2}])
+    got = sorted(r["x"] for r in ctx.read_view("cqlimit").collect())
+    assert got == list(range(4, 13))  # expected/cont_limit.out:12-22
+    assert ctx.read_matrel("cqlimit").count() == 21
+    # later arrivals never displace the first limit+offset rows
+    ctx.insert("cls", [{"x": 99}])
+    got = sorted(r["x"] for r in ctx.read_view("cqlimit").collect())
+    assert got == list(range(4, 13))
