@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pipelinedb_spark.aggregates import REGISTRY, AggRegistry, state_col
+from pipelinedb_spark.aggregates import (REGISTRY, AggRegistry, AggSpec,
+                                         state_col)
 from pipelinedb_spark.functions.time import ts_epoch
 from pipelinedb_spark.analyzer import CQError, CQPlan, analyze
 from pipelinedb_spark.matrel import BUCKET_COL, MatrelStore
@@ -533,6 +534,19 @@ class ContView:
 
         new_struct = keyed(merged, "new")
         delta_struct = keyed(delta.withColumn(BUCKET_COL, F.lit(0)), "delta")
+        # the delta's PARTIAL STATES ride each change row in a hidden
+        # struct so downstream CVs can combine((delta).col) exactly —
+        # merging states, not finalized values (reference delta
+        # columns of combine-consuming CQs are bytea trans states,
+        # analyzer.c:4586)
+        state_cols = [c for c in delta.columns
+                      if c not in set(keys) | {BUCKET_COL}]
+        dstates = delta
+        for kc, k in zip(kcols, keys):
+            dstates = dstates.withColumn(kc, F.col(k))
+        dstates = dstates.select(
+            *[F.col(kc) for kc in kcols],
+            F.struct(*[F.col(c) for c in state_cols]).alias("delta_states"))
         if old is not None and old.take(1):
             old_struct = keyed(old, "old")
             joined = (new_struct.join(old_struct, on=kcols, how="left")
@@ -542,10 +556,12 @@ class ContView:
                 new_struct.schema["new"].dataType))
         joined = (joined.join(delta_struct, on=kcols, how="left")
                   if kcols else joined.crossJoin(delta_struct))
+        joined = (joined.join(dstates, on=kcols, how="left")
+                  if kcols else joined.crossJoin(dstates))
         # no-op update elision
         changed = joined.filter(
             F.col("old").isNull() | (~F.col("old").eqNullSafe(F.col("new"))))
-        return changed.select("old", "new", "delta")
+        return changed.select("old", "new", "delta", "delta_states")
 
     # -- reads ---------------------------------------------------------------
     def read(self, at: float | None = None) -> DataFrame:
@@ -567,6 +583,15 @@ class ContView:
         probe = self.worker(pre)
         probe = probe.withColumn(BUCKET_COL, F.lit(0))
         return self.finalize(probe, recombine=False).schema
+
+    def _state_schema(self) -> T.StructType:
+        """Schema of the matrel partial-state columns (the fields of
+        the osrel's hidden delta_states struct)."""
+        empty = self.ctx.empty_stream_df(self.plan.stream)
+        pre = self.ctx._worker_input(self.plan, self.plan.stream, empty)
+        probe = self.worker(pre)
+        return T.StructType([f for f in probe.schema.fields
+                             if f.name not in set(self._group_cols)])
 
     # cache of the last ticker emission (group key -> row), reference
     # combiner.c:78-96 (cached overlay tuples)
@@ -941,6 +966,7 @@ class PipelineContext:
         if name in self.views or name in self.transforms:
             raise CQError(f"continuous view {name} already exists")
         sql = self._rewrite_output_of(sql)
+        sql = self._rewrite_delta_combines(sql)
         plan = analyze(sql, set(self.streams), self.registry,
                        sw=sw, step_factor=step_factor)
         ttl_secs = None
@@ -1083,12 +1109,18 @@ class PipelineContext:
         from pyspark.errors import AnalysisException
         try:
             if name in self.views:
-                row = self.views[name]._overlay_schema()
+                cv = self.views[name]
+                row = cv._overlay_schema()
                 st = T.StructType([T.StructField(f.name, f.dataType, True)
                                    for f in row.fields])
-                return T.StructType([
-                    T.StructField(c, st, True)
-                    for c in ("old", "new", "delta")])
+                fields = [T.StructField(c, st, True)
+                          for c in ("old", "new", "delta")]
+                if cv.plan.sw_column is None:
+                    # non-SW change rows also carry the delta's raw
+                    # partial states for downstream combine((delta).x)
+                    fields.append(T.StructField(
+                        "delta_states", cv._state_schema(), True))
+                return T.StructType(fields)
             if name in self.transforms:
                 tr = self.transforms[name]
                 if isinstance(tr, PyTransform):
@@ -1120,6 +1152,90 @@ class PipelineContext:
         # FROM output_of('cv') → FROM cv_osrel (reference
         # src/analyzer.c:776-828)
         return re.sub(r"(?i)output_of\s*\(\s*'([^']+)'\s*\)", r"\1_osrel", sql)
+
+    def _register_delta_combine(self, up: str, call) -> str:
+        """Derive + register the aggregate behind a rewritten
+        ``combine((delta).col)``: its PARTIAL phase is the upstream
+        aggregate's MERGE over the incoming delta_states fields, so
+        downstream continuous aggregation is exact (weighted avg,
+        distinct counts, sketch unions) — reference
+        get_combine_target_aggref, src/analyzer.c:4360-4470."""
+        spec = self.registry.get(call.func)
+        fname = f"__dcmb_{up}_{call.out}".lower()
+        if self.registry.get(fname) is not None:
+            return fname
+        suffixes = list(spec.partial(call.args).keys())
+        cargs = list(call.args)
+
+        def partial(args, _sfx=suffixes, _spec=spec, _cargs=cargs):
+            sub = {sfx: F.expr(a) for sfx, a in zip(_sfx, args)}
+            return _spec.merge_exprs(lambda sfx: sub[sfx], _cargs)
+
+        self.registry.register(AggSpec(
+            fname, partial,
+            spec.merge,
+            lambda s, a, _spec=spec, _cargs=cargs: _spec.finalize(s, _cargs),
+            state_is_value=spec.state_is_value,
+            pandas=spec.pandas,
+            merge_with_args=(
+                (lambda s, a, _spec=spec, _cargs=cargs:
+                 _spec.merge_with_args(s, _cargs))
+                if spec.merge_with_args is not None else None)))
+        return fname
+
+    def _rewrite_delta_combines(self, sql: str) -> str:
+        """CVs combining DELTA STREAMS (reference delta_streams.sql):
+        ``combine((delta).col)`` over ``output_of('up')`` re-merges the
+        upstream aggregate's partial states, which ride every change
+        row in the hidden ``delta_states`` struct — finalized delta
+        VALUES are not re-mergeable (avg of avgs is wrong), states are.
+        Rewrites each call to a derived registered aggregate over the
+        state fields; idempotent across catalog replay."""
+        pat = re.compile(
+            r"(?i)\bcombine\s*\(\s*\(?\s*(?:(\w+)\s*\.\s*)?delta\s*\)?\s*"
+            r"\.\s*(\w+)\s*\)")
+        has_calls = bool(pat.search(sql))
+        if not has_calls and "__dcmb_" not in sql:
+            return sql
+        ups = [v for v in self.views
+               if re.search(rf"(?i)\b{re.escape(v)}_osrel\b", sql)]
+        if has_calls:
+            if not ups:
+                return sql  # not an output-stream query; analyze errors
+            up = ups[0]
+            cv = self.views[up]
+
+            def repl(m: "re.Match[str]") -> str:
+                qual, col = m.group(1), m.group(2)
+                if cv.plan.sw_column is not None:
+                    # SWs don't have delta streams (delta_streams.sql:4,
+                    # expected out: column "delta" does not exist)
+                    raise CQError('column "delta" does not exist')
+                call = next((c for c in cv.plan.aggs if c.out == col),
+                            None)
+                if call is None:
+                    raise CQError(
+                        "combine argument is not an aggregate column")
+                fname = self._register_delta_combine(up, call)
+                sfx = list(self.registry.get(call.func)
+                           .partial(call.args).keys())
+                q = f"{qual}." if qual else ""
+                args = ", ".join(f"{q}delta_states.{state_col(col, s)}"
+                                 for s in sfx)
+                return f"{fname}({args})"
+
+            sql = pat.sub(repl, sql)
+        # replay of an already-rewritten catalog entry: re-register
+        for tok in set(re.findall(r"__dcmb_(\w+)\(", sql)):
+            for v in sorted(self.views, key=len, reverse=True):
+                if tok.startswith(v.lower() + "_"):
+                    colname = tok[len(v) + 1:]
+                    cc = next((c for c in self.views[v].plan.aggs
+                               if c.out.lower() == colname), None)
+                    if cc is not None:
+                        self._register_delta_combine(v, cc)
+                    break
+        return sql
 
     def drop_view(self, name: str) -> None:
         cv = self.views.pop(name, None)

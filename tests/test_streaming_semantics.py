@@ -259,3 +259,58 @@ def test_sw_expiration_vacuum(ctx):
     ctx.insert("swx", [{"key": "a"}, {"key": "b"}])
     got = {r["key"]: r["n"] for r in ctx.read_view("sw_vac").collect()}
     assert got == {"a": 1, "b": 1}
+
+
+def test_delta_stream_combine_states(ctx, spark):
+    """Mirror of reference delta_streams.sql delta1-delta7: downstream
+    CVs combining DELTA STREAMS re-merge the upstream PARTIAL STATES
+    (hidden delta_states struct), so weighted avg, COUNT DISTINCT and
+    sketch unions are exact — finalized delta values alone could not
+    give these results (avg of avgs)."""
+    from pipelinedb_spark import CQError, register_sketch_aggs
+    register_sketch_aggs()
+    ctx.create_stream("dcs", "x int, y int")
+    ctx.create_view("dl1", "SELECT x, count(*) AS count, sum(y) AS sum, "
+                           "avg(x + y) AS avg FROM dcs GROUP BY x")
+    ctx.create_view("dl2", "SELECT combine((delta).count) AS count, "
+                           "combine((delta).sum) AS sum, "
+                           "combine((delta).avg) AS avg "
+                           "FROM output_of('dl1')")
+    ctx.insert("dcs", [{"x": v % 10, "y": v} for v in range(1, 101)])
+    r = ctx.read_view("dl2").collect()[0]
+    # expected/delta_streams.out:18-21
+    assert (r["count"], r["sum"], r["avg"]) == (100, 5050, 55.0)
+    ctx.insert("dcs", [{"x": v % 10, "y": v} for v in range(1, 101)])
+    r = ctx.read_view("dl2").collect()[0]
+    # expected/delta_streams.out:24-27: avg stays 55 (weighted!)
+    assert (r["count"], r["sum"], r["avg"]) == (200, 10100, 55.0)
+    # sketch-state combine across groups (delta5/delta6)
+    ctx.create_view("dl5", "SELECT x, bloom_agg(y) AS bloom_agg "
+                           "FROM dcs GROUP BY x")
+    ctx.create_view("dl6", "SELECT (new).x % 2 AS x, "
+                           "combine((delta).bloom_agg) AS bloom_agg "
+                           "FROM output_of('dl5') GROUP BY x")
+    ctx.insert("dcs", [{"x": v % 10, "y": v} for v in range(1, 101)])
+    got = {r["x"]: r["c"] for r in ctx.sql(
+        "SELECT x, bloom_cardinality(bloom_agg) AS c FROM dl6 "
+        "ORDER BY x").collect()}
+    assert got == {0: 50, 1: 50}  # expected/delta_streams.out delta6
+    # STJ with delta streams (delta7)
+    ctx.register_table("dl_t", spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "x int"))
+    ctx.create_view("dl7",
+                    "SELECT t.x AS x, combine((os.delta).count) AS count, "
+                    "combine((os.delta).sum) AS sum "
+                    "FROM dl1_osrel os JOIN dl_t t ON (os.delta).x = t.x "
+                    "GROUP BY t.x")
+    ctx.insert("dcs", [{"x": v % 10, "y": v} for v in range(1, 101)])
+    r = ctx.sql("SELECT combine(count) AS count, combine(sum) AS sum "
+                "FROM dl7").collect()[0]
+    assert (r["count"], r["sum"]) == (90, 4500)
+    # SWs don't have delta streams (delta_streams.sql:4-5)
+    ctx.create_view("dl_sw", "SELECT x, count(*) AS count FROM dcs "
+                    "WHERE arrival_timestamp > clock_timestamp() - "
+                    "interval '1 hour' GROUP BY x")
+    with pytest.raises(CQError, match='column "delta" does not exist'):
+        ctx.create_view("dl0", "SELECT combine((delta).count) AS n "
+                               "FROM output_of('dl_sw')")
