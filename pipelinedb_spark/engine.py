@@ -1237,7 +1237,24 @@ class PipelineContext:
                     break
         return sql
 
-    def drop_view(self, name: str) -> None:
+    def drop_view(self, name: str, cascade: bool = False) -> None:
+        """DROP VIEW [CASCADE]: dropping a CV whose output stream has
+        readers requires CASCADE, which then drops the dependents too
+        (reference output_streams.sql:23 — 'cannot drop view os0
+        because other objects depend on it')."""
+        if name in self.views:
+            os_sd = self.streams.get(f"{name}_osrel")
+            deps = sorted(os_sd.readers) if os_sd is not None else []
+            if deps and not cascade:
+                raise CQError(
+                    f"cannot drop continuous view {name}: other "
+                    f"continuous queries {deps} depend on its output "
+                    "stream (use cascade=True)")
+            for dep in deps:
+                if dep in self.views:
+                    self.drop_view(dep, cascade=True)
+                elif dep in self.transforms:
+                    self.drop_transform(dep)
         cv = self.views.pop(name, None)
         if cv:
             cv.matrel.drop()

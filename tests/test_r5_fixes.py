@@ -279,3 +279,30 @@ def test_cont_limit_offset_arrival_order(ctx):
     ctx.insert("cls", [{"x": 99}])
     got = sorted(r["x"] for r in ctx.read_view("cqlimit").collect())
     assert got == list(range(4, 13))
+
+
+def test_drop_view_with_output_stream_dependents(ctx):
+    """Reference output_streams.sql:23: a CV whose output stream feeds
+    another CQ can't be dropped without CASCADE; CASCADE drops the
+    dependents too."""
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("dvs", "x int")
+    ctx.create_view("os0", "SELECT count(*) AS count FROM dvs")
+    ctx.create_view("os0_out", "SELECT (old).count AS old_count, "
+                               "(new).count AS new_count "
+                               "FROM output_of('os0')")
+    with pytest.raises(CQError, match="depend"):
+        ctx.drop_view("os0")
+    assert "os0" in ctx.views and "os0_out" in ctx.views
+    ctx.drop_view("os0_out")               # leaf drops fine
+    ctx.drop_view("os0")                   # now unreferenced
+    assert "os0" not in ctx.views
+    # cascade path drops the whole chain
+    ctx.create_view("os1", "SELECT count(*) AS count FROM dvs")
+    ctx.create_view("os1_out", "SELECT (new).count AS c "
+                               "FROM output_of('os1')")
+    ctx.create_view("os1_out2", "SELECT count(*) AS n "
+                                "FROM output_of('os1_out')")
+    ctx.drop_view("os1", cascade=True)
+    assert not ({"os1", "os1_out", "os1_out2"} & set(ctx.views))
