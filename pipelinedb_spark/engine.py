@@ -533,19 +533,24 @@ class ContView:
                 F.struct(*[F.col(c) for c in val_cols]).alias(as_name))
 
         new_struct = keyed(merged, "new")
-        delta_struct = keyed(delta.withColumn(BUCKET_COL, F.lit(0)), "delta")
         # the delta's PARTIAL STATES ride each change row in a hidden
         # struct so downstream CVs can combine((delta).col) exactly —
         # merging states, not finalized values (reference delta
         # columns of combine-consuming CQs are bytea trans states,
-        # analyzer.c:4586)
+        # analyzer.c:4586).  Both structs come out of ONE pass over
+        # the delta (no extra join in the commit path).
         state_cols = [c for c in delta.columns
                       if c not in set(keys) | {BUCKET_COL}]
-        dstates = delta
+        ddf = delta.withColumn(BUCKET_COL, F.lit(0))
         for kc, k in zip(kcols, keys):
-            dstates = dstates.withColumn(kc, F.col(k))
-        dstates = dstates.select(
+            ddf = ddf.withColumn(kc, F.col(k))
+        dfin = self.finalize(ddf, extra_cols=kcols + state_cols,
+                             recombine=False)
+        dval_cols = [c for c in dfin.columns
+                     if c not in set(kcols) | set(state_cols)]
+        delta_struct = dfin.select(
             *[F.col(kc) for kc in kcols],
+            F.struct(*[F.col(c) for c in dval_cols]).alias("delta"),
             F.struct(*[F.col(c) for c in state_cols]).alias("delta_states"))
         if old is not None and old.take(1):
             old_struct = keyed(old, "old")
@@ -556,8 +561,6 @@ class ContView:
                 new_struct.schema["new"].dataType))
         joined = (joined.join(delta_struct, on=kcols, how="left")
                   if kcols else joined.crossJoin(delta_struct))
-        joined = (joined.join(dstates, on=kcols, how="left")
-                  if kcols else joined.crossJoin(dstates))
         # no-op update elision
         changed = joined.filter(
             F.col("old").isNull() | (~F.col("old").eqNullSafe(F.col("new"))))
