@@ -1116,13 +1116,19 @@ class PipelineContext:
                 row = cv._overlay_schema()
                 st = T.StructType([T.StructField(f.name, f.dataType, True)
                                    for f in row.fields])
+                if cv.plan.sw_column is not None:
+                    # SWs don't have delta streams: the ticker emits
+                    # (old, new) only, and a downstream (delta).x must
+                    # fail validation exactly like the reference
+                    # (delta_streams.sql:4-7)
+                    return T.StructType([T.StructField(c, st, True)
+                                         for c in ("old", "new")])
                 fields = [T.StructField(c, st, True)
                           for c in ("old", "new", "delta")]
-                if cv.plan.sw_column is None:
-                    # non-SW change rows also carry the delta's raw
-                    # partial states for downstream combine((delta).x)
-                    fields.append(T.StructField(
-                        "delta_states", cv._state_schema(), True))
+                # non-SW change rows also carry the delta's raw
+                # partial states for downstream combine((delta).x)
+                fields.append(T.StructField(
+                    "delta_states", cv._state_schema(), True))
                 return T.StructType(fields)
             if name in self.transforms:
                 tr = self.transforms[name]
