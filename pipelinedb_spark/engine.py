@@ -1000,6 +1000,52 @@ class PipelineContext:
                                     "pk": pk}})
         return cv
 
+    def insert_into_stream(self, *targets: str
+                           ) -> Callable[[DataFrame], None]:
+        """Outputfunc factory mirroring the reference's
+        ``pipelinedb.insert_into_stream('s0' [, 's1' ...])``
+        (sql:2700-2712, src/stream_fdw.c:589): a transform's output
+        rows are forwarded POSITIONALLY into the target stream(s).
+        ``create_transform`` validates the transform's output arity
+        and types against every target at CREATE (cont_transform.sql
+        ct_invalid cases)."""
+        for t in targets:
+            if t not in self.streams:
+                raise CQError(f"unknown stream {t}")
+
+        def fn(df: DataFrame) -> None:
+            for t in targets:
+                cols = [f.name for f in self.streams[t].schema.fields
+                        if f.name != ARRIVAL_COL]
+                self.insert(t, df.toDF(*cols))
+        fn.__pdb_targets__ = tuple(targets)
+        return fn
+
+    def _validate_stream_targets(self, out_schema: T.StructType,
+                                 targets: tuple) -> None:
+        """Positional arity/type check of a transform's output against
+        its insert_into_stream targets (reference errors when the
+        transform output doesn't match the target stream's row type,
+        cont_transform.sql:55-57)."""
+        for t in targets:
+            tgt = [f for f in self.streams[t].schema.fields
+                   if f.name != ARRIVAL_COL]
+            if len(out_schema.fields) != len(tgt):
+                raise CQError(
+                    f"transform output has {len(out_schema.fields)} "
+                    f"columns but stream {t} expects {len(tgt)}")
+            for of, tf in zip(out_schema.fields, tgt):
+                ok = (of.dataType == tf.dataType
+                      or (isinstance(of.dataType, T.NumericType)
+                          and isinstance(tf.dataType, T.NumericType))
+                      or isinstance(tf.dataType, T.StringType))
+                if not ok:
+                    raise CQError(
+                        f"transform output column {of.name} "
+                        f"({of.dataType.simpleString()}) does not match "
+                        f"stream {t} column {tf.name} "
+                        f"({tf.dataType.simpleString()})")
+
     def create_transform(self, name: str, sql: str,
                          outputfunc: Callable[[DataFrame], None] | None = None
                          ) -> Transform:
@@ -1019,9 +1065,12 @@ class PipelineContext:
         try:
             self.empty_stream_df(clauses_stream) \
                 .createOrReplaceTempView(clauses_stream)
-            self.spark.sql(sql)
+            probe_schema = self.spark.sql(sql).schema
         except AnalysisException as exc:
             raise CQError(f"invalid transform query: {exc}") from exc
+        targets = getattr(outputfunc, "__pdb_targets__", None)
+        if targets:
+            self._validate_stream_targets(probe_schema, targets)
         t = Transform(self, name, sql, clauses_stream, outputfunc)
         self.transforms[name] = t
         self.streams[clauses_stream].readers.append(name)

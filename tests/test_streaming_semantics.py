@@ -314,3 +314,37 @@ def test_delta_stream_combine_states(ctx, spark):
     with pytest.raises(CQError, match='column "delta" does not exist'):
         ctx.create_view("dl0", "SELECT combine((delta).count) AS n "
                                "FROM output_of('dl_sw')")
+
+
+def test_insert_into_stream_outputfunc(ctx):
+    """Mirror of reference cont_transform.sql ct0/ct1: a transform
+    with outputfunc=insert_into_stream('target') forwards its output
+    rows positionally into the target stream, feeding that stream's
+    CVs; invalid output shapes fail at CREATE (ct_invalid cases)."""
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("ct_s0", "x int")
+    ctx.create_stream("ct_s1", "x int")
+    ctx.create_view("ct0", "SELECT x, count(*) AS count FROM ct_s0 "
+                           "GROUP BY x")
+    ctx.create_transform(
+        "ct1", "SELECT x % 4 AS x FROM ct_s1 WHERE x > 10 AND x < 50",
+        outputfunc=ctx.insert_into_stream("ct_s0"))
+    ctx.insert("ct_s1", [{"x": v} for v in range(0, 101)])
+    got = {r["x"]: r["count"] for r in ctx.read_view("ct0").collect()}
+    assert got == {0: 10, 1: 10, 2: 9, 3: 10}  # residues of 11..49
+    # validation: arity / type mismatches error at CREATE
+    ctx.create_stream("ct_s", "x int, y string")
+    with pytest.raises(CQError, match="does not match|columns"):
+        ctx.create_transform(
+            "ct_invalid", "SELECT y, x FROM ct_s",
+            outputfunc=ctx.insert_into_stream("ct_s"))
+    with pytest.raises(CQError, match="expects"):
+        ctx.create_transform(
+            "ct_invalid2", "SELECT x FROM ct_s",
+            outputfunc=ctx.insert_into_stream("ct_s"))
+    ctx.create_transform(   # int + text literal: valid (ct_valid)
+        "ct_valid", "SELECT x, 'a' AS s FROM ct_s",
+        outputfunc=ctx.insert_into_stream("ct_s"))
+    with pytest.raises(CQError, match="unknown stream"):
+        ctx.insert_into_stream("nope")
