@@ -238,16 +238,16 @@ class ContView:
         keys = [F.expr(g).alias(n)
                 for g, n in zip(plan.group_exprs, plan.group_names)]
         if self._arrival_log:
-            # dense arrival serial: batch-local row_number (ordered by
-            # the partition-ordered monotonic id = ingest order) on top
-            # of the persisted high-water mark
-            from pyspark.sql import Window
+            # arrival serial: monotonically_increasing_id preserves
+            # (partition, row) = ingest order with NO shuffle — a
+            # row_number window here would collapse the batch to one
+            # partition.  Serials are sparse, but only ORDER matters
+            # (the overlay sorts by _seq); the persisted high-water
+            # mark keeps later batches strictly above earlier ones.
             base = self._seq_base()
             pre_df = pre_df.withColumn(
                 SEQ_COL,
-                F.row_number().over(
-                    Window.orderBy(F.monotonically_increasing_id()))
-                + F.lit(base))
+                F.monotonically_increasing_id() + F.lit(base + 1))
             keys.append(F.col(SEQ_COL))
         if plan.sw_column is not None:
             step = float(plan.sw_step_seconds)
