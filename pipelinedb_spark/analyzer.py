@@ -335,9 +335,9 @@ def parse_interval(text: str) -> float:
 
 
 _SW_RE = re.compile(
-    r"(?P<col>[A-Za-z_][\w.]*)\s*>=?\s*"
+    r"(?P<col>[A-Za-z_][\w.]*)\s*>=?\s*\(?\s*"
     r"(?:clock_timestamp|now|current_timestamp)\s*\(\s*\)\s*-\s*"
-    r"interval\s*'(?P<iv>[^']+)'", re.I)
+    r"interval\s*'(?P<iv>[^']+)'\s*\)?", re.I)
 
 
 def split_conjuncts(where: str) -> list[str]:

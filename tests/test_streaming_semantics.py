@@ -348,3 +348,38 @@ def test_insert_into_stream_outputfunc(ctx):
         outputfunc=ctx.insert_into_stream("ct_s"))
     with pytest.raises(CQError, match="unknown stream"):
         ctx.insert_into_stream("nope")
+
+
+def test_non_aggregate_sliding_window_cv(ctx):
+    """Mirror of reference pipeline_regress.sql: a projection-only CV
+    with a sliding-window predicate (>= and parenthesized window expr)
+    shows rows while in-window and expires them after; the second(ts)
+    truncation form (our second_trunc) groups by second."""
+    import time
+
+    ctx.create_stream("prs", "user_id int, page_id int")
+    ctx.create_view(
+        "pr_v",
+        "SELECT user_id, page_id, arrival_timestamp AS ts FROM prs "
+        "WHERE arrival_timestamp >= "
+        "(clock_timestamp() - interval '90 minutes')")
+    ctx.insert("prs", [{"user_id": 1, "page_id": 1}])
+    ctx.insert("prs", [{"user_id": 2, "page_id": 2}])
+    got = sorted((r["user_id"], r["page_id"])
+                 for r in ctx.read_view("pr_v").collect())
+    assert got == [(1, 1), (2, 2)]
+    assert ctx.read_view("pr_v", at=time.time() + 7200).count() == 0
+    # the aggregate variant with second-granularity grouping
+    ctx.create_stream("prs2", "foobar string")
+    ctx.create_view(
+        "pr_agg",
+        "SELECT second_trunc(arrival_timestamp) AS secondstamp, foobar, "
+        "count(*) AS count FROM prs2 "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '7 day' "
+        "GROUP BY second_trunc(arrival_timestamp), foobar")
+    ctx.insert("prs2", [{"foobar": "foo"}, {"foobar": "foo"}])
+    ctx.insert("prs2", [{"foobar": "foo"}, {"foobar": "bar"}])
+    counts = {}
+    for r in ctx.read_view("pr_agg").collect():
+        counts[r["foobar"]] = counts.get(r["foobar"], 0) + r["count"]
+    assert counts == {"foo": 3, "bar": 1}
