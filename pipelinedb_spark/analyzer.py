@@ -604,6 +604,14 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
             if re.sub(r"\s+", "", body).lower() == gnorm and "{" not in rew:
                 hit = name
                 break
+        if hit is None and _IDENT_RE.fullmatch(g.strip()) \
+                and g.strip() not in used:
+            # a bare-identifier group expr keeps its own name even
+            # without a matching plain select item, so select
+            # expressions MIXING it with aggregates (e.g.
+            # id + avg(id), reference pipeline_regress.sql:68-71)
+            # resolve against the matrel
+            hit = g.strip()
         group_names.append(hit if hit else f"_g{i}")
 
     step = None

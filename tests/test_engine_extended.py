@@ -645,3 +645,23 @@ def test_prepared_stream_insert(ctx):
     prep1.close()
     assert prep1 not in ctx._prepared
     assert ctx.read_view("pi0").collect()[0]["n"] == 26
+
+
+def test_select_item_mixing_group_col_and_agg(ctx):
+    """Reference pipeline_regress.sql:68-88: a select item may combine
+    a group column with an aggregate (id + avg(id)); the bare group
+    identifier keeps its name in the matrel even without a standalone
+    select item."""
+    ctx.create_stream("mx1", "id int, x double")
+    ctx.create_view("mx_v1", "SELECT (id + avg(id)) AS x FROM mx1 "
+                             "GROUP BY id")
+    ctx.insert("mx1", [{"id": 1}, {"id": 2}, {"id": 3}])
+    assert sorted(r["x"] for r in ctx.read_view("mx_v1").collect()) \
+        == [2.0, 4.0, 6.0]
+    ctx.create_view("mx_v2", "SELECT id + avg(id) AS a, sum(x) AS s "
+                             "FROM mx1 GROUP BY id")
+    ctx.insert("mx1", [{"id": 1, "x": 1.5}, {"id": 2, "x": 3.0},
+                       {"id": 3, "x": 4.5}])
+    assert sorted((r["a"], r["s"])
+                  for r in ctx.read_view("mx_v2").collect()) \
+        == [(2.0, 1.5), (4.0, 3.0), (6.0, 4.5)]
