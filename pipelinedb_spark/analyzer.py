@@ -335,7 +335,11 @@ def parse_interval(text: str) -> float:
 
 
 _SW_RE = re.compile(
-    r"(?P<col>[A-Za-z_][\w.]*)\s*>=?\s*\(?\s*"
+    # a bare timestamp column OR one function call over it, e.g.
+    # minute_trunc(arrival_timestamp) (reference resolves whole
+    # arrival_timestamp expressions, find_clock_timestamp_expr)
+    r"(?P<col>[A-Za-z_][\w.]*(?:\s*\(\s*[A-Za-z_][\w.]*\s*\))?)"
+    r"\s*>=?\s*\(?\s*"
     r"(?:clock_timestamp|now|current_timestamp)\s*\(\s*\)\s*-\s*"
     r"interval\s*'(?P<iv>[^']+)'\s*\)?", re.I)
 

@@ -253,7 +253,7 @@ class ContView:
             step = float(plan.sw_step_seconds)
             keys.append(
                 F.timestamp_seconds(
-                    F.floor(ts_epoch(F.col(plan.sw_column)) / step) * step
+                    F.floor(ts_epoch(F.expr(plan.sw_column)) / step) * step
                 ).alias(STEP_COL))
         jvm_aggs, pd_aggs = [], []
         for call in plan.aggs:

@@ -383,3 +383,22 @@ def test_non_aggregate_sliding_window_cv(ctx):
     for r in ctx.read_view("pr_agg").collect():
         counts[r["foobar"]] = counts.get(r["foobar"], 0) + r["count"]
     assert counts == {"foo": 3, "bar": 1}
+
+
+def test_sw_predicate_over_timestamp_expression(ctx):
+    """Reference pipeline_regress.sql sw_ts_expr2: the sliding-window
+    predicate may wrap the timestamp in a function call; the window
+    and step bucketing follow the expression."""
+    import time
+
+    ctx.create_stream("swe", "x int")
+    ctx.create_view(
+        "sw_expr",
+        "SELECT minute_trunc(arrival_timestamp) AS m, count(*) AS count "
+        "FROM swe WHERE minute_trunc(arrival_timestamp) > "
+        "clock_timestamp() - interval '5 minute' "
+        "GROUP BY minute_trunc(arrival_timestamp)")
+    ctx.insert("swe", [{"x": 1}, {"x": 1}])
+    ctx.insert("swe", [{"x": 1}, {"x": 1}])
+    assert sum(r["count"] for r in ctx.read_view("sw_expr").collect()) == 4
+    assert ctx.read_view("sw_expr", at=time.time() + 600).count() == 0
