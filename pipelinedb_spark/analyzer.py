@@ -105,6 +105,11 @@ def split_clauses(sql: str) -> dict[str, str]:
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 
+# names users may not alias outputs to: the stream's implicit arrival
+# column plus this engine's internal matrel columns
+_RESERVED_COLS = {"arrival_timestamp", "_step", "_gid", "_seq",
+                  "__bucket"}
+
 # Non-combinable → streaming variant rewrites (reference
 # StreamingVariants, src/analyzer.c:84-107).
 STREAMING_VARIANTS = {
@@ -516,6 +521,12 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
         else:
             body = item.strip()
             alias = body if _IDENT_RE.fullmatch(body) else None
+        if alias and alias.lower() in _RESERVED_COLS \
+                and body.lower() != alias.lower():
+            # renaming an output to an internal/reserved name corrupts
+            # the matrel (reference: 'arrival_timestamp is a reserved
+            # column name', create_cont_view.out:694)
+            raise CQError(f"{alias} is a reserved column name")
         raw_items.append((body, alias))
 
     group_exprs = []

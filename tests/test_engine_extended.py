@@ -665,3 +665,20 @@ def test_select_item_mixing_group_col_and_agg(ctx):
     assert sorted((r["a"], r["s"])
                   for r in ctx.read_view("mx_v2").collect()) \
         == [(2.0, 1.5), (4.0, 3.0), (6.0, 4.5)]
+
+
+def test_reserved_output_column_names_rejected(ctx):
+    """Reference create_cont_view.out:694: aliasing an output to
+    arrival_timestamp (or this engine's internal matrel columns) is
+    rejected; selecting arrival_timestamp itself stays legal."""
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("rs1", "x int")
+    for bad in ("arrival_timestamp", "_step", "_seq", "__bucket"):
+        with pytest.raises(CQError, match="reserved column name"):
+            ctx.create_view(f"rv_{bad.strip('_')}",
+                            f"SELECT x AS {bad}, count(*) AS n "
+                            f"FROM rs1 GROUP BY x")
+    # the implicit column itself is still selectable un-renamed
+    ctx.create_view("rv_ok", "SELECT arrival_timestamp, count(*) AS n "
+                             "FROM rs1 GROUP BY arrival_timestamp")
