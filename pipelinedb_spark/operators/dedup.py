@@ -533,3 +533,116 @@ def simhash_fast(text: Column, bits: int = 16) -> Column:
     if not 1 <= bits <= 64:
         raise ValueError(f"simhash width must be 1..64, got {bits}")
     return _simhash_kernel(bits)(text)
+
+
+# ---------------------------------------------------------------------------
+# Persisted incremental LSH index: the 100 TB production shape for
+# corpus dedup — signatures/band buckets are computed ONCE per document
+# and persisted; each new ingest batch probes (and appends to) the
+# index without re-reading or re-signaturing the corpus.
+# ---------------------------------------------------------------------------
+
+def lsh_index_persist(df: DataFrame, path: str, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3) -> None:
+    """Materialize a MinHash-LSH index: one (doc_id, sig, band, bucket)
+    row per document per band, written partitionBy(band) with rows
+    bucket-sorted inside each band dir (a probe's band join reads each
+    band partition with row-group min/max skipping on bucket).  A
+    _meta.json sidecar pins the signature parameters — probes/appends
+    with different parameters are rejected instead of silently
+    producing garbage candidates."""
+    import json
+    import os
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    out_schema = T.StructType([
+        T.StructField("doc_id", src.schema["doc_id"].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("buckets", T.ArrayType(T.LongType()))])
+    sigs = src.mapInPandas(
+        _minhash_text_mapper(num_hashes, shingle_n, bands=bands),
+        out_schema)
+    banded = sigs.select(
+        "doc_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
+    (banded.repartition("band")
+     .sortWithinPartitions("bucket")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(os.path.join(path, "bands")))
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"num_hashes": num_hashes, "bands": bands,
+                   "shingle_n": shingle_n}, f)
+
+
+def _lsh_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        return json.load(f)
+
+
+def lsh_index_probe(spark, path: str, new_docs: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> DataFrame:
+    """Candidate near-dup pairs between ``new_docs`` and the INDEXED
+    corpus: (corpus_id, new_id, est_jaccard).  Only the new batch is
+    signatured; the corpus side is a pruned scan of the persisted
+    band table — no corpus recompute, the incremental-ingest shape
+    corpus-scale dedup needs.  The batch side broadcasts when small;
+    the corpus side never does."""
+    import os
+
+    meta = _lsh_index_meta(path)
+    src = new_docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("text"))
+    out_schema = T.StructType([
+        T.StructField("doc_id", src.schema["doc_id"].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("buckets", T.ArrayType(T.LongType()))])
+    sigs = src.mapInPandas(
+        _minhash_text_mapper(meta["num_hashes"], meta["shingle_n"],
+                             bands=meta["bands"]), out_schema)
+    probe = sigs.select(
+        "doc_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
+    corpus = spark.read.parquet(os.path.join(path, "bands"))
+    cands = (corpus.alias("c")
+             .join(probe.alias("p").hint("broadcast"),
+                   (F.col("c.band") == F.col("p.band")) &
+                   (F.col("c.bucket") == F.col("p.bucket")) &
+                   (F.col("c.doc_id") != F.col("p.doc_id")))
+             .select(F.col("c.doc_id").alias("corpus_id"),
+                     F.col("p.doc_id").alias("new_id"),
+                     F.col("c.sig").alias("sig1"),
+                     F.col("p.sig").alias("sig2"))
+             .dropDuplicates(["corpus_id", "new_id"]))
+    est = F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                          lambda eq: eq)) / F.lit(float(meta["num_hashes"]))
+    return cands.select("corpus_id", "new_id", est.alias("est_jaccard"))
+
+
+def lsh_index_append(spark, path: str, new_docs: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text"
+                     ) -> None:
+    """Add a batch's band rows to the index (dedup-then-admit flow:
+    probe first, drop near-dups, append the survivors).  Append-mode
+    parquet into the same partitionBy(band) layout."""
+    import os
+
+    meta = _lsh_index_meta(path)
+    src = new_docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("text"))
+    out_schema = T.StructType([
+        T.StructField("doc_id", src.schema["doc_id"].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("buckets", T.ArrayType(T.LongType()))])
+    sigs = src.mapInPandas(
+        _minhash_text_mapper(meta["num_hashes"], meta["shingle_n"],
+                             bands=meta["bands"]), out_schema)
+    banded = sigs.select(
+        "doc_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
+    (banded.repartition("band")
+     .sortWithinPartitions("bucket")
+     .write.mode("append").partitionBy("band")
+     .parquet(os.path.join(path, "bands")))

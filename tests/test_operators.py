@@ -420,3 +420,45 @@ def test_lsh_skew_guard_recall_unchanged_on_normal_corpus(spark, sf_dir):
               lsh_candidates(docs, max_bucket_size=100_000)
               .select("d1", "d2").collect()}
     assert base == capped and len(base) > 0
+
+
+def test_persisted_lsh_index_incremental_dedup(spark, sf_dir, tmp_path):
+    """Incremental corpus dedup: signatures are computed once at
+    indexing; each new batch probes the persisted band table (no
+    corpus recompute) and appends its own rows after admission."""
+    from pipelinedb_spark.operators.dedup import (lsh_index_append,
+                                                  lsh_index_persist,
+                                                  lsh_index_probe)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "lsh_idx")
+    lsh_index_persist(docs, path)
+
+    # a new batch: one near-copy of an indexed doc + one fresh doc
+    src = docs.orderBy("doc_id").limit(1).collect()[0]
+    near = src["text"] + " tiny tail"
+    batch1 = spark.createDataFrame(
+        [(100_000, near),
+         (100_001, "completely unrelated fresh document with its own "
+                   "unique vocabulary and nothing shared at all here")],
+        "doc_id long, text string")
+    hits = lsh_index_probe(spark, path, batch1).collect()
+    by_new = {}
+    for r in hits:
+        by_new.setdefault(r["new_id"], []).append(
+            (r["corpus_id"], r["est_jaccard"]))
+    assert any(c == src["doc_id"] and e >= 0.5
+               for c, e in by_new.get(100_000, [])), by_new
+    assert 100_001 not in by_new or all(
+        e < 0.5 for _, e in by_new[100_001])
+
+    # admit batch1, then a copy of the near-copy must hit BOTH the
+    # original corpus doc and the newly admitted one
+    lsh_index_append(spark, path, batch1)
+    batch2 = spark.createDataFrame([(200_000, near)],
+                                   "doc_id long, text string")
+    hits2 = lsh_index_probe(spark, path, batch2).collect()
+    strong = {r["corpus_id"] for r in hits2
+              if r["new_id"] == 200_000 and r["est_jaccard"] >= 0.5}
+    assert src["doc_id"] in strong and 100_000 in strong
