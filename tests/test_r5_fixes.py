@@ -306,3 +306,31 @@ def test_drop_view_with_output_stream_dependents(ctx):
                                 "FROM output_of('os1_out')")
     ctx.drop_view("os1", cascade=True)
     assert not ({"os1", "os1_out", "os1_out2"} & set(ctx.views))
+
+
+def test_concurrent_inserts_vs_reaper_compaction(ctx):
+    """The per-view commit lock must keep merges exact while the
+    background reaper thread reaps TTL'd rows and auto-compacts: a
+    racing manifest swap would silently drop a merge's bucket updates
+    (mirrors the reference's combine_table-under-inserts py test)."""
+    import threading
+    import time as _time
+
+    from pipelinedb_spark.streaming.runtime import TTLReaper
+
+    ctx.create_stream("cc", "k string, v long")
+    ctx.create_view("cv_cc", "SELECT k, count(*) AS n, sum(v) AS s "
+                             "FROM cc GROUP BY k")
+    reaper = TTLReaper(ctx, interval_seconds=0.05,
+                       compact_stale_ratio=0.1)  # compact aggressively
+    reaper.start()
+    try:
+        rounds = 12
+        for r in range(rounds):
+            ctx.insert("cc", [{"k": f"k{j}", "v": 1} for j in range(16)])
+            _time.sleep(0.02)
+    finally:
+        reaper.stop()
+    got = {r["k"]: (r["n"], r["s"])
+           for r in ctx.read_view("cv_cc").collect()}
+    assert got == {f"k{j}": (rounds, rounds) for j in range(16)}
