@@ -1739,7 +1739,10 @@ class PipelineContext:
             if schema is None:
                 return self.spark.createDataFrame([], T.StructType())
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*segs)
+        # segments may span an emission-schema change (e.g. an added
+        # struct column): merge instead of trusting the first file
+        return self.spark.read.option("mergeSchema", "true") \
+            .parquet(*segs)
 
     def combine_read(self, name: str, group_by: list[str] | None = None,
                      at: float | None = None) -> DataFrame:
