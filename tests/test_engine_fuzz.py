@@ -69,3 +69,57 @@ def test_randomized_incremental_equals_batch(ctx, spark):
 
     got = sorted(r["k"] for r in ctx.read_view("fz_append").collect())
     assert got == sorted(r["k"] for r in all_rows)
+
+
+def test_randomized_round5_shapes_equal_batch(ctx, spark):
+    """Round-5 surfaces under a randomized schedule: arrival-order
+    LIMIT/OFFSET, mixed group+agg select items, and a delta-combining
+    downstream CV — all must equal the batch answer over the union of
+    every inserted row."""
+    rng = random.Random(0xBEEF5)
+    ctx.create_stream("fz2", "k string, u long, v double")
+    ctx.create_view("fz2_limit", "SELECT k FROM fz2 LIMIT 17 OFFSET 5")
+    ctx.create_view("fz2_mixed",
+                    "SELECT u + avg(v) AS m, count(*) AS n "
+                    "FROM fz2 GROUP BY u")
+    ctx.create_view("fz2_up",
+                    "SELECT k, count(*) AS c, avg(v) AS a "
+                    "FROM fz2 GROUP BY k")
+    ctx.create_view("fz2_dc",
+                    "SELECT combine((delta).c) AS c, "
+                    "combine((delta).a) AS a FROM output_of('fz2_up')")
+
+    all_rows = []
+    keys = ["a", "b", "c"]
+    for step in range(8):
+        batch = [{"k": rng.choice(keys), "u": rng.randrange(4),
+                  "v": round(rng.uniform(-9, 9), 3)}
+                 for _ in range(rng.randrange(1, 25))]
+        all_rows.extend(batch)
+        ctx.insert("fz2", batch)
+        if rng.randrange(2):
+            ctx.read_view(rng.choice(
+                ["fz2_limit", "fz2_mixed", "fz2_dc"])).collect()
+
+    # LIMIT/OFFSET: the first 17 arrivals after skipping 5, in insert
+    # order (multiset compare — the view returns exactly those rows)
+    exp_lim = sorted(r["k"] for r in all_rows[5:22])
+    got_lim = sorted(r["k"] for r in ctx.read_view("fz2_limit").collect())
+    assert got_lim == exp_lim
+
+    batch_df = spark.createDataFrame(
+        [(r["k"], r["u"], r["v"]) for r in all_rows],
+        "k string, u long, v double")
+    batch_df.createOrReplaceTempView("fz2_batch")
+    got_m = sorted((r["n"], round(r["m"], 9))
+                   for r in ctx.read_view("fz2_mixed").collect())
+    exp_m = sorted((r["n"], round(r["m"], 9)) for r in spark.sql(
+        "SELECT u + avg(v) AS m, count(*) AS n FROM fz2_batch "
+        "GROUP BY u").collect())
+    assert got_m == exp_m
+
+    # delta combine: exact global count and WEIGHTED avg
+    r = ctx.read_view("fz2_dc").collect()[0]
+    assert r["c"] == len(all_rows)
+    exp_avg = sum(x["v"] for x in all_rows) / len(all_rows)
+    assert abs(r["a"] - exp_avg) < 1e-9
