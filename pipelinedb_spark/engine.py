@@ -200,11 +200,12 @@ class ContView:
             self._group_cols = self._group_cols + [GID_COL]
         if plan.sw_column is not None:
             self._group_cols = self._group_cols + [STEP_COL]
-        # append CV with LIMIT/OFFSET: rows carry an arrival serial so
-        # the overlay can return the FIRST limit rows after skipping
-        # offset, in arrival order (reference cont_limit.sql — the
-        # matrel's $pk serial plays this role there)
-        self._arrival_log = plan.append and plan.limit is not None
+        # append CV with LIMIT and/or OFFSET: rows carry an arrival
+        # serial so the overlay can return the FIRST limit rows after
+        # skipping offset, in arrival order (reference cont_limit.sql —
+        # the matrel's $pk serial plays this role there)
+        self._arrival_log = plan.append and (plan.limit is not None
+                                             or plan.offset is not None)
         if self._arrival_log:
             self._group_cols = self._group_cols + [SEQ_COL]
         self._next_seq: int | None = None
@@ -368,7 +369,7 @@ class ContView:
                 out_cols.append(F.col(src).alias(alias))
         if extra_cols:
             out_cols = [F.col(c) for c in extra_cols] + out_cols
-        if self._arrival_log and not extra_cols:
+        if self._arrival_log and not extra_cols and SEQ_COL in df.columns:
             out_cols.append(F.col(SEQ_COL))
         if plan.append and not extra_cols:
             # no-agg CV: expand the count-compressed multiset back to
@@ -398,7 +399,10 @@ class ContView:
         if plan.distinct_on and not extra_cols:
             # DISTINCT ON: view-level dedup on the ON columns
             out = out.dropDuplicates(plan.distinct_on)
-        if plan.limit is not None:
+        if (plan.limit is not None or plan.offset) and not extra_cols:
+            # overlay-only, like every sibling block above: internal
+            # keyed frames (osrel emission, constraint evaluation) must
+            # never be truncated
             if self._arrival_log and SEQ_COL in out.columns:
                 # reference cont_limit.sql semantics: the view returns
                 # the first `limit` rows AFTER skipping `offset`, in
@@ -406,11 +410,14 @@ class ContView:
                 out = out.orderBy(SEQ_COL)
                 if plan.offset:
                     out = out.offset(plan.offset)
-                out = out.limit(plan.limit).drop(SEQ_COL)
+                if plan.limit is not None:
+                    out = out.limit(plan.limit)
+                out = out.drop(SEQ_COL)
             else:
                 if plan.offset:
                     out = out.offset(plan.offset)
-                out = out.limit(plan.limit)
+                if plan.limit is not None:
+                    out = out.limit(plan.limit)
         return out
 
     def _seq_base(self) -> int:
@@ -747,11 +754,24 @@ class PreparedInsert:
 
 def _from_relations(from_clause: str) -> list[str]:
     """Base relation identifiers of a FROM clause: split on top-level
-    commas and JOIN keywords, take each fragment's leading identifier
-    (subqueries contribute nothing).  Used so combine()-rewrite CV
-    detection matches RELATIONS only, never column references."""
-    from pipelinedb_spark.analyzer import split_top_level
+    commas and JOIN keywords, take each fragment's leading identifier,
+    and RECURSE into (SELECT ...) subqueries — their FROM relations
+    count (``SELECT combine(x) FROM (SELECT * FROM cv) t`` must find
+    cv).  Used so combine()-rewrite CV detection matches RELATIONS
+    only, never column references."""
+    from pipelinedb_spark.analyzer import split_clauses, split_top_level
     rels: list[str] = []
+    for m in re.finditer(r"(?i)\(\s*select\b", from_clause):
+        depth, i = 1, m.start() + 1
+        while i < len(from_clause) and depth:
+            if from_clause[i] == "(":
+                depth += 1
+            elif from_clause[i] == ")":
+                depth -= 1
+            i += 1
+        sub = split_clauses(from_clause[m.start() + 1:i - 1])
+        if "FROM" in sub:
+            rels.extend(_from_relations(sub["FROM"]))
     for item in split_top_level(from_clause):
         frags = re.split(
             r"(?i)\b(?:natural\s+)?(?:left|right|full|inner|cross)?"
@@ -822,6 +842,10 @@ class PipelineContext:
         # pipelinedb--1.0.0.sql:16-56).
         self._catalog_path = os.path.join(self.root, "catalog.json")
         self._replaying = False
+        # thread-local dispatch depth: a nested insert() from inside a
+        # transform outputfunc (insert_into_stream chains) continues
+        # the depth chain, so the cycle guard still fires
+        self._depth_tls = threading.local()
         self._catalog: list[dict] = []
         # live PREPARE handles (prepared stream inserts)
         self._prepared: list["PreparedInsert"] = []
@@ -1472,7 +1496,9 @@ class PipelineContext:
                 from pyspark.sql import Observation
                 obs = Observation()
                 batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
-                self._dispatch(stream, batch, targets=targets,
+                self._dispatch(stream, batch,
+                               _depth=getattr(self._depth_tls, "depth", 0),
+                               targets=targets,
                                n_rows=None, checkpointed=True)
                 n = int(obs.get["n"])
                 consumers[0].stats.input_rows += n
@@ -1497,7 +1523,9 @@ class PipelineContext:
             # locations).  Near-empty checkpoint blocks are harmless:
             # AQE re-coalesces after the worker's shuffle anyway.
             batch = batch.localCheckpoint(eager=True)
-        self._dispatch(stream, batch, targets=targets, n_rows=n,
+        self._dispatch(stream, batch,
+                       _depth=getattr(self._depth_tls, "depth", 0),
+                       targets=targets, n_rows=n,
                        checkpointed=True)
         return n
 
@@ -1553,6 +1581,18 @@ class PipelineContext:
                   checkpointed: bool = False) -> None:
         if _depth > 16:
             raise CQError("continuous-query cycle detected")
+        prev_depth = getattr(self._depth_tls, "depth", 0)
+        self._depth_tls.depth = _depth + 1
+        try:
+            return self._dispatch_inner(stream, batch, _depth, targets,
+                                        n_rows, checkpointed)
+        finally:
+            self._depth_tls.depth = prev_depth
+
+    def _dispatch_inner(self, stream: str, batch: DataFrame,
+                        _depth: int, targets: list[str] | None,
+                        n_rows: int | None,
+                        checkpointed: bool) -> None:
         sd = self.streams[stream]
         readers = [r for r in sd.readers
                    if targets is None or r in targets]
@@ -1787,7 +1827,8 @@ class PipelineContext:
         src/combiner.c:2250-2351).  ``states`` must have the matrel's
         group + state columns."""
         cv = self.views[name]
-        cv.matrel.merge(states, cv._bucket_cols, cv.merge_fn)
+        with cv.commit_lock:
+            cv.matrel.merge(states, cv._bucket_cols, cv.merge_fn)
 
     def dump_state(self, name: str, path: str) -> int:
         """Export a CV's matrel partial states to a portable directory
@@ -1838,14 +1879,16 @@ class PipelineContext:
                 f"of {name!r}; restore into a CV created with the same SQL")
         if meta["rows"] == 0:
             if not merge:
-                cv.matrel.truncate()
+                with cv.commit_lock:
+                    cv.matrel.truncate()
             return 0
         states = self.spark.read.parquet(os.path.join(path, "states")) \
             .drop(BUCKET_COL)
-        if merge:
-            cv.matrel.merge(states, cv._bucket_cols, cv.merge_fn)
-        else:
-            cv.matrel.overwrite(states, cv._bucket_cols)
+        with cv.commit_lock:
+            if merge:
+                cv.matrel.merge(states, cv._bucket_cols, cv.merge_fn)
+            else:
+                cv.matrel.overwrite(states, cv._bucket_cols)
         return int(meta["rows"])
 
     # matrels_writable GUC analog (reference cont_matrel.sql:
@@ -1888,17 +1931,19 @@ class PipelineContext:
             (F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c))
              if c in set_exprs else F.col(c)).alias(c)
             for c in states.columns])
-        cv.matrel.overwrite(df.drop(BUCKET_COL), cv._bucket_cols)
+        with cv.commit_lock:
+            cv.matrel.overwrite(df.drop(BUCKET_COL), cv._bucket_cols)
 
     def delete_matrel_rows(self, name: str,
                            where: str | None = None) -> int:
         """``DELETE FROM <cv>_mrel [WHERE ...]`` (reference
         cont_matrel.sql); no WHERE empties the matrel."""
         cv = self._writable_matrel(name)
-        if where is None:
-            cv.matrel.truncate()
-            return -1
-        return cv.matrel.delete_where(F.expr(where))
+        with cv.commit_lock:
+            if where is None:
+                cv.matrel.truncate()
+                return -1
+            return cv.matrel.delete_where(F.expr(where))
 
     def add_matrel_constraint(self, view: str, name: str,
                               check: str) -> None:
@@ -1948,7 +1993,9 @@ class PipelineContext:
         self.activate(name, False)
 
     def truncate_view(self, name: str) -> None:
-        self.views[name].matrel.truncate()
+        cv = self.views[name]
+        with cv.commit_lock:
+            cv.matrel.truncate()
 
     def compact_view(self, name: str) -> int:
         """Rewrite a CV's matrel into one fresh packed version and drop
@@ -1959,7 +2006,8 @@ class PipelineContext:
         if cv is None:
             raise CQError(f"continuous view {name} does not exist")
         self._flush_cv(name)
-        return cv.matrel.compact()
+        with cv.commit_lock:
+            return cv.matrel.compact()
 
     def flush(self) -> None:
         """Sync barrier (reference pipeline_flush): commit every CV's

@@ -42,22 +42,6 @@ def _null(v) -> bool:
     return v is None or (isinstance(v, float) and v != v)
 
 
-def _memo_deser(cls):
-    """Per-batch deserialization memo: probing a sketch column joined
-    onto an event stream repeats the SAME state bytes across many rows
-    — deserialize each distinct state once per Arrow batch instead of
-    once per row (the dominant cost for large states)."""
-    cache: dict[bytes, object] = {}
-
-    def get(s):
-        b = bytes(s)
-        sk = cache.get(b)
-        if sk is None:
-            sk = cache[b] = cls.deserialize(b)
-        return sk
-    return get
-
-
 def _state_groups(state: pd.Series):
     """(state_bytes, row-index ndarray) per distinct non-null state —
     the probe UDFs deserialize once and run the sketch's VECTORIZED

@@ -179,13 +179,15 @@ def decode_bmp_py(p: bytes):
     payload is not a BMP; raises NotImplementedError for compressed
     or non-24-bit BMPs."""
     import numpy as np
-    if p[:2] != b"BM":
+    if p[:2] != b"BM" or len(p) < 54:  # full header or it's corrupt
         return None
     off = int.from_bytes(p[10:14], "little")
     w = int.from_bytes(p[18:22], "little", signed=True)
     h = int.from_bytes(p[22:26], "little", signed=True)
     bpp = int.from_bytes(p[28:30], "little")
     comp = int.from_bytes(p[30:34], "little")
+    if bpp not in (1, 4, 8, 16, 24, 32) or comp not in (0, 1, 2, 3):
+        return None  # implausible header → corrupt, not a BMP
     if comp != 0 or bpp != 24:
         raise NotImplementedError(
             f"BMP compression={comp} bpp={bpp}: only uncompressed "
@@ -242,25 +244,39 @@ def decode_pixels(df: DataFrame) -> DataFrame:
     batch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        null_row = (None,) * 8
+
+        def decode_one(p: bytes):
+            """(fmt, arr) or (None, None) — a truncated/corrupt BMP or
+            PPM header is treated like any unrecognized payload (null
+            row), never a batch-killing exception."""
+            try:
+                a = decode_bmp_py(p)
+                if a is not None:
+                    return "bmp", a
+                a = decode_ppm_py(p)
+                if a is not None:
+                    return "ppm", a
+            except NotImplementedError:
+                raise  # honest stub for unsupported sub-formats
+            except (ValueError, IndexError, TypeError):
+                pass  # corrupt container → null-stats row
+            return None, None
+
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((mid,) + null_row)
+                    continue
                 p = bytes(p)
                 if p.startswith(_COMPRESSED_MAGIC):
                     raise NotImplementedError(
                         "compressed image decode (PNG/JPEG/GIF) requires "
                         "codec libraries absent from this container")
-                fmt, arr = None, None
-                a = decode_bmp_py(p)
-                if a is not None:
-                    fmt, arr = "bmp", a
-                else:
-                    a = decode_ppm_py(p)
-                    if a is not None:
-                        fmt, arr = "ppm", a
+                fmt, arr = decode_one(p)
                 if arr is None:
-                    rows.append((mid, None, None, None, None,
-                                 None, None, None, None))
+                    rows.append((mid,) + null_row)
                     continue
                 h, w, c = arr.shape
                 means = arr.reshape(-1, 3).mean(axis=0)

@@ -334,3 +334,72 @@ def test_concurrent_inserts_vs_reaper_compaction(ctx):
     got = {r["k"]: (r["n"], r["s"])
            for r in ctx.read_view("cv_cc").collect()}
     assert got == {f"k{j}": (rounds, rounds) for j in range(16)}
+
+
+def test_insert_into_stream_cycle_detected(ctx):
+    """A transform forwarding into its own input stream must hit the
+    cycle guard instead of recursing unboundedly (the nested insert
+    continues the dispatch-depth chain)."""
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("cyc", "x int")
+    ctx.create_transform("loopback", "SELECT x FROM cyc",
+                         outputfunc=ctx.insert_into_stream("cyc"))
+    with pytest.raises(CQError, match="cycle"):
+        ctx.insert("cyc", [{"x": 1}])
+
+
+def test_limit_cv_emission_not_truncated(ctx):
+    """finalize's LIMIT/OFFSET is overlay-only: a LIMIT CV's
+    output-stream rows carry EVERY change (the internal keyed frames
+    must never be truncated to arbitrary rows)."""
+    ctx.create_stream("lt", "x int")
+    ctx.create_view("cv_lt", "SELECT x FROM lt LIMIT 3 OFFSET 1")
+    ctx.create_view("cv_lt_down",
+                    "SELECT count(*) AS n FROM output_of('cv_lt')")
+    for v in range(8):
+        ctx.insert("lt", [{"x": v}])
+    # overlay: arrivals 2..4 (skip 1, take 3)
+    assert sorted(r["x"] for r in ctx.read_view("cv_lt").collect()) \
+        == [1, 2, 3]
+    # downstream saw a change row for EVERY insert, not a truncated set
+    assert ctx.read_view("cv_lt_down").collect()[0]["n"] == 8
+
+
+def test_offset_without_limit(ctx):
+    """OFFSET with no LIMIT skips the first arrivals and returns the
+    rest (SQL semantics), instead of being silently ignored."""
+    ctx.create_stream("ow", "x int")
+    ctx.create_view("cv_ow", "SELECT x FROM ow OFFSET 3")
+    for v in range(7):
+        ctx.insert("ow", [{"x": v}])
+    assert sorted(r["x"] for r in ctx.read_view("cv_ow").collect()) \
+        == [3, 4, 5, 6]
+
+
+def test_combine_over_cv_in_subquery(ctx):
+    """combine() still fires when the CV sits inside a FROM subquery
+    (the relation-based detection recurses into subselects)."""
+    ctx.create_stream("sq", "k string, v long")
+    ctx.create_view("cv_sq", "SELECT k, count(*) AS n FROM sq GROUP BY k")
+    ctx.insert("sq", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    row = ctx.sql("SELECT combine(n) AS n FROM (SELECT * FROM cv_sq) t") \
+        .collect()[0]
+    assert row["n"] == 2
+
+
+def test_decode_pixels_corrupt_payloads_yield_null_rows(spark):
+    """Corrupt/truncated BMP+PPM headers and NULL payloads produce
+    null-stats rows; only genuinely compressed containers raise."""
+    from pipelinedb_spark.operators.multimodal import decode_pixels
+
+    rows = [(1, "image", bytearray(b"BM\x01\x02garbage")),
+            (2, "image", bytearray(b"P6 junk")),
+            (3, "image", None),
+            (4, "image", bytearray(b"BM" + b"\x00" * 100))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in decode_pixels(df).collect()}
+    assert len(got) == 4
+    for mid in (1, 2, 3, 4):
+        assert got[mid]["format"] is None and got[mid]["px_sum"] is None
