@@ -32,8 +32,13 @@ class BloomFilter:
         self.bits = np.zeros(self.m // 64, dtype=np.uint64)
 
     def _positions(self, values: np.ndarray) -> np.ndarray:
-        h1 = pd.util.hash_array(values, hash_key="1111111122222222")
-        h2 = pd.util.hash_array(values, hash_key="3333333344444444")
+        # categorize=False: the factorize fast path compares C strings,
+        # collapsing values that differ only by trailing NULs ('' vs
+        # '\x00') — per-element hashing keeps them distinct
+        h1 = pd.util.hash_array(values, hash_key="1111111122222222",
+                                categorize=False)
+        h2 = pd.util.hash_array(values, hash_key="3333333344444444",
+                                categorize=False)
         rows = np.arange(self.h, dtype=np.uint64)[:, None]
         return (h1[None, :] + rows * h2[None, :]) % np.uint64(self.m)
 

@@ -36,8 +36,12 @@ class CountMinSketch:
 
     # -- updates ------------------------------------------------------------
     def _positions(self, values: np.ndarray) -> np.ndarray:
-        h1 = pd.util.hash_array(values, hash_key="0123456789123450")
-        h2 = pd.util.hash_array(values, hash_key="4507894561230123")
+        # categorize=False: see bloom.py — NUL-suffixed strings must
+        # hash distinctly
+        h1 = pd.util.hash_array(values, hash_key="0123456789123450",
+                                categorize=False)
+        h2 = pd.util.hash_array(values, hash_key="4507894561230123",
+                                categorize=False)
         rows = np.arange(self.depth, dtype=np.uint64)[:, None]
         return (h1[None, :] + rows * h2[None, :]) % np.uint64(self.width)
 
