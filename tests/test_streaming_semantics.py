@@ -402,3 +402,33 @@ def test_sw_predicate_over_timestamp_expression(ctx):
     ctx.insert("swe", [{"x": 1}, {"x": 1}])
     assert sum(r["count"] for r in ctx.read_view("sw_expr").collect()) == 4
     assert ctx.read_view("sw_expr", at=time.time() + 600).count() == 0
+
+
+def test_delta_combine_with_commit_interval_and_filter(spark, tmp_path):
+    """Cross-feature: delta-stream combine stays exact when the
+    upstream commits every N batches (accumulated deltas emit at the
+    commit) and when the upstream aggregate carries a FILTER clause."""
+    from pipelinedb_spark import PipelineContext
+
+    ctx = PipelineContext(spark, root=str(tmp_path / "dci"),
+                          num_buckets=8, commit_interval_batches=2)
+    ctx.create_stream("dsI", "x int, y int")
+    ctx.create_view("uI", "SELECT x, count(*) AS c, avg(y) AS a "
+                          "FROM dsI GROUP BY x")
+    ctx.create_view("dI", "SELECT combine((delta).c) AS c, "
+                          "combine((delta).a) AS a FROM output_of('uI')")
+    ctx.insert("dsI", [{"x": v % 5, "y": v} for v in range(50)])
+    ctx.insert("dsI", [{"x": v % 5, "y": v} for v in range(50, 100)])
+    r = ctx.read_view("dI").collect()[0]
+    assert (r["c"], r["a"]) == (100, 49.5)  # exact weighted avg
+
+    ctx2 = PipelineContext(spark, root=str(tmp_path / "dcf"),
+                           num_buckets=8)
+    ctx2.create_stream("fsF", "x int, y int")
+    ctx2.create_view("uF", "SELECT x, count(*) FILTER (WHERE y > 10) "
+                           "AS big FROM fsF GROUP BY x")
+    ctx2.create_view("dF", "SELECT combine((delta).big) AS big "
+                           "FROM output_of('uF')")
+    ctx2.insert("fsF", [{"x": v % 3, "y": v} for v in range(30)])
+    assert ctx2.read_view("dF").collect()[0]["big"] == 19
+    ctx2.close()
