@@ -618,6 +618,9 @@ class AggRegistry:
     def register(self, spec: AggSpec) -> None:
         self._specs[spec.name] = spec
 
+    def unregister(self, name: str) -> None:
+        self._specs.pop(name.lower(), None)
+
     def get(self, name: str) -> AggSpec | None:
         return self._specs.get(name.lower())
 

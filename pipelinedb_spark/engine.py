@@ -802,7 +802,7 @@ class PipelineContext:
     def __init__(self, spark: SparkSession, root: str | None = None,
                  num_buckets: int = 32,
                  registry: AggRegistry = REGISTRY,
-                 track_output_streams: bool = True,
+                 track_output_streams: bool = False,
                  commit_interval_batches: int = 1) -> None:
         self.spark = spark
         self.root = root or tempfile.mkdtemp(prefix="pipelinedb_spark_")
@@ -814,9 +814,18 @@ class PipelineContext:
         self.views: dict[str, ContView] = {}
         self.transforms: dict[str, Transform] = {}
         self.tables: dict[str, DataFrame] = {}
-        # When False, old/new/delta rows are only computed for osrels
-        # that downstream CQs actually read (reference emits output
-        # streams only to subscribers) — halves per-batch Spark jobs.
+        # Reader-gated emission (the DEFAULT, False): old/new/delta
+        # change rows are computed and written only for osrels that a
+        # downstream CQ actually reads — the reference closes an osrel
+        # immediately when nothing is reading it and skips emission
+        # entirely (src/combiner.c:1477-1489; SW twin :1619-1622), and
+        # always-on emission costs ~1.5× ingest throughput (83k→55k
+        # rows/s, PLANS.md).  True opts into unconditional emission so
+        # ``output_of()`` has a retained history tail even with no
+        # readers attached — an extension the reference doesn't have
+        # (its osrels are unread streams with no retention).  With
+        # gating, a reader that attaches mid-stream sees only
+        # POST-attach changes, exactly like subscribing to a stream.
         self.track_output_streams = track_output_streams
         # >1 = the reference's commit_interval: inserts accumulate and
         # the worker/combiner run once per N batches (or on read/flush),
@@ -849,6 +858,10 @@ class PipelineContext:
         self._catalog: list[dict] = []
         # live PREPARE handles (prepared stream inserts)
         self._prepared: list["PreparedInsert"] = []
+        # derived delta-combine aggregate names per upstream view, so
+        # drop_view retires exactly its own __dcmb_* specs (a prefix
+        # match would also hit view 'a_b' when dropping view 'a')
+        self._dcmb_names: dict[str, set[str]] = {}
         from pipelinedb_spark.functions import register_sql_functions
         register_sql_functions(spark)
         self._load_catalog()
@@ -1244,8 +1257,13 @@ class PipelineContext:
         get_combine_target_aggref, src/analyzer.c:4360-4470."""
         spec = self.registry.get(call.func)
         fname = f"__dcmb_{up}_{call.out}".lower()
-        if self.registry.get(fname) is not None:
-            return fname
+        # register UNCONDITIONALLY: an upstream dropped and recreated
+        # with a different aggregate under the same output column must
+        # rebind the derived spec (a stale spec would zip the new
+        # state-field args against the old suffixes and silently
+        # mis-merge); the per-upstream name set below lets drop_view
+        # retire exactly this upstream's derived specs
+        self._dcmb_names.setdefault(up, set()).add(fname)
         suffixes = list(spec.partial(call.args).keys())
         cargs = list(call.args)
 
@@ -1284,11 +1302,40 @@ class PipelineContext:
         if has_calls:
             if not ups:
                 return sql  # not an output-stream query; analyze errors
-            up = ups[0]
-            cv = self.views[up]
+            # relation-alias map: a qualified (alias.delta).col must
+            # bind to the alias's OWN upstream when several osrels are
+            # joined, not to whichever view happens first in catalog
+            # order
+            alias_of: dict[str, str] = {}
+            for v in ups:
+                alias_of[f"{v}_osrel".lower()] = v
+                for am in re.finditer(
+                        rf"(?i)\b{re.escape(v)}_osrel\s+(?:AS\s+)?"
+                        rf"([A-Za-z_]\w*)", sql):
+                    a = am.group(1).lower()
+                    if a not in ("on", "join", "left", "right", "full",
+                                 "inner", "cross", "natural", "outer",
+                                 "where", "group", "order", "using",
+                                 "limit", "having"):
+                        alias_of[a] = v
 
             def repl(m: "re.Match[str]") -> str:
                 qual, col = m.group(1), m.group(2)
+                if qual is not None:
+                    up = alias_of.get(qual.lower())
+                    if up is None:
+                        raise CQError(
+                            f'relation "{qual}" in combine((delta).{col}) '
+                            "does not match any output-stream relation "
+                            "in the FROM clause")
+                elif len(ups) == 1:
+                    up = ups[0]
+                else:
+                    raise CQError(
+                        f"combine((delta).{col}) is ambiguous over "
+                        f"multiple output streams {sorted(ups)}; qualify "
+                        "the delta with its relation alias")
+                cv = self.views[up]
                 if cv.plan.sw_column is not None:
                     # SWs don't have delta streams (delta_streams.sql:4,
                     # expected out: column "delta" does not exist)
@@ -1307,15 +1354,21 @@ class PipelineContext:
                 return f"{fname}({args})"
 
             sql = pat.sub(repl, sql)
-        # replay of an already-rewritten catalog entry: re-register
+        # replay of an already-rewritten catalog entry: re-register.
+        # Candidate view names longest-first, but only stop on a
+        # SUCCESSFUL registration — with ambiguous names (views 'a'
+        # and 'a_b', token 'a_b_c' meaning view 'a' col 'b_c') the
+        # longer prefix has no matching agg column and must fall
+        # through to the shorter candidate
         for tok in set(re.findall(r"__dcmb_(\w+)\(", sql)):
             for v in sorted(self.views, key=len, reverse=True):
-                if tok.startswith(v.lower() + "_"):
-                    colname = tok[len(v) + 1:]
-                    cc = next((c for c in self.views[v].plan.aggs
-                               if c.out.lower() == colname), None)
-                    if cc is not None:
-                        self._register_delta_combine(v, cc)
+                if not tok.startswith(v.lower() + "_"):
+                    continue
+                colname = tok[len(v) + 1:]
+                cc = next((c for c in self.views[v].plan.aggs
+                           if c.out.lower() == colname), None)
+                if cc is not None:
+                    self._register_delta_combine(v, cc)
                     break
         return sql
 
@@ -1340,6 +1393,11 @@ class PipelineContext:
         cv = self.views.pop(name, None)
         if cv:
             cv.matrel.drop()
+            # retire this upstream's derived delta-combine aggregates:
+            # a recreated view with a different aggregate under the
+            # same output column must not inherit the stale spec
+            for fname in self._dcmb_names.pop(name, ()):
+                self.registry.unregister(fname)
             for sd in self.streams.values():
                 if name in sd.readers:
                     sd.readers.remove(name)
@@ -1399,11 +1457,25 @@ class PipelineContext:
                 reader.stream = new_os
             new_sql = re.sub(r"\b" + re.escape(old_os) + r"\b", new_os,
                              reader.sql)
+            # rewritten delta-combines embed the upstream view name in
+            # the derived aggregate token — carry it to the new name
+            # and re-register so replay (and this session) resolve it
+            new_sql = re.sub(rf"(?i)\b__dcmb_{re.escape(old)}_",
+                             f"__dcmb_{new}_", new_sql)
             reader.sql = new_sql
+            if "__dcmb_" in new_sql:
+                self._rewrite_delta_combines(new_sql)
             for rec in self._catalog:
                 if rec["kind"] in ("view", "transform") \
                         and rec["name"] == reader.name:
                     rec["sql"] = new_sql
+        # old-name derived delta-combine specs stay REGISTERED — live
+        # downstream plans in this session were analyzed against them;
+        # fold their names under the new key so dropping the renamed
+        # view retires both generations
+        if old in self._dcmb_names:
+            self._dcmb_names.setdefault(new, set()) \
+                .update(self._dcmb_names.pop(old))
         for rec in self._catalog:
             if rec["kind"] == "view" and rec["name"] == old:
                 rec["name"] = new
@@ -1617,9 +1689,7 @@ class PipelineContext:
             # the reference (combiner.c:992 — SW osrel rows come
             # from the SW tick, not per-batch combines)
             want_os = (cv.plan.sw_column is None and
-                       (self.track_output_streams or
-                        bool(self.streams.get(osrel) and
-                             self.streams[osrel].readers)))
+                       self._wants_osrel(osrel))
             if n_rows is not None:
                 cv.stats.input_rows += n_rows
             t0 = time.monotonic()
@@ -1678,10 +1748,26 @@ class PipelineContext:
                 t.stats.exec_ms += (time.monotonic() - t0) * 1000.0
                 if n_rows is not None:
                     t.stats.input_rows += n_rows
-                self._emit_osrel(f"{rname}_osrel", out, _depth)
+                # reader-gated like CV osrels: the transform body still
+                # ran (its outputfunc fired inside process_batch), but
+                # the output DataFrame is lazy — skipping the segment
+                # write when nothing reads the osrel costs zero jobs
+                if self._wants_osrel(f"{rname}_osrel"):
+                    self._emit_osrel(f"{rname}_osrel", out, _depth)
 
         if failures:  # surface the first failure, siblings fully emitted
             raise failures[next(n for n in view_names if n in failures)]
+
+    def _wants_osrel(self, osrel: str) -> bool:
+        """Should change rows be computed/written for this output
+        stream?  True when history retention is opted in
+        (``track_output_streams``) or a downstream CQ reads the osrel
+        (reference src/combiner.c:1477-1489: the osrel is closed
+        immediately, and emission skipped, when nothing reads it)."""
+        if self.track_output_streams:
+            return True
+        sd = self.streams.get(osrel)
+        return bool(sd and sd.readers)
 
     def _worker_input(self, plan: CQPlan, stream: str,
                       batch: DataFrame) -> DataFrame:
@@ -1746,9 +1832,7 @@ class PipelineContext:
             return
         osrel = f"{name}_osrel"
         want_os = (cv.plan.sw_column is None and
-                   (self.track_output_streams or
-                    bool(self.streams.get(osrel) and
-                         self.streams[osrel].readers)))
+                   self._wants_osrel(osrel))
         os_rows = cv.commit_pending(emit_changes=want_os)
         if os_rows is not None:
             self._emit_osrel(osrel, os_rows, 0)
@@ -1777,7 +1861,11 @@ class PipelineContext:
         if not segs:
             schema = self._osrel_schema.get(osrel)
             if schema is None:
-                return self.spark.createDataFrame([], T.StructType())
+                # nothing emitted yet (e.g. reader-gated with no
+                # readers): fall back to the CREATE-time osrel schema
+                sd = self.streams.get(osrel)
+                schema = (sd.schema if sd is not None and sd.schema.fields
+                          else T.StructType())
             return self.spark.createDataFrame([], schema)
         # segments may span an emission-schema change (e.g. an added
         # struct column): merge instead of trusting the first file
@@ -2065,6 +2153,15 @@ class PipelineContext:
         if cv.plan.sw_column is None:
             raise CQError(f"{name} is not a sliding-window view")
         now = now if now is not None else time.time()
+        if not self._wants_osrel(f"{name}_osrel"):
+            # reference parity (src/combiner.c:1619-1622): with no
+            # output-stream readers the SW tick skips snapshot + diff
+            # + emission entirely; only window expiry still runs.  A
+            # reader attaching later sees post-attach ticks (its first
+            # tick emits every in-window row as an old=NULL insert).
+            cv._sw_tick_df = None
+            cv.reap(now=now)
+            return 0
         # snapshot this tick's instantaneous SW rows executor-side; the
         # diff against the previous tick is a DataFrame full-outer join
         # with no-op elision — no driver collect of CV rows, so a SW CV

@@ -542,9 +542,48 @@ def simhash_fast(text: Column, bits: int = 16) -> Column:
 # index without re-reading or re-signaturing the corpus.
 # ---------------------------------------------------------------------------
 
+def _banded_rows(df: DataFrame, id_col: str, text_col: str,
+                 num_hashes: int, bands: int, shingle_n: int) -> DataFrame:
+    """(doc_id, sig, band, bucket) rows for a document set — the
+    shared signature pass behind persist/probe/append."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    out_schema = T.StructType([
+        T.StructField("doc_id", src.schema["doc_id"].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("buckets", T.ArrayType(T.LongType()))])
+    sigs = src.mapInPandas(
+        _minhash_text_mapper(num_hashes, shingle_n, bands=bands),
+        out_schema)
+    return sigs.select(
+        "doc_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
+
+
+def _write_band_rows(banded: DataFrame, path: str, mode: str,
+                     write_partitions: int | None) -> None:
+    """partitionBy(band) write with REAL parallelism: hash-repartition
+    on (band, bucket) into ``write_partitions`` tasks (default: the
+    cluster's defaultParallelism) instead of ``repartition("band")``,
+    which caps the whole corpus write at `bands` (=16) giant tasks.
+    Hash, not range: repartitionByRange would sample the input and run
+    the signature kernel twice.  Rows stay (band, bucket)-sorted
+    within each task's files, so probes keep row-group min/max
+    skipping on bucket inside each band dir."""
+    import os
+
+    if write_partitions is None:
+        write_partitions = banded.sparkSession.sparkContext \
+            .defaultParallelism
+    (banded.repartition(write_partitions, "band", "bucket")
+     .sortWithinPartitions("band", "bucket")
+     .write.mode(mode).partitionBy("band")
+     .parquet(os.path.join(path, "bands")))
+
+
 def lsh_index_persist(df: DataFrame, path: str, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
-                      bands: int = 16, shingle_n: int = 3) -> None:
+                      bands: int = 16, shingle_n: int = 3,
+                      write_partitions: int | None = None) -> None:
     """Materialize a MinHash-LSH index: one (doc_id, sig, band, bucket)
     row per document per band, written partitionBy(band) with rows
     bucket-sorted inside each band dir (a probe's band join reads each
@@ -555,21 +594,9 @@ def lsh_index_persist(df: DataFrame, path: str, id_col: str = "doc_id",
     import json
     import os
 
-    src = df.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("text"))
-    out_schema = T.StructType([
-        T.StructField("doc_id", src.schema["doc_id"].dataType),
-        T.StructField("sig", T.ArrayType(T.LongType())),
-        T.StructField("buckets", T.ArrayType(T.LongType()))])
-    sigs = src.mapInPandas(
-        _minhash_text_mapper(num_hashes, shingle_n, bands=bands),
-        out_schema)
-    banded = sigs.select(
-        "doc_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
-    (banded.repartition("band")
-     .sortWithinPartitions("bucket")
-     .write.mode("overwrite").partitionBy("band")
-     .parquet(os.path.join(path, "bands")))
+    banded = _banded_rows(df, id_col, text_col, num_hashes, bands,
+                          shingle_n)
+    _write_band_rows(banded, path, "overwrite", write_partitions)
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump({"num_hashes": num_hashes, "bands": bands,
                    "shingle_n": shingle_n}, f)
@@ -584,31 +611,40 @@ def _lsh_index_meta(path: str) -> dict:
 
 
 def lsh_index_probe(spark, path: str, new_docs: DataFrame,
-                    id_col: str = "doc_id", text_col: str = "text"
-                    ) -> DataFrame:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_max_bytes: int = 64 << 20) -> DataFrame:
     """Candidate near-dup pairs between ``new_docs`` and the INDEXED
     corpus: (corpus_id, new_id, est_jaccard).  Only the new batch is
     signatured; the corpus side is a pruned scan of the persisted
     band table — no corpus recompute, the incremental-ingest shape
-    corpus-scale dedup needs.  The batch side broadcasts when small;
-    the corpus side never does."""
+    corpus-scale dedup needs.
+
+    The batch side broadcasts only when its estimated size is under
+    ``broadcast_max_bytes`` (the batch's band rows are materialized
+    once and the row count rides that job as an Observation, so the
+    gate costs no extra pass); a large backfill batch falls back to a
+    pinned shuffle-hash join — force-broadcasting 10M docs × bands
+    rows of 64-long signatures would OOM executors.  The corpus side
+    never broadcasts."""
     import os
 
+    from pyspark.sql import Observation
+
     meta = _lsh_index_meta(path)
-    src = new_docs.select(F.col(id_col).alias("doc_id"),
-                          F.col(text_col).alias("text"))
-    out_schema = T.StructType([
-        T.StructField("doc_id", src.schema["doc_id"].dataType),
-        T.StructField("sig", T.ArrayType(T.LongType())),
-        T.StructField("buckets", T.ArrayType(T.LongType()))])
-    sigs = src.mapInPandas(
-        _minhash_text_mapper(meta["num_hashes"], meta["shingle_n"],
-                             bands=meta["bands"]), out_schema)
-    probe = sigs.select(
-        "doc_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
+    obs = Observation()
+    probe = (_banded_rows(new_docs, id_col, text_col, meta["num_hashes"],
+                          meta["bands"], meta["shingle_n"])
+             .observe(obs, F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=True))
+    # ~8 bytes per signature value + ~48 bytes of id/band/bucket/overhead
+    est_bytes = int(obs.get["n"]) * (8 * meta["num_hashes"] + 48)
+    probe_side = probe.alias("p")
+    probe_side = (probe_side.hint("broadcast")
+                  if est_bytes <= broadcast_max_bytes
+                  else probe_side.hint("shuffle_hash"))
     corpus = spark.read.parquet(os.path.join(path, "bands"))
     cands = (corpus.alias("c")
-             .join(probe.alias("p").hint("broadcast"),
+             .join(probe_side,
                    (F.col("c.band") == F.col("p.band")) &
                    (F.col("c.bucket") == F.col("p.bucket")) &
                    (F.col("c.doc_id") != F.col("p.doc_id")))
@@ -623,26 +659,13 @@ def lsh_index_probe(spark, path: str, new_docs: DataFrame,
 
 
 def lsh_index_append(spark, path: str, new_docs: DataFrame,
-                     id_col: str = "doc_id", text_col: str = "text"
-                     ) -> None:
+                     id_col: str = "doc_id", text_col: str = "text",
+                     write_partitions: int | None = None) -> None:
     """Add a batch's band rows to the index (dedup-then-admit flow:
     probe first, drop near-dups, append the survivors).  Append-mode
-    parquet into the same partitionBy(band) layout."""
-    import os
-
+    parquet into the same partitionBy(band) layout, parallelized like
+    ``lsh_index_persist`` (not capped at `bands` write tasks)."""
     meta = _lsh_index_meta(path)
-    src = new_docs.select(F.col(id_col).alias("doc_id"),
-                          F.col(text_col).alias("text"))
-    out_schema = T.StructType([
-        T.StructField("doc_id", src.schema["doc_id"].dataType),
-        T.StructField("sig", T.ArrayType(T.LongType())),
-        T.StructField("buckets", T.ArrayType(T.LongType()))])
-    sigs = src.mapInPandas(
-        _minhash_text_mapper(meta["num_hashes"], meta["shingle_n"],
-                             bands=meta["bands"]), out_schema)
-    banded = sigs.select(
-        "doc_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
-    (banded.repartition("band")
-     .sortWithinPartitions("bucket")
-     .write.mode("append").partitionBy("band")
-     .parquet(os.path.join(path, "bands")))
+    banded = _banded_rows(new_docs, id_col, text_col, meta["num_hashes"],
+                          meta["bands"], meta["shingle_n"])
+    _write_band_rows(banded, path, "append", write_partitions)

@@ -3,7 +3,11 @@
 reference's operating envelope (10k-row micro-batches — PipelineDB's
 `batch_size` default, src/config.c:365-371).
 
-Usage: python scripts/throughput.py [n_batches] [batch_rows] [n_cvs]
+Usage: python scripts/throughput.py [n_batches] [batch_rows] [n_cvs] [track]
+
+``track`` (0/1, default 0) opts into unconditional output-stream
+emission (track_output_streams=True); the default measures the
+engine-default reader-gated commit path.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     n_cvs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    track = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 
     from pipelinedb_spark import PipelineContext, get_spark
     from pyspark.sql import functions as F
@@ -26,7 +31,7 @@ def main() -> None:
     spark = get_spark("throughput")
     spark.sparkContext.setLogLevel("ERROR")
     ctx = PipelineContext(spark, num_buckets=32,
-                          track_output_streams=False)
+                          track_output_streams=track)
     ctx.create_stream("tp", "k string, v double, ts timestamp")
     for i in range(n_cvs):
         ctx.create_view(

@@ -91,14 +91,16 @@ def test_python_transform_lambda_replays_inactive(spark, tmp_path):
     from pipelinedb_spark import PipelineContext
 
     root = str(tmp_path / "pdb_lam")
-    ctx = PipelineContext(spark, root=root, num_buckets=8)
+    ctx = PipelineContext(spark, root=root, num_buckets=8,
+                          track_output_streams=True)
     ctx.create_stream("s1", "k string, v long")
     ctx.create_python_transform("up", "s1",
                                 lambda df: df.withColumn("v", F.col("v") + 1))
     ctx.insert("s1", [{"k": "a", "v": 1}])
     assert ctx.output_of("up").collect()[0]["v"] == 2
 
-    ctx2 = PipelineContext(spark, root=root, num_buckets=8)
+    ctx2 = PipelineContext(spark, root=root, num_buckets=8,
+                           track_output_streams=True)
     t = ctx2.transforms["up"]
     assert not t.active and t.fn is None  # lambda not importable
     # inactive transform is skipped, not crashed

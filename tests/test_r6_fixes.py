@@ -1,0 +1,232 @@
+"""Round-6 fixes.
+
+* Reader-gated output-stream emission is the DEFAULT (reference
+  src/combiner.c:1477-1489 closes an osrel immediately when nothing
+  reads it; SW twin :1619-1622) — ``track_output_streams=True`` is the
+  opt-in for the retained history tail.
+* Delta-combine registration lifecycle (re-create upstream, replay
+  ambiguity, multi-osrel qualifier resolution).
+* LSH index scale guards (size-gated probe broadcast, parallel index
+  writes).
+* LHS-offset sliding-window predicates (pipeline_regress.sql:183-185).
+* SW matrel step-bucketed layout: window expiry is a manifest-level
+  bucket drop, no read of surviving data.
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Reader-gated osrel emission
+# ---------------------------------------------------------------------------
+
+def test_emission_reader_gated_by_default(ctx):
+    """With no output-stream readers the commit path must not build or
+    write change rows at all (the reference skips emission entirely)."""
+    ctx.create_stream("rg1", "k string, v long")
+    ctx.create_view("cv_rg", "SELECT k, sum(v) AS s FROM rg1 GROUP BY k")
+    ctx.insert("rg1", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    ctx.insert("rg1", [{"k": "a", "v": 3}])
+    # no segments on disk, empty tail — but the tail keeps the
+    # CREATE-time osrel schema so downstream DDL still validates
+    assert ctx._osrel_segments("cv_rg_osrel") == []
+    tail = ctx.output_of("cv_rg")
+    assert tail.count() == 0
+    assert {"old", "new", "delta", "delta_states"} <= set(tail.columns)
+    # the CV itself is unaffected
+    got = {r["k"]: r["s"] for r in ctx.read_view("cv_rg").collect()}
+    assert got == {"a": 4, "b": 2}
+
+
+def test_reader_attach_mid_stream_sees_post_attach_changes(ctx):
+    """Attaching an output-stream reader mid-stream subscribes from
+    that point on: pre-attach commits were never emitted (gated), so
+    the downstream CV counts only post-attach change rows — stream
+    semantics, matching the reference (an osrel is a stream, not a
+    table with history)."""
+    ctx.create_stream("rg2", "k string, v long")
+    ctx.create_view("up_rg", "SELECT k, count(*) AS n FROM rg2 GROUP BY k")
+    ctx.insert("rg2", [{"k": "a", "v": 1}])        # pre-attach: gated off
+    ctx.create_view("down_rg",
+                    "SELECT count(*) AS changes FROM output_of('up_rg')")
+    # post-attach: a updates (1 change) + b inserts (1 change)
+    ctx.insert("rg2", [{"k": "a", "v": 2}, {"k": "b", "v": 3}])
+    assert ctx.read_view("down_rg").collect()[0]["changes"] == 2
+
+
+def test_sw_tick_skips_emission_without_readers(ctx):
+    """SW ticks with no readers skip the snapshot/diff/emission but
+    still expire the window (combiner.c:1619-1622)."""
+    ctx.create_stream("rg3", "k string, v long")
+    ctx.create_view(
+        "cv_rg_sw",
+        "SELECT k, count(*) AS n FROM rg3 "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '60 seconds' "
+        "GROUP BY k")
+    ctx.insert("rg3", [{"k": "a", "v": 1}])
+    now = time.time()
+    assert ctx.tick_sw("cv_rg_sw", now=now) == 0
+    assert ctx._osrel_segments("cv_rg_sw_osrel") == []
+    # expiry still ran once the window slides past everything
+    ctx.tick_sw("cv_rg_sw", now=now + 300)
+    assert ctx.read_matrel("cv_rg_sw").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Delta-combine registration lifecycle (advisor round-5 findings)
+# ---------------------------------------------------------------------------
+
+def test_delta_combine_rebinds_after_drop_recreate(ctx):
+    """Dropping an upstream CV and recreating it with a DIFFERENT
+    aggregate under the same output column must rebind the derived
+    __dcmb_* spec — a stale spec would zip the new state fields
+    against the old suffixes and silently mis-merge."""
+    ctx.create_stream("dcr", "k string, v double")
+    ctx.create_view("up_dcr", "SELECT k, sum(v) AS m FROM dcr GROUP BY k")
+    ctx.create_view("dn_dcr", "SELECT combine((delta).m) AS m "
+                              "FROM output_of('up_dcr')")
+    ctx.insert("dcr", [{"k": "a", "v": 1.0}, {"k": "b", "v": 2.0}])
+    assert ctx.read_view("dn_dcr").collect()[0]["m"] == 3.0
+    ctx.drop_view("up_dcr", cascade=True)  # drops dn_dcr too
+    # same column name, different aggregate (different state shape)
+    ctx.create_view("up_dcr", "SELECT k, avg(v) AS m FROM dcr GROUP BY k")
+    ctx.create_view("dn_dcr", "SELECT combine((delta).m) AS m "
+                              "FROM output_of('up_dcr')")
+    ctx.insert("dcr", [{"k": "a", "v": 1.0}, {"k": "a", "v": 2.0}])
+    ctx.insert("dcr", [{"k": "b", "v": 6.0}])
+    # exact weighted avg over all three values, not a sum/garbage
+    assert ctx.read_view("dn_dcr").collect()[0]["m"] == 3.0
+
+
+def test_delta_combine_replay_with_ambiguous_view_names(spark, tmp_path):
+    """Catalog replay re-parses __dcmb_<tok> by view-name prefix;
+    with views 'a' and 'a_b' the token 'a_b_c' (view 'a', column
+    'b_c') must fall through the longer non-matching candidate
+    instead of breaking early and losing the registration."""
+    from pipelinedb_spark import PipelineContext
+
+    root = str(tmp_path / "amb")
+    ctx = PipelineContext(spark, root=root, num_buckets=4)
+    ctx.create_stream("ambs", "k string, v long")
+    ctx.create_view("a", "SELECT k, sum(v) AS b_c FROM ambs GROUP BY k")
+    ctx.create_view("a_b", "SELECT k, count(*) AS n FROM ambs GROUP BY k")
+    ctx.create_view("dn_amb", "SELECT combine((delta).b_c) AS s "
+                              "FROM output_of('a')")
+    ctx.insert("ambs", [{"k": "x", "v": 5}])
+    assert ctx.read_view("dn_amb").collect()[0]["s"] == 5
+
+    ctx2 = PipelineContext(spark, root=root, num_buckets=4)
+    ctx2.insert("ambs", [{"k": "y", "v": 7}])
+    assert ctx2.read_view("dn_amb").collect()[0]["s"] == 12
+    ctx2.close()
+
+
+def test_delta_combine_qualifier_binds_right_upstream(ctx):
+    """With several osrel relations in scope, a qualified
+    (alias.delta).col must bind to the alias's own upstream, and an
+    unqualified call must raise instead of guessing."""
+    from pipelinedb_spark import CQError
+
+    ctx.create_stream("mq", "k string, v long")
+    ctx.create_view("up_mq1", "SELECT k, sum(v) AS m FROM mq GROUP BY k")
+    ctx.create_view("up_mq2", "SELECT k, count(*) AS m FROM mq GROUP BY k")
+    sql = ("SELECT combine((o2.delta).m) AS m FROM up_mq1_osrel o1 "
+           "JOIN up_mq2_osrel o2 ON (o1.new).k = (o2.new).k")
+    out = ctx._rewrite_delta_combines(sql)
+    assert "__dcmb_up_mq2_m" in out and "__dcmb_up_mq1_m" not in out
+    with pytest.raises(CQError, match="ambiguous"):
+        ctx._rewrite_delta_combines(
+            "SELECT combine((delta).m) AS m FROM up_mq1_osrel o1 "
+            "JOIN up_mq2_osrel o2 ON (o1.new).k = (o2.new).k")
+
+
+def test_rename_view_carries_delta_combine_tokens(spark, tmp_path):
+    """ALTER VIEW RENAME on an upstream CV rewrites downstream
+    __dcmb_<old>_* tokens to the new name; a fresh context replays and
+    keeps combining."""
+    from pipelinedb_spark import PipelineContext
+
+    root = str(tmp_path / "rnm")
+    ctx = PipelineContext(spark, root=root, num_buckets=4)
+    ctx.create_stream("rns", "k string, v long")
+    ctx.create_view("up_rn", "SELECT k, sum(v) AS s FROM rns GROUP BY k")
+    ctx.create_view("dn_rn", "SELECT combine((delta).s) AS s "
+                             "FROM output_of('up_rn')")
+    ctx.insert("rns", [{"k": "a", "v": 1}])
+    ctx.rename_view("up_rn", "up_rn2")
+    ctx.insert("rns", [{"k": "a", "v": 2}])
+    assert ctx.read_view("dn_rn").collect()[0]["s"] == 3
+
+    ctx2 = PipelineContext(spark, root=root, num_buckets=4)
+    ctx2.insert("rns", [{"k": "b", "v": 4}])
+    assert ctx2.read_view("dn_rn").collect()[0]["s"] == 7
+    ctx2.close()
+
+
+# ---------------------------------------------------------------------------
+# LSH index scale guards
+# ---------------------------------------------------------------------------
+
+def test_lsh_index_probe_broadcast_is_size_gated(spark, sf_dir, tmp_path):
+    """A small probe batch broadcasts; an over-threshold batch must
+    fall back to a pinned shuffle-hash join instead of force-
+    broadcasting (advisor round-5: unconditional broadcast hint OOMs
+    on large backfill batches).  Results are identical either way."""
+    from pipelinedb_spark.operators.dedup import (lsh_index_persist,
+                                                  lsh_index_probe)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(50)
+    path = str(tmp_path / "lsh_gate")
+    lsh_index_persist(docs, path)
+    batch = docs.limit(5).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text")
+
+    small = lsh_index_probe(spark, path, batch)
+    assert "BroadcastHashJoin" in small._jdf.queryExecution() \
+        .executedPlan().toString()
+    big = lsh_index_probe(spark, path, batch, broadcast_max_bytes=0)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    key = lambda rows: sorted((r["corpus_id"], r["new_id"]) for r in rows)
+    assert key(small.collect()) == key(big.collect())
+
+
+def test_lsh_index_write_parallelism_not_capped_by_bands(spark, sf_dir,
+                                                         tmp_path):
+    """Index writes must scale with write_partitions, not the band
+    count: repartition("band") produced exactly `bands` tasks/files
+    for the whole corpus (16 giant tasks at 100 TB)."""
+    import glob
+
+    from pipelinedb_spark.operators.dedup import (lsh_index_persist,
+                                                  lsh_index_probe)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    path = str(tmp_path / "lsh_par")
+    lsh_index_persist(docs, path, bands=4, write_partitions=8)
+    files = glob.glob(f"{path}/bands/band=*/part-*")
+    # 8 tasks × up-to-4 band dirs each: strictly more files than the
+    # old bands-capped write (exactly 4), at least one per task
+    assert len(files) > 4
+    tasks = {f.split("/")[-1].split("-")[1] for f in files}
+    assert len(tasks) >= 5  # several distinct write tasks contributed
+    # index remains probe-able (layout/meta intact)
+    batch = docs.limit(3).select(
+        (F.col("doc_id") + 600_000).alias("doc_id"), "text")
+    assert lsh_index_probe(spark, path, batch).count() >= 0
+
+
+def test_track_output_streams_keeps_unread_history(ctx):
+    """The opt-in retains the tail with zero readers (extension)."""
+    ctx.track_output_streams = True
+    ctx.create_stream("rg4", "k string, v long")
+    ctx.create_view("cv_rg4", "SELECT k, sum(v) AS s FROM rg4 GROUP BY k")
+    ctx.insert("rg4", [{"k": "a", "v": 1}])
+    ctx.insert("rg4", [{"k": "a", "v": 2}])
+    rows = ctx.output_of("cv_rg4").collect()
+    assert len(rows) == 2  # insert + update retained without readers

@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 def test_transform_and_outputfunc(ctx):
     captured = []
+    # reading the retained osrel tail with NO downstream reader needs
+    # the history-retention opt-in (default emission is reader-gated,
+    # reference src/combiner.c:1477-1489)
+    ctx.track_output_streams = True
     ctx.create_stream("ts1", "x int, y int")
     ctx.create_transform(
         "t_double",
@@ -43,6 +47,7 @@ def test_transform_chain_into_cv(ctx):
 
 
 def test_output_stream_old_new_delta(ctx):
+    ctx.track_output_streams = True  # no reader; keep the history tail
     ctx.create_stream("os1", "x int, y int")
     ctx.create_view("cv_os", "SELECT x, sum(y) AS s FROM os1 GROUP BY x")
     ctx.insert("os1", [{"x": 1, "y": 10}])
@@ -60,6 +65,7 @@ def test_output_stream_old_new_delta(ctx):
 def test_noop_update_elision(ctx):
     """A batch that doesn't change a group's value must not emit an
     output-stream row for it (reference compare_slots combiner.c:731)."""
+    ctx.track_output_streams = True  # no reader; keep the history tail
     ctx.create_stream("os2", "k string, v int")
     ctx.create_view("cv_min", "SELECT k, min(v) AS lo FROM os2 GROUP BY k")
     ctx.insert("os2", [{"k": "a", "v": 5}])

@@ -5,6 +5,9 @@ import time
 
 
 def test_sw_ticker_emits_decay(ctx):
+    # ticker emission is reader-gated by default (combiner.c:1619-1622);
+    # this test reads the raw osrel tail, so opt into retention
+    ctx.track_output_streams = True
     ctx.create_stream("tk1", "k string, v long")
     ctx.create_view(
         "cv_tick",

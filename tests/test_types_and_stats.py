@@ -60,6 +60,9 @@ def test_complex_array_column_in_stream(ctx):
 
 
 def test_stats_and_listings(ctx):
+    # output_rows counts osrel emissions; with no downstream readers
+    # emission is reader-gated off by default, so opt into retention
+    ctx.track_output_streams = True
     ctx.create_stream("st1", "k string, v long")
     ctx.create_view("cv_stat", "SELECT k, count(*) AS n FROM st1 GROUP BY k")
     ctx.create_transform("tr_stat", "SELECT k FROM st1 WHERE v > 0")
