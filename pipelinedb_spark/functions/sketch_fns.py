@@ -152,20 +152,28 @@ def dist_cdf_py(state: bytes, x: float) -> float:
 @pandas_udf(T.DoubleType())
 def dist_quantile(state: pd.Series, q: pd.Series) -> pd.Series:
     out = np.full(len(state), None, dtype=object)
-    qv = q.to_numpy(dtype="float64")
+    # a null q coerces to NaN for the vectorized kernel; mask those
+    # positions back to NULL (SQL strict-function semantics — the old
+    # row UDF raised, silently feeding NaN through searchsorted would
+    # return a garbage row instead)
+    nulls = q.isna().to_numpy()
+    qv = q.to_numpy(dtype="float64", na_value=float("nan"))
     for b, ix in _state_groups(state):
         res = TDigest.deserialize(b).quantile_many(qv[ix])
         out[ix] = list(res)
+    out[nulls] = None
     return pd.Series(out, dtype=object)
 
 
 @pandas_udf(T.DoubleType())
 def dist_cdf(state: pd.Series, x: pd.Series) -> pd.Series:
     out = np.full(len(state), None, dtype=object)
-    xv = x.to_numpy(dtype="float64")
+    nulls = x.isna().to_numpy()  # null x → NULL result, not NaN garbage
+    xv = x.to_numpy(dtype="float64", na_value=float("nan"))
     for b, ix in _state_groups(state):
         res = TDigest.deserialize(b).cdf_many(xv[ix])
         out[ix] = list(res)
+    out[nulls] = None
     return pd.Series(out, dtype=object)
 
 
@@ -183,10 +191,12 @@ def freq_total_py(state: bytes) -> int:
 def freq(state: pd.Series, value: pd.Series) -> pd.Series:
     out = np.full(len(state), None, dtype=object)
     vals = value.to_numpy(dtype=object)
+    nulls = value.isna().to_numpy()  # str(None) would probe "None"
     for b, ix in _state_groups(state):
         sk = CountMinSketch.deserialize(b)
         batch = np.array([str(v) for v in vals[ix]], dtype=object)
         out[ix] = [int(c) for c in sk.query_many(batch)]
+    out[nulls] = None
     return pd.Series(out, dtype=object).astype("Int64")
 
 
@@ -202,6 +212,7 @@ def freq_total(state: pd.Series) -> pd.Series:
 def freq_norm(state: pd.Series, value: pd.Series) -> pd.Series:
     out = np.full(len(state), None, dtype=object)
     vals = value.to_numpy(dtype=object)
+    nulls = value.isna().to_numpy()  # str(None) would probe "None"
     for b, ix in _state_groups(state):
         sk = CountMinSketch.deserialize(b)
         tot = sk.total()
@@ -209,6 +220,7 @@ def freq_norm(state: pd.Series, value: pd.Series) -> pd.Series:
             continue  # stays None
         batch = np.array([str(v) for v in vals[ix]], dtype=object)
         out[ix] = list(sk.query_many(batch) / tot)
+    out[nulls] = None
     return pd.Series(out, dtype=object)
 
 

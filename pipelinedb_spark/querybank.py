@@ -493,15 +493,14 @@ def quantile_family(spark, sf_dir):
     estimated quantile must sit within 2% of its target rank
     (t-digest compression=200 ⇒ mid-quantile rank error ≲0.2%)."""
     from pipelinedb_spark.sketches.registration import (
-        _tdigest_build, _tdigest_quantiles_udf)
+        _tdigest_build, _tdigest_quantiles_pdf)
     ev = t(spark, sf_dir, "events")
     states = ev.groupBy("event_type").agg(
         _tdigest_build(200.0)(F.col("value")).alias("td"))
     est = states.select(
         "event_type",
-        _tdigest_quantiles_udf(
-            "td", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75),
-                          F.lit(0.9))).alias("qs"))
+        _tdigest_quantiles_pdf([0.25, 0.5, 0.75, 0.9])(F.col("td"))
+        .alias("qs"))
     est = est.select("event_type",
                      F.col("qs")[0].alias("q25"),
                      F.col("qs")[1].alias("q50"),

@@ -122,21 +122,42 @@ def _bloom_merge(intersect: bool = False):
     return merge
 
 
-# -- finalize scalar UDFs -----------------------------------------------------
+# -- finalize UDFs (Arrow-batched, like every other sketch probe in
+#    functions/sketch_fns.py — an overlay over millions of groups must
+#    not pay pickled row-at-a-time transfer) ---------------------------------
 
-@F.udf(DoubleType())
-def _tdigest_quantile_udf(state, q):
-    if state is None:
-        return None
-    return TDigest.deserialize(bytes(state)).quantile(float(q))
+def _tdigest_quantile_pdf(q: float):
+    """percentile finalizer bound to a literal q at plan-build time;
+    identical states within a batch deserialize once."""
+    from pipelinedb_spark.functions.sketch_fns import _state_groups
+
+    @pandas_udf(DoubleType())
+    def fin(state: pd.Series) -> pd.Series:
+        import numpy as np
+        out = np.full(len(state), None, dtype=object)
+        for b, ix in _state_groups(state):
+            res = TDigest.deserialize(b).quantile_many(
+                np.full(len(ix), q))
+            out[ix] = list(res)
+        return pd.Series(out, dtype=object)
+    return fin
 
 
-@F.udf(ArrayType(DoubleType()))
-def _tdigest_quantiles_udf(state, qs):
-    if state is None:
-        return None
-    td = TDigest.deserialize(bytes(state))
-    return [td.quantile(float(q)) for q in qs]
+def _tdigest_quantiles_pdf(qs: list[float]):
+    """ARRAY[] percentile form: one vectorized quantile_many per
+    distinct state, emitted as a float8[] row value."""
+    from pipelinedb_spark.functions.sketch_fns import _state_groups
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def fin(state: pd.Series) -> pd.Series:
+        import numpy as np
+        arr = np.asarray(qs, dtype=np.float64)
+        out = np.full(len(state), None, dtype=object)
+        for b, ix in _state_groups(state):
+            res = list(TDigest.deserialize(b).quantile_many(arr))
+            out[ix] = [list(res) for _ in ix]
+        return pd.Series(out, dtype=object)
+    return fin
 
 
 def _parse_pct_arg(arg: str) -> float | list[float]:
@@ -175,9 +196,8 @@ def register_all(registry: AggRegistry) -> None:
     def pc_finalize(s, a):
         p = _parse_pct_arg(a[0])
         if isinstance(p, list):
-            return _tdigest_quantiles_udf(
-                s("td"), F.array(*[F.lit(q) for q in p]))
-        return _tdigest_quantile_udf(s("td"), F.lit(p))
+            return _tdigest_quantiles_pdf(p)(s("td"))
+        return _tdigest_quantile_pdf(p)(s("td"))
 
     registry.register(AggSpec(
         "combinable_percentile_cont", pc_partial,

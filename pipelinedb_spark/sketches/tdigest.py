@@ -105,11 +105,15 @@ class TDigest:
         targets = qs * total
         cum = np.cumsum(self.weights) - self.weights / 2.0
         i = np.clip(np.searchsorted(cum, targets) - 1, 0, len(cum) - 2)
-        frac = (targets - cum[i]) / (cum[i + 1] - cum[i])
-        # endpoint-exact lerp, same tie-boundary guard as quantile()
-        out = (1.0 - frac) * self.means[i] + frac * self.means[i + 1]
-        out = np.where(targets >= cum[-1], self.means[-1], out)
-        return np.where(targets <= cum[0], self.means[0], out)
+        # both np.where branches evaluate, so extreme/NaN inputs would
+        # emit overflow/invalid RuntimeWarnings from the dead branch —
+        # the selected values are exact either way
+        with np.errstate(over="ignore", invalid="ignore"):
+            frac = (targets - cum[i]) / (cum[i + 1] - cum[i])
+            # endpoint-exact lerp, same tie-boundary guard as quantile()
+            out = (1.0 - frac) * self.means[i] + frac * self.means[i + 1]
+            out = np.where(targets >= cum[-1], self.means[-1], out)
+            return np.where(targets <= cum[0], self.means[0], out)
 
     def cdf(self, x: float) -> float:
         self._compress()
@@ -142,16 +146,20 @@ class TDigest:
                                      float(cum[0] / total)))
         i = np.clip(np.searchsorted(self.means, xs) - 1, 0,
                     len(self.means) - 2)
-        span = self.means[i + 1] - self.means[i]
-        safe = np.where(span > 0, span, 1.0)
-        frac = np.where(span > 0, (xs - self.means[i]) / safe, 0.0)
-        # endpoint-exact lerp (same tie-boundary guard as cdf())
-        out = ((1.0 - frac) * cum[i] + frac * cum[i + 1]) / total
-        out = np.where(xs >= self.means[-1], 1.0, out)
-        # scalar cdf checks the left edge FIRST, so it wins ties
-        return np.where(xs <= self.means[0],
-                        np.where(xs < self.means[0], 0.0,
-                                 float(cum[0] / total)), out)
+        # dead np.where branches on extreme/NaN inputs would emit
+        # overflow/invalid RuntimeWarnings; the selected values are
+        # exact either way
+        with np.errstate(over="ignore", invalid="ignore"):
+            span = self.means[i + 1] - self.means[i]
+            safe = np.where(span > 0, span, 1.0)
+            frac = np.where(span > 0, (xs - self.means[i]) / safe, 0.0)
+            # endpoint-exact lerp (same tie-boundary guard as cdf())
+            out = ((1.0 - frac) * cum[i] + frac * cum[i + 1]) / total
+            out = np.where(xs >= self.means[-1], 1.0, out)
+            # scalar cdf checks the left edge FIRST, so it wins ties
+            return np.where(xs <= self.means[0],
+                            np.where(xs < self.means[0], 0.0,
+                                     float(cum[0] / total)), out)
 
     def count(self) -> float:
         return float(self.weights.sum())

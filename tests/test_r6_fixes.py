@@ -221,6 +221,73 @@ def test_lsh_index_write_parallelism_not_capped_by_bands(spark, sf_dir,
     assert lsh_index_probe(spark, path, batch).count() >= 0
 
 
+# ---------------------------------------------------------------------------
+# Sketch probe/finalize hygiene
+# ---------------------------------------------------------------------------
+
+def test_dist_probe_null_args_return_null(spark):
+    """NULL q/x probe arguments must return NULL, not a NaN-fed
+    garbage value (advisor round-5: vectorized kernels coerced null →
+    NaN → searchsorted)."""
+    from pipelinedb_spark.functions.sketch_fns import (dist_cdf,
+                                                       dist_quantile,
+                                                       freq, freq_norm)
+    from pipelinedb_spark.sketches.cms import CountMinSketch
+    from pipelinedb_spark.sketches.tdigest import TDigest
+
+    td = TDigest().add_many([float(i) for i in range(100)]).serialize()
+    import numpy as np
+    cms = CountMinSketch()
+    cms.add_many(np.array(["a", "a", "b"], dtype=object))
+    cms_b = cms.serialize()
+    df = spark.createDataFrame(
+        [(td, cms_b, 0.5, "a"), (td, cms_b, None, None)],
+        "td binary, cms binary, q double, v string")
+    rows = df.select(
+        dist_quantile("td", "q").alias("dq"),
+        dist_cdf("td", "q").alias("dc"),
+        freq("cms", "v").alias("f"),
+        freq_norm("cms", "v").alias("fn")).collect()
+    ok, nulls = rows
+    assert ok["dq"] is not None and ok["dc"] is not None
+    assert ok["f"] == 2 and abs(ok["fn"] - 2 / 3) < 1e-9
+    assert nulls["dq"] is None and nulls["dc"] is None
+    assert nulls["f"] is None and nulls["fn"] is None
+
+
+def test_tdigest_finalize_is_arrow_batched_and_warning_free(spark):
+    """The percentile finalizers must run as pandas (Arrow) UDFs — no
+    row-pickled @F.udf left in the sketch registration — and the
+    vectorized kernels must not emit RuntimeWarnings on extreme
+    inputs."""
+    import warnings
+
+    import numpy as np
+
+    from pipelinedb_spark.sketches import registration as reg
+    from pipelinedb_spark.sketches.tdigest import TDigest
+
+    src = inspect_src = __import__("inspect").getsource(reg)
+    assert "@F.udf" not in src
+    td = TDigest().add_many(np.array([1e300, -1e300, 0.0, 5.0]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        td.quantile_many(np.array([0.0, 0.5, 1.0]))
+        td.cdf_many(np.array([-1e308, 0.0, 1e308, np.nan]))
+    # plan check: the scalar + ARRAY finalizers evaluate as ArrowEvalPython
+    df = spark.createDataFrame([(td.serialize(),)], "td binary")
+    plan = df.select(
+        reg._tdigest_quantile_pdf(0.5)(F.col("td")).alias("q"),
+        reg._tdigest_quantiles_pdf([0.25, 0.75])(F.col("td")).alias("qs")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    r = spark.createDataFrame([(td.serialize(),)], "td binary").select(
+        reg._tdigest_quantile_pdf(0.5)(F.col("td")).alias("q"),
+        reg._tdigest_quantiles_pdf([0.0, 1.0])(F.col("td")).alias("qs")
+    ).collect()[0]
+    assert r["q"] is not None and len(r["qs"]) == 2
+
+
 def test_track_output_streams_keeps_unread_history(ctx):
     """The opt-in retains the tail with zero readers (extension)."""
     ctx.track_output_streams = True
