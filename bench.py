@@ -57,6 +57,45 @@ SCALE_SUBSET = [
 ]
 
 
+def _spin_calibrate(seconds: float = 1.0) -> float:
+    """Single-thread spin-loop calibration (loops/sec).  Compared with
+    the stored idle-box constant in BENCH_SPIN.json to flag artifacts
+    measured under ambient load — the round-5 artifact showed +8.5%
+    that an idle re-run fully erased, so a contended run must be
+    visible in the emitted JSON."""
+    end = time.perf_counter() + seconds
+    n = 0
+    x = 0
+    while time.perf_counter() < end:
+        for _ in range(100_000):
+            x += 1
+        n += 1
+    return n / seconds
+
+
+def _contention_sentinel() -> dict:
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_SPIN.json")
+    measured = _spin_calibrate()
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f)["loops_per_sec"]
+    else:
+        baseline = measured  # first capture: assume idle, store it
+        with open(base_path, "w") as f:
+            json.dump({"loops_per_sec": round(measured, 1),
+                       "note": "idle-box spin calibration; re-capture "
+                               "only on an idle machine"}, f)
+    ratio = measured / baseline if baseline else 1.0
+    load1 = os.getloadavg()[0]
+    return {
+        "spin_ratio": round(ratio, 3),
+        "loadavg_1m": round(load1, 2),
+        # >10% spin slowdown = another process is stealing this core
+        "contended": ratio < 0.9,
+    }
+
+
 def main() -> None:
     import argparse
     ap = argparse.ArgumentParser()
@@ -85,6 +124,8 @@ def main() -> None:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                                 "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sentinel = _contention_sentinel()  # before Spark spins up
 
     from pipelinedb_spark import get_spark
     from pipelinedb_spark.querybank import Q
@@ -151,6 +192,7 @@ def main() -> None:
         "timing": "best-of-2 (steady-state plan; first run pays codegen)",
         "queries": times,
         **({"errors": errors} if errors else {}),
+        "contention": sentinel,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

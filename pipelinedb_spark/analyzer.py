@@ -342,8 +342,13 @@ def parse_interval(text: str) -> float:
 _SW_RE = re.compile(
     # a bare timestamp column OR one function call over it, e.g.
     # minute_trunc(arrival_timestamp) (reference resolves whole
-    # arrival_timestamp expressions, find_clock_timestamp_expr)
+    # arrival_timestamp expressions, find_clock_timestamp_expr,
+    # src/analyzer.c:321-423), optionally with a constant interval
+    # offset on the LHS: ``expr + interval 'K' > clock_timestamp() -
+    # interval 'W'`` normalizes to ``expr > clock_timestamp() -
+    # (W + K)`` (reference sw_ts_expr1, pipeline_regress.sql:183-185)
     r"(?P<col>[A-Za-z_][\w.]*(?:\s*\(\s*[A-Za-z_][\w.]*\s*\))?)"
+    r"(?:\s*(?P<offsign>[+-])\s*interval\s*'(?P<off>[^']+)')?"
     r"\s*>=?\s*\(?\s*"
     r"(?:clock_timestamp|now|current_timestamp)\s*\(\s*\)\s*-\s*"
     r"interval\s*'(?P<iv>[^']+)'\s*\)?", re.I)
@@ -380,6 +385,15 @@ def detect_sliding_window(where: str | None) -> tuple[str | None, float | None, 
         if m is not None and col is None:
             col = m.group("col")
             secs = parse_interval(m.group("iv"))
+            if m.group("off"):
+                # LHS interval offset folds into the window width:
+                # expr + K > clock() - W  ⟺  expr > clock() - (W + K)
+                k = parse_interval(m.group("off"))
+                secs = secs + k if m.group("offsign") == "+" else secs - k
+                if secs <= 0:
+                    raise CQError(
+                        "sliding-window offset leaves a non-positive "
+                        f"window ({secs}s)")
         else:
             rest_parts.append(conj)
     rest = " AND ".join(rest_parts).strip()

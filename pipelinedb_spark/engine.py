@@ -227,6 +227,24 @@ class ContView:
         # pk uniqueness is enforced at read (finalize) time.
         self._bucket_cols = ([pk] if pk in set(plan.group_names)
                              else self._group_cols)
+        # SW matrels use a TIME-LEADING bucket layout: bucket id =
+        # floor(step_epoch / step), so every row of a bucket shares
+        # ONE step and (a) window expiry is a manifest-level bucket
+        # drop with zero read/rewrite of live data, (b) merges touch
+        # only current-step buckets, (c) reads prune expired buckets
+        # from the manifest before opening any file.  This is the
+        # parquet analog of the reference's time-leading ls_hash_group
+        # locality index (src/pipeline_query.c:771-903,
+        # src/hashfuncs.c:93-137).  A store created under the older
+        # hash layout keeps it (ensure_layout pins "hash"), preserving
+        # replayed roots.
+        self._time_bucketed = False
+        if plan.sw_column is not None and self._bucket_cols == self._group_cols:
+            step = float(plan.sw_step_seconds)
+            if self.matrel.ensure_layout("step") == "step":
+                self._time_bucketed = True
+                self.matrel.bucket_expr_fn = lambda: F.floor(
+                    ts_epoch(F.col(STEP_COL)) / F.lit(step)).cast("long")
         # matrel CHECK constraints: name -> boolean SQL expr over the
         # CV's user-visible columns (reference matrel_constraints.sql)
         self.constraints: dict[str, str] = {}
@@ -574,17 +592,33 @@ class ContView:
         return changed.select("old", "new", "delta", "delta_states")
 
     # -- reads ---------------------------------------------------------------
+    def sw_states(self, at: float | None = None) -> DataFrame | None:
+        """In-window matrel states of a SW view.  Under the step-
+        bucketed layout, expired steps are pruned at the MANIFEST
+        (their files are never opened); the exact step filter then
+        trims the one boundary bucket."""
+        now = at if at is not None else time.time()
+        cutoff = now - float(self.plan.sw_seconds)
+        tol = float(self.plan.sw_step_seconds)
+        if self._time_bucketed:
+            live = [b for b in self.matrel.bucket_ids()
+                    if b * tol >= cutoff - tol]
+            states = self.matrel.read(live) if live else None
+        else:
+            states = self.matrel.read()
+        if states is None:
+            return None
+        return states.filter(
+            ts_epoch(F.col(STEP_COL)) >= F.lit(cutoff) - tol)
+
     def read(self, at: float | None = None) -> DataFrame:
-        states = self.matrel.read()
+        if self.plan.sw_column is not None:
+            states = self.sw_states(at)
+        else:
+            states = self.matrel.read()
         if states is None:
             empty = self.ctx.spark.createDataFrame([], self._overlay_schema())
             return empty
-        if self.plan.sw_column is not None:
-            now = at if at is not None else time.time()
-            cutoff = now - float(self.plan.sw_seconds)
-            states = states.filter(
-                ts_epoch(F.col(STEP_COL)) >=
-                F.lit(cutoff) - float(self.plan.sw_step_seconds))
         return self.finalize(states)
 
     def _overlay_schema(self) -> T.StructType:
@@ -603,10 +637,6 @@ class ContView:
         return T.StructType([f for f in probe.schema.fields
                              if f.name not in set(self._group_cols)])
 
-    # cache of the last ticker emission (group key -> row), reference
-    # combiner.c:78-96 (cached overlay tuples)
-    _sw_tick_df: DataFrame | None = None
-
     def key_cols(self) -> list[str]:
         """User-visible group columns of the overlay output."""
         return [name for (expr, name) in self.plan.select_items
@@ -623,8 +653,18 @@ class ContView:
         col = self.ttl_column or (STEP_COL if self.plan.sw_column else None)
         if col is None:
             return 0
-        col = self.resolve_ttl_column(col)
         cutoff = (now if now is not None else time.time()) - self.ttl
+        if self._time_bucketed and col == STEP_COL:
+            # step-bucketed layout: every row of bucket b has step
+            # b*step, so expiry is a pure manifest-level bucket drop —
+            # no read or rewrite of surviving data (reference reaper
+            # DELETE becomes a partition drop)
+            step = float(self.plan.sw_step_seconds)
+            doomed = [b for b in self.matrel.bucket_ids()
+                      if b * step < cutoff]
+            with self.commit_lock:
+                return self.matrel.drop_buckets(doomed)
+        col = self.resolve_ttl_column(col)
         with self.commit_lock:
             return self.matrel.delete_where(ts_epoch(F.col(col)) < cutoff)
 
@@ -665,8 +705,15 @@ class Transform:
         self.stats = Stats()
 
     def process_batch(self, batch: DataFrame) -> DataFrame:
+        # resolve the SQL against the BATCH's session: Structured
+        # Streaming's foreachBatch hands a DataFrame bound to a CLONED
+        # session whose temp-view catalog is separate from the context
+        # session's — registering the view there and running sql() on
+        # ctx.spark would silently read the stale CREATE-time probe
+        # (an empty frame), emitting 0 rows for every batch
+        sess = batch.sparkSession
         batch.createOrReplaceTempView(self.stream)
-        out = self.ctx.spark.sql(self.sql)
+        out = sess.sql(self.sql)
         if self.outputfunc is not None:
             self.outputfunc(out)
         self.stats.batches += 1
@@ -1773,8 +1820,12 @@ class PipelineContext:
                       batch: DataFrame) -> DataFrame:
         if re.fullmatch(r"[A-Za-z_][\w.]*", plan.from_clause.strip()):
             return batch  # simple FROM stream
+        # the batch's session, not ctx.spark: a foreachBatch frame is
+        # bound to a cloned session with its own temp-view catalog
+        # (see Transform.process_batch)
+        sess = batch.sparkSession
         batch.createOrReplaceTempView(stream)
-        return self.spark.sql(f"SELECT * FROM {plan.from_clause}")
+        return sess.sql(f"SELECT * FROM {plan.from_clause}")
 
     def _emit_osrel(self, osrel: str, rows: DataFrame, depth: int) -> int:
         """Append change rows to the osrel's parquet segment log.  The
@@ -1879,15 +1930,10 @@ class PipelineContext:
         src/analyzer.c:4662; test user_combine.sql)."""
         self._flush_cv(name)
         cv = self.views[name]
-        states = cv.matrel.read()
+        states = (cv.sw_states(at) if cv.plan.sw_column is not None
+                  else cv.matrel.read())
         if states is None:
             return cv.read(at=at).limit(0)
-        if cv.plan.sw_column is not None:
-            now = at if at is not None else time.time()
-            states = states.filter(
-                ts_epoch(F.col(STEP_COL)) >=
-                F.lit(now - float(cv.plan.sw_seconds)) -
-                float(cv.plan.sw_step_seconds))
         group_by = group_by or []
         keys = [F.col(c) for c in group_by]
         jvm_aggs, pd_aggs = [], []
@@ -2153,21 +2199,32 @@ class PipelineContext:
         if cv.plan.sw_column is None:
             raise CQError(f"{name} is not a sliding-window view")
         now = now if now is not None else time.time()
+        osdir = os.path.join(self.osrel_root, f"{name}_osrel")
+        snap = os.path.join(osdir, "_snap")
         if not self._wants_osrel(f"{name}_osrel"):
             # reference parity (src/combiner.c:1619-1622): with no
             # output-stream readers the SW tick skips snapshot + diff
             # + emission entirely; only window expiry still runs.  A
             # reader attaching later sees post-attach ticks (its first
             # tick emits every in-window row as an old=NULL insert).
-            cv._sw_tick_df = None
+            shutil.rmtree(snap, ignore_errors=True)
             cv.reap(now=now)
             return 0
-        # snapshot this tick's instantaneous SW rows executor-side; the
-        # diff against the previous tick is a DataFrame full-outer join
-        # with no-op elision — no driver collect of CV rows, so a SW CV
-        # with millions of groups ticks fine (reference tick_sw_groups
-        # src/combiner.c:992-1134 likewise diffs in the combiner).
-        cur = cv.read(at=now).localCheckpoint(eager=True)
+        # snapshot this tick's instantaneous SW rows to DISK (a parquet
+        # snapshot swapped per tick) instead of an accumulating chain
+        # of localCheckpoints: the previous tick's blocks were only
+        # freed by GC, so a long-running ticker grew storage memory
+        # unboundedly.  The diff against the previous snapshot is a
+        # DataFrame full-outer join with no-op elision — no driver
+        # collect of CV rows, so a SW CV with millions of groups ticks
+        # fine (reference tick_sw_groups src/combiner.c:992-1134
+        # likewise diffs in the combiner).  Bonus: tick state survives
+        # an engine restart, so the first post-restart tick diffs
+        # against the last emitted snapshot instead of re-emitting
+        # every group as an insert.
+        new_snap = os.path.join(osdir, "_snap.new")
+        cv.read(at=now).write.mode("overwrite").parquet(new_snap)
+        cur = self.spark.read.parquet(new_snap)
         kcols = cv.key_cols()
         kaliases = [f"__k{i}" for i in range(len(kcols))]
 
@@ -2178,7 +2235,8 @@ class PipelineContext:
                              .alias(side))
 
         new_side = sided(cur, "new")
-        prev_df = cv._sw_tick_df
+        prev_df = (self.spark.read.parquet(snap)
+                   if os.path.isdir(snap) else None)
         if prev_df is not None:
             joined = new_side.join(sided(prev_df, "old"), on=kaliases,
                                    how="full_outer")
@@ -2187,9 +2245,12 @@ class PipelineContext:
                 "old", F.lit(None).cast(new_side.schema["new"].dataType))
         changes = (joined.filter(~F.col("old").eqNullSafe(F.col("new")))
                    .select("old", "new"))
-        cv._sw_tick_df = cur
         cv.reap(now=now)
-        return self._emit_osrel(f"{name}_osrel", changes, 0)
+        n = self._emit_osrel(f"{name}_osrel", changes, 0)
+        # emission consumed both snapshots; promote the new one
+        shutil.rmtree(snap, ignore_errors=True)
+        os.rename(new_snap, snap)
+        return n
 
     def empty_stream_df(self, stream: str) -> DataFrame:
         return self.spark.createDataFrame([], self.streams[stream].schema)
@@ -2316,13 +2377,13 @@ class PipelineContext:
                     raise CQError(
                         "combine argument is not an aggregate column")
                 raise CQError(f'column "{arg}" does not exist')
-        states = self.read_matrel(cv_name)
         if cv.plan.sw_column is not None:
-            now = at if at is not None else time.time()
-            states = states.filter(
-                ts_epoch(F.col(STEP_COL)) >=
-                F.lit(now - float(cv.plan.sw_seconds)) -
-                float(cv.plan.sw_step_seconds))
+            self._flush_cv(cv_name)
+            states = cv.sw_states(at)
+            if states is None:
+                states = self.read_matrel(cv_name).limit(0)
+        else:
+            states = self.read_matrel(cv_name)
         sview = f"__{cv_name}_states"
         states.createOrReplaceTempView(sview)
         # register any plain tables referenced alongside the CV

@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,10 +53,64 @@ class MatrelStore:
         self.name = name
         self.dir = os.path.join(root, name)
         self.num_buckets = num_buckets
+        # optional bucket-id override (e.g. SW step epochs — the
+        # time-leading locality layout, reference ls_hash_group
+        # src/hashfuncs.c:93-137): a zero-arg callable returning the
+        # bucket Column; ids may be ANY integers, not just 0..N-1
+        self.bucket_expr_fn = None
+        # GC grace: unreferenced version dirs younger than this are
+        # kept on disk so a lazily-planned concurrent read (readers
+        # don't take the commit lock) never loses files mid-scan —
+        # the retention-before-vacuum contract of snapshot stores.
+        # 0 disables the grace (synchronous/maintenance contexts).
+        self.gc_grace_seconds: float = 60.0
+        self._last_compact: float = 0.0
         os.makedirs(self.dir, exist_ok=True)
         self._manifest_path = os.path.join(self.dir, "MANIFEST")
         if not os.path.exists(self._manifest_path):
             self._write_manifest({"version": 0, "buckets": {}})
+
+    def ensure_layout(self, tag: str) -> str:
+        """Record (or recover) the store's bucket-layout tag.  A store
+        that already holds buckets under an older, untagged layout is
+        pinned to "hash" — mixing id semantics would break manifest-
+        level pruning/expiry.  Returns the effective layout."""
+        m = self._read_manifest()
+        cur = m.get("layout")
+        if cur is None:
+            cur = "hash" if m["buckets"] else tag
+            m["layout"] = cur
+            self._write_manifest(m)
+        return cur
+
+    def bucket_ids(self) -> list[int]:
+        """Current manifest bucket ids (no data read)."""
+        return [int(b) for b in self._read_manifest()["buckets"]]
+
+    def drop_buckets(self, doomed: list[int]) -> int:
+        """Manifest-level partition drop: remove whole buckets without
+        reading or rewriting any SURVIVING data — the parquet analog of
+        dropping a time partition (SW window expiry under the step
+        layout; reference time-leading ls_hash_group locality index,
+        src/pipeline_query.c:771-903).  Only the doomed buckets are
+        read (one count job, for the reaper's deleted-rows contract);
+        their files are unlinked by GC once no live bucket references
+        their version dirs.  Returns the number of rows dropped."""
+        m = self._read_manifest()
+        doomed = [b for b in doomed if str(b) in m["buckets"]]
+        if not doomed:
+            return 0
+        df = self.read(doomed)
+        n = df.count() if df is not None else 0
+        m = self._read_manifest()
+        for b in doomed:
+            m["buckets"].pop(str(b), None)
+        ref = {os.path.relpath(p, self.dir).split(os.sep)[0]
+               for p in m["buckets"].values()}
+        m["dirs"] = {d: i for d, i in m.get("dirs", {}).items() if d in ref}
+        self._write_manifest(m)
+        self._gc(keep_version=m["version"])
+        return n
 
     # -- manifest ----------------------------------------------------------
     def _read_manifest(self) -> dict:
@@ -105,7 +160,7 @@ class MatrelStore:
         ver = lambda p: os.path.relpath(p, self.dir).split(os.sep)[0]
         valid = self.spark.createDataFrame(
             [(ver(p), int(b)) for b, p in entries.items()],
-            f"__v string, {BUCKET_COL} int")
+            f"__v string, {BUCKET_COL} bigint")
         # Anchor to the version dir that directly CONTAINS the file
         # (packed version dirs are flat): a bare /(v\d+)/ would take the
         # FIRST match in the absolute path, so a store or ancestor dir
@@ -118,6 +173,8 @@ class MatrelStore:
 
     # -- merge -------------------------------------------------------------
     def bucket_expr(self, group_cols: list[str]):
+        if self.bucket_expr_fn is not None:
+            return self.bucket_expr_fn()
         if not group_cols:
             return F.lit(0)
         return F.pmod(F.xxhash64(*[F.col(c) for c in group_cols]),
@@ -182,7 +239,13 @@ class MatrelStore:
         compaction bounds that amplification.  Returns the number of
         version dirs removed.  (Same retention granularity existed in
         the pre-packed leaf-dir layout — whole version dirs — so this
-        is the remedy for both.)"""
+        is the remedy for both.)
+
+        Old dirs younger than ``gc_grace_seconds`` survive the sweep
+        (a reader that planned its scan just before the manifest swap
+        still holds paths into them — readers don't take the
+        commit_lock); they fall off a later GC.  Set the grace to 0
+        for synchronous maintenance with no concurrent readers."""
         cur = self.read()
         before = {e for e in os.listdir(self.dir) if e.startswith("v")}
         if cur is None:
@@ -192,6 +255,7 @@ class MatrelStore:
         self._commit(cur.localCheckpoint(eager=True), None, full=True)
         self._gc(keep_version=self._read_manifest()["version"],
                  keep_last=0)
+        self._last_compact = time.time()
         after = {e for e in os.listdir(self.dir) if e.startswith("v")}
         return len(before - after)
 
@@ -221,7 +285,10 @@ class MatrelStore:
 
     def truncate(self) -> None:
         m = self._read_manifest()
-        self._write_manifest({"version": m["version"] + 1, "buckets": {}})
+        fresh = {"version": m["version"] + 1, "buckets": {}}
+        if m.get("layout") is not None:
+            fresh["layout"] = m["layout"]
+        self._write_manifest(fresh)
 
     def _commit(self, df: DataFrame, affected: list[int] | None,
                 full: bool = False) -> None:
@@ -270,8 +337,10 @@ class MatrelStore:
                 if d in ref_dirs}
         dirs[f"v{version}"] = {"bytes": _du(vdir),
                                "written": len(present)}
-        self._write_manifest({"version": version, "buckets": new_buckets,
-                              "dirs": dirs})
+        out = {"version": version, "buckets": new_buckets, "dirs": dirs}
+        if m.get("layout") is not None:
+            out["layout"] = m["layout"]
+        self._write_manifest(out)
         self._gc(keep_version=version)
 
     # -- stale accounting / auto-compaction ---------------------------------
@@ -310,7 +379,13 @@ class MatrelStore:
         """Compact when estimated dead bytes exceed ``max_stale_ratio``
         × live bytes (VACUUM-threshold analog); bounds on-disk
         amplification to (1 + ratio) × live data without manual
-        ``compact()`` calls.  Returns True when a compaction ran."""
+        ``compact()`` calls.  Damped to once per GC grace window —
+        grace-held dirs count as stale, so an undamped trigger would
+        re-compact every cycle until the grace expired.  Returns True
+        when a compaction ran."""
+        if (self.gc_grace_seconds > 0 and
+                time.time() - self._last_compact < self.gc_grace_seconds):
+            return False
         live, stale = self.stale_stats()
         if stale <= max_stale_ratio * max(live, 1):
             return False
@@ -318,10 +393,12 @@ class MatrelStore:
         return True
 
     def _gc(self, keep_version: int, keep_last: int = 2) -> None:
-        """Drop version dirs no longer referenced (keep a small tail for
-        in-flight readers)."""
+        """Drop version dirs no longer referenced — keeping a small
+        version tail AND a time grace (``gc_grace_seconds``) for
+        in-flight readers whose lazy plans still hold the old paths."""
         live_dirs = {os.path.relpath(p, self.dir).split(os.sep)[0]
                      for p in self._read_manifest()["buckets"].values()}
+        now = time.time()
         for entry in os.listdir(self.dir):
             if not entry.startswith("v"):
                 continue
@@ -329,8 +406,16 @@ class MatrelStore:
                 v = int(entry[1:])
             except ValueError:
                 continue
-            if entry not in live_dirs and v < keep_version - keep_last:
-                shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
+            if entry in live_dirs or v >= keep_version - keep_last:
+                continue
+            path = os.path.join(self.dir, entry)
+            if self.gc_grace_seconds > 0:
+                try:
+                    if now - os.path.getmtime(path) < self.gc_grace_seconds:
+                        continue  # possibly still scanned; next GC
+                except OSError:
+                    pass
+            shutil.rmtree(path, ignore_errors=True)
 
     def rename(self, new_name: str) -> None:
         """Move the store to a sibling directory and rewrite manifest

@@ -27,6 +27,9 @@ def test_orphan_version_dir_is_ignored(ctx):
 def test_manifest_only_references_live_buckets(ctx):
     ctx.create_stream("du2", "k string, v long")
     ctx.create_view("cv_du2", "SELECT k, count(*) AS n FROM du2 GROUP BY k")
+    # exercise the version-tail GC itself (the default 60s in-flight-
+    # reader grace would keep every dir of this sub-second burst)
+    ctx.views["cv_du2"].matrel.gc_grace_seconds = 0
     for i in range(5):
         ctx.insert("du2", [{"k": f"k{i % 2}", "v": i}])
     store = ctx.views["cv_du2"].matrel
@@ -147,6 +150,7 @@ def test_compact_drops_old_versions_keeps_values(ctx):
     before = sorted(tuple(r) for r in ctx.read_view("cv_du6").collect())
     n_dirs_before = sum(1 for e in os.listdir(store.dir)
                         if e.startswith("v"))
+    store.gc_grace_seconds = 0  # synchronous: no concurrent readers
     removed = ctx.compact_view("cv_du6")
     assert removed >= n_dirs_before - 1  # everything but the new dir
     assert sum(1 for e in os.listdir(store.dir)

@@ -192,6 +192,7 @@ def test_auto_compaction_bounds_disk_under_churn(ctx, spark):
                     "SELECT k, count(*) AS n, sum(v) AS s "
                     "FROM ac GROUP BY k")
     store = ctx.views["cv_ac"].matrel
+    store.gc_grace_seconds = 0  # synchronous churn: no racing readers
     # partition candidate keys by matrel bucket so hot churn never
     # touches the cold bucket
     pad = "x" * 2000

@@ -288,6 +288,206 @@ def test_tdigest_finalize_is_arrow_batched_and_warning_free(spark):
     assert r["q"] is not None and len(r["qs"]) == 2
 
 
+# ---------------------------------------------------------------------------
+# LHS-offset sliding-window predicate (pipeline_regress.sql:183-185)
+# ---------------------------------------------------------------------------
+
+def test_sw_lhs_offset_predicate_normalizes(ctx):
+    """Reference sw_ts_expr1: ``minute(ts) + interval '1 second' >
+    clock_timestamp() - interval '5 minute'`` is a sliding window of
+    width W + K over the LHS expression."""
+    ctx.create_stream("swo", "x int")
+    ctx.create_view(
+        "sw_ts_expr1",
+        "SELECT count(*) AS count FROM swo "
+        "WHERE minute_trunc(arrival_timestamp) + interval '1 second' > "
+        "clock_timestamp() - interval '5 minute'")
+    cv = ctx.views["sw_ts_expr1"]
+    assert cv.plan.sw_column == "minute_trunc(arrival_timestamp)"
+    assert cv.plan.sw_seconds == 301.0  # 5 min + 1 s
+    ctx.insert("swo", [{"x": 1}, {"x": 1}])
+    ctx.insert("swo", [{"x": 1}, {"x": 1}])
+    # expected/pipeline_regress.out: count = 4 while in-window
+    assert ctx.read_view("sw_ts_expr1").collect()[0]["count"] == 4
+    # decay: equivalent to the normalized window — everything expires
+    # past W + K (+ one step of bucket tolerance)
+    step = cv.plan.sw_step_seconds
+    assert ctx.read_view("sw_ts_expr1",
+                         at=time.time() + 301 + 2 * step).count() == 0
+    # a MINUS offset narrows the window; non-positive windows reject
+    ctx.create_view(
+        "sw_off_neg",
+        "SELECT count(*) AS count FROM swo "
+        "WHERE arrival_timestamp - interval '1 minute' > "
+        "clock_timestamp() - interval '5 minute'")
+    assert ctx.views["sw_off_neg"].plan.sw_seconds == 240.0
+    from pipelinedb_spark import CQError
+    with pytest.raises(CQError, match="non-positive"):
+        ctx.create_view(
+            "sw_off_bad",
+            "SELECT count(*) AS count FROM swo "
+            "WHERE arrival_timestamp - interval '10 minute' > "
+            "clock_timestamp() - interval '5 minute'")
+
+
+# ---------------------------------------------------------------------------
+# SW step-bucketed matrel layout: O(1) window expiry
+# ---------------------------------------------------------------------------
+
+def test_sw_step_bucket_layout_expiry_reads_no_survivors(ctx, monkeypatch):
+    """Under the time-leading step layout, reaping fully-expired steps
+    is a manifest-level bucket drop: the only data read is the doomed
+    buckets themselves (for the deleted-rows count) — surviving
+    buckets' files are never opened, nothing is rewritten."""
+    import datetime
+
+    from pipelinedb_spark.matrel import MatrelStore
+
+    ctx.create_stream("sps", "k string, v long")
+    ctx.create_view(
+        "cv_sps",
+        "SELECT k, count(*) AS n FROM sps "
+        "WHERE arrival_timestamp > clock_timestamp() - interval "
+        "'60 seconds' GROUP BY k")
+    cv = ctx.views["cv_sps"]
+    assert cv._time_bucketed
+    step = float(cv.plan.sw_step_seconds)
+    t0 = time.time()
+    old_ts = datetime.datetime.utcfromtimestamp(t0 - 1000)
+    ctx.insert("sps", [{"k": "a", "v": 1, "arrival_timestamp": old_ts},
+                       {"k": "b", "v": 2, "arrival_timestamp": old_ts}])
+    ctx.insert("sps", [{"k": "a", "v": 3}])  # current step
+    ids = set(cv.matrel.bucket_ids())
+    assert len(ids) >= 2  # old + current step buckets
+    cutoff = t0 - cv.ttl
+
+    reads = []
+    orig_read = MatrelStore.read
+
+    def spy(self, buckets=None):
+        reads.append(buckets)
+        return orig_read(self, buckets)
+
+    monkeypatch.setattr(MatrelStore, "read", spy)
+    deleted = ctx.reap_ttl("cv_sps", now=t0)
+    monkeypatch.setattr(MatrelStore, "read", orig_read)
+    assert deleted == 2
+    # every read during the reap was pruned to DOOMED buckets only
+    assert reads and all(
+        bl is not None and all(b * step < cutoff for b in bl)
+        for bl in reads)
+    # survivors intact, expired buckets gone from the manifest
+    assert {b for b in cv.matrel.bucket_ids()} == \
+        {b for b in ids if b * step >= cutoff}
+    got = {r["k"]: r["n"] for r in ctx.read_view("cv_sps").collect()}
+    assert got == {"a": 1}
+
+
+def test_sw_read_prunes_expired_buckets_at_manifest(ctx):
+    """SW reads list only in-window buckets from the manifest before
+    opening any file (plus the exact step filter at the boundary)."""
+    import datetime
+
+    ctx.create_stream("spr", "k string, v long")
+    ctx.create_view(
+        "cv_spr",
+        "SELECT k, count(*) AS n FROM spr "
+        "WHERE arrival_timestamp > clock_timestamp() - interval "
+        "'60 seconds' GROUP BY k")
+    cv = ctx.views["cv_spr"]
+    t0 = time.time()
+    stale = datetime.datetime.utcfromtimestamp(t0 - 500)
+    ctx.insert("spr", [{"k": "z", "v": 1, "arrival_timestamp": stale},
+                       {"k": "a", "v": 2}])
+    # unreaped stale bucket exists, but the read never lists its path
+    states = cv.sw_states(at=t0)
+    files = {r[0] for r in
+             states.select(F.input_file_name()).distinct().collect()}
+    stale_id = int((t0 - 500) // float(cv.plan.sw_step_seconds))
+    live = {str(b) for b in cv.matrel.bucket_ids()
+            if b * float(cv.plan.sw_step_seconds) >=
+            t0 - cv.plan.sw_seconds - cv.plan.sw_step_seconds}
+    assert str(stale_id) not in live
+    assert files  # read plans over the live buckets' files only
+    assert {r["k"] for r in ctx.read_view("cv_spr", at=t0).collect()} \
+        == {"a"}
+
+
+def test_matrel_layout_pinned_for_legacy_stores(spark, tmp_path):
+    """A store holding buckets from a pre-step-layout engine is pinned
+    to hash semantics — replayed roots keep their id meaning."""
+    from pipelinedb_spark.matrel import MatrelStore
+
+    ms = MatrelStore(spark, str(tmp_path), "m1", num_buckets=4)
+    ms._commit(spark.createDataFrame([(1, 0)], "x int, __bucket int"), [0])
+    m = ms._read_manifest()
+    m.pop("layout", None)
+    ms._write_manifest(m)
+    assert ms.ensure_layout("step") == "hash"
+    ms2 = MatrelStore(spark, str(tmp_path), "m2", num_buckets=4)
+    assert ms2.ensure_layout("step") == "step"
+
+
+# ---------------------------------------------------------------------------
+# SW ticker snapshot lifecycle
+# ---------------------------------------------------------------------------
+
+def test_sw_ticker_soak_no_storage_growth(ctx):
+    """The ticker must not accumulate storage: the per-tick snapshot
+    is a disk parquet swapped in place (the old localCheckpoint chain
+    leaked one persisted RDD per tick until GC)."""
+    import os
+
+    ctx.track_output_streams = True
+    ctx.create_stream("tks", "k string, v long")
+    ctx.create_view(
+        "cv_tks",
+        "SELECT k, count(*) AS n FROM tks "
+        "WHERE arrival_timestamp > clock_timestamp() - interval "
+        "'600 seconds' GROUP BY k")
+    ctx.insert("tks", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    now = time.time()
+    ctx.tick_sw("cv_tks", now=now)  # warm-up: snapshot + first emit
+    sc = ctx.spark.sparkContext
+    base = len(sc._jsc.sc().getRDDStorageInfo())
+    for i in range(30):
+        ctx.tick_sw("cv_tks", now=now + 0.001 * (i + 1))
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # old behavior grew ~1 persisted RDD per tick; disk snapshots add 0
+    assert after <= base + 2, (base, after)
+    osdir = os.path.join(ctx.osrel_root, "cv_tks_osrel")
+    snaps = [d for d in os.listdir(osdir) if d.startswith("_snap")]
+    assert snaps == ["_snap"]  # exactly one live snapshot on disk
+
+
+def test_sw_ticker_state_survives_restart(spark, tmp_path):
+    """Tick state is the persisted snapshot: a fresh context over the
+    same root diffs against the last tick instead of re-emitting every
+    group as an insert."""
+    from pipelinedb_spark import PipelineContext
+
+    root = str(tmp_path / "tkr")
+    ctx = PipelineContext(spark, root=root, num_buckets=4,
+                          track_output_streams=True)
+    ctx.create_stream("tkr", "k string, v long")
+    ctx.create_view(
+        "cv_tkr",
+        "SELECT k, count(*) AS n FROM tkr "
+        "WHERE arrival_timestamp > clock_timestamp() - interval "
+        "'600 seconds' GROUP BY k")
+    ctx.insert("tkr", [{"k": "a", "v": 1}])
+    now = time.time()
+    assert ctx.tick_sw("cv_tkr", now=now) == 1  # insert emitted
+
+    ctx2 = PipelineContext(spark, root=root, num_buckets=4,
+                           track_output_streams=True)
+    # nothing changed since the pre-restart tick → no re-emission
+    assert ctx2.tick_sw("cv_tkr", now=now + 1) == 0
+    ctx2.insert("tkr", [{"k": "a", "v": 2}])
+    assert ctx2.tick_sw("cv_tkr", now=now + 2) == 1  # the update only
+    ctx2.close()
+
+
 def test_track_output_streams_keeps_unread_history(ctx):
     """The opt-in retains the tail with zero readers (extension)."""
     ctx.track_output_streams = True

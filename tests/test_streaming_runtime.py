@@ -172,3 +172,90 @@ def test_file_stream_through_python_transform_chain(ctx, spark, tmp_path):
         assert out[2] == "nothing private"
     finally:
         att.stop()
+
+
+def test_rate_stream_transform_cv_restart_effectively_once(spark, tmp_path):
+    """A LIVE continuously-generating source through the full chain
+    (rate source → SQL transform → CV over its output stream) with a
+    forced mid-run restart: every generated value must be counted
+    EXACTLY once — no duplicates from the replayed epoch (the marker
+    skip), no gaps from the aborted one (reference
+    test_crash_recovery.py analog for a live source)."""
+    import time as _time
+
+    from pipelinedb_spark import PipelineContext
+    from pipelinedb_spark.streaming.runtime import attach_rate_stream
+
+    ctx = PipelineContext(spark, root=str(tmp_path / "rrr"), num_buckets=4)
+    ctx.create_stream("rr_e2e", "v long")
+    ctx.create_transform("t_rr", "SELECT v, v % 4 AS b FROM rr_e2e")
+    ctx.create_view("cv_rr",
+                    "SELECT count(*) AS n, exact_count_distinct(v) AS d, "
+                    "max(v) AS mx FROM output_of('t_rr')")
+
+    def run_until(att, min_batches, min_rows, deadline_s=40):
+        deadline = _time.time() + deadline_s
+        while _time.time() < deadline:
+            att.process_all_available()
+            rows = ctx.read_view("cv_rr").collect()
+            r = rows[0] if rows else None
+            if (r is not None
+                    and ctx.streams["rr_e2e"].input_batches >= min_batches
+                    and (r["n"] or 0) >= min_rows):
+                return r
+            _time.sleep(0.3)
+        raise AssertionError("rate soak did not reach target in time")
+
+    att = attach_rate_stream(ctx, "rr_e2e", rows_per_second=300,
+                             value_exprs={"v": "value"})
+    try:
+        r1 = run_until(att, min_batches=2, min_rows=50)
+    finally:
+        att.stop()  # forced restart point (mid-stream)
+    # reattach: same ctx root → same checkpoint; the rate source
+    # resumes from its committed offset, replayed epochs are skipped
+    att2 = attach_rate_stream(ctx, "rr_e2e", rows_per_second=300,
+                              value_exprs={"v": "value"})
+    try:
+        r2 = run_until(att2, min_batches=2, min_rows=r1["n"] + 50)
+    finally:
+        att2.stop()
+    # effectively-once: count == distinct (no dupes) == max+1 (no gaps)
+    assert r2["n"] == r2["d"] == r2["mx"] + 1, r2
+    ctx.close()
+
+
+def test_file_stream_with_stream_table_join_cv(ctx, spark, tmp_path):
+    """A CV with a complex FROM (stream-table join) must resolve its
+    SQL against the foreachBatch session's temp-view catalog — the
+    cloned-session bug made SQL transforms/joined CVs silently read
+    the empty CREATE-time probe under streaming attachments."""
+    from pipelinedb_spark.streaming.runtime import attach_file_stream
+
+    src_dir = str(tmp_path / "drop_j")
+    os.makedirs(src_dir, exist_ok=True)
+    ctx.register_table("dim_j", spark.createDataFrame(
+        [("a", "east"), ("b", "west")], "k string, region string"))
+    ctx.create_stream("fsj", "k string, v long")
+    ctx.create_view("cv_fsj",
+                    "SELECT region, sum(v) AS s "
+                    "FROM fsj JOIN dim_j ON fsj.k = dim_j.k "
+                    "GROUP BY region")
+    # a SQL (non-python) transform on the same stream: the other
+    # surface of the cloned-session catalog bug
+    ctx.track_output_streams = True
+    ctx.create_transform("t_fsj", "SELECT k, v * 10 AS v10 FROM fsj")
+
+    att = attach_file_stream(ctx, "fsj", src_dir, fmt="json")
+    try:
+        with open(os.path.join(src_dir, "j1.json"), "w") as f:
+            f.write('{"k": "a", "v": 1}\n{"k": "a", "v": 2}\n'
+                    '{"k": "b", "v": 5}\n')
+        att.process_all_available()
+        got = {r["region"]: r["s"]
+               for r in ctx.read_view("cv_fsj").collect()}
+        assert got == {"east": 3, "west": 5}
+        vs = sorted(r["v10"] for r in ctx.output_of("t_fsj").collect())
+        assert vs == [10, 20, 50]
+    finally:
+        att.stop()
