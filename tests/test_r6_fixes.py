@@ -488,6 +488,84 @@ def test_sw_ticker_state_survives_restart(spark, tmp_path):
     ctx2.close()
 
 
+# ---------------------------------------------------------------------------
+# Concurrent inserts (reference test_stream_buffer.py analog)
+# ---------------------------------------------------------------------------
+
+def test_concurrent_inserts_disjoint_streams(ctx):
+    """Two threads insert into two streams, each read by two CQs (one
+    cheap, one heavier) — every CQ must observe every row exactly once
+    (reference test_stream_buffer.py: disjoint CQ sets over concurrent
+    writers)."""
+    import threading
+
+    for s in ("cb1", "cb2"):
+        ctx.create_stream(s, "x long, s string")
+        ctx.create_view(f"cnt_{s}", f"SELECT count(*) AS n FROM {s}")
+        ctx.create_view(f"agg_{s}",
+                        f"SELECT x % 7 AS b, count(*) AS n, "
+                        f"max(length(s)) AS ml FROM {s} GROUP BY x % 7")
+    n_batches, per_batch = 4, 500
+    errs = []
+
+    def writer(stream):
+        try:
+            for b in range(n_batches):
+                ctx.insert(stream, [
+                    {"x": b * per_batch + i, "s": "a" * 64}
+                    for i in range(per_batch)])
+        except Exception as exc:  # surfaced after join
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(s,))
+               for s in ("cb1", "cb2")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    total = n_batches * per_batch
+    for s in ("cb1", "cb2"):
+        assert ctx.read_view(f"cnt_{s}").collect()[0]["n"] == total
+        assert sum(r["n"] for r in
+                   ctx.read_view(f"agg_{s}").collect()) == total
+
+
+def test_concurrent_inserts_same_stream(ctx):
+    """Two threads hammer ONE stream: the per-view commit lock must
+    serialize merges so no batch is lost or double-merged."""
+    import threading
+
+    ctx.create_stream("cbs", "x long")
+    ctx.create_view("cnt_cbs", "SELECT count(*) AS n, sum(x) AS sx "
+                               "FROM cbs")
+    n_batches, per_batch = 3, 400
+    errs = []
+
+    def writer(offset):
+        try:
+            for b in range(n_batches):
+                base = offset + b * per_batch
+                ctx.insert("cbs", [{"x": base + i}
+                                   for i in range(per_batch)])
+        except Exception as exc:
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(k * 10_000,))
+               for k in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    r = ctx.read_view("cnt_cbs").collect()[0]
+    expect_n = 2 * n_batches * per_batch
+    expect_sx = sum(k * 10_000 * n_batches * per_batch +
+                    sum(range(n_batches * per_batch))
+                    for k in range(2))
+    assert (r["n"], r["sx"]) == (expect_n, expect_sx)
+
+
 def test_track_output_streams_keeps_unread_history(ctx):
     """The opt-in retains the tail with zero readers (extension)."""
     ctx.track_output_streams = True
