@@ -669,3 +669,31 @@ def lsh_index_append(spark, path: str, new_docs: DataFrame,
     banded = _banded_rows(new_docs, id_col, text_col, meta["num_hashes"],
                           meta["bands"], meta["shingle_n"])
     _write_band_rows(banded, path, "append", write_partitions)
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
+                    id_col: str = "doc_id",
+                    max_iterations: int = 20) -> DataFrame:
+    """Canonical-selection dedup: given near-duplicate PAIRS (d1, d2),
+    keep the BEST-scoring document of each duplicate cluster (ties
+    break to the smallest id) plus every unpaired document — the
+    "keep the highest-quality copy" policy real training-data
+    pipelines apply, instead of min-id survivorship.
+
+    Scale shape: clusters come from :func:`dedup_clusters` (min-label
+    propagation, one shuffle per round); the selection is a window
+    rank partitioned by cluster_id — duplicate clusters are tiny, so
+    no skewed partition forms, and unpaired docs never enter the
+    window at all (anti-join keeps them as a pass-through union)."""
+    from pyspark.sql import Window
+
+    labels = dedup_clusters(pairs, max_iterations=max_iterations)
+    labeled = df.join(
+        labels.withColumnRenamed("doc_id", id_col), id_col, "inner")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col))
+    best = (labeled.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1).drop("__rk", "cluster_id"))
+    unpaired = df.join(
+        labels.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+    return unpaired.unionByName(best)

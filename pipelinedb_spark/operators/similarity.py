@@ -466,3 +466,31 @@ def ivf_topk_persisted(spark, path: str, queries: DataFrame, k: int = 5,
     return (cands.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select("q_id", "n_id", "rk", "cosine"))
+
+
+def ivf_append(spark, path: str, new_vectors: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               write_partitions: int | None = None) -> int:
+    """Admit a batch of new embeddings into a persisted IVF index:
+    vectors are assigned with the index's FROZEN centroids
+    (``_centroids.npy``) and appended into the ``partitionBy(list_id)``
+    layout — O(batch) per ingest, no corpus rewrite.  The
+    continuous-ingest ANN shape (the IVF analog of
+    ``dedup.lsh_index_append``): at 100 TB each arriving batch costs
+    one assignment pass + an append, and probes keep pruning at the
+    partition level.  Centroid drift under a shifting distribution is
+    handled by periodic re-train + re-persist, the standard IVF
+    maintenance trade (the reference's sketches make the same
+    bounded-state choice).  Returns the number of vectors admitted."""
+    from pyspark.sql import Observation
+
+    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    assign = _ivf_assign_udf(centroids, nprobe=1)
+    obs = Observation()
+    out = (new_vectors.select(F.col(id_col), F.col(vec_col),
+                              assign(F.col(vec_col))[0].alias("list_id"))
+           .observe(obs, F.count(F.lit(1)).alias("n")))
+    if write_partitions is not None:
+        out = out.repartition(write_partitions, "list_id")
+    out.write.mode("append").partitionBy("list_id").parquet(path)
+    return int(obs.get["n"])

@@ -566,6 +566,60 @@ def test_concurrent_inserts_same_stream(ctx):
     assert (r["n"], r["sx"]) == (expect_n, expect_sx)
 
 
+# ---------------------------------------------------------------------------
+# Incremental IVF append + keep-best dedup selection
+# ---------------------------------------------------------------------------
+
+def test_ivf_append_extends_persisted_index(spark, sf_dir, tmp_path):
+    """ivf_append admits a batch under the index's frozen centroids:
+    persist(half) + append(half) must answer probes identically to
+    persist(full) with the same centroids — the continuous-ingest ANN
+    shape (IVF analog of lsh_index_append)."""
+    from pipelinedb_spark.operators.similarity import (ivf_append,
+                                                       ivf_persist,
+                                                       ivf_topk_persisted,
+                                                       ivf_train)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    cents = ivf_train(emb, n_lists=8)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    ivf_persist(half_a, inc_path, centroids=cents, n_lists=8)
+    admitted = ivf_append(spark, inc_path, half_b)
+    assert admitted == half_b.count()
+
+    full_path = str(tmp_path / "ivf_full")
+    ivf_persist(emb, full_path, centroids=cents, n_lists=8)
+
+    q = emb.orderBy("vec_id").limit(5)
+    key = lambda rows: sorted((r["q_id"], r["rk"], r["n_id"])
+                              for r in rows)
+    inc = ivf_topk_persisted(spark, inc_path, q, k=4, nprobe=8).collect()
+    full = ivf_topk_persisted(spark, full_path, q, k=4, nprobe=8).collect()
+    assert key(inc) == key(full) and len(inc) > 0
+
+
+def test_dedup_keep_best_selects_highest_quality(spark):
+    """Keep-best dedup: the highest-scoring doc of each duplicate
+    cluster survives (ties → min id); unpaired docs pass through."""
+    from pipelinedb_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "a'", 0.9), (3, "a''", 0.9),
+         (4, "b", 0.5), (5, "b'", 0.1), (6, "unique", 0.0)],
+        "doc_id long, text string, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "d1 long, d2 long")
+    kept = {r["doc_id"] for r in
+            dedup_keep_best(docs, pairs, "quality").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 → min id 2; cluster {4,5}:
+    # 4 wins; 6 unpaired
+    assert kept == {2, 4, 6}
+
+
 def test_track_output_streams_keeps_unread_history(ctx):
     """The opt-in retains the tail with zero readers (extension)."""
     ctx.track_output_streams = True
