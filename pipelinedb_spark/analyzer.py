@@ -450,12 +450,41 @@ def _validate_subselects(from_clause: str, registry: AggRegistry) -> None:
 # Main entry
 # ---------------------------------------------------------------------------
 
+_DATEPART_BARE = re.compile(
+    r"(?i)\b(year|month|day|hour|minute|second)(\s*\()")
+
+
+def rewrite_datepart_truncs(sql: str) -> str:
+    """Reference parity for bare datepart calls INSIDE CQ SQL:
+    PipelineDB registers ``year()/month()/day()/hour()/minute()/
+    second()`` as timestamp TRUNCATION functions
+    (pipelinedb--1.0.0.sql:2590-2618, src/miscutils.c:562-618), while
+    Spark's builtins of the same names EXTRACT an integer field.  A CQ
+    written for the reference means truncation, so bare calls rewrite
+    to the registered ``*_trunc`` equivalents — CQ SQL only; the
+    ad-hoc ``ctx.sql()`` surface keeps Spark semantics (use
+    ``extract(minute FROM ts)`` / ``date_part`` in a CQ for the
+    extraction meaning).  String/quoted regions are skipped."""
+    # _scan only yields positions OUTSIDE string/quoted regions
+    outside = {i for i, _c, _d in _scan(sql)}
+    out, last = [], 0
+    for m in _DATEPART_BARE.finditer(sql):
+        if m.start() not in outside:
+            continue  # inside a string literal / quoted identifier
+        out.append(sql[last:m.start()])
+        out.append(m.group(1).lower() + "_trunc" + m.group(2))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
             sw: str | None = None, step_factor: float = 5.0) -> CQPlan:
     # PostgreSQL composite field access over change rows — `(delta).n`,
     # `(new).x`, `(old).x` (reference delta_streams.sql) — normalizes
     # to Spark struct access `delta.n`
     sql = re.sub(r"\(\s*(old|new|delta)\s*\)\s*\.", r"\1.", sql)
+    sql = rewrite_datepart_truncs(sql)
     clauses = split_clauses(sql)
     if "SELECT" not in clauses or "FROM" not in clauses:
         raise CQError("continuous queries must be SELECT ... FROM ...")

@@ -1133,7 +1133,11 @@ class PipelineContext:
     def create_transform(self, name: str, sql: str,
                          outputfunc: Callable[[DataFrame], None] | None = None
                          ) -> Transform:
+        from pipelinedb_spark.analyzer import rewrite_datepart_truncs
         sql = self._rewrite_output_of(sql)
+        # bare year()/minute()/... are TRUNCATION in CQ SQL (reference
+        # parity; see analyzer.rewrite_datepart_truncs)
+        sql = rewrite_datepart_truncs(sql)
         clauses_stream = None
         for s in self.streams:
             if re.search(r"\b" + re.escape(s) + r"\b", sql):

@@ -293,14 +293,16 @@ def test_tdigest_finalize_is_arrow_batched_and_warning_free(spark):
 # ---------------------------------------------------------------------------
 
 def test_sw_lhs_offset_predicate_normalizes(ctx):
-    """Reference sw_ts_expr1: ``minute(ts) + interval '1 second' >
-    clock_timestamp() - interval '5 minute'`` is a sliding window of
-    width W + K over the LHS expression."""
+    """Reference sw_ts_expr1 VERBATIM (pipeline_regress.sql:183-185):
+    ``minute(ts) + interval '1 second' > clock_timestamp() - interval
+    '5 minute'`` is a sliding window of width W + K over the LHS
+    expression; bare ``minute()`` is the reference's truncation
+    function (rewritten to minute_trunc in CQ SQL)."""
     ctx.create_stream("swo", "x int")
     ctx.create_view(
         "sw_ts_expr1",
         "SELECT count(*) AS count FROM swo "
-        "WHERE minute_trunc(arrival_timestamp) + interval '1 second' > "
+        "WHERE minute(arrival_timestamp) + interval '1 second' > "
         "clock_timestamp() - interval '5 minute'")
     cv = ctx.views["sw_ts_expr1"]
     assert cv.plan.sw_column == "minute_trunc(arrival_timestamp)"
@@ -486,6 +488,37 @@ def test_sw_ticker_state_survives_restart(spark, tmp_path):
     ctx2.insert("tkr", [{"k": "a", "v": 2}])
     assert ctx2.tick_sw("cv_tkr", now=now + 2) == 1  # the update only
     ctx2.close()
+
+
+def test_bare_datepart_names_truncate_in_cq_sql(ctx):
+    """Reference parity: bare year()/month()/day()/hour()/minute()/
+    second() in CQ SQL are the reference's TRUNCATION functions
+    (pipelinedb--1.0.0.sql:2590-2618), not Spark's integer extracts —
+    sw_ts_expr2 (pipeline_regress.sql:187-190) runs verbatim."""
+    import datetime
+
+    ctx.create_stream("dpt", "x int")
+    ctx.create_view(
+        "sw_ts_expr2",
+        "SELECT minute(arrival_timestamp) AS minute, count(*) AS count "
+        "FROM dpt "
+        "WHERE minute(arrival_timestamp) > clock_timestamp() - "
+        "interval '5 minute' GROUP BY minute(arrival_timestamp)")
+    ctx.insert("dpt", [{"x": 1}, {"x": 1}])
+    ctx.insert("dpt", [{"x": 1}, {"x": 1}])
+    rows = ctx.read_view("sw_ts_expr2").collect()
+    assert sum(r["count"] for r in rows) == 4
+    # the group key is a truncated TIMESTAMP (seconds == 0), not an int
+    for r in rows:
+        assert isinstance(r["minute"], datetime.datetime)
+        assert r["minute"].second == 0 and r["minute"].microsecond == 0
+    # string literals are untouched by the rewrite
+    ctx.create_stream("dpt2", "s string")
+    ctx.create_view("dp_lit",
+                    "SELECT count(*) AS n FROM dpt2 "
+                    "WHERE s != 'minute(x)'")
+    ctx.insert("dpt2", [{"s": "minute(x)"}, {"s": "other"}])
+    assert ctx.read_view("dp_lit").collect()[0]["n"] == 1
 
 
 # ---------------------------------------------------------------------------
