@@ -484,7 +484,6 @@ def analyze(sql: str, stream_names: set[str], registry: AggRegistry = REGISTRY,
     # `(new).x`, `(old).x` (reference delta_streams.sql) — normalizes
     # to Spark struct access `delta.n`
     sql = re.sub(r"\(\s*(old|new|delta)\s*\)\s*\.", r"\1.", sql)
-    sql = rewrite_datepart_truncs(sql)
     clauses = split_clauses(sql)
     if "SELECT" not in clauses or "FROM" not in clauses:
         raise CQError("continuous queries must be SELECT ... FROM ...")

@@ -243,7 +243,15 @@ class ContView:
             step = float(plan.sw_step_seconds)
             if self.matrel.ensure_layout("step") == "step":
                 self._time_bucketed = True
-                self.matrel.bucket_expr_fn = lambda: F.floor(
+                # ROUND, not floor: STEP_COL is floor(e/step)*step
+                # round-tripped through microsecond timestamps, so for
+                # fractional steps (e.g. 2.1 s) the stored epoch sits
+                # ±µs around k*step and floor(epoch/step) lands in
+                # bucket k-1 for ~20% of steps — which would make
+                # manifest-level expiry/pruning drop in-window rows.
+                # epoch/step is always k ± 1e-9, never near .5, so
+                # round() recovers k exactly.
+                self.matrel.bucket_expr_fn = lambda: F.round(
                     ts_epoch(F.col(STEP_COL)) / F.lit(step)).cast("long")
         # matrel CHECK constraints: name -> boolean SQL expr over the
         # CV's user-visible columns (reference matrel_constraints.sql)
@@ -905,10 +913,6 @@ class PipelineContext:
         self._catalog: list[dict] = []
         # live PREPARE handles (prepared stream inserts)
         self._prepared: list["PreparedInsert"] = []
-        # derived delta-combine aggregate names per upstream view, so
-        # drop_view retires exactly its own __dcmb_* specs (a prefix
-        # match would also hit view 'a_b' when dropping view 'a')
-        self._dcmb_names: dict[str, set[str]] = {}
         from pipelinedb_spark.functions import register_sql_functions
         register_sql_functions(spark)
         self._load_catalog()
@@ -1053,6 +1057,14 @@ class PipelineContext:
         if name in self.views or name in self.transforms:
             raise CQError(f"continuous view {name} already exists")
         sql = self._rewrite_output_of(sql)
+        if not self._replaying:
+            # bare year()/minute()/... are TRUNCATION in CQ SQL
+            # (reference parity, sql:2590-2618).  Applied at CREATE
+            # only — the catalog stores the rewritten form, so a
+            # pre-rewrite catalog (whose bare names meant Spark
+            # extracts against an int-keyed matrel) replays verbatim
+            from pipelinedb_spark.analyzer import rewrite_datepart_truncs
+            sql = rewrite_datepart_truncs(sql)
         sql = self._rewrite_delta_combines(sql)
         plan = analyze(sql, set(self.streams), self.registry,
                        sw=sw, step_factor=step_factor)
@@ -1133,11 +1145,12 @@ class PipelineContext:
     def create_transform(self, name: str, sql: str,
                          outputfunc: Callable[[DataFrame], None] | None = None
                          ) -> Transform:
-        from pipelinedb_spark.analyzer import rewrite_datepart_truncs
         sql = self._rewrite_output_of(sql)
-        # bare year()/minute()/... are TRUNCATION in CQ SQL (reference
-        # parity; see analyzer.rewrite_datepart_truncs)
-        sql = rewrite_datepart_truncs(sql)
+        if not self._replaying:
+            # bare datepart truncation, CREATE-time only (see
+            # create_view) — replayed catalogs keep their stored form
+            from pipelinedb_spark.analyzer import rewrite_datepart_truncs
+            sql = rewrite_datepart_truncs(sql)
         clauses_stream = None
         for s in self.streams:
             if re.search(r"\b" + re.escape(s) + r"\b", sql):
@@ -1312,9 +1325,7 @@ class PipelineContext:
         # with a different aggregate under the same output column must
         # rebind the derived spec (a stale spec would zip the new
         # state-field args against the old suffixes and silently
-        # mis-merge); the per-upstream name set below lets drop_view
-        # retire exactly this upstream's derived specs
-        self._dcmb_names.setdefault(up, set()).add(fname)
+        # mis-merge)
         suffixes = list(spec.partial(call.args).keys())
         cargs = list(call.args)
 
@@ -1444,11 +1455,14 @@ class PipelineContext:
         cv = self.views.pop(name, None)
         if cv:
             cv.matrel.drop()
-            # retire this upstream's derived delta-combine aggregates:
-            # a recreated view with a different aggregate under the
-            # same output column must not inherit the stale spec
-            for fname in self._dcmb_names.pop(name, ()):
-                self.registry.unregister(fname)
+            # derived __dcmb_* specs stay REGISTERED on purpose: the
+            # registry is process-global by default, so unregistering
+            # here would break an identically-named derived spec in
+            # another live context.  Staleness is handled where it
+            # matters — _register_delta_combine re-registers
+            # unconditionally when a downstream is (re)created, so a
+            # recreated upstream with a different aggregate under the
+            # same column rebinds correctly.
             for sd in self.streams.values():
                 if name in sd.readers:
                     sd.readers.remove(name)
@@ -1510,9 +1524,16 @@ class PipelineContext:
                              reader.sql)
             # rewritten delta-combines embed the upstream view name in
             # the derived aggregate token — carry it to the new name
-            # and re-register so replay (and this session) resolve it
-            new_sql = re.sub(rf"(?i)\b__dcmb_{re.escape(old)}_",
-                             f"__dcmb_{new}_", new_sql)
+            # and re-register so replay (and this session) resolve it.
+            # EXACT tokens only (view name + a real aggregate column of
+            # the renamed view): a blind `__dcmb_{old}_` prefix sub
+            # would also corrupt a prefix-named sibling's tokens
+            # (__dcmb_a_b_n while renaming view 'a')
+            for call in cv.plan.aggs:
+                tok_old = f"__dcmb_{old}_{call.out}".lower()
+                tok_new = f"__dcmb_{new}_{call.out}".lower()
+                new_sql = re.sub(rf"(?i)\b{re.escape(tok_old)}\s*\(",
+                                 tok_new + "(", new_sql)
             reader.sql = new_sql
             if "__dcmb_" in new_sql:
                 self._rewrite_delta_combines(new_sql)
@@ -1521,12 +1542,7 @@ class PipelineContext:
                         and rec["name"] == reader.name:
                     rec["sql"] = new_sql
         # old-name derived delta-combine specs stay REGISTERED — live
-        # downstream plans in this session were analyzed against them;
-        # fold their names under the new key so dropping the renamed
-        # view retires both generations
-        if old in self._dcmb_names:
-            self._dcmb_names.setdefault(new, set()) \
-                .update(self._dcmb_names.pop(old))
+        # downstream plans in this session were analyzed against them
         for rec in self._catalog:
             if rec["kind"] == "view" and rec["name"] == old:
                 rec["name"] = new
@@ -2251,7 +2267,14 @@ class PipelineContext:
                    .select("old", "new"))
         cv.reap(now=now)
         n = self._emit_osrel(f"{name}_osrel", changes, 0)
-        # emission consumed both snapshots; promote the new one
+        # emission consumed both snapshots; promote the new one.  The
+        # promotion is not atomic with the emission write: a crash in
+        # between re-diffs against the pre-emission snapshot next tick
+        # and re-emits that tick's changes — the same at-least-once
+        # window as the foreachBatch epoch marker (and the reference's
+        # tick cache, which is memory-only and re-emits EVERYTHING on
+        # restart, combiner.c:78-96; persisting the snapshot at all is
+        # strictly stronger than the reference contract).
         shutil.rmtree(snap, ignore_errors=True)
         os.rename(new_snap, snap)
         return n

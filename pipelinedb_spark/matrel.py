@@ -109,7 +109,10 @@ class MatrelStore:
                for p in m["buckets"].values()}
         m["dirs"] = {d: i for d, i in m.get("dirs", {}).items() if d in ref}
         self._write_manifest(m)
-        self._gc(keep_version=m["version"])
+        # keep_last=0: a bucket drop dereferences dirs regardless of
+        # version recency; the dereference-time grace (marker stamp on
+        # this pass, unlink on a later sweep) protects in-flight reads
+        self._gc(keep_version=m["version"], keep_last=0)
         return n
 
     # -- manifest ----------------------------------------------------------
@@ -395,7 +398,16 @@ class MatrelStore:
     def _gc(self, keep_version: int, keep_last: int = 2) -> None:
         """Drop version dirs no longer referenced — keeping a small
         version tail AND a time grace (``gc_grace_seconds``) for
-        in-flight readers whose lazy plans still hold the old paths."""
+        in-flight readers whose lazy plans still hold the old paths.
+
+        The grace clock starts at DEREFERENCE time, not dir creation:
+        a dir can leave the manifest long after it was written (a SW
+        step bucket expires a whole window later), and the reader at
+        risk is one that planned against the manifest just before the
+        swap.  The first GC pass that finds a dir unreferenced stamps
+        a ``.unref_ts`` marker inside it (dot-prefixed: Spark file
+        listings skip it) and leaves the files; a later pass deletes
+        the dir once the stamp is older than the grace."""
         live_dirs = {os.path.relpath(p, self.dir).split(os.sep)[0]
                      for p in self._read_manifest()["buckets"].values()}
         now = time.time()
@@ -406,16 +418,40 @@ class MatrelStore:
                 v = int(entry[1:])
             except ValueError:
                 continue
-            if entry in live_dirs or v >= keep_version - keep_last:
+            if entry in live_dirs:
                 continue
+            if v > keep_version:
+                # in-flight commit: dir written, manifest not yet
+                # swapped — never eligible regardless of keep_last
+                continue
+            if keep_last and v >= keep_version - keep_last:
+                continue  # version tail (commit-path reader safety)
             path = os.path.join(self.dir, entry)
             if self.gc_grace_seconds > 0:
+                marker = os.path.join(path, ".unref_ts")
                 try:
-                    if now - os.path.getmtime(path) < self.gc_grace_seconds:
-                        continue  # possibly still scanned; next GC
+                    with open(marker) as f:
+                        unref_at = float(f.read().strip() or now)
                 except OSError:
-                    pass
+                    try:
+                        with open(marker, "w") as f:
+                            f.write(repr(now))
+                    except OSError:
+                        pass
+                    continue  # grace starts now; delete on a later pass
+                if now - unref_at < self.gc_grace_seconds:
+                    continue  # possibly still scanned
             shutil.rmtree(path, ignore_errors=True)
+
+    def gc_sweep(self) -> None:
+        """Re-run GC without a commit (background maintenance): deletes
+        unreferenced dirs whose unreference grace has expired.  Cheap —
+        a listdir plus marker reads, no data IO.  keep_last=0: reader
+        safety comes from the dereference-time grace here, not the
+        commit-path version tail (a grace of 0 means the caller
+        declared there are no concurrent readers)."""
+        self._gc(keep_version=self._read_manifest()["version"],
+                 keep_last=0)
 
     def rename(self, new_name: str) -> None:
         """Move the store to a sibling directory and rewrite manifest

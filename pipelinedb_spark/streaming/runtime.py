@@ -278,6 +278,10 @@ class TTLReaper:
                         if cv.matrel.maybe_compact(
                                 self.compact_stale_ratio):
                             self.compactions += 1
+                        # deferred unlink of dirs whose unreference
+                        # grace expired (quiescent stores commit
+                        # nothing, so only this sweep reclaims them)
+                        cv.matrel.gc_sweep()
             except Exception as exc:
                 # keep reaping other views; next cycle retries this
                 # one — but count and log so a persistently failing

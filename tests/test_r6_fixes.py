@@ -522,6 +522,130 @@ def test_bare_datepart_names_truncate_in_cq_sql(ctx):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 code-review regressions
+# ---------------------------------------------------------------------------
+
+def test_sw_fractional_step_buckets_exact(ctx):
+    """Fractional SW steps (e.g. 42 s window → 2.1 s step) must bucket
+    every row to its exact step id: floor(epoch/step) over the
+    µs-round-tripped STEP misbucketed ~20% of steps, making manifest
+    expiry drop in-window rows."""
+    import datetime
+
+    ctx.create_stream("frs", "k string")
+    ctx.create_view(
+        "cv_frs",
+        "SELECT k, count(*) AS n FROM frs "
+        "WHERE arrival_timestamp > clock_timestamp() - interval "
+        "'42 seconds' GROUP BY k")
+    cv = ctx.views["cv_frs"]
+    step = float(cv.plan.sw_step_seconds)
+    assert cv._time_bucketed and abs(step - 2.1) < 1e-9
+    t0 = time.time()
+    # rows spread across many fractional steps, all in-window
+    rows = [{"k": "a", "arrival_timestamp":
+             datetime.datetime.utcfromtimestamp(t0 - off)}
+            for off in [0.0, 2.5, 5.3, 8.4, 11.9, 14.7, 18.9, 21.0,
+                        25.2, 29.4, 33.6, 37.8]]
+    ctx.insert("frs", rows)
+    # every bucket id must be the exact step id of some row
+    ids = set(cv.matrel.bucket_ids())
+    expect = {int(round(((t0 - off) // step) * step / step))
+              for off in [0.0, 2.5, 5.3, 8.4, 11.9, 14.7, 18.9, 21.0,
+                          25.2, 29.4, 33.6, 37.8]}
+    assert ids == expect, (sorted(ids), sorted(expect))
+    # nothing in-window may be lost by reap or the pruned read
+    assert ctx.reap_ttl("cv_frs", now=t0) == 0
+    assert ctx.read_view("cv_frs", at=t0).collect()[0]["n"] == len(rows)
+
+
+def test_gc_grace_runs_from_dereference_time(spark, tmp_path):
+    """The GC grace clock starts when a dir becomes UNREFERENCED, not
+    when it was written: an old dir dropped from the manifest must
+    survive one grace window (a reader may have planned against it a
+    moment ago), then reclaim on a later sweep."""
+    import os
+
+    from pipelinedb_spark.matrel import MatrelStore
+
+    ms = MatrelStore(spark, str(tmp_path), "g1", num_buckets=4)
+    ms.gc_grace_seconds = 0.5
+    ms.ensure_layout("step")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "x int, __bucket int")
+    ms._commit(df, [10, 20])
+    vdir = next(e for e in os.listdir(ms.dir) if e.startswith("v"))
+    # simulate an OLD dir: written long before the drop
+    os.utime(os.path.join(ms.dir, vdir), (0, 0))
+    ms.drop_buckets([10, 20])
+    # grace: still on disk right after the drop despite ancient mtime
+    assert os.path.isdir(os.path.join(ms.dir, vdir))
+    time.sleep(0.6)
+    ms.gc_sweep()
+    assert not os.path.isdir(os.path.join(ms.dir, vdir))
+
+
+def test_datepart_rewrite_skips_catalog_replay(spark, tmp_path):
+    """A pre-rewrite catalog whose bare hour() meant Spark's integer
+    extract must replay VERBATIM — the truncation rewrite applies at
+    CREATE only (the catalog stores the rewritten form)."""
+    import json
+    import os
+
+    from pipelinedb_spark import PipelineContext
+
+    root = str(tmp_path / "dprep")
+    ctx = PipelineContext(spark, root=root, num_buckets=4)
+    ctx.create_stream("dps", "x int")
+    # simulate a pre-r6 catalog record with a bare extract-meaning call
+    ctx._catalog.append({
+        "kind": "view", "name": "old_cv",
+        "sql": "SELECT hour(arrival_timestamp) AS h, count(*) AS n "
+               "FROM dps GROUP BY hour(arrival_timestamp)",
+        "opts": {"sw": None, "step_factor": 5.0, "ttl": None,
+                 "ttl_column": None, "pk": None}})
+    ctx._catalog_flush()
+
+    ctx2 = PipelineContext(spark, root=root, num_buckets=4)
+    ctx2.insert("dps", [{"x": 1}])
+    r = ctx2.read_view("old_cv").collect()[0]
+    assert isinstance(r["h"], int)  # Spark extract, NOT truncation
+    # while a freshly CREATED view gets the reference truncation
+    ctx2.create_view("new_cv",
+                     "SELECT hour(arrival_timestamp) AS h, count(*) "
+                     "AS n FROM dps GROUP BY hour(arrival_timestamp)")
+    ctx2.insert("dps", [{"x": 2}])
+    import datetime
+    r2 = ctx2.read_view("new_cv").collect()[0]
+    assert isinstance(r2["h"], datetime.datetime)
+    ctx2.close()
+
+
+def test_rename_view_does_not_corrupt_sibling_dcmb_tokens(ctx):
+    """Renaming upstream 'a' must rewrite only __dcmb_a_<col-of-a>
+    tokens — a blind prefix sub would also hit sibling view 'a_b'
+    tokens in a multi-osrel reader."""
+    ctx.create_stream("rns2", "k string, v long")
+    ctx.create_view("ra", "SELECT k, sum(v) AS x FROM rns2 GROUP BY k")
+    ctx.create_view("ra_b", "SELECT k, count(*) AS n FROM rns2 GROUP BY k")
+    sql = ("SELECT combine((o1.delta).x) AS x, combine((o2.delta).n) "
+           "AS n FROM ra_osrel o1 JOIN ra_b_osrel o2 "
+           "ON (o1.new).k = (o2.new).k")
+    rewritten = ctx._rewrite_delta_combines(sql)
+    assert "__dcmb_ra_x" in rewritten and "__dcmb_ra_b_n" in rewritten
+    # simulate the rename rewrite over the stored reader SQL
+    import re as _re
+    cv = ctx.views["ra"]
+    out = rewritten
+    for call in cv.plan.aggs:
+        tok_old = f"__dcmb_ra_{call.out}".lower()
+        tok_new = f"__dcmb_rz_{call.out}".lower()
+        out = _re.sub(rf"(?i)\b{_re.escape(tok_old)}\s*\(",
+                      tok_new + "(", out)
+    assert "__dcmb_rz_x" in out
+    assert "__dcmb_ra_b_n" in out  # sibling token untouched
+
+
+# ---------------------------------------------------------------------------
 # Concurrent inserts (reference test_stream_buffer.py analog)
 # ---------------------------------------------------------------------------
 
