@@ -3,12 +3,14 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 The container has no codec libraries.  Container-HEADER metadata
 (PNG/JPEG/GIF/WAV) and pixel decode of BMP, binary PPM, PNG (DEFLATE
-via stdlib ``zlib`` + scanline unfilter), and GIF (pure-Python LZW)
-are real, dependency-free byte/numpy parsing; only JPEG pixel decode
-(Huffman + IDCT — a genuine codec) remains behind
-``NotImplementedError`` — the Spark-side plumbing (schemas, batch
-iteration, partition sizing, UDF signatures) is exactly what a
-production deployment keeps, swapping the JPEG branch for PIL/ffmpeg.
+via stdlib ``zlib`` + scanline unfilter), GIF (pure-Python LZW), and
+baseline JPEG (operators/jpeg.py — Huffman entropy decode + vectorized
+IDCT) are all real, dependency-free byte/numpy parsing.  Only rare
+sub-formats (progressive/arithmetic JPEG, Adam7-interlaced PNG,
+interlaced GIF, 16-bit depths) remain behind ``NotImplementedError``
+— the Spark-side plumbing (schemas, batch iteration, partition
+sizing, UDF signatures) is exactly what a production deployment
+keeps, swapping those branches for PIL/ffmpeg.
 
 Scale notes: media blobs dominate row size, so ``media_partitions``
 repartitions by a size-aware key before the UDF to keep Arrow batches
@@ -429,19 +431,24 @@ def decode_gif_py(p: bytes):
     return None
 
 
-# JPEG is the one format still honestly gated: baseline JPEG needs
-# Huffman + IDCT + chroma upsampling — a real codec, not byte plumbing.
-_COMPRESSED_MAGIC = (b"\xff\xd8",)
+def decode_jpeg_py(p: bytes):
+    """Baseline JPEG → (h, w, c) uint8 array — full dependency-free
+    codec in operators/jpeg.py (Huffman entropy decode, dequant,
+    vectorized IDCT, chroma upsample, YCbCr→RGB).  Progressive /
+    arithmetic / 12-bit streams raise NotImplementedError there."""
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py as _dec
+    return _dec(p)
 
 
 def decode_pixels(df: DataFrame) -> DataFrame:
     """Pixel decode → per-image channel statistics, end-to-end with no
     codec libraries: 24-bit BMP, binary PPM, PNG (DEFLATE via stdlib
-    zlib), and GIF (pure-Python LZW) all decode for real.  Only JPEG
-    still raises NotImplementedError (baseline JPEG is Huffman + IDCT
-    — a genuine codec; swap the branch for PIL in production).
-    Unrecognized payloads yield a null-stats row (format NULL) rather
-    than failing the batch."""
+    zlib), GIF (pure-Python LZW), and baseline JPEG (operators/jpeg.py
+    — Huffman + vectorized IDCT) all decode for real.  Only the rare
+    sub-formats (progressive/arithmetic JPEG, Adam7 PNG, interlaced
+    GIF, 16-bit depths) raise NotImplementedError — swap the branch
+    for PIL in production.  Unrecognized payloads yield a null-stats
+    row (format NULL) rather than failing the batch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         null_row = (None,) * 8
@@ -454,7 +461,8 @@ def decode_pixels(df: DataFrame) -> DataFrame:
                 for fmt, fn in (("bmp", decode_bmp_py),
                                 ("ppm", decode_ppm_py),
                                 ("png", decode_png_py),
-                                ("gif", decode_gif_py)):
+                                ("gif", decode_gif_py),
+                                ("jpg", decode_jpeg_py)):
                     a = fn(p)
                     if a is not None:
                         return fmt, a
@@ -471,10 +479,6 @@ def decode_pixels(df: DataFrame) -> DataFrame:
                     rows.append((mid,) + null_row)
                     continue
                 p = bytes(p)
-                if p.startswith(_COMPRESSED_MAGIC):
-                    raise NotImplementedError(
-                        "JPEG pixel decode requires codec libraries "
-                        "absent from this container")
                 fmt, arr = decode_one(p)
                 if arr is None:
                     rows.append((mid,) + null_row)

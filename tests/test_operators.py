@@ -369,14 +369,14 @@ def test_decode_pixels_bmp_ppm_end_to_end(spark):
             assert r[name] == pytest.approx(
                 img[:, :, ch].mean(), rel=1e-12)
     assert got[3]["format"] is None and got[3]["px_sum"] is None
-    # JPEG (the one remaining codec-gated format) → honest
-    # NotImplementedError; PNG/GIF now decode for real (see
-    # test_decode_pixels_png_gif_end_to_end)
+    # a truncated JPEG (no scan) is corrupt, not codec-gated → null
+    # row; only rare sub-formats raise (progressive gate covered in
+    # test_decode_jpeg_420_restart_and_progressive_gate)
     jpg = spark.createDataFrame(
         [(9, "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32))],
         "media_id long, kind string, payload binary")
-    with pytest.raises(Exception, match="codec"):
-        decode_pixels(jpg).collect()
+    r = decode_pixels(jpg).collect()[0]
+    assert r["format"] is None and r["px_sum"] is None
 
 
 def _make_png(arr, ctype, filters=None, palette=None):
@@ -495,6 +495,256 @@ def _make_gif(indices, palette, min_code_size=None):
     return bytes(out)
 
 
+def _make_jpeg(rgb, subsample=False, quant=None, restart=0):
+    """Minimal baseline-JPEG encoder (test oracle): float FDCT,
+    canonical Huffman tables built from the actual symbol set, 4:4:4
+    or 4:2:0, optional restart intervals.  With quant=1 the decoder
+    must reproduce pixels within DCT float-roundtrip error (±2)."""
+    import numpy as np
+    from pipelinedb_spark.operators.jpeg import ZIGZAG, _DCT_A
+
+    arr = np.asarray(rgb, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int32)
+
+    if gray:
+        planes = [arr - 128.0]
+        samp = [(1, 1)]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        if subsample:  # 4:2:0 — chroma averaged 2×2
+            def down(pl):
+                ph = pl[:h - h % 2 or h, :w - w % 2 or w] if False else pl
+                eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+                pad = np.pad(pl, ((0, eh - h), (0, ew - w)), mode="edge")
+                return pad.reshape(eh // 2, 2, ew // 2, 2).mean((1, 3))
+            planes = [y - 128, down(cb) - 128, down(cr) - 128]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128, cb - 128, cr - 128]
+            samp = [(1, 1)] * 3
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-plane 8x8 quantized coefficient blocks, MCU-padded
+    blocks = []
+    for pl, (sh, sv) in zip(planes, samp):
+        bw, bh = mcux * sh, mcuy * sv
+        pad = np.zeros((bh * 8, bw * 8))
+        ph, pw = pl.shape
+        pad[:ph, :pw] = pl
+        pad[ph:, :pw] = pl[-1:, :]           # edge-replicate padding
+        pad[:, pw:] = pad[:, pw - 1:pw]
+        blk = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ik,yxkl,jl->yxij", _DCT_A, blk, _DCT_A)
+        blocks.append(np.round(coef / quant).astype(np.int32))
+
+    def cat(v):
+        return int(abs(v)).bit_length()
+
+    # gather symbols, walk blocks in MCU order collecting (sym, extra)
+    dc_syms, ac_syms = [set() for _ in planes], [set() for _ in planes]
+    events = []  # (comp, kind, sym, extra_bits, n_extra) or ("rst",)
+    preds = [0] * len(planes)
+    zz = ZIGZAG
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            events.append(("rst", (m // restart - 1) % 8))
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (blk, (sh, sv)) in enumerate(zip(blocks, samp)):
+            for by in range(sv):
+                for bx in range(sh):
+                    bb = blk[my * sv + by, mx * sh + bx]
+                    seq = bb.reshape(64)[zz]
+                    diff = int(seq[0]) - preds[ci]
+                    preds[ci] = int(seq[0])
+                    t = cat(diff)
+                    extra = diff if diff >= 0 else diff + (1 << t) - 1
+                    dc_syms[ci].add(t)
+                    events.append((ci, "dc", t, extra, t))
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(seq[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ac_syms[ci].add(0xF0)
+                            events.append((ci, "ac", 0xF0, 0, 0))
+                            run -= 16
+                        s = cat(v)
+                        extra = v if v >= 0 else v + (1 << s) - 1
+                        sym = (run << 4) | s
+                        ac_syms[ci].add(sym)
+                        events.append((ci, "ac", sym, extra, s))
+                        run = 0
+                    if run:
+                        ac_syms[ci].add(0x00)
+                        events.append((ci, "ac", 0x00, 0, 0))
+
+    def build_table(syms, min_len=2):
+        """Canonical fixed-length table: n symbols at length L
+        (all-ones code never used since n ≤ 2^L - 1)."""
+        syms = sorted(syms)
+        L = max(min_len, (len(syms) + 1).bit_length())
+        bits = [0] * 16
+        bits[L - 1] = len(syms)
+        codes = {s: (i, L) for i, s in enumerate(syms)}
+        return bits, syms, codes
+
+    # use one DC + one AC table per "class" like real encoders: table
+    # 0 for component 0, table 1 shared by chroma
+    def comp_tid(ci):
+        return 0 if ci == 0 else 1
+
+    dc_tabs, ac_tabs = {}, {}
+    for tid in {comp_tid(ci) for ci in range(len(planes))}:
+        ds = set().union(*[dc_syms[ci] for ci in range(len(planes))
+                           if comp_tid(ci) == tid])
+        as_ = set().union(*[ac_syms[ci] for ci in range(len(planes))
+                            if comp_tid(ci) == tid])
+        dc_tabs[tid] = build_table(ds or {0})
+        # min_len 10 on chroma AC exercises the decoder's >8-bit path
+        ac_tabs[tid] = build_table(as_ or {0}, min_len=10 if tid else 2)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(marker + (len(body) + 2).to_bytes(2, "big") + body)
+
+    qzz = np.asarray(quant).reshape(64)[  # natural → zigzag order
+        np.argsort(zz)] if False else np.asarray(quant).reshape(64)
+    # DQT stores coefficients in zigzag scan order
+    qbody = bytes([0]) + bytes(int(np.asarray(quant).reshape(64)[z])
+                               for z in zz)
+    seg(b"\xff\xdb", qbody)
+    nc = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    seg(b"\xff\xc0", sof)
+    for tid, (bits, syms, _) in dc_tabs.items():
+        seg(b"\xff\xc4", bytes([tid]) + bytes(bits) + bytes(syms))
+    for tid, (bits, syms, _) in ac_tabs.items():
+        seg(b"\xff\xc4", bytes([0x10 | tid]) + bytes(bits) + bytes(syms))
+    if restart:
+        seg(b"\xff\xdd", restart.to_bytes(2, "big"))
+    sos = bytes([nc])
+    for ci in range(nc):
+        tid = comp_tid(ci)
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    seg(b"\xff\xda", sos)
+
+    acc, bits_n = 0, 0
+
+    def put(code, ln):
+        nonlocal acc, bits_n
+        acc = (acc << ln) | code
+        bits_n += ln
+        while bits_n >= 8:
+            byte = (acc >> (bits_n - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            bits_n -= 8
+        acc &= (1 << bits_n) - 1
+
+    def flush():
+        nonlocal acc, bits_n
+        if bits_n:
+            put((1 << (8 - bits_n)) - 1, 8 - bits_n)  # pad with 1s
+
+    for ev in events:
+        if ev[0] == "rst":
+            flush()
+            out.extend(bytes([0xFF, 0xD0 + ev[1]]))
+            continue
+        ci, kind, sym, extra, n_extra = ev
+        tabs = dc_tabs if kind == "dc" else ac_tabs
+        code, ln = tabs[comp_tid(ci)][2][sym]
+        put(code, ln)
+        if n_extra:
+            put(extra, n_extra)
+    flush()
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_decode_jpeg_baseline_444_and_gray():
+    """Baseline JPEG decode (pure numpy Huffman+IDCT): with unit
+    quant tables the roundtrip error is DCT float noise only (≤2)."""
+    import numpy as np
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    rng = np.random.RandomState(21)
+    # smooth low-amplitude image keeps coefficients in baseline range
+    base = rng.randint(88, 168, (3, 4, 3)).repeat(8, 0).repeat(8, 1)
+    img = np.clip(base + rng.randint(-6, 7, base.shape), 0, 255)
+    got = decode_jpeg_py(_make_jpeg(img))
+    assert got.shape == img.shape
+    # DCT float noise ±1, two roundings through YCbCr ±2 more
+    assert np.max(np.abs(got.astype(int) - img)) <= 4
+    # grayscale, non-multiple-of-8 dims (edge-replicated padding)
+    g = np.clip(rng.randint(90, 160, (3, 2)).repeat(7, 0).repeat(9, 1)
+                + rng.randint(-5, 6, (21, 18)), 0, 255)
+    got = decode_jpeg_py(_make_jpeg(g))
+    assert got.shape == (21, 18, 1)
+    assert np.max(np.abs(got[..., 0].astype(int) - g)) <= 2
+    assert decode_jpeg_py(b"not a jpeg") is None
+
+
+def test_decode_jpeg_420_restart_and_progressive_gate():
+    """4:2:0 subsampling (constant chroma → exact after upsample),
+    restart intervals, and the honest progressive/SOF2 gate."""
+    import numpy as np
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    rng = np.random.RandomState(5)
+    # luma varies, chroma constant: nearest-upsample introduces no
+    # chroma error, so tolerance stays DCT-noise tight
+    ylum = np.clip(rng.randint(90, 166, (4, 2)).repeat(8, 0)
+                   .repeat(16, 1) + rng.randint(-5, 6, (32, 32)),
+                   20, 235).astype(np.float64)
+    img = np.stack([ylum + 1.402 * 20, ylum - 0.344136 * (-10)
+                    - 0.714136 * 20, ylum + 1.772 * (-10)], axis=-1)
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    got = decode_jpeg_py(_make_jpeg(img, subsample=True, restart=2))
+    assert got.shape == img.shape
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+    # real quant tables: smooth image survives q≈unity-scaled luma
+    quant = np.clip(np.array(
+        [[16, 11, 10, 16, 24, 40, 51, 61],
+         [12, 12, 14, 19, 26, 58, 60, 55],
+         [14, 13, 16, 24, 40, 57, 69, 56],
+         [14, 17, 22, 29, 51, 87, 80, 62],
+         [18, 22, 37, 56, 68, 109, 103, 77],
+         [24, 35, 55, 64, 81, 104, 113, 92],
+         [49, 64, 78, 87, 103, 121, 120, 101],
+         [72, 92, 95, 98, 112, 100, 103, 99]]) // 8, 1, None)
+    smooth = np.full((24, 24, 3), 128, dtype=np.uint8)
+    smooth[:, :, 0] = np.linspace(100, 156, 24).astype(np.uint8)[None, :]
+    got = decode_jpeg_py(_make_jpeg(smooth, quant=quant))
+    assert np.max(np.abs(got.astype(int) - smooth.astype(int))) <= 8
+    # progressive (SOF2) stays honestly gated
+    prog = bytearray(_make_jpeg(smooth))
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_py(bytes(prog))
+
+
 def test_decode_png_all_filters_and_color_types():
     """PNG decode (stdlib zlib + unfilter) reproduces ground-truth
     pixels exactly across every filter type and color type."""
@@ -559,9 +809,13 @@ def test_decode_pixels_png_gif_end_to_end(spark):
     pal = rng.randint(0, 256, (8, 3))
     gif_idx = rng.randint(0, 8, (5, 5))
     gif_img = pal[gif_idx]
+    jpg_img = np.clip(rng.randint(95, 160, (2, 2, 3))
+                      .repeat(8, 0).repeat(8, 1)
+                      + rng.randint(-4, 5, (16, 16, 3)), 0, 255)
     rows = [(1, "image", bytearray(_make_png(png_img, 2,
                                              filters=[0, 1, 2, 3, 4, 2]))),
-            (2, "image", bytearray(_make_gif(gif_idx, pal)))]
+            (2, "image", bytearray(_make_gif(gif_idx, pal))),
+            (3, "image", bytearray(_make_jpeg(jpg_img)))]
     df = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary")
     got = {r["media_id"]: r for r in decode_pixels(df).collect()}
@@ -574,6 +828,12 @@ def test_decode_pixels_png_gif_end_to_end(spark):
         for ch, name in enumerate(["mean_r", "mean_g", "mean_b"]):
             assert r[name] == pytest.approx(
                 img[:, :, ch].mean(), rel=1e-12)
+    # JPEG is lossy: means within the DCT/YCbCr roundtrip tolerance
+    r = got[3]
+    assert r["format"] == "jpg"
+    assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
+    for ch, name in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert r[name] == pytest.approx(jpg_img[:, :, ch].mean(), abs=2)
 
 
 def test_lsh_skew_guard_bounds_hot_buckets(spark, sf_dir):
