@@ -453,33 +453,15 @@ def decode_pixels(df: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         null_row = (None,) * 8
 
-        def decode_one(p: bytes):
-            """(fmt, arr) or (None, None) — a truncated/corrupt
-            container is treated like any unrecognized payload (null
-            row), never a batch-killing exception."""
-            try:
-                for fmt, fn in (("bmp", decode_bmp_py),
-                                ("ppm", decode_ppm_py),
-                                ("png", decode_png_py),
-                                ("gif", decode_gif_py),
-                                ("jpg", decode_jpeg_py)):
-                    a = fn(p)
-                    if a is not None:
-                        return fmt, a
-            except NotImplementedError:
-                raise  # honest stub for unsupported sub-formats
-            except (ValueError, IndexError, TypeError):
-                pass  # corrupt container → null-stats row
-            return None, None
-
+        # _decode_any: corrupt containers → (None, None) → null row;
+        # only honestly-gated sub-formats raise
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     rows.append((mid,) + null_row)
                     continue
-                p = bytes(p)
-                fmt, arr = decode_one(p)
+                fmt, arr = _decode_any(bytes(p))
                 if arr is None:
                     rows.append((mid,) + null_row)
                     continue
@@ -497,6 +479,233 @@ def decode_pixels(df: DataFrame) -> DataFrame:
                                               PIXEL_STATS_SCHEMA.fields])
 
     return df.mapInPandas(kernel, PIXEL_STATS_SCHEMA)
+
+
+def _decode_any(p: bytes):
+    """(fmt, array) via the dependency-free decoders, or (None, None)
+    for unrecognized/corrupt payloads."""
+    try:
+        for fmt, fn in (("bmp", decode_bmp_py), ("ppm", decode_ppm_py),
+                        ("png", decode_png_py), ("gif", decode_gif_py),
+                        ("jpg", decode_jpeg_py)):
+            a = fn(p)
+            if a is not None:
+                return fmt, a
+    except NotImplementedError:
+        raise
+    except (ValueError, IndexError, TypeError):
+        pass
+    return None, None
+
+
+def resize_bilinear_py(arr, out_h: int, out_w: int):
+    """(h, w, c) uint8 → (out_h, out_w, c) uint8, bilinear with
+    edge-clamped half-pixel centers (align_corners=False — the
+    convention of the mainstream tensor libraries).  Fully vectorized:
+    two gathers + lerp, no Python pixel loop."""
+    import numpy as np
+    h, w = arr.shape[:2]
+    # source coordinate of each output pixel center
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = arr[y0][:, x0].astype(np.float64)
+    b = arr[y0][:, x1].astype(np.float64)
+    c = arr[y1][:, x0].astype(np.float64)
+    d = arr[y1][:, x1].astype(np.float64)
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),   # raw HWC uint8
+])
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Decode → bilinear-resize to a fixed (out_h, out_w) → raw HWC
+    uint8 tensor bytes: the image side of a training-data pipeline
+    (every sample the same shape, ready for batching).  Grayscale/
+    palette inputs are expanded to their natural channel count;
+    unrecognized payloads yield a null-pixels row.
+
+    Scale shape: mapInPandas over size-aware partitions
+    (``media_partitions``); output rows are out_h*out_w*c bytes, so
+    downstream writers see fixed-size records regardless of source
+    image dimensions."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fmt = arr = None
+                if p is not None:
+                    fmt, arr = _decode_any(bytes(p))
+                if arr is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                res = resize_bilinear_py(arr, out_h, out_w)
+                rows.append((mid, fmt, out_w, out_h, res.shape[2],
+                             res.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def decode_wav_py(p: bytes):
+    """RIFF/WAVE PCM → (samples float64 in [-1, 1] shaped (n, ch),
+    sample_rate).  8/16/32-bit integer and 32/64-bit float PCM.
+    Returns None when the payload is not a WAV; raises
+    NotImplementedError for compressed codecs (ADPCM, mp3-in-wav)."""
+    import numpy as np
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i, fmt_code, channels, rate, bits = 12, None, None, None, None
+    data = None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        clen = int.from_bytes(p[i + 4:i + 8], "little")
+        if cid == b"fmt ":
+            fmt_code = int.from_bytes(p[i + 8:i + 10], "little")
+            channels = int.from_bytes(p[i + 10:i + 12], "little")
+            rate = int.from_bytes(p[i + 12:i + 16], "little")
+            bits = int.from_bytes(p[i + 22:i + 24], "little")
+        elif cid == b"data":
+            data = p[i + 8:i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if fmt_code is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    if fmt_code not in (1, 3):  # PCM / IEEE float
+        raise NotImplementedError(
+            f"WAV format {fmt_code}: only PCM and float decode "
+            "without codec libraries")
+    if fmt_code == 3:
+        dt = {32: "<f4", 64: "<f8"}.get(bits)
+        if dt is None:
+            raise ValueError(f"invalid float WAV bit depth {bits}")
+        x = np.frombuffer(data, dtype=dt).astype(np.float64)
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8)
+             .astype(np.float64) - 128) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2**31
+    else:
+        raise NotImplementedError(f"{bits}-bit integer WAV")
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels), rate
+
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zero_cross_rate", T.DoubleType()),
+])
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """WAV PCM decode → per-clip audio statistics (duration, RMS,
+    peak, zero-crossing rate), dependency-free.  Non-WAV payloads
+    yield a null-stats row."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec = None
+                if p is not None:
+                    try:
+                        dec = decode_wav_py(bytes(p))
+                    except (ValueError, IndexError):
+                        dec = None
+                if dec is None:
+                    rows.append((mid,) + (None,) * 7)
+                    continue
+                x, rate = dec
+                mono = x.mean(axis=1)
+                zc = float(np.mean(np.signbit(mono[1:])
+                                   != np.signbit(mono[:-1]))) \
+                    if len(mono) > 1 else 0.0
+                rows.append((mid, rate, x.shape[1], x.shape[0],
+                             x.shape[0] / rate,
+                             float(np.sqrt((x ** 2).mean())),
+                             float(np.abs(x).max(initial=0.0)), zc))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("t_start_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_cross_rate", T.DoubleType()),
+])
+
+
+def audio_frame_features(df: DataFrame, frame_ms: int = 25,
+                         hop_ms: int = 10) -> DataFrame:
+    """Windowed audio features (RMS energy + zero-crossing rate per
+    frame) — the feature-extraction step of a speech pipeline, one
+    output row per frame.  Vectorized framing via stride tricks."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "t_start_s": [],
+                   "rms": [], "zero_cross_rate": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    dec = decode_wav_py(bytes(p)) if p is not None \
+                        else None
+                except (ValueError, IndexError):
+                    dec = None
+                if dec is None:
+                    continue  # frame explosion: skip non-audio rows
+                x, rate = dec
+                mono = x.mean(axis=1)
+                flen = max(1, rate * frame_ms // 1000)
+                hop = max(1, rate * hop_ms // 1000)
+                if len(mono) < flen:
+                    continue
+                nfr = 1 + (len(mono) - flen) // hop
+                frames = np.lib.stride_tricks.as_strided(
+                    mono, shape=(nfr, flen),
+                    strides=(mono.strides[0] * hop, mono.strides[0]))
+                rms = np.sqrt((frames ** 2).mean(axis=1))
+                zc = np.mean(np.signbit(frames[:, 1:])
+                             != np.signbit(frames[:, :-1]), axis=1)
+                out["media_id"].extend([mid] * nfr)
+                out["frame_idx"].extend(range(nfr))
+                out["t_start_s"].extend((np.arange(nfr) * hop
+                                         / rate).tolist())
+                out["rms"].extend(rms.tolist())
+                out["zero_cross_rate"].extend(zc.tolist())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, AUDIO_FRAMES_SCHEMA)
 
 
 def media_partitions(df: DataFrame, target_bytes: int = 64 << 20,

@@ -682,6 +682,138 @@ def _make_jpeg(rgb, subsample=False, quant=None, restart=0):
     return bytes(out)
 
 
+def _make_wav(samples, rate, bits=16, channels=1):
+    """Minimal RIFF/WAVE PCM writer (test oracle).  samples: float
+    array in [-1, 1], shape (n,) or (n, channels)."""
+    import numpy as np
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if bits == 16:
+        raw = np.clip(np.round(x * 32767), -32768, 32767) \
+            .astype("<i2").tobytes()
+    elif bits == 8:
+        raw = np.clip(np.round(x * 127 + 128), 0, 255) \
+            .astype(np.uint8).tobytes()
+    else:  # float32
+        raw = x.astype("<f4").tobytes()
+    fmt_code = 3 if bits == 32 else 1
+    block = channels * (bits // 8)
+    fmt = (fmt_code.to_bytes(2, "little")
+           + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_resize_bilinear_matches_reference_loop():
+    """Vectorized bilinear resize matches an independent per-pixel
+    reference (half-pixel centers, edge clamp); identity resize is
+    byte-exact."""
+    import numpy as np
+    from pipelinedb_spark.operators.multimodal import resize_bilinear_py
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (7, 5, 3)).astype(np.uint8)
+
+    def ref(arr, oh, ow):
+        h, w, c = arr.shape
+        out = np.zeros((oh, ow, c))
+        for oy in range(oh):
+            for ox in range(ow):
+                sy = (oy + 0.5) * h / oh - 0.5
+                sx = (ox + 0.5) * w / ow - 0.5
+                y0 = min(max(int(np.floor(sy)), 0), h - 1)
+                x0 = min(max(int(np.floor(sx)), 0), w - 1)
+                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                fy = min(max(sy - y0, 0.0), 1.0)
+                fx = min(max(sx - x0, 0.0), 1.0)
+                out[oy, ox] = (
+                    arr[y0, x0] * (1 - fy) * (1 - fx)
+                    + arr[y0, x1] * (1 - fy) * fx
+                    + arr[y1, x0] * fy * (1 - fx)
+                    + arr[y1, x1] * fy * fx)
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    for oh, ow in [(14, 10), (3, 2), (7, 5), (13, 4)]:
+        got = resize_bilinear_py(img, oh, ow)
+        assert np.array_equal(got, ref(img, oh, ow)), (oh, ow)
+    assert np.array_equal(resize_bilinear_py(img, 7, 5), img)
+
+
+def test_resize_images_end_to_end(spark):
+    """decode → bilinear resize → fixed-shape raw tensor bytes via
+    mapInPandas, across formats; non-images yield null-pixels rows."""
+    import numpy as np
+    from pipelinedb_spark.operators.multimodal import (
+        resize_bilinear_py, resize_images)
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (6, 4, 3))
+    rows = [(1, "image", bytearray(_make_png(img, 2))),
+            (2, "image", bytearray(_make_bmp(img))),
+            (3, "image", bytearray(b"junk"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in
+           resize_images(df, 8, 8).collect()}
+    want = resize_bilinear_py(img.astype(np.uint8), 8, 8)
+    for mid, fmt in [(1, "png"), (2, "bmp")]:
+        r = got[mid]
+        assert r["format"] == fmt
+        assert (r["height"], r["width"], r["channels"]) == (8, 8, 3)
+        arr = np.frombuffer(bytes(r["pixels"]),
+                            dtype=np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(arr, want)
+    assert got[3]["pixels"] is None and got[3]["format"] is None
+
+
+def test_decode_audio_and_frame_features(spark):
+    """WAV PCM decode → clip stats and windowed frame features, all
+    dependency-free; analytic sine-wave oracles."""
+    import numpy as np
+    from pipelinedb_spark.operators.multimodal import (
+        audio_frame_features, decode_audio, decode_wav_py)
+
+    rate, f, dur = 8000, 440.0, 0.5
+    t = np.arange(int(rate * dur)) / rate
+    sine = 0.5 * np.sin(2 * np.pi * f * t)
+    stereo = np.stack([sine, sine], axis=1)
+    rows = [(1, "audio", bytearray(_make_wav(sine, rate))),
+            (2, "audio", bytearray(_make_wav(stereo, rate,
+                                             channels=2))),
+            (3, "audio", bytearray(_make_wav(sine, rate, bits=32))),
+            (4, "audio", bytearray(b"not audio"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    for mid, ch in [(1, 1), (2, 2), (3, 1)]:
+        r = got[mid]
+        assert (r["sample_rate"], r["channels"]) == (rate, ch)
+        assert r["n_samples"] == len(sine)
+        assert r["duration_s"] == pytest.approx(dur)
+        assert r["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+        assert r["peak"] == pytest.approx(0.5, rel=1e-3)
+        # sine crosses zero 2f times per second
+        assert r["zero_cross_rate"] * rate == pytest.approx(
+            2 * f, rel=0.02)
+    assert got[4]["rms"] is None
+    # direct decode: float WAV roundtrips bit-near-exactly
+    x, r_ = decode_wav_py(_make_wav(sine, rate, bits=32))
+    assert r_ == rate and np.allclose(x[:, 0], sine, atol=1e-7)
+    # frame features: constant-amplitude sine → near-constant RMS
+    fr = audio_frame_features(df.filter("media_id = 1"),
+                              frame_ms=25, hop_ms=10).collect()
+    assert len(fr) == 1 + (len(sine) - rate * 25 // 1000) \
+        // (rate * 10 // 1000)
+    rms = np.array([r["rms"] for r in fr])
+    assert np.all(np.abs(rms - 0.5 / np.sqrt(2)) < 0.02)
+    assert fr[1]["t_start_s"] == pytest.approx(0.010)
+
+
 def test_decode_jpeg_baseline_444_and_gray():
     """Baseline JPEG decode (pure numpy Huffman+IDCT): with unit
     quant tables the roundtrip error is DCT float noise only (≤2)."""
