@@ -373,15 +373,22 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     return out
 
 
-def decode_gif_py(p: bytes):
-    """GIF (first frame) → (h, w, 3) uint8 RGB array, dependency-free:
-    GIF pixels are LZW, implemented above in pure Python.  Returns
-    None when the payload is not a GIF; raises NotImplementedError
-    for interlaced frames."""
+def decode_gif_frames_py(p: bytes, max_frames: int | None = None):
+    """GIF → list of composited (H, W, 3) uint8 RGB frames (the
+    logical-screen canvas after each image), dependency-free via the
+    pure-Python LZW above.  Handles sub-rectangle frames, local color
+    tables, transparency, and disposal none/keep (0/1) and
+    restore-background (2); returns None when the payload is not a
+    GIF; raises NotImplementedError for interlaced frames.  GIF is
+    the one animated container that decodes without codec libraries,
+    so the video frame-sampling path is REAL for it."""
     import numpy as np
     if p[:6] not in (b"GIF87a", b"GIF89a"):
         return None
+    W = int.from_bytes(p[6:8], "little")
+    H = int.from_bytes(p[8:10], "little")
     flags = p[10]
+    bg_index = p[11]
     gct = None
     i = 13
     if flags & 0x80:  # global color table
@@ -389,14 +396,27 @@ def decode_gif_py(p: bytes):
         gct = np.frombuffer(p, dtype=np.uint8, offset=13,
                             count=n * 3).reshape(n, 3)
         i += n * 3
+    bg_rgb = (gct[bg_index] if gct is not None
+              and bg_index < len(gct) else np.zeros(3, np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (H, W, 3)).copy()
+    frames: list[np.ndarray] = []
+    transparent = None   # per-upcoming-frame transparent index
+    disposal = 0
     while i < len(p):
         b0 = p[i]
-        if b0 == 0x21:  # extension: label + sub-blocks
+        if b0 == 0x21:  # extension
+            label = p[i + 1]
             i += 2
+            if label == 0xF9 and p[i] >= 4:  # graphic control
+                gfl = p[i + 1]
+                disposal = (gfl >> 2) & 0x07
+                transparent = p[i + 4] if gfl & 0x01 else None
             while p[i]:
                 i += 1 + p[i]
             i += 1
         elif b0 == 0x2C:  # image descriptor
+            left = int.from_bytes(p[i + 1:i + 3], "little")
+            top = int.from_bytes(p[i + 3:i + 5], "little")
             w = int.from_bytes(p[i + 5:i + 7], "little")
             h = int.from_bytes(p[i + 7:i + 9], "little")
             lflags = p[i + 9]
@@ -417,18 +437,37 @@ def decode_gif_py(p: bytes):
             while p[i]:
                 chunks.append(p[i + 1:i + 1 + p[i]])
                 i += 1 + p[i]
+            i += 1  # block terminator
             idx = _lzw_decode(b"".join(chunks), min_code)
             if len(idx) < w * h:
                 raise ValueError("truncated GIF pixel data")
             if ct is None:
                 raise ValueError("GIF frame without a color table")
             arr = np.asarray(idx[:w * h], dtype=np.int32).reshape(h, w)
-            return ct[arr]
+            rect = canvas[top:top + h, left:left + w]
+            if transparent is not None:
+                mask = arr != transparent
+                rect[mask] = ct[arr[mask]]
+            else:
+                rect[...] = ct[arr]
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore rect to background
+                canvas[top:top + h, left:left + w] = bg_rgb
+            transparent, disposal = None, 0
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         elif b0 == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"corrupt GIF block 0x{b0:02x}")
-    return None
+    return frames or None
+
+
+def decode_gif_py(p: bytes):
+    """GIF first frame → (h, w, 3) uint8 RGB (see
+    :func:`decode_gif_frames_py` for the full animation)."""
+    frames = decode_gif_frames_py(p, max_frames=1)
+    return frames[0] if frames else None
 
 
 def decode_jpeg_py(p: bytes):
@@ -479,6 +518,48 @@ def decode_pixels(df: DataFrame) -> DataFrame:
                                               PIXEL_STATS_SCHEMA.fields])
 
     return df.mapInPandas(kernel, PIXEL_STATS_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling: decode every ``every_n``-th frame of
+    animated-GIF payloads (the one animated container that decodes
+    without codec libraries) to composited RGB and emit per-frame
+    channel stats.  Non-GIF payloads produce no rows — for containers
+    needing real codecs (mp4 etc.) use :func:`frame_sample`, which
+    samples INDICES from header metadata without decoding."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_gif_frames_py(bytes(p)) \
+                        if p is not None else None
+                except (ValueError, IndexError):
+                    frames = None
+                if not frames:
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    fr = frames[fi]
+                    m = fr.reshape(-1, 3).mean(axis=0)
+                    rows.append((mid, fi, fr.shape[1], fr.shape[0],
+                                 float(m[0]), float(m[1]), float(m[2])))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              FRAME_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, FRAME_STATS_SCHEMA)
 
 
 def _decode_any(p: bytes):

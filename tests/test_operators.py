@@ -434,22 +434,15 @@ def _make_png(arr, ctype, filters=None, palette=None):
     return body + chunk(b"IEND", b"")
 
 
-def _make_gif(indices, palette, min_code_size=None):
-    """Minimal GIF87a encoder with a REAL LZW compressor (dict growth
-    + width bumps) so the decoder's table paths are exercised."""
-    import numpy as np
-    idx = np.asarray(indices, dtype=np.uint8)
-    h, w = idx.shape
-    pal = np.asarray(palette, dtype=np.uint8)
-    gct_bits = max(1, (len(pal) - 1).bit_length())
-    mcs = min_code_size or max(2, gct_bits)
+def _gif_lzw(indices_flat, mcs):
+    """Real GIF LZW compressor (dict growth + width bumps) so the
+    decoder's table paths are exercised."""
     clear, end = 1 << mcs, (1 << mcs) + 1
-
     codes = [(clear, mcs + 1)]
     table = {bytes([i]): i for i in range(clear)}
     next_code, width = end + 1, mcs + 1
     wseq = b""
-    for k in idx.reshape(-1).tolist():
+    for k in indices_flat:
         wk = wseq + bytes([k])
         if wk in table:
             wseq = wk
@@ -477,21 +470,51 @@ def _make_gif(indices, palette, min_code_size=None):
             bits -= 8
     if bits:
         packed.append(acc & 0xFF)
+    return packed
+
+
+def _make_gif(indices, palette, min_code_size=None, frames=None,
+              bg_index=0):
+    """Minimal GIF87a/89a encoder.  Single frame from ``indices``, or
+    animated from ``frames`` = [(idx, left, top, transparent_or_None,
+    disposal), ...] with graphic-control extensions."""
+    import numpy as np
+    pal = np.asarray(palette, dtype=np.uint8)
+    gct_bits = max(1, (len(pal) - 1).bit_length())
+    mcs = min_code_size or max(2, gct_bits)
+    if frames is None:
+        idx = np.asarray(indices, dtype=np.uint8)
+        H, W = idx.shape
+        frames = [(idx, 0, 0, None, 0)]
+    else:
+        H = max(f[0].shape[0] + f[2] for f in frames)
+        W = max(f[0].shape[1] + f[1] for f in frames)
 
     gct = np.zeros((2 ** gct_bits, 3), dtype=np.uint8)
     gct[:len(pal)] = pal
-    out = bytearray(b"GIF87a")
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0x80 | (gct_bits - 1))  # GCT present, 2**gct_bits entries
-    out += b"\x00\x00" + gct.tobytes()
-    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") \
-        + h.to_bytes(2, "little") + b"\x00"
-    out.append(mcs)
-    for i in range(0, len(packed), 255):
-        blk = packed[i:i + 255]
-        out.append(len(blk))
-        out += blk
-    out += b"\x00\x3b"
+    out = bytearray(b"GIF89a" if len(frames) > 1 else b"GIF87a")
+    out += W.to_bytes(2, "little") + H.to_bytes(2, "little")
+    out.append(0x80 | (gct_bits - 1))  # GCT present
+    out += bytes([bg_index, 0]) + gct.tobytes()
+    for idx, left, top, transparent, disposal in frames:
+        idx = np.asarray(idx, dtype=np.uint8)
+        h, w = idx.shape
+        if transparent is not None or disposal:
+            gfl = (disposal << 2) | (1 if transparent is not None
+                                     else 0)
+            out += bytes([0x21, 0xF9, 4, gfl, 0, 0,
+                          transparent or 0, 0])
+        out += b"\x2c" + left.to_bytes(2, "little") \
+            + top.to_bytes(2, "little") + w.to_bytes(2, "little") \
+            + h.to_bytes(2, "little") + b"\x00"
+        out.append(mcs)
+        packed = _gif_lzw(idx.reshape(-1).tolist(), mcs)
+        for i in range(0, len(packed), 255):
+            blk = packed[i:i + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -928,6 +951,49 @@ def test_decode_gif_lzw_roundtrip():
     assert np.array_equal(decode_gif_py(_make_gif(runs, pal)),
                           pal[runs])
     assert decode_gif_py(b"not a gif") is None
+
+
+def test_decode_gif_animation_compositing(spark):
+    """Multi-frame GIF: sub-rectangle frames composite onto the
+    logical screen with transparency and restore-to-background
+    disposal — the REAL video-frame path for the one animated format
+    that needs no codec library."""
+    import numpy as np
+    from pipelinedb_spark.operators.multimodal import (
+        decode_gif_frames_py, sample_video_frames)
+
+    pal = np.array([[250, 10, 10], [10, 250, 10], [10, 10, 250],
+                    [200, 200, 200]], dtype=np.uint8)
+    f0 = np.zeros((8, 10), dtype=np.uint8)          # full red frame
+    patch = np.full((4, 5), 1, dtype=np.uint8)      # green sub-rect
+    patch[0, 0] = 3                                  # transparent px
+    f2 = np.full((8, 10), 2, dtype=np.uint8)        # full blue frame
+    gif = _make_gif(None, pal, frames=[
+        (f0, 0, 0, None, 0),
+        (patch, 2, 3, 3, 2),   # left=2 top=3, transparent=3, disposal=bg
+        (f2, 0, 0, None, 0)])
+    frames = decode_gif_frames_py(gif)
+    assert len(frames) == 3
+    assert np.array_equal(frames[0], pal[f0])
+    # frame 1: red canvas + green patch, transparent pixel shows red
+    want = pal[f0].copy()
+    want[3:7, 2:7] = pal[1]
+    want[3, 2] = pal[0]
+    assert np.array_equal(frames[1], want)
+    # frame 2: disposal=2 restored the rect to background (index 0 =
+    # red) before the full blue frame overwrote everything
+    assert np.array_equal(frames[2], pal[f2])
+    # Spark-side sampling: one stats row per sampled frame
+    df = spark.createDataFrame([(7, "video", bytearray(gif))],
+                               "media_id long, kind string, payload binary")
+    rows = sorted(sample_video_frames(df).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["mean_r"] == pytest.approx(250.0)
+    assert rows[2]["mean_b"] == pytest.approx(250.0)
+    assert rows[1]["mean_g"] > rows[0]["mean_g"]
+    every2 = sample_video_frames(df, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in every2) == [0, 2]
 
 
 def test_decode_pixels_png_gif_end_to_end(spark):
