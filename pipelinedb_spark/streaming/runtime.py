@@ -192,6 +192,52 @@ def attach_kafka_stream(ctx: PipelineContext, stream: str,
     return att
 
 
+def attach_socket_stream(ctx: PipelineContext, stream: str,
+                         host: str, port: int,
+                         checkpoint_dir: str | None = None,
+                         trigger_seconds: float | None = None
+                         ) -> StreamAttachment:
+    """Attach a TCP line socket as a continuous source for ``stream``
+    — JSON-decoded per line against the stream's declared schema.
+    Spark's built-in ``socket`` source needs no connector jar, so this
+    is the live wire-protocol-style ingestion path that actually runs
+    in this container (the reference accepts stream inserts over its
+    postgres wire protocol; Kafka remains the production-durable
+    analog).  The socket source is at-most-once by nature (no replay
+    on reconnect) — Spark documents it as a dev/test source; rows
+    that ARRIVE flow through the same effectively-once foreachBatch
+    commit path as every other attachment."""
+    sd = ctx.streams[stream]
+    active = _claim_stream(ctx, stream)
+    from pyspark.sql import functions as F
+    src_schema = type(sd.schema)([f for f in sd.schema.fields
+                                  if f.name != ARRIVAL_COL])
+    checkpoint = checkpoint_dir or os.path.join(
+        ctx.root, "checkpoints", f"socket_{stream}")
+    raw = (ctx.spark.readStream.format("socket")
+           .option("host", host).option("port", port)
+           .load())
+    parsed = (raw.select(F.from_json(F.col("value"),
+                                     src_schema).alias("r"))
+              .select("r.*"))
+    if src_schema.fields:
+        # malformed lines parse to an all-null struct — drop them
+        # (reference rejects malformed wire inserts per-row)
+        import functools
+        parsed = parsed.filter(functools.reduce(
+            lambda a, b: a | b,
+            [F.col(f.name).isNotNull() for f in src_schema.fields]))
+    writer = (parsed.writeStream
+              .foreachBatch(_foreach_batch(ctx, stream, checkpoint))
+              .option("checkpointLocation", checkpoint))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    query = writer.start()
+    att = StreamAttachment(ctx, stream, query)
+    active[stream] = att
+    return att
+
+
 class SWTicker:
     """Background sliding-window ticker: periodically re-emits changed
     window results to the CV's output stream (the reference runs this

@@ -259,3 +259,64 @@ def test_file_stream_with_stream_table_join_cv(ctx, spark, tmp_path):
         assert vs == [10, 20, 50]
     finally:
         att.stop()
+
+
+def test_socket_stream_attachment(ctx):
+    """Live TCP line source (Spark's built-in socket format, no
+    connector jar): JSON lines flow through the same foreachBatch
+    commit path into a CV; malformed lines are dropped per-row."""
+    import json as _json
+    import socket
+    import threading
+    import time as _time
+
+    from pipelinedb_spark.streaming.runtime import attach_socket_stream
+
+    ctx.create_stream("sock_s", "k string, v long")
+    ctx.create_view("cv_sock",
+                    "SELECT k, count(*) AS n, sum(v) AS s "
+                    "FROM sock_s GROUP BY k")
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            lines = [_json.dumps({"k": f"k{i % 3}", "v": i})
+                     for i in range(30)]
+            lines.insert(10, "this is not json")  # dropped per-row
+            for ln in lines:
+                conn.sendall((ln + "\n").encode())
+            # keep the connection open until the reader is done (the
+            # socket source treats EOF as end-of-stream)
+            stop.wait(45)
+        srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    att = attach_socket_stream(ctx, "sock_s", "127.0.0.1", port)
+    try:
+        deadline = _time.time() + 40
+        total = 0
+        while _time.time() < deadline:
+            att.process_all_available()
+            rows = ctx.read_view("cv_sock").collect()
+            total = sum(r["n"] for r in rows)
+            if total >= 30:
+                break
+            _time.sleep(0.5)
+        got = {r["k"]: (r["n"], r["s"])
+               for r in ctx.read_view("cv_sock").collect()}
+        # 30 valid rows, malformed line dropped: k0/k1/k2 x 10 each
+        assert sum(n for n, _ in got.values()) == 30, got
+        assert got["k0"] == (10, sum(range(0, 30, 3)))
+        assert got["k1"] == (10, sum(range(1, 30, 3)))
+        assert got["k2"] == (10, sum(range(2, 30, 3)))
+    finally:
+        stop.set()
+        att.stop()
