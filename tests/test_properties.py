@@ -161,3 +161,73 @@ def test_bloom_cms_vectorized_probes_match_scalar(members, probes):
     for p, gb, gc in zip(probes, got_b, got_c):
         assert bool(gb) == bf.contains(p), p
         assert int(gc) == cms.query(p), p
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=12),
+       st.sampled_from([0, 2, 4, 6]),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_roundtrip_random(h, w, ctype, seed):
+    """PNG encode→decode is pixel-exact for every color type and a
+    random per-row filter choice (codecs in operators/multimodal.py,
+    test-oracle encoder in test_operators.py)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_operators import _make_png
+
+    from pipelinedb_spark.operators.multimodal import decode_png_py
+    rng = np.random.RandomState(seed)
+    nch = {0: None, 2: 3, 4: 2, 6: 4}[ctype]
+    shape = (h, w) if nch is None else (h, w, nch)
+    img = rng.randint(0, 256, shape)
+    filters = rng.randint(0, 5, h).tolist()
+    got = decode_png_py(_make_png(img, ctype, filters=filters))
+    want = img if nch is not None else img[..., None] * np.ones(
+        (1, 1, 1), dtype=int)
+    assert got.shape[2] == (nch or 1)
+    assert np.array_equal(got.reshape(h, w, -1),
+                          np.asarray(want).reshape(h, w, -1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_gif_roundtrip_random(h, w, ncolors_pow, seed):
+    """GIF LZW encode→decode is palette-index exact across random
+    images, palette sizes, and dictionary-growth boundaries."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_operators import _make_gif
+
+    from pipelinedb_spark.operators.multimodal import decode_gif_py
+    rng = np.random.RandomState(seed)
+    ncolors = 2 ** ncolors_pow
+    pal = rng.randint(0, 256, (ncolors, 3))
+    idx = rng.randint(0, ncolors, (h, w))
+    got = decode_gif_py(_make_gif(idx, pal))
+    assert np.array_equal(got, pal[idx])
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=3),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=0, max_value=2**32 - 1),
+       st.booleans())
+def test_jpeg_roundtrip_bounded_error(bh, bw, seed, gray):
+    """Baseline JPEG with unit quant tables reconstructs smooth
+    images within DCT float-roundtrip error across random shapes."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_operators import _make_jpeg
+
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+    rng = np.random.RandomState(seed)
+    shape = (bh, bw) if gray else (bh, bw, 3)
+    base = rng.randint(80, 176, shape).repeat(8, 0).repeat(8, 1)
+    img = np.clip(base + rng.randint(-5, 6, base.shape), 0, 255)
+    got = decode_jpeg_py(_make_jpeg(img))
+    flat = got[..., 0] if gray else got
+    assert np.max(np.abs(flat.astype(int) - img)) <= 4
