@@ -7,10 +7,13 @@ DCT, chroma upsampling and YCbCr→RGB.  All of that is standard public
 spec material (ITU-T T.81): marker segments (DQT/SOF0/DHT/SOS/DRI),
 magnitude-category coding, zig-zag order, and the Annex-K flow.
 
-Scope (the corpus-dominant profile): baseline sequential DCT (SOF0),
-8-bit samples, Huffman coding, 1 or 3 components, any sampling factors
-(4:4:4 / 4:2:2 / 4:2:0), restart intervals.  Progressive (SOF2),
-arithmetic coding, 12-bit, and hierarchical modes raise
+Scope (the corpus-dominant profiles): baseline sequential DCT (SOF0,
+single- or multi-scan) AND progressive DCT (SOF2: spectral selection +
+successive approximation per T.81 Annex G — interleaved/non-interleaved
+DC scans, per-component AC band scans with EOB runs, DC/AC refinement
+scans with correction bits), 8-bit samples, Huffman coding, 1 or 3
+components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
+intervals.  Arithmetic coding, 12-bit, and hierarchical modes raise
 NotImplementedError — production swaps in PIL for those.
 
 The hot path is vectorized where it matters: the IDCT is one
@@ -69,13 +72,14 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: pad — caller resyncs
+                else:
+                    # any real marker ends the entropy segment: pad —
+                    # RSTn is consumed by align_restart(); scan-
+                    # terminating markers (DHT/SOS/EOI/…) are located
+                    # by re-scanning the byte stream after decode
                     self.acc = (self.acc << 8) & 0xFFFFFFFF
                     self.bits += 8
                     continue
-                else:
-                    raise ValueError(f"marker 0xFF{nxt:02X} inside scan")
             else:
                 self.pos += 1
             self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
@@ -154,10 +158,23 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _next_marker(p: bytes, start: int) -> int:
+    """Position of the first real marker (not a stuffed 0xFF00, not
+    RSTn) at or after ``start`` — how scan boundaries are located."""
+    j = start
+    n = len(p)
+    while j + 1 < n:
+        if p[j] == 0xFF and p[j + 1] != 0x00 \
+                and not (0xD0 <= p[j + 1] <= 0xD7):
+            return j
+        j += 1
+    return n
+
+
 def decode_jpeg_py(p: bytes):
-    """Baseline JPEG → (h, w, c) uint8 array (c = 1 gray, 3 RGB).
-    Returns None when the payload is not a JPEG; raises
-    NotImplementedError for progressive/arithmetic/12-bit streams."""
+    """Baseline or progressive JPEG → (h, w, c) uint8 array (c = 1
+    gray, 3 RGB).  Returns None when the payload is not a JPEG; raises
+    NotImplementedError for arithmetic/12-bit/hierarchical streams."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -166,6 +183,9 @@ def decode_jpeg_py(p: bytes):
     comps: list[dict] = []
     h = w = None
     restart_interval = 0
+    progressive = False
+    scan_seen = False
+    mcux = mcuy = 0
     i = 2
     while i + 4 <= len(p):
         if p[i] != 0xFF:
@@ -175,8 +195,8 @@ def decode_jpeg_py(p: bytes):
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before SOS → corrupt
-            raise ValueError("JPEG without scan data")
+        if marker == 0xD9:  # EOI
+            break
         seg_len = int.from_bytes(p[i + 2:i + 4], "big")
         body = p[i + 4:i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -189,7 +209,8 @@ def decode_jpeg_py(p: bytes):
                 tbl[ZIGZAG] = np.frombuffer(body, np.uint8, 64, j + 1)
                 qt[tid] = tbl.reshape(8, 8)
                 j += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise NotImplementedError("non-8-bit JPEG")
             h = int.from_bytes(body[1:3], "big")
@@ -200,12 +221,13 @@ def decode_jpeg_py(p: bytes):
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                              "tq": tq, "dc_done": False})
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                "decodes without codec libraries")
+                "and progressive Huffman decode without codec "
+                "libraries")
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(body):
@@ -218,6 +240,8 @@ def decode_jpeg_py(p: bytes):
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if w is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for c in range(ns):
@@ -225,59 +249,184 @@ def decode_jpeg_py(p: bytes):
                 comp = next(cc for cc in comps if cc["id"] == cs)
                 comp["td"], comp["ta"] = tt >> 4, tt & 0x0F
                 scan.append(comp)
-            i += 2 + seg_len
-            return _decode_scan(p, i, w, h, scan, qt, huff_dc,
-                                huff_ac, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            if ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan")
+            if not scan_seen:
+                _init_coefs(comps, w, h)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                scan_seen = True
+            if ss == 0 and ah == 0:
+                for c in scan:
+                    c["dc_done"] = True
+            _decode_scan_into(p, i + 2 + seg_len, scan, huff_dc,
+                              huff_ac, restart_interval, ss, se,
+                              ah, al, mcux, mcuy)
+            i = _next_marker(p, i + 2 + seg_len)
+            continue
         i += 2 + seg_len
-    raise ValueError("truncated JPEG: no SOS marker")
+    if not scan_seen:
+        raise ValueError("truncated JPEG: no SOS marker")
+    missing = [c["id"] for c in comps if not c["dc_done"]]
+    if missing:
+        raise ValueError(
+            f"JPEG scan coverage incomplete: component(s) {missing} "
+            "never received a DC scan (truncated multi-scan stream)")
+    return _finalize(comps, qt, w, h)
 
 
-def _decode_scan(p, pos, w, h, comps, qt, huff_dc, huff_ac,
-                 restart_interval):
+def _init_coefs(comps, w, h):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     for c in comps:
-        c["bw"] = mcux * c["h"]   # blocks per row
+        c["bw"] = mcux * c["h"]   # blocks per row (MCU-padded)
         c["bh"] = mcuy * c["v"]
+        # true component extent in blocks (non-interleaved scan order)
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["nbx"] = -(-cw // 8)
+        c["nby"] = -(-ch // 8)
         c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.int32)
         c["pred"] = 0
+
+
+def _decode_scan_into(p, pos, scan, huff_dc, huff_ac, ri,
+                      ss, se, ah, al, mcux, mcuy):
+    """Decode one entropy-coded segment into the components'
+    coefficient arrays.  Handles every scan shape with one block
+    decoder: baseline full-band (ss=0, se=63, ah=al=0, one or more
+    scans), progressive DC first/refine (interleaved or not), and
+    progressive AC band first/refine (single component, EOB runs,
+    correction bits) per T.81 Annex F/G."""
     br = _BitReader(p, pos)
-    n_mcu = mcux * mcuy
-    zz = ZIGZAG
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            br.align_restart()
-            for c in comps:
+    eob = [0]  # EOB-run counter, shared across blocks within the scan
+    for c in scan:
+        c["pred"] = 0
+    if len(scan) == 1:
+        c = scan[0]
+        nbx, nby = c["nbx"], c["nby"]
+        for m in range(nbx * nby):
+            if ri and m and m % ri == 0:
+                br.align_restart()
                 c["pred"] = 0
-        my, mx = divmod(m, mcux)
-        for c in comps:
-            dc_tbl, ac_tbl = huff_dc[c["td"]], huff_ac[c["ta"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.int32)
-                    t = dc_tbl.decode(br)
-                    diff = _extend(br.read(t), t) if t else 0
-                    c["pred"] += diff
-                    blk[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = ac_tbl.decode(br)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC index overflow")
-                        blk[zz[k]] = _extend(br.read(s), s)
-                        k += 1
-                    row = my * c["v"] + by
-                    col = mx * c["h"] + bx
-                    c["coef"][row * c["bw"] + col] = blk.reshape(8, 8)
+                eob[0] = 0
+            row, col = divmod(m, nbx)
+            blk = c["coef"][row * c["bw"] + col].reshape(64)
+            _decode_block(br, blk, c, huff_dc, huff_ac,
+                          ss, se, ah, al, eob)
+    else:
+        for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                br.align_restart()
+                for c in scan:
+                    c["pred"] = 0
+                eob[0] = 0
+            my, mx = divmod(m, mcux)
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        idx = ((my * c["v"] + by) * c["bw"]
+                               + mx * c["h"] + bx)
+                        blk = c["coef"][idx].reshape(64)
+                        _decode_block(br, blk, c, huff_dc, huff_ac,
+                                      ss, se, ah, al, eob)
+
+
+def _decode_block(br, blk, c, huff_dc, huff_ac, ss, se, ah, al, eob):
+    zz = ZIGZAG
+    if ah == 0:  # first pass (baseline, or progressive first scans)
+        if ss == 0:
+            t = huff_dc[c["td"]].decode(br)
+            diff = _extend(br.read(t), t) if t else 0
+            c["pred"] += diff
+            blk[0] = c["pred"] << al
+        k = max(ss, 1)
+        if k > se:
+            return
+        if eob[0]:
+            eob[0] -= 1
+            return
+        ac_tbl = huff_ac[c["ta"]]
+        while k <= se:
+            rs = ac_tbl.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                eob[0] = (1 << r) - 1  # EOBn run (baseline EOB: n=0)
+                if r:
+                    eob[0] += br.read(r)
+                return
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            blk[zz[k]] = _extend(br.read(s), s) << al
+            k += 1
+    elif ss == 0:  # DC refinement: one correction bit per block
+        if br.read(1):
+            blk[0] |= 1 << al
+    else:  # AC refinement (T.81 G.1.2.3)
+        _refine_ac(br, blk, huff_ac[c["ta"]], ss, se, al, eob)
+
+
+def _refine_ac(br, blk, ac_tbl, ss, se, al, eob):
+    zz = ZIGZAG
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = ac_tbl.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn: finish via the correction pass
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += br.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if br.read(1) else m1
+            # advance over the run: zero-history slots count toward
+            # r, already-nonzero slots consume a correction bit
+            while k <= se:
+                cur = int(blk[zz[k]])
+                if cur != 0:
+                    if br.read(1) and (cur & p1) == 0:
+                        blk[zz[k]] = cur + (p1 if cur > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[zz[k]] = val
+            k += 1
+    if eob[0] > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            cur = int(blk[zz[k]])
+            if cur != 0 and br.read(1) and (cur & p1) == 0:
+                blk[zz[k]] = cur + (p1 if cur > 0 else m1)
+            k += 1
+        eob[0] -= 1
+
+
+def _finalize(comps, qt, w, h):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         deq = c["coef"] * qt[c["tq"]][None, :, :]

@@ -4,10 +4,11 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 The container has no codec libraries.  Container-HEADER metadata
 (PNG/JPEG/GIF/WAV) and pixel decode of BMP, binary PPM, PNG (DEFLATE
 via stdlib ``zlib`` + scanline unfilter), GIF (pure-Python LZW), and
-baseline JPEG (operators/jpeg.py — Huffman entropy decode + vectorized
-IDCT) are all real, dependency-free byte/numpy parsing.  Only rare
-sub-formats (progressive/arithmetic JPEG, Adam7-interlaced PNG,
-interlaced GIF, 16-bit depths) remain behind ``NotImplementedError``
+baseline + progressive JPEG (operators/jpeg.py — Huffman entropy
+decode + vectorized IDCT) are all real, dependency-free byte/numpy
+parsing, including Adam7-interlaced PNG and interlaced GIF.  Only
+rare sub-formats (arithmetic/12-bit/hierarchical JPEG, 16-bit
+depths) remain behind ``NotImplementedError``
 — the Spark-side plumbing (schemas, batch iteration, partition
 sizing, UDF signatures) is exactly what a production deployment
 keeps, swapping those branches for PIL/ffmpeg.
@@ -236,10 +237,10 @@ def decode_png_py(p: bytes):
     """PNG → (h, w, c) uint8 array, dependency-free: PNG pixel data is
     DEFLATE (stdlib ``zlib``) under per-scanline filters, so the full
     decode needs no codec library.  Supports bit-depth 8, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced.  Returns None when the payload is not a PNG;
-    raises NotImplementedError for Adam7 interlace / other depths
-    (rare in training corpora; production swaps in PIL)."""
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
+    non-interlaced and Adam7-interlaced.  Returns None when the
+    payload is not a PNG; raises NotImplementedError for other bit
+    depths (rare in training corpora; production swaps in PIL)."""
     import zlib
 
     import numpy as np
@@ -267,16 +268,50 @@ def decode_png_py(p: bytes):
         i += 12 + clen  # len + id + crc
     if w is None or not idat:
         return None
-    if depth != 8 or ctype not in (0, 2, 3, 4, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 4, 6) \
+            or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} color={ctype} interlace={interlace}: "
-            "only 8-bit non-interlaced gray/RGB/palette/GA/RGBA decode "
+            "only 8-bit gray/RGB/palette/GA/RGBA decode "
             "without codec libraries")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(b"".join(idat))
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        out = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for xs, ys, xstep, ystep in ((0, 0, 8, 8), (4, 0, 8, 8),
+                                     (0, 4, 4, 8), (2, 0, 4, 4),
+                                     (0, 2, 2, 4), (1, 0, 2, 2),
+                                     (0, 1, 1, 2)):
+            pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+            ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * nch + 1)
+            if len(raw) < off + need:
+                raise ValueError("truncated PNG pixel data")
+            sub = _png_unfilter(raw[off:off + need], ph, pw, nch)
+            off += need
+            out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, nch)
+        arr = out
+    else:
+        stride = w * nch
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG pixel data")
+        arr = _png_unfilter(raw[:h * (stride + 1)], h, w,
+                            nch).reshape(h, w, nch)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        arr = palette[arr[..., 0]]
+    return arr
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters over one (sub-)image of
+    ``h`` rows × ``w`` pixels × ``nch`` bytes/pixel → (h, w*nch)."""
+    import numpy as np
     stride = w * nch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
     lines = np.frombuffer(raw, dtype=np.uint8,
                           count=h * (stride + 1)).reshape(h, stride + 1)
     filters, data = lines[:, 0], lines[:, 1:]
@@ -317,12 +352,7 @@ def decode_png_py(p: bytes):
             out[y] = row
         else:
             raise ValueError(f"invalid PNG filter type {f}")
-    arr = out.reshape(h, w, nch)
-    if ctype == 3:
-        if palette is None:
-            raise ValueError("palette PNG without PLTE chunk")
-        arr = palette[arr[..., 0]]
-    return arr
+    return out
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
@@ -379,9 +409,11 @@ def decode_gif_frames_py(p: bytes, max_frames: int | None = None):
     pure-Python LZW above.  Handles sub-rectangle frames, local color
     tables, transparency, and disposal none/keep (0/1) and
     restore-background (2); returns None when the payload is not a
-    GIF; raises NotImplementedError for interlaced frames.  GIF is
-    the one animated container that decodes without codec libraries,
-    so the video frame-sampling path is REAL for it."""
+    restore-background (2), and restore-to-previous (3); deinterlaces
+    interlaced frames (4-pass row scatter per GIF89a appendix E);
+    returns None when the payload is not a GIF.  GIF is the one
+    animated container that decodes without codec libraries, so the
+    video frame-sampling path is REAL for it."""
     import numpy as np
     if p[:6] not in (b"GIF87a", b"GIF89a"):
         return None
@@ -427,10 +459,7 @@ def decode_gif_frames_py(p: bytes, max_frames: int | None = None):
                 ct = np.frombuffer(p, dtype=np.uint8, offset=i,
                                    count=n * 3).reshape(n, 3)
                 i += n * 3
-            if lflags & 0x40:
-                raise NotImplementedError(
-                    "interlaced GIF decode not supported without "
-                    "codec libraries")
+            interlaced = bool(lflags & 0x40)
             min_code = p[i]
             i += 1
             chunks = []
@@ -444,7 +473,18 @@ def decode_gif_frames_py(p: bytes, max_frames: int | None = None):
             if ct is None:
                 raise ValueError("GIF frame without a color table")
             arr = np.asarray(idx[:w * h], dtype=np.int32).reshape(h, w)
+            if interlaced:
+                # GIF89a appendix E: rows stored as 4 passes
+                # (0,8,16… / 4,12… / 2,6,10… / 1,3,5…) — scatter back.
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                deint = np.empty_like(arr)
+                deint[order] = arr
+                arr = deint
             rect = canvas[top:top + h, left:left + w]
+            saved = rect.copy() if disposal == 3 else None
             if transparent is not None:
                 mask = arr != transparent
                 rect[mask] = ct[arr[mask]]
@@ -453,6 +493,8 @@ def decode_gif_frames_py(p: bytes, max_frames: int | None = None):
             frames.append(canvas.copy())
             if disposal == 2:  # restore rect to background
                 canvas[top:top + h, left:left + w] = bg_rgb
+            elif disposal == 3:  # restore rect to pre-draw pixels
+                canvas[top:top + h, left:left + w] = saved
             transparent, disposal = None, 0
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
@@ -482,12 +524,13 @@ def decode_jpeg_py(p: bytes):
 def decode_pixels(df: DataFrame) -> DataFrame:
     """Pixel decode → per-image channel statistics, end-to-end with no
     codec libraries: 24-bit BMP, binary PPM, PNG (DEFLATE via stdlib
-    zlib), GIF (pure-Python LZW), and baseline JPEG (operators/jpeg.py
-    — Huffman + vectorized IDCT) all decode for real.  Only the rare
-    sub-formats (progressive/arithmetic JPEG, Adam7 PNG, interlaced
-    GIF, 16-bit depths) raise NotImplementedError — swap the branch
-    for PIL in production.  Unrecognized payloads yield a null-stats
-    row (format NULL) rather than failing the batch."""
+    zlib, incl. Adam7), GIF (pure-Python LZW, incl. interlaced), and
+    baseline/progressive JPEG (operators/jpeg.py — Huffman +
+    vectorized IDCT) all decode for real.  Only the rare sub-formats
+    (arithmetic/12-bit JPEG, 16-bit depths) raise NotImplementedError
+    — swap the branch for PIL in production.  Unrecognized payloads
+    yield a null-stats row (format NULL) rather than failing the
+    batch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         null_row = (None,) * 8
@@ -669,6 +712,9 @@ def decode_wav_py(p: bytes):
         i += 8 + clen + (clen & 1)
     if fmt_code is None or data is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
+    if channels < 1 or rate < 1:
+        raise ValueError(
+            f"corrupt WAV fmt chunk: channels={channels} rate={rate}")
     if fmt_code not in (1, 3):  # PCM / IEEE float
         raise NotImplementedError(
             f"WAV format {fmt_code}: only PCM and float decode "

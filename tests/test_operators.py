@@ -379,10 +379,12 @@ def test_decode_pixels_bmp_ppm_end_to_end(spark):
     assert r["format"] is None and r["px_sum"] is None
 
 
-def _make_png(arr, ctype, filters=None, palette=None):
+def _make_png(arr, ctype, filters=None, palette=None,
+              interlace=False):
     """Minimal PNG encoder (test oracle): stdlib zlib + forward
     scanline filters, so the decoder's unfilter paths are exercised
-    against ground truth."""
+    against ground truth.  With ``interlace`` the image is written as
+    the 7 Adam7 passes, each filtered independently."""
     import struct
     import zlib
 
@@ -396,36 +398,55 @@ def _make_png(arr, ctype, filters=None, palette=None):
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
     nch = 1 if arr.ndim == 2 else arr.shape[2]
-    data = arr.reshape(h, w * nch).astype(np.int32)
-    filters = filters or [0] * h
-    out = bytearray()
-    prev = np.zeros(w * nch, dtype=np.int32)
-    for y, f in zip(range(h), filters):
-        raw = data[y]
-        left = np.concatenate([np.zeros(nch, dtype=np.int32),
-                               raw[:-nch]]) if w * nch > nch else \
-            np.zeros(w * nch, dtype=np.int32)
-        upleft = np.concatenate([np.zeros(nch, dtype=np.int32),
-                                 prev[:-nch]])
-        if f == 0:
-            enc = raw
-        elif f == 1:
-            enc = raw - left
-        elif f == 2:
-            enc = raw - prev
-        elif f == 3:
-            enc = raw - (left + prev) // 2
-        else:  # Paeth
-            pp = left + prev - upleft
-            pa, pb, pc = (abs(pp - left), abs(pp - prev),
-                          abs(pp - upleft))
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, prev, upleft))
-            enc = raw - pred
-        out.append(f)
-        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
-        prev = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+
+    def filt_rows(data, flist, pw):
+        """Forward-filter one (sub-)image (rows of pw*nch bytes)."""
+        enc_out = bytearray()
+        prev = np.zeros(pw * nch, dtype=np.int32)
+        for raw, f in zip(data, flist):
+            left = np.concatenate([np.zeros(nch, dtype=np.int32),
+                                   raw[:-nch]]) if pw * nch > nch else \
+                np.zeros(pw * nch, dtype=np.int32)
+            upleft = np.concatenate([np.zeros(nch, dtype=np.int32),
+                                     prev[:-nch]])
+            if f == 0:
+                enc = raw
+            elif f == 1:
+                enc = raw - left
+            elif f == 2:
+                enc = raw - prev
+            elif f == 3:
+                enc = raw - (left + prev) // 2
+            else:  # Paeth
+                pp = left + prev - upleft
+                pa, pb, pc = (abs(pp - left), abs(pp - prev),
+                              abs(pp - upleft))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upleft))
+                enc = raw - pred
+            enc_out.append(f)
+            enc_out.extend((enc & 0xFF).astype(np.uint8).tobytes())
+            prev = raw
+        return enc_out
+
+    img = arr.reshape(h, w, nch).astype(np.int32)
+    if interlace:
+        out = bytearray()
+        for pi, (xs, ys, xstep, ystep) in enumerate(
+                ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                 (0, 1, 1, 2))):
+            sub = img[ys::ystep, xs::xstep]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flist = [(pi + y) % 5 for y in range(ph)]  # all filters
+            out += filt_rows(sub.reshape(ph, pw * nch), flist, pw)
+    else:
+        filters = filters or [0] * h
+        out = filt_rows(img.reshape(h, w * nch), filters, w)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+                       1 if interlace else 0)
     body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         body += chunk(b"PLTE", np.asarray(
@@ -474,10 +495,12 @@ def _gif_lzw(indices_flat, mcs):
 
 
 def _make_gif(indices, palette, min_code_size=None, frames=None,
-              bg_index=0):
+              bg_index=0, interlace=False):
     """Minimal GIF87a/89a encoder.  Single frame from ``indices``, or
     animated from ``frames`` = [(idx, left, top, transparent_or_None,
-    disposal), ...] with graphic-control extensions."""
+    disposal), ...] with graphic-control extensions.  With
+    ``interlace`` the pixel rows are stored in the 4-pass GIF89a
+    interlace order and the descriptor flag is set."""
     import numpy as np
     pal = np.asarray(palette, dtype=np.uint8)
     gct_bits = max(1, (len(pal) - 1).bit_length())
@@ -506,8 +529,15 @@ def _make_gif(indices, palette, min_code_size=None, frames=None,
                           transparent or 0, 0])
         out += b"\x2c" + left.to_bytes(2, "little") \
             + top.to_bytes(2, "little") + w.to_bytes(2, "little") \
-            + h.to_bytes(2, "little") + b"\x00"
+            + h.to_bytes(2, "little") \
+            + (b"\x40" if interlace else b"\x00")
         out.append(mcs)
+        if interlace:  # store rows in 4-pass order
+            order = np.concatenate([np.arange(0, h, 8),
+                                    np.arange(4, h, 8),
+                                    np.arange(2, h, 4),
+                                    np.arange(1, h, 2)])
+            idx = idx[order]
         packed = _gif_lzw(idx.reshape(-1).tolist(), mcs)
         for i in range(0, len(packed), 255):
             blk = packed[i:i + 255]
@@ -705,6 +735,239 @@ def _make_jpeg(rgb, subsample=False, quant=None, restart=0):
     return bytes(out)
 
 
+def _make_progressive_jpeg(rgb, script=None, quant=None, sof=0xC2):
+    """Progressive (SOF2) / multi-scan-baseline (SOF0) JPEG encoder
+    (test oracle).  ``script`` is a list of scans
+    ``(comp_indices, Ss, Se, Ah, Al)``; the default exercises the
+    full Annex-G surface: interleaved DC first + refine, per-component
+    AC band scans with EOB runs and ZRL, and AC refinement with
+    correction bits.  4:4:4 / grayscale only (subsampled progressive
+    is covered by the decoder's shared MCU walker + baseline tests).
+    Emits a fresh DHT (ids 0) before every scan, as real encoders
+    may."""
+    import numpy as np
+    from pipelinedb_spark.operators.jpeg import ZIGZAG, _DCT_A
+
+    arr = np.asarray(rgb, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int32)
+    if gray:
+        planes = [arr - 128.0]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b - 128,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b,
+                  0.5 * r - 0.418688 * g - 0.081312 * b]
+    nc = len(planes)
+    nbx, nby = -(-w // 8), -(-h // 8)
+    blocks = []  # per component: (nby*nbx, 64) zigzag-ordered ints
+    zz = ZIGZAG
+    for pl in planes:
+        pad = np.zeros((nby * 8, nbx * 8))
+        pad[:h, :w] = pl
+        pad[h:, :w] = pl[-1:, :]
+        pad[:, w:] = pad[:, w - 1:w]
+        blk = pad.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ik,yxkl,jl->yxij", _DCT_A, blk, _DCT_A)
+        q = np.round(coef / quant).astype(np.int64)
+        blocks.append(q.reshape(nby * nbx, 64)[:, zz])
+    if script is None:
+        script = ([(list(range(nc)), 0, 0, 0, 1)]
+                  + [([ci], 1, 5, 0, 1) for ci in range(nc)]
+                  + [([ci], 6, 63, 0, 1) for ci in range(nc)]
+                  + [(list(range(nc)), 0, 0, 1, 0)]
+                  + [([ci], 1, 5, 1, 0) for ci in range(nc)]
+                  + [([ci], 6, 63, 1, 0) for ci in range(nc)])
+
+    def cat(v):
+        return int(abs(v)).bit_length()
+
+    def pt_ac(v, al):  # AC point transform: signed magnitude shift
+        return -((-int(v)) >> al) if v < 0 else int(v) >> al
+
+    def scan_events(comp_idx, ss, se, ah, al):
+        """→ (dc_syms, ac_syms, events); events are ('sym', table,
+        sym, extra, n) / ('bits', [b...]) tuples in emit order."""
+        dc_syms, ac_syms, ev = set(), set(), []
+        # full-band scans interleave DC symbols between blocks, so an
+        # EOB run can never span blocks there (plain baseline EOB)
+        baseline_eob = ss == 0 and se > 0
+        interleaved = len(comp_idx) > 1
+        preds = {ci: 0 for ci in comp_idx}
+        eobrun = 0
+        be = []  # correction bits buffered with the pending EOB run
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun > 0:
+                n = eobrun.bit_length() - 1
+                ac_syms.add(n << 4)
+                ev.append(("sym", "ac", n << 4, eobrun - (1 << n), n))
+                if be:
+                    ev.append(("bits", be[:]))
+                    be.clear()
+                eobrun = 0
+            elif be:
+                ev.append(("bits", be[:]))
+                be.clear()
+
+        def first_pass(ci, seq):
+            nonlocal eobrun
+            if ss == 0:
+                d = (int(seq[0]) >> al) - preds[ci]
+                preds[ci] = int(seq[0]) >> al
+                t = cat(d)
+                dc_syms.add(t)
+                ev.append(("sym", "dc", t,
+                           d if d >= 0 else d + (1 << t) - 1, t))
+            k = max(ss, 1)
+            if k > se:
+                return
+            run = 0
+            emitted = False
+            while k <= se:
+                v = pt_ac(seq[k], al)
+                if v == 0:
+                    run += 1
+                    k += 1
+                    continue
+                if not emitted:
+                    flush_eob()
+                    emitted = True
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    ev.append(("sym", "ac", 0xF0, 0, 0))
+                    run -= 16
+                s = cat(v)
+                sym = (run << 4) | s
+                ac_syms.add(sym)
+                ev.append(("sym", "ac", sym,
+                           v if v >= 0 else v + (1 << s) - 1, s))
+                run = 0
+                k += 1
+            if run:  # tail of zeros → block ends in EOB
+                eobrun += 1
+                if baseline_eob or eobrun == 0x7FFF:
+                    flush_eob()
+
+        def refine_pass(ci, seq):
+            nonlocal eobrun
+            if ss == 0:
+                be.append((int(seq[0]) >> al) & 1)
+                flush_eob()  # DC refine: raw bit per block, no syms
+                return
+            absv = [abs(int(seq[k])) >> al for k in range(ss, se + 1)]
+            last_new = -1
+            for j, t in enumerate(absv):
+                if t == 1:
+                    last_new = j
+            r = 0
+            br_bits = []
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and j <= last_new:
+                    flush_eob()
+                    ac_syms.add(0xF0)
+                    ev.append(("sym", "ac", 0xF0, 0, 0))
+                    ev.append(("bits", br_bits[:]))
+                    br_bits.clear()
+                    r -= 16
+                if t > 1:  # history-nonzero: correction bit
+                    br_bits.append(t & 1)
+                    continue
+                flush_eob()
+                sym = (r << 4) | 1
+                ac_syms.add(sym)
+                ev.append(("sym", "ac", sym,
+                           1 if seq[ss + j] > 0 else 0, 1))
+                ev.append(("bits", br_bits[:]))
+                br_bits.clear()
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                be.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+
+        do_block = first_pass if ah == 0 else refine_pass
+        if interleaved:  # 4:4:4 → one block per component per MCU
+            for m in range(nby * nbx):
+                for ci in comp_idx:
+                    do_block(ci, blocks[ci][m])
+        else:
+            ci = comp_idx[0]
+            for m in range(nby * nbx):
+                do_block(ci, blocks[ci][m])
+        flush_eob()
+        return dc_syms, ac_syms, ev
+
+    def build_table(syms, min_len=2):
+        syms = sorted(syms)
+        L = max(min_len, (len(syms) + 1).bit_length())
+        bits = [0] * 16
+        bits[L - 1] = len(syms)
+        return bits, syms, {s: (i, L) for i, s in enumerate(syms)}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(marker + (len(body) + 2).to_bytes(2, "big") + body)
+
+    seg(b"\xff\xdb", bytes([0]) + bytes(
+        int(np.asarray(quant).reshape(64)[z]) for z in zz))
+    sofb = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci in range(nc):
+        sofb += bytes([ci + 1, 0x11, 0])
+    seg(bytes([0xFF, sof]), sofb)
+
+    for comp_idx, ss, se, ah, al in script:
+        dc_syms, ac_syms, ev = scan_events(comp_idx, ss, se, ah, al)
+        dct = build_table(dc_syms or {0})
+        act = build_table(ac_syms or {0})
+        if dc_syms:
+            seg(b"\xff\xc4", bytes([0x00] + dct[0]) + bytes(dct[1]))
+        if ac_syms:
+            seg(b"\xff\xc4", bytes([0x10] + act[0]) + bytes(act[1]))
+        sosb = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sosb += bytes([ci + 1, 0x00])
+        sosb += bytes([ss, se, (ah << 4) | al])
+        seg(b"\xff\xda", sosb)
+        acc, nbits = 0, 0
+
+        def put(code, ln):
+            nonlocal acc, nbits
+            acc = (acc << ln) | code
+            nbits += ln
+            while nbits >= 8:
+                byte = (acc >> (nbits - 8)) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+                nbits -= 8
+            acc &= (1 << nbits) - 1
+
+        for e in ev:
+            if e[0] == "bits":
+                for bit in e[1]:
+                    put(bit, 1)
+                continue
+            _, table, sym, extra, n_extra = e
+            code, ln = (dct if table == "dc" else act)[2][sym]
+            put(code, ln)
+            if n_extra:
+                put(extra, n_extra)
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def _make_wav(samples, rate, bits=16, channels=1):
     """Minimal RIFF/WAVE PCM writer (test oracle).  samples: float
     array in [-1, 1], shape (n,) or (n, channels)."""
@@ -892,12 +1155,19 @@ def test_decode_jpeg_420_restart_and_progressive_gate():
     smooth[:, :, 0] = np.linspace(100, 156, 24).astype(np.uint8)[None, :]
     got = decode_jpeg_py(_make_jpeg(smooth, quant=quant))
     assert np.max(np.abs(got.astype(int) - smooth.astype(int))) <= 8
-    # progressive (SOF2) stays honestly gated
-    prog = bytearray(_make_jpeg(smooth))
+    # a baseline stream relabeled SOF2 is a degenerate-but-valid
+    # progressive stream (one full-band scan) — decodes identically
+    base_payload = _make_jpeg(smooth)
+    prog = bytearray(base_payload)
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg_py(bytes(prog))
+    got2 = decode_jpeg_py(bytes(prog))
+    assert np.array_equal(got2, decode_jpeg_py(base_payload))
+    # lossless (SOF3) stays honestly gated
+    loss = bytearray(_make_jpeg(smooth))
+    loss[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg_py(bytes(loss))
 
 
 def test_decode_png_all_filters_and_color_types():

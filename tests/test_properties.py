@@ -231,3 +231,41 @@ def test_jpeg_roundtrip_bounded_error(bh, bw, seed, gray):
     got = decode_jpeg_py(_make_jpeg(img))
     flat = got[..., 0] if gray else got
     assert np.max(np.abs(flat.astype(int) - img)) <= 4
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=0, max_value=2**32 - 1),
+       st.booleans(), st.booleans())
+def test_progressive_jpeg_roundtrip_bounded_error(bh, bw, seed, gray,
+                                                  quantized):
+    """Progressive (SOF2) JPEG — spectral-selection + successive-
+    approximation scans with EOB runs and refinement correction bits —
+    reconstructs within the same bounded error as the baseline path,
+    and matches the baseline decode of the same pixels exactly when
+    both use the same quant table (the coefficient arrays are
+    identical after all scans land)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_operators import _make_progressive_jpeg
+
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+    rng = np.random.RandomState(seed)
+    shape = (bh, bw) if gray else (bh, bw, 3)
+    base = rng.randint(70, 186, shape).repeat(8, 0).repeat(8, 1)
+    img = np.clip(base + rng.randint(-5, 6, base.shape),
+                  0, 255).astype(np.uint8)
+    quant = (np.clip(np.arange(64).reshape(8, 8) * 2, 1, 80)
+             if quantized else None)
+    got = decode_jpeg_py(_make_progressive_jpeg(img, quant=quant))
+    tol = 16 if quantized else 4
+    flat = got[..., 0] if gray else got
+    assert np.max(np.abs(flat.astype(int) - img.astype(int))) <= tol
+    # same coefficients via a single full-band-per-component baseline
+    # multi-scan stream → bit-identical pixels
+    nc = 1 if gray else 3
+    ms = _make_progressive_jpeg(
+        img, script=[([ci], 0, 63, 0, 0) for ci in range(nc)],
+        quant=quant, sof=0xC0)
+    assert np.array_equal(decode_jpeg_py(ms), got)

@@ -1,0 +1,206 @@
+"""Round-7 fixes and features.
+
+Covers the four ADVICE items (corrupt-WAV fmt validation, multi-scan
+JPEG, GIF disposal 3, track_output_streams doc) plus the round-7 task
+list: progressive JPEG, interlaced GIF/Adam7 PNG, matrel fault
+injection (separate file), IVF staleness, Kafka decode contract and
+batch-parallel CV dispatch (separate tests where noted).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from test_operators import (_make_gif, _make_jpeg,  # noqa: E402
+                            _make_png, _make_progressive_jpeg,
+                            _make_wav)
+
+
+# ---------------------------------------------------------------- WAV
+
+def test_corrupt_wav_fmt_yields_null_row_not_crash(spark):
+    """A WAV whose fmt chunk declares channels=0 or rate=0 must flow
+    to a null-stats row (the corrupt-container contract), never kill
+    the batch with ZeroDivisionError (ADVICE r6)."""
+    from pipelinedb_spark.operators.multimodal import (decode_audio,
+                                                       decode_wav_py)
+
+    good = _make_wav(np.sin(np.arange(800) / 10.0) * 0.4, 8000)
+    bad_ch = bytearray(good)
+    bad_rate = bytearray(good)
+    # fmt chunk body starts at offset 20: code(2) ch(2) rate(4) ...
+    bad_ch[22:24] = (0).to_bytes(2, "little")
+    bad_rate[24:28] = (0).to_bytes(4, "little")
+    for payload in (bytes(bad_ch), bytes(bad_rate)):
+        with pytest.raises(ValueError, match="corrupt WAV fmt"):
+            decode_wav_py(payload)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(good)),
+         (2, "audio", bad_ch), (3, "audio", bad_rate)],
+        "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert got[1]["rms"] is not None
+    assert got[2]["rms"] is None and got[3]["rms"] is None
+
+
+# ---------------------------------------------------------------- GIF
+
+def test_gif_disposal_restore_to_previous():
+    """Disposal 3 restores the sub-rect to its pre-draw pixels, so a
+    frame after a disposal-3 overlay sees the ORIGINAL canvas, not
+    the overlay (ADVICE r6: was silently treated as 'keep')."""
+    from pipelinedb_spark.operators.multimodal import \
+        decode_gif_frames_py
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [9, 9, 9]], dtype=np.uint8)
+    base = np.zeros((6, 6), dtype=np.uint8)          # red canvas
+    overlay = np.full((2, 2), 1, dtype=np.uint8)     # green patch
+    dot = np.full((1, 1), 2, dtype=np.uint8)         # blue pixel
+    gif = _make_gif(None, pal, frames=[
+        (base, 0, 0, None, 0),
+        (overlay, 2, 2, None, 3),   # disposal 3: restore-to-previous
+        (dot, 0, 0, None, 0)])
+    frames = decode_gif_frames_py(gif)
+    assert len(frames) == 3
+    want1 = pal[base].copy()
+    want1[2:4, 2:4] = pal[1]
+    assert np.array_equal(frames[1], want1)
+    # frame 2: the green patch must be GONE (restored to red), only
+    # the blue dot differs from the base canvas
+    want2 = pal[base].copy()
+    want2[0, 0] = pal[2]
+    assert np.array_equal(frames[2], want2)
+
+
+def test_gif_interlaced_decode_matches_progressive_order():
+    """Interlaced GIF rows (4-pass storage order) are scattered back
+    to raster order — decode matches the non-interlaced oracle
+    exactly (round-7 task 3)."""
+    from pipelinedb_spark.operators.multimodal import decode_gif_py
+
+    rng = np.random.RandomState(17)
+    for h, w in [(1, 5), (2, 3), (5, 4), (8, 8), (13, 7), (16, 9)]:
+        pal = rng.randint(0, 256, (8, 3))
+        idx = rng.randint(0, 8, (h, w))
+        plain = decode_gif_py(_make_gif(idx, pal))
+        inter = decode_gif_py(_make_gif(idx, pal, interlace=True))
+        assert np.array_equal(inter, plain), (h, w)
+        assert np.array_equal(plain, pal[idx])
+
+
+# ---------------------------------------------------------------- PNG
+
+def test_png_adam7_interlaced_exact_decode():
+    """Adam7-interlaced PNG (7 independently-filtered passes, every
+    filter type exercised) decodes to exactly the same pixels as the
+    non-interlaced encoding (round-7 task 3)."""
+    from pipelinedb_spark.operators.multimodal import decode_png_py
+
+    rng = np.random.RandomState(41)
+    # shapes that hit empty passes (w or h < pass offsets) and ragged
+    # pass widths; color types gray/RGB/RGBA/palette
+    for (h, w), ctype in [((1, 1), 0), ((3, 2), 2), ((7, 5), 6),
+                          ((8, 8), 2), ((13, 11), 0), ((20, 17), 6),
+                          ((9, 16), 2)]:
+        nch = {0: 1, 2: 3, 6: 4}[ctype]
+        shape = (h, w) if nch == 1 else (h, w, nch)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        plain = decode_png_py(_make_png(img, ctype))
+        inter = decode_png_py(_make_png(img, ctype, interlace=True))
+        assert np.array_equal(inter, plain), (h, w, ctype)
+        assert np.array_equal(
+            plain.reshape(shape) if nch == 1 else plain, img)
+    # palette + Adam7
+    pal = rng.randint(0, 256, (16, 3))
+    idx = rng.randint(0, 16, (10, 6)).astype(np.uint8)
+    got = decode_png_py(_make_png(idx, 3, palette=pal,
+                                  interlace=True))
+    assert np.array_equal(got, pal[idx])
+
+
+# --------------------------------------------------------------- JPEG
+
+def test_progressive_jpeg_scan_script_deterministic():
+    """Full Annex-G scan script (interleaved DC first/refine,
+    per-component AC bands with EOB runs, AC refinement with
+    correction bits) reconstructs a smooth image within baseline
+    tolerance; decode stats flow through the Spark decode_pixels
+    path for SOF2 payloads (round-7 task 2)."""
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    rng = np.random.RandomState(23)
+    base = rng.randint(70, 186, (4, 5, 3)).repeat(8, 0).repeat(8, 1)
+    img = np.clip(base + rng.randint(-5, 6, base.shape),
+                  0, 255).astype(np.uint8)
+    p = _make_progressive_jpeg(img)
+    assert b"\xff\xc2" in p  # really SOF2
+    got = decode_jpeg_py(p)
+    assert got.shape == img.shape
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+    # sparse coefficients (real quant) → multi-block EOB runs
+    quant = np.clip(np.arange(64).reshape(8, 8) * 3, 1, 120)
+    smooth = np.clip(np.round(
+        128 + 60 * np.sin(np.arange(40) / 9.0)[:, None, None]
+        + np.zeros((40, 48, 3))), 0, 255).astype(np.uint8)
+    got = decode_jpeg_py(_make_progressive_jpeg(smooth, quant=quant))
+    assert np.max(np.abs(got.astype(int) - smooth.astype(int))) <= 24
+
+
+def test_progressive_jpeg_spark_decode_pixels(spark):
+    """SOF2 payloads produce real stats rows via decode_pixels."""
+    from pipelinedb_spark.operators.multimodal import decode_pixels
+
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    img[:, :, 2] = 40
+    p = _make_progressive_jpeg(img)
+    df = spark.createDataFrame([(1, "image", bytearray(p))],
+                               "media_id long, kind string, payload binary")
+    row = decode_pixels(df).collect()[0]
+    assert (row["width"], row["height"]) == (16, 16)
+    assert row["mean_r"] == pytest.approx(200.0, abs=2)
+    assert row["mean_b"] == pytest.approx(40.0, abs=2)
+
+
+def test_multiscan_baseline_jpeg_per_component_scans():
+    """Baseline (SOF0) streams with one full-band scan per component
+    decode correctly; a stream missing a component's scan raises
+    instead of silently emitting zero coefficients (ADVICE r6)."""
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    rng = np.random.RandomState(29)
+    base = rng.randint(60, 196, (3, 2, 3)).repeat(8, 0).repeat(8, 1)
+    img = np.clip(base + rng.randint(-4, 5, base.shape),
+                  0, 255).astype(np.uint8)
+    ms = _make_progressive_jpeg(
+        img, script=[([ci], 0, 63, 0, 0) for ci in range(3)],
+        sof=0xC0)
+    single = decode_jpeg_py(_make_jpeg(img))
+    got = decode_jpeg_py(ms)
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+    assert np.array_equal(got, single)
+    truncated = _make_progressive_jpeg(
+        img, script=[([ci], 0, 63, 0, 0) for ci in range(2)],
+        sof=0xC0)
+    with pytest.raises(ValueError, match="scan coverage incomplete"):
+        decode_jpeg_py(truncated)
+
+
+def test_progressive_jpeg_dc_only_partial_scripts():
+    """Partial progressive scripts are themselves valid streams: a
+    DC-only script decodes to the blockwise-mean image (the classic
+    'first progressive pass' preview)."""
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8] = 80
+    img[8:] = 200
+    p = _make_progressive_jpeg(
+        img, script=[([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0)])
+    got = decode_jpeg_py(p)[..., 0]
+    # each 8x8 block is constant → DC alone reconstructs exactly
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 1
