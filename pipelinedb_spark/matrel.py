@@ -234,15 +234,20 @@ class MatrelStore:
         states = states.withColumn(BUCKET_COL, self.bucket_expr(group_cols))
         self._commit(states, None, full=True)
 
+    def _referenced_dirs(self) -> set[str]:
+        return {os.path.relpath(p, self.dir).split(os.sep)[0]
+                for p in self._read_manifest()["buckets"].values()}
+
     def compact(self) -> int:
         """Rewrite every live row into one fresh packed version and
         drop the old dirs (the VACUUM FULL analog).  A version dir
         stays on disk while ANY bucket still references it, so a cold
         bucket can pin stale copies of hot buckets indefinitely;
         compaction bounds that amplification.  Returns the number of
-        version dirs removed.  (Same retention granularity existed in
-        the pre-packed leaf-dir layout — whole version dirs — so this
-        is the remedy for both.)
+        version dirs DEREFERENCED (no longer manifest-live) — under a
+        nonzero ``gc_grace_seconds`` the physical unlink happens on a
+        later sweep, so counting removed-on-disk dirs would report 0
+        for every graced compaction.
 
         Old dirs younger than ``gc_grace_seconds`` survive the sweep
         (a reader that planned its scan just before the manifest swap
@@ -250,17 +255,16 @@ class MatrelStore:
         commit_lock); they fall off a later GC.  Set the grace to 0
         for synchronous maintenance with no concurrent readers."""
         cur = self.read()
-        before = {e for e in os.listdir(self.dir) if e.startswith("v")}
         if cur is None:
             return 0
+        before = self._referenced_dirs()
         # read() plans lazily over the old files; checkpoint so the
         # full-overwrite does not read dirs it is about to GC
         self._commit(cur.localCheckpoint(eager=True), None, full=True)
         self._gc(keep_version=self._read_manifest()["version"],
                  keep_last=0)
         self._last_compact = time.time()
-        after = {e for e in os.listdir(self.dir) if e.startswith("v")}
-        return len(before - after)
+        return len(before - self._referenced_dirs())
 
     def delete_where(self, condition) -> int:
         """TTL reaper: rewrite buckets dropping rows matching

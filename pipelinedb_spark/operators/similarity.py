@@ -427,8 +427,14 @@ def ivf_persist(corpus: DataFrame, path: str,
         centroids = ivf_train(corpus, n_lists, id_col, vec_col,
                                sample=sample, seed=seed)
     assign = _ivf_assign_udf(centroids, nprobe=1)
+    # hash-repartition on list_id before the dynamic-partition write:
+    # otherwise every input partition emits one file per list it holds
+    # (partitions × lists small files — see ivf_append)
+    nparts = min(corpus.sparkSession.sparkContext.defaultParallelism,
+                 max(1, len(centroids)))
     (corpus.select(F.col(id_col), F.col(vec_col),
                    assign(F.col(vec_col))[0].alias("list_id"))
+     .repartition(nparts, "list_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(path))
     # leading underscore: Spark's file index skips _-prefixed
     # files, so the sidecar never confuses the parquet reader
@@ -490,7 +496,15 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
     out = (new_vectors.select(F.col(id_col), F.col(vec_col),
                               assign(F.col(vec_col))[0].alias("list_id"))
            .observe(obs, F.count(F.lit(1)).alias("n")))
-    if write_partitions is not None:
-        out = out.repartition(write_partitions, "list_id")
+    # co-locate each list's rows in one task before the dynamic-
+    # partition write: without this, every input partition writes one
+    # file per list_id it happens to hold (input_partitions × lists
+    # small files per append — at 100 TB a few hundred appends would
+    # degrade every later probe's listing/scan).  Hash-repartitioned
+    # on list_id the append writes ≈ one file per touched list.
+    if write_partitions is None:
+        write_partitions = min(spark.sparkContext.defaultParallelism,
+                               max(1, len(centroids)))
+    out = out.repartition(write_partitions, "list_id")
     out.write.mode("append").partitionBy("list_id").parquet(path)
     return int(obs.get["n"])

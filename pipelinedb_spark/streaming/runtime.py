@@ -206,7 +206,15 @@ def attach_socket_stream(ctx: PipelineContext, stream: str,
     analog).  The socket source is at-most-once by nature (no replay
     on reconnect) — Spark documents it as a dev/test source; rows
     that ARRIVE flow through the same effectively-once foreachBatch
-    commit path as every other attachment."""
+    commit path as every other attachment.
+
+    Caveat: malformed lines are detected as from_json's all-null
+    struct, so a WELL-FORMED object whose declared fields are all
+    null/absent (e.g. ``{}`` or ``{"k": null}``) is indistinguishable
+    from garbage and is likewise dropped.  The reference's wire
+    protocol would accept such a row; callers that need all-null rows
+    should declare a non-nullable discriminator column (an id or
+    arrival sequence) in the stream schema."""
     sd = ctx.streams[stream]
     active = _claim_stream(ctx, stream)
     from pyspark.sql import functions as F

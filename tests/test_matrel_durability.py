@@ -148,11 +148,12 @@ def test_compact_drops_old_versions_keeps_values(ctx):
         ctx.insert("du6", [{"k": f"k{i % 3}", "v": i}])
     store = ctx.views["cv_du6"].matrel
     before = sorted(tuple(r) for r in ctx.read_view("cv_du6").collect())
-    n_dirs_before = sum(1 for e in os.listdir(store.dir)
-                        if e.startswith("v"))
+    refs_before = store._referenced_dirs()
     store.gc_grace_seconds = 0  # synchronous: no concurrent readers
     removed = ctx.compact_view("cv_du6")
-    assert removed >= n_dirs_before - 1  # everything but the new dir
+    # compact() counts DEREFERENCED dirs (grace may defer the unlink)
+    assert removed == len(refs_before - store._referenced_dirs())
+    assert removed >= 1 and len(store._referenced_dirs()) == 1
     assert sum(1 for e in os.listdir(store.dir)
                if e.startswith("v")) == 1
     assert sorted(tuple(r) for r in ctx.read_view("cv_du6").collect()) \

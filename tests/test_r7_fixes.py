@@ -93,6 +93,64 @@ def test_gif_interlaced_decode_matches_progressive_order():
         assert np.array_equal(plain, pal[idx])
 
 
+# -------------------------------------------------------------- matrel
+
+def test_compact_returns_dereferenced_count_under_grace(spark,
+                                                        tmp_path):
+    """VERDICT r6 residue: with a nonzero GC grace, compact() used to
+    report 0 (it counted on-disk removals, which the grace defers).
+    It now reports the number of version dirs dereferenced."""
+    from pyspark.sql import functions as F
+
+    from pipelinedb_spark.matrel import BUCKET_COL, MatrelStore
+
+    store = MatrelStore(spark, str(tmp_path), "m", num_buckets=4)
+    store.gc_grace_seconds = 3600.0  # grace holds every old dir
+    for i in range(3):
+        store.merge(
+            spark.createDataFrame([("a", 1), (f"k{i}", i)],
+                                  "k string, n long"),
+            ["k"],
+            lambda df: df.groupBy("k", BUCKET_COL)
+                         .agg(F.sum("n").alias("n")))
+    pre = {r["k"]: r["n"] for r in store.read().collect()}
+    removed = store.compact()
+    assert removed >= 1  # dereferenced, even though still on disk
+    held = {e for e in os.listdir(store.dir) if e.startswith("v")} \
+        - store._referenced_dirs()
+    assert held  # grace kept them
+    assert {r["k"]: r["n"] for r in store.read().collect()} == pre
+
+
+# ----------------------------------------------------------------- IVF
+
+def test_ivf_writes_one_file_per_list(spark, tmp_path):
+    """VERDICT r6 residue: ivf_persist/ivf_append must hash-repartition
+    on list_id before the dynamic-partition write — otherwise every
+    input partition writes one file per list it holds (partitions ×
+    lists small files per append; at 100 TB that degrades every later
+    probe's listing)."""
+    import glob
+
+    from pipelinedb_spark.operators.similarity import (ivf_append,
+                                                       ivf_persist)
+
+    rng = np.random.RandomState(13)
+    path = str(tmp_path / "ivf")
+    corpus = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>").repartition(16)
+    ivf_persist(corpus, path, n_lists=4)
+    n0 = len(glob.glob(f"{path}/list_id=*/*.parquet"))
+    assert n0 <= 4  # ≈ one file per list, NOT 16×4
+    extra = spark.createDataFrame(
+        [(1000 + i, rng.randn(8).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>").repartition(11)
+    assert ivf_append(spark, path, extra) == 60
+    n1 = len(glob.glob(f"{path}/list_id=*/*.parquet"))
+    assert n1 - n0 <= 4  # the append added ≈ one file per list
+
+
 # ---------------------------------------------------------------- PNG
 
 def test_png_adam7_interlaced_exact_decode():
