@@ -412,6 +412,51 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     return corpus.join(F.broadcast(drop), id_col, "left_anti")
 
 
+def _ivf_assign_dist_udf(centroids: np.ndarray):
+    """Arrow-batched: (nearest centroid id, assignment distance
+    ``1 − cosine``) per vector — one matmul serves both the list
+    assignment and the staleness accounting."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.copy()
+
+    @pandas_udf("list_id int, dist double")
+    def assign_dist(v: pd.Series) -> pd.DataFrame:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        sim = mat @ cent.T
+        best = sim.argmax(axis=1)
+        return pd.DataFrame({
+            "list_id": best.astype(np.int32),
+            "dist": 1.0 - sim[np.arange(len(best)), best]})
+
+    return assign_dist
+
+
+def _meta_path(path: str) -> str:
+    # leading underscore: Spark's file index skips _-prefixed files
+    return os.path.join(path, "_meta.json")
+
+
+def _read_meta(path: str) -> dict | None:
+    import json
+    try:
+        with open(_meta_path(path)) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    import json
+    import tempfile
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_meta")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(path))
+
+
 def ivf_persist(corpus: DataFrame, path: str,
                 centroids: np.ndarray | None = None,
                 n_lists: int = 16, id_col: str = "vec_id",
@@ -422,23 +467,44 @@ def ivf_persist(corpus: DataFrame, path: str,
     probes become PARTITION PRUNING at the parquet scan instead of a
     post-scan filter.  This is the production shape the ivf_topk
     docstring describes: at 100 TB a probe touches ~nprobe/n_lists of
-    the files, enforced by the storage layout."""
+    the files, enforced by the storage layout.
+
+    The build also records the corpus mean assignment distance
+    (1 − cosine to the nearest centroid) in ``_meta.json`` — the
+    baseline that ``ivf_staleness`` compares appended batches against
+    to signal centroid drift.  The distance rides the write job as an
+    Observation (no extra pass)."""
+    from pyspark.sql import Observation
+
     if centroids is None:
         centroids = ivf_train(corpus, n_lists, id_col, vec_col,
                                sample=sample, seed=seed)
-    assign = _ivf_assign_udf(centroids, nprobe=1)
+    assign_dist = _ivf_assign_dist_udf(centroids)
     # hash-repartition on list_id before the dynamic-partition write:
     # otherwise every input partition emits one file per list it holds
     # (partitions × lists small files — see ivf_append)
     nparts = min(corpus.sparkSession.sparkContext.defaultParallelism,
                  max(1, len(centroids)))
+    obs = Observation()
     (corpus.select(F.col(id_col), F.col(vec_col),
-                   assign(F.col(vec_col))[0].alias("list_id"))
+                   assign_dist(F.col(vec_col)).alias("__ad"))
+     .select(id_col, vec_col, F.col("__ad.list_id").alias("list_id"),
+             F.col("__ad.dist").alias("__dist"))
+     .observe(obs, F.avg("__dist").alias("mean_dist"),
+              F.count(F.lit(1)).alias("n"))
+     .drop("__dist")
      .repartition(nparts, "list_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(path))
-    # leading underscore: Spark's file index skips _-prefixed
-    # files, so the sidecar never confuses the parquet reader
     np.save(os.path.join(path, "_centroids.npy"), centroids)
+    _write_meta(path, {
+        "n_lists": int(len(centroids)),
+        "dim": int(centroids.shape[1]),
+        "build_n": int(obs.get["n"]),
+        "build_mean_dist": float(obs.get["mean_dist"] or 0.0),
+        "appended_n": 0,
+        "appended_dist_sum": 0.0,
+        "id_col": id_col, "vec_col": vec_col,
+    })
     return centroids
 
 
@@ -491,11 +557,16 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
     from pyspark.sql import Observation
 
     centroids = np.load(os.path.join(path, "_centroids.npy"))
-    assign = _ivf_assign_udf(centroids, nprobe=1)
+    assign_dist = _ivf_assign_dist_udf(centroids)
     obs = Observation()
     out = (new_vectors.select(F.col(id_col), F.col(vec_col),
-                              assign(F.col(vec_col))[0].alias("list_id"))
-           .observe(obs, F.count(F.lit(1)).alias("n")))
+                              assign_dist(F.col(vec_col)).alias("__ad"))
+           .select(id_col, vec_col,
+                   F.col("__ad.list_id").alias("list_id"),
+                   F.col("__ad.dist").alias("__dist"))
+           .observe(obs, F.count(F.lit(1)).alias("n"),
+                    F.sum("__dist").alias("dist_sum"))
+           .drop("__dist"))
     # co-locate each list's rows in one task before the dynamic-
     # partition write: without this, every input partition writes one
     # file per list_id it happens to hold (input_partitions × lists
@@ -507,4 +578,60 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
                                max(1, len(centroids)))
     out = out.repartition(write_partitions, "list_id")
     out.write.mode("append").partitionBy("list_id").parquet(path)
-    return int(obs.get["n"])
+    n = int(obs.get["n"])
+    # drift accounting: the assignment distances already rode the
+    # write job's Observation — fold them into the index meta so
+    # ivf_staleness needs no data read
+    meta = _read_meta(path)
+    if meta is not None:
+        meta["appended_n"] = meta.get("appended_n", 0) + n
+        meta["appended_dist_sum"] = (meta.get("appended_dist_sum", 0.0)
+                                     + float(obs.get["dist_sum"] or 0.0))
+        _write_meta(path, meta)
+    return n
+
+
+def ivf_staleness(path: str) -> dict:
+    """Centroid-drift signal for a persisted IVF index, O(1) — reads
+    only ``_meta.json``, no vectors.  Returns ``build_mean_dist``
+    (mean 1−cosine assignment distance at index build),
+    ``appended_mean_dist`` (same over every ``ivf_append`` batch since
+    build/retrain), and ``ratio`` = appended/build.  A ratio well
+    above 1 means arriving vectors sit far from the frozen centroids
+    (distribution shift) → recall degrades and a retrain is due; ~1.0
+    means the quantizer still fits.  ``ratio`` is NaN until something
+    was appended."""
+    meta = _read_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"no _meta.json under {path}: index predates staleness "
+            "accounting — re-run ivf_persist/ivf_retrain")
+    build = float(meta.get("build_mean_dist", 0.0))
+    n = int(meta.get("appended_n", 0))
+    appended = (float(meta["appended_dist_sum"]) / n) if n else float("nan")
+    return {"build_mean_dist": build,
+            "appended_mean_dist": appended,
+            "appended_n": n,
+            "ratio": appended / build if n and build > 0 else float("nan")}
+
+
+def ivf_retrain(spark, path: str, n_lists: int | None = None,
+                sample: int = 4096, seed: int = 7) -> np.ndarray:
+    """Re-train the coarse quantizer from the vectors already stored
+    in the index (base + every appended batch) and re-persist in
+    place — the maintenance step ``ivf_staleness`` calls for.  Resets
+    the drift accounting.  Locally the corpus is pinned
+    (localCheckpoint) before the overwrite; a 100 TB deployment would
+    write the new index beside the old and swap a pointer instead,
+    but the train/assign/partition plan is identical."""
+    meta = _read_meta(path) or {}
+    id_col = meta.get("id_col", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    if n_lists is None:
+        n_lists = int(meta.get("n_lists") or
+                      len(np.load(os.path.join(path, "_centroids.npy"))))
+    corpus = (spark.read.parquet(path)
+              .select(id_col, vec_col)
+              .localCheckpoint(eager=True))
+    return ivf_persist(corpus, path, n_lists=n_lists, id_col=id_col,
+                       vec_col=vec_col, sample=sample, seed=seed)

@@ -145,6 +145,46 @@ def attach_file_stream(ctx: PipelineContext, stream: str, source_dir: str,
     return att
 
 
+def kafka_reader_options(bootstrap_servers: str, topic: str,
+                         starting_offsets: str = "latest") -> dict:
+    """Source options for the Kafka reader, validated up front (an
+    invalid startingOffsets otherwise surfaces as an opaque JVM error
+    at stream start).  Factored from ``attach_kafka_stream`` so the
+    option contract is unit-testable without a broker."""
+    so = starting_offsets.strip()
+    if so not in ("earliest", "latest") and not so.startswith("{"):
+        raise CQError(
+            f"invalid startingOffsets {starting_offsets!r}: expected "
+            "'earliest', 'latest', or a per-partition JSON object")
+    if not bootstrap_servers or not topic:
+        raise CQError("kafka attachment needs bootstrap servers and "
+                      "a topic")
+    return {"kafka.bootstrap.servers": bootstrap_servers,
+            "subscribe": topic,
+            "startingOffsets": so}
+
+
+def kafka_decode(raw: DataFrame, schema) -> DataFrame:
+    """Decode Kafka wire frames (``value`` binary + key/topic/
+    partition/offset metadata) into stream rows: JSON value parsed
+    against the stream's declared schema, malformed payloads dropped
+    (``from_json``'s all-null struct — the reference rejects
+    malformed wire inserts per-row; see ``attach_socket_stream`` for
+    the all-null-fields caveat).  Pure DataFrame→DataFrame, so the
+    contract is testable against a manually-built micro-batch with
+    the Kafka wire schema — no broker, no connector jar."""
+    from pyspark.sql import functions as F
+    parsed = (raw.select(F.from_json(F.col("value").cast("string"),
+                                     schema).alias("r"))
+              .select("r.*"))
+    if schema.fields:
+        import functools
+        parsed = parsed.filter(functools.reduce(
+            lambda a, b: a | b,
+            [F.col(f.name).isNotNull() for f in schema.fields]))
+    return parsed
+
+
 def attach_kafka_stream(ctx: PipelineContext, stream: str,
                         bootstrap_servers: str, topic: str,
                         checkpoint_dir: str | None = None,
@@ -155,7 +195,8 @@ def attach_kafka_stream(ctx: PipelineContext, stream: str,
     the production ingestion path (reference reads streams over its
     wire protocol; Spark's equivalent is ``format("kafka")`` +
     ``foreachBatch`` into the same worker/combiner).  Message values
-    are JSON-decoded against the stream's declared schema.
+    are JSON-decoded against the stream's declared schema via
+    ``kafka_decode``.
 
     Requires the ``spark-sql-kafka`` connector package on the
     classpath; this container ships without it, so the attachment
@@ -163,24 +204,19 @@ def attach_kafka_stream(ctx: PipelineContext, stream: str,
     ClassNotFoundException."""
     sd = ctx.streams[stream]
     active = _claim_stream(ctx, stream)
-    from pyspark.sql import functions as F
     src_schema = type(sd.schema)([f for f in sd.schema.fields
                                   if f.name != ARRIVAL_COL])
     checkpoint = checkpoint_dir or os.path.join(
         ctx.root, "checkpoints", f"kafka_{stream}")
+    opts = kafka_reader_options(bootstrap_servers, topic,
+                                starting_offsets)
     try:
-        raw = (ctx.spark.readStream.format("kafka")
-               .option("kafka.bootstrap.servers", bootstrap_servers)
-               .option("subscribe", topic)
-               .option("startingOffsets", starting_offsets)
-               .load())
+        raw = ctx.spark.readStream.format("kafka").options(**opts).load()
     except Exception as e:  # connector jar missing / broker unreachable
         raise CQError(
             "kafka source unavailable: the spark-sql-kafka connector "
             f"package is required on the classpath ({e})") from e
-    parsed = (raw.select(F.from_json(F.col("value").cast("string"),
-                                     src_schema).alias("r"))
-              .select("r.*"))
+    parsed = kafka_decode(raw, src_schema)
     writer = (parsed.writeStream
               .foreachBatch(_foreach_batch(ctx, stream, checkpoint))
               .option("checkpointLocation", checkpoint))
