@@ -225,6 +225,50 @@ def test_ivf_staleness_and_retrain_recovers_recall(spark, tmp_path):
     assert after >= before
 
 
+# ----------------------------------------------------- dispatch
+
+def test_parallel_dispatch_equivalent_to_serial(spark, tmp_path):
+    """Round-7 task 8: concurrent per-view dispatch (each CV owns its
+    matrel store) produces bit-identical view state to the serial
+    path across multi-batch ingest, including a view with a
+    stream-table join and one with FILTER aggregates."""
+    from pipelinedb_spark import PipelineContext
+
+    def run(parallel, root):
+        ctx = PipelineContext(spark, root=root, num_buckets=8)
+        ctx.parallel_dispatch = parallel
+        ctx.register_table(
+            "dimp", spark.createDataFrame(
+                [("a", "x"), ("b", "y"), ("c", "x")],
+                "k string, grp string"))
+        ctx.create_stream("pd", "k string, v double")
+        ctx.create_view("pd1",
+                        "SELECT k, count(*) AS n, sum(v) AS s "
+                        "FROM pd GROUP BY k")
+        ctx.create_view("pd2",
+                        "SELECT count(*) FILTER (WHERE v > 2) AS hi, "
+                        "avg(v) AS a FROM pd")
+        ctx.create_view("pd3",
+                        "SELECT grp, sum(v) AS s FROM "
+                        "(SELECT pd.v, dimp.grp FROM pd "
+                        "JOIN dimp ON pd.k = dimp.k) GROUP BY grp")
+        ctx.create_view("pd4",
+                        "SELECT k, max(v) AS mx, min(v) AS mn "
+                        "FROM pd GROUP BY k")
+        for b in range(3):
+            ctx.insert("pd", [{"k": k, "v": float(b * 10 + i)}
+                              for i, k in enumerate("abcab")])
+        out = {v: sorted(map(tuple,
+                             ctx.read_view(v).collect()))
+               for v in ("pd1", "pd2", "pd3", "pd4")}
+        ctx.close()
+        return out
+
+    serial = run(False, str(tmp_path / "ser"))
+    par = run(True, str(tmp_path / "par"))
+    assert par == serial
+
+
 # -------------------------------------------------------------- Kafka
 
 def _kafka_wire_df(spark, values):
