@@ -898,6 +898,9 @@ class PipelineContext:
         self.osrel_root = os.path.join(self.root, "osrels")
         os.makedirs(self.osrel_root, exist_ok=True)
         self.osrel_retention_segments = 256
+        # once-per-osrel warning when output_of() is read on a
+        # reader-gated stream that never emitted (round-6 default flip)
+        self._osrel_gate_warned: set[str] = set()
         self._osrel_seq: dict[str, int] = {}
         self._osrel_schema: dict[str, T.StructType] = {}
         # Durable catalog: DDL replay log so a fresh context over the
@@ -1937,6 +1940,20 @@ class PipelineContext:
                 sd = self.streams.get(osrel)
                 schema = (sd.schema if sd is not None and sd.schema.fields
                           else T.StructType())
+                if not self._wants_osrel(osrel) and \
+                        osrel not in self._osrel_gate_warned:
+                    # round-6 default flip (emission is reader-gated,
+                    # matching src/combiner.c:1477-1489): surface the
+                    # behavior change once instead of silently
+                    # returning empty frames forever
+                    self._osrel_gate_warned.add(osrel)
+                    logging.getLogger(__name__).warning(
+                        "output_of(%r): nothing has been emitted and "
+                        "no downstream CQ reads this output stream — "
+                        "change-row emission is reader-gated by "
+                        "default; pass track_output_streams=True to "
+                        "PipelineContext for a retained history tail "
+                        "with no readers attached", name)
             return self.spark.createDataFrame([], schema)
         # segments may span an emission-schema change (e.g. an added
         # struct column): merge instead of trusting the first file
