@@ -211,6 +211,52 @@ def test_gif_roundtrip_random(h, w, ncolors_pow, seed):
     assert np.array_equal(got, pal[idx])
 
 
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=24),
+       st.integers(min_value=0, max_value=2**32 - 1),
+       st.sampled_from([0, 2, 6]))
+def test_png_adam7_roundtrip_matches_plain(h, w, seed, ctype):
+    """Adam7-interlaced PNG decodes to exactly the same pixels as the
+    non-interlaced encoding of the same image, across random shapes
+    (incl. dimensions with empty interlace passes) and color types."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_operators import _make_png
+
+    from pipelinedb_spark.operators.multimodal import decode_png_py
+    rng = np.random.RandomState(seed)
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    shape = (h, w) if nch == 1 else (h, w, nch)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    plain = decode_png_py(_make_png(img, ctype))
+    inter = decode_png_py(_make_png(img, ctype, interlace=True))
+    assert np.array_equal(inter, plain)
+    assert np.array_equal(plain.reshape(shape), img.reshape(shape))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=20),
+       st.integers(min_value=1, max_value=20),
+       st.integers(min_value=0, max_value=2**32 - 1),
+       st.integers(min_value=1, max_value=5))
+def test_gif_interlaced_roundtrip_matches_plain(h, w, seed,
+                                                ncolors_pow):
+    """Interlaced GIF row scatter reconstructs the raster image
+    exactly across random shapes and palette sizes."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_operators import _make_gif
+
+    from pipelinedb_spark.operators.multimodal import decode_gif_py
+    rng = np.random.RandomState(seed)
+    ncolors = 2 ** ncolors_pow
+    pal = rng.randint(0, 256, (ncolors, 3))
+    idx = rng.randint(0, ncolors, (h, w))
+    got = decode_gif_py(_make_gif(idx, pal, interlace=True))
+    assert np.array_equal(got, pal[idx])
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.integers(min_value=1, max_value=3),
        st.integers(min_value=1, max_value=3),
