@@ -215,11 +215,20 @@ def decode_jpeg_py(p: bytes):
                 raise NotImplementedError("non-8-bit JPEG")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            # allocation guard: coefficient arrays are sized by the
+            # declared dimensions; a hostile header must raise (→
+            # null row upstream) before any allocation, since an
+            # executor OOM cannot be caught
+            if w < 1 or h < 1 or w * h > 64 * 1024 * 1024:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             nc = body[5]
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0x0F) <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factors 0x{hv:02x}")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq, "dc_done": False})
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,

@@ -30,6 +30,17 @@ from pyspark.sql import types as T
 
 _HAS_CODECS = False  # PIL / soundfile / av are not in this container
 
+# Decoder allocation guard: a corrupt/hostile header declaring huge
+# dimensions must raise (→ null row) BEFORE any allocation sized by
+# those dimensions — an executor OOM from one payload cannot be
+# caught.  64 Mpx (≈192 MB RGB) comfortably covers real corpora.
+_MAX_PIXELS = 64 * 1024 * 1024
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w < 1 or h < 1 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible image dimensions {w}x{h}")
+
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
@@ -275,7 +286,12 @@ def decode_png_py(p: bytes):
             "only 8-bit gray/RGB/palette/GA/RGBA decode "
             "without codec libraries")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    raw = zlib.decompress(b"".join(idat))
+    _check_dims(w, h)
+    # bounded inflate: a decompression-bomb IDAT must not expand past
+    # what the declared dimensions can legitimately need (Adam7 pays
+    # ≤ ~1.875·h extra filter bytes across its 7 passes)
+    need = h * (w * nch + 2) + 8
+    raw = zlib.decompressobj().decompress(b"".join(idat), need)
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
         out = np.zeros((h, w, nch), dtype=np.uint8)
         off = 0
@@ -419,6 +435,7 @@ def decode_gif_frames_py(p: bytes, max_frames: int | None = None):
         return None
     W = int.from_bytes(p[6:8], "little")
     H = int.from_bytes(p[8:10], "little")
+    _check_dims(W, H)
     flags = p[10]
     bg_index = p[11]
     gct = None
@@ -590,7 +607,9 @@ def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
                 try:
                     frames = decode_gif_frames_py(bytes(p)) \
                         if p is not None else None
-                except (ValueError, IndexError):
+                except NotImplementedError:
+                    raise
+                except Exception:  # corrupt container → skip row
                     frames = None
                 if not frames:
                     continue
@@ -607,7 +626,15 @@ def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
 
 def _decode_any(p: bytes):
     """(fmt, array) via the dependency-free decoders, or (None, None)
-    for unrecognized/corrupt payloads."""
+    for unrecognized/corrupt payloads.
+
+    Contract: ANY failure parsing untrusted bytes is "corrupt" →
+    null row (a 100 TB batch must survive every malformed payload a
+    crawl can contain — corrupt DEFLATE streams raise zlib.error,
+    references to undeclared JPEG Huffman tables raise KeyError, and
+    so on; enumerating exception types is a losing game).  Only
+    NotImplementedError passes through: it marks a RECOGNIZED format
+    gated by design, which the caller must surface, not null out."""
     try:
         for fmt, fn in (("bmp", decode_bmp_py), ("ppm", decode_ppm_py),
                         ("png", decode_png_py), ("gif", decode_gif_py),
@@ -617,7 +644,7 @@ def _decode_any(p: bytes):
                 return fmt, a
     except NotImplementedError:
         raise
-    except (ValueError, IndexError, TypeError):
+    except Exception:
         pass
     return None, None
 
@@ -763,7 +790,9 @@ def decode_audio(df: DataFrame) -> DataFrame:
                 if p is not None:
                     try:
                         dec = decode_wav_py(bytes(p))
-                    except (ValueError, IndexError):
+                    except NotImplementedError:
+                        raise
+                    except Exception:  # corrupt container → null row
                         dec = None
                 if dec is None:
                     rows.append((mid,) + (None,) * 7)
@@ -807,7 +836,9 @@ def audio_frame_features(df: DataFrame, frame_ms: int = 25,
                 try:
                     dec = decode_wav_py(bytes(p)) if p is not None \
                         else None
-                except (ValueError, IndexError):
+                except NotImplementedError:
+                    raise
+                except Exception:  # corrupt container → skip row
                     dec = None
                 if dec is None:
                     continue  # frame explosion: skip non-audio rows

@@ -365,6 +365,104 @@ def test_kafka_attach_e2e_when_connector_present(ctx):
         att.stop()
 
 
+# ------------------------------------------------------ decode fuzz
+
+def test_decoder_fuzz_corrupt_payloads_never_escape(spark):
+    """100 TB robustness contract: for ANY byte mutation of a valid
+    payload (bit flips, truncation, splices) the decode path either
+    returns a (possibly garbage) image, returns null-corrupt, or
+    raises NotImplementedError for an honestly-gated sub-format —
+    never any other exception, since one escaped error kills the
+    whole Spark batch.  This previously leaked zlib.error (corrupt
+    PNG IDAT) and KeyError (JPEG scan referencing an undeclared
+    Huffman table)."""
+    from pipelinedb_spark.operators.multimodal import _decode_any
+
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    pal = rng.randint(0, 256, (8, 3))
+    seeds = [
+        _make_png(img, 2),
+        _make_png(img, 2, interlace=True),
+        _make_gif(rng.randint(0, 8, (12, 12)), pal),
+        _make_jpeg(img),
+        _make_progressive_jpeg(img),
+    ]
+    checked = 0
+    for payload in seeds:
+        b = bytearray(payload)
+        for trial in range(120):
+            m = bytearray(b)
+            op = trial % 3
+            if op == 0:    # flip a random byte
+                pos = rng.randint(0, len(m))
+                m[pos] ^= 1 << rng.randint(0, 8)
+            elif op == 1:  # truncate
+                m = m[:rng.randint(1, len(m))]
+            else:          # splice random garbage
+                pos = rng.randint(0, len(m))
+                m[pos:pos + 4] = bytes(rng.randint(0, 256, 4).tolist())
+            try:
+                _decode_any(bytes(m))
+            except NotImplementedError:
+                pass  # honest sub-format gate
+            checked += 1
+    assert checked == 600
+
+
+def test_decoder_hostile_dimensions_raise_before_alloc():
+    """A header declaring absurd dimensions must raise ValueError
+    (→ null row) BEFORE any dimension-sized allocation — an executor
+    OOM cannot be caught.  Also: a decompression-bomb PNG IDAT may
+    not inflate past what the declared dimensions could need."""
+    import struct
+    import zlib
+
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+    from pipelinedb_spark.operators.multimodal import (_decode_any,
+                                                       decode_gif_py,
+                                                       decode_png_py)
+
+    # PNG declaring 60000x60000
+    def chunk(cid, body):
+        c = cid + body
+        return struct.pack(">I", len(body)) + c \
+            + struct.pack(">I", zlib.crc32(c))
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="implausible"):
+        decode_png_py(png)
+    assert _decode_any(png) == (None, None)
+
+    # decompression bomb: tiny IDAT inflating to ~256 MB against a
+    # small declared image — bounded inflate keeps it at need-bytes
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 28), 9))
+            + chunk(b"IEND", b""))
+    out = decode_png_py(bomb)  # decodes the first rows, stays small
+    assert out.shape == (4, 4, 3)
+
+    # GIF logical screen 50000x50000
+    gif = bytearray(_make_gif(np.zeros((2, 2), dtype=np.uint8),
+                              [[0, 0, 0]]))
+    gif[6:8] = (50000).to_bytes(2, "little")
+    gif[8:10] = (50000).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="implausible"):
+        decode_gif_py(bytes(gif))
+
+    # JPEG SOF declaring 65000x65000
+    jpg = bytearray(_make_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = bytes(jpg).find(b"\xff\xc0")
+    jpg[i + 5:i + 7] = (65000).to_bytes(2, "big")
+    jpg[i + 7:i + 9] = (65000).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg_py(bytes(jpg))
+    assert _decode_any(bytes(jpg)) == (None, None)
+
+
 # ---------------------------------------------------------------- PNG
 
 def test_png_adam7_interlaced_exact_decode():
