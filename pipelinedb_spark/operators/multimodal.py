@@ -247,11 +247,13 @@ def decode_ppm_py(p: bytes):
 def decode_png_py(p: bytes):
     """PNG → (h, w, c) uint8 array, dependency-free: PNG pixel data is
     DEFLATE (stdlib ``zlib``) under per-scanline filters, so the full
-    decode needs no codec library.  Supports bit-depth 8, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
-    non-interlaced and Adam7-interlaced.  Returns None when the
-    payload is not a PNG; raises NotImplementedError for other bit
-    depths (rare in training corpora; production swaps in PIL)."""
+    decode needs no codec library.  Supports bit depths 8 and 16
+    (16-bit samples decode at full precision and emit the high byte —
+    the standard 8-bit rendering), color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), both non-interlaced and
+    Adam7-interlaced.  Returns None when the payload is not a PNG;
+    raises NotImplementedError for sub-byte depths (rare in training
+    corpora; production swaps in PIL)."""
     import zlib
 
     import numpy as np
@@ -279,21 +281,23 @@ def decode_png_py(p: bytes):
         i += 12 + clen  # len + id + crc
     if w is None or not idat:
         return None
-    if depth != 8 or ctype not in (0, 2, 3, 4, 6) \
-            or interlace not in (0, 1):
+    if depth not in (8, 16) or ctype not in (0, 2, 3, 4, 6) \
+            or interlace not in (0, 1) \
+            or (depth == 16 and ctype == 3):
         raise NotImplementedError(
             f"PNG depth={depth} color={ctype} interlace={interlace}: "
-            "only 8-bit gray/RGB/palette/GA/RGBA decode "
+            "only 8/16-bit gray/RGB/palette/GA/RGBA decode "
             "without codec libraries")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = nch * (depth // 8)   # filter unit: BYTES per pixel
     _check_dims(w, h)
     # bounded inflate: a decompression-bomb IDAT must not expand past
     # what the declared dimensions can legitimately need (Adam7 pays
     # ≤ ~1.875·h extra filter bytes across its 7 passes)
-    need = h * (w * nch + 2) + 8
+    need = h * (w * bpp + 2) + 8
     raw = zlib.decompressobj().decompress(b"".join(idat), need)
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
-        out = np.zeros((h, w, nch), dtype=np.uint8)
+        out = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for xs, ys, xstep, ystep in ((0, 0, 8, 8), (4, 0, 8, 8),
                                      (0, 4, 4, 8), (2, 0, 4, 4),
@@ -303,19 +307,23 @@ def decode_png_py(p: bytes):
             ph = (h - ys + ystep - 1) // ystep if h > ys else 0
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (pw * nch + 1)
+            need = ph * (pw * bpp + 1)
             if len(raw) < off + need:
                 raise ValueError("truncated PNG pixel data")
-            sub = _png_unfilter(raw[off:off + need], ph, pw, nch)
+            sub = _png_unfilter(raw[off:off + need], ph, pw, bpp)
             off += need
-            out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, nch)
+            out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, bpp)
         arr = out
     else:
-        stride = w * nch
+        stride = w * bpp
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG pixel data")
         arr = _png_unfilter(raw[:h * (stride + 1)], h, w,
-                            nch).reshape(h, w, nch)
+                            bpp).reshape(h, w, bpp)
+    if depth == 16:
+        # big-endian sample pairs → high byte (the 8-bit rendering;
+        # the full 16-bit value exists here if a caller ever needs it)
+        arr = arr.reshape(h, w, nch, 2)[..., 0]
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -323,11 +331,13 @@ def decode_png_py(p: bytes):
     return arr
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     """Reverse the per-scanline PNG filters over one (sub-)image of
-    ``h`` rows × ``w`` pixels × ``nch`` bytes/pixel → (h, w*nch)."""
+    ``h`` rows × ``w`` pixels × ``bpp`` bytes/pixel → (h, w*bpp).
+    The filter unit is the BYTE regardless of bit depth (PNG spec
+    §9: 16-bit images filter each byte of the big-endian pair)."""
     import numpy as np
-    stride = w * nch
+    stride = w * bpp
     lines = np.frombuffer(raw, dtype=np.uint8,
                           count=h * (stride + 1)).reshape(h, stride + 1)
     filters, data = lines[:, 0], lines[:, 1:]
@@ -335,8 +345,7 @@ def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
     # Unfilter (PNG spec §9): Sub/Up/Average/Paeth reference the
     # reconstructed left/up bytes, so rows go in order; within a row
     # the left-reference recurrence is sequential per PIXEL but
-    # vectorizes across channels (a = out[y, x - nch]).
-    bpp = nch
+    # vectorizes across channels (a = out[y, x - bpp]).
     for y in range(h):
         f = filters[y]
         cur = data[y].astype(np.int32)

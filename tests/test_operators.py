@@ -380,11 +380,13 @@ def test_decode_pixels_bmp_ppm_end_to_end(spark):
 
 
 def _make_png(arr, ctype, filters=None, palette=None,
-              interlace=False):
+              interlace=False, depth=8):
     """Minimal PNG encoder (test oracle): stdlib zlib + forward
     scanline filters, so the decoder's unfilter paths are exercised
     against ground truth.  With ``interlace`` the image is written as
-    the 7 Adam7 passes, each filtered independently."""
+    the 7 Adam7 passes, each filtered independently.  ``depth=16``
+    takes a uint16 array and writes big-endian sample pairs (filters
+    stay byte-wise per PNG spec §9)."""
     import struct
     import zlib
 
@@ -395,20 +397,21 @@ def _make_png(arr, ctype, filters=None, palette=None,
         return struct.pack(">I", len(body)) + c + struct.pack(
             ">I", zlib.crc32(c))
 
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr, dtype=np.uint16 if depth == 16 else np.uint8)
     h, w = arr.shape[:2]
     nch = 1 if arr.ndim == 2 else arr.shape[2]
+    bpp = nch * (depth // 8)  # filter unit: bytes per pixel
 
     def filt_rows(data, flist, pw):
-        """Forward-filter one (sub-)image (rows of pw*nch bytes)."""
+        """Forward-filter one (sub-)image (rows of pw*bpp bytes)."""
         enc_out = bytearray()
-        prev = np.zeros(pw * nch, dtype=np.int32)
+        prev = np.zeros(pw * bpp, dtype=np.int32)
         for raw, f in zip(data, flist):
-            left = np.concatenate([np.zeros(nch, dtype=np.int32),
-                                   raw[:-nch]]) if pw * nch > nch else \
-                np.zeros(pw * nch, dtype=np.int32)
-            upleft = np.concatenate([np.zeros(nch, dtype=np.int32),
-                                     prev[:-nch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32),
+                                   raw[:-bpp]]) if pw * bpp > bpp else \
+                np.zeros(pw * bpp, dtype=np.int32)
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int32),
+                                     prev[:-bpp]])
             if f == 0:
                 enc = raw
             elif f == 1:
@@ -429,7 +432,11 @@ def _make_png(arr, ctype, filters=None, palette=None,
             prev = raw
         return enc_out
 
-    img = arr.reshape(h, w, nch).astype(np.int32)
+    if depth == 16:  # big-endian byte pairs per sample
+        img = np.stack([(arr >> 8) & 0xFF, arr & 0xFF],
+                       axis=-1).astype(np.int32).reshape(h, w, bpp)
+    else:
+        img = arr.reshape(h, w, nch).astype(np.int32)
     if interlace:
         out = bytearray()
         for pi, (xs, ys, xstep, ystep) in enumerate(
@@ -441,11 +448,11 @@ def _make_png(arr, ctype, filters=None, palette=None,
             if ph == 0 or pw == 0:
                 continue
             flist = [(pi + y) % 5 for y in range(ph)]  # all filters
-            out += filt_rows(sub.reshape(ph, pw * nch), flist, pw)
+            out += filt_rows(sub.reshape(ph, pw * bpp), flist, pw)
     else:
         filters = filters or [0] * h
-        out = filt_rows(img.reshape(h, w * nch), filters, w)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+        out = filt_rows(img.reshape(h, w * bpp), filters, w)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
                        1 if interlace else 0)
     body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -1195,10 +1202,11 @@ def test_decode_png_all_filters_and_color_types():
     got = decode_png_py(_make_png(idx, 3, palette=pal,
                                   filters=[0, 1, 2, 3, 4, 1]))
     assert np.array_equal(got, pal[idx[..., 0]])
-    # non-PNG → None; 16-bit → honest NotImplementedError
+    # non-PNG → None; sub-byte depth → honest NotImplementedError
+    # (8- and 16-bit depths both decode — see test_r7_fixes.py)
     assert decode_png_py(b"not a png") is None
     deep = _make_png(img, ctype=2)
-    deep = deep[:24] + bytes([16]) + deep[25:]
+    deep = deep[:24] + bytes([1]) + deep[25:]
     with pytest.raises(NotImplementedError):
         decode_png_py(deep)
 

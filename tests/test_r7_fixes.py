@@ -493,6 +493,34 @@ def test_png_adam7_interlaced_exact_decode():
     assert np.array_equal(got, pal[idx])
 
 
+def test_png_16bit_depth_decode():
+    """16-bit PNG decodes at full precision byte-wise (filters are
+    per-byte per PNG spec §9) and emits the high byte — matches the
+    8-bit encoding of the same high bytes exactly, across filters,
+    color types, and Adam7."""
+    from pipelinedb_spark.operators.multimodal import decode_png_py
+
+    rng = np.random.RandomState(47)
+    for (h, w), ctype, nch in [((6, 5), 0, 1), ((9, 7), 2, 3),
+                               ((8, 8), 6, 4), ((13, 3), 4, 2)]:
+        shape = (h, w) if nch == 1 else (h, w, nch)
+        img16 = rng.randint(0, 65536, shape).astype(np.uint16)
+        filters = [(y * 3) % 5 for y in range(h)]  # exercise all
+        got = decode_png_py(_make_png(img16, ctype, filters=filters,
+                                      depth=16))
+        want = (img16 >> 8).astype(np.uint8).reshape(h, w, nch)
+        assert np.array_equal(got, want), (h, w, ctype)
+        # Adam7 + 16-bit together
+        got_i = decode_png_py(_make_png(img16, ctype, depth=16,
+                                        interlace=True))
+        assert np.array_equal(got_i, want), ("adam7", h, w, ctype)
+    # sub-byte depths stay honestly gated
+    p = bytearray(_make_png(np.zeros((4, 4), dtype=np.uint8), 0))
+    p[24] = 4  # IHDR depth byte
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        decode_png_py(bytes(p))
+
+
 # --------------------------------------------------------------- JPEG
 
 def test_progressive_jpeg_scan_script_deterministic():
