@@ -742,14 +742,17 @@ def _make_jpeg(rgb, subsample=False, quant=None, restart=0):
     return bytes(out)
 
 
-def _make_progressive_jpeg(rgb, script=None, quant=None, sof=0xC2):
+def _make_progressive_jpeg(rgb, script=None, quant=None, sof=0xC2,
+                           subsample=False):
     """Progressive (SOF2) / multi-scan-baseline (SOF0) JPEG encoder
     (test oracle).  ``script`` is a list of scans
     ``(comp_indices, Ss, Se, Ah, Al)``; the default exercises the
     full Annex-G surface: interleaved DC first + refine, per-component
     AC band scans with EOB runs and ZRL, and AC refinement with
-    correction bits.  4:4:4 / grayscale only (subsampled progressive
-    is covered by the decoder's shared MCU walker + baseline tests).
+    correction bits.  ``subsample`` writes 4:2:0 (the dominant
+    real-corpus progressive shape): the interleaved DC scans walk
+    v×h luma blocks per MCU and the AC scans cover each component's
+    TRUE block extent (not the MCU padding), per T.81 A.2.2/G.1.
     Emits a fresh DHT (ids 0) before every scan, as real encoders
     may."""
     import numpy as np
@@ -762,24 +765,46 @@ def _make_progressive_jpeg(rgb, script=None, quant=None, sof=0xC2):
         quant = np.ones((8, 8), dtype=np.int32)
     if gray:
         planes = [arr - 128.0]
+        samp = [(1, 1)]
     else:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-        planes = [0.299 * r + 0.587 * g + 0.114 * b - 128,
-                  -0.168736 * r - 0.331264 * g + 0.5 * b,
-                  0.5 * r - 0.418688 * g - 0.081312 * b]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:  # 4:2:0 — chroma averaged 2×2
+            def down(pl):
+                eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+                pad = np.pad(pl, ((0, eh - h), (0, ew - w)),
+                             mode="edge")
+                return pad.reshape(eh // 2, 2, ew // 2, 2).mean((1, 3))
+            planes = [y - 128, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128, cb, cr]
+            samp = [(1, 1)] * 3
     nc = len(planes)
-    nbx, nby = -(-w // 8), -(-h // 8)
-    blocks = []  # per component: (nby*nbx, 64) zigzag-ordered ints
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     zz = ZIGZAG
-    for pl in planes:
-        pad = np.zeros((nby * 8, nbx * 8))
-        pad[:h, :w] = pl
-        pad[h:, :w] = pl[-1:, :]
-        pad[:, w:] = pad[:, w - 1:w]
-        blk = pad.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    blocks = []   # per comp: (bh*bw, 64) zigzag ints, MCU-padded
+    geo = []      # per comp: dict(bw, bh, nbx, nby, v, h)
+    for pl, (sh, sv) in zip(planes, samp):
+        bw, bh = mcux * sh, mcuy * sv
+        pad = np.zeros((bh * 8, bw * 8))
+        ph, pw = pl.shape
+        pad[:ph, :pw] = pl
+        pad[ph:, :pw] = pl[-1:, :]
+        pad[:, pw:] = pad[:, pw - 1:pw]
+        blk = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ik,yxkl,jl->yxij", _DCT_A, blk, _DCT_A)
         q = np.round(coef / quant).astype(np.int64)
-        blocks.append(q.reshape(nby * nbx, 64)[:, zz])
+        blocks.append(q.reshape(bh * bw, 64)[:, zz])
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        geo.append({"bw": bw, "bh": bh, "nbx": -(-cw // 8),
+                    "nby": -(-ch // 8), "h": sh, "v": sv})
     if script is None:
         script = ([(list(range(nc)), 0, 0, 0, 1)]
                   + [([ci], 1, 5, 0, 1) for ci in range(nc)]
@@ -901,14 +926,22 @@ def _make_progressive_jpeg(rgb, script=None, quant=None, sof=0xC2):
                     flush_eob()
 
         do_block = first_pass if ah == 0 else refine_pass
-        if interleaved:  # 4:4:4 → one block per component per MCU
-            for m in range(nby * nbx):
+        if interleaved:  # MCU order: v×h blocks per component
+            for m in range(mcuy * mcux):
+                my, mx = divmod(m, mcux)
                 for ci in comp_idx:
-                    do_block(ci, blocks[ci][m])
-        else:
+                    g = geo[ci]
+                    for by in range(g["v"]):
+                        for bx in range(g["h"]):
+                            idx = ((my * g["v"] + by) * g["bw"]
+                                   + mx * g["h"] + bx)
+                            do_block(ci, blocks[ci][idx])
+        else:  # single component: raster over its TRUE block extent
             ci = comp_idx[0]
-            for m in range(nby * nbx):
-                do_block(ci, blocks[ci][m])
+            g = geo[ci]
+            for m in range(g["nbx"] * g["nby"]):
+                row, col = divmod(m, g["nbx"])
+                do_block(ci, blocks[ci][row * g["bw"] + col])
         flush_eob()
         return dc_syms, ac_syms, ev
 
@@ -929,7 +962,7 @@ def _make_progressive_jpeg(rgb, script=None, quant=None, sof=0xC2):
     sofb = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([nc])
     for ci in range(nc):
-        sofb += bytes([ci + 1, 0x11, 0])
+        sofb += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
     seg(bytes([0xFF, sof]), sofb)
 
     for comp_idx, ss, se, ah, al in script:

@@ -588,6 +588,33 @@ def test_multiscan_baseline_jpeg_per_component_scans():
         decode_jpeg_py(truncated)
 
 
+def test_progressive_jpeg_420_subsampled():
+    """4:2:0 progressive (the dominant real-corpus shape): the
+    interleaved DC scans walk 2×2 luma blocks per MCU while the AC
+    scans cover each component's TRUE block extent — including
+    non-multiple-of-16 dimensions where the MCU padding and the
+    component extent differ."""
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    rng = np.random.RandomState(31)
+    ylum = np.clip(rng.randint(90, 166, (5, 4)).repeat(8, 0)
+                   .repeat(8, 1) + rng.randint(-5, 6, (40, 32)),
+                   20, 235).astype(np.float64)
+    # constant chroma → nearest-upsample introduces no chroma error
+    img = np.stack([ylum + 1.402 * 20,
+                    ylum - 0.344136 * (-10) - 0.714136 * 20,
+                    ylum + 1.772 * (-10)], axis=-1)
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    got = decode_jpeg_py(_make_progressive_jpeg(img, subsample=True))
+    assert got.shape == img.shape
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+    ragged = img[:37, :27]  # ragged MCUs and component extents
+    got2 = decode_jpeg_py(_make_progressive_jpeg(ragged,
+                                                 subsample=True))
+    assert got2.shape == ragged.shape
+    assert np.max(np.abs(got2.astype(int) - ragged.astype(int))) <= 4
+
+
 def test_progressive_jpeg_dc_only_partial_scripts():
     """Partial progressive scripts are themselves valid streams: a
     DC-only script decodes to the blockwise-mean image (the classic
