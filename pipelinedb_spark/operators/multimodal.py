@@ -67,9 +67,11 @@ def parse_media_header(payload: bytes) -> dict | None:
     """REAL container-header metadata — dependency-free byte parsing
     of the standard formats (this part of 'decode' needs no codec
     library): PNG IHDR, JPEG SOF frame header, GIF logical screen
-    descriptor, WAV RIFF fmt/data chunks.  Returns None when the
-    payload is not a recognized container (callers fall back to the
-    deterministic fake so plumbing tests stay engine-agnostic)."""
+    descriptor, TIFF first-IFD width/length tags (both byte orders),
+    WebP VP8/VP8L/VP8X frame headers, WAV RIFF fmt/data chunks.
+    Returns None when the payload is not a recognized container
+    (callers fall back to the deterministic fake so plumbing tests
+    stay engine-agnostic)."""
     p = payload
     try:
         if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
@@ -99,6 +101,45 @@ def parse_media_header(payload: bytes) -> dict | None:
                     "height": int.from_bytes(p[8:10], "little"),
                     "n_frames": max(1, p.count(b"\x00\x21\xf9")) or 1,
                     "sample_rate": None}
+        if p[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF: first IFD
+            bo = "little" if p[:2] == b"II" else "big"
+            ifd = int.from_bytes(p[4:8], bo)
+            n = int.from_bytes(p[ifd:ifd + 2], bo)
+            tw = th = None
+            for e in range(n):
+                o = ifd + 2 + 12 * e
+                tag = int.from_bytes(p[o:o + 2], bo)
+                typ = int.from_bytes(p[o + 2:o + 4], bo)
+                if tag in (256, 257):
+                    val = int.from_bytes(
+                        p[o + 8:o + 10] if typ == 3 else p[o + 8:o + 12],
+                        bo)
+                    if tag == 256:
+                        tw = val
+                    else:
+                        th = val
+            if tw is not None and th is not None:
+                return {"width": tw, "height": th,
+                        "n_frames": 1, "sample_rate": None}
+            return None
+        if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+            cid = p[12:16]
+            if cid == b"VP8X":  # extended: 24-bit LE canvas-1
+                return {"width": int.from_bytes(p[24:27], "little") + 1,
+                        "height": int.from_bytes(p[27:30], "little") + 1,
+                        "n_frames": 1, "sample_rate": None}
+            if cid == b"VP8 " and p[23:26] == b"\x9d\x01\x2a":
+                return {"width": int.from_bytes(p[26:28], "little")
+                        & 0x3FFF,
+                        "height": int.from_bytes(p[28:30], "little")
+                        & 0x3FFF,
+                        "n_frames": 1, "sample_rate": None}
+            if cid == b"VP8L" and p[20] == 0x2F:  # lossless
+                bits = int.from_bytes(p[21:25], "little")
+                return {"width": (bits & 0x3FFF) + 1,
+                        "height": ((bits >> 14) & 0x3FFF) + 1,
+                        "n_frames": 1, "sample_rate": None}
+            return None
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             i, rate, frames = 12, None, None
             while i + 8 <= len(p):

@@ -365,6 +365,53 @@ def test_kafka_attach_e2e_when_connector_present(ctx):
         att.stop()
 
 
+def test_media_header_tiff_and_webp():
+    """TIFF (both byte orders) and WebP (VP8 lossy / VP8L lossless /
+    VP8X extended) header metadata parse dependency-free."""
+    from pipelinedb_spark.operators.multimodal import parse_media_header
+
+    # TIFF little-endian: IFD at 8 with ImageWidth=129, ImageLength=64
+    def tiff(bo):
+        import struct
+        e = "<" if bo == "little" else ">"
+        head = (b"II*\x00" if bo == "little" else b"MM\x00*") \
+            + struct.pack(e + "I", 8)
+        ifd = struct.pack(e + "H", 2)
+        ifd += struct.pack(e + "HHI", 256, 3, 1) \
+            + struct.pack(e + "H", 129) + b"\x00\x00"
+        ifd += struct.pack(e + "HHI", 257, 4, 1) \
+            + struct.pack(e + "I", 64)
+        return head + ifd + struct.pack(e + "I", 0)
+
+    for bo in ("little", "big"):
+        m = parse_media_header(tiff(bo))
+        assert (m["width"], m["height"]) == (129, 64), bo
+
+    # WebP VP8 (lossy): sync 9D 01 2A then 14-bit w/h
+    vp8 = (b"RIFF" + (30).to_bytes(4, "little") + b"WEBP"
+           + b"VP8 " + (12).to_bytes(4, "little")
+           + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+           + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"))
+    m = parse_media_header(vp8)
+    assert (m["width"], m["height"]) == (320, 240)
+    # WebP VP8L (lossless): sig 0x2F then packed 14-bit minus-one
+    bits = (511) | (255 << 14)
+    vp8l = (b"RIFF" + (13).to_bytes(4, "little") + b"WEBP"
+            + b"VP8L" + (5).to_bytes(4, "little") + b"\x2f"
+            + bits.to_bytes(4, "little"))
+    m = parse_media_header(vp8l)
+    assert (m["width"], m["height"]) == (512, 256)
+    # WebP VP8X (extended): 24-bit canvas minus-one
+    vp8x = (b"RIFF" + (18).to_bytes(4, "little") + b"WEBP"
+            + b"VP8X" + (10).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little"))
+    m = parse_media_header(vp8x)
+    assert (m["width"], m["height"]) == (1024, 768)
+    # truncated TIFF → None, not an exception
+    assert parse_media_header(b"II*\x00\x08\x00") is None
+
+
 # ------------------------------------------------------ decode fuzz
 
 def test_decoder_fuzz_corrupt_payloads_never_escape(spark):
