@@ -187,6 +187,7 @@ class ContView:
         # reference's in-memory pre-combine between commit intervals,
         # src/combiner.c:1323-1369 + need_sync :1994)
         self._pending: list[DataFrame] = []
+        self._pending_txn: tuple[str, int] | None = None
         # serializes matrel commits from concurrent writers (dispatch
         # thread vs background reaper/auto-compaction): the manifest
         # swap is last-writer-wins, so an unserialized merge racing a
@@ -456,26 +457,50 @@ class ContView:
         return self._next_seq
 
     # -- per-batch processing -----------------------------------------------
-    def accumulate(self, pre_df: DataFrame) -> None:
+    def accumulate(self, pre_df: DataFrame,
+                   txn: tuple[str, int] | None = None) -> None:
         """Buffer a micro-batch without committing (commit-interval
         mode): the worker/combiner run once over the accumulated
         batches at the next commit or read."""
         self._pending.append(pre_df)
+        if txn is not None:
+            # the eventual commit covers every pending epoch up to the
+            # newest — tag it with the highest version
+            if self._pending_txn is None or txn[1] > self._pending_txn[1]:
+                self._pending_txn = txn
 
     def commit_pending(self, emit_changes: bool = False) -> DataFrame | None:
         if not self._pending:
             return None
         batches = self._pending
+        txn = self._pending_txn
         self._pending = []
+        self._pending_txn = None
         unioned = batches[0]
         for b in batches[1:]:
             unioned = unioned.unionByName(b, allowMissingColumns=True)
-        return self.process_batch(unioned, emit_changes=emit_changes)
+        return self.process_batch(unioned, emit_changes=emit_changes,
+                                  txn=txn)
 
     def process_batch(self, pre_df: DataFrame,
-                      emit_changes: bool = True) -> DataFrame | None:
+                      emit_changes: bool = True,
+                      txn: tuple[str, int] | None = None
+                      ) -> DataFrame | None:
         """Run worker + combiner for one micro-batch; returns the osrel
-        rows (old/new/delta) or None when nothing changed / not asked."""
+        rows (old/new/delta) or None when nothing changed / not asked.
+
+        ``txn`` = (source app id, monotonically-increasing version):
+        the tag commits atomically with the merge (matrel manifest
+        swap), and a batch whose version was already committed is
+        skipped BEFORE any work — replayed streaming epochs cannot
+        double-merge, upgrading the foreachBatch bridge from
+        at-least-once-in-a-window to effectively-once per view (the
+        idempotent-writes pattern of transactional lakehouse
+        stores)."""
+        if txn is not None:
+            done = self.matrel.txn_version(txn[0])
+            if done is not None and txn[1] <= done:
+                return None  # replayed source batch — already merged
         # bucket before the checkpoint, and piggyback the affected-
         # bucket probe on the checkpoint job itself (Observation): one
         # job materializes the partial states AND yields the bucket set
@@ -500,7 +525,8 @@ class ContView:
                 delta, self._group_cols, self.merge_fn, affected=affected,
                 pin_old=emit_changes or bool(self.constraints),
                 constrain_fn=(self._apply_constraints if self.constraints
-                              else None))
+                              else None),
+                txn=txn)
         self.stats.batches += 1
         if not emit_changes:
             return None
@@ -1720,21 +1746,23 @@ class PipelineContext:
     def _dispatch(self, stream: str, batch: DataFrame,
                   _depth: int = 0, targets: list[str] | None = None,
                   n_rows: int | None = None,
-                  checkpointed: bool = False) -> None:
+                  checkpointed: bool = False,
+                  txn: tuple[str, int] | None = None) -> None:
         if _depth > 16:
             raise CQError("continuous-query cycle detected")
         prev_depth = getattr(self._depth_tls, "depth", 0)
         self._depth_tls.depth = _depth + 1
         try:
             return self._dispatch_inner(stream, batch, _depth, targets,
-                                        n_rows, checkpointed)
+                                        n_rows, checkpointed, txn)
         finally:
             self._depth_tls.depth = prev_depth
 
     def _dispatch_inner(self, stream: str, batch: DataFrame,
                         _depth: int, targets: list[str] | None,
                         n_rows: int | None,
-                        checkpointed: bool) -> None:
+                        checkpointed: bool,
+                        txn: tuple[str, int] | None = None) -> None:
         sd = self.streams[stream]
         readers = [r for r in sd.readers
                    if targets is None or r in targets]
@@ -1764,13 +1792,23 @@ class PipelineContext:
                 cv.stats.input_rows += n_rows
             t0 = time.monotonic()
             if self.commit_interval_batches > 1:
-                cv.accumulate(pre)
-                if len(cv._pending) >= self.commit_interval_batches:
-                    os_rows = cv.commit_pending(emit_changes=want_os)
-                else:
+                # replay guard at ACCUMULATE time: a replayed epoch
+                # whose version is already committed must not re-enter
+                # the pending buffer (it would ride a later interval's
+                # merge and double-count)
+                if txn is not None and (
+                        (done := cv.matrel.txn_version(txn[0]))
+                        is not None) and txn[1] <= done:
                     os_rows = None
+                else:
+                    cv.accumulate(pre, txn=txn)
+                    if len(cv._pending) >= self.commit_interval_batches:
+                        os_rows = cv.commit_pending(emit_changes=want_os)
+                    else:
+                        os_rows = None
             else:
-                os_rows = cv.process_batch(pre, emit_changes=want_os)
+                os_rows = cv.process_batch(pre, emit_changes=want_os,
+                                           txn=txn)
             cv.stats.exec_ms += (time.monotonic() - t0) * 1000.0
             return osrel, os_rows
 

@@ -183,11 +183,21 @@ class MatrelStore:
         return F.pmod(F.xxhash64(*[F.col(c) for c in group_cols]),
                       F.lit(self.num_buckets)).cast("int")
 
+    def txn_version(self, app_id: str) -> int | None:
+        """Last transaction version committed for ``app_id`` (the
+        idempotent-writes pattern of transactional lakehouse stores:
+        a (source, version) tag rides the commit's atomic manifest
+        swap, so a replayed source batch can be detected and skipped
+        instead of double-merged)."""
+        v = self._read_manifest().get("txns", {}).get(app_id)
+        return int(v) if v is not None else None
+
     def merge(self, delta: DataFrame, group_cols: list[str],
               merge_agg_fn,
               affected: list[int] | None = None,
               pin_old: bool = False,
-              constrain_fn=None
+              constrain_fn=None,
+              txn: tuple[str, int] | None = None
               ) -> tuple[DataFrame | None, DataFrame]:
         """Merge a batch of partial-state rows into the matrel.
 
@@ -226,7 +236,7 @@ class MatrelStore:
             # violating upserts are rejected — the group keeps its
             # previous row (or is dropped entirely when new)
             merged = constrain_fn(old, merged)
-        self._commit(merged, affected)
+        self._commit(merged, affected, txn=txn)
         return old, merged
 
     def overwrite(self, states: DataFrame, group_cols: list[str]) -> None:
@@ -298,7 +308,8 @@ class MatrelStore:
         self._write_manifest(fresh)
 
     def _commit(self, df: DataFrame, affected: list[int] | None,
-                full: bool = False) -> None:
+                full: bool = False,
+                txn: tuple[str, int] | None = None) -> None:
         """Write one PACKED version dir: all affected buckets flat in
         one parquet dir, rows bucket-sorted within each task's file,
         manifest entries pointing every present bucket at the dir.
@@ -347,6 +358,14 @@ class MatrelStore:
         out = {"version": version, "buckets": new_buckets, "dirs": dirs}
         if m.get("layout") is not None:
             out["layout"] = m["layout"]
+        txns = dict(m.get("txns", {}))
+        if txn is not None:
+            # (app_id, version) rides the SAME atomic manifest swap as
+            # the data it covers — replay detection cannot disagree
+            # with the committed state (one entry per source, bounded)
+            txns[txn[0]] = int(txn[1])
+        if txns:
+            out["txns"] = txns
         self._write_manifest(out)
         self._gc(keep_version=version)
 

@@ -82,26 +82,48 @@ def _epoch_path(ctx: PipelineContext, stream: str, checkpoint: str) -> str:
 
 def _foreach_batch(ctx: PipelineContext, stream: str, checkpoint: str
                    ) -> Callable[[DataFrame, int], None]:
-    """Effectively-once bridge: Structured Streaming replays the last
-    uncommitted epoch after a crash/restart; we record the last fully-
-    merged epoch id (atomic rename, after the merge committed) and
-    skip replays.  The marker write is not atomic with the matrel
-    merge, so a crash in between replays one epoch into an
-    already-merged matrel — at-least-once in that window, the same
-    contract as the reference's combiner acks
-    (src/microbatch.h:50-92)."""
+    """Effectively-once bridge.  Two cooperating mechanisms:
+
+    * **Per-view transactional epoch tags** (the idempotent-writes
+      pattern of lakehouse stores): each CV merge commits
+      ``(source app id, epoch)`` inside the SAME atomic manifest swap
+      as the data, and a replayed epoch is skipped per view before
+      any work.  This closes the old marker-vs-merge crash window —
+      a crash between the merge and the marker write can no longer
+      double-merge the replayed epoch into a CV.
+    * **The stream-level marker file** (atomic rename) remains the
+      fast path and the replay guard for TRANSFORMS, whose outputfunc
+      side effects have no transactional store — a crash inside the
+      window re-fires them once (at-least-once, the same contract as
+      the reference's combiner acks, src/microbatch.h:50-92).  The
+      marker only advances when no CV reading the stream still holds
+      PENDING (commit-interval) batches, so pending epochs lost in a
+      crash are re-delivered instead of skipped.
+
+    Scope note: the upgrade covers each view's own state.  CQs
+    DOWNSTREAM of an osrel keep the emission-window caveat — if the
+    crash lands between an upstream commit and its osrel emission,
+    the downstream view misses that epoch's deltas (previously it
+    received deltas computed against a double-merged state, which was
+    no better)."""
+    import hashlib
     marker = _epoch_path(ctx, stream, checkpoint)
+    ck = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    app_id = f"sstream::{stream}::{ck}"
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if os.path.exists(marker):
             with open(marker) as f:
                 last = int(f.read().strip() or -1)
             if epoch_id <= last:
-                return  # replayed epoch — already merged
+                return  # replayed epoch — already fully processed
         sd = ctx.streams[stream]
         coerced = ctx._coerce_batch(sd, batch_df, None)
         if coerced.take(1):
-            ctx._dispatch(stream, coerced)
+            ctx._dispatch(stream, coerced, txn=(app_id, int(epoch_id)))
+        if any(ctx.views[r]._pending for r in sd.readers
+               if r in ctx.views):
+            return  # pending epochs would be skipped by the marker
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(epoch_id))
