@@ -504,6 +504,11 @@ def ivf_persist(corpus: DataFrame, path: str,
         "appended_n": 0,
         "appended_dist_sum": 0.0,
         "id_col": id_col, "vec_col": vec_col,
+        # appends CAST to this element type: one parquet physical
+        # type across the whole index (mixed float/double files under
+        # one path fail every later scan)
+        "vec_type": corpus.schema[vec_col].dataType
+        .elementType.simpleString(),
     })
     return centroids
 
@@ -557,6 +562,16 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
     from pyspark.sql import Observation
 
     centroids = np.load(os.path.join(path, "_centroids.npy"))
+    meta0 = _read_meta(path)
+    vec_type = (meta0 or {}).get("vec_type")
+    if vec_type is None:  # pre-meta index: infer from stored files
+        vec_type = (new_vectors.sparkSession.read.parquet(path)
+                    .schema[vec_col].dataType.elementType.simpleString())
+    # one parquet physical type for the whole index — appending
+    # array<double> into an array<float> index (or vice versa) would
+    # write mixed-type files that fail every later scan
+    new_vectors = new_vectors.withColumn(
+        vec_col, F.col(vec_col).cast(f"array<{vec_type}>"))
     assign_dist = _ivf_assign_dist_udf(centroids)
     obs = Observation()
     out = (new_vectors.select(F.col(id_col), F.col(vec_col),
@@ -584,9 +599,13 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
     # ivf_staleness needs no data read
     meta = _read_meta(path)
     if meta is not None:
+        ds = float(obs.get["dist_sum"] or 0.0)
         meta["appended_n"] = meta.get("appended_n", 0) + n
         meta["appended_dist_sum"] = (meta.get("appended_dist_sum", 0.0)
-                                     + float(obs.get["dist_sum"] or 0.0))
+                                     + ds)
+        if n:
+            meta["last_append_n"] = n
+            meta["last_append_mean_dist"] = ds / n
         _write_meta(path, meta)
     return n
 
@@ -609,10 +628,16 @@ def ivf_staleness(path: str) -> dict:
     build = float(meta.get("build_mean_dist", 0.0))
     n = int(meta.get("appended_n", 0))
     appended = (float(meta["appended_dist_sum"]) / n) if n else float("nan")
+    last = meta.get("last_append_mean_dist")
     return {"build_mean_dist": build,
             "appended_mean_dist": appended,
             "appended_n": n,
-            "ratio": appended / build if n and build > 0 else float("nan")}
+            "ratio": appended / build if n and build > 0 else float("nan"),
+            # most-recent batch alone — reacts to a sudden shift that
+            # the cumulative mean would dilute
+            "last_append_mean_dist": last,
+            "last_ratio": (last / build if last is not None and build > 0
+                           else float("nan"))}
 
 
 def ivf_retrain(spark, path: str, n_lists: int | None = None,

@@ -149,6 +149,22 @@ def test_ivf_writes_one_file_per_list(spark, tmp_path):
     assert ivf_append(spark, path, extra) == 60
     n1 = len(glob.glob(f"{path}/list_id=*/*.parquet"))
     assert n1 - n0 <= 4  # the append added ≈ one file per list
+    # appends cast to the index's element type: an array<float> index
+    # + array<double> batch must stay readable as ONE schema
+    flt = spark.createDataFrame(
+        [(i, [float(i), 0.5, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0])
+         for i in range(50)],
+        "vec_id long, embedding array<float>")
+    fpath = str(tmp_path / "ivf_f")
+    ivf_persist(flt, fpath, n_lists=2)
+    dbl = spark.createDataFrame(
+        [(100 + i, rng.randn(8).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    assert ivf_append(spark, fpath, dbl) == 20
+    full = spark.read.parquet(fpath)
+    assert full.count() == 70  # mixed-type write would fail this scan
+    assert full.schema["embedding"].dataType.elementType.simpleString() \
+        == "float"
 
 
 def test_ivf_staleness_and_retrain_recovers_recall(spark, tmp_path):
@@ -190,6 +206,7 @@ def test_ivf_staleness_and_retrain_recovers_recall(spark, tmp_path):
     # shifted vectors sit far from the frozen centroids
     assert st1["appended_n"] == len(shifted)
     assert st1["ratio"] > 1.5, st1
+    assert st1["last_ratio"] > 1.5, st1  # last-batch signal too
 
     def recall_at3():
         """nprobe=1 recall@3 for shifted-cluster queries vs numpy
