@@ -229,32 +229,41 @@ PIXEL_STATS_SCHEMA = T.StructType([
 
 
 def decode_bmp_py(p: bytes):
-    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB array.  Pure
-    numpy/byte parsing — no codec library.  Returns None when the
-    payload is not a BMP; raises NotImplementedError for compressed
-    or non-24-bit BMPs."""
+    """Uncompressed BMP → (h, w, 3) uint8 RGB array: 24-bit BGR,
+    32-bit BGRA (alpha dropped), and 8-bit palette.  Pure numpy/byte
+    parsing — no codec library.  Returns None when the payload is not
+    a BMP; raises NotImplementedError for RLE-compressed or sub-byte
+    palette BMPs."""
     import numpy as np
     if p[:2] != b"BM" or len(p) < 54:  # full header or it's corrupt
         return None
     off = int.from_bytes(p[10:14], "little")
+    hdr = int.from_bytes(p[14:18], "little")  # DIB header size
     w = int.from_bytes(p[18:22], "little", signed=True)
     h = int.from_bytes(p[22:26], "little", signed=True)
     bpp = int.from_bytes(p[28:30], "little")
     comp = int.from_bytes(p[30:34], "little")
     if bpp not in (1, 4, 8, 16, 24, 32) or comp not in (0, 1, 2, 3):
         return None  # implausible header → corrupt, not a BMP
-    if comp != 0 or bpp != 24:
+    if comp != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
             f"BMP compression={comp} bpp={bpp}: only uncompressed "
-            "24-bit BMP decodes without codec libraries")
+            "8/24/32-bit BMP decodes without codec libraries")
     top_down, h = h < 0, abs(h)
-    row_bytes = (w * 3 + 3) & ~3
+    _check_dims(w, h)
+    nb = bpp // 8
+    row_bytes = (w * nb + 3) & ~3
     arr = np.frombuffer(p, dtype=np.uint8, offset=off,
                         count=row_bytes * h)
-    arr = arr.reshape(h, row_bytes)[:, :w * 3].reshape(h, w, 3)
+    arr = arr.reshape(h, row_bytes)[:, :w * nb].reshape(h, w, nb)
     if not top_down:
         arr = arr[::-1]
-    return arr[..., ::-1]  # BGR → RGB
+    if bpp == 8:  # palette: BGRX entries right after the DIB header
+        ncol = int.from_bytes(p[46:50], "little") or 256
+        pal = np.frombuffer(p, dtype=np.uint8, offset=14 + hdr,
+                            count=ncol * 4).reshape(ncol, 4)
+        return pal[arr[..., 0]][..., 2::-1]  # index → BGR → RGB
+    return arr[..., 2::-1]  # BGR(A) → RGB, alpha dropped
 
 
 def decode_ppm_py(p: bytes):
@@ -322,23 +331,46 @@ def decode_png_py(p: bytes):
         i += 12 + clen  # len + id + crc
     if w is None or not idat:
         return None
-    if depth not in (8, 16) or ctype not in (0, 2, 3, 4, 6) \
+    if depth not in (1, 2, 4, 8, 16) or ctype not in (0, 2, 3, 4, 6) \
             or interlace not in (0, 1) \
-            or (depth == 16 and ctype == 3):
+            or (depth == 16 and ctype == 3) \
+            or (depth < 8 and ctype not in (0, 3)):
         raise NotImplementedError(
             f"PNG depth={depth} color={ctype} interlace={interlace}: "
-            "only 8/16-bit gray/RGB/palette/GA/RGBA decode "
-            "without codec libraries")
+            "unsupported depth/color combination")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    bpp = nch * (depth // 8)   # filter unit: BYTES per pixel
     _check_dims(w, h)
+    if depth >= 8:
+        bpp = nch * (depth // 8)   # filter unit: BYTES per pixel
+
+        def stride_of(pw):
+            return pw * bpp
+    else:
+        bpp = 1  # sub-byte depths filter on whole bytes (spec §9)
+
+        def stride_of(pw):
+            return (pw * nch * depth + 7) // 8
     # bounded inflate: a decompression-bomb IDAT must not expand past
     # what the declared dimensions can legitimately need (Adam7 pays
     # ≤ ~1.875·h extra filter bytes across its 7 passes)
-    need = h * (w * bpp + 2) + 8
+    need = h * (stride_of(w) + 2) + 8
     raw = zlib.decompressobj().decompress(b"".join(idat), need)
+
+    def unfilter_block(data, ph, pw):
+        """Unfilter ph rows of a pw-pixel-wide (sub-)image and expand
+        to (ph, pw*nch) samples (byte samples, or unpacked+scaled
+        sub-byte samples)."""
+        rows = _png_unfilter(data, ph, stride_of(pw), bpp)
+        if depth >= 8:
+            return rows
+        samples = _png_unpack_bits(rows, pw * nch, depth)
+        if ctype == 0:  # gray: scale to full 8-bit range
+            samples = samples * (255 // ((1 << depth) - 1))
+        return samples.astype(np.uint8)
+
+    unit = nch * (2 if depth == 16 else 1)  # bytes per OUTPUT pixel
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
-        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        out = np.zeros((h, w, unit), dtype=np.uint8)
         off = 0
         for xs, ys, xstep, ystep in ((0, 0, 8, 8), (4, 0, 8, 8),
                                      (0, 4, 4, 8), (2, 0, 4, 4),
@@ -348,19 +380,19 @@ def decode_png_py(p: bytes):
             ph = (h - ys + ystep - 1) // ystep if h > ys else 0
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (pw * bpp + 1)
+            need = ph * (stride_of(pw) + 1)
             if len(raw) < off + need:
                 raise ValueError("truncated PNG pixel data")
-            sub = _png_unfilter(raw[off:off + need], ph, pw, bpp)
+            sub = unfilter_block(raw[off:off + need], ph, pw)
             off += need
-            out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, bpp)
+            out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, unit)
         arr = out
     else:
-        stride = w * bpp
+        stride = stride_of(w)
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG pixel data")
-        arr = _png_unfilter(raw[:h * (stride + 1)], h, w,
-                            bpp).reshape(h, w, bpp)
+        arr = unfilter_block(raw[:h * (stride + 1)], h,
+                             w).reshape(h, w, unit)
     if depth == 16:
         # big-endian sample pairs → high byte (the 8-bit rendering;
         # the full 16-bit value exists here if a caller ever needs it)
@@ -372,13 +404,29 @@ def decode_png_py(p: bytes):
     return arr
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse the per-scanline PNG filters over one (sub-)image of
-    ``h`` rows × ``w`` pixels × ``bpp`` bytes/pixel → (h, w*bpp).
-    The filter unit is the BYTE regardless of bit depth (PNG spec
-    §9: 16-bit images filter each byte of the big-endian pair)."""
+def _png_unpack_bits(rows: np.ndarray, n_samples: int,
+                     depth: int) -> np.ndarray:
+    """(h, stride_bytes) packed rows → (h, n_samples) sample values,
+    MSB-first within each byte (PNG sub-byte sample order)."""
     import numpy as np
-    stride = w * bpp
+    bits = np.unpackbits(rows, axis=1)
+    if depth == 1:
+        samples = bits
+    else:
+        grp = bits.reshape(rows.shape[0], -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (grp * weights).sum(axis=2)
+    return samples[:, :n_samples]
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters over one (sub-)image of
+    ``h`` rows × ``stride`` bytes/row with ``bpp`` bytes/pixel →
+    (h, stride).  The filter unit is the BYTE regardless of bit depth
+    (PNG spec §9: 16-bit images filter each byte of the big-endian
+    pair; sub-byte depths use bpp = 1)."""
+    import numpy as np
     lines = np.frombuffer(raw, dtype=np.uint8,
                           count=h * (stride + 1)).reshape(h, stride + 1)
     filters, data = lines[:, 0], lines[:, 1:]
@@ -397,7 +445,7 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
         elif f == 2:  # Up
             out[y] = (cur + prev) & 0xFF
         elif f == 1:  # Sub: recon[x] = Σ cur[0..x] per channel lane
-            out[y] = (cur.reshape(w, bpp).cumsum(axis=0) & 0xFF) \
+            out[y] = (cur.reshape(-1, bpp).cumsum(axis=0) & 0xFF) \
                 .reshape(stride)
         elif f in (3, 4):
             row = np.zeros(stride, dtype=np.int32)

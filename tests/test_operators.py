@@ -435,6 +435,16 @@ def _make_png(arr, ctype, filters=None, palette=None,
     if depth == 16:  # big-endian byte pairs per sample
         img = np.stack([(arr >> 8) & 0xFF, arr & 0xFF],
                        axis=-1).astype(np.int32).reshape(h, w, bpp)
+    elif depth < 8:  # pack MSB-first sub-byte samples into bytes
+        assert nch == 1 and not interlace
+        bpp = 1
+        bits = np.unpackbits(
+            arr.reshape(h, w, 1).astype(np.uint8), axis=2)[..., -depth:]
+        flat = bits.reshape(h, w * depth)
+        flat = np.pad(flat, ((0, 0), (0, (-flat.shape[1]) % 8)))
+        packed = np.packbits(flat, axis=1)
+        # one "pixel" per BYTE for the filter loop (bpp=1)
+        img = packed.reshape(h, packed.shape[1], 1).astype(np.int32)
     else:
         img = arr.reshape(h, w, nch).astype(np.int32)
     if interlace:
@@ -451,7 +461,7 @@ def _make_png(arr, ctype, filters=None, palette=None,
             out += filt_rows(sub.reshape(ph, pw * bpp), flist, pw)
     else:
         filters = filters or [0] * h
-        out = filt_rows(img.reshape(h, w * bpp), filters, w)
+        out = filt_rows(img.reshape(h, -1), filters, img.shape[1])
     ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
                        1 if interlace else 0)
     body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)

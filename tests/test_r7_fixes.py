@@ -557,6 +557,58 @@ def test_png_adam7_interlaced_exact_decode():
     assert np.array_equal(got, pal[idx])
 
 
+def test_bmp_8bit_palette_and_32bit():
+    """8-bit palette and 32-bit BGRA BMPs decode (both common in real
+    corpora); RLE compression stays honestly gated."""
+    from pipelinedb_spark.operators.multimodal import decode_bmp_py
+
+    rng = np.random.RandomState(53)
+    h, w = 5, 7
+
+    def bmp(bpp, body, extra_dib=b"", palette=b""):
+        off = 14 + 40 + len(palette)
+        header = (b"BM" + (off + len(body)).to_bytes(4, "little")
+                  + b"\x00" * 4 + off.to_bytes(4, "little"))
+        dib = ((40).to_bytes(4, "little")
+               + w.to_bytes(4, "little", signed=True)
+               + h.to_bytes(4, "little", signed=True)
+               + (1).to_bytes(2, "little")
+               + bpp.to_bytes(2, "little")
+               + (0).to_bytes(4, "little")
+               + len(body).to_bytes(4, "little") + b"\x00" * 16)
+        return header + dib + palette + body
+
+    # 32-bit BGRA, bottom-up
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    body = b"".join(
+        np.concatenate([img[y, :, ::-1],
+                        np.full((w, 1), 255, np.uint8)],
+                       axis=1).tobytes()
+        for y in range(h - 1, -1, -1))
+    got = decode_bmp_py(bmp(32, body))
+    assert np.array_equal(got, img)
+
+    # 8-bit palette (BGRX entries), row stride padded to 4
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+    stride = (w + 3) & ~3
+    body = b"".join(
+        idx[y].tobytes() + b"\x00" * (stride - w)
+        for y in range(h - 1, -1, -1))
+    p8 = bmp(8, body, palette=pal_bytes)
+    # ncol field (offset 46) left 0 → defaults to 256; set it to 16
+    p8 = p8[:46] + (16).to_bytes(4, "little") + p8[50:]
+    got = decode_bmp_py(p8)
+    assert np.array_equal(got, pal[idx])
+
+    # RLE-compressed → honest gate
+    rle = bmp(8, body, palette=pal_bytes)
+    rle = rle[:30] + (1).to_bytes(4, "little") + rle[34:]
+    with pytest.raises(NotImplementedError, match="compression=1"):
+        decode_bmp_py(rle)
+
+
 def test_png_16bit_depth_decode():
     """16-bit PNG decodes at full precision byte-wise (filters are
     per-byte per PNG spec §9) and emits the high byte — matches the
@@ -578,11 +630,35 @@ def test_png_16bit_depth_decode():
         got_i = decode_png_py(_make_png(img16, ctype, depth=16,
                                         interlace=True))
         assert np.array_equal(got_i, want), ("adam7", h, w, ctype)
-    # sub-byte depths stay honestly gated
-    p = bytearray(_make_png(np.zeros((4, 4), dtype=np.uint8), 0))
-    p[24] = 4  # IHDR depth byte
+    # unsupported depth/color combos stay honestly gated
+    p = bytearray(_make_png(np.zeros((4, 4, 3), dtype=np.uint8), 2))
+    p[24] = 4  # depth 4 with RGB is not a legal/supported combo
     with pytest.raises(NotImplementedError, match="depth=4"):
         decode_png_py(bytes(p))
+
+
+def test_png_sub_byte_depths():
+    """1/2/4-bit PNGs (scanned documents, small palettes) decode:
+    MSB-first bit unpacking after byte-wise unfiltering, gray scaled
+    to the full 8-bit range, palette indices mapped through PLTE."""
+    from pipelinedb_spark.operators.multimodal import decode_png_py
+
+    rng = np.random.RandomState(59)
+    # 1-bit black/white "scan" with ragged width (padding bits)
+    bw = rng.randint(0, 2, (11, 13)).astype(np.uint8)
+    got = decode_png_py(_make_png(bw, 0, depth=1,
+                                  filters=[y % 5 for y in range(11)]))
+    assert np.array_equal(got[..., 0], bw * 255)
+    # 2-bit gray: 0,85,170,255
+    g2 = rng.randint(0, 4, (6, 9)).astype(np.uint8)
+    got = decode_png_py(_make_png(g2, 0, depth=2))
+    assert np.array_equal(got[..., 0], g2 * 85)
+    # 4-bit palette
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (7, 5)).astype(np.uint8)
+    got = decode_png_py(_make_png(idx, 3, palette=pal, depth=4,
+                                  filters=[0, 1, 2, 3, 4, 0, 1]))
+    assert np.array_equal(got, pal[idx])
 
 
 # --------------------------------------------------------------- JPEG
