@@ -1,0 +1,225 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the container format of
+the big public web crawls, i.e. what a 100 TB training-corpus
+pipeline actually starts from.
+
+Spark-first shape: `spark.read.format("binaryFile")` lists and
+distributes the archive FILES (one task per file — WARC members are
+not splittable mid-stream), and an Arrow-batched ``mapInPandas``
+kernel walks each file's records with pure-stdlib parsing:
+
+* WARC/1.0 and /1.1 record grammar: header block (CRLF-terminated
+  ``Name: value`` lines) + Content-Length payload + CRLF CRLF.
+* ``.warc.gz``: the spec's member-per-record gzip framing (also
+  handles whole-file gzip) via ``zlib`` — no external libs.
+* response records: the embedded HTTP response is split into status /
+  headers / body, with the body's Content-Type surfaced.
+* a crude-but-dependency-free HTML→text extraction for the text
+  pipeline (tag/script/style strip + entity decode) — production
+  swaps in a real extractor (trafilatura/justext) at this exact seam.
+
+Scale notes: payloads dominate row size, so ``payload_limit`` caps
+what is carried per record (oversized bodies are truncated with the
+original length still reported).  ``binaryFile`` reads a whole file
+per task — set ``spark.sql.files.maxPartitionBytes`` irrelevant here;
+instead size WARC files (the crawls ship ~1 GB members) against
+executor memory, and lift the per-task cap with more, smaller files.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType([
+    T.StructField("warc_file", T.StringType()),
+    T.StructField("record_idx", T.IntegerType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("record_type", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("payload_length", T.LongType()),
+    T.StructField("truncated", T.BooleanType()),
+])
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members (the .warc.gz framing) → bytes.
+    Handles single-member (whole-file) gzip as the degenerate case."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(data[pos:]))
+        out.append(d.flush())
+        rest = d.unused_data
+        if not rest:
+            break
+        pos = len(data) - len(rest)
+    return b"".join(out)
+
+
+def parse_warc_records(data: bytes):
+    """Yield (headers: dict, payload: bytes) per WARC record.  Pure
+    byte parsing of the ISO 28500 grammar; tolerant of leading
+    garbage between records (skips to the next ``WARC/`` magic)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        lines = data[start:hdr_end].split(b"\r\n")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            if _:
+                headers[k.strip().decode("latin-1").lower()] = \
+                    v.strip().decode("latin-1")
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        body_start = hdr_end + 4
+        payload = data[body_start:body_start + clen]
+        yield headers, payload
+        pos = body_start + clen
+
+
+def _split_http(payload: bytes):
+    """HTTP response payload → (status, content_type, body)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, payload
+    head = payload[:sep].split(b"\r\n")
+    status = None
+    ctype = None
+    parts = head[0].split(b" ", 2)
+    if len(parts) >= 2:
+        try:
+            status = int(parts[1])
+        except ValueError:
+            pass
+    for ln in head[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+    return status, ctype, payload[sep + 4:]
+
+
+def read_warc(spark: SparkSession, path: str,
+              payload_limit: int = 1 << 20,
+              record_types: tuple[str, ...] = ("response",)
+              ) -> DataFrame:
+    """WARC / WARC.GZ files under ``path`` → one row per record.
+
+    One archive file per task (binaryFile distribution); records of
+    ``record_types`` only (responses by default — request/metadata
+    records are crawl bookkeeping).  HTTP responses are unwrapped:
+    ``payload`` is the BODY, with status and Content-Type lifted into
+    columns.  Bodies larger than ``payload_limit`` are truncated
+    (``truncated`` flags them, ``payload_length`` keeps the true
+    size) so one huge page cannot blow an Arrow batch."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+    want = {t.lower() for t in record_types}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    data = _gunzip_members(data)
+                for i, (hdr, payload) in enumerate(
+                        parse_warc_records(data)):
+                    rtype = hdr.get("warc-type", "")
+                    if want and rtype.lower() not in want:
+                        continue
+                    status, http_ct, body = _split_http(payload)
+                    ctype = http_ct or hdr.get("content-type")
+                    tr = len(body) > payload_limit
+                    rows.append((
+                        fpath, i, hdr.get("warc-record-id"),
+                        rtype, hdr.get("warc-target-uri"),
+                        hdr.get("warc-date"), status, ctype,
+                        body[:payload_limit], len(body), tr))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in WARC_SCHEMA.fields])
+
+    return files.mapInPandas(kernel, WARC_SCHEMA)
+
+
+_TAG_DROP = re.compile(
+    rb"<(script|style|noscript)\b.*?</\1\s*>", re.S | re.I)
+_TAG = re.compile(rb"<[^>]+>")
+_ENTITIES = {b"&amp;": b"&", b"&lt;": b"<", b"&gt;": b">",
+             b"&quot;": b'"', b"&#39;": b"'", b"&apos;": b"'",
+             b"&nbsp;": b" "}
+_WS = re.compile(rb"[ \t\r\f\v]*\n[ \t\r\f\v]*\n[\s]*")
+_SP = re.compile(rb"[ \t\r\f\v]+")
+
+
+def html_to_text_py(body: bytes) -> str:
+    """Dependency-free HTML→text: drop script/style subtrees, strip
+    tags, decode the common entities, collapse whitespace.  The seam
+    where production plugs a real extraction library."""
+    body = _TAG_DROP.sub(b" ", body)
+    body = _TAG.sub(b" ", body)
+    for k, v in _ENTITIES.items():
+        body = body.replace(k, v)
+    body = _WS.sub(b"\n\n", body)
+    body = _SP.sub(b" ", body)
+    return body.decode("utf-8", errors="replace").strip()
+
+
+def warc_text_documents(records: DataFrame,
+                        min_chars: int = 1) -> DataFrame:
+    """WARC response rows → (doc_id, url, fetched_at, text) documents
+    for the curation pipeline: HTML/plain-text bodies only, extracted
+    via the stdlib HTML→text above.  ``doc_id`` is a stable hash of
+    the record id + URI, so re-runs key identically."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("fetched_at", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, uri, date, ctype, body in zip(
+                    pdf["record_id"], pdf["target_uri"],
+                    pdf["warc_date"], pdf["content_type"],
+                    pdf["payload"]):
+                ct = (ctype or "").lower()
+                if "html" not in ct and "text/plain" not in ct:
+                    continue
+                text = html_to_text_py(bytes(body or b""))
+                if len(text) < min_chars:
+                    continue
+                did = (zlib.crc32(f"{rid}|{uri}".encode())
+                       | (zlib.crc32(f"{uri}|{rid}".encode()) << 32)) \
+                    & 0x7FFF_FFFF_FFFF_FFFF  # fits int64
+                rows.append((did, uri, date, text))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              schema.fields])
+
+    sel = records.select("record_id", "target_uri", "warc_date",
+                         "content_type", "payload")
+    return sel.mapInPandas(kernel, schema)
