@@ -1,0 +1,139 @@
+"""Tar-shard ingestion (the WebDataset layout) — how large multimodal
+training corpora actually ship: thousands of ~1 GB ``.tar`` shards
+whose members are grouped by key prefix::
+
+    000001.jpg   000001.txt   000001.json
+    000002.jpg   000002.txt   000002.json
+
+Spark-first shape: ``binaryFile`` distributes the SHARDS (one task
+per tar — tar has no central index, so members stream sequentially),
+``tarfile`` over an in-memory buffer walks the members, and samples
+re-assemble by key prefix into one row per training example with a
+``map<string, binary>`` of extension → payload.  From there the
+multimodal operators take over (``decode_pixels`` on the image entry,
+text/quality operators on the caption).
+
+Scale notes: mirrors operators/warc.py — size shards against
+executor memory (the public corpora ship ~1 GB shards for exactly
+this reason), cap carried payloads with ``payload_limit``, and add
+parallelism with more shards, not bigger ones.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TAR_MEMBER_SCHEMA = T.StructType([
+    T.StructField("shard", T.StringType()),
+    T.StructField("member", T.StringType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("ext", T.StringType()),
+    T.StructField("size", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("truncated", T.BooleanType()),
+])
+
+SAMPLE_SCHEMA = T.StructType([
+    T.StructField("shard", T.StringType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("entries", T.MapType(T.StringType(), T.BinaryType())),
+])
+
+
+def _split_key_ext(name: str) -> tuple[str, str]:
+    """WebDataset key split: everything up to the FIRST dot of the
+    basename is the sample key, the rest is the extension (so
+    ``a/000001.seg.json`` → key ``a/000001``, ext ``seg.json``)."""
+    d, base = os.path.split(name)
+    stem, _, ext = base.partition(".")
+    return (os.path.join(d, stem) if d else stem), ext
+
+
+def read_tar(spark: SparkSession, path: str,
+             payload_limit: int = 16 << 20,
+             glob: str = "*.tar*") -> DataFrame:
+    """Tar shards under ``path`` → one row per member file.
+    Compressed shards (``.tar.gz``) decode via the stdlib; members
+    larger than ``payload_limit`` are truncated with the true size
+    kept in ``size`` and ``truncated`` set."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", glob)
+             .load(path)
+             .select("path", "content"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    tf = tarfile.open(fileobj=io.BytesIO(bytes(blob)),
+                                      mode="r:*")
+                except tarfile.TarError:
+                    continue  # corrupt shard → skip, don't kill batch
+                with tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        f = tf.extractfile(m)
+                        if f is None:
+                            continue
+                        data = f.read(payload_limit + 1)
+                        tr = len(data) > payload_limit
+                        key, ext = _split_key_ext(m.name)
+                        rows.append((fpath, m.name, key, ext,
+                                     int(m.size), data[:payload_limit],
+                                     tr))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in TAR_MEMBER_SCHEMA.fields])
+
+    return files.mapInPandas(kernel, TAR_MEMBER_SCHEMA)
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Member rows → one row per SAMPLE: entries grouped by key
+    prefix into a map<ext, payload>.  Members of one sample sit
+    adjacently in one shard (the WebDataset contract), so grouping
+    happens inside the per-shard partition — ``groupBy`` over
+    (shard, key) shuffles only when members crossed batch
+    boundaries, and Spark's map-side partial aggregation keeps that
+    shuffle to one combined row per sample."""
+    from pyspark.sql import functions as F
+
+    return (members
+            .groupBy("shard", "key")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("ext", "payload")))
+                .alias("entries")))
+
+
+def webdataset_media(samples: DataFrame,
+                     image_exts: tuple[str, ...] = ("jpg", "jpeg",
+                                                    "png", "gif",
+                                                    "bmp", "ppm"),
+                     caption_exts: tuple[str, ...] = ("txt", "cls",
+                                                      "json")
+                     ) -> DataFrame:
+    """Samples → the (media_id, kind, payload, caption) shape the
+    multimodal + text operators consume: first matching image entry
+    becomes the payload, first caption-ish entry decodes as utf-8
+    text.  media_id is a stable hash of (shard, key)."""
+    from pyspark.sql import functions as F
+
+    img = F.coalesce(*[F.col("entries").getItem(e)
+                       for e in image_exts])
+    cap = F.coalesce(*[F.col("entries").getItem(e)
+                       for e in caption_exts])
+    return (samples.select(
+        F.abs(F.xxhash64("shard", "key")).alias("media_id"),
+        F.col("key"),
+        F.lit("image").alias("kind"),
+        img.alias("payload"),
+        F.decode(cap, "utf-8").alias("caption"))
+        .filter(F.col("payload").isNotNull()))
