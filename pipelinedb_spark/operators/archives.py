@@ -56,17 +56,12 @@ def _split_key_ext(name: str) -> tuple[str, str]:
     return (os.path.join(d, stem) if d else stem), ext
 
 
-def read_tar(spark: SparkSession, path: str,
-             payload_limit: int = 16 << 20,
-             glob: str = "*.tar*") -> DataFrame:
-    """Tar shards under ``path`` → one row per member file.
-    Compressed shards (``.tar.gz``) decode via the stdlib; members
-    larger than ``payload_limit`` are truncated with the true size
-    kept in ``size`` and ``truncated`` set."""
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", glob)
-             .load(path)
-             .select("path", "content"))
+def tar_members(files: DataFrame,
+                payload_limit: int = 16 << 20) -> DataFrame:
+    """(path, content) shard rows → one row per member file (the
+    kernel behind :func:`read_tar`, factored so the SAME parse runs
+    over a streaming binaryFile source)."""
+    files = files.select("path", "content")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -94,6 +89,19 @@ def read_tar(spark: SparkSession, path: str,
                 f.name for f in TAR_MEMBER_SCHEMA.fields])
 
     return files.mapInPandas(kernel, TAR_MEMBER_SCHEMA)
+
+
+def read_tar(spark: SparkSession, path: str,
+             payload_limit: int = 16 << 20,
+             glob: str = "*.tar*") -> DataFrame:
+    """Tar shards under ``path`` → one row per member file.
+    Compressed shards (``.tar.gz``) decode via the stdlib; members
+    larger than ``payload_limit`` are truncated with the true size
+    kept in ``size`` and ``truncated`` set."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", glob)
+             .load(path))
+    return tar_members(files, payload_limit)
 
 
 def webdataset_samples(members: DataFrame) -> DataFrame:

@@ -119,23 +119,15 @@ def _split_http(payload: bytes):
     return status, ctype, payload[sep + 4:]
 
 
-def read_warc(spark: SparkSession, path: str,
-              payload_limit: int = 1 << 20,
-              record_types: tuple[str, ...] = ("response",)
-              ) -> DataFrame:
-    """WARC / WARC.GZ files under ``path`` → one row per record.
-
-    One archive file per task (binaryFile distribution); records of
-    ``record_types`` only (responses by default — request/metadata
-    records are crawl bookkeeping).  HTTP responses are unwrapped:
-    ``payload`` is the BODY, with status and Content-Type lifted into
-    columns.  Bodies larger than ``payload_limit`` are truncated
-    (``truncated`` flags them, ``payload_length`` keeps the true
-    size) so one huge page cannot blow an Arrow batch."""
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.warc*")
-             .load(path)
-             .select("path", "content"))
+def warc_records(files: DataFrame,
+                 payload_limit: int = 1 << 20,
+                 record_types: tuple[str, ...] = ("response",)
+                 ) -> DataFrame:
+    """(path, content) archive-file rows → one row per WARC record
+    (the kernel behind :func:`read_warc`, factored so the SAME parse
+    runs over a streaming binaryFile source — see
+    ``attach_archive_stream``)."""
+    files = files.select("path", "content")
     want = {t.lower() for t in record_types}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,6 +154,25 @@ def read_warc(spark: SparkSession, path: str,
                 f.name for f in WARC_SCHEMA.fields])
 
     return files.mapInPandas(kernel, WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str,
+              payload_limit: int = 1 << 20,
+              record_types: tuple[str, ...] = ("response",)
+              ) -> DataFrame:
+    """WARC / WARC.GZ files under ``path`` → one row per record.
+
+    One archive file per task (binaryFile distribution); records of
+    ``record_types`` only (responses by default — request/metadata
+    records are crawl bookkeeping).  HTTP responses are unwrapped:
+    ``payload`` is the BODY, with status and Content-Type lifted into
+    columns.  Bodies larger than ``payload_limit`` are truncated
+    (``truncated`` flags them, ``payload_length`` keeps the true
+    size) so one huge page cannot blow an Arrow batch."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path))
+    return warc_records(files, payload_limit, record_types)
 
 
 _TAG_DROP = re.compile(

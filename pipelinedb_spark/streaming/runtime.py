@@ -80,7 +80,9 @@ def _epoch_path(ctx: PipelineContext, stream: str, checkpoint: str) -> str:
     return os.path.join(d, f"{stream}.{ck}.last_epoch")
 
 
-def _foreach_batch(ctx: PipelineContext, stream: str, checkpoint: str
+def _foreach_batch(ctx: PipelineContext, stream: str, checkpoint: str,
+                   transform: Callable[[DataFrame], DataFrame]
+                   | None = None
                    ) -> Callable[[DataFrame, int], None]:
     """Effectively-once bridge.  Two cooperating mechanisms:
 
@@ -118,6 +120,11 @@ def _foreach_batch(ctx: PipelineContext, stream: str, checkpoint: str
             if epoch_id <= last:
                 return  # replayed epoch — already fully processed
         sd = ctx.streams[stream]
+        if transform is not None:
+            # source-shape → stream-shape (e.g. archive files →
+            # extracted documents); runs inside the epoch, so the
+            # effectively-once guarantees cover the extraction too
+            batch_df = transform(batch_df)
         coerced = ctx._coerce_batch(sd, batch_df, None)
         if coerced.take(1):
             ctx._dispatch(stream, coerced, txn=(app_id, int(epoch_id)))
@@ -304,6 +311,88 @@ def attach_socket_stream(ctx: PipelineContext, stream: str,
     return att
 
 
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def attach_archive_stream(ctx: PipelineContext, stream: str,
+                          source_dir: str, kind: str = "warc",
+                          checkpoint_dir: str | None = None,
+                          trigger_seconds: float | None = None,
+                          payload_limit: int = 1 << 20,
+                          max_files_per_trigger: int | None = 1,
+                          reader_options: dict | None = None
+                          ) -> StreamAttachment:
+    """Continuous corpus ingestion: archive SHARDS dropped into
+    ``source_dir`` flow through the WARC / WebDataset parsers into
+    ``stream`` — the 100 TB crawl-curation shape (new crawl segments
+    arrive as files; every CV/transform on the stream updates
+    incrementally).
+
+    ``kind``:
+
+    * ``"warc"`` — each shard's response records → curation-ready
+      documents (``warc_text_documents`` schema: doc_id, url,
+      fetched_at, text).  The stream must declare those columns.
+    * ``"warc_records"`` — raw WARC record rows (WARC_SCHEMA).
+    * ``"tar"`` — WebDataset samples → media rows
+      (``webdataset_media`` schema: media_id, key, kind, payload,
+      caption).
+
+    Built on Spark's streaming ``binaryFile`` source (one shard per
+    task, listing-based exactly-once file tracking) + the same
+    foreachBatch bridge as every other attachment, so the per-view
+    transactional epoch tags cover the EXTRACTION too: a crash
+    mid-shard replays the whole shard and every view dedups it.
+    ``max_files_per_trigger`` bounds shards per micro-batch (a
+    backlog of 1 GB shards must not become one giant batch)."""
+    from pipelinedb_spark.operators.archives import (tar_members,
+                                                     webdataset_media,
+                                                     webdataset_samples)
+    from pipelinedb_spark.operators.warc import (warc_records,
+                                                 warc_text_documents)
+
+    if kind == "warc":
+        def transform(files):
+            return warc_text_documents(
+                warc_records(files, payload_limit))
+    elif kind == "warc_records":
+        def transform(files):
+            return warc_records(files, payload_limit)
+    elif kind == "tar":
+        def transform(files):
+            return webdataset_media(webdataset_samples(
+                tar_members(files, payload_limit)))
+    else:
+        raise CQError(f"unknown archive kind {kind!r}: "
+                      "expected warc, warc_records, or tar")
+
+    _ = ctx.streams[stream]  # validates the stream exists
+    active = _claim_stream(ctx, stream)
+    checkpoint = checkpoint_dir or os.path.join(
+        ctx.root, "checkpoints", f"archive_{stream}")
+    reader = (ctx.spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA)
+              .option("pathGlobFilter",
+                      "*.warc*" if kind.startswith("warc") else "*.tar*"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(source_dir)
+    writer = (raw.writeStream
+              .foreachBatch(_foreach_batch(ctx, stream, checkpoint,
+                                           transform=transform))
+              .option("checkpointLocation", checkpoint))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    query = writer.start()
+    att = StreamAttachment(ctx, stream, query)
+    active[stream] = att
+    return att
+
+
 class SWTicker:
     """Background sliding-window ticker: periodically re-emits changed
     window results to the CV's output stream (the reference runs this
@@ -381,7 +470,13 @@ class TTLReaper:
         for name, cv in list(self.ctx.views.items()):
             try:
                 if cv.ttl is not None:
-                    deleted += self.ctx.reap_ttl(name, now=now)
+                    n = self.ctx.reap_ttl(name, now=now)
+                    deleted += n
+                    # count as soon as the delete committed — the
+                    # compact/gc tail below can take a while, and an
+                    # observer who already sees the rows gone must
+                    # also see them counted
+                    self.deleted += n
                 # stale bytes accrue from merge churn too, so the
                 # compaction check runs for EVERY view; the per-view
                 # commit lock serializes it against concurrent merges
@@ -402,7 +497,6 @@ class TTLReaper:
                 logging.getLogger(__name__).warning(
                     "TTL reap/compact failed for %s (%d failures): %s",
                     name, self.failures[name], exc)
-        self.deleted += deleted
         return deleted
 
     def _run(self) -> None:

@@ -135,6 +135,90 @@ def test_html_to_text_and_document_handoff(spark, warc_dir):
     assert filtered.count() <= 4
 
 
+def test_attach_archive_stream_continuous_warc(spark, tmp_path):
+    """Continuous crawl ingestion: WARC shards dropped in a directory
+    flow through extraction into a stream; CVs update per shard, and
+    a restarted attachment (same checkpoint) replays nothing."""
+    import shutil
+
+    from pipelinedb_spark import PipelineContext
+    from pipelinedb_spark.streaming.runtime import attach_archive_stream
+
+    root = str(tmp_path / "pdb")
+    drop = tmp_path / "shards"
+    drop.mkdir()
+    ctx = PipelineContext(spark, root=root, num_buckets=4)
+    ctx.create_stream(
+        "crawl", "doc_id long, url string, fetched_at string, "
+                 "text string")
+    ctx.create_view("cv_crawl",
+                    "SELECT url, count(*) AS n FROM crawl GROUP BY url")
+
+    recs = _build_archive()
+    (drop / "seg-0.warc").write_bytes(b"".join(recs))
+    att = attach_archive_stream(ctx, "crawl", str(drop), kind="warc",
+                                checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        att.process_all_available()
+        got = {r["url"]: r["n"] for r in
+               ctx.read_view("cv_crawl").collect()}
+        # html + plain responses of the shard (binary skipped)
+        assert got == {"http://a.example/": 1,
+                       "http://c.example/plain": 1}
+        # a second shard arrives → incremental update
+        (drop / "seg-1.warc").write_bytes(recs[2])
+        att.process_all_available()
+        got = {r["url"]: r["n"] for r in
+               ctx.read_view("cv_crawl").collect()}
+        assert got["http://a.example/"] == 2
+    finally:
+        att.stop()
+    # restart against the same checkpoint: nothing re-ingested
+    att2 = attach_archive_stream(ctx, "crawl", str(drop), kind="warc",
+                                 checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        att2.process_all_available()
+        got = {r["url"]: r["n"] for r in
+               ctx.read_view("cv_crawl").collect()}
+        assert got == {"http://a.example/": 2,
+                       "http://c.example/plain": 1}
+    finally:
+        att2.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_attach_archive_stream_tar(spark, tmp_path):
+    """WebDataset shards → media stream → per-kind CV, continuously."""
+    from pipelinedb_spark import PipelineContext
+    from pipelinedb_spark.streaming.runtime import attach_archive_stream
+    from test_archives import _make_tar
+    from test_operators import _make_png
+
+    import numpy as np
+    img = np.full((4, 4, 3), 77, dtype=np.uint8)
+    drop = tmp_path / "shards"
+    drop.mkdir()
+    (drop / "s0.tar").write_bytes(_make_tar([
+        ("0001.png", _make_png(img, 2)), ("0001.txt", b"cap one"),
+        ("0002.png", _make_png(img, 2)), ("0002.txt", b"cap two")]))
+    ctx = PipelineContext(spark, root=str(tmp_path / "pdb"),
+                          num_buckets=4)
+    ctx.create_stream("media", "media_id long, key string, "
+                               "kind string, payload binary, "
+                               "caption string")
+    ctx.create_view("cv_media",
+                    "SELECT kind, count(*) AS n FROM media "
+                    "GROUP BY kind")
+    att = attach_archive_stream(ctx, "media", str(drop), kind="tar",
+                                checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        att.process_all_available()
+        assert {(r["kind"], r["n"]) for r in
+                ctx.read_view("cv_media").collect()} == {("image", 2)}
+    finally:
+        att.stop()
+
+
 def test_warc_corrupt_and_garbage_tolerance(spark, tmp_path):
     """Leading garbage between records is skipped; a truncated final
     record yields the records before it, not an exception."""
