@@ -194,7 +194,7 @@ def main() -> None:
     # full end-to-end computations through the noop sink.
     # per-query error isolation: one broken query must not erase the
     # whole artifact — it gets an "error" entry and the loop continues
-    RUNS = 3
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in queries:

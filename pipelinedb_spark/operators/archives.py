@@ -70,21 +70,24 @@ def tar_members(files: DataFrame,
                 try:
                     tf = tarfile.open(fileobj=io.BytesIO(bytes(blob)),
                                       mode="r:*")
-                except tarfile.TarError:
+                except (tarfile.TarError, OSError):
                     continue  # corrupt shard → skip, don't kill batch
                 with tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        f = tf.extractfile(m)
-                        if f is None:
-                            continue
-                        data = f.read(payload_limit + 1)
-                        tr = len(data) > payload_limit
-                        key, ext = _split_key_ext(m.name)
-                        rows.append((fpath, m.name, key, ext,
-                                     int(m.size), data[:payload_limit],
-                                     tr))
+                    try:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            f = tf.extractfile(m)
+                            if f is None:
+                                continue
+                            data = f.read(payload_limit + 1)
+                            tr = len(data) > payload_limit
+                            key, ext = _split_key_ext(m.name)
+                            rows.append((fpath, m.name, key, ext,
+                                         int(m.size),
+                                         data[:payload_limit], tr))
+                    except (tarfile.TarError, OSError, EOFError):
+                        pass  # truncated mid-stream: keep members read
             yield pd.DataFrame(rows, columns=[
                 f.name for f in TAR_MEMBER_SCHEMA.fields])
 
@@ -102,6 +105,55 @@ def read_tar(spark: SparkSession, path: str,
              .option("pathGlobFilter", glob)
              .load(path))
     return tar_members(files, payload_limit)
+
+
+def zip_members(files: DataFrame,
+                payload_limit: int = 16 << 20) -> DataFrame:
+    """(path, content) zip-archive rows → one row per member file —
+    same schema as :func:`tar_members`, so WebDataset-style grouping
+    works over zip shards too (some public datasets ship zip)."""
+    import zipfile
+
+    files = files.select("path", "content")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(blob)))
+                except (zipfile.BadZipFile, OSError):
+                    continue  # corrupt shard → skip, don't kill batch
+                with zf:
+                    for m in zf.infolist():
+                        if m.is_dir():
+                            continue
+                        try:
+                            with zf.open(m) as f:
+                                data = f.read(payload_limit + 1)
+                        except (zipfile.BadZipFile, OSError,
+                                NotImplementedError):
+                            continue  # unsupported compression/corrupt
+                        tr = len(data) > payload_limit
+                        key, ext = _split_key_ext(m.filename)
+                        rows.append((fpath, m.filename, key, ext,
+                                     int(m.file_size),
+                                     data[:payload_limit], tr))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in TAR_MEMBER_SCHEMA.fields])
+
+    return files.mapInPandas(kernel, TAR_MEMBER_SCHEMA)
+
+
+def read_zip(spark: SparkSession, path: str,
+             payload_limit: int = 16 << 20,
+             glob: str = "*.zip") -> DataFrame:
+    """Zip shards under ``path`` → one row per member (see
+    :func:`read_tar`; stored + deflate members via stdlib)."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", glob)
+             .load(path))
+    return zip_members(files, payload_limit)
 
 
 def webdataset_samples(members: DataFrame) -> DataFrame:

@@ -136,7 +136,10 @@ def warc_records(files: DataFrame,
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 if data[:2] == b"\x1f\x8b":
-                    data = _gunzip_members(data)
+                    try:
+                        data = _gunzip_members(data)
+                    except zlib.error:
+                        continue  # corrupt gzip shard → skip file
                 for i, (hdr, payload) in enumerate(
                         parse_warc_records(data)):
                     rtype = hdr.get("warc-type", "")

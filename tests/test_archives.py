@@ -100,6 +100,59 @@ def test_webdataset_samples_and_media_decode(spark, shard_dir):
     assert again == {k: r["media_id"] for k, r in m.items()}
 
 
+def test_archive_corrupt_tolerance(spark, tmp_path):
+    """Corrupt gzip WARC shards and mid-stream-truncated tars must
+    not kill the batch: bad files skip, partial tars keep the
+    members already read."""
+    from pipelinedb_spark.operators.archives import read_tar
+    from pipelinedb_spark.operators.warc import read_warc
+
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b\x08garbage!!")
+    assert read_warc(spark, str(tmp_path)).count() == 0
+
+    good = _make_tar([("0001.txt", b"first"), ("0002.txt", b"second")])
+    # cut inside the SECOND member's header block
+    (tmp_path / "trunc.tar").write_bytes(good[:512 + 5 + 600])
+    rows = read_tar(spark, str(tmp_path)).collect()
+    assert [r["member"] for r in rows] == ["0001.txt"]
+    assert bytes(rows[0]["payload"]) == b"first"
+
+
+def test_read_zip_members_and_grouping(spark, tmp_path):
+    """Zip shards parse to the same member schema as tar, so sample
+    grouping and media handoff compose identically."""
+    import zipfile
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_operators import _make_png
+
+    from pipelinedb_spark.operators.archives import (read_zip,
+                                                     webdataset_media,
+                                                     webdataset_samples)
+    from pipelinedb_spark.operators.multimodal import decode_pixels
+
+    img = np.full((5, 5, 3), 33, dtype=np.uint8)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("0001.png", _make_png(img, 2))
+        zf.writestr("0001.txt", b"zipped caption")
+        zf.writestr("dir/", b"")  # directory entry skipped
+    (tmp_path / "shard.zip").write_bytes(buf.getvalue())
+    (tmp_path / "bad.zip").write_bytes(b"PK\x00\x00garbage")
+
+    members = read_zip(spark, str(tmp_path))
+    rows = {r["member"]: r for r in members.collect()}
+    assert set(rows) == {"0001.png", "0001.txt"}
+    assert bytes(rows["0001.txt"]["payload"]) == b"zipped caption"
+    media = webdataset_media(webdataset_samples(members))
+    r = media.collect()[0]
+    assert r["caption"] == "zipped caption"
+    stats = decode_pixels(
+        media.select("media_id", "kind", "payload")).collect()[0]
+    assert (stats["format"], stats["width"]) == ("png", 5)
+
+
 def test_read_tar_payload_limit(spark, shard_dir):
     from pipelinedb_spark.operators.archives import read_tar
 
