@@ -315,21 +315,43 @@ def events_agg_families(spark, sf_dir):
     CSV so the driver canonicalizer compares it."""
     ev = t(spark, sf_dir, "events")
     pair = F.struct(F.col("value"), F.col("event_id"))
-    return ev.groupBy("event_type").agg(
+    # Two-phase (worker partial -> combiner merge, the engine's own
+    # split): a single groupBy with collect_list holds EVERY group row
+    # in one agg buffer — the sf100 probe OOM'd the JVM heap exactly
+    # there.  Phase 1 bounds first_values to a 3-element prefix per
+    # (group x input partition); phase 2 merges prefixes, so peak agg
+    # state is O(partitions x 3), flat in data size.  Every other
+    # family is algebraic and rides the same split.
+    upair = F.struct(F.col("value"), F.col("event_id"),
+                     F.col("user_id"))
+    p1 = ev.groupBy("event_type",
+                    F.spark_partition_id().alias("__p")).agg(
         F.bool_and(F.col("value") > 0).alias("all_pos"),
         F.bool_or(F.col("value") > 100).alias("any_big"),
         F.bit_and("user_id").alias("band"),
         F.bit_or("user_id").alias("bor"),
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
         F.count("*").alias("n"),
+        F.slice(F.sort_array(F.collect_list(pair)), 1, 3).alias("pre3"),
+        F.min(upair).alias("min_u"),
+        F.max(upair).alias("max_u"))
+    return p1.groupBy("event_type").agg(
+        F.bool_and("all_pos").alias("all_pos"),
+        F.bool_or("any_big").alias("any_big"),
+        F.bit_and("band").alias("band"),
+        F.bit_or("bor").alias("bor"),
+        F.sum("k_sum").alias("k_sum"),
+        F.sum("n").alias("n"),
         F.array_join(
-            F.transform(F.slice(F.sort_array(F.collect_list(pair)), 1, 3),
-                        lambda s: s.getField("value")
-                                   .cast(T.DecimalType(28, 6))
-                                   .cast("string")),
+            F.transform(
+                F.slice(F.sort_array(F.flatten(F.collect_list("pre3"))),
+                        1, 3),
+                lambda s: s.getField("value")
+                           .cast(T.DecimalType(28, 6))
+                           .cast("string")),
             ",").alias("first3"),
-        F.min_by("user_id", pair).alias("min_value_user"),
-        F.max_by("user_id", pair).alias("max_value_user"))
+        F.min("min_u").getField("user_id").alias("min_value_user"),
+        F.max("max_u").getField("user_id").alias("max_value_user"))
 
 
 # -- moment / bivariate statistics, built from exact decimal components ----

@@ -23,6 +23,15 @@ _DEFAULTS = {
     # Local-scale shuffle width; at cluster scale AQE coalesces upward
     # from a much larger initial number.
     "spark.sql.shuffle.partitions": "32",
+    # Scale-adaptive shuffle width: plan every exchange at 512 and let
+    # AQE coalesce down to actual data size.  With only the static 32
+    # above, a 100x-data run packs 100x rows into each shuffle
+    # partition — the sf100 probe OOM'd building the LSH self-join's
+    # per-partition hash map exactly this way.  A high initial count
+    # keeps per-task build/agg state bounded as data grows (the same
+    # number a 1000-executor cluster would plan with), while
+    # coalescing keeps small-SF latency at the 32-partition shape.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     # Arrow for all pandas-UDF / toPandas paths (sketch UDAFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
