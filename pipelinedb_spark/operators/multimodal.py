@@ -300,10 +300,11 @@ def decode_png_py(p: bytes):
     decode needs no codec library.  Supports bit depths 8 and 16
     (16-bit samples decode at full precision and emit the high byte —
     the standard 8-bit rendering), color types 0 (gray), 2 (RGB),
-    3 (palette), 4 (gray+alpha), 6 (RGBA), both non-interlaced and
-    Adam7-interlaced.  Returns None when the payload is not a PNG;
-    raises NotImplementedError for sub-byte depths (rare in training
-    corpora; production swaps in PIL)."""
+    3 (palette), 4 (gray+alpha), 6 (RGBA), sub-byte depths 1/2/4 for
+    gray and palette images, both non-interlaced and Adam7-interlaced.
+    Returns None when the payload is not a PNG; raises
+    NotImplementedError only for depth/color combinations the spec
+    itself forbids or that never occur in training corpora."""
     import zlib
 
     import numpy as np
