@@ -1,0 +1,269 @@
+"""Span-level exact-substring deduplication: find and remove token
+spans that occur more than once ACROSS (or within) documents.
+
+Doc-level dedup (dedup.py) drops whole near-identical documents; it
+cannot touch the boilerplate PASSAGES — license headers, navigation
+chrome, quoted tweets — that repeat verbatim inside otherwise-unique
+pages.  Training-data pipelines remove those at the substring level
+(Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better": repeated >=50-token substrings).  The published approach is a
+single-machine suffix array; this module re-expresses the semantics
+Spark-first so it scales out:
+
+* **Window hashing, one scan.**  Every K-token window of every doc
+  gets a 64-bit polynomial hash over the batch-vectorized token-hash
+  array (same kernel family as dedup.py's shingle index — a handful of
+  fused numpy passes per Arrow batch, no per-token Python).  A window
+  that repeats anywhere in the corpus has a repeating hash; a repeated
+  run LONGER than K tokens repeats on every one of its K-windows, so
+  the union of duplicated windows recovers the full span — the
+  suffix-array result, without the suffix array.
+* **Duplicate detection is a partial-aggregable groupBy.**  Per-hash
+  (count, first occurrence) aggregate — map-side combinable, state
+  O(distinct windows in flight), never a collect_list of occurrence
+  lists (a boilerplate window shared by 1M docs contributes one
+  counter, not a 1M-element buffer).
+* **Occurrence recovery is a shuffle-hash join** of the window index
+  against the (tiny relative to corpus) duplicated-hash table, pinned
+  off broadcast-at-small-SF like every corpus-sized join in dedup.py.
+* **Span assembly is per-doc and bounded** (sorted position list →
+  merged intervals), the same per-doc-bounded contract every text
+  kernel in this package assumes.
+
+Collision note: a 64-bit mixed hash over token-hash windows false-
+merges two distinct windows with probability ~W²/2⁶⁵ for W distinct
+windows — negligible next to the policy's own approximation (window
+granularity) and the same contract shingle_index documents.
+
+Tokenization is whitespace splitting, consistent with dedup.py /
+text.py; `remove_duplicated_spans` therefore reconstructs cleaned text
+single-space-joined (documented on the function — only docs that had
+spans removed are rewritten).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import _batch_token_hashes
+
+__all__ = ["window_index", "duplicated_spans", "remove_duplicated_spans"]
+
+
+def _batch_windows(texts, window: int, pos_mult, c1):
+    """(doc_idx, pos, hash) for EVERY K-token window of an Arrow batch.
+
+    Same vectorized shape as dedup._batch_grams but positions are kept
+    and nothing is deduped — span recovery needs every occurrence site.
+    Returns arrays sorted in natural (doc, pos) order by construction.
+    """
+    import numpy as np
+
+    th, offs = _batch_token_hashes(texts)
+    nd = len(texts)
+    n = len(th)
+    m = n - window + 1
+    if m <= 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.uint64))
+    g = np.zeros(m, dtype=np.uint64)
+    for j in range(window):
+        g += th[j: m + j] * pos_mult[j]
+    g ^= g >> np.uint64(33)
+    g = g * c1
+    g ^= g >> np.uint64(29)
+    tok_doc = np.repeat(np.arange(nd, dtype=np.int64), np.diff(offs))
+    # a window is valid when it does not straddle two docs of the
+    # flattened batch: its first and last token share a doc index
+    valid = tok_doc[:m] == tok_doc[window - 1: n]
+    g = g[valid]
+    gdoc = tok_doc[:m][valid]
+    gpos = (np.arange(m, dtype=np.int64)[valid]
+            - offs[gdoc])          # doc-relative token position
+    return gdoc, gpos, g
+
+
+def _window_hash_mapper(window: int):
+    import numpy as np
+
+    rng = np.random.RandomState(0x5EED ^ 0x51A2)
+    pos_mult = (rng.randint(1, 2 ** 63, size=window,
+                            dtype=np.uint64) | np.uint64(1))
+    c1 = np.uint64(0xFF51AFD7ED558CCD)
+
+    def gen(batches):
+        old = np.seterr(over="ignore")
+        try:
+            for pdf in batches:
+                gdoc, gpos, g = _batch_windows(pdf["text"], window,
+                                               pos_mult, c1)
+                if len(g):
+                    yield pd.DataFrame({
+                        "doc_id": pdf["doc_id"].to_numpy()[gdoc],
+                        "pos": gpos,
+                        "whash": g.astype(np.int64)})
+        finally:
+            np.seterr(**old)
+
+    return gen
+
+
+def window_index(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", window: int = 50) -> DataFrame:
+    """(doc_id, pos, whash): 64-bit hash of every K-token window.
+
+    One corpus scan, column-pruned to (id, text); output is ~one row
+    per TOKEN (24 bytes each) — the linear-shuffle cost that replaces
+    the reference approach's single-node suffix array.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    out_schema = T.StructType([
+        T.StructField("doc_id", src.schema["doc_id"].dataType),
+        T.StructField("pos", T.LongType()),
+        T.StructField("whash", T.LongType())])
+    return src.mapInPandas(_window_hash_mapper(window), out_schema)
+
+
+_SPAN_T = T.ArrayType(T.StructType([
+    T.StructField("span_start", T.LongType()),
+    T.StructField("span_end", T.LongType())]))
+
+
+def _merge_positions_udf(window: int):
+    """Sorted window-start positions → merged [start, end) token spans
+    (each window covers [pos, pos+K); overlapping/adjacent windows
+    coalesce into one span)."""
+    @F.pandas_udf(_SPAN_T)
+    def merge(ps: pd.Series) -> pd.Series:
+        out = []
+        for positions in ps:
+            spans = []
+            start = end = None
+            for p in positions:
+                p = int(p)
+                if start is None:
+                    start, end = p, p + window
+                elif p <= end:          # overlaps or touches
+                    end = p + window
+                else:
+                    spans.append({"span_start": start, "span_end": end})
+                    start, end = p, p + window
+            if start is not None:
+                spans.append({"span_start": start, "span_end": end})
+            out.append(spans)
+        return pd.Series(out)
+    return merge
+
+
+def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", window: int = 50,
+                     keep: str = "first") -> DataFrame:
+    """Token spans duplicated elsewhere in the corpus (incl. repeats
+    within one document).
+
+    Returns (doc_id, span_start, span_end): half-open token-index
+    intervals, per-doc disjoint and sorted, each the union of K-token
+    windows whose hash occurs more than once corpus-wide.
+
+    keep='first' exempts the canonical occurrence of each window —
+    the smallest (doc_id, pos) — so exactly one copy of every repeated
+    passage survives removal (the dedup policy).  keep='none' marks
+    every occurrence (the scrub policy: strip boilerplate everywhere;
+    this is what Lee et al.'s released tool does by default).
+
+    Scale shape: window index (1 row/token) → partial-agg per-hash
+    (count, min occurrence) → shuffle-hash join back for occurrence
+    sites (output ∝ duplicated windows only) → per-doc interval merge
+    (state bounded by doc length).  No stage holds per-hash occurrence
+    lists, so a million-way-shared boilerplate window costs one
+    counter, not a million-element buffer.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    # materialize once: the index feeds both the dup-hash aggregate and
+    # the occurrence join (same reason lsh_candidates checkpoints sigs)
+    wins = window_index(df, id_col, text_col, window) \
+        .localCheckpoint(eager=False)
+    agg = [F.count("*").alias("__n")]
+    if keep == "first":
+        agg.append(F.min(F.struct("doc_id", "pos")).alias("__first"))
+    dups = wins.groupBy("whash").agg(*agg).filter(F.col("__n") > 1)
+    # corpus-sized probe side: pin shuffle-hash — Spark would broadcast
+    # `dups` under the threshold at small SF, which is the wrong plan
+    # once the duplicated-window table scales with the corpus
+    marked = wins.join(dups.hint("shuffle_hash"), "whash")
+    if keep == "first":
+        marked = marked.filter(
+            ~((F.col("doc_id") == F.col("__first.doc_id")) &
+              (F.col("pos") == F.col("__first.pos"))))
+    per_doc = (marked.groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list("pos")).alias("__ps")))
+    merge = _merge_positions_udf(window)
+    return (per_doc
+            .select("doc_id", F.explode(merge(F.col("__ps"))).alias("sp"))
+            .select("doc_id", F.col("sp.span_start").alias("span_start"),
+                    F.col("sp.span_end").alias("span_end")))
+
+
+def _strip_spans_udf():
+    @F.pandas_udf(T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("removed_tokens", T.LongType())]))
+    def strip(text: pd.Series, spans: pd.Series) -> pd.DataFrame:
+        texts, removed = [], []
+        for t, sp in zip(text, spans):
+            if sp is None or len(sp) == 0 or not isinstance(t, str):
+                texts.append(t)
+                removed.append(0)
+                continue
+            toks = t.split(" ")
+            keep = [True] * len(toks)
+            n_rm = 0
+            for s in sp:
+                a = max(0, int(s["span_start"]))
+                b = min(len(toks), int(s["span_end"]))
+                for i in range(a, b):
+                    if keep[i]:
+                        keep[i] = False
+                        n_rm += 1
+            texts.append(" ".join(tk for tk, k in zip(toks, keep) if k))
+            removed.append(n_rm)
+        return pd.DataFrame({"text": texts, "removed_tokens": removed})
+    return strip
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", window: int = 50,
+                            keep: str = "first",
+                            spans: DataFrame | None = None) -> DataFrame:
+    """Rewrite ``text_col`` with duplicated spans removed; adds a
+    ``removed_tokens`` count column.
+
+    ``spans`` defaults to :func:`duplicated_spans` over the same frame
+    (pass a precomputed/filtered span table to apply a custom policy).
+    Docs with no duplicated spans pass through byte-identical; docs
+    that are rewritten come back single-space-joined over the
+    whitespace tokenization (the same normalization every dedup kernel
+    here applies before hashing).
+    """
+    if spans is None:
+        spans = duplicated_spans(df, id_col, text_col, window, keep)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.collect_list(
+                   F.struct("span_start", "span_end")).alias("__spans")))
+    joined = df.join(
+        per_doc.withColumnRenamed("doc_id", "__sd_id").hint("shuffle_hash"),
+        F.col(id_col) == F.col("__sd_id"), "left")
+    strip = _strip_spans_udf()
+    res = joined.withColumn("__out",
+                            strip(F.col(text_col), F.col("__spans")))
+    keep_cols = [c for c in df.columns if c != text_col]
+    return (res.select(*keep_cols,
+                       F.col("__out.text").alias(text_col),
+                       F.col("__out.removed_tokens")
+                       .alias("removed_tokens")))
