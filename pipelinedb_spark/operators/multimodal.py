@@ -68,7 +68,9 @@ def parse_media_header(payload: bytes) -> dict | None:
     of the standard formats (this part of 'decode' needs no codec
     library): PNG IHDR, JPEG SOF frame header, GIF logical screen
     descriptor, TIFF first-IFD width/length tags (both byte orders),
-    WebP VP8/VP8L/VP8X frame headers, WAV RIFF fmt/data chunks.
+    WebP VP8/VP8L/VP8X frame headers, WAV RIFF fmt/data chunks,
+    MP4/ISO-BMFF moov track metadata (video canvas + frame count,
+    audio sample rate), Matroska/WebM EBML track metadata.
     Returns None when the payload is not a recognized container
     (callers fall back to the deterministic fake so plumbing tests
     stay engine-agnostic)."""
@@ -156,9 +158,187 @@ def parse_media_header(payload: bytes) -> dict | None:
             if rate is not None:
                 return {"width": None, "height": None,
                         "n_frames": frames, "sample_rate": rate}
+        if len(p) >= 12 and p[4:8] == b"ftyp":
+            return _parse_mp4(p)
+        if p[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska / WebM)
+            return _parse_mkv(p)
         return None
     except (IndexError, ValueError):
         return None  # truncated/corrupt container
+
+
+def _mp4_boxes(p: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in p[start:end): (type, body_lo, body_hi).
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(p[i:i + 4], "big")
+        typ = p[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(p[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr:
+            return  # corrupt: would not advance
+        yield typ, i + hdr, min(i + size, end)
+        i += size
+
+
+def _mp4_child(p: bytes, lo: int, hi: int, typ: bytes):
+    for t, a, b in _mp4_boxes(p, lo, hi):
+        if t == typ:
+            return a, b
+    return None
+
+
+def _parse_mp4(p: bytes):
+    """MP4 / ISO-BMFF (ftyp-branded: mp4/mov/m4a/3gp/heic...) track
+    metadata from the moov box tree: video tkhd canvas (16.16 fixed),
+    video stsz sample count as n_frames, audio mdhd timescale as the
+    sample rate (the timescale IS the rate in standard encodes).
+    Spec: ISO/IEC 14496-12 box grammar — public, parsed from scratch.
+    """
+    moov = _mp4_child(p, 0, len(p), b"moov")
+    if moov is None:
+        return None
+    width = height = n_frames = rate = None
+    for t, lo, hi in _mp4_boxes(p, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_child(p, lo, hi, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(p, *mdia, b"hdlr")
+        handler = p[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b""
+        if handler == b"vide" and width is None:
+            tkhd = _mp4_child(p, lo, hi, b"tkhd")
+            if tkhd is not None:
+                a = tkhd[0]
+                off = a + (88 if p[a] == 1 else 76)  # v1: 64-bit times
+                if off + 8 <= tkhd[1]:
+                    width = int.from_bytes(p[off:off + 4], "big") >> 16
+                    height = int.from_bytes(p[off + 4:off + 8], "big") >> 16
+            minf = _mp4_child(p, *mdia, b"minf")
+            stbl = minf and _mp4_child(p, *minf, b"stbl")
+            stsz = stbl and _mp4_child(p, *stbl, b"stsz")
+            if stsz and stsz[0] + 12 <= stsz[1]:
+                n_frames = int.from_bytes(p[stsz[0] + 8:stsz[0] + 12],
+                                          "big")
+        elif handler == b"soun" and rate is None:
+            mdhd = _mp4_child(p, *mdia, b"mdhd")
+            if mdhd is not None:
+                a = mdhd[0]
+                ts_off = a + (20 if p[a] == 1 else 12)
+                if ts_off + 4 <= mdhd[1]:
+                    rate = int.from_bytes(p[ts_off:ts_off + 4], "big")
+    if width is None and rate is None:
+        return None
+    return {"width": width, "height": height,
+            "n_frames": n_frames, "sample_rate": rate}
+
+
+def _ebml_read(p: bytes, i: int, is_id: bool):
+    """Read one EBML varint at i → (value, next_i).  IDs keep their
+    length-marker bits (matched against the spec's full-ID constants);
+    sizes strip them; an all-ones size means unknown → None."""
+    b0 = p[i]
+    if b0 == 0:
+        raise ValueError("invalid EBML varint")
+    ln = 8 - b0.bit_length() + 1
+    raw = int.from_bytes(p[i:i + ln], "big")
+    if is_id:
+        return raw, i + ln
+    val = raw & ((1 << (7 * ln)) - 1)
+    if val == (1 << (7 * ln)) - 1:
+        val = None  # unknown-size element (streamed files)
+    return val, i + ln
+
+
+def _ebml_walk(p: bytes, lo: int, hi: int):
+    """Iterate child elements: (id, body_lo, body_hi)."""
+    i = lo
+    while i < hi:
+        eid, j = _ebml_read(p, i, True)
+        size, k = _ebml_read(p, j, False)
+        end = hi if size is None else min(k + size, hi)
+        yield eid, k, end
+        if end <= i:
+            return
+        i = end
+
+
+def _ebml_float(p: bytes, lo: int, hi: int):
+    import struct as _struct
+    n = hi - lo
+    if n == 4:
+        return _struct.unpack(">f", p[lo:hi])[0]
+    if n == 8:
+        return _struct.unpack(">d", p[lo:hi])[0]
+    return None
+
+
+def _parse_mkv(p: bytes):
+    """Matroska / WebM metadata via from-scratch EBML parsing (RFC
+    8794 varints + the public Matroska element IDs): video PixelWidth/
+    PixelHeight, audio SamplingFrequency; n_frames reconstructed as
+    Segment duration / the video track's DefaultDuration (ns per
+    frame) when both are present — frame counts aren't stored at the
+    container level."""
+    width = height = rate = None
+    dur_scaled = None
+    ts_scale = 1_000_000          # Matroska default: 1 ms
+    default_dur_ns = None
+    for eid, lo, hi in _ebml_walk(p, 0, len(p)):
+        if eid != 0x18538067:     # Segment
+            continue
+        for sid, slo, shi in _ebml_walk(p, lo, hi):
+            if sid == 0x1549A966:  # Info
+                for iid, ilo, ihi in _ebml_walk(p, slo, shi):
+                    if iid == 0x2AD7B1:
+                        ts_scale = int.from_bytes(p[ilo:ihi], "big")
+                    elif iid == 0x4489:
+                        dur_scaled = _ebml_float(p, ilo, ihi)
+            elif sid == 0x1654AE6B:  # Tracks
+                for tid, tlo, thi in _ebml_walk(p, slo, shi):
+                    if tid != 0xAE:  # TrackEntry
+                        continue
+                    ttype = 0
+                    tdur = None
+                    vids = auds = None
+                    for eid2, elo, ehi in _ebml_walk(p, tlo, thi):
+                        if eid2 == 0x83:
+                            ttype = int.from_bytes(p[elo:ehi], "big")
+                        elif eid2 == 0x23E383:
+                            tdur = int.from_bytes(p[elo:ehi], "big")
+                        elif eid2 == 0xE0:
+                            vids = (elo, ehi)
+                        elif eid2 == 0xE1:
+                            auds = (elo, ehi)
+                    if ttype == 1 and vids and width is None:
+                        default_dur_ns = tdur
+                        for vid, vlo, vhi in _ebml_walk(p, *vids):
+                            if vid == 0xB0:
+                                width = int.from_bytes(p[vlo:vhi], "big")
+                            elif vid == 0xBA:
+                                height = int.from_bytes(p[vlo:vhi], "big")
+                    elif ttype == 2 and auds and rate is None:
+                        for aid, alo, ahi in _ebml_walk(p, *auds):
+                            if aid == 0xB5:
+                                f = _ebml_float(p, alo, ahi)
+                                if f:
+                                    rate = int(round(f))
+    if width is None and rate is None:
+        return None
+    n_frames = None
+    if dur_scaled and default_dur_ns:
+        n_frames = max(1, int(round(dur_scaled * ts_scale
+                                    / default_dur_ns)))
+    return {"width": width, "height": height,
+            "n_frames": n_frames, "sample_rate": rate}
 
 
 def _fake_decode(payload: bytes, kind: str) -> dict:

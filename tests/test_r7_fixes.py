@@ -429,6 +429,104 @@ def test_media_header_tiff_and_webp():
     assert parse_media_header(b"II*\x00\x08\x00") is None
 
 
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+
+def test_media_header_mp4():
+    """ISO-BMFF: video tkhd canvas + stsz frame count + audio mdhd
+    timescale, hand-assembled per ISO/IEC 14496-12."""
+    from pipelinedb_spark.operators.multimodal import parse_media_header
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    tkhd = _mp4_box(b"tkhd", bytes(76)
+                    + (640 << 16).to_bytes(4, "big")
+                    + (360 << 16).to_bytes(4, "big"))
+    hdlr_v = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    stsz = _mp4_box(b"stsz", bytes(4) + bytes(4)
+                    + (240).to_bytes(4, "big"))
+    minf = _mp4_box(b"minf", _mp4_box(b"stbl", stsz))
+    trak_v = _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", hdlr_v + minf))
+    mdhd_a = _mp4_box(b"mdhd", bytes(12) + (48000).to_bytes(4, "big")
+                      + bytes(8))
+    hdlr_a = _mp4_box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    trak_a = _mp4_box(b"trak", _mp4_box(b"mdia", mdhd_a + hdlr_a))
+    p = ftyp + _mp4_box(b"moov", trak_v + trak_a) \
+        + _mp4_box(b"mdat", bytes(16))
+    m = parse_media_header(p)
+    assert m == {"width": 640, "height": 360,
+                 "n_frames": 240, "sample_rate": 48000}
+
+    # version-1 tkhd (64-bit times) shifts the canvas by 12 bytes
+    tkhd1 = _mp4_box(b"tkhd", b"\x01" + bytes(87)
+                     + (1920 << 16).to_bytes(4, "big")
+                     + (1080 << 16).to_bytes(4, "big"))
+    trak1 = _mp4_box(b"trak", tkhd1 + _mp4_box(b"mdia", hdlr_v + minf))
+    m = parse_media_header(ftyp + _mp4_box(b"moov", trak1))
+    assert (m["width"], m["height"]) == (1920, 1080)
+
+    # 64-bit largesize moov header
+    body = trak_v
+    large = (1).to_bytes(4, "big") + b"moov" \
+        + (len(body) + 16).to_bytes(8, "big") + body
+    m = parse_media_header(ftyp + large)
+    assert (m["width"], m["n_frames"]) == (640, 240)
+
+    # ftyp with no moov → None, truncated → None (never an exception)
+    assert parse_media_header(ftyp + _mp4_box(b"mdat", b"xx")) is None
+    assert parse_media_header(p[:40]) is None
+
+
+def _ebml(eid: int, payload: bytes) -> bytes:
+    i = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            return i + ((1 << (7 * ln)) | n).to_bytes(ln, "big") + payload
+    raise ValueError
+
+
+def test_media_header_matroska():
+    """Matroska/WebM: EBML varint walk → PixelWidth/Height, audio
+    SamplingFrequency, n_frames = Duration·TimestampScale /
+    DefaultDuration."""
+    import struct
+
+    from pipelinedb_spark.operators.multimodal import parse_media_header
+
+    video = _ebml(0xE0, _ebml(0xB0, (1280).to_bytes(2, "big"))
+                  + _ebml(0xBA, (720).to_bytes(2, "big")))
+    trk_v = _ebml(0xAE, _ebml(0x83, b"\x01")
+                  + _ebml(0x23E383, (40_000_000).to_bytes(4, "big"))
+                  + video)
+    trk_a = _ebml(0xAE, _ebml(0x83, b"\x02")
+                  + _ebml(0xE1, _ebml(0xB5, struct.pack(">f", 44100.0))))
+    tracks = _ebml(0x1654AE6B, trk_v + trk_a)
+    # 8000 ms at the default 1 ms scale → 8 s → 200 frames at 25 fps
+    info = _ebml(0x1549A966,
+                 _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                 + _ebml(0x4489, struct.pack(">d", 8000.0)))
+    p = _ebml(0x1A45DFA3, b"") + _ebml(0x18538067, info + tracks)
+    m = parse_media_header(p)
+    assert m == {"width": 1280, "height": 720,
+                 "n_frames": 200, "sample_rate": 44100}
+
+    # unknown-size Segment (live-streamed files): body runs to EOF
+    seg_unknown = (0x18538067).to_bytes(4, "big") + b"\xff" \
+        + info + tracks
+    m = parse_media_header(_ebml(0x1A45DFA3, b"") + seg_unknown)
+    assert (m["width"], m["sample_rate"]) == (1280, 44100)
+
+    # video-only (no Info): dimensions parse, n_frames honestly None
+    p2 = _ebml(0x1A45DFA3, b"") + _ebml(0x18538067, tracks)
+    m = parse_media_header(p2)
+    assert (m["width"], m["height"], m["n_frames"]) == (1280, 720, None)
+
+    # truncated mid-varint / mid-element → never an exception
+    for cut in (3, 5, 7, 11, len(p) - 3):
+        parse_media_header(p[:cut])  # must not raise
+
+
 # ------------------------------------------------------ decode fuzz
 
 def test_decoder_fuzz_corrupt_payloads_never_escape(spark):
