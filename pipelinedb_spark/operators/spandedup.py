@@ -51,7 +51,8 @@ from pyspark.sql import types as T
 
 from .dedup import _batch_token_hashes
 
-__all__ = ["window_index", "duplicated_spans", "remove_duplicated_spans"]
+__all__ = ["window_index", "duplicated_spans", "remove_duplicated_spans",
+           "span_index_persist", "span_index_probe", "span_index_append"]
 
 
 def _batch_windows(texts, window: int, pos_mult, c1):
@@ -267,3 +268,131 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                        F.col("__out.text").alias(text_col),
                        F.col("__out.removed_tokens")
                        .alias("removed_tokens")))
+
+
+# ------------------------------------------------------------------
+# persisted incremental index: clean each ingest batch against the
+# corpus without re-hashing the corpus (the spandedup analog of
+# dedup.py's lsh_index_persist/probe/append and similarity.py's
+# ivf_persist/ivf_append)
+
+def _span_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        return json.load(f)
+
+
+def _write_window_rows(wins: DataFrame, path: str, mode: str,
+                       write_partitions: int | None) -> None:
+    """Hash-repartition on whash to real write parallelism (the
+    _write_band_rows contract), rows whash-sorted within files so the
+    probe join's scan stays sequential per shuffle partition."""
+    import os
+
+    if write_partitions is None:
+        write_partitions = wins.sparkSession.sparkContext \
+            .defaultParallelism
+    (wins.repartition(write_partitions, "whash")
+     .sortWithinPartitions("whash")
+     .write.mode(mode).parquet(os.path.join(path, "windows")))
+
+
+def span_index_persist(df: DataFrame, path: str, id_col: str = "doc_id",
+                       text_col: str = "text", window: int = 50,
+                       write_partitions: int | None = None) -> None:
+    """Materialize the corpus window-hash index (doc_id, pos, whash).
+    A _meta.json sidecar pins the window size; probes and appends
+    read K from it, so a caller can never mix window sizes within one
+    index."""
+    import json
+    import os
+
+    wins = window_index(df, id_col, text_col, window)
+    _write_window_rows(wins, path, "overwrite", write_partitions)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"window": window}, f)
+
+
+def span_index_probe(spark, path: str, new_docs: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     keep: str = "first",
+                     broadcast_max_bytes: int = 64 << 20) -> DataFrame:
+    """Duplicated spans IN THE NEW BATCH: token spans whose windows
+    occur in the indexed corpus, or (batch-internal duplicates) more
+    than once within the batch itself.  Returns (doc_id, span_start,
+    span_end) over ``new_docs`` only — feed to
+    :func:`remove_duplicated_spans` via ``spans=`` to clean the batch
+    before admitting it.
+
+    Corpus occurrences are canonical by construction (the indexed copy
+    survives), so ``keep`` only governs batch-internal duplicates:
+    'first' exempts the smallest (doc_id, pos) occurrence of windows
+    seen ONLY inside the batch; 'none' marks every duplicated
+    occurrence.
+
+    Only the batch is hashed; the corpus side is a scan of the
+    persisted index.  The batch side broadcasts when its Observation-
+    counted size fits ``broadcast_max_bytes``, else falls back to a
+    pinned shuffle-hash join (the lsh_index_probe gate — force-
+    broadcasting a backfill batch would OOM executors)."""
+    import os
+
+    from pyspark.sql import Observation
+
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    meta = _span_meta(path)
+    window = meta["window"]
+    obs = Observation()
+    wins = (window_index(new_docs, id_col, text_col, window)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True))
+    est_bytes = int(obs.get["n"]) * 40   # hash + pos + id + overhead
+    corpus = spark.read.parquet(os.path.join(path, "windows"))
+    if est_bytes > broadcast_max_bytes:
+        probe_side = wins.alias("p")
+        corpus_side = corpus.alias("c").hint("shuffle_hash")
+    else:
+        probe_side = F.broadcast(wins.alias("p"))
+        corpus_side = corpus.alias("c")
+    corpus_marks = (corpus_side
+                    .join(probe_side,
+                          F.col("c.whash") == F.col("p.whash"))
+                    .select(F.col("p.doc_id").alias("doc_id"),
+                            F.col("p.pos").alias("pos"))
+                    .distinct())
+    # batch-internal duplicates (same aggregate shape as
+    # duplicated_spans: counter + first site, never occurrence lists)
+    agg = [F.count("*").alias("__n")]
+    if keep == "first":
+        agg.append(F.min(F.struct("doc_id", "pos")).alias("__first"))
+    dups = wins.groupBy("whash").agg(*agg).filter(F.col("__n") > 1)
+    batch_marks = wins.join(dups.hint("shuffle_hash"), "whash")
+    if keep == "first":
+        batch_marks = batch_marks.filter(
+            ~((F.col("doc_id") == F.col("__first.doc_id")) &
+              (F.col("pos") == F.col("__first.pos"))))
+    marked = corpus_marks.unionByName(
+        batch_marks.select("doc_id", "pos")).distinct()
+    per_doc = (marked.groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list("pos")).alias("__ps")))
+    merge = _merge_positions_udf(window)
+    return (per_doc
+            .select("doc_id", F.explode(merge(F.col("__ps"))).alias("sp"))
+            .select("doc_id", F.col("sp.span_start").alias("span_start"),
+                    F.col("sp.span_end").alias("span_end")))
+
+
+def span_index_append(spark, path: str, new_docs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      write_partitions: int | None = None) -> None:
+    """Admit a (cleaned) batch's windows into the index — append-mode
+    parquet in the same whash-repartitioned layout.  Probe → clean →
+    append is the continuous-ingest flow; appending the CLEANED text's
+    windows keeps the index consistent with what the corpus actually
+    retains."""
+    meta = _span_meta(path)
+    wins = window_index(new_docs, id_col, text_col, meta["window"])
+    _write_window_rows(wins, path, "append", write_partitions)

@@ -182,3 +182,78 @@ def test_hypothesis_fuzz_matches_oracle(spark, doc_tokens, keep):
     docs = {f"h{i:02d}": " ".join(f"t{t}" for t in ts)
             for i, ts in enumerate(doc_tokens)}
     assert spark_spans(spark, docs, 3, keep) == oracle_spans(docs, 3, keep)
+
+
+# ------------------------------------------------- persisted index
+
+def test_span_index_probe_clean_append_cycle(spark, tmp_path):
+    """The continuous-ingest flow: persist corpus windows → probe a
+    batch (corpus boilerplate AND batch-internal duplicates found) →
+    clean → append → the next batch's copy of the admitted passage is
+    caught."""
+    from pipelinedb_spark.operators.spandedup import (
+        span_index_append, span_index_persist, span_index_probe)
+
+    path = str(tmp_path / "spanidx")
+    boiler = " ".join(f"b{i}" for i in range(5))
+    corpus = spark.createDataFrame(
+        [("c1", f"{boiler} corpus one"), ("c2", "other corpus text here")],
+        "doc_id string, text string")
+    span_index_persist(corpus, path, window=5)
+
+    fresh = " ".join(f"f{i}" for i in range(5))
+    batch = spark.createDataFrame(
+        [("n1", f"intro {boiler} outro"),          # corpus boilerplate
+         ("n2", f"{fresh} alpha"),                 # 1st batch-internal
+         ("n3", f"beta {fresh}"),                  # 2nd batch-internal
+         ("n4", "totally novel content only")],
+        "doc_id string, text string")
+    spans = span_index_probe(spark, path, batch)
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in spans.collect()}
+    # n1: corpus match at tokens 1..6; n3: batch-internal dup at 1..6
+    # (n2 is the canonical first occurrence under keep='first')
+    assert got == {("n1", 1, 6), ("n3", 1, 6)}
+
+    cleaned = remove_duplicated_spans(batch, spans=spans)
+    out = {r["doc_id"]: r for r in cleaned.collect()}
+    assert out["n1"]["text"] == "intro outro"
+    assert out["n2"]["text"] == f"{fresh} alpha"   # canonical kept
+    assert out["n3"]["text"] == "beta"
+    assert out["n4"]["removed_tokens"] == 0
+
+    # admit the cleaned batch; a later copy of `fresh` must now hit
+    span_index_append(spark, path, cleaned)
+    nxt = spark.createDataFrame([("x1", f"{fresh} again")],
+                                "doc_id string, text string")
+    got2 = {(r["doc_id"], r["span_start"], r["span_end"])
+            for r in span_index_probe(spark, path, nxt).collect()}
+    assert got2 == {("x1", 0, 5)}
+
+
+def test_span_index_probe_keep_none_marks_canonical_too(spark, tmp_path):
+    from pipelinedb_spark.operators.spandedup import (span_index_persist,
+                                                      span_index_probe)
+    path = str(tmp_path / "spanidx2")
+    corpus = spark.createDataFrame([("c1", "unrelated corpus words")],
+                                   "doc_id string, text string")
+    span_index_persist(corpus, path, window=4)
+    dup = " ".join(f"d{i}" for i in range(4))
+    batch = spark.createDataFrame(
+        [("n1", f"{dup} x"), ("n2", f"y {dup}")],
+        "doc_id string, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in
+           span_index_probe(spark, path, batch, keep="none").collect()}
+    assert got == {("n1", 0, 4), ("n2", 1, 5)}
+
+
+def test_span_index_probe_no_hits_empty(spark, tmp_path):
+    from pipelinedb_spark.operators.spandedup import (span_index_persist,
+                                                      span_index_probe)
+    path = str(tmp_path / "spanidx3")
+    corpus = spark.createDataFrame([("c1", "a b c d e f")],
+                                   "doc_id string, text string")
+    span_index_persist(corpus, path, window=4)
+    batch = spark.createDataFrame([("n1", "p q r s t u")],
+                                  "doc_id string, text string")
+    assert span_index_probe(spark, path, batch).count() == 0
