@@ -42,7 +42,8 @@ from pyspark.sql import types as T
 
 from .similarity import _spherical_kmeans, cosine_double
 
-__all__ = ["pq_train", "pq_encode", "ivfpq_topk"]
+__all__ = ["pq_train", "pq_encode", "ivfpq_topk",
+           "ivfpq_persist", "ivfpq_topk_persisted", "ivfpq_load_codec"]
 
 
 def _sample_vectors(corpus: DataFrame, id_col: str, vec_col: str,
@@ -274,6 +275,117 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  .select("q_id", "n_id"))
     nvec = corpus.select(F.col(id_col).alias("n_id"),
                          F.col(vec_col).alias("n_vec"))
+    qvec = queries.select(F.col(id_col).alias("q_id"),
+                          F.col(vec_col).alias("q_vec"))
+    exact = (shortlist.join(F.broadcast(qvec), "q_id")
+             .join(nvec, "n_id")
+             .select("q_id", "n_id",
+                     cosine_double(F.col("q_vec"), F.col("n_vec"))
+                     .alias("cosine")))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                            F.asc("n_id"))
+    return (exact.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", "rk", "cosine"))
+
+
+# --------------------------------------------------------------------
+# persisted index: one list_id-partitioned table carrying BOTH the
+# m-byte codes and the original vector — parquet is columnar, so the
+# ADC scan that projects (id, codes) never reads the vector column
+# chunks, and the rerank reads vectors only for the shortlist.  Same
+# partition-pruned probe contract as similarity.ivf_persist.
+
+def ivfpq_persist(corpus: DataFrame, path: str,
+                  codec: PQCodec | None = None,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_lists: int = 16, m: int = 8, ksub: int = 256,
+                  sample: int = 4096, iters: int = 10,
+                  seed: int = 7) -> PQCodec:
+    """Materialize an IVF-PQ index: rows (id, vec, codes) written
+    partitionBy(list_id), codec (coarse centroids + codebooks) saved
+    as ``_codec.npz`` beside it.  Probes prune at the partition level
+    AND at the column level: the ADC pass reads m bytes per vector,
+    the exact rerank reads full vectors for shortlist rows only."""
+    import json
+    import os
+
+    if codec is None:
+        codec = pq_train(corpus, id_col, vec_col, n_lists=n_lists,
+                         m=m, ksub=ksub, sample=sample, iters=iters,
+                         seed=seed)
+    enc = _encode_udf(codec)
+    nparts = min(corpus.sparkSession.sparkContext.defaultParallelism,
+                 max(1, codec.n_lists))
+    (corpus.select(F.col(id_col), F.col(vec_col),
+                   enc(F.col(vec_col)).alias("__e"))
+     .select(id_col, vec_col, F.col("__e.list_id").alias("list_id"),
+             F.col("__e.codes").alias("codes"))
+     .repartition(nparts, "list_id")
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    np.savez(os.path.join(path, "_codec.npz"),
+             centroids=codec.centroids, codebooks=codec.codebooks)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"id_col": id_col, "vec_col": vec_col,
+                   "n_lists": codec.n_lists, "m": codec.m,
+                   "ksub": codec.ksub, "dim": codec.dim}, f)
+    return codec
+
+
+def ivfpq_load_codec(path: str) -> PQCodec:
+    import os
+
+    z = np.load(os.path.join(path, "_codec.npz"))
+    return PQCodec(z["centroids"], z["codebooks"])
+
+
+def ivfpq_topk_persisted(spark, path: str, queries: DataFrame,
+                         k: int = 5, nprobe: int = 4,
+                         rerank: int | None = None) -> DataFrame:
+    """ANN top-k over a persisted IVF-PQ index: the probed
+    ``list_id.isin(...)`` lands in the scan's PartitionFilters, the
+    ADC pass projects only (id, codes) — column pruning keeps the
+    full vectors on disk — and rerank joins true vectors back for the
+    shortlist alone.  Scoring semantics identical to ivfpq_topk."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    codec = ivfpq_load_codec(path)
+
+    from .similarity import _ivf_assign_udf
+    q_assign = _ivf_assign_udf(codec.centroids, nprobe=nprobe)
+    q = (queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        F.explode(q_assign(F.col(vec_col)))
+                        .alias("list_id")))
+    probed = sorted({int(r["list_id"]) for r in
+                     q.select("list_id").distinct().collect()})
+    codes = (spark.read.parquet(path)
+             .filter(F.col("list_id").isin(probed))
+             .select(F.col(id_col).alias("n_id"), "list_id", "codes"))
+    cand = (codes.join(F.broadcast(q), "list_id")
+            .filter(F.col("q_id") != F.col("n_id")))
+    scored = cand.select("q_id", "q_vec", "list_id", "n_id", "codes") \
+        .mapInPandas(_adc_mapper(codec), T.StructType([
+            T.StructField("q_id", cand.schema["q_id"].dataType),
+            T.StructField("n_id", cand.schema["n_id"].dataType),
+            T.StructField("score", T.DoubleType())]))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    if rerank is None:
+        return (scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+                .select("q_id", "n_id", "rk",
+                        F.col("score").alias("cosine")))
+    shortlist = (scored.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= max(rerank, k))
+                 .select("q_id", "n_id"))
+    nvec = (spark.read.parquet(path)
+            .filter(F.col("list_id").isin(probed))
+            .select(F.col(id_col).alias("n_id"),
+                    F.col(vec_col).alias("n_vec")))
     qvec = queries.select(F.col(id_col).alias("q_id"),
                           F.col(vec_col).alias("q_vec"))
     exact = (shortlist.join(F.broadcast(qvec), "q_id")

@@ -143,6 +143,43 @@ def test_ivfpq_reuse_codec_and_codes(emb):
     assert reused == again
 
 
+def test_ivfpq_persisted_matches_inmemory_and_prunes(emb, spark,
+                                                     tmp_path):
+    """Persisted index: identical results to the in-memory path with
+    the same codec; probes land in PartitionFilters; the ADC scan's
+    ReadSchema carries codes but NOT the embedding column (columnar
+    pruning keeps full vectors on disk)."""
+    from pipelinedb_spark.operators.pq import (ivfpq_load_codec,
+                                               ivfpq_persist,
+                                               ivfpq_topk, pq_encode,
+                                               ivfpq_topk_persisted)
+
+    path = str(tmp_path / "pqidx")
+    codec = ivfpq_persist(emb, path, n_lists=8, m=8, ksub=64,
+                          sample=512)
+    q = emb.filter(F.col("vec_id") < 10)
+    mem = {(r["q_id"], r["n_id"], r["rk"]) for r in
+           ivfpq_topk(emb, q, k=5, codec=codec,
+                      codes=pq_encode(emb, codec),
+                      nprobe=4, rerank=50).collect()}
+    per = ivfpq_topk_persisted(spark, path, q, k=5, nprobe=4,
+                               rerank=50)
+    assert {(r["q_id"], r["n_id"], r["rk"])
+            for r in per.collect()} == mem
+
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # the ADC-side scan reads codes without the vector column
+    import re
+    adc_scans = [s for s in re.findall(r"ReadSchema: \S+", plan)
+                 if "codes" in s]
+    assert adc_scans and all("embedding" not in s for s in adc_scans)
+    # codec roundtrips through _codec.npz
+    c2 = ivfpq_load_codec(path)
+    assert (c2.centroids == codec.centroids).all()
+    assert (c2.codebooks == codec.codebooks).all()
+
+
 def test_ivfpq_approx_scores_without_rerank(emb):
     """No-rerank path: per-query exactly k rows, rk 1..k, and the ADC
     score of the true nearest neighbor correlates with exact cosine
