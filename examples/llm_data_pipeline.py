@@ -5,6 +5,8 @@
     → exact dedup (md5 canonicalization)
     → MinHash-LSH near-dup candidates + exact-Jaccard verify
     → connected-component clusters, keep one canonical doc each
+    → span-level exact-substring scrub (repeated ≥K-token passages
+      removed, one canonical copy survives — Lee et al. 2021)
     → repetition filter (Gopher dup-line/dup-n-gram/top-n-gram rules)
     → text quality filter (lang-id, stopword ratio, quality score)
     → PII redaction (typed placeholders, residue-free)
@@ -12,7 +14,9 @@
     → semantic dedup over embeddings (LSH + exact cosine, one
       canonical vector per cluster)
     → deterministic source mixing (hash-stratified sampling)
-    → corpus stats (whitespace + BPE-ish token counts, vocabulary)
+    → DSIR importance resampling toward a target domain (hashed
+      n-gram log-ratio weights, Gumbel top-k)
+    → corpus stats (whitespace + BPE-ish + trained-BPE token counts)
 
 Every stage is the scale path (LSH banding, bucketed self-joins pinned
 shuffle-hash, no driver-side loops) — the same code runs on a cluster
@@ -60,6 +64,14 @@ def main() -> None:
         .select("doc_id")
     docs2 = docs1.join(drop, "doc_id", "left_anti")
     n2 = docs2.count()
+
+    # 3b. span-level exact-substring scrub: remove repeated >=12-token
+    # passages (boilerplate that survives doc-level dedup), keeping
+    # one canonical copy corpus-wide
+    from pipelinedb_spark.operators.spandedup import remove_duplicated_spans
+    docs2 = remove_duplicated_spans(docs2, window=12, keep="first")
+    n_scrubbed = docs2.agg(F.sum("removed_tokens")).collect()[0][0] or 0
+    docs2 = docs2.drop("removed_tokens")
 
     # 4. repetition filter: drop loopy/templated docs (Gopher rules,
     # minus the word-count gate — the synthetic corpus is short-doc)
@@ -114,34 +126,53 @@ def main() -> None:
                               default_fraction=1.0)
     n7 = mixed.count()
 
+    # 9b. DSIR: importance-resample toward a target domain (here, the
+    # highest-quality decile stands in for "looks like the reference
+    # corpus"); hashed-ngram weights, Gumbel top-k w/o replacement
+    from pipelinedb_spark.operators.dsir import dsir_sample
+    n_target = max(50, n7 // 10)
+    target = mixed.orderBy(F.desc("quality")).limit(n_target) \
+        .select("text")
+    selected = dsir_sample(mixed, target, n=max(1, int(n7 * 0.8)),
+                           buckets=4096).drop("dsir_logw")
+    n8 = selected.count()
+
     # 10. sequence packing: deterministic greedy sample packing into
     # 512-token training sequences
     from pipelinedb_spark.operators.curation import pack_sequences
-    packed = pack_sequences(mixed, max_tokens=512, token_col="n_tokens")
+    packed = pack_sequences(selected, max_tokens=512,
+                            token_col="n_tokens")
     n_seqs = packed.select("seq_id").distinct().count()
 
-    # 11. corpus stats
+    # 11. corpus stats — incl. EXACT token counts under a tokenizer
+    # trained on this corpus (the number a training budget uses)
+    from pipelinedb_spark.operators.bpe import bpe_train
     from pipelinedb_spark.operators.text import bpe_ish_token_count
-    stats = mixed.agg(
+    tok = bpe_train(selected, vocab_size=512, max_words=50_000)
+    stats = tok.token_count(selected, out_col="bpe_exact").agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.sum(bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
+        F.sum("bpe_exact").alias("bpe_exact"),
         F.round(F.avg("quality"), 4).alias("avg_quality")).collect()[0]
-    langs = (mixed.groupBy("lang").count()
+    langs = (selected.groupBy("lang").count()
              .orderBy(F.desc("count")).limit(5).collect())
 
     print(f"raw documents:          {n0}")
     print(f"after exact dedup:      {n1}  (-{n0 - n1})")
     print(f"after near-dup dedup:   {n2}  (-{n1 - n2})")
+    print(f"span-scrubbed tokens:   {n_scrubbed}")
     print(f"after repetition filter:{n3}  (-{n2 - n3})")
     print(f"after quality filter:   {n4}  (-{n3 - n4})")
     print(f"PII spans redacted:     {n_pii}")
     print(f"after decontamination:  {n5}  (-{n4 - n5} + eval holdout)")
     print(f"after semantic dedup:   {n6}  (-{n5 - n6})")
     print(f"after source mixing:    {n7}  (-{n6 - n7})")
+    print(f"after DSIR selection:   {n8}  (-{n7 - n8})")
     print(f"packed into sequences:  {n_seqs}  (max 512 tokens each)")
     print(f"tokens kept: {stats['tokens']} ws / {stats['bpe_tokens']} "
-          f"bpe-ish, avg quality {stats['avg_quality']}")
+          f"bpe-ish / {stats['bpe_exact']} trained-bpe "
+          f"(vocab {tok.vocab_size}), avg quality {stats['avg_quality']}")
     print("top langs:", [(r["lang"], r["count"]) for r in langs])
 
 
