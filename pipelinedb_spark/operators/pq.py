@@ -43,7 +43,8 @@ from pyspark.sql import types as T
 from .similarity import _spherical_kmeans, cosine_double
 
 __all__ = ["pq_train", "pq_encode", "ivfpq_topk",
-           "ivfpq_persist", "ivfpq_topk_persisted", "ivfpq_load_codec"]
+           "ivfpq_persist", "ivfpq_topk_persisted", "ivfpq_load_codec",
+           "ivfpq_append", "ivfpq_staleness"]
 
 
 def _sample_vectors(corpus: DataFrame, id_col: str, vec_col: str,
@@ -145,10 +146,14 @@ def pq_train(corpus: DataFrame, id_col: str = "vec_id",
 
 
 _ENC_T = T.StructType([T.StructField("list_id", T.IntegerType()),
-                       T.StructField("codes", T.BinaryType())])
+                       T.StructField("codes", T.BinaryType()),
+                       T.StructField("dist", T.DoubleType())])
 
 
 def _encode_udf(codec: PQCodec):
+    """(list_id, codes, dist): dist is the coarse assignment distance
+    1 − cosine to the nearest centroid — free at encode time, and the
+    same drift signal similarity.ivf_persist/append account with."""
     cent = codec.centroids.copy()
     books = codec.codebooks.copy()
 
@@ -159,8 +164,10 @@ def _encode_udf(codec: PQCodec):
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                                1e-12)
         lists, codes = c.encode_block(mat)
+        dist = 1.0 - (mat * cent[lists]).sum(axis=1)
         return pd.DataFrame({"list_id": lists,
-                             "codes": [r.tobytes() for r in codes]})
+                             "codes": [r.tobytes() for r in codes],
+                             "dist": dist})
     return enc
 
 
@@ -175,7 +182,7 @@ def pq_encode(corpus: DataFrame, codec: PQCodec,
     return corpus.select(F.col(id_col).alias("n_id"),
                          enc(F.col(vec_col)).alias("e")) \
         .select("n_id", F.col("e.list_id").alias("list_id"),
-                F.col("e.codes").alias("codes"))
+                F.col("e.codes").alias("codes"))  # dist dropped here
 
 
 def _adc_mapper(codec: PQCodec):
@@ -289,6 +296,69 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("q_id", "n_id", "rk", "cosine"))
 
 
+def ivfpq_append(spark, path: str, new_vectors: DataFrame,
+                 write_partitions: int | None = None) -> int:
+    """Admit a batch into a persisted IVF-PQ index: encode with the
+    FROZEN codec (`_codec.npz`) and append into the partitionBy
+    layout — O(batch) per ingest, hash-repartitioned on list_id so an
+    append writes ≈ one file per touched list (the ivf_append
+    contract).  Coarse-assignment drift accounting rides the write
+    job's Observation into ``_meta.json`` exactly as
+    similarity.ivf_append does; check it with :func:`ivfpq_staleness`
+    and re-persist with a fresh codec when the ratio climbs (PQ adds
+    a second drift surface — the RESIDUAL codebooks — but residuals
+    shrink when coarse fit improves, so the coarse signal is the
+    conservative trigger for both).  Returns rows admitted."""
+    from pyspark.sql import Observation
+
+    from .similarity import _read_meta, _write_meta
+
+    meta = _read_meta(path)
+    if meta is None:
+        raise ValueError(f"no _meta.json under {path}")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    codec = ivfpq_load_codec(path)
+    vec_type = meta.get("vec_type")
+    if vec_type:
+        new_vectors = new_vectors.withColumn(
+            vec_col, F.col(vec_col).cast(f"array<{vec_type}>"))
+    enc = _encode_udf(codec)
+    obs = Observation()
+    out = (new_vectors.select(F.col(id_col), F.col(vec_col),
+                              enc(F.col(vec_col)).alias("__e"))
+           .select(id_col, vec_col,
+                   F.col("__e.list_id").alias("list_id"),
+                   F.col("__e.codes").alias("codes"),
+                   F.col("__e.dist").alias("__dist"))
+           .observe(obs, F.count(F.lit(1)).alias("n"),
+                    F.sum("__dist").alias("dist_sum"))
+           .drop("__dist"))
+    if write_partitions is None:
+        write_partitions = min(spark.sparkContext.defaultParallelism,
+                               max(1, codec.n_lists))
+    out = out.repartition(write_partitions, "list_id")
+    out.write.mode("append").partitionBy("list_id").parquet(path)
+    n = int(obs.get["n"])
+    ds = float(obs.get["dist_sum"] or 0.0)
+    meta = _read_meta(path) or meta
+    meta["appended_n"] = meta.get("appended_n", 0) + n
+    meta["appended_dist_sum"] = meta.get("appended_dist_sum", 0.0) + ds
+    if n:
+        meta["last_append_n"] = n
+        meta["last_append_mean_dist"] = ds / n
+    _write_meta(path, meta)
+    return n
+
+
+def ivfpq_staleness(path: str) -> dict:
+    """O(1) drift signal for a persisted IVF-PQ index — identical
+    semantics to similarity.ivf_staleness (same meta accounting), no
+    data read."""
+    from .similarity import ivf_staleness
+
+    return ivf_staleness(path)
+
+
 # --------------------------------------------------------------------
 # persisted index: one list_id-partitioned table carrying BOTH the
 # m-byte codes and the original vector — parquet is columnar, so the
@@ -307,8 +377,11 @@ def ivfpq_persist(corpus: DataFrame, path: str,
     as ``_codec.npz`` beside it.  Probes prune at the partition level
     AND at the column level: the ADC pass reads m bytes per vector,
     the exact rerank reads full vectors for shortlist rows only."""
-    import json
     import os
+
+    from pyspark.sql import Observation
+
+    from .similarity import _write_meta
 
     if codec is None:
         codec = pq_train(corpus, id_col, vec_col, n_lists=n_lists,
@@ -317,18 +390,28 @@ def ivfpq_persist(corpus: DataFrame, path: str,
     enc = _encode_udf(codec)
     nparts = min(corpus.sparkSession.sparkContext.defaultParallelism,
                  max(1, codec.n_lists))
+    obs = Observation()
     (corpus.select(F.col(id_col), F.col(vec_col),
                    enc(F.col(vec_col)).alias("__e"))
      .select(id_col, vec_col, F.col("__e.list_id").alias("list_id"),
-             F.col("__e.codes").alias("codes"))
+             F.col("__e.codes").alias("codes"),
+             F.col("__e.dist").alias("__dist"))
+     .observe(obs, F.avg("__dist").alias("mean_dist"),
+              F.count(F.lit(1)).alias("n"))
+     .drop("__dist")
      .repartition(nparts, "list_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(path))
     np.savez(os.path.join(path, "_codec.npz"),
              centroids=codec.centroids, codebooks=codec.codebooks)
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump({"id_col": id_col, "vec_col": vec_col,
-                   "n_lists": codec.n_lists, "m": codec.m,
-                   "ksub": codec.ksub, "dim": codec.dim}, f)
+    _write_meta(path, {
+        "id_col": id_col, "vec_col": vec_col,
+        "n_lists": codec.n_lists, "m": codec.m,
+        "ksub": codec.ksub, "dim": codec.dim,
+        "build_n": int(obs.get["n"]),
+        "build_mean_dist": float(obs.get["mean_dist"] or 0.0),
+        "appended_n": 0, "appended_dist_sum": 0.0,
+        "vec_type": corpus.schema[vec_col].dataType
+        .elementType.simpleString()})
     return codec
 
 
@@ -347,11 +430,9 @@ def ivfpq_topk_persisted(spark, path: str, queries: DataFrame,
     ADC pass projects only (id, codes) — column pruning keeps the
     full vectors on disk — and rerank joins true vectors back for the
     shortlist alone.  Scoring semantics identical to ivfpq_topk."""
-    import json
-    import os
+    from .similarity import _read_meta
 
-    with open(os.path.join(path, "_meta.json")) as f:
-        meta = json.load(f)
+    meta = _read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     codec = ivfpq_load_codec(path)
 

@@ -180,6 +180,64 @@ def test_ivfpq_persisted_matches_inmemory_and_prunes(emb, spark,
     assert (c2.codebooks == codec.codebooks).all()
 
 
+def test_ivfpq_append_and_staleness(emb, spark, tmp_path):
+    """Append extends the persisted index under the frozen codec
+    (appended rows retrievable), drift accounting rides the write:
+    an in-distribution append keeps the staleness ratio ~1, a shifted
+    batch pushes last_ratio well above it."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.pq import (ivfpq_append,
+                                               ivfpq_persist,
+                                               ivfpq_staleness,
+                                               ivfpq_topk_persisted)
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 16
+
+    def clustered(centers, n_per, id0):
+        rows = []
+        for ci, c in enumerate(centers):
+            pts = c + 0.05 * rng.randn(n_per, dim)
+            pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+            rows += [(id0 + ci * n_per + i, pts[i].tolist())
+                     for i in range(n_per)]
+        return rows
+
+    base = clustered(np.eye(dim)[:4], 60, 0)
+    corpus = spark.createDataFrame(base,
+                                   "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pqidx_app")
+    ivfpq_persist(corpus, path, n_lists=4, m=8, ksub=64, sample=512)
+
+    # in-distribution batch: same clusters, new ids — ratio stays ~1
+    indist = spark.createDataFrame(clustered(np.eye(dim)[:4], 10, 5000),
+                                   "vec_id long, embedding array<double>")
+    n = ivfpq_append(spark, path, indist)
+    assert n == 40
+    s1 = ivfpq_staleness(path)
+    assert s1["appended_n"] == 40
+    assert s1["ratio"] == pytest.approx(
+        s1["appended_mean_dist"] / s1["build_mean_dist"])
+    assert s1["ratio"] < 1.5
+    # an appended near-copy of a corpus vector retrieves its cluster
+    q = spark.createDataFrame([base[0]], "vec_id long, "
+                              "embedding array<double>")
+    top = ivfpq_topk_persisted(spark, path, q, k=3, nprobe=4,
+                               rerank=20).collect()
+    assert top and top[0]["cosine"] > 0.98
+
+    # disjoint shifted clusters → last_ratio climbs well above 1
+    shifted = spark.createDataFrame(
+        clustered(-np.eye(dim)[4:8], 15, 10000),
+        "vec_id long, embedding array<double>")
+    ivfpq_append(spark, path, shifted)
+    s2 = ivfpq_staleness(path)
+    assert s2["last_ratio"] > 1.5, s2
+
+
 def test_ivfpq_approx_scores_without_rerank(emb):
     """No-rerank path: per-query exactly k rows, rk 1..k, and the ADC
     score of the true nearest neighbor correlates with exact cosine
