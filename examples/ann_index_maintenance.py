@@ -85,6 +85,25 @@ def main() -> None:
     print("post-retrain probe over drifted queries:")
     top.show(9, truncate=False)
 
+    # 6. same lifecycle at 1/8th the candidate-scan bytes: IVF-PQ.
+    # The persisted table carries (id, vec, codes); the ADC pass
+    # reads only the m-byte codes column, rerank touches vectors for
+    # the shortlist alone, and append/staleness mirror the IVF flow.
+    from pipelinedb_spark.operators.pq import (ivfpq_append,
+                                               ivfpq_persist,
+                                               ivfpq_staleness,
+                                               ivfpq_topk_persisted)
+    pq_path = os.path.join(os.path.dirname(path), "ivfpq")
+    ivfpq_persist(emb, pq_path, n_lists=16, m=8, ksub=64)
+    ivfpq_append(spark, pq_path, batch)
+    st = ivfpq_staleness(pq_path)
+    print(f"ivf-pq: {dim * 8}B/vec scanned → 8B/vec codes; "
+          f"in-distribution append ratio={st['ratio']:.2f}")
+    pq_top = ivfpq_topk_persisted(spark, pq_path, emb.limit(3),
+                                  k=3, nprobe=4, rerank=30)
+    print("ivf-pq probe (ADC shortlist + exact rerank):")
+    pq_top.show(9, truncate=False)
+
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
