@@ -153,20 +153,38 @@ _ENC_T = T.StructType([T.StructField("list_id", T.IntegerType()),
 def _encode_udf(codec: PQCodec):
     """(list_id, codes, dist): dist is the coarse assignment distance
     1 − cosine to the nearest centroid — free at encode time, and the
-    same drift signal similarity.ivf_persist/append account with."""
+    same drift signal similarity.ivf_persist/append account with.
+
+    Null / wrong-dimension vectors encode to (list_id=-1, codes=b'',
+    dist=null) instead of killing the Arrow batch — the decoder-
+    hardening contract multimodal.py applies to untrusted payloads;
+    pq_encode / persist / append drop those rows so the index only
+    ever holds probeable vectors."""
     cent = codec.centroids.copy()
     books = codec.codebooks.copy()
+    dim = codec.dim
 
     @F.pandas_udf(_ENC_T)
     def enc(v: pd.Series) -> pd.DataFrame:
         c = PQCodec(cent, books)
-        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
-                               1e-12)
-        lists, codes = c.encode_block(mat)
-        dist = 1.0 - (mat * cent[lists]).sum(axis=1)
-        return pd.DataFrame({"list_id": lists,
-                             "codes": [r.tobytes() for r in codes],
+        rows = [np.asarray(x, dtype=np.float64)
+                if x is not None else None for x in v]
+        ok = np.array([r is not None and r.ndim == 1 and len(r) == dim
+                       and np.isfinite(r).all() for r in rows])
+        lists = np.full(len(rows), -1, dtype=np.int32)
+        dist = np.full(len(rows), np.nan)
+        out_codes = [b""] * len(rows)
+        if ok.any():
+            mat = np.stack([rows[i] for i in np.nonzero(ok)[0]])
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            ls, cs = c.encode_block(mat)
+            ds = 1.0 - (mat * cent[ls]).sum(axis=1)
+            for j, i in enumerate(np.nonzero(ok)[0]):
+                lists[i] = ls[j]
+                dist[i] = ds[j]
+                out_codes[i] = cs[j].tobytes()
+        return pd.DataFrame({"list_id": lists, "codes": out_codes,
                              "dist": dist})
     return enc
 
@@ -181,6 +199,7 @@ def pq_encode(corpus: DataFrame, codec: PQCodec,
     enc = _encode_udf(codec)
     return corpus.select(F.col(id_col).alias("n_id"),
                          enc(F.col(vec_col)).alias("e")) \
+        .filter(F.col("e.list_id") >= 0) \
         .select("n_id", F.col("e.list_id").alias("list_id"),
                 F.col("e.codes").alias("codes"))  # dist dropped here
 
@@ -326,6 +345,7 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
     obs = Observation()
     out = (new_vectors.select(F.col(id_col), F.col(vec_col),
                               enc(F.col(vec_col)).alias("__e"))
+           .filter(F.col("__e.list_id") >= 0)  # null/bad rows dropped
            .select(id_col, vec_col,
                    F.col("__e.list_id").alias("list_id"),
                    F.col("__e.codes").alias("codes"),
@@ -393,6 +413,7 @@ def ivfpq_persist(corpus: DataFrame, path: str,
     obs = Observation()
     (corpus.select(F.col(id_col), F.col(vec_col),
                    enc(F.col(vec_col)).alias("__e"))
+     .filter(F.col("__e.list_id") >= 0)   # null/bad vectors dropped
      .select(id_col, vec_col, F.col("__e.list_id").alias("list_id"),
              F.col("__e.codes").alias("codes"),
              F.col("__e.dist").alias("__dist"))

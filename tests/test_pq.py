@@ -180,7 +180,32 @@ def test_ivfpq_persisted_matches_inmemory_and_prunes(emb, spark,
     assert (c2.codebooks == codec.codebooks).all()
 
 
-def test_ivfpq_append_and_staleness(emb, spark, tmp_path):
+def test_pq_encode_survives_null_and_malformed_vectors(emb, spark,
+                                                       tmp_path):
+    """One bad row must not kill a batch (the multimodal decoder-
+    hardening contract): null / wrong-dim / NaN vectors are dropped
+    from the encode output and from persist/append accounting."""
+    from pipelinedb_spark.operators.pq import (ivfpq_append,
+                                               ivfpq_persist,
+                                               pq_encode, pq_train)
+
+    codec = pq_train(emb, n_lists=8, m=8, ksub=32, sample=512)
+    good = [r["embedding"] for r in emb.limit(3).collect()]
+    bad = spark.createDataFrame(
+        [(0, good[0]), (1, None), (2, good[1][:7]),
+         (3, [float("nan")] * len(good[0])), (4, good[2])],
+        "vec_id long, embedding array<double>")
+    rows = pq_encode(bad, codec).collect()
+    assert sorted(r["n_id"] for r in rows) == [0, 4]
+
+    path = str(tmp_path / "pq_badrows")
+    ivfpq_persist(bad, path, codec=codec)
+    from pipelinedb_spark.operators.similarity import _read_meta
+    assert _read_meta(path)["build_n"] == 2
+    assert ivfpq_append(spark, path, bad) == 2
+
+
+def test_ivfpq_append_and_staleness(spark, tmp_path):
     """Append extends the persisted index under the frozen codec
     (appended rows retrievable), drift accounting rides the write:
     an in-distribution append keeps the staleness ratio ~1, a shifted
@@ -191,8 +216,6 @@ def test_ivfpq_append_and_staleness(emb, spark, tmp_path):
                                                ivfpq_persist,
                                                ivfpq_staleness,
                                                ivfpq_topk_persisted)
-
-    import numpy as np
 
     rng = np.random.RandomState(11)
     dim = 16
