@@ -215,3 +215,51 @@ def pack_sequences(df: DataFrame, max_tokens: int,
             yield out
 
     return keyed.mapInPandas(gen, schema)
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
+                    overlap: int = 0, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-budget token chunks with optional
+    overlap (RAG / context-window preparation — the read-side sibling
+    of ``pack_sequences``).  One row per chunk: every original column
+    except ``text_col``, plus (chunk_id, text, n_tokens); chunk texts
+    are the whitespace tokens re-joined single-spaced (the
+    tokenization contract every text operator here shares).
+
+    A doc with n tokens yields 1 + ceil(max(0, n-chunk)/stride)
+    chunks (stride = chunk - overlap): consecutive chunks share
+    exactly ``overlap`` tokens, the last chunk may be short, and an
+    empty/whitespace-only/null doc yields no rows.
+
+    Scale shape: pure Catalyst higher-order functions over the split
+    array — split/sequence/transform/slice all inside whole-stage
+    codegen, no shuffle, no Python; chunk output is produced in the
+    same scan that reads the text column.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda w: w != "")
+    n = F.size(toks)
+    nchunks = (F.lit(1)
+               + F.ceil((F.greatest(n - F.lit(chunk_tokens), F.lit(0)))
+                        / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(F.slice(toks, i * stride + 1,
+                                 chunk_tokens), " ").alias("text"),
+            F.least(F.lit(chunk_tokens),
+                    n - i * stride).cast("long").alias("n_tokens")))
+    keep = [c for c in df.columns if c != text_col]
+    return (df.withColumn("__toks_n", n)
+            .filter(F.col("__toks_n") > 0)
+            .withColumn("__c", F.explode(chunks))
+            .select(*keep, F.col("__c.chunk_id").alias("chunk_id"),
+                    F.col("__c.text").alias(text_col),
+                    F.col("__c.n_tokens").alias("n_tokens")))

@@ -171,3 +171,59 @@ def test_pack_sequences_constraints_and_determinism(spark, docs):
                            token_col="n_tok").collect()
     assert {(r["doc_id"], r["seq_id"], r["seq_pos"]) for r in rows} == \
         {(r["doc_id"], r["seq_id"], r["seq_pos"]) for r in again}
+
+
+def test_chunk_documents_shapes_and_reconstruction(spark):
+    from pipelinedb_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)), "a"),
+         (2, "one two three", "b"),
+         (3, "", "c"), (4, None, "c"), (5, "   ", "c")],
+        "doc_id long, text string, source string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=0)
+    rows = sorted([(r["doc_id"], r["chunk_id"], r["text"], r["n_tokens"])
+                   for r in out.collect()])
+    # doc 1: 10 tokens -> chunks of 4/4/2; doc 2: one short chunk;
+    # empty/null/whitespace docs vanish
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3", 4), (1, 1, "t4 t5 t6 t7", 4),
+        (1, 2, "t8 t9", 2), (2, 0, "one two three", 3)]
+    # non-text columns ride along
+    assert set(out.columns) == {"doc_id", "source", "chunk_id",
+                                "text", "n_tokens"}
+
+    # overlap: consecutive chunks share exactly `overlap` tokens and
+    # concatenating stride-prefixes reconstructs the doc
+    toks = [f"w{i}" for i in range(11)]
+    d2 = spark.createDataFrame([(9, " ".join(toks))],
+                               "doc_id long, text string")
+    got = {r["chunk_id"]: r["text"].split(" ") for r in
+           chunk_documents(d2, chunk_tokens=5, overlap=2).collect()}
+    stride = 3
+    assert got[0] == toks[0:5] and got[1] == toks[3:8]
+    for i in range(1, len(got)):
+        assert got[i - 1][-2:] == got[i][:2]        # shared overlap
+    recon = got[0] + [t for i in sorted(got)[1:] for t in got[i][2:]]
+    assert recon == toks
+    # every chunk fits the budget; ids are dense from 0
+    assert all(len(v) <= 5 for v in got.values())
+    assert sorted(got) == list(range(len(got)))
+
+
+def test_chunk_documents_validations_and_plan(spark):
+    import pytest
+
+    from pipelinedb_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    # no shuffle, no Python: one codegen stage over the scan
+    plan = chunk_documents(docs, 4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
