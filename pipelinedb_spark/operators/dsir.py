@@ -32,6 +32,8 @@ kernels.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -39,7 +41,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["hashed_ngram_counts", "dsir_weights", "dsir_sample"]
+__all__ = ["hashed_ngram_counts", "dsir_fit", "DSIRModel",
+           "dsir_weights", "dsir_sample"]
 
 _MIX = np.uint64(0xFF51AFD7ED558CCD)
 _BIGRAM_MULT = np.uint64(0x9E3779B97F4A7C15)
@@ -120,19 +123,56 @@ def _bucket_logprobs(counts: DataFrame, buckets: int,
     return np.log(vec) - np.log(vec.sum())
 
 
-def dsir_weights(corpus: DataFrame, target: DataFrame,
-                 text_col: str = "text", buckets: int = 10_000,
-                 alpha: float = 1.0,
-                 out_col: str = "dsir_logw") -> DataFrame:
-    """Append log importance weights log p_target − log p_raw under
-    hashed-ngram bag models.  ``target`` is the (small) reference
-    corpus; add-``alpha`` smoothing keeps unseen buckets finite on
-    both sides."""
+class DSIRModel:
+    """Frozen log-ratio vector (log p_target − log p_raw per bucket)
+    with save/load — fit once on the corpus+target, then score every
+    arriving ingest batch without recomputing either distribution
+    (the continuous-ingest shape: the dsir analog of a persisted
+    LSH/span/IVF index)."""
+
+    def __init__(self, ratio: np.ndarray):
+        self.ratio = np.asarray(ratio, dtype=np.float64)
+        self.buckets = len(self.ratio)
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp.npy"   # suffix stops np.save renaming it
+        np.save(tmp, self.ratio)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "DSIRModel":
+        with open(path, "rb") as f:
+            return cls(np.load(f))
+
+
+def dsir_fit(corpus: DataFrame, target: DataFrame,
+             text_col: str = "text", buckets: int = 10_000,
+             alpha: float = 1.0) -> DSIRModel:
+    """Estimate both hashed-ngram distributions (each a B-row
+    aggregate at any corpus size) and freeze the log ratio."""
     pt = _bucket_logprobs(hashed_ngram_counts(target, text_col, buckets),
                           buckets, alpha)
     pr = _bucket_logprobs(hashed_ngram_counts(corpus, text_col, buckets),
                           buckets, alpha)
-    ratio = pt - pr
+    return DSIRModel(pt - pr)
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame | None = None,
+                 text_col: str = "text", buckets: int = 10_000,
+                 alpha: float = 1.0, out_col: str = "dsir_logw",
+                 model: DSIRModel | None = None) -> DataFrame:
+    """Append log importance weights log p_target − log p_raw under
+    hashed-ngram bag models.  Either pass ``target`` (the small
+    reference corpus; the raw distribution is estimated from
+    ``corpus`` itself) or a pre-fit ``model`` — the frozen-ratio path
+    for scoring ingest batches against a fixed raw/target estimate.
+    Add-``alpha`` smoothing keeps unseen buckets finite."""
+    if model is None:
+        if target is None:
+            raise ValueError("pass either target or model")
+        model = dsir_fit(corpus, target, text_col, buckets, alpha)
+    ratio = model.ratio
+    buckets = model.buckets
 
     @F.pandas_udf(T.DoubleType())
     def logw(texts: pd.Series) -> pd.Series:
@@ -145,10 +185,11 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     return corpus.withColumn(out_col, logw(F.col(text_col)))
 
 
-def dsir_sample(corpus: DataFrame, target: DataFrame, n: int,
+def dsir_sample(corpus: DataFrame, target: DataFrame | None, n: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 buckets: int = 10_000, alpha: float = 1.0,
-                temperature: float = 1.0, seed: int = 7) -> DataFrame:
+                temperature: float = 1.0, seed: int = 7,
+                model: DSIRModel | None = None) -> DataFrame:
     """Select ``n`` documents ~ softmax(dsir_logw / temperature)
     without replacement via the Gumbel top-k trick: key = logw/T + G_i
     with G_i = −ln(−ln u_i) and u_i a deterministic uniform from
@@ -157,7 +198,8 @@ def dsir_sample(corpus: DataFrame, target: DataFrame, n: int,
     approaches arg-top-n by weight; large T approaches uniform."""
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
-    w = dsir_weights(corpus, target, text_col, buckets, alpha)
+    w = dsir_weights(corpus, target, text_col, buckets, alpha,
+                     model=model)
     # xxhash64 → int64; map to (0,1) open interval
     u = (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
          / F.lit(float(2 ** 64)) + F.lit(0.5))

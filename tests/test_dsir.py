@@ -95,3 +95,39 @@ def test_empty_and_null_text_weight_zero_features(spark):
            dsir_weights(corpus, target, buckets=B).collect()}
     assert res[0] == 0.0 and res[1] == 0.0
     assert res[2] != 0.0
+
+
+def test_dsir_model_fit_save_load_batch_scoring(spark, tmp_path):
+    """Frozen-model path: fit once, save/load, score a NEW batch
+    without recomputing distributions — weights must match the
+    fit-time ratio applied to the batch's features."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.dsir import DSIRModel, dsir_fit
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SPORTS + CODE)],
+        "doc_id long, text string")
+    target = spark.createDataFrame([(t,) for t in SPORTS], "text string")
+    m = dsir_fit(corpus, target, buckets=B)
+    p = str(tmp_path / "dsir_ratio.npy")
+    m.save(p)
+    m2 = DSIRModel.load(p)
+    assert np.array_equal(m.ratio, m2.ratio) and m2.buckets == B
+
+    batch = spark.createDataFrame(
+        [(100, "match score goal team"), (101, "import def class")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["dsir_logw"] for r in
+           dsir_weights(batch, model=m2).collect()}
+    for did, txt in [(100, "match score goal team"),
+                     (101, "import def class")]:
+        gdoc, gb = _batch_doc_buckets([txt], B)
+        assert abs(got[did] - float(m.ratio[gb].sum())) < 1e-9
+    assert got[100] > 0 > got[101]   # sports batch doc up, code down
+
+    # model-driven sampling needs no target frame
+    from pipelinedb_spark.operators.dsir import dsir_sample
+    picked = dsir_sample(corpus, None, n=4, buckets=B,
+                         temperature=1e-6, model=m2).collect()
+    assert {r["doc_id"] for r in picked} == set(range(len(SPORTS)))
