@@ -146,3 +146,51 @@ def test_continuous_exact_dedup_cv(ctx, spark):
     # the duplicate cluster is visible incrementally
     fp_dup = [fp for fp, (c, n) in got.items() if n == 3]
     assert len(fp_dup) == 1 and got[fp_dup[0]][0] == 1
+
+
+def test_model_scored_admission_transform(ctx, spark):
+    """Streaming composition of the round-7 selection models: a
+    python transform scores each micro-batch with a PRE-TRAINED
+    classifier and a frozen DSIR model (both in closure — no
+    recompute per batch), drops low-quality docs, and a CV maintains
+    per-source admission counts incrementally."""
+    from pyspark.sql import functions as F
+
+    from pipelinedb_spark.operators.classifier import train_text_classifier
+    from pipelinedb_spark.operators.dsir import dsir_fit
+
+    sports = ["the team won the match", "score a goal in the match",
+              "coach benched the squad", "a replay of the final goal"]
+    code = ["def foo returns int", "import numpy module",
+            "class defines lambda", "dict and list syntax"]
+    pos = spark.createDataFrame([(t,) for t in sports], "text string")
+    neg = spark.createDataFrame([(t,) for t in code], "text string")
+    clf = train_text_classifier(pos, neg, buckets=512)
+    dsir = dsir_fit(neg.union(pos), pos, buckets=512)
+
+    ctx.create_stream("docs_m", "doc_id long, text string, source string")
+
+    def admit(df):
+        scored = clf.scores(df, out_col="clf")
+        from pipelinedb_spark.operators.dsir import dsir_weights
+        scored = dsir_weights(scored, model=dsir)
+        return scored.filter(F.col("clf") >= 0.5) \
+            .select("doc_id", "source", "clf", "dsir_logw")
+
+    ctx.create_python_transform("model_admit", "docs_m", admit)
+    ctx.create_view("cv_model_admission",
+                    "SELECT source, count(*) AS admitted "
+                    "FROM output_of('model_admit') GROUP BY source")
+
+    ctx.insert("docs_m", [
+        {"doc_id": 1, "text": "goal score replay team match",
+         "source": "crawl"},
+        {"doc_id": 2, "text": "import def class lambda", "source": "crawl"},
+    ])
+    ctx.insert("docs_m", [
+        {"doc_id": 3, "text": "coach team won the match",
+         "source": "forum"},
+    ])
+    got = {r["source"]: r["admitted"]
+           for r in ctx.read_view("cv_model_admission").collect()}
+    assert got == {"crawl": 1, "forum": 1}   # the code-y doc dropped
