@@ -6,7 +6,8 @@ The container has no codec libraries.  Container-HEADER metadata
 via stdlib ``zlib`` + scanline unfilter), GIF (pure-Python LZW), and
 baseline + progressive JPEG (operators/jpeg.py — Huffman entropy
 decode + vectorized IDCT) are all real, dependency-free byte/numpy
-parsing, including Adam7-interlaced PNG and interlaced GIF.  Only
+parsing, including Adam7-interlaced PNG, interlaced GIF, and MJPEG
+video frames inside AVI containers.  Only
 rare sub-formats (arithmetic/12-bit/hierarchical JPEG, 16-bit
 depths) remain behind ``NotImplementedError``
 — the Spark-side plumbing (schemas, batch iteration, partition
@@ -69,8 +70,9 @@ def parse_media_header(payload: bytes) -> dict | None:
     library): PNG IHDR, JPEG SOF frame header, GIF logical screen
     descriptor, TIFF first-IFD width/length tags (both byte orders),
     WebP VP8/VP8L/VP8X frame headers, WAV RIFF fmt/data chunks,
-    MP4/ISO-BMFF moov track metadata (video canvas + frame count,
-    audio sample rate), Matroska/WebM EBML track metadata.
+    AVI MainAVIHeader (canvas + total frames), MP4/ISO-BMFF moov
+    track metadata (video canvas + frame count, audio sample rate),
+    Matroska/WebM EBML track metadata.
     Returns None when the payload is not a recognized container
     (callers fall back to the deterministic fake so plumbing tests
     stay engine-agnostic)."""
@@ -141,6 +143,22 @@ def parse_media_header(payload: bytes) -> dict | None:
                 return {"width": (bits & 0x3FFF) + 1,
                         "height": ((bits >> 14) & 0x3FFF) + 1,
                         "n_frames": 1, "sample_rate": None}
+            return None
+        if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            # MainAVIHeader: avih chunk inside LIST hdrl —
+            # dwTotalFrames @16, dwWidth @32, dwHeight @36
+            for cid, a, b in _riff_chunks(p, 12, len(p)):
+                if cid == b"LIST" and p[a:a + 4] == b"hdrl":
+                    for c2, a2, b2 in _riff_chunks(p, a + 4, b):
+                        if c2 == b"avih" and b2 - a2 >= 40:
+                            return {
+                                "width": int.from_bytes(
+                                    p[a2 + 32:a2 + 36], "little"),
+                                "height": int.from_bytes(
+                                    p[a2 + 36:a2 + 40], "little"),
+                                "n_frames": int.from_bytes(
+                                    p[a2 + 16:a2 + 20], "little"),
+                                "sample_rate": None}
             return None
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             i, rate, frames = 12, None, None
@@ -870,13 +888,74 @@ FRAME_STATS_SCHEMA = T.StructType([
 ])
 
 
+def _riff_chunks(p: bytes, start: int, end: int):
+    """Iterate RIFF sub-chunks: (fourcc, body_lo, body_hi).  Chunks
+    are word-aligned (odd sizes pad one byte)."""
+    i = start
+    while i + 8 <= end:
+        cid = p[i:i + 4]
+        size = int.from_bytes(p[i + 4:i + 8], "little")
+        lo = i + 8
+        hi = min(lo + size, end)
+        yield cid, lo, hi
+        i = lo + size + (size & 1)
+
+
+def decode_avi_frames_py(p: bytes, max_frames: int | None = None):
+    """MJPEG-in-AVI → list of (h, w, 3) uint8 RGB frames: the RIFF
+    'movi' list's video chunks (``NNdc``/``NNdb``, incl. ``rec ``
+    sub-lists) are baseline/progressive JPEGs that the in-repo
+    decoder (jpeg.py) handles — REAL video pixel decode with no codec
+    library, the same way animated GIF is handled.  Returns None when
+    the payload is not an AVI; frames whose JPEG payload is a gated
+    sub-format raise NotImplementedError (recognized-but-gated, the
+    _decode_any contract); other per-frame corruption skips just that
+    frame."""
+    import numpy as np
+
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    frames = []
+
+    def walk(lo, hi):
+        for cid, a, b in _riff_chunks(p, lo, hi):
+            if max_frames is not None and len(frames) >= max_frames:
+                return
+            if cid == b"LIST":
+                walk(a + 4, b)   # skip the 4-byte list type
+            elif (len(cid) == 4 and cid[2:4] in (b"dc", b"db")
+                  and p[a:a + 2] == b"\xff\xd8"):
+                try:
+                    arr = decode_jpeg_py(p[a:b])
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue   # one corrupt frame must not kill the clip
+                if arr is None:
+                    continue
+                if arr.shape[2] == 1:   # grayscale MJPEG → RGB stats
+                    arr = np.repeat(arr, 3, axis=2)
+                frames.append(arr[:, :, :3])
+
+    walk(12, len(p))
+    return frames
+
+
+def _decode_video_frames(p: bytes):
+    """GIF or MJPEG-AVI → frame list (the two animated containers
+    that decode dependency-free), else None."""
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_frames_py(p)
+    return decode_avi_frames_py(p)
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL video frame sampling: decode every ``every_n``-th frame of
-    animated-GIF payloads (the one animated container that decodes
-    without codec libraries) to composited RGB and emit per-frame
-    channel stats.  Non-GIF payloads produce no rows — for containers
-    needing real codecs (mp4 etc.) use :func:`frame_sample`, which
-    samples INDICES from header metadata without decoding."""
+    animated-GIF and MJPEG-AVI payloads (the two animated containers
+    that decode without codec libraries) to RGB and emit per-frame
+    channel stats.  Other payloads produce no rows — for containers
+    needing real codecs (h264 mp4 etc.) use :func:`frame_sample`,
+    which samples INDICES from header metadata without decoding."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -884,7 +963,7 @@ def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    frames = decode_gif_frames_py(bytes(p)) \
+                    frames = _decode_video_frames(bytes(p)) \
                         if p is not None else None
                 except NotImplementedError:
                     raise

@@ -867,3 +867,63 @@ def test_progressive_jpeg_dc_only_partial_scripts():
     got = decode_jpeg_py(p)[..., 0]
     # each 8x8 block is constant → DC alone reconstructs exactly
     assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 1
+
+
+def _avi(frames_jpeg: list, w: int, h: int) -> bytes:
+    def chunk(cid, body):
+        return (cid + len(body).to_bytes(4, "little") + body
+                + (b"\x00" if len(body) & 1 else b""))
+    avih_body = (bytes(16) + len(frames_jpeg).to_bytes(4, "little")
+                 + bytes(12) + w.to_bytes(4, "little")
+                 + h.to_bytes(4, "little") + bytes(16))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih_body))
+    movi = chunk(b"LIST", b"movi"
+                 + b"".join(chunk(b"00dc", f) for f in frames_jpeg))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_mjpeg_avi_real_frame_decode(spark):
+    """MJPEG-in-AVI: the movi chunks are JPEGs the in-repo decoder
+    handles — sample_video_frames emits REAL per-frame pixel stats
+    for a second video container beside GIF; header metadata parses;
+    a corrupt frame skips without killing the clip."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.multimodal import (
+        decode_avi_frames_py, parse_media_header, sample_video_frames)
+    from test_operators import _make_jpeg
+
+    levels = [64, 128, 192]
+    jpegs = [_make_jpeg(np.full((16, 16, 3), v, dtype=np.uint8))
+             for v in levels]
+    avi = _avi(jpegs, 16, 16)
+
+    m = parse_media_header(avi)
+    assert m == {"width": 16, "height": 16, "n_frames": 3,
+                 "sample_rate": None}
+
+    frames = decode_avi_frames_py(avi)
+    assert len(frames) == 3
+    for fr, v in zip(frames, levels):
+        assert fr.shape == (16, 16, 3)
+        assert abs(float(fr.mean()) - v) <= 4   # JPEG roundtrip bound
+
+    df = spark.createDataFrame([(7, "video", bytearray(avi))],
+                               "media_id long, kind string, "
+                               "payload binary")
+    rows = sorted((r["frame_idx"], round(r["mean_r"]))
+                  for r in sample_video_frames(df).collect())
+    assert [i for i, _ in rows] == [0, 1, 2]
+    for (_, mr), v in zip(rows, levels):
+        assert abs(mr - v) <= 4
+    assert sample_video_frames(df, every_n=2).count() == 2
+
+    # one corrupt frame skips; the rest decode
+    bad = _avi([jpegs[0], b"\xff\xd8corrupt", jpegs[2]], 16, 16)
+    assert len(decode_avi_frames_py(bad)) == 2
+    # truncated payload → never an exception
+    for cut in (4, 11, 30, len(avi) - 5):
+        decode_avi_frames_py(avi[:cut])
+    # non-AVI → None
+    assert decode_avi_frames_py(b"RIFF\x04\x00\x00\x00WAVE") is None
