@@ -72,7 +72,9 @@ def parse_media_header(payload: bytes) -> dict | None:
     WebP VP8/VP8L/VP8X frame headers, WAV RIFF fmt/data chunks,
     AVI MainAVIHeader (canvas + total frames), MP4/ISO-BMFF moov
     track metadata (video canvas + frame count, audio sample rate),
-    Matroska/WebM EBML track metadata.
+    Matroska/WebM EBML track metadata, FLAC STREAMINFO, Ogg Vorbis
+    identification header + last-page granule, MP3 frame header +
+    Xing/Info VBR tag.
     Returns None when the payload is not a recognized container
     (callers fall back to the deterministic fake so plumbing tests
     stay engine-agnostic)."""
@@ -180,9 +182,99 @@ def parse_media_header(payload: bytes) -> dict | None:
             return _parse_mp4(p)
         if p[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska / WebM)
             return _parse_mkv(p)
+        if p[:4] == b"fLaC":
+            return _parse_flac(p)
+        if p[:4] == b"OggS":
+            return _parse_ogg(p)
+        if p[:3] == b"ID3" or (len(p) > 1 and p[0] == 0xFF
+                               and (p[1] & 0xE0) == 0xE0):
+            return _parse_mp3(p)
         return None
     except (IndexError, ValueError):
         return None  # truncated/corrupt container
+
+
+def _parse_flac(p: bytes):
+    """FLAC STREAMINFO (first metadata block, spec-mandated): sample
+    rate (20 bits), channels, total samples (36 bits) — the exact
+    fields the WAV branch reports."""
+    if p[4] & 0x7F != 0 or len(p) < 8 + 34:  # first block must be
+        return None                          # STREAMINFO (type 0)
+    b = p[8:8 + 34]
+    rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    if rate == 0:
+        return None
+    return {"width": None, "height": None,
+            "n_frames": total or None, "sample_rate": rate}
+
+
+def _parse_ogg(p: bytes):
+    """Ogg Vorbis: identification header (\\x01vorbis) for channels/
+    rate; total samples from the LAST page's granule position (how
+    players compute Ogg duration without decoding)."""
+    idp = p.find(b"\x01vorbis", 0, 512)
+    if idp < 0:
+        return None
+    rate = int.from_bytes(p[idp + 12:idp + 16], "little")
+    if rate == 0:
+        return None
+    total = None
+    last = p.rfind(b"OggS")
+    if last >= 0 and last + 14 <= len(p):
+        g = int.from_bytes(p[last + 6:last + 14], "little",
+                           signed=True)
+        if g > 0:
+            total = g
+    return {"width": None, "height": None,
+            "n_frames": total, "sample_rate": rate}
+
+
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def _parse_mp3(p: bytes):
+    """MP3: first frame header after any ID3v2 tag → sample rate;
+    sample count from the Xing/Info VBR tag when present (frames ×
+    samples-per-frame; the standard duration path for VBR files)."""
+    i = 0
+    if p[:3] == b"ID3" and len(p) >= 10:  # syncsafe 28-bit size
+        sz = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        i = 10 + sz
+    end = min(len(p) - 4, i + 65536)
+    while i <= end:
+        if p[i] == 0xFF and (p[i + 1] & 0xE0) == 0xE0:
+            ver = (p[i + 1] >> 3) & 3
+            layer = (p[i + 1] >> 1) & 3
+            sr_idx = (p[i + 2] >> 2) & 3
+            if ver != 1 and layer != 0 and sr_idx != 3:
+                rate = _MP3_RATES[ver][sr_idx]
+                # Layer III samples/frame: 1152 (MPEG1) else 576
+                spf = 1152 if ver == 3 else 576
+                if layer == 3:           # Layer I
+                    spf = 384
+                elif layer == 2:         # Layer II
+                    spf = 1152
+                total = None
+                mono = ((p[i + 3] >> 6) & 3) == 3
+                # Xing/Info sits after the Layer-III side info:
+                # MPEG1 32B stereo / 17B mono; MPEG2(.5) 17B / 9B
+                side = (17 if mono else 32) if ver == 3 \
+                    else (9 if mono else 17)
+                off = i + 4 + side
+                if p[off:off + 4] in (b"Xing", b"Info") \
+                        and p[off + 7] & 1:
+                    total = int.from_bytes(p[off + 8:off + 12],
+                                           "big") * spf
+                return {"width": None, "height": None,
+                        "n_frames": total, "sample_rate": rate}
+            i += 1
+        else:
+            i += 1
+    return None
 
 
 def _mp4_boxes(p: bytes, start: int, end: int):

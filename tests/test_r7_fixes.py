@@ -927,3 +927,53 @@ def test_mjpeg_avi_real_frame_decode(spark):
         decode_avi_frames_py(avi[:cut])
     # non-AVI → None
     assert decode_avi_frames_py(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_audio_container_metadata_flac_ogg_mp3():
+    """FLAC STREAMINFO, Ogg Vorbis id-header + last-page granule, and
+    MP3 frame header + Xing tag all parse dependency-free into the
+    (sample_rate, n_frames) fields the WAV branch reports."""
+    from pipelinedb_spark.operators.multimodal import parse_media_header
+
+    # FLAC: rate 44100 (20 bits), 2 ch, 16 bps, 123456 total samples
+    si = bytearray(34)
+    rate, total = 44100, 123456
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0xF) << 4) | ((2 - 1) << 1) | ((16 - 1) >> 4)
+    si[13] = (((16 - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    si[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    flac = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si)
+    m = parse_media_header(flac)
+    assert (m["sample_rate"], m["n_frames"]) == (44100, 123456)
+
+    # Ogg Vorbis: first page w/ id packet, last page w/ granule 48000
+    def ogg_page(granule, body, seq):
+        seg = bytes([len(body)])
+        return (b"OggS\x00\x02" + granule.to_bytes(8, "little")
+                + b"\x01\x02\x03\x04" + seq.to_bytes(4, "little")
+                + b"\x00\x00\x00\x00" + b"\x01" + seg + body)
+    ident = (b"\x01vorbis" + bytes(4) + bytes([2])
+             + (22050).to_bytes(4, "little") + bytes(16))
+    ogg = ogg_page(0, ident, 0) + ogg_page(48000, b"\x05x", 1)
+    m = parse_media_header(ogg)
+    assert (m["sample_rate"], m["n_frames"]) == (22050, 48000)
+
+    # MP3: ID3v2 skip + MPEG1 Layer III 44.1k stereo + Xing 100 frames
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])   # V1 L3, 44100, stereo
+    frame = bytearray(417)
+    frame[:4] = hdr
+    frame[4 + 32:4 + 36] = b"Xing"
+    frame[4 + 36:4 + 40] = (1).to_bytes(4, "big")       # flags: frames
+    frame[4 + 40:4 + 44] = (100).to_bytes(4, "big")
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    m = parse_media_header(id3 + bytes(frame))
+    assert (m["sample_rate"], m["n_frames"]) == (44100, 100 * 1152)
+    # mono MPEG2 rate table
+    m2 = parse_media_header(bytes([0xFF, 0xF3, 0x90, 0xC0]) + bytes(40))
+    assert m2["sample_rate"] == 22050 and m2["n_frames"] is None
+
+    # truncation never raises
+    for payload in (flac, ogg, id3 + bytes(frame)):
+        for cut in (3, 5, 9, 15, len(payload) - 3):
+            parse_media_header(payload[:cut])
