@@ -44,7 +44,7 @@ from .similarity import _spherical_kmeans, cosine_double
 
 __all__ = ["pq_train", "pq_encode", "ivfpq_topk",
            "ivfpq_persist", "ivfpq_topk_persisted", "ivfpq_load_codec",
-           "ivfpq_append", "ivfpq_staleness"]
+           "ivfpq_append", "ivfpq_staleness", "ivfpq_retrain"]
 
 
 def _sample_vectors(corpus: DataFrame, id_col: str, vec_col: str,
@@ -377,6 +377,32 @@ def ivfpq_staleness(path: str) -> dict:
     from .similarity import ivf_staleness
 
     return ivf_staleness(path)
+
+
+def ivfpq_retrain(spark, path: str, n_lists: int | None = None,
+                  m: int | None = None, ksub: int | None = None,
+                  sample: int = 4096, iters: int = 10,
+                  seed: int = 7) -> PQCodec:
+    """Re-train coarse centroids AND residual codebooks from the
+    vectors already stored in the index (the persisted table carries
+    them precisely so maintenance never needs the source corpus) and
+    re-persist in place — the step ``ivfpq_staleness`` calls for.
+    Resets the drift accounting.  Same swap note as ivf_retrain: a
+    100 TB deployment writes beside and swaps a pointer; the
+    train/encode/partition plan is identical."""
+    from .similarity import _read_meta
+
+    meta = _read_meta(path) or {}
+    id_col = meta.get("id_col", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    old = ivfpq_load_codec(path)
+    corpus = (spark.read.parquet(path)
+              .select(id_col, vec_col)
+              .localCheckpoint(eager=True))
+    return ivfpq_persist(
+        corpus, path, id_col=id_col, vec_col=vec_col,
+        n_lists=n_lists or old.n_lists, m=m or old.m,
+        ksub=ksub or old.ksub, sample=sample, iters=iters, seed=seed)
 
 
 # --------------------------------------------------------------------

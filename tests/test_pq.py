@@ -275,3 +275,55 @@ def test_ivfpq_approx_scores_without_rerank(emb):
         per_q.setdefault(r["q_id"], []).append(r["rk"])
     assert set(per_q) == set(range(8))
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_ivfpq_retrain_recovers_recall_and_resets_accounting(spark,
+                                                             tmp_path):
+    """After drifted appends, retrain re-fits codec + codebooks from
+    the stored vectors: staleness accounting resets and probes over
+    the drifted data find their true neighbors again."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.pq import (ivfpq_append,
+                                               ivfpq_persist,
+                                               ivfpq_retrain,
+                                               ivfpq_staleness,
+                                               ivfpq_topk_persisted)
+
+    rng = np.random.RandomState(3)
+    dim = 16
+
+    def clustered(centers, n_per, id0):
+        rows = []
+        for ci, c in enumerate(centers):
+            pts = c + 0.05 * rng.randn(n_per, dim)
+            pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+            rows += [(id0 + ci * n_per + i, pts[i].tolist())
+                     for i in range(n_per)]
+        return rows
+
+    path = str(tmp_path / "pq_retrain")
+    corpus = spark.createDataFrame(
+        clustered(np.eye(dim)[:4], 50, 0),
+        "vec_id long, embedding array<double>")
+    ivfpq_persist(corpus, path, n_lists=4, m=8, ksub=64, sample=512)
+    shifted_rows = clustered(-np.eye(dim)[4:8], 30, 10000)
+    shifted = spark.createDataFrame(shifted_rows,
+                                    "vec_id long, embedding array<double>")
+    ivfpq_append(spark, path, shifted)
+    assert ivfpq_staleness(path)["last_ratio"] > 1.5
+
+    ivfpq_retrain(spark, path)
+    st = ivfpq_staleness(path)
+    assert st["appended_n"] == 0
+    from pipelinedb_spark.operators.similarity import _read_meta
+    assert _read_meta(path)["build_n"] == 320  # base 200 + appended 120
+    # a drifted query now probes a list that actually holds its
+    # cluster: its nearest neighbors are fellow shifted vectors
+    q = spark.createDataFrame([shifted_rows[0]],
+                              "vec_id long, embedding array<double>")
+    top = ivfpq_topk_persisted(spark, path, q, k=5, nprobe=1,
+                               rerank=20).collect()
+    assert len(top) == 5
+    assert all(r["n_id"] >= 10000 for r in top)
+    assert top[0]["cosine"] > 0.97   # within the 0.05 cluster noise
