@@ -38,6 +38,7 @@ TAR_MEMBER_SCHEMA = T.StructType([
     T.StructField("size", T.LongType()),
     T.StructField("payload", T.BinaryType()),
     T.StructField("truncated", T.BooleanType()),
+    T.StructField("idx", T.LongType()),   # archive member position
 ])
 
 SAMPLE_SCHEMA = T.StructType([
@@ -74,6 +75,7 @@ def tar_members(files: DataFrame,
                     continue  # corrupt shard → skip, don't kill batch
                 with tf:
                     try:
+                        idx = 0
                         for m in tf:
                             if not m.isfile():
                                 continue
@@ -85,7 +87,8 @@ def tar_members(files: DataFrame,
                             key, ext = _split_key_ext(m.name)
                             rows.append((fpath, m.name, key, ext,
                                          int(m.size),
-                                         data[:payload_limit], tr))
+                                         data[:payload_limit], tr, idx))
+                            idx += 1
                     except (tarfile.TarError, OSError, EOFError):
                         pass  # truncated mid-stream: keep members read
             yield pd.DataFrame(rows, columns=[
@@ -125,6 +128,7 @@ def zip_members(files: DataFrame,
                 except (zipfile.BadZipFile, OSError):
                     continue  # corrupt shard → skip, don't kill batch
                 with zf:
+                    idx = 0
                     for m in zf.infolist():
                         if m.is_dir():
                             continue
@@ -138,7 +142,8 @@ def zip_members(files: DataFrame,
                         key, ext = _split_key_ext(m.filename)
                         rows.append((fpath, m.filename, key, ext,
                                      int(m.file_size),
-                                     data[:payload_limit], tr))
+                                     data[:payload_limit], tr, idx))
+                        idx += 1
             yield pd.DataFrame(rows, columns=[
                 f.name for f in TAR_MEMBER_SCHEMA.fields])
 
@@ -166,7 +171,15 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     shuffle to one combined row per sample."""
     from pyspark.sql import functions as F
 
-    return (members
+    # duplicate member names are LEGAL in tar (an appended member
+    # supersedes) and map_from_entries throws on duplicate keys —
+    # dedup per (shard, key, ext) keeping the LAST archive occurrence
+    # (max_by on the member index), then build the map.  Both aggs
+    # are map-side combinable.
+    dedup = (members
+             .groupBy("shard", "key", "ext")
+             .agg(F.max_by("payload", "idx").alias("payload")))
+    return (dedup
             .groupBy("shard", "key")
             .agg(F.map_from_entries(
                 F.collect_list(F.struct("ext", "payload")))

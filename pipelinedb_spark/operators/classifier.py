@@ -79,16 +79,34 @@ class LinearTextClassifier:
 
     def scores(self, df: DataFrame, text_col: str = "text",
                out_col: str = "clf_score") -> DataFrame:
-        """Append P(positive | doc) — one Arrow scan, no joins."""
+        """Append P(positive | doc) — one Arrow scan, no joins.
+
+        The kernel is SPARSE: it never builds the (batch × buckets)
+        dense matrix the trainer uses (10k rows × 4k buckets would be
+        ~330 MB of float64 per in-flight Arrow batch — an executor
+        OOM at exactly the corpus scale this path exists for).  The
+        per-doc dot product and L2 norm accumulate from the (doc,
+        bucket, count) triples directly, O(features in batch)."""
         w = self.weights.copy()
         b = self.bias
         buckets = self.buckets
 
         @F.pandas_udf(T.DoubleType())
         def score(texts: pd.Series) -> pd.Series:
-            x = _doc_feature_matrix(texts, buckets)
-            z = x @ w + b
-            return pd.Series(1.0 / (1.0 + np.exp(-z)))
+            n = len(texts)
+            gdoc, gb = _batch_doc_buckets(list(texts), buckets)
+            z = np.zeros(n)
+            if len(gb):
+                keys = gdoc * buckets + gb
+                uk, cnt = np.unique(keys, return_counts=True)
+                docs = uk // buckets
+                f = np.log1p(cnt)             # log(1+count) feature
+                z_num = np.zeros(n)
+                np.add.at(z_num, docs, f * w[uk % buckets])
+                n2 = np.zeros(n)
+                np.add.at(n2, docs, f * f)    # row L2 norm²
+                z = z_num / np.maximum(np.sqrt(n2), 1e-12)
+            return pd.Series(1.0 / (1.0 + np.exp(-(z + b))))
 
         return df.withColumn(out_col, score(F.col(text_col)))
 

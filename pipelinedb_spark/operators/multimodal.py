@@ -584,6 +584,10 @@ def decode_ppm_py(p: bytes):
     return arr.reshape(h, w, 3)
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png_py(p: bytes):
     """PNG → (h, w, c) uint8 array, dependency-free: PNG pixel data is
     DEFLATE (stdlib ``zlib``) under per-scanline filters, so the full
@@ -642,9 +646,20 @@ def decode_png_py(p: bytes):
         def stride_of(pw):
             return (pw * nch * depth + 7) // 8
     # bounded inflate: a decompression-bomb IDAT must not expand past
-    # what the declared dimensions can legitimately need (Adam7 pays
-    # ≤ ~1.875·h extra filter bytes across its 7 passes)
-    need = h * (stride_of(w) + 2) + 8
+    # what the declared dimensions can legitimately need.  Adam7 is
+    # summed EXACTLY per pass: sub-byte depths round every pass row
+    # up to whole bytes, so narrow interlaced 1/2/4-bit images need
+    # MORE than h·(stride+2) — the old flat bound rejected them as
+    # "truncated" (code-review finding)
+    if interlace == 1:
+        need = 8
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+            ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+            if pw and ph:
+                need += ph * (stride_of(pw) + 1)
+    else:
+        need = h * (stride_of(w) + 2) + 8
     raw = zlib.decompressobj().decompress(b"".join(idat), need)
 
     def unfilter_block(data, ph, pw):
@@ -663,10 +678,7 @@ def decode_png_py(p: bytes):
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
         out = np.zeros((h, w, unit), dtype=np.uint8)
         off = 0
-        for xs, ys, xstep, ystep in ((0, 0, 8, 8), (4, 0, 8, 8),
-                                     (0, 4, 4, 8), (2, 0, 4, 4),
-                                     (0, 2, 2, 4), (1, 0, 2, 2),
-                                     (0, 1, 1, 2)):
+        for xs, ys, xstep, ystep in _ADAM7:
             pw = (w - xs + xstep - 1) // xstep if w > xs else 0
             ph = (h - ys + ystep - 1) // ystep if h > ys else 0
             if pw == 0 or ph == 0:

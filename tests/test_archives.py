@@ -162,3 +162,26 @@ def test_read_tar_payload_limit(spark, shard_dir):
     assert bytes(t["payload"]) == b"a red"
     assert t["size"] == len(b"a red square")
     assert t["truncated"] is True
+
+
+def test_duplicate_member_names_last_wins_no_crash(spark, tmp_path):
+    """Tar legally allows duplicate member names (an appended member
+    supersedes).  map_from_entries would throw 'Duplicate map key'
+    and kill the whole ingestion job — the sample build must instead
+    dedup per (key, ext) keeping the LAST archive occurrence."""
+    from pipelinedb_spark.operators.archives import (read_tar,
+                                                     webdataset_samples)
+
+    shard = _make_tar([
+        ("000001.txt", b"old caption"),
+        ("000001.txt", b"new caption"),   # duplicate: supersedes
+        ("000001.cls", b"7"),
+    ])
+    (tmp_path / "dup.tar").write_bytes(shard)
+    members = read_tar(spark, str(tmp_path))
+    assert members.count() == 3           # both duplicates surfaced
+    samples = webdataset_samples(members).collect()
+    assert len(samples) == 1
+    ent = samples[0]["entries"]
+    assert bytes(ent["txt"]) == b"new caption"
+    assert bytes(ent["cls"]) == b"7"

@@ -436,15 +436,26 @@ def _make_png(arr, ctype, filters=None, palette=None,
         img = np.stack([(arr >> 8) & 0xFF, arr & 0xFF],
                        axis=-1).astype(np.int32).reshape(h, w, bpp)
     elif depth < 8:  # pack MSB-first sub-byte samples into bytes
-        assert nch == 1 and not interlace
+        assert nch == 1
         bpp = 1
-        bits = np.unpackbits(
-            arr.reshape(h, w, 1).astype(np.uint8), axis=2)[..., -depth:]
-        flat = bits.reshape(h, w * depth)
-        flat = np.pad(flat, ((0, 0), (0, (-flat.shape[1]) % 8)))
-        packed = np.packbits(flat, axis=1)
-        # one "pixel" per BYTE for the filter loop (bpp=1)
-        img = packed.reshape(h, packed.shape[1], 1).astype(np.int32)
+
+        def pack_sub(a2d):
+            """(hh, ww) pixel values → (hh, stride) packed bytes."""
+            hh, ww = a2d.shape
+            bits = np.unpackbits(a2d.reshape(hh, ww, 1)
+                                 .astype(np.uint8), axis=2)[..., -depth:]
+            flat = bits.reshape(hh, ww * depth)
+            flat = np.pad(flat, ((0, 0), (0, (-flat.shape[1]) % 8)))
+            return np.packbits(flat, axis=1)
+
+        if interlace:
+            # keep pixels unpacked: Adam7 packs PER PASS (each pass
+            # row rounds up to whole bytes independently)
+            img = arr.reshape(h, w, 1).astype(np.int32)
+        else:
+            packed = pack_sub(arr.reshape(h, w))
+            # one "pixel" per BYTE for the filter loop (bpp=1)
+            img = packed.reshape(h, packed.shape[1], 1).astype(np.int32)
     else:
         img = arr.reshape(h, w, nch).astype(np.int32)
     if interlace:
@@ -457,6 +468,11 @@ def _make_png(arr, ctype, filters=None, palette=None,
             ph, pw = sub.shape[:2]
             if ph == 0 or pw == 0:
                 continue
+            if depth < 8:  # pack this pass's pixel rows to bytes
+                sub = pack_sub(sub.reshape(ph, pw)
+                               .astype(np.uint8)).astype(np.int32)
+                sub = sub.reshape(ph, sub.shape[1], 1)
+                pw = sub.shape[1]
             flist = [(pi + y) % 5 for y in range(ph)]  # all filters
             out += filt_rows(sub.reshape(ph, pw * bpp), flist, pw)
     else:

@@ -977,3 +977,22 @@ def test_audio_container_metadata_flac_ogg_mp3():
     for payload in (flac, ogg, id3 + bytes(frame)):
         for cut in (3, 5, 9, 15, len(payload) - 3):
             parse_media_header(payload[:cut])
+
+
+def test_png_adam7_sub_byte_depths_decode():
+    """Code-review regression: the bounded-inflate cap under-counted
+    Adam7 sub-byte passes (each pass rounds rows up to whole bytes),
+    rejecting valid narrow 1/2/4-bit interlaced PNGs as 'truncated'.
+    Interlaced must now match the non-interlaced oracle exactly."""
+    from test_operators import _make_png
+
+    from pipelinedb_spark.operators.multimodal import decode_png_py
+
+    rng = np.random.RandomState(5)
+    for h, w, d in [(64, 8, 1), (33, 3, 2), (17, 5, 4), (9, 1, 1),
+                    (7, 23, 2)]:
+        img = (rng.randint(0, 1 << d, (h, w))
+               * (255 // ((1 << d) - 1))).astype(np.uint8)
+        a = decode_png_py(_make_png(img, 0, interlace=True, depth=d))
+        b = decode_png_py(_make_png(img, 0, depth=d))
+        assert np.array_equal(a, b), (h, w, d)
