@@ -186,8 +186,14 @@ class ContView:
         # pending micro-batches awaiting a combiner commit (the
         # reference's in-memory pre-combine between commit intervals,
         # src/combiner.c:1323-1369 + need_sync :1994)
-        self._pending: list[DataFrame] = []
-        self._pending_txn: tuple[str, int] | None = None
+        # (df, txn) pairs: per-batch txn tags so a commit can drop
+        # individual replayed epochs and record EVERY source's high
+        # version — a single-slot tag compared versions across
+        # different app_ids and lost one source's accounting when
+        # attachments changed mid-interval (code-review finding)
+        self._pending: list[tuple[DataFrame,
+                                  tuple[str, int] | None]] = []
+        self._pending_lock = threading.Lock()
         # serializes matrel commits from concurrent writers (dispatch
         # thread vs background reaper/auto-compaction): the manifest
         # swap is last-writer-wins, so an unserialized merge racing a
@@ -461,46 +467,76 @@ class ContView:
                    txn: tuple[str, int] | None = None) -> None:
         """Buffer a micro-batch without committing (commit-interval
         mode): the worker/combiner run once over the accumulated
-        batches at the next commit or read."""
-        self._pending.append(pre_df)
-        if txn is not None:
-            # the eventual commit covers every pending epoch up to the
-            # newest — tag it with the highest version
-            if self._pending_txn is None or txn[1] > self._pending_txn[1]:
-                self._pending_txn = txn
+        batches at the next commit or read.  A replayed epoch already
+        sitting in the buffer is dropped here (same app, version ≤ a
+        buffered one)."""
+        with self._pending_lock:
+            if txn is not None:
+                for _, t in self._pending:
+                    if t is not None and t[0] == txn[0] \
+                            and txn[1] <= t[1]:
+                        return  # replayed epoch already buffered
+            self._pending.append((pre_df, txn))
 
     def commit_pending(self, emit_changes: bool = False) -> DataFrame | None:
-        if not self._pending:
+        # the swap runs under its own lock: two concurrent flushes
+        # (reader-triggered vs dispatch-triggered) must never both see
+        # the same pending list — that was a double-merge TOCTOU
+        with self._pending_lock:
+            batches = self._pending
+            self._pending = []
+        if not batches:
             return None
-        batches = self._pending
-        txn = self._pending_txn
-        self._pending = []
-        self._pending_txn = None
-        unioned = batches[0]
-        for b in batches[1:]:
+        # drop epochs that already committed (post-crash replay lands
+        # here when the buffer was rebuilt); record every source's
+        # high version for the merge's txn tags
+        keep: list[DataFrame] = []
+        txns: dict[str, int] = {}
+        for df, t in batches:
+            if t is not None:
+                done = self.matrel.txn_version(t[0])
+                if done is not None and t[1] <= done:
+                    continue
+                txns[t[0]] = max(txns.get(t[0], -1), t[1])
+            keep.append(df)
+        if not keep:
+            return None
+        unioned = keep[0]
+        for b in keep[1:]:
             unioned = unioned.unionByName(b, allowMissingColumns=True)
         return self.process_batch(unioned, emit_changes=emit_changes,
-                                  txn=txn)
+                                  txn=txns or None)
 
     def process_batch(self, pre_df: DataFrame,
                       emit_changes: bool = True,
-                      txn: tuple[str, int] | None = None
+                      txn: tuple[str, int] | dict | None = None
                       ) -> DataFrame | None:
         """Run worker + combiner for one micro-batch; returns the osrel
         rows (old/new/delta) or None when nothing changed / not asked.
 
-        ``txn`` = (source app id, monotonically-increasing version):
-        the tag commits atomically with the merge (matrel manifest
-        swap), and a batch whose version was already committed is
-        skipped BEFORE any work — replayed streaming epochs cannot
-        double-merge, upgrading the foreachBatch bridge from
-        at-least-once-in-a-window to effectively-once per view (the
-        idempotent-writes pattern of transactional lakehouse
-        stores)."""
-        if txn is not None:
-            done = self.matrel.txn_version(txn[0])
-            if done is not None and txn[1] <= done:
-                return None  # replayed source batch — already merged
+        ``txn`` = (source app id, monotonically-increasing version),
+        or a {app_id: version} dict covering a multi-source pending
+        union: the tags commit atomically with the merge (matrel
+        manifest swap), and a batch whose version was already
+        committed is skipped BEFORE any work — replayed streaming
+        epochs cannot double-merge, upgrading the foreachBatch bridge
+        from at-least-once-in-a-window to effectively-once per view
+        (the idempotent-writes pattern of transactional lakehouse
+        stores).  The skip check re-runs under commit_lock right
+        before the merge: the cheap pre-check alone was a TOCTOU —
+        two threads carrying the same epoch could both pass it."""
+        if isinstance(txn, tuple):
+            txn = {txn[0]: txn[1]}
+
+        def _already_committed() -> bool:
+            if not txn:
+                return False
+            return all(
+                (done := self.matrel.txn_version(a)) is not None
+                and v <= done for a, v in txn.items())
+
+        if _already_committed():
+            return None  # replayed source batch — already merged
         # bucket before the checkpoint, and piggyback the affected-
         # bucket probe on the checkpoint job itself (Observation): one
         # job materializes the partial states AND yields the bucket set
@@ -521,6 +557,8 @@ class ContView:
         if not affected:
             return None
         with self.commit_lock:
+            if _already_committed():
+                return None  # lost the race: another thread merged it
             old, merged = self.matrel.merge(
                 delta, self._group_cols, self.merge_fn, affected=affected,
                 pin_old=emit_changes or bool(self.constraints),

@@ -197,7 +197,7 @@ class MatrelStore:
               affected: list[int] | None = None,
               pin_old: bool = False,
               constrain_fn=None,
-              txn: tuple[str, int] | None = None
+              txn: tuple[str, int] | dict | None = None
               ) -> tuple[DataFrame | None, DataFrame]:
         """Merge a batch of partial-state rows into the matrel.
 
@@ -309,7 +309,7 @@ class MatrelStore:
 
     def _commit(self, df: DataFrame, affected: list[int] | None,
                 full: bool = False,
-                txn: tuple[str, int] | None = None) -> None:
+                txn: tuple[str, int] | dict | None = None) -> None:
         """Write one PACKED version dir: all affected buckets flat in
         one parquet dir, rows bucket-sorted within each task's file,
         manifest entries pointing every present bucket at the dir.
@@ -360,10 +360,14 @@ class MatrelStore:
             out["layout"] = m["layout"]
         txns = dict(m.get("txns", {}))
         if txn is not None:
-            # (app_id, version) rides the SAME atomic manifest swap as
-            # the data it covers — replay detection cannot disagree
-            # with the committed state (one entry per source, bounded)
-            txns[txn[0]] = int(txn[1])
+            # (app_id, version) tags ride the SAME atomic manifest
+            # swap as the data they cover — replay detection cannot
+            # disagree with the committed state (one entry per
+            # source, bounded).  A dict covers a multi-source pending
+            # union; versions only move forward.
+            items = txn.items() if isinstance(txn, dict) else [txn]
+            for app, ver in items:
+                txns[app] = max(int(ver), int(txns.get(app, -1)))
         if txns:
             out["txns"] = txns
         self._write_manifest(out)
