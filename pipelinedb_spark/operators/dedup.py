@@ -559,7 +559,7 @@ def _banded_rows(df: DataFrame, id_col: str, text_col: str,
         "doc_id", "sig", F.posexplode("buckets").alias("band", "bucket"))
 
 
-def _write_band_rows(banded: DataFrame, path: str, mode: str,
+def _write_band_rows(banded: DataFrame, target: str,
                      write_partitions: int | None) -> None:
     """partitionBy(band) write with REAL parallelism: hash-repartition
     on (band, bucket) into ``write_partitions`` tasks (default: the
@@ -569,15 +569,12 @@ def _write_band_rows(banded: DataFrame, path: str, mode: str,
     the signature kernel twice.  Rows stay (band, bucket)-sorted
     within each task's files, so probes keep row-group min/max
     skipping on bucket inside each band dir."""
-    import os
-
     if write_partitions is None:
         write_partitions = banded.sparkSession.sparkContext \
             .defaultParallelism
     (banded.repartition(write_partitions, "band", "bucket")
      .sortWithinPartitions("band", "bucket")
-     .write.mode(mode).partitionBy("band")
-     .parquet(os.path.join(path, "bands")))
+     .write.mode("overwrite").partitionBy("band").parquet(target))
 
 
 def lsh_index_persist(df: DataFrame, path: str, id_col: str = "doc_id",
@@ -587,27 +584,28 @@ def lsh_index_persist(df: DataFrame, path: str, id_col: str = "doc_id",
     """Materialize a MinHash-LSH index: one (doc_id, sig, band, bucket)
     row per document per band, written partitionBy(band) with rows
     bucket-sorted inside each band dir (a probe's band join reads each
-    band partition with row-group min/max skipping on bucket).  A
-    _meta.json sidecar pins the signature parameters — probes/appends
+    band partition with row-group min/max skipping on bucket).  The
+    store manifest pins the signature parameters — probes/appends
     with different parameters are rejected instead of silently
-    producing garbage candidates."""
-    import json
-    import os
+    producing garbage candidates.  Staged write + atomic manifest
+    swap (indexstore): a rebuild keeps the old index readable until
+    the new one commits."""
+    from ..indexstore import IndexStore
 
+    store = IndexStore(path)
     banded = _banded_rows(df, id_col, text_col, num_hashes, bands,
                           shingle_n)
-    _write_band_rows(banded, path, "overwrite", write_partitions)
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump({"num_hashes": num_hashes, "bands": bands,
-                   "shingle_n": shingle_n}, f)
+    staged = store.stage()
+    _write_band_rows(banded, staged, write_partitions)
+    store.commit(staged, replace=True,
+                 meta={"num_hashes": num_hashes, "bands": bands,
+                       "shingle_n": shingle_n})
 
 
 def _lsh_index_meta(path: str) -> dict:
-    import json
-    import os
+    from ..indexstore import open_index
 
-    with open(os.path.join(path, "_meta.json")) as f:
-        return json.load(f)
+    return open_index(path).meta()
 
 
 def lsh_index_probe(spark, path: str, new_docs: DataFrame,
@@ -626,11 +624,12 @@ def lsh_index_probe(spark, path: str, new_docs: DataFrame,
     pinned shuffle-hash join — force-broadcasting 10M docs × bands
     rows of 64-long signatures would OOM executors.  The corpus side
     never broadcasts."""
-    import os
-
     from pyspark.sql import Observation
 
-    meta = _lsh_index_meta(path)
+    from ..indexstore import open_index
+
+    store = open_index(path)
+    meta = store.meta()
     obs = Observation()
     probe = (_banded_rows(new_docs, id_col, text_col, meta["num_hashes"],
                           meta["bands"], meta["shingle_n"])
@@ -642,7 +641,7 @@ def lsh_index_probe(spark, path: str, new_docs: DataFrame,
     probe_side = (probe_side.hint("broadcast")
                   if est_bytes <= broadcast_max_bytes
                   else probe_side.hint("shuffle_hash"))
-    corpus = spark.read.parquet(os.path.join(path, "bands"))
+    corpus = store.read(spark)
     cands = (corpus.alias("c")
              .join(probe_side,
                    (F.col("c.band") == F.col("p.band")) &
@@ -662,13 +661,20 @@ def lsh_index_append(spark, path: str, new_docs: DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",
                      write_partitions: int | None = None) -> None:
     """Add a batch's band rows to the index (dedup-then-admit flow:
-    probe first, drop near-dups, append the survivors).  Append-mode
-    parquet into the same partitionBy(band) layout, parallelized like
-    ``lsh_index_persist`` (not capped at `bands` write tasks)."""
-    meta = _lsh_index_meta(path)
+    probe first, drop near-dups, append the survivors) in the same
+    partitionBy(band) layout, parallelized like ``lsh_index_persist``
+    (not capped at `bands` write tasks).  The batch stages under a
+    temp prefix and commits via one atomic manifest swap — a
+    mid-append crash leaves no partial band rows."""
+    from ..indexstore import open_index
+
+    store = open_index(path)
+    meta = store.meta()
     banded = _banded_rows(new_docs, id_col, text_col, meta["num_hashes"],
                           meta["bands"], meta["shingle_n"])
-    _write_band_rows(banded, path, "append", write_partitions)
+    staged = store.stage()
+    _write_band_rows(banded, staged, write_partitions)
+    store.commit(staged, replace=False)
 
 
 def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,

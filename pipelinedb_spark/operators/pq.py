@@ -327,14 +327,19 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
     and re-persist with a fresh codec when the ratio climbs (PQ adds
     a second drift surface — the RESIDUAL codebooks — but residuals
     shrink when coarse fit improves, so the coarse signal is the
-    conservative trigger for both).  Returns rows admitted."""
+    conservative trigger for both).  Returns rows admitted.
+
+    Durability contract as similarity.ivf_append: staged write, one
+    atomic manifest swap carrying data + drift accounting together."""
     from pyspark.sql import Observation
 
-    from .similarity import _read_meta, _write_meta
+    from ..indexstore import IndexStore
+    from .similarity import _read_meta
 
+    store = IndexStore(path)
     meta = _read_meta(path)
     if meta is None:
-        raise ValueError(f"no _meta.json under {path}")
+        raise ValueError(f"no index meta under {path}")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     codec = ivfpq_load_codec(path)
     vec_type = meta.get("vec_type")
@@ -357,16 +362,17 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
         write_partitions = min(spark.sparkContext.defaultParallelism,
                                max(1, codec.n_lists))
     out = out.repartition(write_partitions, "list_id")
-    out.write.mode("append").partitionBy("list_id").parquet(path)
+    staged = store.stage()
+    out.write.mode("overwrite").partitionBy("list_id").parquet(staged)
     n = int(obs.get["n"])
     ds = float(obs.get["dist_sum"] or 0.0)
-    meta = _read_meta(path) or meta
+    meta = dict(meta)
     meta["appended_n"] = meta.get("appended_n", 0) + n
     meta["appended_dist_sum"] = meta.get("appended_dist_sum", 0.0) + ds
     if n:
         meta["last_append_n"] = n
         meta["last_append_mean_dist"] = ds / n
-    _write_meta(path, meta)
+    store.commit(staged, replace=False, meta=meta)
     return n
 
 
@@ -386,19 +392,20 @@ def ivfpq_retrain(spark, path: str, n_lists: int | None = None,
     """Re-train coarse centroids AND residual codebooks from the
     vectors already stored in the index (the persisted table carries
     them precisely so maintenance never needs the source corpus) and
-    re-persist in place — the step ``ivfpq_staleness`` calls for.
-    Resets the drift accounting.  Same swap note as ivf_retrain: a
-    100 TB deployment writes beside and swaps a pointer; the
-    train/encode/partition plan is identical."""
+    re-persist — the step ``ivfpq_staleness`` calls for.  Resets the
+    drift accounting.  WRITES BESIDE AND SWAPS (round-8 task 1, the
+    ivf_retrain contract): the rebuild reads the old committed dirs,
+    the new index commits via one atomic manifest swap, and the old
+    version survives under GC grace — a crash mid-retrain never
+    destroys the index."""
+    from ..indexstore import open_index
     from .similarity import _read_meta
 
     meta = _read_meta(path) or {}
     id_col = meta.get("id_col", "vec_id")
     vec_col = meta.get("vec_col", "embedding")
     old = ivfpq_load_codec(path)
-    corpus = (spark.read.parquet(path)
-              .select(id_col, vec_col)
-              .localCheckpoint(eager=True))
+    corpus = open_index(path).read(spark).select(id_col, vec_col)
     return ivfpq_persist(
         corpus, path, id_col=id_col, vec_col=vec_col,
         n_lists=n_lists or old.n_lists, m=m or old.m,
@@ -422,12 +429,17 @@ def ivfpq_persist(corpus: DataFrame, path: str,
     partitionBy(list_id), codec (coarse centroids + codebooks) saved
     as ``_codec.npz`` beside it.  Probes prune at the partition level
     AND at the column level: the ADC pass reads m bytes per vector,
-    the exact rerank reads full vectors for shortlist rows only."""
+    the exact rerank reads full vectors for shortlist rows only.
+
+    Durability: data + codec land in a STAGED dir and become visible
+    through one atomic manifest swap (indexstore.IndexStore) — a
+    rebuild keeps the old version readable until the new one commits
+    (round-8 task 1)."""
     import os
 
     from pyspark.sql import Observation
 
-    from .similarity import _write_meta
+    from ..indexstore import IndexStore
 
     if codec is None:
         codec = pq_train(corpus, id_col, vec_col, n_lists=n_lists,
@@ -436,6 +448,8 @@ def ivfpq_persist(corpus: DataFrame, path: str,
     enc = _encode_udf(codec)
     nparts = min(corpus.sparkSession.sparkContext.defaultParallelism,
                  max(1, codec.n_lists))
+    store = IndexStore(path)
+    staged = store.stage()
     obs = Observation()
     (corpus.select(F.col(id_col), F.col(vec_col),
                    enc(F.col(vec_col)).alias("__e"))
@@ -447,10 +461,10 @@ def ivfpq_persist(corpus: DataFrame, path: str,
               F.count(F.lit(1)).alias("n"))
      .drop("__dist")
      .repartition(nparts, "list_id")
-     .write.mode("overwrite").partitionBy("list_id").parquet(path))
-    np.savez(os.path.join(path, "_codec.npz"),
+     .write.mode("overwrite").partitionBy("list_id").parquet(staged))
+    np.savez(os.path.join(staged, "_codec.npz"),
              centroids=codec.centroids, codebooks=codec.codebooks)
-    _write_meta(path, {
+    store.commit(staged, replace=True, meta={
         "id_col": id_col, "vec_col": vec_col,
         "n_lists": codec.n_lists, "m": codec.m,
         "ksub": codec.ksub, "dim": codec.dim,
@@ -463,9 +477,9 @@ def ivfpq_persist(corpus: DataFrame, path: str,
 
 
 def ivfpq_load_codec(path: str) -> PQCodec:
-    import os
+    from ..indexstore import open_index
 
-    z = np.load(os.path.join(path, "_codec.npz"))
+    z = np.load(open_index(path).artifact("_codec.npz"))
     return PQCodec(z["centroids"], z["codebooks"])
 
 
@@ -477,8 +491,10 @@ def ivfpq_topk_persisted(spark, path: str, queries: DataFrame,
     ADC pass projects only (id, codes) — column pruning keeps the
     full vectors on disk — and rerank joins true vectors back for the
     shortlist alone.  Scoring semantics identical to ivfpq_topk."""
+    from ..indexstore import open_index
     from .similarity import _read_meta
 
+    store = open_index(path)
     meta = _read_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     codec = ivfpq_load_codec(path)
@@ -491,7 +507,7 @@ def ivfpq_topk_persisted(spark, path: str, queries: DataFrame,
                         .alias("list_id")))
     probed = sorted({int(r["list_id"]) for r in
                      q.select("list_id").distinct().collect()})
-    codes = (spark.read.parquet(path)
+    codes = (store.read(spark)
              .filter(F.col("list_id").isin(probed))
              .select(F.col(id_col).alias("n_id"), "list_id", "codes"))
     cand = (codes.join(F.broadcast(q), "list_id")
@@ -510,7 +526,7 @@ def ivfpq_topk_persisted(spark, path: str, queries: DataFrame,
     shortlist = (scored.withColumn("rk", F.row_number().over(w))
                  .filter(F.col("rk") <= max(rerank, k))
                  .select("q_id", "n_id"))
-    nvec = (spark.read.parquet(path)
+    nvec = (store.read(spark)
             .filter(F.col("list_id").isin(probed))
             .select(F.col(id_col).alias("n_id"),
                     F.col(vec_col).alias("n_vec")))

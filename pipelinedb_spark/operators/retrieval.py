@@ -152,33 +152,42 @@ def bm25_persist(index: dict, path: str) -> None:
     query's ``term IN (...)`` predicate skips whole files/row groups
     via min-max stats — the string-key analog of ivf_persist's
     partition pruning; millions of distinct terms rule out
-    partitionBy dirs), plus doc_lens, dfs, and a _meta.json sidecar
-    for the scalars."""
-    import json
+    partitionBy dirs), plus doc_lens, dfs, and the scalars in the
+    store manifest.  All three tables land in ONE staged version dir
+    and commit through one atomic manifest swap (indexstore) — a
+    rebuild can never leave postings from one version beside doc_lens
+    from another, and the old index stays readable until the new one
+    commits."""
     import os
 
+    from ..indexstore import IndexStore
+
+    store = IndexStore(path)
+    staged = store.stage()
     (index["postings"]
      .repartitionByRange(F.col("term"))
      .sortWithinPartitions("term")
-     .write.mode("overwrite").parquet(os.path.join(path, "postings")))
+     .write.mode("overwrite").parquet(os.path.join(staged, "postings")))
     index["doc_lens"].write.mode("overwrite") \
-        .parquet(os.path.join(path, "doc_lens"))
+        .parquet(os.path.join(staged, "doc_lens"))
     index["dfs"].write.mode("overwrite") \
-        .parquet(os.path.join(path, "dfs"))
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump({"n_docs": index["n_docs"], "avgdl": index["avgdl"],
-                   "id_col": index["id_col"]}, f)
+        .parquet(os.path.join(staged, "dfs"))
+    store.commit(staged, replace=True,
+                 meta={"n_docs": index["n_docs"],
+                       "avgdl": index["avgdl"],
+                       "id_col": index["id_col"]})
 
 
 def bm25_load(spark, path: str) -> dict:
     """Re-open a persisted index; searches against it prune the
     postings scan by the query's term set (PushedFilters)."""
-    import json
     import os
 
-    with open(os.path.join(path, "_meta.json")) as f:
-        meta = json.load(f)
-    return {"postings": spark.read.parquet(os.path.join(path, "postings")),
-            "doc_lens": spark.read.parquet(os.path.join(path, "doc_lens")),
-            "dfs": spark.read.parquet(os.path.join(path, "dfs")),
-            **meta}
+    from ..indexstore import open_index
+
+    store = open_index(path)
+    base = store.base_dir()
+    return {"postings": spark.read.parquet(os.path.join(base, "postings")),
+            "doc_lens": spark.read.parquet(os.path.join(base, "doc_lens")),
+            "dfs": spark.read.parquet(os.path.join(base, "dfs")),
+            **store.meta()}

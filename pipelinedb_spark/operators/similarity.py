@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..indexstore import IndexStore
+
 
 def dot_double(a: Column, b: Column) -> Column:
     """Plain double dot product (fast path)."""
@@ -434,27 +436,18 @@ def _ivf_assign_dist_udf(centroids: np.ndarray):
     return assign_dist
 
 
-def _meta_path(path: str) -> str:
-    # leading underscore: Spark's file index skips _-prefixed files
-    return os.path.join(path, "_meta.json")
-
-
 def _read_meta(path: str) -> dict | None:
-    import json
-    try:
-        with open(_meta_path(path)) as f:
-            return json.load(f)
-    except OSError:
+    """Index meta (operator params + drift accounting).  Lives inside
+    the versioned store's manifest since round 8 — data and accounting
+    swap atomically together (indexstore.IndexStore.commit)."""
+    s = IndexStore(path)
+    if not s.exists():
         return None
+    return s.meta() or None
 
 
 def _write_meta(path: str, meta: dict) -> None:
-    import json
-    import tempfile
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="_meta")
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(path))
+    IndexStore(path).set_meta(meta)
 
 
 def ivf_persist(corpus: DataFrame, path: str,
@@ -485,6 +478,8 @@ def ivf_persist(corpus: DataFrame, path: str,
     # (partitions × lists small files — see ivf_append)
     nparts = min(corpus.sparkSession.sparkContext.defaultParallelism,
                  max(1, len(centroids)))
+    store = IndexStore(path)
+    staged = store.stage()
     obs = Observation()
     (corpus.select(F.col(id_col), F.col(vec_col),
                    assign_dist(F.col(vec_col)).alias("__ad"))
@@ -494,9 +489,9 @@ def ivf_persist(corpus: DataFrame, path: str,
               F.count(F.lit(1)).alias("n"))
      .drop("__dist")
      .repartition(nparts, "list_id")
-     .write.mode("overwrite").partitionBy("list_id").parquet(path))
-    np.save(os.path.join(path, "_centroids.npy"), centroids)
-    _write_meta(path, {
+     .write.mode("overwrite").partitionBy("list_id").parquet(staged))
+    np.save(os.path.join(staged, "_centroids.npy"), centroids)
+    store.commit(staged, replace=True, meta={
         "n_lists": int(len(centroids)),
         "dim": int(centroids.shape[1]),
         "build_n": int(obs.get["n"]),
@@ -522,7 +517,8 @@ def ivf_topk_persisted(spark, path: str, queries: DataFrame, k: int = 5,
     lands in the scan's PartitionFilters — unprobed lists are never
     read (verifiable in the plan).  Scoring semantics are identical
     to ``ivf_topk``."""
-    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    store = IndexStore(path)
+    centroids = np.load(store.artifact("_centroids.npy"))
     q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
     q = (queries.select(F.col(id_col).alias("q_id"),
                         F.col(vec_col).alias("q_vec"),
@@ -530,7 +526,7 @@ def ivf_topk_persisted(spark, path: str, queries: DataFrame, k: int = 5,
                         .alias("list_id")))
     probed = sorted({int(r["list_id"]) for r in
                      q.select("list_id").distinct().collect()})
-    c = (spark.read.parquet(path)
+    c = (store.read(spark)
          .filter(F.col("list_id").isin(probed))
          .select(F.col(id_col).alias("n_id"),
                  F.col(vec_col).alias("n_vec"), "list_id"))
@@ -558,14 +554,20 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
     partition level.  Centroid drift under a shifting distribution is
     handled by periodic re-train + re-persist, the standard IVF
     maintenance trade (the reference's sketches make the same
-    bounded-state choice).  Returns the number of vectors admitted."""
+    bounded-state choice).  Returns the number of vectors admitted.
+
+    Durability: the batch lands in a staged dir and joins the live
+    set via one atomic manifest swap CARRYING the updated drift
+    accounting — a mid-append crash leaves no partial batch and no
+    accounting skew (round-8 task 1)."""
     from pyspark.sql import Observation
 
-    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    store = IndexStore(path)
+    centroids = np.load(store.artifact("_centroids.npy"))
     meta0 = _read_meta(path)
     vec_type = (meta0 or {}).get("vec_type")
     if vec_type is None:  # pre-meta index: infer from stored files
-        vec_type = (new_vectors.sparkSession.read.parquet(path)
+        vec_type = (store.read(new_vectors.sparkSession)
                     .schema[vec_col].dataType.elementType.simpleString())
     # one parquet physical type for the whole index — appending
     # array<double> into an array<float> index (or vice versa) would
@@ -592,21 +594,21 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
         write_partitions = min(spark.sparkContext.defaultParallelism,
                                max(1, len(centroids)))
     out = out.repartition(write_partitions, "list_id")
-    out.write.mode("append").partitionBy("list_id").parquet(path)
+    staged = store.stage()
+    out.write.mode("overwrite").partitionBy("list_id").parquet(staged)
     n = int(obs.get["n"])
     # drift accounting: the assignment distances already rode the
-    # write job's Observation — fold them into the index meta so
-    # ivf_staleness needs no data read
-    meta = _read_meta(path)
-    if meta is not None:
-        ds = float(obs.get["dist_sum"] or 0.0)
-        meta["appended_n"] = meta.get("appended_n", 0) + n
-        meta["appended_dist_sum"] = (meta.get("appended_dist_sum", 0.0)
-                                     + ds)
-        if n:
-            meta["last_append_n"] = n
-            meta["last_append_mean_dist"] = ds / n
-        _write_meta(path, meta)
+    # write job's Observation — fold them into the index meta, which
+    # commits in the SAME manifest swap as the batch it covers
+    meta = dict(meta0 or {})
+    ds = float(obs.get["dist_sum"] or 0.0)
+    meta["appended_n"] = meta.get("appended_n", 0) + n
+    meta["appended_dist_sum"] = (meta.get("appended_dist_sum", 0.0)
+                                 + ds)
+    if n:
+        meta["last_append_n"] = n
+        meta["last_append_mean_dist"] = ds / n
+    store.commit(staged, replace=False, meta=meta)
     return n
 
 
@@ -643,20 +645,24 @@ def ivf_staleness(path: str) -> dict:
 def ivf_retrain(spark, path: str, n_lists: int | None = None,
                 sample: int = 4096, seed: int = 7) -> np.ndarray:
     """Re-train the coarse quantizer from the vectors already stored
-    in the index (base + every appended batch) and re-persist in
-    place — the maintenance step ``ivf_staleness`` calls for.  Resets
-    the drift accounting.  Locally the corpus is pinned
-    (localCheckpoint) before the overwrite; a 100 TB deployment would
-    write the new index beside the old and swap a pointer instead,
-    but the train/assign/partition plan is identical."""
+    in the index (base + every appended batch) and re-persist — the
+    maintenance step ``ivf_staleness`` calls for.  Resets the drift
+    accounting.
+
+    The rebuild WRITES BESIDE AND SWAPS (round-8 task 1): the train +
+    assign jobs read the old committed dirs, the new index lands in a
+    staged dir, and one atomic manifest swap retires the old version
+    — which stays on disk under GC grace, so a crash or lost executor
+    at ANY point leaves the old index fully readable.  No
+    localCheckpoint pinning: the sources are immutable until the
+    commit, at 100 TB as locally."""
     meta = _read_meta(path) or {}
     id_col = meta.get("id_col", "vec_id")
     vec_col = meta.get("vec_col", "embedding")
+    store = IndexStore(path)
     if n_lists is None:
         n_lists = int(meta.get("n_lists") or
-                      len(np.load(os.path.join(path, "_centroids.npy"))))
-    corpus = (spark.read.parquet(path)
-              .select(id_col, vec_col)
-              .localCheckpoint(eager=True))
+                      len(np.load(store.artifact("_centroids.npy"))))
+    corpus = store.read(spark).select(id_col, vec_col)
     return ivf_persist(corpus, path, n_lists=n_lists, id_col=id_col,
                        vec_col=vec_col, sample=sample, seed=seed)

@@ -277,42 +277,39 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
 # ivf_persist/ivf_append)
 
 def _span_meta(path: str) -> dict:
-    import json
-    import os
+    from ..indexstore import open_index
 
-    with open(os.path.join(path, "_meta.json")) as f:
-        return json.load(f)
+    return open_index(path).meta()
 
 
-def _write_window_rows(wins: DataFrame, path: str, mode: str,
+def _write_window_rows(wins: DataFrame, target: str,
                        write_partitions: int | None) -> None:
     """Hash-repartition on whash to real write parallelism (the
     _write_band_rows contract), rows whash-sorted within files so the
     probe join's scan stays sequential per shuffle partition."""
-    import os
-
     if write_partitions is None:
         write_partitions = wins.sparkSession.sparkContext \
             .defaultParallelism
     (wins.repartition(write_partitions, "whash")
      .sortWithinPartitions("whash")
-     .write.mode(mode).parquet(os.path.join(path, "windows")))
+     .write.mode("overwrite").parquet(target))
 
 
 def span_index_persist(df: DataFrame, path: str, id_col: str = "doc_id",
                        text_col: str = "text", window: int = 50,
                        write_partitions: int | None = None) -> None:
     """Materialize the corpus window-hash index (doc_id, pos, whash).
-    A _meta.json sidecar pins the window size; probes and appends
-    read K from it, so a caller can never mix window sizes within one
-    index."""
-    import json
-    import os
+    The store manifest pins the window size; probes and appends read
+    K from it, so a caller can never mix window sizes within one
+    index.  Staged write + atomic manifest swap (indexstore) — a
+    rebuild keeps the old index readable until the new one commits."""
+    from ..indexstore import IndexStore
 
+    store = IndexStore(path)
     wins = window_index(df, id_col, text_col, window)
-    _write_window_rows(wins, path, "overwrite", write_partitions)
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump({"window": window}, f)
+    staged = store.stage()
+    _write_window_rows(wins, staged, write_partitions)
+    store.commit(staged, replace=True, meta={"window": window})
 
 
 def span_index_probe(spark, path: str, new_docs: DataFrame,
@@ -337,20 +334,20 @@ def span_index_probe(spark, path: str, new_docs: DataFrame,
     counted size fits ``broadcast_max_bytes``, else falls back to a
     pinned shuffle-hash join (the lsh_index_probe gate — force-
     broadcasting a backfill batch would OOM executors)."""
-    import os
-
     from pyspark.sql import Observation
+
+    from ..indexstore import open_index
 
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
-    meta = _span_meta(path)
-    window = meta["window"]
+    store = open_index(path)
+    window = store.meta()["window"]
     obs = Observation()
     wins = (window_index(new_docs, id_col, text_col, window)
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True))
     est_bytes = int(obs.get["n"]) * 40   # hash + pos + id + overhead
-    corpus = spark.read.parquet(os.path.join(path, "windows"))
+    corpus = store.read(spark)
     if est_bytes > broadcast_max_bytes:
         probe_side = wins.alias("p")
         corpus_side = corpus.alias("c").hint("shuffle_hash")
@@ -392,7 +389,14 @@ def span_index_append(spark, path: str, new_docs: DataFrame,
     parquet in the same whash-repartitioned layout.  Probe → clean →
     append is the continuous-ingest flow; appending the CLEANED text's
     windows keeps the index consistent with what the corpus actually
-    retains."""
-    meta = _span_meta(path)
-    wins = window_index(new_docs, id_col, text_col, meta["window"])
-    _write_window_rows(wins, path, "append", write_partitions)
+    retains.  The batch stages under a temp prefix and joins the live
+    set via one atomic manifest swap — a mid-append crash leaves no
+    partial window batch (the ADVICE r7 commit-marker gap)."""
+    from ..indexstore import open_index
+
+    store = open_index(path)
+    wins = window_index(new_docs, id_col, text_col,
+                        store.meta()["window"])
+    staged = store.stage()
+    _write_window_rows(wins, staged, write_partitions)
+    store.commit(staged, replace=False)

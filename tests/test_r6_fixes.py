@@ -209,7 +209,7 @@ def test_lsh_index_write_parallelism_not_capped_by_bands(spark, sf_dir,
         .select("doc_id", "text").limit(200)
     path = str(tmp_path / "lsh_par")
     lsh_index_persist(docs, path, bands=4, write_partitions=8)
-    files = glob.glob(f"{path}/bands/band=*/part-*")
+    files = glob.glob(f"{path}/v*/band=*/part-*")
     # 8 tasks × up-to-4 band dirs each: strictly more files than the
     # old bands-capped write (exactly 4), at least one per task
     assert len(files) > 4

@@ -141,13 +141,13 @@ def test_ivf_writes_one_file_per_list(spark, tmp_path):
         [(i, rng.randn(8).tolist()) for i in range(200)],
         "vec_id long, embedding array<double>").repartition(16)
     ivf_persist(corpus, path, n_lists=4)
-    n0 = len(glob.glob(f"{path}/list_id=*/*.parquet"))
+    n0 = len(glob.glob(f"{path}/v*/list_id=*/*.parquet"))
     assert n0 <= 4  # ≈ one file per list, NOT 16×4
     extra = spark.createDataFrame(
         [(1000 + i, rng.randn(8).tolist()) for i in range(60)],
         "vec_id long, embedding array<double>").repartition(11)
     assert ivf_append(spark, path, extra) == 60
-    n1 = len(glob.glob(f"{path}/list_id=*/*.parquet"))
+    n1 = len(glob.glob(f"{path}/v*/list_id=*/*.parquet"))
     assert n1 - n0 <= 4  # the append added ≈ one file per list
     # appends cast to the index's element type: an array<float> index
     # + array<double> batch must stay readable as ONE schema
@@ -161,7 +161,8 @@ def test_ivf_writes_one_file_per_list(spark, tmp_path):
         [(100 + i, rng.randn(8).tolist()) for i in range(20)],
         "vec_id long, embedding array<double>")
     assert ivf_append(spark, fpath, dbl) == 20
-    full = spark.read.parquet(fpath)
+    from pipelinedb_spark.indexstore import read_index
+    full = read_index(spark, fpath)
     assert full.count() == 70  # mixed-type write would fail this scan
     assert full.schema["embedding"].dataType.elementType.simpleString() \
         == "float"
@@ -211,8 +212,9 @@ def test_ivf_staleness_and_retrain_recovers_recall(spark, tmp_path):
     def recall_at3():
         """nprobe=1 recall@3 for shifted-cluster queries vs numpy
         brute force over everything stored in the index."""
+        from pipelinedb_spark.indexstore import read_index
         stored = {r["vec_id"]: np.array(r["embedding"]) for r in
-                  spark.read.parquet(path)
+                  read_index(spark, path)
                   .select("vec_id", "embedding").collect()}
         ids = sorted(stored)
         mat = np.stack([stored[i] for i in ids])
