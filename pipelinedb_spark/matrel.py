@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
+# replay-detection retention: manifests keep the txn tags of the most
+# recently active sources only (a source idle for 64 attachments has
+# no in-flight replay to detect)
+MAX_TXN_SOURCES = 64
 
 
 def _du(path: str) -> int:
@@ -190,6 +194,8 @@ class MatrelStore:
         swap, so a replayed source batch can be detected and skipped
         instead of double-merged)."""
         v = self._read_manifest().get("txns", {}).get(app_id)
+        if isinstance(v, list):   # [ver, manifest_version_touched]
+            v = v[0]
         return int(v) if v is not None else None
 
     def merge(self, delta: DataFrame, group_cols: list[str],
@@ -362,12 +368,27 @@ class MatrelStore:
         if txn is not None:
             # (app_id, version) tags ride the SAME atomic manifest
             # swap as the data they cover — replay detection cannot
-            # disagree with the committed state (one entry per
-            # source, bounded).  A dict covers a multi-source pending
-            # union; versions only move forward.
+            # disagree with the committed state.  A dict covers a
+            # multi-source pending union; versions only move forward.
+            # Entries are [ver, manifest_version_touched] so the map
+            # can be BOUNDED: app_id embeds the checkpoint path, so
+            # every re-attachment with a new checkpoint dir mints a
+            # fresh entry that would otherwise be rewritten into
+            # every future manifest forever (ADVICE r7) — keep only
+            # the most recently touched tail.
             items = txn.items() if isinstance(txn, dict) else [txn]
             for app, ver in items:
-                txns[app] = max(int(ver), int(txns.get(app, -1)))
+                prev = txns.get(app)
+                if isinstance(prev, list):
+                    prev = prev[0]
+                txns[app] = [max(int(ver),
+                                 int(prev if prev is not None else -1)),
+                             version]
+            if len(txns) > MAX_TXN_SOURCES:
+                def _touched(kv):
+                    return kv[1][1] if isinstance(kv[1], list) else -1
+                txns = dict(sorted(txns.items(), key=_touched,
+                                   reverse=True)[:MAX_TXN_SOURCES])
         if txns:
             out["txns"] = txns
         self._write_manifest(out)

@@ -53,7 +53,15 @@ def _doc_feature_matrix(texts, buckets: int) -> np.ndarray:
 
 def _sample_texts(df: DataFrame, text_col: str, sample: int,
                   seed: int) -> list:
+    """Deterministic hash-ordered sample of DISTINCT texts: corpora
+    arrive dup-heavy (dedup usually runs after quality gating), and
+    without the distinct a document duplicated k times would occupy
+    up to k of the ``sample`` slots — the classifier would train on
+    far fewer distinct examples than requested (round-8 task 6).
+    Distinct-then-hash-order stays one shuffle: the groupBy and the
+    TakeOrdered both key on the text."""
     rows = (df.select(F.col(text_col).alias("t"))
+            .distinct()
             .orderBy(F.xxhash64(F.col("t"), F.lit(seed)))
             .limit(sample).collect())
     return [r["t"] or "" for r in rows]

@@ -189,13 +189,30 @@ def dsir_sample(corpus: DataFrame, target: DataFrame | None, n: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 buckets: int = 10_000, alpha: float = 1.0,
                 temperature: float = 1.0, seed: int = 7,
-                model: DSIRModel | None = None) -> DataFrame:
+                model: DSIRModel | None = None,
+                exact_merge_max: int = 65_536) -> DataFrame:
     """Select ``n`` documents ~ softmax(dsir_logw / temperature)
     without replacement via the Gumbel top-k trick: key = logw/T + G_i
     with G_i = −ln(−ln u_i) and u_i a deterministic uniform from
-    xxhash64(id, seed).  One global TakeOrdered — no weight table on
-    the driver, repeatable under a fixed seed.  temperature→0
-    approaches arg-top-n by weight; large T approaches uniform."""
+    xxhash64(id, seed).  Repeatable under a fixed seed; temperature→0
+    approaches arg-top-n by weight; large T approaches uniform.
+
+    Selection is DISTRIBUTED for large n (the round-7 scale fix: a
+    global ``orderBy().limit(n)`` always compiles to
+    TakeOrderedAndProject, whose final merge funnels all n selected
+    rows — DSIR's production n is the training-set size — through one
+    node).  For ``n > exact_merge_max`` the n-th Gumbel key is
+    located instead: approxQuantile gives a threshold within a known
+    rank error, one distributed filter count measures it, and the
+    exact boundary key is resolved from a bounded, COLUMN-PRUNED
+    TakeOrdered over ~n/256 8-byte keys (never full rows) that
+    reduces to a single scalar.  The returned plan is a plain filter
+    over the scored corpus — every selected row stays on its
+    executor.  Gumbel keys are hash-derived doubles, so ties are
+    ~impossible and the result matches the small-n path exactly.
+    Threshold probing rescans the scoring kernel a few times; the
+    model is fit ONCE either way (dsir_fit collects B-row tables up
+    front), so each rescan is one cheap Arrow pass."""
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
     w = dsir_weights(corpus, target, text_col, buckets, alpha,
@@ -206,5 +223,39 @@ def dsir_sample(corpus: DataFrame, target: DataFrame | None, n: int,
     u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
     gumbel = -F.log(-F.log(u))
     key = F.col("dsir_logw") / F.lit(float(temperature)) + gumbel
-    return (w.withColumn("__gk", key)
-            .orderBy(F.desc("__gk")).limit(n).drop("__gk"))
+    keyed = w.withColumn("__gk", key)
+    if n <= exact_merge_max:
+        # small n: the single-node merge is exactly n rows — fine
+        return keyed.orderBy(F.desc("__gk")).limit(n).drop("__gk")
+
+    total = keyed.count()
+    if n >= total:
+        return keyed.drop("__gk")
+    frac = n / total
+    # rank error ≤ eps·total ≈ n/512 on either side of the cut; the
+    # GK sketch costs O(1/eps) driver memory, floored so a tiny frac
+    # can't blow it up
+    eps = max(frac / 512, 1e-7)
+    t = keyed.stat.approxQuantile("__gk", [1.0 - frac], eps)[0]
+    k_above = keyed.filter(F.col("__gk") > t).count()
+    if k_above >= n:
+        drop = k_above - n
+        if drop == 0:
+            t_star, inclusive = t, False
+        else:
+            # exact key of the drop-th smallest ABOVE t: a bounded
+            # TakeOrdered over ≤ ~2·eps·total pruned key values,
+            # reduced to one scalar before it reaches the driver
+            t_star = (keyed.filter(F.col("__gk") > t).select("__gk")
+                      .orderBy(F.asc("__gk")).limit(drop)
+                      .agg(F.max("__gk")).first()[0])
+            inclusive = False
+    else:
+        need = n - k_above
+        t_star = (keyed.filter(F.col("__gk") <= t).select("__gk")
+                  .orderBy(F.desc("__gk")).limit(need)
+                  .agg(F.min("__gk")).first()[0])
+        inclusive = True
+    cond = (F.col("__gk") >= t_star) if inclusive \
+        else (F.col("__gk") > t_star)
+    return keyed.filter(cond).drop("__gk")

@@ -27,6 +27,7 @@ executor memory, and lift the per-task cap with more, smaller files.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from typing import Iterator
@@ -86,14 +87,30 @@ def parse_warc_records(data: bytes):
             if _:
                 headers[k.strip().decode("latin-1").lower()] = \
                     v.strip().decode("latin-1")
+        clen = None
         try:
-            clen = int(headers.get("content-length", "0"))
-        except ValueError:
-            clen = 0
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            pass
         body_start = hdr_end + 4
-        payload = data[body_start:body_start + clen]
+        if clen is not None and clen >= 0:
+            payload = data[body_start:body_start + clen]
+            pos = body_start + clen
+        else:
+            # missing/unparseable Content-Length: the record body is
+            # unterminated, so resuming the WARC/ scan INSIDE it
+            # would turn literal 'WARC/' text in an HTML payload
+            # into a phantom record with misattributed bytes
+            # (ADVICE r7).  Recover at the next real record
+            # boundary (blank line + magic) instead.
+            nxt = data.find(b"\r\n\r\nWARC/", body_start)
+            if nxt < 0:
+                payload = data[body_start:]
+                pos = n
+            else:
+                payload = data[body_start:nxt]
+                pos = nxt + 4
         yield headers, payload
-        pos = body_start + clen
 
 
 def _split_http(payload: bytes):
@@ -227,9 +244,15 @@ def warc_text_documents(records: DataFrame,
                 text = html_to_text_py(bytes(body or b""))
                 if len(text) < min_chars:
                     continue
-                did = (zlib.crc32(f"{rid}|{uri}".encode())
-                       | (zlib.crc32(f"{uri}|{rid}".encode()) << 32)) \
-                    & 0x7FFF_FFFF_FFFF_FFFF  # fits int64
+                # truncated blake2b, not CRC32: CRC is linear and
+                # weakly mixing, so correlated crawl URLs collide far
+                # above the 2^-62 birthday floor — a collision would
+                # silently alias distinct documents in every
+                # downstream dedup/join (ADVICE r7)
+                did = int.from_bytes(
+                    hashlib.blake2b(f"{rid}|{uri}".encode(),
+                                    digest_size=8).digest(),
+                    "big") & 0x7FFF_FFFF_FFFF_FFFF  # fits int64
                 rows.append((did, uri, date, text))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               schema.fields])

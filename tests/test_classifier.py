@@ -95,3 +95,37 @@ def test_empty_class_rejected(spark):
     empty = spark.createDataFrame([], "text string")
     with pytest.raises(ValueError):
         train_text_classifier(pos, empty, buckets=B)
+
+
+def test_dup_heavy_corpus_samples_distinct_docs(spark):
+    """Round-8 task 6: a 90%-duplicate corpus must not waste the
+    bounded sample slots on copies — _sample_texts takes DISTINCT
+    texts, so the trainer sees ~`sample` distinct examples and
+    separation quality holds."""
+    from pipelinedb_spark.operators.classifier import _sample_texts
+
+    rng = np.random.RandomState(4)
+    sports_w = ["team", "goal", "match", "score", "coach", "replay"]
+    code_w = ["def", "import", "class", "lambda", "dict", "module"]
+    distinct_pos = [" ".join(rng.choice(sports_w, 5)) + f" s{i}"
+                    for i in range(300)]
+    distinct_neg = [" ".join(rng.choice(code_w, 5)) + f" c{i}"
+                    for i in range(300)]
+    # each distinct doc duplicated 10x -> 90% duplicates
+    pos = spark.createDataFrame([(t,) for t in distinct_pos * 10],
+                                "text string")
+    neg = spark.createDataFrame([(t,) for t in distinct_neg * 10],
+                                "text string")
+
+    got = _sample_texts(pos, "text", 200, seed=7)
+    assert len(got) == 200
+    assert len(set(got)) == 200          # every slot a distinct doc
+    assert set(got) <= set(distinct_pos)
+    # determinism under the same seed
+    assert got == _sample_texts(pos, "text", 200, seed=7)
+
+    clf = train_text_classifier(pos, neg, buckets=B, sample=200,
+                                iters=150, seed=0)
+    p_pos = clf.predict_proba(distinct_pos[::10])
+    p_neg = clf.predict_proba(distinct_neg[::10])
+    assert p_pos.mean() > 0.9 and p_neg.mean() < 0.1

@@ -131,3 +131,38 @@ def test_dsir_model_fit_save_load_batch_scoring(spark, tmp_path):
     picked = dsir_sample(corpus, None, n=4, buckets=B,
                          temperature=1e-6, model=m2).collect()
     assert {r["doc_id"] for r in picked} == set(range(len(SPORTS)))
+
+
+def test_large_n_sample_distributed_and_equivalent(spark):
+    """Round-8 task 3 (the r7 weak item): for n above the
+    exact-merge cutoff, dsir_sample must (a) return EXACTLY the same
+    document set as the TakeOrdered small-n path, and (b) compile to
+    a distributed filter — no TakeOrderedAndProject / global sort /
+    single-partition exchange anywhere in the returned plan."""
+    rng = np.random.RandomState(11)
+    words = ["team", "goal", "match", "import", "def", "class",
+             "score", "module", "coach", "lambda"]
+    rows = [(i, " ".join(rng.choice(words, 6)))
+            for i in range(3000)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame([(t,) for t in SPORTS], "text string")
+
+    n = 500
+    small = dsir_sample(corpus, target, n=n, buckets=B, seed=3,
+                        exact_merge_max=1 << 30)
+    large = dsir_sample(corpus, target, n=n, buckets=B, seed=3,
+                        exact_merge_max=0)
+    small_ids = {r["doc_id"] for r in small.collect()}
+    large_ids = {r["doc_id"] for r in large.collect()}
+    assert len(large_ids) == n
+    assert large_ids == small_ids
+
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort [" not in plan
+    assert "SinglePartition" not in plan
+
+    # n >= corpus returns everything, still as a plain scan
+    allof = dsir_sample(corpus, target, n=5000, buckets=B, seed=3,
+                        exact_merge_max=0)
+    assert allof.count() == 3000
