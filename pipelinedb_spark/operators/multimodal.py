@@ -939,16 +939,18 @@ def decode_jpeg_py(p: bytes):
     return _dec(p)
 
 
-def decode_pixels(df: DataFrame) -> DataFrame:
-    """Pixel decode → per-image channel statistics, end-to-end with no
-    codec libraries: 24-bit BMP, binary PPM, PNG (DEFLATE via stdlib
-    zlib, incl. Adam7), GIF (pure-Python LZW, incl. interlaced), and
-    baseline/progressive JPEG (operators/jpeg.py — Huffman +
-    vectorized IDCT) all decode for real.  Only the rare sub-formats
+def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
+    """Pixel decode → per-image channel statistics.  ``backend`` is
+    the fast-codec seam: 'pil' decodes through Pillow when installed
+    (the production path — C codecs), 'pure' uses the dependency-free
+    decoders (24-bit BMP, binary PPM, PNG incl. Adam7 via stdlib
+    zlib, GIF incl. interlaced via pure-Python LZW, and
+    baseline/progressive JPEG in operators/jpeg.py), 'auto' (default)
+    picks pil when importable.  Under 'pure', rare sub-formats
     (arithmetic/12-bit JPEG, 16-bit depths) raise NotImplementedError
-    — swap the branch for PIL in production.  Unrecognized payloads
-    yield a null-stats row (format NULL) rather than failing the
-    batch."""
+    — under 'pil' they decode for real.  Unrecognized payloads yield
+    a null-stats row (format NULL) rather than failing the batch."""
+    backend = resolve_decode_backend(backend)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         null_row = (None,) * 8
@@ -961,7 +963,7 @@ def decode_pixels(df: DataFrame) -> DataFrame:
                 if p is None:
                     rows.append((mid,) + null_row)
                     continue
-                fmt, arr = _decode_any(bytes(p))
+                fmt, arr = _decode_any(bytes(p), backend)
                 if arr is None:
                     rows.append((mid,) + null_row)
                     continue
@@ -1086,9 +1088,67 @@ def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     return df.mapInPandas(kernel, FRAME_STATS_SCHEMA)
 
 
-def _decode_any(p: bytes):
-    """(fmt, array) via the dependency-free decoders, or (None, None)
-    for unrecognized/corrupt payloads.
+_PIL_FMT = {"JPEG": "jpg", "PNG": "png", "GIF": "gif", "BMP": "bmp",
+            "PPM": "ppm"}
+
+
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def resolve_decode_backend(backend: str = "auto") -> str:
+    """The fast-codec seam (round-8 task 4): 'pil' decodes through
+    Pillow (libjpeg-turbo/zlib C codecs, ~2 orders faster than the
+    pure-Python Huffman path on JPEG), 'pure' is the dependency-free
+    reference, 'auto' picks pil when importable.  Resolved once on
+    the driver so a whole job uses one backend."""
+    if backend == "auto":
+        return "pil" if pil_available() else "pure"
+    if backend == "pil" and not pil_available():
+        raise ImportError("backend='pil' requested but Pillow is not "
+                          "importable — install Pillow or use 'auto'")
+    if backend not in ("pil", "pure"):
+        raise ValueError(f"unknown decode backend {backend!r}")
+    return backend
+
+
+def _decode_pil(p: bytes):
+    """(fmt, (h, w, c) uint8 array) via Pillow, or (None, None) when
+    Pillow can't read the payload (caller falls back to the pure
+    decoders).  Channel semantics match the pure decoders: L→1,
+    LA→2, RGB→3, RGBA→4; palette expands by transparency; exotic
+    modes (CMYK, 16-bit) normalize to RGB."""
+    import io
+
+    from PIL import Image
+    try:
+        with Image.open(io.BytesIO(p)) as im:
+            fmt = _PIL_FMT.get(im.format)
+            if fmt is None:
+                return None, None
+            if im.mode == "P":
+                im = im.convert(
+                    "RGBA" if "transparency" in im.info else "RGB")
+            elif im.mode not in ("L", "LA", "RGB", "RGBA"):
+                im = im.convert("RGB")
+            arr = np.asarray(im)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return fmt, arr
+    except Exception:
+        return None, None
+
+
+def _decode_any(p: bytes, backend: str = "pure"):
+    """(fmt, array) via the selected backend, or (None, None) for
+    unrecognized/corrupt payloads.  backend='pil' tries Pillow first
+    and falls back to the pure decoders for anything it can't read
+    (including a missing Pillow on an executor that differs from the
+    driver).
 
     Contract: ANY failure parsing untrusted bytes is "corrupt" →
     null row (a 100 TB batch must survive every malformed payload a
@@ -1096,7 +1156,16 @@ def _decode_any(p: bytes):
     references to undeclared JPEG Huffman tables raise KeyError, and
     so on; enumerating exception types is a losing game).  Only
     NotImplementedError passes through: it marks a RECOGNIZED format
-    gated by design, which the caller must surface, not null out."""
+    gated by design, which the caller must surface, not null out.
+    (Under 'pil' the gated sub-formats decode for real instead —
+    that IS the production swap the gates document.)"""
+    if backend == "pil":
+        try:
+            fmt, a = _decode_pil(p)
+            if a is not None:
+                return fmt, a
+        except Exception:
+            pass
     try:
         for fmt, fn in (("bmp", decode_bmp_py), ("ppm", decode_ppm_py),
                         ("png", decode_png_py), ("gif", decode_gif_py),
@@ -1147,17 +1216,20 @@ RESIZED_SCHEMA = T.StructType([
 ])
 
 
-def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+def resize_images(df: DataFrame, out_h: int, out_w: int,
+                  backend: str = "auto") -> DataFrame:
     """Decode → bilinear-resize to a fixed (out_h, out_w) → raw HWC
     uint8 tensor bytes: the image side of a training-data pipeline
     (every sample the same shape, ready for batching).  Grayscale/
     palette inputs are expanded to their natural channel count;
-    unrecognized payloads yield a null-pixels row.
+    unrecognized payloads yield a null-pixels row.  ``backend`` as in
+    :func:`decode_pixels` (the Pillow fast-codec seam).
 
     Scale shape: mapInPandas over size-aware partitions
     (``media_partitions``); output rows are out_h*out_w*c bytes, so
     downstream writers see fixed-size records regardless of source
     image dimensions."""
+    backend = resolve_decode_backend(backend)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1165,7 +1237,7 @@ def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 fmt = arr = None
                 if p is not None:
-                    fmt, arr = _decode_any(bytes(p))
+                    fmt, arr = _decode_any(bytes(p), backend)
                 if arr is None:
                     rows.append((mid, None, None, None, None, None))
                     continue

@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import re
 import zlib
+from html.parser import HTMLParser
 from typing import Iterator
 
 import pandas as pd
@@ -207,8 +208,9 @@ _SP = re.compile(rb"[ \t\r\f\v]+")
 
 def html_to_text_py(body: bytes) -> str:
     """Dependency-free HTML→text: drop script/style subtrees, strip
-    tags, decode the common entities, collapse whitespace.  The seam
-    where production plugs a real extraction library."""
+    tags, decode the common entities, collapse whitespace.  The crude
+    baseline — :func:`extract_main_text` layers boilerplate removal
+    on top and is the default extraction for crawl documents."""
     body = _TAG_DROP.sub(b" ", body)
     body = _TAG.sub(b" ", body)
     for k, v in _ENTITIES.items():
@@ -218,12 +220,174 @@ def html_to_text_py(body: bytes) -> str:
     return body.decode("utf-8", errors="replace").strip()
 
 
+# ---------------------------------------------------------------------------
+# Boilerplate-aware main-text extraction (round-8 task 5): the
+# justext/trafilatura-class method — segment the page into block-level
+# text units, score each by link density + stopword density + length,
+# then a context pass where borderline blocks inherit their
+# neighbors' verdicts (Pomikálek 2011, "Removing boilerplate and
+# duplicate content from web corpora", the public jusText algorithm).
+# Pure stdlib (html.parser); runs inside the same Arrow kernel as the
+# tag-strip path, so the 100 TB shape is unchanged — one mapInPandas
+# over archive files.
+# ---------------------------------------------------------------------------
+
+_SKIP_TAGS = frozenset(
+    "script style noscript svg template head iframe object embed".split())
+_BOILER_TAGS = frozenset("nav footer header aside menu form".split())
+_BLOCK_TAGS = frozenset(
+    ("p div section article main li ul ol td th tr table blockquote "
+     "pre h1 h2 h3 h4 h5 h6 dd dt dl figure figcaption br hr "
+     "fieldset legend address summary details").split())
+# function words: used for a language-agnostic-ish DENSITY signal
+# (boilerplate is link lists and labels, prose has connectives), not
+# for language ID — text.py owns that
+_STOPWORDS = frozenset(
+    ("the a an and or of to in is are was were be been it that this "
+     "with as for on at by from not but he she they we you i his her "
+     "its their our your have has had do does did will would can "
+     "could should may might about into over after before more most "
+     "other some such only own same so than too very just there what "
+     "which who when where why how all any both each few if then "
+     "because while during between against through under again out "
+     "up down off above below no nor once here").split())
+
+
+class _BlockParser(HTMLParser):
+    """Streams HTML into (text, link_chars, in_boiler) block tuples."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, bool]] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._skip = 0
+        self._boiler = 0
+        self._link = 0
+
+    def _flush(self):
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.blocks.append((text, self._link_chars,
+                                self._boiler > 0))
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if tag in _BLOCK_TAGS or tag in _BOILER_TAGS:
+            self._flush()
+        if tag in _BOILER_TAGS:
+            self._boiler += 1
+        if tag == "a":
+            self._link += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag in _BLOCK_TAGS or tag in _BOILER_TAGS:
+            self._flush()
+        if tag in _BOILER_TAGS:
+            self._boiler = max(0, self._boiler - 1)
+        if tag == "a":
+            self._link = max(0, self._link - 1)
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        self._buf.append(data)
+        if self._link:
+            self._link_chars += len(data)
+
+    def close(self):
+        self._flush()
+        super().close()
+
+
+def _first_pass(blocks, min_good_chars=60, max_link_density=0.2,
+                min_stop_ratio=0.18, short_chars=20):
+    """Context-free verdicts: good / bad / near / short."""
+    out = []
+    for text, link_chars, boiler in blocks:
+        ld = link_chars / max(len(text), 1)
+        words = text.lower().split()
+        stop = sum(w.strip('.,;:!?"()[]') in _STOPWORDS for w in words)
+        sr = stop / max(len(words), 1)
+        if boiler or ld > 0.4:
+            out.append("bad")
+        elif (len(text) >= min_good_chars and ld <= max_link_density
+              and sr >= min_stop_ratio):
+            out.append("good")
+        elif len(text) < short_chars:
+            out.append("short")
+        else:
+            out.append("near")
+    return out
+
+
+def _context_pass(cls):
+    """jusText's neighborhood rule: 'near' blocks become good when
+    EITHER surrounding non-ambiguous verdict is good; 'short' blocks
+    become good when the NEXT one is (the headline rule: an article's
+    heading sits right before its first good paragraph, while short
+    nav labels are followed by more link-list blocks, which are
+    bad)."""
+    n = len(cls)
+
+    def near_good(i, step):
+        j = i + step
+        while 0 <= j < n and cls[j] in ("short", "near"):
+            j += step
+        return 0 <= j < n and cls[j] == "good"
+
+    out = []
+    for i, c in enumerate(cls):
+        if c == "good" or c == "bad":
+            out.append(c)
+        elif c == "near":
+            out.append("good" if near_good(i, -1) or near_good(i, 1)
+                       else "bad")
+        else:
+            out.append("good" if near_good(i, 1) else "bad")
+    return out
+
+
+def extract_main_text(body: bytes, method: str = "density") -> str:
+    """HTML → MAIN text.  ``method='density'`` (default) segments
+    into blocks and keeps prose-dense ones (nav/footer/link-list
+    boilerplate dropped); when no block clears the bar — tiny or
+    degenerate pages — it falls back to the plain tag-strip so the
+    document still flows downstream.  ``method='strip'`` is the crude
+    baseline unchanged."""
+    if method == "strip":
+        return html_to_text_py(body)
+    if method != "density":
+        raise ValueError(f"unknown extraction method {method!r}")
+    try:
+        p = _BlockParser()
+        p.feed(body.decode("utf-8", errors="replace"))
+        p.close()
+    except Exception:   # hostile markup: never kill the batch
+        return html_to_text_py(body)
+    verdicts = _context_pass(_first_pass(p.blocks))
+    good = [b[0] for b, c in zip(p.blocks, verdicts) if c == "good"]
+    if not good:
+        return html_to_text_py(body)
+    return "\n\n".join(good)
+
+
 def warc_text_documents(records: DataFrame,
-                        min_chars: int = 1) -> DataFrame:
+                        min_chars: int = 1,
+                        method: str = "density") -> DataFrame:
     """WARC response rows → (doc_id, url, fetched_at, text) documents
-    for the curation pipeline: HTML/plain-text bodies only, extracted
-    via the stdlib HTML→text above.  ``doc_id`` is a stable hash of
-    the record id + URI, so re-runs key identically."""
+    for the curation pipeline: HTML bodies through
+    :func:`extract_main_text` (``method=`` selects 'density'
+    boilerplate removal or the crude 'strip'), text/plain bodies
+    decoded directly.  ``doc_id`` is a stable hash of the record id +
+    URI, so re-runs key identically."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("url", T.StringType()),
@@ -239,9 +403,13 @@ def warc_text_documents(records: DataFrame,
                     pdf["warc_date"], pdf["content_type"],
                     pdf["payload"]):
                 ct = (ctype or "").lower()
-                if "html" not in ct and "text/plain" not in ct:
+                if "html" in ct:
+                    text = extract_main_text(bytes(body or b""), method)
+                elif "text/plain" in ct:
+                    text = (bytes(body or b"")
+                            .decode("utf-8", errors="replace").strip())
+                else:
                     continue
-                text = html_to_text_py(bytes(body or b""))
                 if len(text) < min_chars:
                     continue
                 # truncated blake2b, not CRC32: CRC is linear and
