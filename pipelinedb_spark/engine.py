@@ -1814,10 +1814,15 @@ class PipelineContext:
         batch.createOrReplaceTempView(stream)
 
         def run_view(rname: str):
-            """Worker + combiner for one CV; returns (osrel, rows)
-            for the SERIAL emission phase (osrel emission recursively
-            dispatches downstream CQs, so it must stay ordered and
-            unthreaded)."""
+            """Worker + combiner for one CV, plus the view's own osrel
+            SEGMENT WRITE (round-8 task 8: the write is a whole Spark
+            job, so emitting as soon as this view's merge lands
+            overlaps it with sibling merges instead of waiting for the
+            slowest view).  Returns (osrel, segment path) for the
+            SERIAL phase, which only performs downstream DISPATCH —
+            that recursively runs downstream CQ merges and must stay
+            ordered and unthreaded (two osrels feeding one downstream
+            CV must never interleave its matrel commits)."""
             cv = self.views[rname]
             pre = self._worker_input(cv.plan, stream, batch)
             osrel = f"{rname}_osrel"
@@ -1848,7 +1853,10 @@ class PipelineContext:
                 os_rows = cv.process_batch(pre, emit_changes=want_os,
                                            txn=txn)
             cv.stats.exec_ms += (time.monotonic() - t0) * 1000.0
-            return osrel, os_rows
+            seg = None
+            if os_rows is not None:
+                seg, _ = self._write_osrel_segment(osrel, os_rows)
+            return osrel, seg
 
         view_names = [r for r in readers
                       if r in self.views and self.views[r].active]
@@ -1882,9 +1890,12 @@ class PipelineContext:
 
         for rname in readers:  # serial phase, original reader order
             if rname in emissions:
-                osrel, os_rows = emissions[rname]
-                if os_rows is not None:
-                    self._emit_osrel(osrel, os_rows, _depth)
+                osrel, seg = emissions[rname]
+                if seg is not None:
+                    sd2 = self.streams.get(osrel)
+                    if sd2 is not None and sd2.readers:
+                        self._dispatch_osrel(
+                            osrel, self.spark.read.parquet(seg), _depth)
             elif rname in self.transforms:
                 t = self.transforms[rname]
                 if not t.active:
@@ -1926,12 +1937,19 @@ class PipelineContext:
         batch.createOrReplaceTempView(stream)
         return sess.sql(f"SELECT * FROM {plan.from_clause}")
 
-    def _emit_osrel(self, osrel: str, rows: DataFrame, depth: int) -> int:
-        """Append change rows to the osrel's parquet segment log.  The
-        rows never pass through the driver (reference combiner emits
-        osrel tuples executor-side, src/combiner.c:1578-1601); the row
-        count rides the write job as an Observation.  Returns the
-        number of rows emitted."""
+    def _write_osrel_segment(self, osrel: str,
+                             rows: DataFrame) -> tuple[str | None, int]:
+        """Append change rows to the osrel's parquet segment log and
+        return (segment path, rows emitted) — (None, 0) when the batch
+        emitted nothing.
+        The rows never pass through the driver (reference combiner
+        emits osrel tuples executor-side, src/combiner.c:1578-1601);
+        the row count rides the write job as an Observation.
+
+        Thread-safe across DISTINCT osrels (each view owns its osrel:
+        seq/schema/gc/stat state is per-osrel keyed), which is what
+        lets parallel_dispatch emit each view's segment as soon as its
+        own merge lands instead of after the slowest sibling."""
         from pyspark.sql import Observation
         obs = Observation()
         seq = self._osrel_seq.get(osrel, 0)
@@ -1941,7 +1959,7 @@ class PipelineContext:
         n = int(obs.get["n"])
         if n == 0:
             shutil.rmtree(seg, ignore_errors=True)
-            return 0
+            return None, 0
         self._osrel_seq[osrel] = seq + 1
         self._osrel_schema[osrel] = rows.schema
         self._osrel_gc(osrel)
@@ -1949,6 +1967,16 @@ class PipelineContext:
         owner = self.views.get(src) or self.transforms.get(src)
         if owner is not None:
             owner.stats.output_rows += n
+        return seg, n
+
+    def _emit_osrel(self, osrel: str, rows: DataFrame, depth: int) -> int:
+        """Segment write + downstream dispatch in one step (the
+        transform/ticker path; batch-parallel CV dispatch splits the
+        two so dispatch stays in reader order).  Returns rows
+        emitted."""
+        seg, n = self._write_osrel_segment(osrel, rows)
+        if seg is None:
+            return 0
         sd = self.streams.get(osrel)
         if sd is not None and sd.readers:
             # downstream CQs read the just-written segment — a stable
