@@ -61,6 +61,9 @@ from pyspark.sql import DataFrame
 
 MANIFEST = "_manifest.json"
 _VDIR_RE = re.compile(r"^v(\d+)-[0-9a-f]+$")
+# replay-tag retention, as matrel.MAX_TXN_SOURCES: sources idle for 64
+# commits have no in-flight replay to detect
+MAX_TXN_SOURCES = 64
 
 
 class IndexStore:
@@ -101,7 +104,8 @@ class IndexStore:
         return os.path.join(self.root, f".stage-{uuid.uuid4().hex[:12]}")
 
     def commit(self, staged: str, replace: bool,
-               meta: dict | None = None) -> str:
+               meta: dict | None = None,
+               txn: tuple[str, int] | None = None) -> str:
         """Publish a staged dir in one atomic manifest swap.
 
         ``replace=True`` dereferences every current dir (retrain /
@@ -110,17 +114,39 @@ class IndexStore:
         ``replace=False`` appends the dir to the live set (batch
         admit).  ``meta`` (when given) replaces the manifest meta IN
         THE SAME SWAP — drift accounting can never disagree with the
-        data it covers.  Returns the committed dir's absolute path."""
+        data it covers.  ``txn=(app_id, version)`` rides the swap too
+        (the matrel idempotent-writes pattern, matrel.py txns): a
+        replayed streaming epoch is detected by ``txn_version`` and
+        skipped instead of double-appended.  Returns the committed
+        dir's absolute path."""
         m = self.read_manifest()
         version = m["version"] + 1
         final = f"v{version:05d}-{uuid.uuid4().hex[:6]}"
         os.rename(staged, os.path.join(self.root, final))
         dirs = ([] if replace else list(m["dirs"])) + [final]
-        self._write_manifest(
-            {"version": version, "dirs": dirs,
-             "meta": meta if meta is not None else m.get("meta", {})})
+        out = {"version": version, "dirs": dirs,
+               "meta": meta if meta is not None else m.get("meta", {})}
+        txns = dict(m.get("txns", {}))
+        if txn is not None:
+            app, ver = txn
+            prev = txns.get(app)
+            txns[app] = [max(int(ver),
+                             int(prev[0] if prev is not None else -1)),
+                         version]
+            if len(txns) > MAX_TXN_SOURCES:  # bounded, most recent kept
+                txns = dict(sorted(txns.items(), key=lambda kv: kv[1][1],
+                                   reverse=True)[:MAX_TXN_SOURCES])
+        if txns:
+            out["txns"] = txns
+        self._write_manifest(out)
         self.gc()
         return os.path.join(self.root, final)
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Last epoch committed for ``app_id`` — None if never seen
+        (or evicted from the bounded tag map)."""
+        v = self.read_manifest().get("txns", {}).get(app_id)
+        return int(v[0]) if v is not None else None
 
     # -- read side -------------------------------------------------------
     def dirs(self) -> list[str]:

@@ -659,22 +659,48 @@ def lsh_index_probe(spark, path: str, new_docs: DataFrame,
 
 def lsh_index_append(spark, path: str, new_docs: DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",
-                     write_partitions: int | None = None) -> None:
+                     write_partitions: int | None = None,
+                     txn: tuple[str, int] | None = None) -> bool:
     """Add a batch's band rows to the index (dedup-then-admit flow:
     probe first, drop near-dups, append the survivors) in the same
     partitionBy(band) layout, parallelized like ``lsh_index_persist``
     (not capped at `bands` write tasks).  The batch stages under a
     temp prefix and commits via one atomic manifest swap — a
-    mid-append crash leaves no partial band rows."""
+    mid-append crash leaves no partial band rows.  ``txn=(app_id,
+    epoch)`` skips replayed streaming epochs (returns False)."""
     from ..indexstore import open_index
 
     store = open_index(path)
+    if txn is not None:
+        done = store.txn_version(txn[0])
+        if done is not None and txn[1] <= done:
+            return False
     meta = store.meta()
     banded = _banded_rows(new_docs, id_col, text_col, meta["num_hashes"],
                           meta["bands"], meta["shingle_n"])
     staged = store.stage()
     _write_band_rows(banded, staged, write_partitions)
-    store.commit(staged, replace=False)
+    store.commit(staged, replace=False, txn=txn)
+    return True
+
+
+def lsh_index_compact(spark, path: str,
+                      write_partitions: int | None = None) -> int:
+    """Rewrite the live version dirs into ONE partitionBy(band),
+    bucket-sorted dir via a replace-commit (old version readable
+    until the swap; GC grace after).  The band rows are read back
+    as-is — no re-signaturing.  Returns dirs compacted away."""
+    from ..indexstore import open_index
+
+    store = open_index(path)
+    n_dirs = len(store.dirs())
+    if n_dirs <= 1:
+        return 0
+    banded = store.read(spark)
+    staged = store.stage()
+    _write_band_rows(banded, staged, write_partitions)
+    store.commit(staged, replace=True)
+    return n_dirs
 
 
 def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,

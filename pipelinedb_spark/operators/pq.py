@@ -316,7 +316,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def ivfpq_append(spark, path: str, new_vectors: DataFrame,
-                 write_partitions: int | None = None) -> int:
+                 write_partitions: int | None = None,
+                 txn: tuple[str, int] | None = None) -> int:
     """Admit a batch into a persisted IVF-PQ index: encode with the
     FROZEN codec (`_codec.npz`) and append into the partitionBy
     layout — O(batch) per ingest, hash-repartitioned on list_id so an
@@ -337,6 +338,10 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
     from .similarity import _read_meta
 
     store = IndexStore(path)
+    if txn is not None:
+        done = store.txn_version(txn[0])
+        if done is not None and txn[1] <= done:
+            return 0  # replayed streaming epoch: already committed
     meta = _read_meta(path)
     if meta is None:
         raise ValueError(f"no index meta under {path}")
@@ -372,7 +377,7 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
     if n:
         meta["last_append_n"] = n
         meta["last_append_mean_dist"] = ds / n
-    store.commit(staged, replace=False, meta=meta)
+    store.commit(staged, replace=False, meta=meta, txn=txn)
     return n
 
 

@@ -543,7 +543,8 @@ def ivf_topk_persisted(spark, path: str, queries: DataFrame, k: int = 5,
 
 def ivf_append(spark, path: str, new_vectors: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               write_partitions: int | None = None) -> int:
+               write_partitions: int | None = None,
+               txn: tuple[str, int] | None = None) -> int:
     """Admit a batch of new embeddings into a persisted IVF index:
     vectors are assigned with the index's FROZEN centroids
     (``_centroids.npy``) and appended into the ``partitionBy(list_id)``
@@ -559,10 +560,15 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
     Durability: the batch lands in a staged dir and joins the live
     set via one atomic manifest swap CARRYING the updated drift
     accounting — a mid-append crash leaves no partial batch and no
-    accounting skew (round-8 task 1)."""
+    accounting skew (round-8 task 1).  ``txn=(app_id, epoch)`` skips
+    replayed streaming epochs (returns 0) — effectively-once ingest."""
     from pyspark.sql import Observation
 
     store = IndexStore(path)
+    if txn is not None:
+        done = store.txn_version(txn[0])
+        if done is not None and txn[1] <= done:
+            return 0
     centroids = np.load(store.artifact("_centroids.npy"))
     meta0 = _read_meta(path)
     vec_type = (meta0 or {}).get("vec_type")
@@ -608,7 +614,7 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
     if n:
         meta["last_append_n"] = n
         meta["last_append_mean_dist"] = ds / n
-    store.commit(staged, replace=False, meta=meta)
+    store.commit(staged, replace=False, meta=meta, txn=txn)
     return n
 
 

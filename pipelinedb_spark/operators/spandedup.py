@@ -52,7 +52,8 @@ from pyspark.sql import types as T
 from .dedup import _batch_token_hashes
 
 __all__ = ["window_index", "duplicated_spans", "remove_duplicated_spans",
-           "span_index_persist", "span_index_probe", "span_index_append"]
+           "span_index_persist", "span_index_probe", "span_index_append",
+           "span_index_compact"]
 
 
 def _batch_windows(texts, window: int, pos_mult, c1):
@@ -384,19 +385,50 @@ def span_index_probe(spark, path: str, new_docs: DataFrame,
 
 def span_index_append(spark, path: str, new_docs: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
-                      write_partitions: int | None = None) -> None:
+                      write_partitions: int | None = None,
+                      txn: tuple[str, int] | None = None) -> bool:
     """Admit a (cleaned) batch's windows into the index — append-mode
     parquet in the same whash-repartitioned layout.  Probe → clean →
     append is the continuous-ingest flow; appending the CLEANED text's
     windows keeps the index consistent with what the corpus actually
     retains.  The batch stages under a temp prefix and joins the live
     set via one atomic manifest swap — a mid-append crash leaves no
-    partial window batch (the ADVICE r7 commit-marker gap)."""
+    partial window batch (the ADVICE r7 commit-marker gap).
+
+    ``txn=(app_id, epoch)`` makes streaming appends effectively-once:
+    the tag rides the commit swap and a replayed epoch is skipped
+    (returns False) instead of double-indexing the batch."""
     from ..indexstore import open_index
 
     store = open_index(path)
+    if txn is not None:
+        done = store.txn_version(txn[0])
+        if done is not None and txn[1] <= done:
+            return False  # replayed epoch: already committed
     wins = window_index(new_docs, id_col, text_col,
                         store.meta()["window"])
     staged = store.stage()
     _write_window_rows(wins, staged, write_partitions)
-    store.commit(staged, replace=False)
+    store.commit(staged, replace=False, txn=txn)
+    return True
+
+
+def span_index_compact(spark, path: str,
+                       write_partitions: int | None = None) -> int:
+    """Rewrite the live version dirs into ONE whash-sorted dir (a
+    replace-commit, so the pre-compaction index stays readable until
+    the swap and under GC grace after it).  Continuous ingest appends
+    one version dir per epoch; compaction restores single-dir probe
+    listings without re-hashing any text — the window rows are read
+    back as-is.  Returns the number of dirs compacted away."""
+    from ..indexstore import open_index
+
+    store = open_index(path)
+    n_dirs = len(store.dirs())
+    if n_dirs <= 1:
+        return 0
+    wins = store.read(spark)
+    staged = store.stage()
+    _write_window_rows(wins, staged, write_partitions)
+    store.commit(staged, replace=True)
+    return n_dirs

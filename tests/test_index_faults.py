@@ -426,3 +426,79 @@ def test_inflight_version_dirs_never_collected(tmp_path):
     os.makedirs(inflight)
     s.gc()
     assert os.path.exists(inflight)
+
+
+def test_append_compaction_preserves_probe_results(spark, tmp_path):
+    """Continuous ingest accumulates one version dir per epoch;
+    span/lsh compaction rewrites them into one dir via a
+    replace-commit without changing any probe result."""
+    from pipelinedb_spark.indexstore import open_index
+    from pipelinedb_spark.operators.spandedup import (
+        span_index_append, span_index_compact, span_index_persist,
+        span_index_probe)
+
+    path = str(tmp_path / "span")
+    words = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    span_index_persist(corpus, path, window=5)
+    for i in range(3):
+        extra = spark.createDataFrame(
+            [(10 + i, f"unique {i} " * 10 + words[:60])],
+            "doc_id long, text string")
+        span_index_append(spark, path, extra)
+    assert len(open_index(path).dirs()) == 4
+
+    probe = spark.createDataFrame([(99, words)], "doc_id long, text string")
+
+    def spans():
+        return sorted((r["doc_id"], r["span_start"], r["span_end"])
+                      for r in span_index_probe(spark, path, probe)
+                      .collect())
+
+    pre = spans()
+    assert span_index_compact(spark, path) == 4
+    assert len(open_index(path).dirs()) == 1
+    assert spans() == pre
+    assert span_index_compact(spark, path) == 0  # already compact
+
+    from pipelinedb_spark.operators.dedup import (lsh_index_append,
+                                                  lsh_index_compact,
+                                                  lsh_index_persist,
+                                                  lsh_index_probe)
+    lpath = str(tmp_path / "lsh")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} " * 6) for i in range(8)],
+        "doc_id long, text string")
+    lsh_index_persist(docs, lpath, num_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta 1 " * 6)],
+        "doc_id long, text string")
+    lsh_index_append(spark, lpath, batch)
+
+    def cands():
+        return sorted((r["corpus_id"], r["new_id"]) for r in
+                      lsh_index_probe(spark, lpath, batch).collect())
+
+    pre = cands()
+    assert lsh_index_compact(spark, lpath) == 2
+    assert len(open_index(lpath).dirs()) == 1
+    assert cands() == pre
+
+
+def test_index_append_txn_replay_skipped(spark, tmp_path):
+    """IndexStore txn tags (the matrel idempotent-writes pattern):
+    a replayed streaming epoch is skipped by every append operator."""
+    from pipelinedb_spark.operators.similarity import (ivf_append,
+                                                       ivf_persist)
+
+    path = str(tmp_path / "ivf")
+    ivf_persist(_vecs(spark, 30), path, n_lists=2)
+    batch = _vecs(spark, 10, id0=500)
+    assert ivf_append(spark, path, batch, txn=("src", 1)) == 10
+    assert ivf_append(spark, path, batch, txn=("src", 1)) == 0  # replay
+    assert ivf_append(spark, path, batch, txn=("src", 0)) == 0  # older
+    assert len(_index_rows(spark, path)) == 40
+    assert ivf_append(spark, path, _vecs(spark, 5, id0=900),
+                      txn=("src", 2)) == 5
+    assert open_index(path).txn_version("src") == 2
+    assert open_index(path).txn_version("other") is None
