@@ -11,10 +11,14 @@ Scope (the corpus-dominant profiles): baseline sequential DCT (SOF0,
 single- or multi-scan) AND progressive DCT (SOF2: spectral selection +
 successive approximation per T.81 Annex G — interleaved/non-interleaved
 DC scans, per-component AC band scans with EOB runs, DC/AC refinement
-scans with correction bits), 8-bit samples, Huffman coding, 1 or 3
-components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
-intervals.  Arithmetic coding, 12-bit, and hierarchical modes raise
-NotImplementedError — production swaps in PIL for those.
+scans with correction bits), 8- or 12-bit samples (12-bit scales down
+to the uint8 pixel contract), Huffman coding, 1 or 3 components, any
+sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals, AND
+lossless sequential (SOF3, T.81 Annex H: predictors 1-7, point
+transform, 2-16-bit precision, modulo-2^16 reconstruction).
+Arithmetic coding and hierarchical modes raise NotImplementedError —
+the Pillow backend (multimodal.decode_pixels backend='pil') covers
+those where installed.
 
 The hot path is vectorized where it matters: the IDCT is one
 einsum over ALL blocks of a component (separable orthonormal DCT-II
@@ -39,13 +43,15 @@ _DCT_A = np.array([[(np.sqrt(1 / 8) if k == 0 else 0.5)
                     for n in range(8)] for k in range(8)])
 
 
-def idct_blocks(coefs: np.ndarray) -> np.ndarray:
+def idct_blocks(coefs: np.ndarray, precision: int = 8) -> np.ndarray:
     """(n, 8, 8) dequantized coefficient blocks → (n, 8, 8) spatial
-    samples (level-shifted +128, clipped to uint8).  One einsum for
-    all blocks — no per-block Python loop."""
+    samples (level-shifted +2^(P−1), clipped to [0, 2^P−1]).  One
+    einsum for all blocks — no per-block Python loop."""
     spatial = np.einsum("ki,nkl,lj->nij", _DCT_A, coefs, _DCT_A,
                         optimize=True)
-    return np.clip(np.round(spatial + 128), 0, 255).astype(np.uint8)
+    shift = 1 << (precision - 1)
+    out = np.clip(np.round(spatial + shift), 0, (1 << precision) - 1)
+    return out.astype(np.uint8 if precision == 8 else np.int32)
 
 
 class _BitReader:
@@ -172,9 +178,10 @@ def _next_marker(p: bytes, start: int) -> int:
 
 
 def decode_jpeg_py(p: bytes):
-    """Baseline or progressive JPEG → (h, w, c) uint8 array (c = 1
-    gray, 3 RGB).  Returns None when the payload is not a JPEG; raises
-    NotImplementedError for arithmetic/12-bit/hierarchical streams."""
+    """Baseline, progressive, or lossless (SOF3) JPEG → (h, w, c)
+    uint8 array (c = 1 gray, 3 RGB; >8-bit precision scales down).
+    Returns None when the payload is not a JPEG; raises
+    NotImplementedError for arithmetic/hierarchical streams."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -184,6 +191,8 @@ def decode_jpeg_py(p: bytes):
     h = w = None
     restart_interval = 0
     progressive = False
+    lossless = False
+    precision = 8
     scan_seen = False
     mcux = mcuy = 0
     i = 2
@@ -203,16 +212,21 @@ def decode_jpeg_py(p: bytes):
             j = 0
             while j < len(body):
                 prec, tid = body[j] >> 4, body[j] & 0x0F
-                if prec:
-                    raise NotImplementedError("16-bit quant tables")
                 tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(body, np.uint8, 64, j + 1)
+                if prec:   # 16-bit entries (12-bit sample precision)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        body, ">u2", 64, j + 1).astype(np.int32)
+                    j += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(body, np.uint8, 64,
+                                                j + 1)
+                    j += 65
                 qt[tid] = tbl.reshape(8, 8)
-                j += 65
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
-            if body[0] != 8:
-                raise NotImplementedError("non-8-bit JPEG")
+            if body[0] not in (8, 12):  # T.81: DCT modes are 8/12-bit
+                raise NotImplementedError(f"{body[0]}-bit DCT JPEG")
+            precision = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             # allocation guard: coefficient arrays are sized by the
@@ -231,12 +245,31 @@ def decode_jpeg_py(p: bytes):
                         f"invalid JPEG sampling factors 0x{hv:02x}")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq, "dc_done": False})
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:  # SOF3: lossless sequential (Annex H)
+            lossless = True
+            precision = body[0]
+            if not 2 <= precision <= 16:
+                raise ValueError(f"bad lossless precision {precision}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if w < 1 or h < 1 or w * h > 64 * 1024 * 1024:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if nc > 1 and hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG (all-1x1 only)")
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
+                              "dc_done": False})
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                "and progressive Huffman decode without codec "
-                "libraries")
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential, "
+                "progressive, and lossless (SOF3) Huffman decode "
+                "without codec libraries")
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(body):
@@ -260,6 +293,25 @@ def decode_jpeg_py(p: bytes):
                 scan.append(comp)
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if lossless:
+                # Annex H reuses the scan header: Ss = predictor
+                # selector, Al = point transform
+                if not 1 <= ss <= 7:
+                    raise ValueError(f"bad lossless predictor {ss}")
+                if al >= precision:
+                    raise ValueError("point transform >= precision")
+                if not scan_seen:
+                    for c in comps:
+                        c["sam"] = np.zeros((h, w), dtype=np.int64)
+                        c["pt"] = al
+                    scan_seen = True
+                for c in scan:
+                    c["dc_done"] = True
+                _decode_lossless_scan(p, i + 2 + seg_len, scan,
+                                      huff_dc, restart_interval,
+                                      ss, al, precision, w, h)
+                i = _next_marker(p, i + 2 + seg_len)
+                continue
             if not progressive:
                 ss, se, ah, al = 0, 63, 0, 0
             if ss > 0 and ns != 1:
@@ -287,7 +339,83 @@ def decode_jpeg_py(p: bytes):
         raise ValueError(
             f"JPEG scan coverage incomplete: component(s) {missing} "
             "never received a DC scan (truncated multi-scan stream)")
-    return _finalize(comps, qt, w, h)
+    if lossless:
+        # no DCT, no color transform: T.81 defines none for lossless
+        # (DNG-style writers store component data as-is); >8-bit
+        # precision scales down to the uint8 pixel contract
+        planes = []
+        for c in comps:
+            full = c["sam"] << c["pt"]
+            if precision > 8:
+                full = full >> (precision - 8)
+            planes.append(np.clip(full, 0, 255).astype(np.uint8))
+        return np.stack(planes, axis=-1)
+    return _finalize(comps, qt, w, h, precision)
+
+
+def _lossless_predict(s, x, y, pred_sel):
+    """T.81 H.1.2.1 predictors over the point-transformed samples:
+    a = left, b = above, c = above-left.  First line falls back to
+    predictor 1, first column to predictor 2 (H.1.2.2)."""
+    if y == 0:
+        return int(s[0, x - 1])          # first line: predictor 1
+    if x == 0:
+        return int(s[y - 1, 0])          # first column: predictor 2
+    a = int(s[y, x - 1])
+    b = int(s[y - 1, x])
+    c = int(s[y - 1, x - 1])
+    if pred_sel == 1:
+        return a
+    if pred_sel == 2:
+        return b
+    if pred_sel == 3:
+        return c
+    if pred_sel == 4:
+        return a + b - c
+    if pred_sel == 5:
+        return a + ((b - c) >> 1)
+    if pred_sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1                  # predictor 7
+
+
+def _decode_lossless_scan(p, pos, scan, huff_dc, restart_interval,
+                          pred_sel, pt, precision, w, h):
+    """Lossless sequential scan (T.81 Annex H): one sample per
+    component per MCU, Huffman magnitude category from the DC table +
+    EXTEND difference, modulo-2^16 reconstruction in the
+    point-transformed domain.  After a restart marker the prediction
+    resets to the scan-start default for the next sample (the PVRG /
+    libjpeg lossless convention), then neighbor prediction resumes.
+    Samples are stored point-transformed; the caller applies << Pt."""
+    br = _BitReader(p, pos)
+    default = 1 << (precision - pt - 1)
+    tabs = []
+    for c in scan:
+        if c["td"] not in huff_dc:
+            raise ValueError(f"undeclared DC table {c['td']}")
+        tabs.append(huff_dc[c["td"]])
+    sams = [c["sam"] for c in scan]
+    reset = True
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_restart()
+                reset = True
+            for tab, s in zip(tabs, sams):
+                t = tab.decode(br)
+                if t == 16:          # H.2: no appended bits, diff=32768
+                    diff = 32768
+                elif t == 0:
+                    diff = 0
+                else:
+                    diff = _extend(br.read(t), t)
+                px = default if reset else _lossless_predict(
+                    s, x, y, pred_sel)
+                s[y, x] = (px + diff) & 0xFFFF
+            reset = False
+            mcu += 1
 
 
 def _init_coefs(comps, w, h):
@@ -433,13 +561,15 @@ def _refine_ac(br, blk, ac_tbl, ss, se, al, eob):
         eob[0] -= 1
 
 
-def _finalize(comps, qt, w, h):
+def _finalize(comps, qt, w, h, precision: int = 8):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         deq = c["coef"] * qt[c["tq"]][None, :, :]
-        spatial = idct_blocks(deq)
+        spatial = idct_blocks(deq, precision)
+        if precision > 8:   # 12-bit sample precision → uint8 contract
+            spatial = (spatial >> (precision - 8)).astype(np.uint8)
         bh, bw = c["bh"], c["bw"]
         plane = spatial.reshape(bh, bw, 8, 8).transpose(
             0, 2, 1, 3).reshape(bh * 8, bw * 8)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1250,15 +1251,73 @@ def resize_images(df: DataFrame, out_h: int, out_w: int,
     return df.mapInPandas(kernel, RESIZED_SCHEMA)
 
 
+# IMA/DVI ADPCM reference tables (IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility", public domain algorithm)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int32)
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """IMA ADPCM 'data' bytes → int16-range int32 samples shaped
+    (n, channels).  Blocks are independent, so the sequential nibble
+    recursion runs vectorized ACROSS blocks×channels — the per-step
+    Python loop is samples-per-block long, not total-samples long."""
+    if block_align < 4 * channels + 4 * channels:
+        raise ValueError(f"implausible ADPCM block_align {block_align}")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros((0, channels), dtype=np.int32)
+    raw = np.frombuffer(data, np.uint8,
+                        nblocks * block_align).reshape(nblocks, -1)
+    hdr = raw[:, :4 * channels].reshape(nblocks, channels, 4)
+    pred = (hdr[:, :, 0].astype(np.int32)
+            | (hdr[:, :, 1].astype(np.int32) << 8))
+    pred = (pred ^ 0x8000) - 0x8000          # sign-extend int16
+    idx = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = raw[:, 4 * channels:]
+    ngroups = body.shape[1] // (4 * channels)
+    body = body[:, :ngroups * 4 * channels].reshape(
+        nblocks, ngroups, channels, 4)
+    nib = np.empty((nblocks, ngroups, channels, 8), np.uint8)
+    nib[..., 0::2] = body & 0x0F             # low nibble first
+    nib[..., 1::2] = body >> 4
+    out = np.empty((nblocks, channels, 1 + ngroups * 8), np.int32)
+    out[:, :, 0] = pred                      # header predictor = sample 0
+    for t in range(ngroups * 8):
+        g, k = divmod(t, 8)
+        n = nib[:, g, :, k].astype(np.int32)
+        step = _IMA_STEP[idx]
+        diff = ((step >> 3)
+                + np.where(n & 1, step >> 2, 0)
+                + np.where(n & 2, step >> 1, 0)
+                + np.where(n & 4, step, 0))
+        pred = np.clip(np.where(n & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX[n], 0, 88)
+        out[:, :, t + 1] = pred
+    return out.transpose(0, 2, 1).reshape(-1, channels)
+
+
 def decode_wav_py(p: bytes):
-    """RIFF/WAVE PCM → (samples float64 in [-1, 1] shaped (n, ch),
-    sample_rate).  8/16/32-bit integer and 32/64-bit float PCM.
+    """RIFF/WAVE → (samples float64 in [-1, 1] shaped (n, ch),
+    sample_rate).  8/16/32-bit integer PCM, 32/64-bit float PCM, and
+    IMA/DVI ADPCM (format 0x11; the 'fact' chunk trims block padding).
     Returns None when the payload is not a WAV; raises
-    NotImplementedError for compressed codecs (ADPCM, mp3-in-wav)."""
+    NotImplementedError for other compressed codecs (MS-ADPCM,
+    mp3-in-wav)."""
     import numpy as np
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
     i, fmt_code, channels, rate, bits = 12, None, None, None, None
+    block_align, fact_samples = 0, None
     data = None
     while i + 8 <= len(p):
         cid = p[i:i + 4]
@@ -1267,7 +1326,10 @@ def decode_wav_py(p: bytes):
             fmt_code = int.from_bytes(p[i + 8:i + 10], "little")
             channels = int.from_bytes(p[i + 10:i + 12], "little")
             rate = int.from_bytes(p[i + 12:i + 16], "little")
+            block_align = int.from_bytes(p[i + 20:i + 22], "little")
             bits = int.from_bytes(p[i + 22:i + 24], "little")
+        elif cid == b"fact":
+            fact_samples = int.from_bytes(p[i + 8:i + 12], "little")
         elif cid == b"data":
             data = p[i + 8:i + 8 + clen]
         i += 8 + clen + (clen & 1)
@@ -1276,10 +1338,15 @@ def decode_wav_py(p: bytes):
     if channels < 1 or rate < 1:
         raise ValueError(
             f"corrupt WAV fmt chunk: channels={channels} rate={rate}")
+    if fmt_code == 0x11:  # IMA/DVI ADPCM
+        s = _ima_adpcm_decode(data, channels, block_align)
+        if fact_samples is not None:
+            s = s[:fact_samples]
+        return s.astype(np.float64) / 32768.0, rate
     if fmt_code not in (1, 3):  # PCM / IEEE float
         raise NotImplementedError(
-            f"WAV format {fmt_code}: only PCM and float decode "
-            "without codec libraries")
+            f"WAV format {fmt_code}: only PCM, float, and IMA ADPCM "
+            "decode without codec libraries")
     if fmt_code == 3:
         dt = {32: "<f4", 64: "<f8"}.get(bits)
         if dt is None:

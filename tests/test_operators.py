@@ -1229,10 +1229,16 @@ def test_decode_jpeg_420_restart_and_progressive_gate():
     prog[idx + 1] = 0xC2
     got2 = decode_jpeg_py(bytes(prog))
     assert np.array_equal(got2, decode_jpeg_py(base_payload))
-    # lossless (SOF3) stays honestly gated
+    # arithmetic coding (SOF9) stays honestly gated; a DCT stream
+    # relabeled SOF3 (lossless, now implemented — test_r8_fixes.py)
+    # is rejected as malformed, not silently decoded
+    arith = bytearray(_make_jpeg(smooth))
+    arith[idx + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg_py(bytes(arith))
     loss = bytearray(_make_jpeg(smooth))
     loss[idx + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    with pytest.raises(ValueError):  # Ss=0 is no lossless predictor
         decode_jpeg_py(bytes(loss))
 
 

@@ -252,10 +252,13 @@ def test_pil_dispatch_plumbing_with_fake_backend(spark, monkeypatch):
         def __array__(self, dtype=None):
             return self._a
 
+    opened = []
+
     def _open(fp):
         data = fp.read()
         arr = mm.decode_bmp_py(data)
         assert arr is not None
+        opened.append(1)
         return _FakeIm(arr)
 
     fake_image = types.ModuleType("PIL.Image")
@@ -269,6 +272,7 @@ def test_pil_dispatch_plumbing_with_fake_backend(spark, monkeypatch):
     assert mm.resolve_decode_backend("auto") == "pil"
     fmt, arr = mm._decode_any(payload, "pil")
     assert fmt == "bmp"
+    assert opened, "PIL path fell back silently — _decode_pil never ran"
     np.testing.assert_array_equal(arr, img)
 
     df = spark.createDataFrame([(1, bytearray(payload))],
@@ -314,3 +318,398 @@ def test_pil_backend_parity_with_pure_decoders(spark):
                 a_pil[..., :3] if a_pil.shape[-1] > a_pure.shape[-1]
                 else a_pil, a_pure if a_pil.shape == a_pure.shape
                 else a_pure[..., :3])
+
+
+# --------------------------------------------- lossless JPEG (SOF3)
+
+def _make_lossless_jpeg(img, pred_sel=1, pt=0, precision=8, restart=0):
+    """Minimal lossless-JPEG encoder (T.81 Annex H writer oracle):
+    canonical fixed-length Huffman table over the used magnitude
+    categories, modulo-2^16 differences in the point-transformed
+    domain, optional restart intervals (prediction resets to the
+    scan-start default for the next sample)."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.int64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    sp = arr >> pt
+    default = 1 << (precision - pt - 1)
+
+    events, syms = [], set()
+    reset, mcu = True, 0
+    for y in range(h):
+        for x in range(w):
+            if restart and mcu and mcu % restart == 0:
+                events.append(("rst", (mcu // restart - 1) % 8))
+                reset = True
+            for ci in range(nc):
+                s = sp[:, :, ci]
+                if reset:
+                    px = default
+                elif y == 0:
+                    px = int(s[0, x - 1])
+                elif x == 0:
+                    px = int(s[y - 1, 0])
+                else:
+                    a, b, c = (int(s[y, x - 1]), int(s[y - 1, x]),
+                               int(s[y - 1, x - 1]))
+                    px = [None, a, b, c, a + b - c, a + ((b - c) >> 1),
+                          b + ((a - c) >> 1), (a + b) >> 1][pred_sel]
+                d = (int(s[y, x]) - px) & 0xFFFF
+                if d == 32768:
+                    events.append((ci, 16, 0, 0))
+                    syms.add(16)
+                    continue
+                if d > 32768:
+                    d -= 65536
+                t = int(abs(d)).bit_length()
+                extra = d if d >= 0 else d + (1 << t) - 1
+                events.append((ci, t, extra, t))
+                syms.add(t)
+            reset = False
+            mcu += 1
+
+    ss = sorted(syms)
+    L = max(2, (len(ss) + 1).bit_length())
+    bits = [0] * 16
+    bits[L - 1] = len(ss)
+    codes = {s: (i, L) for i, s in enumerate(ss)}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(marker + (len(body) + 2).to_bytes(2, "big") + body)
+
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    seg(b"\xff\xc3", sof)
+    seg(b"\xff\xc4", bytes([0]) + bytes(bits) + bytes(ss))
+    if restart:
+        seg(b"\xff\xdd", restart.to_bytes(2, "big"))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([pred_sel, 0, pt])
+    seg(b"\xff\xda", sos)
+
+    acc, nb = 0, 0
+
+    def put(code, ln):
+        nonlocal acc, nb
+        acc = (acc << ln) | code
+        nb += ln
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    def flush():
+        nonlocal acc, nb
+        if nb:
+            put((1 << (8 - nb)) - 1, 8 - nb)
+
+    for ev in events:
+        if ev[0] == "rst":
+            flush()
+            out.extend(bytes([0xFF, 0xD0 + ev[1]]))
+            continue
+        ci, t, extra, n_extra = ev
+        code, ln = codes[t]
+        put(code, ln)
+        if n_extra:
+            put(extra, n_extra)
+    flush()
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_lossless_jpeg_exact_roundtrip_all_predictors():
+    """SOF3 decode (T.81 Annex H): bit-exact reconstruction for every
+    predictor, grayscale and 3-component, under a hostile-value
+    image (extremes maximize |diff| categories)."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    rng = np.random.RandomState(21)
+    gray = rng.randint(0, 256, (13, 9)).astype(np.int64)
+    gray[0, :] = 255
+    gray[1, :] = 0                      # max-category diffs
+    for pred in range(1, 8):
+        got = decode_jpeg_py(_make_lossless_jpeg(gray, pred_sel=pred))
+        np.testing.assert_array_equal(got[:, :, 0], gray)
+        assert got.shape == (13, 9, 1)
+
+    rgb = rng.randint(0, 256, (8, 11, 3)).astype(np.int64)
+    got = decode_jpeg_py(_make_lossless_jpeg(rgb, pred_sel=4))
+    np.testing.assert_array_equal(got, rgb)  # no color transform
+
+
+def test_lossless_jpeg_point_transform_restart_and_16bit():
+    import numpy as np
+
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (9, 9)).astype(np.int64)
+    # point transform: decoder returns (x >> pt) << pt exactly
+    got = decode_jpeg_py(_make_lossless_jpeg(img, pred_sel=7, pt=2))
+    np.testing.assert_array_equal(got[:, :, 0], (img >> 2) << 2)
+
+    # restart interval: prediction resets mid-row, still exact
+    got = decode_jpeg_py(_make_lossless_jpeg(img, pred_sel=5,
+                                             restart=7))
+    np.testing.assert_array_equal(got[:, :, 0], img)
+
+    # 16-bit precision scales to the uint8 pixel contract
+    deep = rng.randint(0, 1 << 16, (6, 7)).astype(np.int64)
+    got = decode_jpeg_py(_make_lossless_jpeg(deep, precision=16))
+    np.testing.assert_array_equal(got[:, :, 0], deep >> 8)
+
+    # hostile headers: bad predictor rejected before any decode
+    bad = bytearray(_make_lossless_jpeg(img))
+    i = bad.find(b"\xff\xda")
+    bad[i + 2 + 2 + 1 + 2] = 0          # Ss(predictor) := 0
+    with pytest.raises(ValueError):
+        decode_jpeg_py(bytes(bad))
+
+
+def test_12bit_jpeg_decodes_and_scales_to_uint8():
+    """12-bit extended sequential JPEG (SOF1, 16-bit quant tables):
+    with unit quant the decode reproduces the 12-bit samples within
+    DCT roundtrip error, scaled to the uint8 contract."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.jpeg import ZIGZAG, _DCT_A, \
+        decode_jpeg_py
+
+    rng = np.random.RandomState(11)
+    h, w = 16, 16
+    img12 = rng.randint(0, 4096, (h, w)).astype(np.float64)
+
+    # --- minimal 12-bit grayscale encoder (writer oracle) ----------
+    blocks = (img12 - 2048.0).reshape(h // 8, 8, w // 8, 8) \
+        .transpose(0, 2, 1, 3)
+    coef = np.round(np.einsum("ik,yxkl,jl->yxij", _DCT_A, blocks,
+                              _DCT_A)).astype(np.int64)
+    zz = ZIGZAG
+
+    def cat(v):
+        return int(abs(v)).bit_length()
+
+    events, dc_syms, ac_syms = [], set(), set()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            seq = coef[by, bx].reshape(64)[zz]
+            diff = int(seq[0]) - pred
+            pred = int(seq[0])
+            t = cat(diff)
+            dc_syms.add(t)
+            events.append(("dc", t, diff if diff >= 0
+                           else diff + (1 << t) - 1, t))
+            run = 0
+            for k in range(1, 64):
+                v = int(seq[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    events.append(("ac", 0xF0, 0, 0))
+                    run -= 16
+                s = cat(v)
+                ac_syms.add((run << 4) | s)
+                events.append(("ac", (run << 4) | s,
+                               v if v >= 0 else v + (1 << s) - 1, s))
+                run = 0
+            if run:
+                ac_syms.add(0x00)
+                events.append(("ac", 0x00, 0, 0))
+
+    def table(syms):
+        ss = sorted(syms)
+        ln = max(2, (len(ss) + 1).bit_length())
+        bits = [0] * 16
+        bits[ln - 1] = len(ss)
+        return bits, ss, {s: (i, ln) for i, s in enumerate(ss)}
+
+    dct, act = table(dc_syms), table(ac_syms)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(m, body):
+        out.extend(m + (len(body) + 2).to_bytes(2, "big") + body)
+
+    # 16-bit unit quant table (prec nibble = 1)
+    seg(b"\xff\xdb", bytes([0x10]) + b"\x00\x01" * 64)
+    seg(b"\xff\xc1", bytes([12]) + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    seg(b"\xff\xc4", bytes([0x00]) + bytes(dct[0]) + bytes(dct[1]))
+    seg(b"\xff\xc4", bytes([0x10]) + bytes(act[0]) + bytes(act[1]))
+    seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+
+    acc, nb = 0, 0
+
+    def put(code, ln):
+        nonlocal acc, nb
+        acc = (acc << ln) | code
+        nb += ln
+        while nb >= 8:
+            b = (acc >> (nb - 8)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    for kind, sym, extra, n_extra in events:
+        code, ln = (dct if kind == "dc" else act)[2][sym]
+        put(code, ln)
+        if n_extra:
+            put(extra, n_extra)
+    if nb:
+        put((1 << (8 - nb)) - 1, 8 - nb)
+    out.extend(b"\xff\xd9")
+
+    got = decode_jpeg_py(bytes(out))
+    assert got.shape == (h, w, 1) and got.dtype == np.uint8
+    want = np.clip(img12, 0, 4095).astype(np.int64) >> 4
+    diff = np.abs(got[:, :, 0].astype(np.int64) - want)
+    # float-DCT roundtrip noise at 12 bits is ±2 LSB12 ≈ ≤1 after >>4
+    assert diff.max() <= 1, diff.max()
+
+
+# --------------------------------------------- IMA ADPCM WAV
+
+def _ima_encode(samples, channels, block_align):
+    """Reference IMA ADPCM encoder (writer oracle).  Returns (data
+    bytes, reconstructed int16 samples) — ADPCM is lossy, so the
+    decoder is checked bit-exactly against the ENCODER's own
+    reconstruction, the algorithm's defining property."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.multimodal import (_IMA_INDEX,
+                                                       _IMA_STEP)
+
+    spb = 1 + (block_align - 4 * channels) // (4 * channels) * 8
+    n = len(samples)
+    nblocks = -(-n // spb)
+    pad = np.zeros((nblocks * spb, channels), dtype=np.int32)
+    pad[:n] = samples
+    out = bytearray()
+    recon = np.empty_like(pad)
+    for bi in range(nblocks):
+        blk = pad[bi * spb:(bi + 1) * spb]
+        preds, idxs, nibs = [], [], [[] for _ in range(channels)]
+        for ch in range(channels):
+            pred = int(blk[0, ch])
+            idx = 0
+            preds.append(pred)
+            recon[bi * spb, ch] = pred
+            for t in range(1, spb):
+                step = int(_IMA_STEP[idx])
+                d = int(blk[t, ch]) - pred
+                nibble = 0
+                if d < 0:
+                    nibble = 8
+                    d = -d
+                if d >= step:
+                    nibble |= 4
+                    d -= step
+                if d >= step >> 1:
+                    nibble |= 2
+                    d -= step >> 1
+                if d >= step >> 2:
+                    nibble |= 1
+                diff = (step >> 3) + ((step >> 2) if nibble & 1 else 0) \
+                    + ((step >> 1) if nibble & 2 else 0) \
+                    + (step if nibble & 4 else 0)
+                pred = pred - diff if nibble & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(_IMA_INDEX[nibble])))
+                nibs[ch].append(nibble)
+                recon[bi * spb + t, ch] = pred
+            if ch == 0:
+                idxs.append(0)
+        for ch in range(channels):
+            p0 = preds[ch] & 0xFFFF
+            out.extend(bytes([p0 & 0xFF, p0 >> 8, 0, 0]))
+        ngroups = (spb - 1) // 8
+        for g in range(ngroups):
+            for ch in range(channels):
+                for b in range(4):
+                    lo = nibs[ch][g * 8 + 2 * b]
+                    hi = nibs[ch][g * 8 + 2 * b + 1]
+                    out.append(lo | (hi << 4))
+    return bytes(out), recon[:n]
+
+
+def test_ima_adpcm_wav_decodes_exactly_as_encoder_reconstruction():
+    import numpy as np
+
+    from pipelinedb_spark.operators.multimodal import decode_wav_py
+
+    rng = np.random.RandomState(8)
+    rate = 8000
+    t = np.arange(1000)
+    mono = (np.sin(2 * np.pi * 440 * t / rate) * 12000
+            + rng.randint(-500, 500, len(t))).astype(np.int32)[:, None]
+    block_align = 256          # header 4 + 252 bytes = 505 samples/blk
+    data, recon = _ima_encode(mono, 1, block_align)
+
+    def wav(payload, channels, n_samples):
+        fmt = (int(0x11).to_bytes(2, "little")
+               + channels.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * block_align // 505).to_bytes(4, "little")
+               + block_align.to_bytes(2, "little")
+               + (4).to_bytes(2, "little"))
+        fact = n_samples.to_bytes(4, "little")
+        body = (b"WAVE"
+                + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"fact" + len(fact).to_bytes(4, "little") + fact
+                + b"data" + len(payload).to_bytes(4, "little") + payload)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    got, got_rate = decode_wav_py(wav(data, 1, len(mono)))
+    assert got_rate == rate and got.shape == (len(mono), 1)
+    np.testing.assert_array_equal(
+        np.round(got * 32768.0).astype(np.int32), recon)
+    # the lossy reconstruction still tracks the waveform
+    err = np.abs(got[:, 0] * 32768.0 - mono[:, 0])
+    assert np.median(err) < 600
+
+    # stereo: interleaved 4-byte channel groups
+    stereo = np.stack([mono[:, 0], -mono[:, 0]], axis=1)
+    data2, recon2 = _ima_encode(stereo, 2, 512)
+
+    def wav2(payload, n_samples):
+        fmt = (int(0x11).to_bytes(2, "little")
+               + (2).to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate).to_bytes(4, "little")
+               + (512).to_bytes(2, "little")
+               + (4).to_bytes(2, "little"))
+        fact = n_samples.to_bytes(4, "little")
+        body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"fact" + len(fact).to_bytes(4, "little") + fact
+                + b"data" + len(payload).to_bytes(4, "little") + payload)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    got2, _ = decode_wav_py(wav2(data2, len(stereo)))
+    assert got2.shape == (len(stereo), 2)
+    np.testing.assert_array_equal(
+        np.round(got2 * 32768.0).astype(np.int32), recon2)
+
+    # other compressed codecs stay honestly gated
+    bad = bytearray(wav(data, 1, len(mono)))
+    bad[20:22] = (2).to_bytes(2, "little")      # MS-ADPCM
+    with pytest.raises(NotImplementedError):
+        decode_wav_py(bytes(bad))
