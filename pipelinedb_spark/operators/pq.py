@@ -323,7 +323,7 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
     layout — O(batch) per ingest, hash-repartitioned on list_id so an
     append writes ≈ one file per touched list (the ivf_append
     contract).  Coarse-assignment drift accounting rides the write
-    job's Observation into ``_meta.json`` exactly as
+    job's Observation into the store manifest exactly as
     similarity.ivf_append does; check it with :func:`ivfpq_staleness`
     and re-persist with a fresh codec when the ratio climbs (PQ adds
     a second drift surface — the RESIDUAL codebooks — but residuals

@@ -463,7 +463,7 @@ def ivf_persist(corpus: DataFrame, path: str,
     the files, enforced by the storage layout.
 
     The build also records the corpus mean assignment distance
-    (1 − cosine to the nearest centroid) in ``_meta.json`` — the
+    (1 − cosine to the nearest centroid) in the store manifest — the
     baseline that ``ivf_staleness`` compares appended batches against
     to signal centroid drift.  The distance rides the write job as an
     Observation (no extra pass)."""
@@ -620,7 +620,7 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
 
 def ivf_staleness(path: str) -> dict:
     """Centroid-drift signal for a persisted IVF index, O(1) — reads
-    only ``_meta.json``, no vectors.  Returns ``build_mean_dist``
+    only the store manifest, no vectors.  Returns ``build_mean_dist``
     (mean 1−cosine assignment distance at index build),
     ``appended_mean_dist`` (same over every ``ivf_append`` batch since
     build/retrain), and ``ratio`` = appended/build.  A ratio well
@@ -631,7 +631,7 @@ def ivf_staleness(path: str) -> dict:
     meta = _read_meta(path)
     if meta is None:
         raise ValueError(
-            f"no _meta.json under {path}: index predates staleness "
+            f"no index manifest under {path}: index predates staleness "
             "accounting — re-run ivf_persist/ivf_retrain")
     build = float(meta.get("build_mean_dist", 0.0))
     n = int(meta.get("appended_n", 0))

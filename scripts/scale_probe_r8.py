@@ -69,6 +69,7 @@ def main() -> None:
         assert got == n, (got, n)
         return n
 
+    run_dsir(args.small)       # warmup: JIT, Arrow pools, broadcast
     n_s, t_small = _timed(lambda: run_dsir(args.small))
     n_b, t_big = _timed(lambda: run_dsir(args.big))
     out["dsir_sample_largen"] = {
@@ -108,6 +109,7 @@ def main() -> None:
         assert res.agg(F.min("n_chars")).first()[0] > 500
         return n_pages
 
+    run_extract(2_000)         # warmup
     _, te_small = _timed(lambda: run_extract(2_000))
     _, te_big = _timed(lambda: run_extract(20_000))
     out["extract_main_text"] = {
@@ -140,6 +142,7 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
         return t
 
+    append_cost(args.small)    # warmup
     ta_small = append_cost(args.small)
     ta_big = append_cost(args.big)
     out["span_append_vs_index_size"] = {
