@@ -1306,13 +1306,97 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
     return out.transpose(0, 2, 1).reshape(-1, channels)
 
 
+# MS-ADPCM (WAVE format 2) fixed tables (public Microsoft
+# "Multimedia Standards Update" spec / libsndfile ms_adpcm)
+_MS_COEFS = np.array([[256, 0], [512, -256], [0, 0], [192, 64],
+                      [240, 0], [460, -208], [392, -232]],
+                     dtype=np.int64)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230],
+                     dtype=np.int64)
+
+
+def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """MS-ADPCM 'data' bytes → int16-range samples (n, channels),
+    vectorized across blocks (per-nibble recursion runs over a
+    (nblocks, channels) state, as the IMA decoder)."""
+    hdr_len = 7 * channels
+    if block_align <= hdr_len:
+        raise ValueError(f"implausible ADPCM block_align {block_align}")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros((0, channels), dtype=np.int64)
+    raw = np.frombuffer(data, np.uint8,
+                        nblocks * block_align).reshape(nblocks, -1)
+
+    def i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return (v ^ 0x8000) - 0x8000
+
+    pred_idx = np.clip(raw[:, 0:channels].astype(np.int64), 0, 6)
+    off = channels
+    delta = i16(raw[:, off:off + 2 * channels:2],
+                raw[:, off + 1:off + 2 * channels:2])
+    off += 2 * channels
+    s1 = i16(raw[:, off:off + 2 * channels:2],
+             raw[:, off + 1:off + 2 * channels:2])
+    off += 2 * channels
+    s2 = i16(raw[:, off:off + 2 * channels:2],
+             raw[:, off + 1:off + 2 * channels:2])
+    c1 = _MS_COEFS[pred_idx][:, :, 0]
+    c2 = _MS_COEFS[pred_idx][:, :, 1]
+    body = raw[:, hdr_len:]
+    n_nib = body.shape[1] * 2
+    # nibble stream interleaves channels sample-by-sample (hi first)
+    nib = np.empty((nblocks, n_nib), np.uint8)
+    nib[:, 0::2] = body >> 4
+    nib[:, 1::2] = body & 0x0F
+    steps = n_nib // channels
+    out = np.empty((nblocks, channels, 2 + steps), np.int64)
+    out[:, :, 0] = s2
+    out[:, :, 1] = s1
+    for t in range(steps):
+        n = nib[:, t * channels:(t + 1) * channels].astype(np.int64)
+        signed = n - ((n & 8) << 1)          # 4-bit two's complement
+        pred = (s1 * c1 + s2 * c2) // 256 + signed * delta
+        pred = np.clip(pred, -32768, 32767)
+        s2, s1 = s1, pred
+        delta = np.maximum((_MS_ADAPT[n] * delta) // 256, 16)
+        out[:, :, 2 + t] = pred
+    return out.transpose(0, 2, 1).reshape(-1, channels)
+
+
+# G.711 companded codecs: 8-bit log PCM → int16 (exact table decode)
+def _g711_tables():
+    seg = np.arange(256)
+    # μ-law (format 7)
+    u = ~seg & 0xFF
+    sign = np.where(u & 0x80, -1, 1)
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    ulaw = sign * ((((mant << 3) + 0x84) << exp) - 0x84)
+    # A-law (format 6) — ITU sign convention: bit 7 SET = positive
+    a = seg ^ 0x55
+    sign_a = np.where(a & 0x80, 1, -1)
+    exp_a = (a >> 4) & 7
+    mant_a = a & 0x0F
+    mag = np.where(exp_a == 0, (mant_a << 4) + 8,
+                   ((mant_a << 4) + 0x108) << (exp_a - 1))
+    alaw = sign_a * mag
+    return ulaw.astype(np.int32), alaw.astype(np.int32)
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def decode_wav_py(p: bytes):
     """RIFF/WAVE → (samples float64 in [-1, 1] shaped (n, ch),
-    sample_rate).  8/16/32-bit integer PCM, 32/64-bit float PCM, and
-    IMA/DVI ADPCM (format 0x11; the 'fact' chunk trims block padding).
+    sample_rate).  8/16/32-bit integer PCM, 32/64-bit float PCM,
+    IMA/DVI ADPCM (0x11), MS-ADPCM (0x02), and G.711 A-law/μ-law
+    (0x06/0x07); the 'fact' chunk trims ADPCM block padding.
     Returns None when the payload is not a WAV; raises
-    NotImplementedError for other compressed codecs (MS-ADPCM,
-    mp3-in-wav)."""
+    NotImplementedError for other compressed codecs (mp3-in-wav,
+    GSM)."""
     import numpy as np
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
@@ -1338,15 +1422,22 @@ def decode_wav_py(p: bytes):
     if channels < 1 or rate < 1:
         raise ValueError(
             f"corrupt WAV fmt chunk: channels={channels} rate={rate}")
-    if fmt_code == 0x11:  # IMA/DVI ADPCM
-        s = _ima_adpcm_decode(data, channels, block_align)
+    if fmt_code in (0x02, 0x11):  # MS-ADPCM / IMA ADPCM
+        dec = _ms_adpcm_decode if fmt_code == 0x02 else _ima_adpcm_decode
+        s = dec(data, channels, block_align)
         if fact_samples is not None:
             s = s[:fact_samples]
         return s.astype(np.float64) / 32768.0, rate
+    if fmt_code in (0x06, 0x07):  # G.711 A-law / μ-law
+        tbl = _ALAW_TABLE if fmt_code == 0x06 else _ULAW_TABLE
+        x = tbl[np.frombuffer(data, dtype=np.uint8)] \
+            .astype(np.float64) / 32768.0
+        n = (len(x) // channels) * channels
+        return x[:n].reshape(-1, channels), rate
     if fmt_code not in (1, 3):  # PCM / IEEE float
         raise NotImplementedError(
-            f"WAV format {fmt_code}: only PCM, float, and IMA ADPCM "
-            "decode without codec libraries")
+            f"WAV format {fmt_code}: only PCM, float, G.711, and "
+            "IMA/MS ADPCM decode without codec libraries")
     if fmt_code == 3:
         dt = {32: "<f4", 64: "<f8"}.get(bits)
         if dt is None:

@@ -708,8 +708,137 @@ def test_ima_adpcm_wav_decodes_exactly_as_encoder_reconstruction():
     np.testing.assert_array_equal(
         np.round(got2 * 32768.0).astype(np.int32), recon2)
 
-    # other compressed codecs stay honestly gated
+    # other compressed codecs stay honestly gated (GSM 6.10)
     bad = bytearray(wav(data, 1, len(mono)))
-    bad[20:22] = (2).to_bytes(2, "little")      # MS-ADPCM
+    bad[20:22] = (0x31).to_bytes(2, "little")
     with pytest.raises(NotImplementedError):
         decode_wav_py(bytes(bad))
+
+
+def test_g711_ulaw_alaw_decode():
+    """G.711 companded audio: decode tables verified against a
+    reference encoder roundtrip (error bounded by the segment step)
+    and the codecs' structural symmetries."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.multimodal import (_ALAW_TABLE,
+                                                       _ULAW_TABLE,
+                                                       decode_wav_py)
+
+    # sign symmetry + silence codes
+    assert _ULAW_TABLE[0xFF] == 0
+    np.testing.assert_array_equal(_ULAW_TABLE[:128], -_ULAW_TABLE[128:])
+    assert _ALAW_TABLE[0x55] == -8     # no true zero; 0xD5 = +8
+    assert _ALAW_TABLE[0xD5] == 8
+
+    def ulaw_enc(x):
+        BIAS = 0x84
+        s = 0x80 if x < 0 else 0
+        x = min(abs(x), 32635) + BIAS
+        exp = x.bit_length() - 8
+        mant = (x >> (exp + 3)) & 0x0F
+        return ~(s | (exp << 4) | mant) & 0xFF
+
+    def alaw_enc(x):
+        s = 0x80 if x >= 0 else 0
+        x = min(abs(x), 32767)
+        if x < 256:
+            v = x >> 4
+        else:
+            exp = x.bit_length() - 8
+            v = (exp << 4) | ((x >> (exp + 3)) & 0x0F)
+        return (s | v) ^ 0x55
+
+    rng = np.random.RandomState(3)
+    xs = np.concatenate([rng.randint(-32000, 32000, 500),
+                         [0, 1, -1, 255, -255, 32000, -32000]])
+    for x in xs:
+        d = int(_ULAW_TABLE[ulaw_enc(int(x))])
+        seg = max(8, 2 ** (max(0, (abs(int(x)) + 0x84).bit_length()
+                               - 8) + 3))
+        assert abs(d - int(x)) <= seg, (x, d)
+        da = int(_ALAW_TABLE[alaw_enc(int(x))])
+        assert abs(da - int(x)) <= max(16, 2 ** (max(8, abs(int(x))
+                                                     .bit_length()) - 4))
+
+    # end-to-end through the WAV container
+    pcm = (np.sin(np.arange(400) * 0.05) * 20000).astype(np.int32)
+    payload = bytes(ulaw_enc(int(v)) for v in pcm)
+    fmt = (int(0x07).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(payload).to_bytes(4, "little") + payload)
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got, rate = decode_wav_py(wav)
+    assert rate == 8000 and got.shape == (400, 1)
+    err = np.abs(got[:, 0] * 32768 - pcm)
+    assert err.max() < 1024 and np.median(err) < 260
+
+
+def test_ms_adpcm_wav_decodes_exactly_as_encoder_reconstruction():
+    import numpy as np
+
+    from pipelinedb_spark.operators.multimodal import (_MS_ADAPT,
+                                                       _MS_COEFS,
+                                                       decode_wav_py)
+
+    rng = np.random.RandomState(4)
+    rate, block_align, channels = 8000, 140, 1
+    spb = 2 + (block_align - 7 * channels) * 2 // channels
+    n = spb * 3 - 40                      # partial tail block
+    mono = (np.sin(np.arange(n) * 0.03) * 9000
+            + rng.randint(-800, 800, n)).astype(np.int64)
+
+    def encode_block(blk, pred_idx=1):
+        c1, c2 = (int(_MS_COEFS[pred_idx][0]),
+                  int(_MS_COEFS[pred_idx][1]))
+        s2, s1 = int(blk[0]), int(blk[1])
+        delta = max(16, int(np.abs(np.diff(blk[:40])).mean()) // 4)
+        hdr = bytes([pred_idx]) \
+            + (delta & 0xFFFF).to_bytes(2, "little") \
+            + (s1 & 0xFFFF).to_bytes(2, "little") \
+            + (s2 & 0xFFFF).to_bytes(2, "little")
+        nibs, recon = [], [s2, s1]
+        for t in range(2, len(blk)):
+            pred = (s1 * c1 + s2 * c2) // 256
+            err = int(blk[t]) - pred
+            nyb = max(-8, min(7, int(round(err / delta))))
+            out = max(-32768, min(32767, pred + nyb * delta))
+            s2, s1 = s1, out
+            delta = max(16, (int(_MS_ADAPT[nyb & 0x0F]) * delta) // 256)
+            nibs.append(nyb & 0x0F)
+            recon.append(out)
+        if len(nibs) % 2:
+            nibs.append(0)
+            recon.append(None)            # padding nibble, trimmed
+        data = bytes((nibs[i] << 4) | nibs[i + 1]
+                     for i in range(0, len(nibs), 2))
+        return hdr + data, recon
+
+    payload, recon = bytearray(), []
+    padded = np.concatenate([mono, np.zeros(spb * 3 - n, np.int64)])
+    for b in range(3):
+        d, r = encode_block(padded[b * spb:(b + 1) * spb])
+        payload.extend(d)
+        recon.extend(v for v in r if v is not None)
+
+    fmt = (int(0x02).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + rate.to_bytes(4, "little")
+           + block_align.to_bytes(2, "little")
+           + (4).to_bytes(2, "little"))
+    fact = n.to_bytes(4, "little")
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"fact" + len(fact).to_bytes(4, "little") + fact
+            + b"data" + len(payload).to_bytes(4, "little")
+            + bytes(payload))
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    got, got_rate = decode_wav_py(wav)
+    assert got_rate == rate and got.shape == (n, 1)
+    np.testing.assert_array_equal(
+        np.round(got[:, 0] * 32768.0).astype(np.int64),
+        np.array(recon[:n]))
+    # lossy but waveform-tracking
+    err = np.abs(got[:, 0] * 32768.0 - mono)
+    assert np.median(err) < 800
