@@ -842,3 +842,78 @@ def test_ms_adpcm_wav_decodes_exactly_as_encoder_reconstruction():
     # lossy but waveform-tracking
     err = np.abs(got[:, 0] * 32768.0 - mono)
     assert np.median(err) < 800
+
+
+# ---------------------------------------- property / fuzz hardening
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_main_text_never_raises_on_hostile_bytes(payload):
+    """Crawl payloads are adversarial: any byte soup must come back
+    as a str from both methods, never an exception."""
+    from pipelinedb_spark.operators.warc import extract_main_text
+
+    assert isinstance(extract_main_text(payload), str)
+    assert isinstance(extract_main_text(payload, method="strip"), str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="<>/ab ps&#;x!-\"'=\n", max_size=300))
+def test_extract_main_text_never_raises_on_markup_soup(text):
+    from pipelinedb_spark.operators.warc import extract_main_text
+
+    out = extract_main_text(text.encode())
+    assert isinstance(out, str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from(["append", "replace", "gc"]),
+                min_size=1, max_size=12))
+def test_indexstore_model_equivalence_under_op_sequences(ops):
+    """Model-based property: any sequence of append/replace/gc
+    commits leaves dirs() equal to a trivial in-memory model, GC
+    never touches live dirs, version strictly increases, and meta
+    set at each commit is the meta read after it."""
+    import os
+    import shutil
+    import tempfile
+
+    from pipelinedb_spark.indexstore import IndexStore
+
+    root = tempfile.mkdtemp(prefix="idxprop")
+    try:
+        s = IndexStore(root, gc_grace_seconds=0.0)
+        s.init_if_needed({"v": 0})
+        model = []
+        ver = 0
+        for i, op in enumerate(ops):
+            if op == "gc":
+                s.gc()
+            else:
+                staged = s.stage()
+                os.makedirs(staged)
+                with open(os.path.join(staged, "f.txt"), "w") as f:
+                    f.write(str(i))
+                final = s.commit(staged, replace=(op == "replace"),
+                                 meta={"v": i})
+                if op == "replace":
+                    model = [final]
+                else:
+                    model.append(final)
+                assert s.meta() == {"v": i}
+                m = s.read_manifest()
+                assert m["version"] > ver
+                ver = m["version"]
+            assert s.dirs() == model
+            for d in model:     # live data always intact
+                assert os.path.exists(os.path.join(d, "f.txt"))
+        s.gc()
+        on_disk = {e for e in os.listdir(root)
+                   if os.path.isdir(os.path.join(root, e))}
+        assert on_disk == {os.path.basename(d) for d in model}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
