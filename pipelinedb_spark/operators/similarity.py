@@ -672,3 +672,72 @@ def ivf_retrain(spark, path: str, n_lists: int | None = None,
     corpus = store.read(spark).select(id_col, vec_col)
     return ivf_persist(corpus, path, n_lists=n_lists, id_col=id_col,
                        vec_col=vec_col, sample=sample, seed=seed)
+
+
+def kcenter_select(corpus: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 7) -> DataFrame:
+    """Greedy k-center diversity selection (Gonzalez 1985, the
+    2-approximation for the k-center radius): pick a deterministic
+    seed exemplar, then k−1 times select the point FARTHEST (cosine
+    distance) from everything selected so far.  The standard
+    coverage/diversity sampler for training-data selection — the
+    complement of DSIR's "more like the target": k-center spreads the
+    budget over the embedding space instead of concentrating it.
+
+    Returns (id_col, sel_order, sel_dist): selection rank 0..k−1 and
+    each exemplar's distance to the previously selected set at pick
+    time — a non-increasing sequence whose last value bounds the
+    covering radius within 2× of optimal.
+
+    Spark shape: the classic k-pass greedy — per iteration ONE
+    column update (min of the running distance and the distance to
+    the single newly broadcast center — the center ships as a
+    literal array, no join) and ONE max-struct aggregation (no sort,
+    no shuffle of the corpus).  The running state (id, vec, dist) is
+    re-checkpointed each pass so lineage stays flat; k passes over
+    the corpus is the algorithm's true cost at any scale.  For large
+    k, pre-reduce with ivf_train-style clustering and run k-center
+    over centroids."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def d_to(center: list) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return 1.0 - cosine_double(F.col("__v"), c)
+
+    cur = corpus.select(F.col(id_col).alias("__i"),
+                        F.col(vec_col).alias("__v"))
+    # deterministic seed exemplar: hash-order min (the ivf_train
+    # sampling contract — stable under retries and partitioning)
+    first = (cur.orderBy(F.xxhash64(F.col("__i"), F.lit(seed)))
+             .limit(1).collect())
+    if not first:
+        schema = f"`{id_col}` {corpus.schema[id_col].dataType.simpleString()}"
+        return corpus.sparkSession.createDataFrame(
+            [], schema + ", sel_order int, sel_dist double")
+    sel = [(first[0]["__i"], 0, float("inf"))]
+    center = list(first[0]["__v"])
+    cur = cur.withColumn("__d", d_to(center)) \
+        .localCheckpoint(eager=True)
+    for r in range(1, k):
+        top = cur.agg(F.max(F.struct(F.col("__d"), F.col("__i")))
+                      .alias("m")).first()["m"]
+        if top is None or float(top["__d"]) <= 0.0:
+            break          # fewer than k distinct points
+        nid = top["__i"]
+        sel.append((nid, r, float(top["__d"])))
+        center = list(cur.filter(F.col("__i") == nid)
+                      .first()["__v"])
+        if r < k - 1:
+            cur = cur.withColumn(
+                "__d", F.least(F.col("__d"), d_to(center))) \
+                .localCheckpoint(eager=True)
+    spark = corpus.sparkSession
+    out = spark.createDataFrame(
+        [(s[0], s[1], s[2]) for s in sel],
+        T.StructType([
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("sel_order", T.IntegerType()),
+            T.StructField("sel_dist", T.DoubleType())]))
+    return out

@@ -917,3 +917,54 @@ def test_indexstore_model_equivalence_under_op_sequences(ops):
         assert on_disk == {os.path.basename(d) for d in model}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_kcenter_select_matches_numpy_greedy_oracle(spark):
+    """Greedy k-center: the distributed selection equals an exact
+    numpy implementation of Gonzalez greedy (same seed exemplar, same
+    larger-id tiebreak), sel_dist is non-increasing, and the selected
+    set covers the corpus within its own last radius."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.similarity import kcenter_select
+
+    rng = np.random.RandomState(17)
+    n, dim, k = 120, 8, 10
+    vecs = rng.randn(n, dim)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    got = sorted(((r["vec_id"], r["sel_order"], r["sel_dist"])
+                  for r in kcenter_select(df, k, seed=3).collect()),
+                 key=lambda t: t[1])
+
+    # numpy oracle: same hash-seeded start, same tiebreak
+    import pandas as pd
+    start = got[0][0]           # seed exemplar from the hash order
+    sel = [start]
+    d = 1.0 - vecs @ vecs[start]
+    want = [(start, 0)]
+    for r in range(1, k):
+        best = np.max(d)
+        cands = np.where(d >= best - 1e-12)[0]
+        nid = int(cands.max())          # larger-id tiebreak
+        want.append((nid, r))
+        sel.append(nid)
+        d = np.minimum(d, 1.0 - vecs @ vecs[nid])
+
+    assert [(g[0], g[1]) for g in got] == want
+    dists = [g[2] for g in got[1:]]
+    assert all(a >= b - 1e-12 for a, b in zip(dists, dists[1:]))
+    # coverage: every point within the final radius of some exemplar
+    radius = dists[-1]
+    dmin = np.min(1.0 - vecs @ vecs[sel].T, axis=1)
+    assert dmin.max() <= radius + 1e-9
+
+    # degenerate corpora
+    assert kcenter_select(df.limit(0), 3).count() == 0
+    dup = spark.createDataFrame([(i, [1.0, 0.0]) for i in range(5)],
+                                "vec_id long, embedding array<double>")
+    few = kcenter_select(dup, 3).collect()
+    assert len(few) == 1       # identical points: selection stops
