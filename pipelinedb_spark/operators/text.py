@@ -177,3 +177,60 @@ def domain_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     doms = doms.select(url_domain(F.col("__u")).alias("domain")) \
         .filter(F.col("domain") != "")
     return doms.groupBy("domain").agg(F.count("*").alias("n_mentions"))
+
+
+# ------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup (crawl-curation pass: the
+# same page is fetched under scheme/case/tracking-param/fragment
+# variants; canonicalize BEFORE content dedup so trivially-identical
+# fetches collapse without hashing their bodies).  Pure Catalyst
+# column expressions — regexp + array HOFs, no Python in the path.
+
+_TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign",
+                    "utm_term", "utm_content", "utm_id", "gclid",
+                    "fbclid", "msclkid", "mc_cid", "mc_eid", "ref",
+                    "igshid")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL:
+
+    * scheme + host lower-cased; default ports (:80/:443) dropped
+    * fragment dropped
+    * tracking query params removed (utm_*, gclid, fbclid, …);
+      surviving params SORTED so param order never splits a page
+    * trailing slash trimmed from non-root paths; empty path → '/'
+
+    Returns the input unchanged when it doesn't parse as http(s) —
+    canonicalization must never destroy a key it doesn't understand."""
+    scheme = F.lower(F.regexp_extract(url, r"^([Hh][Tt][Tt][Pp][Ss]?)://", 1))
+    rest = F.regexp_extract(url, r"^[A-Za-z]+://([^#]*)", 1)  # no fragment
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_replace(hostport, r":(80|443)$", ""))
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")) \
+        .otherwise(F.regexp_replace(path, r"(.)/$", r"$1"))
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.split(p, "=")
+        .getItem(0).isin(*_TRACKING_PARAMS)))
+    qs = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+    return F.when(scheme == "", url).otherwise(canon)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE document per canonical URL — the smallest id (the
+    exact_duplicates canonical rule), plus every row whose URL
+    doesn't canonicalize.  One groupBy on the normalized key; add
+    ``canonical_url`` for provenance."""
+    keyed = df.withColumn("__cu", normalize_url(F.col(url_col)))
+    w_min = keyed.groupBy("__cu").agg(F.min(id_col).alias("__keep"))
+    return (keyed.join(w_min.hint("shuffle_hash"), "__cu")
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("__keep")
+            .withColumnRenamed("__cu", "canonical_url"))

@@ -968,3 +968,44 @@ def test_kcenter_select_matches_numpy_greedy_oracle(spark):
                                 "vec_id long, embedding array<double>")
     few = kcenter_select(dup, 3).collect()
     assert len(few) == 1       # identical points: selection stops
+
+
+def test_normalize_url_and_url_dedup(spark):
+    """URL canonicalization: scheme/host case, default ports,
+    fragments, tracking params, param order, trailing slash — all
+    collapse; non-URLs pass through untouched; url_dedup keeps the
+    smallest id per canonical page."""
+    from pipelinedb_spark.operators.text import normalize_url, url_dedup
+
+    cases = [
+        ("HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/p/?fbclid=abc", "https://example.com/p"),
+        ("https://e.com/p?z=1&a=2", "https://e.com/p?a=2&z=1"),
+        ("https://e.com/p?ref=tw", "https://e.com/p"),
+        ("not a url at all", "not a url at all"),
+        ("ftp://e.com/x", "ftp://e.com/x"),      # non-http: untouched
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", normalize_url(F.col("url")).alias("c"))
+           .collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+    docs = spark.createDataFrame(
+        [(1, "https://E.com/page?utm_source=a", "v1"),
+         (2, "https://e.com/page", "v2"),
+         (3, "https://e.com/page#sec", "v3"),
+         (4, "https://e.com/other", "v4")],
+        "doc_id long, url string, text string")
+    kept = url_dedup(docs).collect()
+    assert {r["doc_id"] for r in kept} == {1, 4}
+    assert {r["canonical_url"] for r in kept} == \
+        {"https://e.com/page", "https://e.com/other"}
+    # plan stays JVM-side: no Python UDFs in the canonicalization
+    plan = url_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
