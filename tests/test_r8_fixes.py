@@ -1009,3 +1009,34 @@ def test_normalize_url_and_url_dedup(spark):
     # plan stays JVM-side: no Python UDFs in the canonicalization
     plan = url_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_wav_decoders_never_escape_on_hostile_bytes(payload):
+    """The decoder-hardening contract extended to the new audio
+    codecs: arbitrary bytes (with or without a RIFF/WAVE prelude)
+    either decode, return None, or raise ValueError /
+    NotImplementedError — nothing else escapes, no allocation from
+    unvalidated sizes."""
+    from pipelinedb_spark.operators.multimodal import decode_wav_py
+
+    for pre in (b"", b"RIFF\x40\x00\x00\x00WAVE"):
+        try:
+            out = decode_wav_py(pre + payload)
+            assert out is None or (out[0].ndim == 2 and out[1] >= 1)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_lossless_jpeg_decoder_never_escapes(payload):
+    from pipelinedb_spark.operators.jpeg import decode_jpeg_py
+
+    # force the SOF3 parse path with a plausible prelude
+    pre = b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    try:
+        decode_jpeg_py(pre + payload)
+    except (ValueError, NotImplementedError, KeyError):
+        pass
