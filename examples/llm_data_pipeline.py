@@ -137,6 +137,17 @@ def main() -> None:
                            buckets=4096).drop("dsir_logw")
     n8 = selected.count()
 
+    # 9c. diversity anchors: greedy k-center over the surviving
+    # docs' embeddings — 16 exemplars spreading the embedding space
+    # (eval-set seeds / clustering anchors); the last pick's distance
+    # bounds the covering radius within 2× of optimal
+    from pipelinedb_spark.operators.similarity import kcenter_select
+    sel_emb = emb.join(selected.select(F.col("doc_id")
+                                       .alias("vec_id")),
+                       "vec_id", "left_semi")
+    anchors = kcenter_select(sel_emb, k=16).collect()
+    radius = min(a["sel_dist"] for a in anchors)
+
     # 10. sequence packing: deterministic greedy sample packing into
     # 512-token training sequences
     from pipelinedb_spark.operators.curation import pack_sequences
@@ -169,6 +180,8 @@ def main() -> None:
     print(f"after semantic dedup:   {n6}  (-{n5 - n6})")
     print(f"after source mixing:    {n7}  (-{n6 - n7})")
     print(f"after DSIR selection:   {n8}  (-{n7 - n8})")
+    print(f"diversity anchors:      {len(anchors)}  "
+          f"(k-center radius ≤ {radius:.3f})")
     print(f"packed into sequences:  {n_seqs}  (max 512 tokens each)")
     print(f"tokens kept: {stats['tokens']} ws / {stats['bpe_tokens']} "
           f"bpe-ish / {stats['bpe_exact']} trained-bpe "
