@@ -233,9 +233,11 @@ def dsir_sample(corpus: DataFrame, target: DataFrame | None, n: int,
         return keyed.drop("__gk")
     frac = n / total
     # rank error ≤ eps·total ≈ n/512 on either side of the cut; the
-    # GK sketch costs O(1/eps) driver memory, floored so a tiny frac
-    # can't blow it up
-    eps = max(frac / 512, 1e-7)
+    # GK sketch costs O(1/eps) driver memory, floored at 1e-6 (~10⁶
+    # sketch entries) so a tiny selection fraction over a huge corpus
+    # can't blow the driver — the boundary trim then handles up to
+    # ~2e-6·total 8-byte keys, still column-pruned and bounded
+    eps = max(frac / 512, 1e-6)
     t = keyed.stat.approxQuantile("__gk", [1.0 - frac], eps)[0]
     k_above = keyed.filter(F.col("__gk") > t).count()
     if k_above >= n:

@@ -721,14 +721,16 @@ def kcenter_select(corpus: DataFrame, k: int,
     cur = cur.withColumn("__d", d_to(center)) \
         .localCheckpoint(eager=True)
     for r in range(1, k):
-        top = cur.agg(F.max(F.struct(F.col("__d"), F.col("__i")))
-                      .alias("m")).first()["m"]
+        # one aggregation per pass; the winning VECTOR rides the same
+        # max-struct (ids are distinct, so __v never decides the max)
+        top = cur.agg(F.max(F.struct(F.col("__d"), F.col("__i"),
+                                     F.col("__v"))).alias("m")) \
+            .first()["m"]
         if top is None or float(top["__d"]) <= 0.0:
             break          # fewer than k distinct points
         nid = top["__i"]
         sel.append((nid, r, float(top["__d"])))
-        center = list(cur.filter(F.col("__i") == nid)
-                      .first()["__v"])
+        center = list(top["__v"])
         if r < k - 1:
             cur = cur.withColumn(
                 "__d", F.least(F.col("__d"), d_to(center))) \
