@@ -95,6 +95,48 @@ class IndexStore:
             self._write_manifest({"version": 0, "dirs": [],
                                   "meta": meta or {}})
 
+    def _commit_lock(self, timeout: float = 120.0,
+                     stale_after: float = 600.0):
+        """Advisory commit lock (O_CREAT|O_EXCL): two concurrent
+        commits would otherwise read-modify-write the manifest and
+        the loser's dir list would silently drop the winner's append.
+        A lock older than ``stale_after`` is from a crashed committer
+        and is broken; waiting longer than ``timeout`` raises."""
+        import contextlib
+
+        path = os.path.join(self.root, "_commit.lock")
+
+        @contextlib.contextmanager
+        def lock():
+            deadline = time.time() + timeout
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL
+                                 | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(path) \
+                                > stale_after:
+                            os.remove(path)  # crashed committer
+                            continue
+                    except OSError:
+                        continue
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"commit lock busy > {timeout}s: {path}")
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+
+        return lock()
+
     # -- staging + commit ----------------------------------------------
     def stage(self) -> str:
         """A fresh write target invisible to every reader (dot-prefixed
@@ -119,34 +161,73 @@ class IndexStore:
         replayed streaming epoch is detected by ``txn_version`` and
         skipped instead of double-appended.  Returns the committed
         dir's absolute path."""
-        m = self.read_manifest()
-        version = m["version"] + 1
-        final = f"v{version:05d}-{uuid.uuid4().hex[:6]}"
-        os.rename(staged, os.path.join(self.root, final))
-        dirs = ([] if replace else list(m["dirs"])) + [final]
-        out = {"version": version, "dirs": dirs,
-               "meta": meta if meta is not None else m.get("meta", {})}
-        txns = dict(m.get("txns", {}))
-        if txn is not None:
-            app, ver = txn
-            prev = txns.get(app)
-            txns[app] = [max(int(ver),
-                             int(prev[0] if prev is not None else -1)),
-                         version]
-            if len(txns) > MAX_TXN_SOURCES:  # bounded, most recent kept
-                txns = dict(sorted(txns.items(), key=lambda kv: kv[1][1],
-                                   reverse=True)[:MAX_TXN_SOURCES])
-        if txns:
-            out["txns"] = txns
-        self._write_manifest(out)
+        with self._commit_lock():
+            m = self.read_manifest()
+            version = m["version"] + 1
+            final = f"v{version:05d}-{uuid.uuid4().hex[:6]}"
+            fpath = os.path.join(self.root, final)
+            os.rename(staged, fpath)
+            # a pre-commit GC pass may have grace-stamped the stage
+            # dir; the stamp must not ride into the committed dir, or
+            # a LATER dereference would skip its grace window
+            try:
+                os.remove(os.path.join(fpath, ".unref_ts"))
+            except OSError:
+                pass
+            dirs = ([] if replace else list(m["dirs"])) + [final]
+            out = {"version": version, "dirs": dirs,
+                   "meta": meta if meta is not None else m.get("meta", {})}
+            txns = dict(m.get("txns", {}))
+            if txn is not None:
+                app, ver = txn
+                prev = txns.get(app)
+                txns[app] = [max(int(ver),
+                                 int(prev[0] if prev is not None else -1)),
+                             version]
+                if len(txns) > MAX_TXN_SOURCES:  # most recent kept
+                    txns = dict(sorted(txns.items(),
+                                       key=lambda kv: kv[1][1],
+                                       reverse=True)[:MAX_TXN_SOURCES])
+            if txns:
+                out["txns"] = txns
+            self._write_manifest(out)
         self.gc()
-        return os.path.join(self.root, final)
+        return fpath
 
     def txn_version(self, app_id: str) -> int | None:
         """Last epoch committed for ``app_id`` — None if never seen
         (or evicted from the bounded tag map)."""
         v = self.read_manifest().get("txns", {}).get(app_id)
         return int(v[0]) if v is not None else None
+
+    def tag(self, txn: tuple[str, int] | None = None,
+            meta: dict | None = None) -> None:
+        """Manifest-only commit (no data dir): advance the replay txn
+        tag and/or the meta.  The EMPTY-batch path — an empty
+        streaming epoch must mark itself done without accumulating an
+        empty version dir per epoch."""
+        if txn is None and meta is None:
+            return
+        with self._commit_lock():
+            m = self.read_manifest()
+            version = m["version"] + 1
+            out = {"version": version, "dirs": m["dirs"],
+                   "meta": meta if meta is not None
+                   else m.get("meta", {})}
+            txns = dict(m.get("txns", {}))
+            if txn is not None:
+                app, ver = txn
+                prev = txns.get(app)
+                txns[app] = [max(int(ver),
+                                 int(prev[0] if prev is not None
+                                     else -1)), version]
+                if len(txns) > MAX_TXN_SOURCES:
+                    txns = dict(sorted(txns.items(),
+                                       key=lambda kv: kv[1][1],
+                                       reverse=True)[:MAX_TXN_SOURCES])
+            if txns:
+                out["txns"] = txns
+            self._write_manifest(out)
 
     # -- read side -------------------------------------------------------
     def dirs(self) -> list[str]:
@@ -178,17 +259,18 @@ class IndexStore:
     def meta(self) -> dict:
         return self.read_manifest().get("meta", {})
 
-    def set_meta(self, meta: dict) -> None:
-        m = self.read_manifest()
-        m["meta"] = meta
-        self._write_manifest(m)
-
     # -- GC ------------------------------------------------------------------
-    def gc(self) -> None:
+    def gc(self, include_stage: bool = False) -> None:
         """Unlink dereferenced version dirs (grace-stamped, the
-        matrel._gc contract) and orphaned stage dirs.  Never touches
-        live dirs or version dirs numbered above the manifest version
-        (in-flight commits)."""
+        matrel._gc contract).  Never touches live dirs or version
+        dirs numbered above the manifest version (in-flight commits).
+
+        ``.stage-*`` dirs are skipped unless ``include_stage=True``:
+        a stage dir is indistinguishable from a CONCURRENT writer's
+        in-flight parquet write (which can legitimately run longer
+        than any grace), so the automatic commit-path GC must never
+        touch them — crashed-writer orphans are reclaimed by an
+        explicit maintenance sweep that knows no writer is active."""
         m = self.read_manifest()
         live = set(m["dirs"])
         now = time.time()
@@ -199,8 +281,9 @@ class IndexStore:
             vm = _VDIR_RE.match(entry)
             if vm is not None and int(vm.group(1)) > m["version"]:
                 continue  # in-flight commit by a concurrent writer
-            if vm is None and not entry.startswith(".stage-"):
-                continue  # not ours
+            if vm is None:
+                if not (include_stage and entry.startswith(".stage-")):
+                    continue
             if self.gc_grace_seconds > 0:
                 marker = os.path.join(path, ".unref_ts")
                 try:

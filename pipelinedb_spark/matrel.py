@@ -384,6 +384,13 @@ class MatrelStore:
                 txns[app] = [max(int(ver),
                                  int(prev if prev is not None else -1)),
                              version]
+            # upgrade any remaining pre-round-8 plain-int entries in
+            # one pass, stamped with THIS version: without a touched
+            # stamp they would sort as least-recent and be evicted in
+            # arbitrary order on the first post-upgrade commit —
+            # losing replay tags for sources that are still active
+            txns = {a: (v if isinstance(v, list) else [int(v), version])
+                    for a, v in txns.items()}
             if len(txns) > MAX_TXN_SOURCES:
                 def _touched(kv):
                     return kv[1][1] if isinstance(kv[1], list) else -1

@@ -668,6 +668,8 @@ def lsh_index_append(spark, path: str, new_docs: DataFrame,
     temp prefix and commits via one atomic manifest swap — a
     mid-append crash leaves no partial band rows.  ``txn=(app_id,
     epoch)`` skips replayed streaming epochs (returns False)."""
+    import shutil
+
     from ..indexstore import open_index
 
     store = open_index(path)
@@ -675,11 +677,20 @@ def lsh_index_append(spark, path: str, new_docs: DataFrame,
         done = store.txn_version(txn[0])
         if done is not None and txn[1] <= done:
             return False
+    if new_docs.isEmpty():      # empty epoch: tag only
+        store.tag(txn=txn)
+        return True
     meta = store.meta()
     banded = _banded_rows(new_docs, id_col, text_col, meta["num_hashes"],
                           meta["bands"], meta["shingle_n"])
     staged = store.stage()
     _write_band_rows(banded, staged, write_partitions)
+    if spark.read.parquet(staged).isEmpty():
+        # row-less output (e.g. all-null texts): tag only — see
+        # span_index_append for the Observation caveat
+        shutil.rmtree(staged, ignore_errors=True)
+        store.tag(txn=txn)
+        return True
     store.commit(staged, replace=False, txn=txn)
     return True
 

@@ -342,6 +342,9 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
         done = store.txn_version(txn[0])
         if done is not None and txn[1] <= done:
             return 0  # replayed streaming epoch: already committed
+    if new_vectors.isEmpty():   # empty epoch: tag only (ivf_append)
+        store.tag(txn=txn)
+        return 0
     meta = _read_meta(path)
     if meta is None:
         raise ValueError(f"no index meta under {path}")
@@ -369,8 +372,17 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
     out = out.repartition(write_partitions, "list_id")
     staged = store.stage()
     out.write.mode("overwrite").partitionBy("list_id").parquet(staged)
-    n = int(obs.get["n"])
-    ds = float(obs.get["dist_sum"] or 0.0)
+    try:
+        n = int(obs.get["n"])
+        ds = float(obs.get["dist_sum"] or 0.0)
+    except Exception:  # CollectMetrics eliminated on empty result
+        n, ds = 0, 0.0
+    if n == 0:      # row-less batch: tag only, no empty version dir
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        store.tag(txn=txn)
+        return 0
     meta = dict(meta)
     meta["appended_n"] = meta.get("appended_n", 0) + n
     meta["appended_dist_sum"] = meta.get("appended_dist_sum", 0.0) + ds

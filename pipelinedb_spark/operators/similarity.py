@@ -16,6 +16,7 @@ Two paths:
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -446,8 +447,10 @@ def _read_meta(path: str) -> dict | None:
     return s.meta() or None
 
 
-def _write_meta(path: str, meta: dict) -> None:
-    IndexStore(path).set_meta(meta)
+# NOTE: there is deliberately no _write_meta helper anymore — meta
+# rides IndexStore.commit/tag in the SAME atomic swap as the data it
+# covers; a standalone meta write would reintroduce the accounting/
+# data skew the round-8 lifecycle eliminated.
 
 
 def ivf_persist(corpus: DataFrame, path: str,
@@ -569,6 +572,13 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
         done = store.txn_version(txn[0])
         if done is not None and txn[1] <= done:
             return 0
+    if new_vectors.isEmpty():
+        # empty epoch: tag only — no encode job, and no empty version
+        # dir (one per empty epoch would bloat later probes' unions).
+        # Also dodges a Spark quirk: empty-relation propagation can
+        # eliminate the CollectMetrics node, breaking Observation.get.
+        store.tag(txn=txn)
+        return 0
     centroids = np.load(store.artifact("_centroids.npy"))
     meta0 = _read_meta(path)
     vec_type = (meta0 or {}).get("vec_type")
@@ -602,12 +612,23 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
     out = out.repartition(write_partitions, "list_id")
     staged = store.stage()
     out.write.mode("overwrite").partitionBy("list_id").parquet(staged)
-    n = int(obs.get["n"])
+    try:
+        n = int(obs.get["n"])
+        ds = float(obs.get["dist_sum"] or 0.0)
+    except Exception:
+        # empty-result plans can eliminate the CollectMetrics node
+        # (all rows dropped by the invalid-vector filter)
+        n, ds = 0, 0.0
+    if n == 0:
+        # row-less batch: no data dir (one per empty epoch would
+        # bloat later probes' unions), but the txn tag still advances
+        shutil.rmtree(staged, ignore_errors=True)
+        store.tag(txn=txn)
+        return 0
     # drift accounting: the assignment distances already rode the
     # write job's Observation — fold them into the index meta, which
     # commits in the SAME manifest swap as the batch it covers
     meta = dict(meta0 or {})
-    ds = float(obs.get["dist_sum"] or 0.0)
     meta["appended_n"] = meta.get("appended_n", 0) + n
     meta["appended_dist_sum"] = (meta.get("appended_dist_sum", 0.0)
                                  + ds)

@@ -398,6 +398,8 @@ def span_index_append(spark, path: str, new_docs: DataFrame,
     ``txn=(app_id, epoch)`` makes streaming appends effectively-once:
     the tag rides the commit swap and a replayed epoch is skipped
     (returns False) instead of double-indexing the batch."""
+    import shutil
+
     from ..indexstore import open_index
 
     store = open_index(path)
@@ -405,10 +407,22 @@ def span_index_append(spark, path: str, new_docs: DataFrame,
         done = store.txn_version(txn[0])
         if done is not None and txn[1] <= done:
             return False  # replayed epoch: already committed
+    if new_docs.isEmpty():      # empty epoch: tag only
+        store.tag(txn=txn)
+        return True
     wins = window_index(new_docs, id_col, text_col,
                         store.meta()["window"])
     staged = store.stage()
     _write_window_rows(wins, staged, write_partitions)
+    if spark.read.parquet(staged).isEmpty():
+        # window-less batch (all docs shorter than K): tag the epoch
+        # done without accumulating an empty version dir.  The check
+        # reads the tiny staged output — an Observation on the write
+        # is unreliable here (empty-result plans can eliminate the
+        # CollectMetrics node)
+        shutil.rmtree(staged, ignore_errors=True)
+        store.tag(txn=txn)
+        return True
     store.commit(staged, replace=False, txn=txn)
     return True
 

@@ -206,7 +206,13 @@ def normalize_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, r"^([Hh][Tt][Tt][Pp][Ss]?)://", 1))
     rest = F.regexp_extract(url, r"^[A-Za-z]+://([^#]*)", 1)  # no fragment
     hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    host = F.lower(F.regexp_replace(hostport, r":(80|443)$", ""))
+    # only the scheme's OWN default port is redundant — https on :80
+    # is a different origin than https on :443
+    host = F.lower(hostport)
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, r":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, r":443$", "")) \
+        .otherwise(host)
     path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
     path = F.when(path == "", F.lit("/")) \
         .otherwise(F.regexp_replace(path, r"(.)/$", r"$1"))
@@ -224,13 +230,20 @@ def normalize_url(url: Column) -> Column:
 
 def url_dedup(df: DataFrame, url_col: str = "url",
               id_col: str = "doc_id") -> DataFrame:
-    """Keep ONE document per canonical URL — the smallest id (the
-    exact_duplicates canonical rule), plus every row whose URL
-    doesn't canonicalize.  One groupBy on the normalized key; add
-    ``canonical_url`` for provenance."""
+    """Keep ONE document per canonical http(s) URL — the smallest id
+    (the exact_duplicates canonical rule).  Rows whose URL is NULL,
+    empty, or not http(s) PASS THROUGH untouched (an inner join on
+    the key would silently drop NULLs and collapse all empty-URL
+    docs into one).  One groupBy on the normalized key; adds
+    ``canonical_url`` for provenance (NULL for pass-through rows)."""
     keyed = df.withColumn("__cu", normalize_url(F.col(url_col)))
-    w_min = keyed.groupBy("__cu").agg(F.min(id_col).alias("__keep"))
-    return (keyed.join(w_min.hint("shuffle_hash"), "__cu")
-            .filter(F.col(id_col) == F.col("__keep"))
+    dedupable = F.col("__cu").startswith("http")
+    keyed = keyed.withColumn(
+        "__cu", F.when(dedupable, F.col("__cu")))  # else NULL
+    w_min = (keyed.filter(F.col("__cu").isNotNull())
+             .groupBy("__cu").agg(F.min(id_col).alias("__keep")))
+    return (keyed.join(w_min.hint("shuffle_hash"), "__cu", "left")
+            .filter(F.col("__cu").isNull()
+                    | (F.col(id_col) == F.col("__keep")))
             .drop("__keep")
             .withColumnRenamed("__cu", "canonical_url"))

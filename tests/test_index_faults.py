@@ -411,7 +411,14 @@ def test_stage_orphans_invisible_and_collected(spark, tmp_path,
     assert len(_index_rows(spark, path)) == 30
 
     s = IndexStore(path, gc_grace_seconds=0.0)
+    # the automatic (commit-path) GC must NEVER touch stage dirs — a
+    # stage dir is indistinguishable from a concurrent writer's
+    # in-flight parquet write (review finding, round 8)
     s.gc()
+    assert glob.glob(f"{path}/.stage-*")
+    # an explicit maintenance sweep (caller asserts no active writer)
+    # reclaims the crashed-writer orphan
+    s.gc(include_stage=True)
     assert not glob.glob(f"{path}/.stage-*")
     assert len(_index_rows(spark, path)) == 30
 
@@ -502,3 +509,86 @@ def test_index_append_txn_replay_skipped(spark, tmp_path):
                       txn=("src", 2)) == 5
     assert open_index(path).txn_version("src") == 2
     assert open_index(path).txn_version("other") is None
+
+
+def test_commit_clears_stale_grace_stamp_and_concurrent_appends(
+        spark, tmp_path):
+    """Review findings (round 8): (a) a grace stamp left on a stage
+    dir by a pre-commit GC pass must not ride into the committed
+    version dir (it would void the retirement grace window later);
+    (b) concurrent commits serialize on the advisory lock — no append
+    is ever lost to a manifest read-modify-write race."""
+    import threading
+
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=300.0)
+    s.init_if_needed()
+
+    # (a) stamp rides in → must be stripped at commit
+    staged = s.stage()
+    os.makedirs(staged)
+    with open(os.path.join(staged, ".unref_ts"), "w") as f:
+        f.write(repr(time.time() - 10_000))   # long-expired stamp
+    with open(os.path.join(staged, "f.txt"), "w") as f:
+        f.write("x")
+    final = s.commit(staged, replace=True)
+    assert not os.path.exists(os.path.join(final, ".unref_ts"))
+    # retire it; the commit-path GC must HOLD it (grace not expired)
+    staged2 = s.stage()
+    os.makedirs(staged2)
+    with open(os.path.join(staged2, "f.txt"), "w") as f:
+        f.write("y")
+    s.commit(staged2, replace=True)
+    assert os.path.exists(final)   # held under grace, stamp was fresh
+
+    # (b) 8 threads append concurrently: all 8 dirs live afterwards
+    s2 = IndexStore(str(tmp_path / "idx2"), gc_grace_seconds=0.0)
+    s2.init_if_needed()
+    errs = []
+
+    def appender(i):
+        try:
+            st = s2.stage()
+            os.makedirs(st)
+            with open(os.path.join(st, f"{i}.txt"), "w") as f:
+                f.write(str(i))
+            s2.commit(st, replace=False)
+        except Exception as e:      # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender, args=(i,))
+          for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert len(s2.dirs()) == 8     # nothing lost to the RMW race
+    assert s2.read_manifest()["version"] == 8
+
+
+def test_empty_batch_append_tags_without_version_dir(spark, tmp_path):
+    """Review finding: empty streaming epochs must advance the replay
+    tag WITHOUT accumulating empty version dirs (one per epoch would
+    bloat every later probe's union)."""
+    from pipelinedb_spark.operators.similarity import (ivf_append,
+                                                       ivf_persist)
+    from pipelinedb_spark.operators.spandedup import (span_index_append,
+                                                      span_index_persist)
+
+    path = str(tmp_path / "ivf")
+    ivf_persist(_vecs(spark, 20), path, n_lists=2)
+    empty = _vecs(spark, 0)
+    assert ivf_append(spark, path, empty, txn=("s", 1)) == 0
+    st = open_index(path)
+    assert len(st.dirs()) == 1          # no empty dir
+    assert st.txn_version("s") == 1     # but the epoch is marked done
+    assert ivf_append(spark, path, empty, txn=("s", 1)) == 0  # replay
+
+    sp = str(tmp_path / "span")
+    span_index_persist(spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string"), sp, window=5)
+    tiny = spark.createDataFrame([(2, "too short")],
+                                 "doc_id long, text string")
+    assert span_index_append(spark, sp, tiny, txn=("s", 1)) is True
+    st = open_index(sp)
+    assert len(st.dirs()) == 1 and st.txn_version("s") == 1

@@ -1040,3 +1040,62 @@ def test_lossless_jpeg_decoder_never_escapes(payload):
         decode_jpeg_py(pre + payload)
     except (ValueError, NotImplementedError, KeyError):
         pass
+
+
+def test_url_dedup_null_and_scheme_port_review_findings(spark):
+    """Review findings: (a) NULL/empty/non-http URLs PASS THROUGH
+    url_dedup instead of being dropped or collapsed; (b) only the
+    scheme's OWN default port is stripped (https:80 is a distinct
+    origin from https:443)."""
+    from pipelinedb_spark.operators.text import normalize_url, url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "https://e.com/p"), (2, None), (3, None),
+         (4, ""), (5, ""), (6, "ftp://x/y"), (7, "ftp://x/y"),
+         (8, "https://E.com/p#z")],
+        "doc_id long, url string")
+    kept = url_dedup(docs).collect()
+    # 1 wins over 8; everything non-http survives untouched
+    assert {r["doc_id"] for r in kept} == {1, 2, 3, 4, 5, 6, 7}
+    by_id = {r["doc_id"]: r["canonical_url"] for r in kept}
+    assert by_id[1] == "https://e.com/p"
+    assert by_id[2] is None and by_id[4] is None and by_id[6] is None
+
+    vals = {u: spark.createDataFrame([(u,)], "url string")
+            .select(normalize_url(F.col("url")).alias("c")).first()["c"]
+            for u in ["https://e.com:80/x", "http://e.com:443/x",
+                      "http://e.com:80/x", "https://e.com:443/x"]}
+    assert vals["https://e.com:80/x"] == "https://e.com:80/x"
+    assert vals["http://e.com:443/x"] == "http://e.com:443/x"
+    assert vals["http://e.com:80/x"] == "http://e.com/x"
+    assert vals["https://e.com:443/x"] == "https://e.com/x"
+
+
+def test_matrel_legacy_int_txns_upgraded_not_evicted(spark, tmp_path):
+    """Review finding: pre-round-8 plain-int txn entries must be
+    stamped as recently-touched on the first post-upgrade commit, not
+    evicted in arbitrary dict order."""
+    import json
+
+    store = MatrelStore(spark, str(tmp_path), "m", num_buckets=2)
+    store.gc_grace_seconds = 0.0
+
+    def merge_fn(df):
+        from pipelinedb_spark.matrel import BUCKET_COL
+        return df.groupBy("k", BUCKET_COL).agg(F.sum("n").alias("n"))
+
+    batch = spark.createDataFrame([("a", 1)], "k string, n long")
+    store.merge(batch, ["k"], merge_fn, txn=("boot", 1))
+    # simulate a pre-upgrade manifest: many legacy int entries
+    m = store._read_manifest()
+    m["txns"] = {f"legacy{i}": 3 for i in range(MAX_TXN_SOURCES - 2)}
+    store._write_manifest(m)
+
+    store.merge(batch, ["k"], merge_fn, txn=("new", 1))
+    # nothing evicted (63 legacy + 1 new ≤ bound), every legacy entry
+    # upgraded with a touched stamp and still replay-detectable
+    assert store.txn_version("legacy0") == 3
+    assert store.txn_version(f"legacy{MAX_TXN_SOURCES - 3}") == 3
+    assert store.txn_version("new") == 1
+    txns = store._read_manifest()["txns"]
+    assert all(isinstance(v, list) for v in txns.values())
