@@ -241,7 +241,10 @@ _BLOCK_TAGS = frozenset(
      "fieldset legend address summary details").split())
 # function words: used for a language-agnostic-ish DENSITY signal
 # (boilerplate is link lists and labels, prose has connectives), not
-# for language ID — text.py owns that
+# for language ID — text.py owns that.  The union covers the major
+# European crawl languages (the jusText approach ships per-language
+# lists; a union works because function words almost never appear in
+# nav/footer link labels in ANY language): en + de/fr/es/it/pt/nl.
 _STOPWORDS = frozenset(
     ("the a an and or of to in is are was were be been it that this "
      "with as for on at by from not but he she they we you i his her "
@@ -250,7 +253,31 @@ _STOPWORDS = frozenset(
      "other some such only own same so than too very just there what "
      "which who when where why how all any both each few if then "
      "because while during between against through under again out "
-     "up down off above below no nor once here").split())
+     "up down off above below no nor once here "
+     # de
+     "der die das den dem des ein eine einen einem und oder aber "
+     "nicht ist sind war waren wird werden kann mit von zu für auf "
+     "im am als auch wenn dass sich bei nach über unter durch "
+     # fr
+     "le la les un une des du de et ou mais ne pas est sont était "
+     "sera avec pour sur dans par ce cette ces qui que quoi dont où "
+     "il elle ils elles nous vous aux au "
+     # es
+     "el los las uno unos unas y o pero no es son era será con para "
+     "sobre en por este esta estos estas quien cual donde cuando se "
+     "lo su sus nos os al "
+     # it
+     "il gli i uno una e ma non è sono erano sarà con per su tra fra "
+     "questo questa questi queste chi che dove quando si ci ne nel "
+     "della delle dei degli dal dalla "
+     # pt
+     "o os as um uma uns umas e ou mas não é são foi será com para "
+     "sobre em por este esta isto quem qual onde quando se seu sua "
+     "nos dos das no na "
+     # nl
+     "de het een en of maar niet is zijn was waren wordt kan met van "
+     "naar voor op bij als ook dat zich door over onder "
+     ).split())
 
 
 class _BlockParser(HTMLParser):

@@ -1099,3 +1099,35 @@ def test_matrel_legacy_int_txns_upgraded_not_evicted(spark, tmp_path):
     assert store.txn_version("new") == 1
     txns = store._read_manifest()["txns"]
     assert all(isinstance(v, list) for v in txns.values())
+
+
+def test_extraction_multilingual_stopword_density():
+    """The density signal covers the major European crawl languages
+    (union stopword set): German/French/Spanish article paragraphs
+    survive extraction while their nav link-lists drop — no fallback
+    to tag-strip needed."""
+    from pipelinedb_spark.operators.warc import extract_main_text
+
+    nav = ("<nav>\n" + "\n".join(
+        f'<li><a href="/{i}">Link {i}</a></li>'
+        for i in range(10)) + "\n</nav>")
+    paras = {
+        "de": "Der Ausschuss hat den Vorschlag im Detail geprüft und "
+              "festgestellt dass die meisten Einwände bereits im "
+              "zweiten Entwurf behandelt wurden der vor der Sitzung "
+              "an alle Mitglieder verteilt worden war.",
+        "fr": "Le comité a examiné la proposition en détail et il a "
+              "constaté que la plupart des objections étaient déjà "
+              "traitées dans le deuxième projet distribué à tous les "
+              "membres avant la réunion du budget annuel.",
+        "es": "El comité examinó la propuesta en detalle y encontró "
+              "que la mayoría de las objeciones ya estaban tratadas "
+              "en el segundo borrador que fue distribuido entre "
+              "todos los miembros antes de la reunión del año.",
+    }
+    for lang, para in paras.items():
+        page = (f"<html><body>\n{nav}\n<article><p>{para}</p>"
+                f"</article>\n{nav}\n</body></html>").encode()
+        out = extract_main_text(page)
+        assert para in out, lang
+        assert "Link 3" not in out, lang
