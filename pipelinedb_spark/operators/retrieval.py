@@ -162,32 +162,121 @@ def bm25_persist(index: dict, path: str) -> None:
 
     from ..indexstore import IndexStore
 
+    from pyspark.sql import Observation
+
     store = IndexStore(path)
     staged = store.stage()
     (index["postings"]
      .repartitionByRange(F.col("term"))
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(os.path.join(staged, "postings")))
-    index["doc_lens"].write.mode("overwrite") \
-        .parquet(os.path.join(staged, "doc_lens"))
+    obs = Observation()
+    (index["doc_lens"]
+     .observe(obs, F.sum("dl").alias("dl"))
+     .write.mode("overwrite").parquet(os.path.join(staged, "doc_lens")))
     index["dfs"].write.mode("overwrite") \
         .parquet(os.path.join(staged, "dfs"))
+    try:
+        total_dl = float(obs.get["dl"] or 0.0)
+    except Exception:  # empty corpus: CollectMetrics may be eliminated
+        total_dl = 0.0
     store.commit(staged, replace=True,
                  meta={"n_docs": index["n_docs"],
                        "avgdl": index["avgdl"],
+                       # exact running total so appends keep avgdl
+                       # exact at any batch count
+                       "total_dl": total_dl,
                        "id_col": index["id_col"]})
 
 
 def bm25_load(spark, path: str) -> dict:
     """Re-open a persisted index; searches against it prune the
-    postings scan by the query's term set (PushedFilters)."""
+    postings scan by the query's term set (PushedFilters).
+
+    Incremental layout: every live version dir (the base build plus
+    each :func:`bm25_append` batch) holds its own postings/doc_lens/
+    dfs tables.  postings and doc_lens union disjointly (one row per
+    (term, doc) / doc); dfs re-aggregates across dirs (the same term
+    appears in several batches); n_docs/avgdl come from the manifest
+    accounting, which commits in the same swap as each batch."""
     import os
+    from functools import reduce
 
     from ..indexstore import open_index
 
     store = open_index(path)
-    base = store.base_dir()
-    return {"postings": spark.read.parquet(os.path.join(base, "postings")),
-            "doc_lens": spark.read.parquet(os.path.join(base, "doc_lens")),
-            "dfs": spark.read.parquet(os.path.join(base, "dfs")),
-            **store.meta()}
+
+    def tbl(name):
+        parts = [spark.read.parquet(os.path.join(d, name))
+                 for d in store.dirs()]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    dfs = tbl("dfs").groupBy("term").agg(F.sum("df").alias("df"))
+    meta = store.meta()
+    n_docs = int(meta["n_docs"])
+    total_dl = meta.get("total_dl")
+    avgdl = (float(total_dl) / n_docs) if total_dl is not None and n_docs \
+        else float(meta.get("avgdl", 0.0))
+    return {"postings": tbl("postings"), "doc_lens": tbl("doc_lens"),
+            "dfs": dfs, "n_docs": n_docs, "avgdl": avgdl,
+            "id_col": meta["id_col"]}
+
+
+def bm25_append(spark, path: str, new_docs: DataFrame,
+                text_col: str = "text",
+                txn: tuple[str, int] | None = None) -> int:
+    """Admit a batch of NEW documents into a persisted BM25 index —
+    O(batch): one explode+groupBy over the batch produces its own
+    postings/doc_lens/dfs tables, staged and committed via one atomic
+    manifest swap that also carries the updated n_docs/total_dl
+    accounting (avgdl shifts with every batch, so it lives in the
+    manifest, not in any data file).  The continuous-ingest shape of
+    lsh/span/ivf appends, completing the set.  Caller contract: batch
+    doc ids are new (an updated doc should be deleted via rebuild —
+    BM25 has no per-doc tombstones here).  ``txn`` skips replayed
+    epochs.  Returns documents admitted."""
+    import os
+    import shutil
+
+    from pyspark.sql import Observation
+
+    from ..indexstore import open_index
+
+    store = open_index(path)
+    if txn is not None:
+        done = store.txn_version(txn[0])
+        if done is not None and txn[1] <= done:
+            return 0
+    if new_docs.isEmpty():
+        store.tag(txn=txn)
+        return 0
+    meta = store.meta()
+    id_col = meta["id_col"]
+    idx = bm25_index(new_docs, text_col=text_col, id_col=id_col)
+    if idx["n_docs"] == 0:
+        store.tag(txn=txn)
+        return 0
+    staged = store.stage()
+    (idx["postings"].repartitionByRange(F.col("term"))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(os.path.join(staged, "postings")))
+    obs = Observation()
+    (idx["doc_lens"]
+     .observe(obs, F.count(F.lit(1)).alias("n"),
+              F.sum("dl").alias("dl"))
+     .write.mode("overwrite").parquet(os.path.join(staged, "doc_lens")))
+    idx["dfs"].write.mode("overwrite") \
+        .parquet(os.path.join(staged, "dfs"))
+    n = int(obs.get["n"])
+    if n == 0:   # defensive: row-less batch after tokenization
+        shutil.rmtree(staged, ignore_errors=True)
+        store.tag(txn=txn)
+        return 0
+    new_meta = dict(meta)
+    prev_total = meta.get("total_dl",
+                          float(meta.get("avgdl", 0.0))
+                          * int(meta["n_docs"]))
+    new_meta["n_docs"] = int(meta["n_docs"]) + n
+    new_meta["total_dl"] = float(prev_total) + float(obs.get["dl"] or 0.0)
+    store.commit(staged, replace=False, meta=new_meta, txn=txn)
+    return n

@@ -172,3 +172,55 @@ def test_bm25_search_many_matches_single(spark, index):
                [(rk, d) for rk, d, _ in exp], q
         for (_, _, sg), (_, _, se) in zip(got, exp):
             assert sg == pytest.approx(se, rel=1e-12)
+
+
+def test_bm25_append_matches_full_rebuild(spark, tmp_path):
+    """Incremental BM25 (round 8): appending batches into a persisted
+    index yields EXACTLY the scores of an index built over the whole
+    corpus at once — postings/doc_lens union disjointly, dfs
+    re-aggregates, and n_docs/avgdl ride the manifest accounting.
+    Appends are crash-atomic and effectively-once under txn replay."""
+    from pipelinedb_spark.operators.retrieval import (bm25_append,
+                                                      bm25_index,
+                                                      bm25_load,
+                                                      bm25_persist,
+                                                      bm25_search)
+
+    rows = [(1, "spark streaming continuous view engine"),
+            (2, "postgres continuous aggregate view"),
+            (3, "spark spark shuffle join"),
+            (4, "tokenizer byte pair encoding spark"),
+            (5, "window aggregate watermark streaming"),
+            (6, "postgres index scan planner")]
+    base = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(rows[3:5], "doc_id long, text string")
+    b2 = spark.createDataFrame(rows[5:], "doc_id long, text string")
+
+    inc = str(tmp_path / "inc")
+    bm25_persist(bm25_index(base), inc)
+    assert bm25_append(spark, inc, b1, txn=("s", 1)) == 2
+    assert bm25_append(spark, inc, b1, txn=("s", 1)) == 0   # replay
+    assert bm25_append(spark, inc, b2, txn=("s", 2)) == 1
+
+    full = str(tmp_path / "full")
+    bm25_persist(bm25_index(
+        spark.createDataFrame(rows, "doc_id long, text string")), full)
+
+    li, lf = bm25_load(spark, inc), bm25_load(spark, full)
+    assert li["n_docs"] == lf["n_docs"] == 6
+    assert abs(li["avgdl"] - lf["avgdl"]) < 1e-12
+    for q in ("spark streaming", "postgres view", "encoding",
+              "nonexistent term"):
+        gi = [(r["doc_id"], round(r["score"], 12))
+              for r in bm25_search(li, q).collect()]
+        gf = [(r["doc_id"], round(r["score"], 12))
+              for r in bm25_search(lf, q).collect()]
+        assert gi == gf, q
+
+    # empty batch: tag only, no extra version dir
+    from pipelinedb_spark.indexstore import open_index
+    ndirs = len(open_index(inc).dirs())
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_append(spark, inc, empty, txn=("s", 3)) == 0
+    assert len(open_index(inc).dirs()) == ndirs
+    assert open_index(inc).txn_version("s") == 3
