@@ -280,3 +280,32 @@ def bm25_append(spark, path: str, new_docs: DataFrame,
     new_meta["total_dl"] = float(prev_total) + float(obs.get["dl"] or 0.0)
     store.commit(staged, replace=False, meta=new_meta, txn=txn)
     return n
+
+
+def bm25_compact(spark, path: str) -> int:
+    """Fold accumulated append dirs back into ONE version dir via a
+    replace-commit (the span/lsh compaction contract): postings and
+    doc_lens union as-is (batch doc sets are disjoint), dfs
+    re-aggregates once at compaction instead of at every load, and
+    the postings land term-range-sorted again so query pruning keeps
+    file-level min/max skipping.  Scores are unchanged.  Returns the
+    number of dirs compacted away."""
+    import os
+
+    from ..indexstore import open_index
+
+    store = open_index(path)
+    n_dirs = len(store.dirs())
+    if n_dirs <= 1:
+        return 0
+    idx = bm25_load(spark, path)   # already-unioned tables
+    staged = store.stage()
+    (idx["postings"].repartitionByRange(F.col("term"))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(os.path.join(staged, "postings")))
+    idx["doc_lens"].write.mode("overwrite") \
+        .parquet(os.path.join(staged, "doc_lens"))
+    idx["dfs"].write.mode("overwrite") \
+        .parquet(os.path.join(staged, "dfs"))
+    store.commit(staged, replace=True)   # meta (n_docs/total_dl) kept
+    return n_dirs

@@ -224,3 +224,32 @@ def test_bm25_append_matches_full_rebuild(spark, tmp_path):
     assert bm25_append(spark, inc, empty, txn=("s", 3)) == 0
     assert len(open_index(inc).dirs()) == ndirs
     assert open_index(inc).txn_version("s") == 3
+
+
+def test_bm25_compact_preserves_scores(spark, tmp_path):
+    from pipelinedb_spark.indexstore import open_index
+    from pipelinedb_spark.operators.retrieval import (bm25_append,
+                                                      bm25_compact,
+                                                      bm25_index,
+                                                      bm25_load,
+                                                      bm25_persist,
+                                                      bm25_search)
+
+    docs = [(i, f"term{i % 4} shared word corpus {i}") for i in range(9)]
+    path = str(tmp_path / "idx")
+    bm25_persist(bm25_index(
+        spark.createDataFrame(docs[:3], "doc_id long, text string")), path)
+    for k in (3, 6):
+        bm25_append(spark, path, spark.createDataFrame(
+            docs[k:k + 3], "doc_id long, text string"))
+    assert len(open_index(path).dirs()) == 3
+
+    def scores(q):
+        return [(r["doc_id"], round(r["score"], 12)) for r in
+                bm25_search(bm25_load(spark, path), q).collect()]
+
+    pre = {q: scores(q) for q in ("shared corpus", "term1", "word")}
+    assert bm25_compact(spark, path) == 3
+    assert len(open_index(path).dirs()) == 1
+    assert {q: scores(q) for q in pre} == pre
+    assert bm25_compact(spark, path) == 0
