@@ -44,7 +44,18 @@ GC mirrors matrel._gc: a dereferenced dir is stamped with
 later sweep once the stamp is older than ``gc_grace_seconds`` —
 protecting in-flight readers whose lazy plans still hold the old
 paths.  Version dirs numbered ABOVE the manifest version are
-in-flight commits by a concurrent writer and are never collected.
+in-flight commits by a concurrent writer and are never collected;
+``.stage-*`` dirs are never touched by automatic GC at all (they are
+indistinguishable from an in-flight write).  Commits serialize on an
+advisory O_EXCL lock.
+
+Production note: this store assumes a filesystem with atomic rename
+(local disk, NFS, HDFS).  On S3-class object storage the same
+pointer-swap discipline needs a transactional table format
+(Delta/Iceberg/Hudi) or a conditional-put manifest — exactly the
+substitution matrel.py documents for its own manifest; every
+read/commit call site is layout-agnostic, so the swap is contained
+to this module.
 """
 
 from __future__ import annotations
