@@ -49,70 +49,97 @@ in-flight commits by a concurrent writer and are never collected;
 indistinguishable from an in-flight write).  Commits serialize on an
 advisory O_EXCL lock.
 
-Production note: this store assumes a filesystem with atomic rename
-(local disk, NFS, HDFS).  On S3-class object storage the same
-pointer-swap discipline needs a transactional table format
-(Delta/Iceberg/Hudi) or a conditional-put manifest — exactly the
-substitution matrel.py documents for its own manifest; every
-read/commit call site is layout-agnostic, so the swap is contained
-to this module.
+Manifest atomicity is pluggable (manifestio.py): the default
+``rename`` strategy swaps one pointer file with ``os.replace``
+(atomic on local disk, NFS, HDFS); the ``condput`` strategy commits
+numbered immutable manifest objects with compare-and-set semantics —
+the object-storage shape (S3 ``PUT If-None-Match``), with no rename
+in the commit path at all.  Data-dir publishes stay invisible until
+a manifest references them under BOTH strategies, so their rename
+needs no atomicity.  An existing store keeps its layout; new stores
+take ``manifest_format=`` or the module default.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import shutil
-import tempfile
 import time
 import uuid
 
 from pyspark.sql import DataFrame
+
+from .manifestio import CommitConflict, resolve_manifest_io
+
+__all__ = ["IndexStore", "CommitConflict", "open_index", "read_index",
+           "MANIFEST"]
 
 MANIFEST = "_manifest.json"
 _VDIR_RE = re.compile(r"^v(\d+)-[0-9a-f]+$")
 # replay-tag retention, as matrel.MAX_TXN_SOURCES: sources idle for 64
 # commits have no in-flight replay to detect
 MAX_TXN_SOURCES = 64
+# default manifest strategy for NEW stores (tests/deployments flip to
+# "condput" for object-storage semantics); existing stores are sticky
+DEFAULT_MANIFEST_FORMAT = "rename"
 
 
 class IndexStore:
-    def __init__(self, root: str, gc_grace_seconds: float = 60.0):
+    def __init__(self, root: str, gc_grace_seconds: float = 60.0,
+                 manifest_format: str | None = None):
         self.root = root
         self.gc_grace_seconds = gc_grace_seconds
+        self.manifest_format = manifest_format
 
     # -- manifest ------------------------------------------------------
     @property
     def manifest_path(self) -> str:
         return os.path.join(self.root, MANIFEST)
 
+    def _io(self):
+        # getattr: some fault tests stub __init__ and set only
+        # root/gc_grace_seconds
+        return resolve_manifest_io(
+            self.root, MANIFEST,
+            getattr(self, "manifest_format", None),
+            DEFAULT_MANIFEST_FORMAT)
+
     def exists(self) -> bool:
-        return os.path.exists(self.manifest_path)
+        return self._io().exists()
 
     def read_manifest(self) -> dict:
-        with open(self.manifest_path) as f:
-            return json.load(f)
-
-    def _write_manifest(self, m: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self.manifest_path)  # atomic swap
+        return self._io().read_versioned()[0]
 
     def init_if_needed(self, meta: dict | None = None) -> None:
         os.makedirs(self.root, exist_ok=True)
-        if not self.exists():
-            self._write_manifest({"version": 0, "dirs": [],
-                                  "meta": meta or {}})
+        io = self._io()
+        if not io.exists():
+            try:
+                io.write({"version": 0, "dirs": [], "meta": meta or {}},
+                         base_seq=0)
+            except CommitConflict:
+                pass  # a concurrent creator initialized first
 
     def _commit_lock(self, timeout: float = 120.0,
                      stale_after: float = 600.0):
-        """Advisory commit lock (O_CREAT|O_EXCL): two concurrent
-        commits would otherwise read-modify-write the manifest and
-        the loser's dir list would silently drop the winner's append.
-        A lock older than ``stale_after`` is from a crashed committer
-        and is broken; waiting longer than ``timeout`` raises."""
+        """Advisory commit lock (O_CREAT|O_EXCL): serializes local
+        committers so rename-mode manifests never race and condput
+        committers rarely burn a CAS retry.  A lock older than
+        ``stale_after`` is from a crashed committer and is broken;
+        waiting longer than ``timeout`` raises.
+
+        Stale-breaking is TOCTOU-safe (round-8 review finding): each
+        lock file carries a unique token, and a breaker (1) reads the
+        token it judged stale, (2) claims the file via rename-to-
+        unique — atomic, so of N concurrent breakers exactly one
+        wins — then (3) verifies the claimed file still carries the
+        observed token.  If the token changed (the crashed owner's
+        lock was released and a FRESH committer acquired between stat
+        and rename), the breaker restores it via os.link (create-
+        exclusive, never clobbers a newer lock) and goes back to
+        waiting.  A stale lock can never cause two live committers to
+        run concurrently."""
         import contextlib
 
         path = os.path.join(self.root, "_commit.lock")
@@ -121,18 +148,43 @@ class IndexStore:
         def lock():
             deadline = time.time() + timeout
             while True:
+                token = uuid.uuid4().hex
                 try:
                     fd = os.open(path, os.O_CREAT | os.O_EXCL
                                  | os.O_WRONLY)
+                    os.write(fd, token.encode())
                     os.close(fd)
                     break
                 except FileExistsError:
                     try:
-                        if time.time() - os.path.getmtime(path) \
-                                > stale_after:
-                            os.remove(path)  # crashed committer
-                            continue
+                        with open(path) as f:
+                            observed = f.read()
+                        stale = (time.time() - os.path.getmtime(path)
+                                 > stale_after)
                     except OSError:
+                        continue  # lock released while we looked
+                    if stale:
+                        reap = f"{path}.reap-{uuid.uuid4().hex[:8]}"
+                        try:
+                            os.rename(path, reap)  # one breaker wins
+                        except OSError:
+                            continue
+                        try:
+                            with open(reap) as f:
+                                claimed = f.read()
+                        except OSError:
+                            claimed = None
+                        if claimed != observed:
+                            # we claimed a FRESH lock: put it back
+                            # without clobbering anything newer
+                            try:
+                                os.link(reap, path)
+                            except OSError:
+                                pass
+                        try:
+                            os.remove(reap)
+                        except OSError:
+                            pass
                         continue
                     if time.time() > deadline:
                         raise TimeoutError(
@@ -158,7 +210,11 @@ class IndexStore:
 
     def commit(self, staged: str, replace: bool,
                meta: dict | None = None,
-               txn: tuple[str, int] | None = None) -> str:
+               txn: tuple[str, int] | None = None,
+               meta_fn=None,
+               expected_dirs: list[str] | None = None,
+               on_extra: str = "keep",
+               max_retries: int = 5) -> str:
         """Publish a staged dir in one atomic manifest swap.
 
         ``replace=True`` dereferences every current dir (retrain /
@@ -167,43 +223,125 @@ class IndexStore:
         ``replace=False`` appends the dir to the live set (batch
         admit).  ``meta`` (when given) replaces the manifest meta IN
         THE SAME SWAP — drift accounting can never disagree with the
-        data it covers.  ``txn=(app_id, version)`` rides the swap too
-        (the matrel idempotent-writes pattern, matrel.py txns): a
-        replayed streaming epoch is detected by ``txn_version`` and
-        skipped instead of double-appended.  Returns the committed
-        dir's absolute path."""
-        with self._commit_lock():
-            m = self.read_manifest()
-            version = m["version"] + 1
-            final = f"v{version:05d}-{uuid.uuid4().hex[:6]}"
-            fpath = os.path.join(self.root, final)
-            os.rename(staged, fpath)
-            # a pre-commit GC pass may have grace-stamped the stage
-            # dir; the stamp must not ride into the committed dir, or
-            # a LATER dereference would skip its grace window
-            try:
-                os.remove(os.path.join(fpath, ".unref_ts"))
-            except OSError:
-                pass
-            dirs = ([] if replace else list(m["dirs"])) + [final]
-            out = {"version": version, "dirs": dirs,
-                   "meta": meta if meta is not None else m.get("meta", {})}
-            txns = dict(m.get("txns", {}))
-            if txn is not None:
-                app, ver = txn
-                prev = txns.get(app)
-                txns[app] = [max(int(ver),
-                                 int(prev[0] if prev is not None else -1)),
-                             version]
-                if len(txns) > MAX_TXN_SOURCES:  # most recent kept
-                    txns = dict(sorted(txns.items(),
-                                       key=lambda kv: kv[1][1],
-                                       reverse=True)[:MAX_TXN_SOURCES])
-            if txns:
-                out["txns"] = txns
-            self._write_manifest(out)
+        data it covers.  ``meta_fn`` (mutually exclusive with
+        ``meta``) is called on the CURRENT meta inside the commit
+        critical section and its result committed — append paths fold
+        their accounting deltas here so a concurrent commit between
+        the caller's read and this swap can never lose accounting
+        (ADVICE round 8: pre-lock absolute meta raced).  ``txn=
+        (app_id, version)`` rides the swap too (the matrel
+        idempotent-writes pattern): a replayed streaming epoch is
+        detected by ``txn_version`` and skipped instead of
+        double-appended.
+
+        Replace-commits whose staged output was DERIVED FROM the live
+        dirs (compaction, retrain) pass ``expected_dirs`` — the dir
+        basenames they consumed.  Inside the critical section:
+
+        * a consumed dir missing from the manifest means a concurrent
+          replace won → :class:`CommitConflict` (the staged output is
+          stale; the caller rebuilds);
+        * dirs present but NOT consumed are batches appended
+          concurrently.  ``on_extra='keep'`` carries them live after
+          the new base (compaction: layouts are compatible, and the
+          kept-at-swap meta still covers them);
+          ``on_extra='conflict'`` raises (retrain: the extra batch
+          was encoded under the OLD codec/centroids — folding it
+          under the new base would corrupt probe pruning; the caller
+          re-runs over the now-larger index).
+
+        Without ``expected_dirs`` a replace commit is a snapshot
+        rebuild from an EXTERNAL source: it intentionally defines the
+        new index contents, concurrent appends included-or-not by
+        whatever the source held.  Returns the committed dir's
+        absolute path."""
+        if meta is not None and meta_fn is not None:
+            raise ValueError("pass meta or meta_fn, not both")
+        fpath = None
+        for _ in range(max_retries):
+            with self._commit_lock():
+                io = self._io()
+                m, seq = io.read_versioned()
+                version = m["version"] + 1
+                final = f"v{version:05d}-{uuid.uuid4().hex[:6]}"
+                new_fpath = os.path.join(self.root, final)
+                # publish (or renumber after a lost CAS); invisible
+                # until a manifest references it, so no atomicity of
+                # this rename is assumed
+                os.rename(fpath or staged, new_fpath)
+                fpath = new_fpath
+                # a pre-commit GC pass may have grace-stamped the
+                # stage dir; the stamp must not ride into the
+                # committed dir, or a LATER dereference would skip
+                # its grace window
+                try:
+                    os.remove(os.path.join(fpath, ".unref_ts"))
+                except OSError:
+                    pass
+                if replace:
+                    extra: list[str] = []
+                    if expected_dirs is not None:
+                        cur = list(m["dirs"])
+                        missing = [d for d in expected_dirs
+                                   if d not in cur]
+                        extra = [d for d in cur
+                                 if d not in expected_dirs]
+                        if missing or (extra and on_extra == "conflict"):
+                            self._shelve_conflict(fpath)
+                            raise CommitConflict(
+                                f"live dirs moved under {self.root}: "
+                                f"missing={missing} extra={extra}")
+                    dirs = [final] + extra
+                else:
+                    dirs = list(m["dirs"]) + [final]
+                if meta_fn is not None:
+                    eff_meta = meta_fn(dict(m.get("meta", {})))
+                elif meta is not None:
+                    eff_meta = meta
+                else:
+                    eff_meta = m.get("meta", {})
+                out = {"version": version, "dirs": dirs,
+                       "meta": eff_meta}
+                txns = dict(m.get("txns", {}))
+                if txn is not None:
+                    app, ver = txn
+                    prev = txns.get(app)
+                    txns[app] = [max(int(ver),
+                                     int(prev[0] if prev is not None
+                                         else -1)),
+                                 version]
+                    if len(txns) > MAX_TXN_SOURCES:  # most recent kept
+                        txns = dict(sorted(txns.items(),
+                                           key=lambda kv: kv[1][1],
+                                           reverse=True)
+                                    [:MAX_TXN_SOURCES])
+                if txns:
+                    out["txns"] = txns
+                try:
+                    io.write(out, seq)
+                    break
+                except CommitConflict:
+                    continue  # re-read and re-derive, then retry
+        else:
+            self._shelve_conflict(fpath)
+            raise CommitConflict(
+                f"manifest CAS lost {max_retries} times under "
+                f"{self.root}")
         self.gc()
         return fpath
+
+    def _shelve_conflict(self, fpath: str | None) -> None:
+        """Demote a published-but-never-referenced version dir back to
+        stage naming so the explicit maintenance sweep
+        (``gc(include_stage=True)``) can reclaim it — left under a
+        v-name it would look like an in-flight commit forever."""
+        if fpath is None:
+            return
+        try:
+            os.rename(fpath, os.path.join(
+                self.root, f".stage-conflict-{uuid.uuid4().hex[:8]}"))
+        except OSError:
+            pass
 
     def txn_version(self, app_id: str) -> int | None:
         """Last epoch committed for ``app_id`` — None if never seen
@@ -212,33 +350,51 @@ class IndexStore:
         return int(v[0]) if v is not None else None
 
     def tag(self, txn: tuple[str, int] | None = None,
-            meta: dict | None = None) -> None:
+            meta: dict | None = None, meta_fn=None,
+            max_retries: int = 5) -> None:
         """Manifest-only commit (no data dir): advance the replay txn
-        tag and/or the meta.  The EMPTY-batch path — an empty
-        streaming epoch must mark itself done without accumulating an
-        empty version dir per epoch."""
-        if txn is None and meta is None:
+        tag and/or the meta (``meta_fn`` folds over the current meta
+        inside the critical section, as in :meth:`commit`).  The
+        EMPTY-batch path — an empty streaming epoch must mark itself
+        done without accumulating an empty version dir per epoch."""
+        if txn is None and meta is None and meta_fn is None:
             return
-        with self._commit_lock():
-            m = self.read_manifest()
-            version = m["version"] + 1
-            out = {"version": version, "dirs": m["dirs"],
-                   "meta": meta if meta is not None
-                   else m.get("meta", {})}
-            txns = dict(m.get("txns", {}))
-            if txn is not None:
-                app, ver = txn
-                prev = txns.get(app)
-                txns[app] = [max(int(ver),
-                                 int(prev[0] if prev is not None
-                                     else -1)), version]
-                if len(txns) > MAX_TXN_SOURCES:
-                    txns = dict(sorted(txns.items(),
-                                       key=lambda kv: kv[1][1],
-                                       reverse=True)[:MAX_TXN_SOURCES])
-            if txns:
-                out["txns"] = txns
-            self._write_manifest(out)
+        if meta is not None and meta_fn is not None:
+            raise ValueError("pass meta or meta_fn, not both")
+        for _ in range(max_retries):
+            with self._commit_lock():
+                io = self._io()
+                m, seq = io.read_versioned()
+                version = m["version"] + 1
+                if meta_fn is not None:
+                    eff_meta = meta_fn(dict(m.get("meta", {})))
+                elif meta is not None:
+                    eff_meta = meta
+                else:
+                    eff_meta = m.get("meta", {})
+                out = {"version": version, "dirs": m["dirs"],
+                       "meta": eff_meta}
+                txns = dict(m.get("txns", {}))
+                if txn is not None:
+                    app, ver = txn
+                    prev = txns.get(app)
+                    txns[app] = [max(int(ver),
+                                     int(prev[0] if prev is not None
+                                         else -1)), version]
+                    if len(txns) > MAX_TXN_SOURCES:
+                        txns = dict(sorted(txns.items(),
+                                           key=lambda kv: kv[1][1],
+                                           reverse=True)
+                                    [:MAX_TXN_SOURCES])
+                if txns:
+                    out["txns"] = txns
+                try:
+                    io.write(out, seq)
+                    return
+                except CommitConflict:
+                    continue
+        raise CommitConflict(
+            f"manifest CAS lost {max_retries} times under {self.root}")
 
     # -- read side -------------------------------------------------------
     def dirs(self) -> list[str]:
@@ -258,7 +414,14 @@ class IndexStore:
         each child scan (Catalyst PushDownPredicates), so partition
         pruning on e.g. ``list_id``/``band`` survives the versioned
         layout."""
-        paths = self.dirs()
+        return self.read_from(spark, self.dirs())
+
+    def read_from(self, spark, paths: list[str]) -> DataFrame:
+        """Union over an EXPLICIT dir list — for derived rewrites
+        (compaction/retrain) that must pin the exact snapshot they
+        consumed and later pass its basenames as ``expected_dirs`` to
+        :meth:`commit`; a second ``dirs()`` listing could differ under
+        concurrent appends."""
         if not paths:
             raise ValueError(f"index at {self.root} holds no data")
         out = spark.read.parquet(paths[0])
@@ -275,6 +438,13 @@ class IndexStore:
         """Unlink dereferenced version dirs (grace-stamped, the
         matrel._gc contract).  Never touches live dirs or version
         dirs numbered above the manifest version (in-flight commits).
+
+        CONCURRENCY CONTRACT: ``gc_grace_seconds=0`` asserts no
+        concurrent readers OR committers.  A CAS-losing committer's
+        renamed dir can be numbered at-or-below the manifest version
+        for the instant before it renumbers and retries — only the
+        stamp-then-delete grace window protects it from a concurrent
+        gc pass, exactly as the grace protects in-flight readers.
 
         ``.stage-*`` dirs are skipped unless ``include_stage=True``:
         a stage dir is indistinguishable from a CONCURRENT writer's

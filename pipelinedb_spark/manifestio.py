@@ -1,0 +1,178 @@
+"""Pluggable manifest-commit strategies for the snapshot stores
+(matrel.MatrelStore, indexstore.IndexStore).
+
+Both stores publish every mutation through ONE manifest write — the
+transaction-commit role PipelineDB gets from Postgres
+(src/pipeline_combine.c commits matrel mutations inside transactions).
+How that single write is made atomic is a property of the underlying
+storage, so it lives behind this seam:
+
+``rename``  (:class:`RenameManifestIO`)
+    One pointer file swapped with ``os.replace``.  Correct on any
+    filesystem with atomic rename (local disk, NFS, HDFS).  Writers
+    must be externally serialized (the index store's advisory commit
+    lock / the matrel's single-writer engine contract) — the swap is
+    last-writer-wins.
+
+``condput``  (:class:`CondPutManifestIO`)
+    Numbered immutable manifest objects (``_manifests/m<seq>.json``)
+    created with compare-and-set semantics; the current manifest is
+    the highest committed number.  This is the object-storage shape:
+    on S3 each write maps to ``PUT If-None-Match: *`` (conditional
+    put) and ``read`` to a LIST + GET — S3 lists are strongly
+    consistent, and a lost CAS surfaces as :class:`CommitConflict`
+    instead of a silently-overwritten pointer.  Locally the
+    conditional put is emulated with ``os.link`` (an atomic
+    create-exclusive metadata op), so NOTHING in this mode depends on
+    rename atomicity: data-dir publishes stay invisible until a
+    manifest references them, and the manifest publish itself never
+    renames.  A crash mid-write leaves an unlinked temp file no
+    reader ever lists.
+
+The seam closes the 100 TB durability asterisk both stores documented
+(indexstore.py production note): on S3-class storage ``os.replace``
+is copy+delete and the rename-mode swap silently loses atomicity —
+``condput`` keeps the exact same commit protocol safe there.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+
+CONDPUT_DIR = "_manifests"
+_SEQ_RE = re.compile(r"^m(\d{20})\.json$")
+
+
+class CommitConflict(RuntimeError):
+    """A conditional manifest write lost the compare-and-set: another
+    committer published a newer manifest between this writer's read
+    and its write.  Callers re-read and retry (appends) or rebuild
+    their staged output (replace-commits derived from stale dirs)."""
+
+
+class RenameManifestIO:
+    """Single pointer file, atomically swapped with ``os.replace``.
+    ``base_seq`` is accepted for interface parity and ignored —
+    concurrency control is the caller's lock / single-writer
+    contract, exactly the pre-seam behavior."""
+
+    def __init__(self, root: str, filename: str):
+        self.root = root
+        self.path = os.path.join(root, filename)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read_versioned(self) -> tuple[dict, int]:
+        with open(self.path) as f:
+            return json.load(f), 0
+
+    def write(self, m: dict, base_seq: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self.path)  # atomic pointer swap
+
+    def gc(self) -> None:
+        pass
+
+
+class CondPutManifestIO:
+    """Numbered immutable manifest objects under ``root/_manifests``;
+    the live manifest is the highest ``m<seq>.json``.  ``write`` is a
+    compare-and-set on ``base_seq`` (the seq returned by the read the
+    caller derived its output from): creating ``m<base_seq+1>.json``
+    exclusively either wins or raises :class:`CommitConflict`.
+
+    Local emulation of the S3 conditional put: write a temp file in
+    full, then ``os.link`` it to the target name — link is atomic and
+    fails with EEXIST when another committer already owns that seq.
+    No rename is involved anywhere in the commit path."""
+
+    KEEP = 8  # manifest-history tail for in-flight readers
+
+    def __init__(self, root: str):
+        self.root = root
+        self.dir = os.path.join(root, CONDPUT_DIR)
+
+    def exists(self) -> bool:
+        return self._max_seq() is not None
+
+    def _entries(self) -> list[tuple[int, str]]:
+        try:
+            names = os.listdir(self.dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            sm = _SEQ_RE.match(n)
+            if sm is not None:
+                out.append((int(sm.group(1)), n))
+        return sorted(out)
+
+    def _max_seq(self) -> int | None:
+        ent = self._entries()
+        return ent[-1][0] if ent else None
+
+    def read_versioned(self) -> tuple[dict, int]:
+        ent = self._entries()
+        if not ent:
+            raise FileNotFoundError(
+                f"no committed manifest under {self.dir}")
+        seq, name = ent[-1]
+        with open(os.path.join(self.dir, name)) as f:
+            return json.load(f), seq
+
+    def write(self, m: dict, base_seq: int) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        target = os.path.join(self.dir, f"m{base_seq + 1:020d}.json")
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmp-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(m, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)  # the conditional put
+            except FileExistsError:
+                raise CommitConflict(
+                    f"manifest seq {base_seq + 1} already committed "
+                    f"under {self.dir}") from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        self.gc()
+
+    def gc(self) -> None:
+        ent = self._entries()
+        for seq, name in ent[:-self.KEEP]:
+            try:
+                os.unlink(os.path.join(self.dir, name))
+            except OSError:
+                pass
+
+
+def resolve_manifest_io(root: str, filename: str,
+                        fmt: str | None, default: str):
+    """Sticky format resolution: an existing store keeps whatever
+    layout it was created with (mixing formats in one store would
+    give two competing pointers); a fresh root uses ``fmt`` or the
+    module default."""
+    condput = CondPutManifestIO(root)
+    rename = RenameManifestIO(root, filename)
+    if condput.exists() or os.path.isdir(condput.dir):
+        return condput
+    if rename.exists():
+        return rename
+    eff = fmt or default
+    if eff == "condput":
+        return condput
+    if eff == "rename":
+        return rename
+    raise ValueError(f"unknown manifest format {eff!r} "
+                     "(expected 'rename' or 'condput')")

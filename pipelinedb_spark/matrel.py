@@ -21,16 +21,21 @@ merges (``src/pipeline_query.c:1786-1803``, ``src/combiner.c:399``,
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .manifestio import resolve_manifest_io
+
 BUCKET_COL = "__bucket"
+# manifest strategy for NEW stores ("rename" = os.replace pointer
+# swap, posix-atomic; "condput" = numbered CAS objects, the
+# object-storage shape — see manifestio.py); existing stores are
+# sticky to the layout they were created with
+DEFAULT_MANIFEST_FORMAT = "rename"
 # replay-detection retention: manifests keep the txn tags of the most
 # recently active sources only (a source idle for 64 attachments has
 # no in-flight replay to detect)
@@ -52,7 +57,8 @@ def _du(path: str) -> int:
 
 class MatrelStore:
     def __init__(self, spark: SparkSession, root: str, name: str,
-                 num_buckets: int = 32) -> None:
+                 num_buckets: int = 32,
+                 manifest_format: str | None = None) -> None:
         self.spark = spark
         self.name = name
         self.dir = os.path.join(root, name)
@@ -70,8 +76,10 @@ class MatrelStore:
         self.gc_grace_seconds: float = 60.0
         self._last_compact: float = 0.0
         os.makedirs(self.dir, exist_ok=True)
+        self.manifest_format = manifest_format
         self._manifest_path = os.path.join(self.dir, "MANIFEST")
-        if not os.path.exists(self._manifest_path):
+        self._last_seq = 0
+        if not self._mio().exists():
             self._write_manifest({"version": 0, "buckets": {}})
 
     def ensure_layout(self, tag: str) -> str:
@@ -120,15 +128,24 @@ class MatrelStore:
         return n
 
     # -- manifest ----------------------------------------------------------
+    # The write path is SINGLE-WRITER by engine contract (one combiner
+    # merge at a time per view), so reads don't take a lock; the
+    # manifest IO seam (manifestio.py) only decides HOW the one write
+    # becomes atomic — os.replace pointer swap on posix ("rename") or
+    # numbered CAS objects ("condput", the object-storage shape).  In
+    # condput mode a violated single-writer contract surfaces as
+    # CommitConflict instead of a silently-lost pointer.
+    def _mio(self):
+        return resolve_manifest_io(self.dir, "MANIFEST",
+                                   getattr(self, "manifest_format", None),
+                                   DEFAULT_MANIFEST_FORMAT)
+
     def _read_manifest(self) -> dict:
-        with open(self._manifest_path) as f:
-            return json.load(f)
+        m, self._last_seq = self._mio().read_versioned()
+        return m
 
     def _write_manifest(self, m: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.dir)
-        with os.fdopen(fd, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path)  # atomic swap
+        self._mio().write(m, getattr(self, "_last_seq", 0))
 
     # -- read --------------------------------------------------------------
     def is_empty(self) -> bool:

@@ -668,8 +668,6 @@ def lsh_index_append(spark, path: str, new_docs: DataFrame,
     temp prefix and commits via one atomic manifest swap — a
     mid-append crash leaves no partial band rows.  ``txn=(app_id,
     epoch)`` skips replayed streaming epochs (returns False)."""
-    import shutil
-
     from ..indexstore import open_index
 
     store = open_index(path)
@@ -683,35 +681,52 @@ def lsh_index_append(spark, path: str, new_docs: DataFrame,
     meta = store.meta()
     banded = _banded_rows(new_docs, id_col, text_col, meta["num_hashes"],
                           meta["bands"], meta["shingle_n"])
-    staged = store.stage()
-    _write_band_rows(banded, staged, write_partitions)
-    if spark.read.parquet(staged).isEmpty():
-        # row-less output (e.g. all-null texts): tag only — see
-        # span_index_append for the Observation caveat
-        shutil.rmtree(staged, ignore_errors=True)
+    if banded.isEmpty():
+        # row-less output (e.g. all-null texts): tag only — checked
+        # BEFORE staging; see span_index_append for why the post-write
+        # readback (and an Observation on the write) both fail here
         store.tag(txn=txn)
         return True
+    staged = store.stage()
+    _write_band_rows(banded, staged, write_partitions)
     store.commit(staged, replace=False, txn=txn)
     return True
 
 
 def lsh_index_compact(spark, path: str,
-                      write_partitions: int | None = None) -> int:
+                      write_partitions: int | None = None,
+                      max_retries: int = 3) -> int:
     """Rewrite the live version dirs into ONE partitionBy(band),
     bucket-sorted dir via a replace-commit (old version readable
     until the swap; GC grace after).  The band rows are read back
-    as-is — no re-signaturing.  Returns dirs compacted away."""
-    from ..indexstore import open_index
+    as-is — no re-signaturing.  Returns dirs compacted away.
+
+    Pins the consumed dir snapshot (``expected_dirs``): concurrent
+    appends stay live beside the new base; a concurrent
+    replace-commit retries the rebuild (ADVICE r8)."""
+    import os
+
+    from ..indexstore import CommitConflict, open_index
 
     store = open_index(path)
-    n_dirs = len(store.dirs())
-    if n_dirs <= 1:
-        return 0
-    banded = store.read(spark)
-    staged = store.stage()
-    _write_band_rows(banded, staged, write_partitions)
-    store.commit(staged, replace=True)
-    return n_dirs
+    for _ in range(max_retries):
+        paths = store.dirs()
+        n_dirs = len(paths)
+        if n_dirs <= 1:
+            return 0
+        banded = store.read_from(spark, paths)
+        staged = store.stage()
+        _write_band_rows(banded, staged, write_partitions)
+        try:
+            store.commit(staged, replace=True,
+                         expected_dirs=[os.path.basename(p)
+                                        for p in paths])
+            return n_dirs
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"lsh_index_compact lost {max_retries} rebuild races "
+        f"under {path}")
 
 
 def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,

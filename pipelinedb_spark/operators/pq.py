@@ -383,13 +383,17 @@ def ivfpq_append(spark, path: str, new_vectors: DataFrame,
         shutil.rmtree(staged, ignore_errors=True)
         store.tag(txn=txn)
         return 0
-    meta = dict(meta)
-    meta["appended_n"] = meta.get("appended_n", 0) + n
-    meta["appended_dist_sum"] = meta.get("appended_dist_sum", 0.0) + ds
-    if n:
-        meta["last_append_n"] = n
-        meta["last_append_mean_dist"] = ds / n
-    store.commit(staged, replace=False, meta=meta, txn=txn)
+    # accounting folds under the commit critical section (meta_fn) —
+    # concurrent appends can't lose drift counters to pre-lock reads
+    def _fold(cur: dict) -> dict:
+        out = dict(cur)
+        out["appended_n"] = out.get("appended_n", 0) + n
+        out["appended_dist_sum"] = out.get("appended_dist_sum", 0.0) + ds
+        out["last_append_n"] = n
+        out["last_append_mean_dist"] = ds / n
+        return out
+
+    store.commit(staged, replace=False, meta_fn=_fold, txn=txn)
     return n
 
 
@@ -418,15 +422,32 @@ def ivfpq_retrain(spark, path: str, n_lists: int | None = None,
     from ..indexstore import open_index
     from .similarity import _read_meta
 
+    import os
+
+    from ..indexstore import CommitConflict
+
     meta = _read_meta(path) or {}
     id_col = meta.get("id_col", "vec_id")
     vec_col = meta.get("vec_col", "embedding")
     old = ivfpq_load_codec(path)
-    corpus = open_index(path).read(spark).select(id_col, vec_col)
-    return ivfpq_persist(
-        corpus, path, id_col=id_col, vec_col=vec_col,
-        n_lists=n_lists or old.n_lists, m=m or old.m,
-        ksub=ksub or old.ksub, sample=sample, iters=iters, seed=seed)
+    store = open_index(path)
+    # pinned snapshot + conflict-on-extra: a batch appended during the
+    # retrain carries OLD-codec codes/assignments — the swap conflicts
+    # and the retrain re-runs over the larger index (ADVICE round 8)
+    for _ in range(3):
+        paths = store.dirs()
+        corpus = store.read_from(spark, paths).select(id_col, vec_col)
+        try:
+            return ivfpq_persist(
+                corpus, path, id_col=id_col, vec_col=vec_col,
+                n_lists=n_lists or old.n_lists, m=m or old.m,
+                ksub=ksub or old.ksub, sample=sample, iters=iters,
+                seed=seed,
+                _expected_dirs=[os.path.basename(p) for p in paths])
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"ivfpq_retrain lost 3 rebuild races under {path}")
 
 
 # --------------------------------------------------------------------
@@ -441,7 +462,8 @@ def ivfpq_persist(corpus: DataFrame, path: str,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   n_lists: int = 16, m: int = 8, ksub: int = 256,
                   sample: int = 4096, iters: int = 10,
-                  seed: int = 7) -> PQCodec:
+                  seed: int = 7,
+                  _expected_dirs: list[str] | None = None) -> PQCodec:
     """Materialize an IVF-PQ index: rows (id, vec, codes) written
     partitionBy(list_id), codec (coarse centroids + codebooks) saved
     as ``_codec.npz`` beside it.  Probes prune at the partition level
@@ -481,7 +503,11 @@ def ivfpq_persist(corpus: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("list_id").parquet(staged))
     np.savez(os.path.join(staged, "_codec.npz"),
              centroids=codec.centroids, codebooks=codec.codebooks)
-    store.commit(staged, replace=True, meta={
+    # retrain path: see similarity.ivf_persist — extra dirs carry
+    # old-codec codes, so conflict instead of keeping them
+    store.commit(staged, replace=True,
+                 expected_dirs=_expected_dirs, on_extra="conflict",
+                 meta={
         "id_col": id_col, "vec_col": vec_col,
         "n_lists": codec.n_lists, "m": codec.m,
         "ksub": codec.ksub, "dim": codec.dim,

@@ -102,17 +102,27 @@ def bm25_search(index: dict, query: str, k: int = 10,
 def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
                      k1: float = 1.2, b: float = 0.75,
                      query_id_col: str = "query_id",
-                     query_col: str = "query") -> DataFrame:
+                     query_col: str = "query",
+                     broadcast_max_bytes: int = 64 << 20) -> DataFrame:
     """Score a whole DataFrame of queries in ONE job — no per-query
     driver lookups.  Returns (query_id, id_col, score, rank) with
     ``rank`` 1..k per query (BM25 descending, doc id ascending ties).
 
     Plan shape: the query set explodes to a (query_id, term) table,
     idf comes from joining the vocabulary-scaled ``dfs`` table (no
-    collect), and that small per-query term/idf table broadcasts onto
-    the corpus-scaled postings — one pruned postings pass regardless
-    of query count, then a windowed top-k per query."""
-    from pyspark.sql import Window
+    collect), and that per-query term/idf table joins onto the
+    corpus-scaled postings — one pruned postings pass regardless of
+    query count, then a windowed top-k per query.
+
+    The qidf side broadcasts only while its Observation-counted size
+    fits ``broadcast_max_bytes`` (the lsh/span probe gate): qidf
+    scales with |queries| × |terms per query|, and a
+    decontamination-scale query set (millions of queries) would blow
+    past the broadcast ceiling and fail the job — past the gate it
+    falls back to a pinned shuffle-hash join (never a sort-merge of
+    the corpus-scaled postings).  The count rides the localCheckpoint
+    materialization; no extra pass."""
+    from pyspark.sql import Observation, Window
 
     id_col = index["id_col"]
     n, avgdl = index["n_docs"], index["avgdl"]
@@ -130,10 +140,20 @@ def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
               .distinct())
     idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
-    qidf = qterms.join(index["dfs"], "term") \
-                 .select(query_id_col, "term", idf.alias("__idf"))
+    obs = Observation()
+    qidf = (qterms.join(index["dfs"], "term")
+            .select(query_id_col, "term", idf.alias("__idf"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True))
+    try:
+        # ~48 bytes: term string + id + idf double + row overhead
+        est_bytes = int(obs.get["n"]) * 48
+    except Exception:  # empty qidf can eliminate CollectMetrics
+        est_bytes = 0
+    qidf = (F.broadcast(qidf) if est_bytes <= broadcast_max_bytes
+            else qidf.hint("shuffle_hash"))
     hits = (index["postings"]
-            .join(F.broadcast(qidf), "term")
+            .join(qidf, "term")
             .join(index["doc_lens"], id_col))
     tf = F.col("tf").cast("double")
     denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
@@ -272,40 +292,74 @@ def bm25_append(spark, path: str, new_docs: DataFrame,
         shutil.rmtree(staged, ignore_errors=True)
         store.tag(txn=txn)
         return 0
-    new_meta = dict(meta)
-    prev_total = meta.get("total_dl",
-                          float(meta.get("avgdl", 0.0))
-                          * int(meta["n_docs"]))
-    new_meta["n_docs"] = int(meta["n_docs"]) + n
-    new_meta["total_dl"] = float(prev_total) + float(obs.get["dl"] or 0.0)
-    store.commit(staged, replace=False, meta=new_meta, txn=txn)
+    batch_dl = float(obs.get["dl"] or 0.0)
+
+    def _fold(cur: dict) -> dict:
+        # evaluated INSIDE the commit critical section on the CURRENT
+        # meta — a concurrent append/compact between this function's
+        # pre-read and the swap can no longer lose n_docs/total_dl
+        # accounting (ADVICE round 8: these feed every BM25 score)
+        out = dict(cur)
+        prev_total = cur.get("total_dl",
+                             float(cur.get("avgdl", 0.0))
+                             * int(cur["n_docs"]))
+        out["n_docs"] = int(cur["n_docs"]) + n
+        out["total_dl"] = float(prev_total) + batch_dl
+        return out
+
+    store.commit(staged, replace=False, meta_fn=_fold, txn=txn)
     return n
 
 
-def bm25_compact(spark, path: str) -> int:
+def bm25_compact(spark, path: str, max_retries: int = 3) -> int:
     """Fold accumulated append dirs back into ONE version dir via a
     replace-commit (the span/lsh compaction contract): postings and
     doc_lens union as-is (batch doc sets are disjoint), dfs
     re-aggregates once at compaction instead of at every load, and
     the postings land term-range-sorted again so query pruning keeps
     file-level min/max skipping.  Scores are unchanged.  Returns the
-    number of dirs compacted away."""
-    import os
+    number of dirs compacted away.
 
-    from ..indexstore import open_index
+    Concurrency: the rewrite pins the exact dir snapshot it consumed
+    and passes it as ``expected_dirs`` — a batch appended DURING the
+    compaction stays live beside the new base (its accounting is in
+    the kept-at-swap meta), and a concurrent replace-commit surfaces
+    as a retried rebuild instead of silent data loss (ADVICE round
+    8)."""
+    import os
+    from functools import reduce
+
+    from ..indexstore import CommitConflict, open_index
 
     store = open_index(path)
-    n_dirs = len(store.dirs())
-    if n_dirs <= 1:
-        return 0
-    idx = bm25_load(spark, path)   # already-unioned tables
-    staged = store.stage()
-    (idx["postings"].repartitionByRange(F.col("term"))
-     .sortWithinPartitions("term")
-     .write.mode("overwrite").parquet(os.path.join(staged, "postings")))
-    idx["doc_lens"].write.mode("overwrite") \
-        .parquet(os.path.join(staged, "doc_lens"))
-    idx["dfs"].write.mode("overwrite") \
-        .parquet(os.path.join(staged, "dfs"))
-    store.commit(staged, replace=True)   # meta (n_docs/total_dl) kept
-    return n_dirs
+    for _ in range(max_retries):
+        paths = store.dirs()
+        n_dirs = len(paths)
+        if n_dirs <= 1:
+            return 0
+
+        def tbl(name):
+            return reduce(lambda a, b: a.unionByName(b),
+                          [spark.read.parquet(os.path.join(d, name))
+                           for d in paths])
+
+        staged = store.stage()
+        (tbl("postings").repartitionByRange(F.col("term"))
+         .sortWithinPartitions("term")
+         .write.mode("overwrite")
+         .parquet(os.path.join(staged, "postings")))
+        tbl("doc_lens").write.mode("overwrite") \
+            .parquet(os.path.join(staged, "doc_lens"))
+        (tbl("dfs").groupBy("term").agg(F.sum("df").alias("df"))
+         .write.mode("overwrite").parquet(os.path.join(staged, "dfs")))
+        try:
+            # meta (n_docs/total_dl) kept as of the swap — covers the
+            # compacted dirs AND any concurrently-appended survivors
+            store.commit(staged, replace=True,
+                         expected_dirs=[os.path.basename(p)
+                                        for p in paths])
+            return n_dirs
+        except CommitConflict:
+            continue  # a concurrent replace won: rebuild from current
+    raise CommitConflict(
+        f"bm25_compact lost {max_retries} rebuild races under {path}")

@@ -457,7 +457,8 @@ def ivf_persist(corpus: DataFrame, path: str,
                 centroids: np.ndarray | None = None,
                 n_lists: int = 16, id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                sample: int = 4096, seed: int = 7) -> np.ndarray:
+                sample: int = 4096, seed: int = 7,
+                _expected_dirs: list[str] | None = None) -> np.ndarray:
     """Materialize an IVF index on disk: the corpus written
     partitioned by ``list_id`` (plus ``centroids.npy`` beside it), so
     probes become PARTITION PRUNING at the parquet scan instead of a
@@ -494,7 +495,14 @@ def ivf_persist(corpus: DataFrame, path: str,
      .repartition(nparts, "list_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(staged))
     np.save(os.path.join(staged, "_centroids.npy"), centroids)
-    store.commit(staged, replace=True, meta={
+    # retrain path (_expected_dirs set): the rebuild consumed exactly
+    # those dirs — a batch appended meanwhile was assigned under the
+    # OLD centroids, so keeping it beside the new base would corrupt
+    # probe pruning; conflict instead, and ivf_retrain re-runs over
+    # the now-larger index (ADVICE round 8: silent drop was data loss)
+    store.commit(staged, replace=True,
+                 expected_dirs=_expected_dirs, on_extra="conflict",
+                 meta={
         "n_lists": int(len(centroids)),
         "dim": int(centroids.shape[1]),
         "build_n": int(obs.get["n"]),
@@ -626,16 +634,20 @@ def ivf_append(spark, path: str, new_vectors: DataFrame,
         store.tag(txn=txn)
         return 0
     # drift accounting: the assignment distances already rode the
-    # write job's Observation — fold them into the index meta, which
-    # commits in the SAME manifest swap as the batch it covers
-    meta = dict(meta0 or {})
-    meta["appended_n"] = meta.get("appended_n", 0) + n
-    meta["appended_dist_sum"] = (meta.get("appended_dist_sum", 0.0)
-                                 + ds)
-    if n:
+    # write job's Observation — folded into the index meta INSIDE the
+    # commit critical section (meta_fn), which swaps in the SAME
+    # manifest write as the batch it covers; a concurrent append can
+    # no longer lose accounting to a pre-lock read (ADVICE round 8)
+    def _fold(cur: dict) -> dict:
+        meta = dict(cur)
+        meta["appended_n"] = meta.get("appended_n", 0) + n
+        meta["appended_dist_sum"] = (meta.get("appended_dist_sum", 0.0)
+                                     + ds)
         meta["last_append_n"] = n
         meta["last_append_mean_dist"] = ds / n
-    store.commit(staged, replace=False, meta=meta, txn=txn)
+        return meta
+
+    store.commit(staged, replace=False, meta_fn=_fold, txn=txn)
     return n
 
 
@@ -683,6 +695,8 @@ def ivf_retrain(spark, path: str, n_lists: int | None = None,
     at ANY point leaves the old index fully readable.  No
     localCheckpoint pinning: the sources are immutable until the
     commit, at 100 TB as locally."""
+    from ..indexstore import CommitConflict
+
     meta = _read_meta(path) or {}
     id_col = meta.get("id_col", "vec_id")
     vec_col = meta.get("vec_col", "embedding")
@@ -690,9 +704,38 @@ def ivf_retrain(spark, path: str, n_lists: int | None = None,
     if n_lists is None:
         n_lists = int(meta.get("n_lists") or
                       len(np.load(store.artifact("_centroids.npy"))))
-    corpus = store.read(spark).select(id_col, vec_col)
-    return ivf_persist(corpus, path, n_lists=n_lists, id_col=id_col,
-                       vec_col=vec_col, sample=sample, seed=seed)
+    # pin the exact dir snapshot the rebuild consumes; a concurrent
+    # append (old-centroid assignments) conflicts the swap and the
+    # retrain re-runs over the larger index — never silently dropped
+    for _ in range(3):
+        paths = store.dirs()
+        corpus = store.read_from(spark, paths).select(id_col, vec_col)
+        try:
+            return ivf_persist(
+                corpus, path, n_lists=n_lists, id_col=id_col,
+                vec_col=vec_col, sample=sample, seed=seed,
+                _expected_dirs=[os.path.basename(p) for p in paths])
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"ivf_retrain lost 3 rebuild races under {path}")
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a localCheckpoint's executor storage.
+
+    ``Dataset.localCheckpoint`` persists an internal RDD that hangs
+    off the returned Dataset's LogicalRDD node; dropping the Python
+    reference only frees those blocks when driver GC plus the
+    ContextCleaner eventually run, so an iterative algorithm could
+    pile up one working-set copy per pass (review finding, round 8).
+    Unpersisting the node's RDD bounds live storage to the copies the
+    caller still holds.  Best-effort: if the internals move in a
+    future Spark, the GC-driven path still reclaims the blocks."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def kcenter_select(corpus: DataFrame, k: int,
@@ -716,10 +759,14 @@ def kcenter_select(corpus: DataFrame, k: int,
     the single newly broadcast center — the center ships as a
     literal array, no join) and ONE max-struct aggregation (no sort,
     no shuffle of the corpus).  The running state (id, vec, dist) is
-    re-checkpointed each pass so lineage stays flat; k passes over
+    re-checkpointed each pass so lineage stays flat, and the PREVIOUS
+    pass's checkpoint blocks are released as soon as the new one
+    materializes — at most two copies of (id, vec, dist) live in
+    executor storage at any instant (review r8: GC-driven cleanup
+    could accumulate up to k copies on a big corpus).  k passes over
     the corpus is the algorithm's true cost at any scale.  For large
-    k, pre-reduce with ivf_train-style clustering and run k-center
-    over centroids."""
+    k, use :func:`kcenter_over_centroids` — the ivf_train pre-reduce
+    composition this docstring used to merely describe."""
     if k < 1:
         raise ValueError("k must be >= 1")
 
@@ -753,9 +800,14 @@ def kcenter_select(corpus: DataFrame, k: int,
         sel.append((nid, r, float(top["__d"])))
         center = list(top["__v"])
         if r < k - 1:
+            prev = cur
             cur = cur.withColumn(
                 "__d", F.least(F.col("__d"), d_to(center))) \
                 .localCheckpoint(eager=True)
+            # eager=True: the new checkpoint's blocks exist before we
+            # drop the ones it was computed from
+            _release_local_checkpoint(prev)
+    _release_local_checkpoint(cur)
     spark = corpus.sparkSession
     out = spark.createDataFrame(
         [(s[0], s[1], s[2]) for s in sel],
@@ -764,3 +816,61 @@ def kcenter_select(corpus: DataFrame, k: int,
             T.StructField("sel_order", T.IntegerType()),
             T.StructField("sel_dist", T.DoubleType())]))
     return out
+
+
+def kcenter_numpy(mat: np.ndarray, k: int, start: int = 0
+                  ) -> tuple[list[int], np.ndarray]:
+    """Driver-side Gonzalez greedy over a small (n × dim) matrix
+    (cosine distance): returns (selected row indices in pick order,
+    final min-distance-to-selected per row).  The in-memory core of
+    :func:`kcenter_over_centroids`; also the oracle the
+    kcenter_select parity tests replay."""
+    m = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                         1e-12)
+    sel = [int(start)]
+    d = 1.0 - m @ m[start]
+    for _ in range(1, min(k, len(m))):
+        i = int(d.argmax())
+        if d[i] <= 0.0:
+            break                       # fewer than k distinct rows
+        sel.append(i)
+        np.minimum(d, 1.0 - m @ m[i], out=d)
+    return sel, d
+
+
+def kcenter_over_centroids(corpus: DataFrame, k: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_centroids: int = 256,
+                           sample: int = 4096, iters: int = 10,
+                           seed: int = 7) -> DataFrame:
+    """Large-k k-center: pre-reduce the corpus to ``n_centroids``
+    spherical-kmeans centroids (ivf_train — one bounded
+    hash-ordered sample, no shuffle), run the Gonzalez greedy over
+    the centroid matrix ON THE DRIVER (k in-memory passes over
+    n_centroids rows instead of k Spark jobs over the corpus), then
+    assign every corpus point to its nearest selected exemplar in
+    ONE vectorized pass.
+
+    Returns (id_col, exemplar, exemplar_dist): ``exemplar`` is the
+    selection rank 0..k'−1 of the point's nearest exemplar and
+    ``exemplar_dist`` its cosine distance to it — ``max(exemplar_
+    dist)`` is the covering radius, bounded by the exact greedy's
+    2-approximation plus the quantization radius of the pre-reduce.
+    This is the composition the kcenter_select docstring recommends
+    for large k, as a callable (round-9 task 5)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cents = ivf_train(corpus, n_lists=max(n_centroids, k),
+                      id_col=id_col, vec_col=vec_col,
+                      sample=max(sample, 4 * max(n_centroids, k)),
+                      iters=iters, seed=seed)
+    sel, _ = kcenter_numpy(cents, k)
+    exemplars = cents[sel]              # (k', dim), pick order
+    assign_dist = _ivf_assign_dist_udf(exemplars)
+    return (corpus
+            .select(F.col(id_col),
+                    assign_dist(F.col(vec_col)).alias("__a"))
+            .select(id_col,
+                    F.col("__a.list_id").alias("exemplar"),
+                    F.col("__a.dist").alias("exemplar_dist")))

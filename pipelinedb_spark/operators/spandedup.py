@@ -398,8 +398,6 @@ def span_index_append(spark, path: str, new_docs: DataFrame,
     ``txn=(app_id, epoch)`` makes streaming appends effectively-once:
     the tag rides the commit swap and a replayed epoch is skipped
     (returns False) instead of double-indexing the batch."""
-    import shutil
-
     from ..indexstore import open_index
 
     store = open_index(path)
@@ -412,37 +410,57 @@ def span_index_append(spark, path: str, new_docs: DataFrame,
         return True
     wins = window_index(new_docs, id_col, text_col,
                         store.meta()["window"])
-    staged = store.stage()
-    _write_window_rows(wins, staged, write_partitions)
-    if spark.read.parquet(staged).isEmpty():
+    if wins.isEmpty():
         # window-less batch (all docs shorter than K): tag the epoch
-        # done without accumulating an empty version dir.  The check
-        # reads the tiny staged output — an Observation on the write
-        # is unreliable here (empty-result plans can eliminate the
-        # CollectMetrics node)
-        shutil.rmtree(staged, ignore_errors=True)
+        # done without accumulating an empty version dir.  Checked
+        # BEFORE staging: a zero-row repartition write emits only
+        # _SUCCESS, and reading that dir back raises
+        # UNABLE_TO_INFER_SCHEMA instead of returning empty — the
+        # post-write readback permanently failed the epoch on retry.
+        # (An Observation on the write is also unreliable here:
+        # empty-result plans can eliminate the CollectMetrics node.)
         store.tag(txn=txn)
         return True
+    staged = store.stage()
+    _write_window_rows(wins, staged, write_partitions)
     store.commit(staged, replace=False, txn=txn)
     return True
 
 
 def span_index_compact(spark, path: str,
-                       write_partitions: int | None = None) -> int:
+                       write_partitions: int | None = None,
+                       max_retries: int = 3) -> int:
     """Rewrite the live version dirs into ONE whash-sorted dir (a
     replace-commit, so the pre-compaction index stays readable until
     the swap and under GC grace after it).  Continuous ingest appends
     one version dir per epoch; compaction restores single-dir probe
     listings without re-hashing any text — the window rows are read
-    back as-is.  Returns the number of dirs compacted away."""
-    from ..indexstore import open_index
+    back as-is.  Returns the number of dirs compacted away.
+
+    The rewrite pins the exact dir snapshot it consumed
+    (``expected_dirs``): a batch appended DURING the compaction stays
+    live beside the new base, and a concurrent replace-commit retries
+    the rebuild instead of silently dropping the loser (ADVICE r8)."""
+    import os
+
+    from ..indexstore import CommitConflict, open_index
 
     store = open_index(path)
-    n_dirs = len(store.dirs())
-    if n_dirs <= 1:
-        return 0
-    wins = store.read(spark)
-    staged = store.stage()
-    _write_window_rows(wins, staged, write_partitions)
-    store.commit(staged, replace=True)
-    return n_dirs
+    for _ in range(max_retries):
+        paths = store.dirs()
+        n_dirs = len(paths)
+        if n_dirs <= 1:
+            return 0
+        wins = store.read_from(spark, paths)
+        staged = store.stage()
+        _write_window_rows(wins, staged, write_partitions)
+        try:
+            store.commit(staged, replace=True,
+                         expected_dirs=[os.path.basename(p)
+                                        for p in paths])
+            return n_dirs
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"span_index_compact lost {max_retries} rebuild races "
+        f"under {path}")

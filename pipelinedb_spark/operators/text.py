@@ -186,13 +186,24 @@ def domain_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 # fetches collapse without hashing their bodies).  Pure Catalyst
 # column expressions — regexp + array HOFs, no Python in the path.
 
+# NOTE: no bare "ref" — on many real sites ?ref= is FUNCTIONAL (e.g.
+# repository browsers use it for branch refs); collapsing those URLs
+# would merge distinct pages (ADVICE round 8).  Callers with cleaner
+# corpora can pass their own list.
 _TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign",
                     "utm_term", "utm_content", "utm_id", "gclid",
-                    "fbclid", "msclkid", "mc_cid", "mc_eid", "ref",
+                    "fbclid", "msclkid", "mc_cid", "mc_eid",
                     "igshid")
 
+# a URL "parses" for canonicalization iff it matches this — the SAME
+# condition under which normalize_url rewrites rather than passes
+# through, so dedup gating and canonicalization can never disagree
+_HTTP_RE = r"^[Hh][Tt][Tt][Pp][Ss]?://"
 
-def normalize_url(url: Column) -> Column:
+
+def normalize_url(url: Column,
+                  tracking_params: tuple[str, ...] = _TRACKING_PARAMS
+                  ) -> Column:
     """Canonical form of an http(s) URL:
 
     * scheme + host lower-cased; default ports (:80/:443) dropped
@@ -220,7 +231,7 @@ def normalize_url(url: Column) -> Column:
     kept = F.array_sort(F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~F.split(p, "=")
-        .getItem(0).isin(*_TRACKING_PARAMS)))
+        .getItem(0).isin(*tracking_params)))
     qs = F.array_join(kept, "&")
     canon = F.concat(
         scheme, F.lit("://"), host, path,
@@ -229,15 +240,26 @@ def normalize_url(url: Column) -> Column:
 
 
 def url_dedup(df: DataFrame, url_col: str = "url",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              tracking_params: tuple[str, ...] = _TRACKING_PARAMS
+              ) -> DataFrame:
     """Keep ONE document per canonical http(s) URL — the smallest id
     (the exact_duplicates canonical rule).  Rows whose URL is NULL,
     empty, or not http(s) PASS THROUGH untouched (an inner join on
     the key would silently drop NULLs and collapse all empty-URL
     docs into one).  One groupBy on the normalized key; adds
-    ``canonical_url`` for provenance (NULL for pass-through rows)."""
-    keyed = df.withColumn("__cu", normalize_url(F.col(url_col)))
-    dedupable = F.col("__cu").startswith("http")
+    ``canonical_url`` for provenance (NULL for pass-through rows).
+
+    Dedupability is gated on the INPUT actually parsing as http(s)
+    (``_HTTP_RE`` — the exact condition normalize_url rewrites
+    under), not on a prefix of the output: strings like
+    ``httpfoo://x`` or ``http:/x`` come back unchanged from
+    normalize_url and must pass through, not dedup on the raw string
+    (ADVICE round 8)."""
+    keyed = df.withColumn(
+        "__cu", normalize_url(F.col(url_col),
+                              tracking_params=tracking_params))
+    dedupable = F.col(url_col).rlike(_HTTP_RE)
     keyed = keyed.withColumn(
         "__cu", F.when(dedupable, F.col("__cu")))  # else NULL
     w_min = (keyed.filter(F.col("__cu").isNotNull())

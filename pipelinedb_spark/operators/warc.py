@@ -443,7 +443,15 @@ def warc_text_documents(records: DataFrame,
                 # weakly mixing, so correlated crawl URLs collide far
                 # above the 2^-62 birthday floor — a collision would
                 # silently alias distinct documents in every
-                # downstream dedup/join (ADVICE r7)
+                # downstream dedup/join (ADVICE r7).
+                # MIGRATION (ADVICE r8): this re-keyed every document
+                # relative to the pre-r8 CRC32 scheme.  Persisted
+                # span/LSH/BM25 indexes and dedup state built from
+                # pre-upgrade doc_ids never match newly extracted
+                # docs — rebuild any doc_id-keyed index from
+                # re-extracted text after upgrading (incremental
+                # probe/append against an old-keyed index silently
+                # stops deduping against the old corpus)
                 did = int.from_bytes(
                     hashlib.blake2b(f"{rid}|{uri}".encode(),
                                     digest_size=8).digest(),

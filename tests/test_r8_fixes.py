@@ -984,7 +984,9 @@ def test_normalize_url_and_url_dedup(spark):
         ("https://example.com", "https://example.com/"),
         ("https://example.com/p/?fbclid=abc", "https://example.com/p"),
         ("https://e.com/p?z=1&a=2", "https://e.com/p?a=2&z=1"),
-        ("https://e.com/p?ref=tw", "https://e.com/p"),
+        # 'ref' is FUNCTIONAL on many sites (branch refs) — kept
+        # since round 9 (ADVICE r8); strippable via tracking_params=
+        ("https://e.com/p?ref=tw", "https://e.com/p?ref=tw"),
         ("not a url at all", "not a url at all"),
         ("ftp://e.com/x", "ftp://e.com/x"),      # non-http: untouched
     ]

@@ -1,0 +1,483 @@
+"""Round-9 regressions: the ADVICE r8 findings (row-less-batch append
+crash, commit read-modify-write races, commit-lock TOCTOU, url_dedup
+gating) and the new commit-seam semantics (``expected_dirs`` /
+``meta_fn`` evaluated inside the commit critical section)."""
+
+import glob
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pipelinedb_spark.indexstore import (CommitConflict, IndexStore,
+                                         open_index, read_index)
+
+
+def _vecs(spark, n, id0=0, dim=8, seed=3):
+    rng = np.random.RandomState(seed + id0)
+    return spark.createDataFrame(
+        [(id0 + i, rng.randn(dim).tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+
+def _add(store, content, replace=False, **kw):
+    staged = store.stage()
+    os.makedirs(staged)
+    with open(os.path.join(staged, "f.txt"), "w") as f:
+        f.write(content)
+    return store.commit(staged, replace=replace, **kw)
+
+
+# ------------------------------------------------ row-less batch crash
+
+def test_lsh_append_rowless_band_output_tags_not_crashes(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r8 (high): a non-empty batch whose band rows come out
+    EMPTY used to crash on the staged-dir readback — a partitionBy
+    write of zero rows emits only _SUCCESS, and reading that back
+    raises UNABLE_TO_INFER_SCHEMA, permanently failing the epoch on
+    retry and leaking the staged dir.  The emptiness check now runs
+    BEFORE staging.  (The signature kernel gives short/null texts a
+    sentinel gram, so the row-less output is forced here by stubbing
+    the band pass — the exact frame shape the append would stage.)"""
+    from pipelinedb_spark.operators import dedup
+    from pipelinedb_spark.operators.dedup import (lsh_index_append,
+                                                  lsh_index_persist,
+                                                  lsh_index_probe)
+
+    path = str(tmp_path / "lsh")
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} " * 6) for i in range(6)],
+        "doc_id long, text string")
+    lsh_index_persist(corpus, path, num_hashes=16, bands=4)
+
+    orig = dedup._banded_rows
+    monkeypatch.setattr(
+        dedup, "_banded_rows",
+        lambda *a, **kw: orig(*a, **kw).filter(F.lit(False)))
+    batch = spark.createDataFrame([(100, "whatever text")],
+                                  "doc_id long, text string")
+    assert lsh_index_append(spark, path, batch, txn=("s", 1)) is True
+    st = open_index(path)
+    assert len(st.dirs()) == 1          # no empty version dir
+    assert st.txn_version("s") == 1     # epoch marked done
+    assert not glob.glob(f"{path}/.stage-*")  # nothing leaked
+    # replayed epoch still skips cleanly
+    assert lsh_index_append(spark, path, batch, txn=("s", 1)) is False
+    monkeypatch.undo()
+    # index still probes
+    probe = spark.createDataFrame(
+        [(200, "alpha beta gamma delta 1 " * 6)],
+        "doc_id long, text string")
+    assert lsh_index_probe(spark, path, probe).count() > 0
+
+
+def test_span_append_all_short_docs_no_stage_leak(spark, tmp_path):
+    """Span twin of the row-less case: every doc shorter than the
+    window K — tag-only, no staged dir left behind."""
+    from pipelinedb_spark.operators.spandedup import (span_index_append,
+                                                      span_index_persist)
+
+    path = str(tmp_path / "span")
+    words = " ".join(f"w{i}" for i in range(30))
+    span_index_persist(spark.createDataFrame(
+        [(1, words)], "doc_id long, text string"), path, window=5)
+    tiny = spark.createDataFrame([(2, "too short"), (3, None)],
+                                 "doc_id long, text string")
+    assert span_index_append(spark, path, tiny, txn=("s", 7)) is True
+    st = open_index(path)
+    assert len(st.dirs()) == 1 and st.txn_version("s") == 7
+    assert not glob.glob(f"{path}/.stage-*")
+
+
+# ------------------------------------------------ commit lock TOCTOU
+
+def test_stale_lock_broken_by_exactly_one_of_two_breakers(tmp_path):
+    """Two committers find the same stale lock: rename-to-unique lets
+    exactly one reap it; both eventually commit, never concurrently."""
+    s = IndexStore(str(tmp_path / "idx"), gc_grace_seconds=0.0)
+    s.init_if_needed()
+    lock = os.path.join(s.root, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write("crashed-owner-token")
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+
+    mu = threading.Lock()
+    state = {"conc": 0, "max": 0, "done": 0}
+    errs = []
+
+    def worker():
+        try:
+            with s._commit_lock(timeout=20):
+                with mu:
+                    state["conc"] += 1
+                    state["max"] = max(state["max"], state["conc"])
+                time.sleep(0.05)
+                with mu:
+                    state["conc"] -= 1
+                    state["done"] += 1
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert state["done"] == 2
+    assert state["max"] == 1            # never concurrent
+    assert not os.path.exists(lock)     # released
+    assert not glob.glob(f"{lock}.reap-*")
+
+
+def test_fresh_lock_never_broken(tmp_path):
+    s = IndexStore(str(tmp_path / "idx"))
+    s.init_if_needed()
+    lock = os.path.join(s.root, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write("live-owner")
+    with pytest.raises(TimeoutError):
+        with s._commit_lock(timeout=0.3):
+            pass
+    with open(lock) as f:
+        assert f.read() == "live-owner"  # untouched
+
+
+def test_misjudged_break_restores_fresh_lock(tmp_path, monkeypatch):
+    """THE TOCTOU corner (ADVICE r8 low): between the staleness stat
+    and the reap, the crashed owner's lock is released and a FRESH
+    committer acquires.  The breaker's token check detects the swap
+    and restores the fresh lock instead of deleting it."""
+    s = IndexStore(str(tmp_path / "idx"))
+    s.init_if_needed()
+    lock = os.path.join(s.root, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write("A" * 32)
+
+    calls = {"n": 0}
+    orig_mtime = os.path.getmtime
+
+    def fake_mtime(p):
+        if os.path.abspath(str(p)) == os.path.abspath(lock):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return time.time() - 10_000  # judged stale ONCE
+        return orig_mtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", fake_mtime)
+    orig_rename = os.rename
+
+    def rename_hook(src, dst, **kw):
+        # simulate release + fresh acquisition in the stat→rename
+        # window: the content the breaker claims is NOT what it
+        # observed
+        if (os.path.abspath(str(src)) == os.path.abspath(lock)
+                and ".reap-" in str(dst)):
+            with open(lock, "w") as f:
+                f.write("B" * 32)
+        return orig_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", rename_hook)
+    with pytest.raises(TimeoutError):
+        with s._commit_lock(timeout=0.3):
+            pass
+    with open(lock) as f:
+        assert f.read() == "B" * 32     # fresh lock restored, not reaped
+    assert not glob.glob(f"{lock}.reap-*")
+
+
+# ----------------------------------- replace-commit vs append races
+
+def test_replace_commit_keeps_concurrently_appended_dirs(tmp_path):
+    """Compaction semantics: a batch appended between the rewrite's
+    snapshot read and its swap stays LIVE beside the new base (it was
+    not folded into the staged output, so dropping it would be data
+    loss — ADVICE r8 medium)."""
+    s = IndexStore(str(tmp_path / "idx"), gc_grace_seconds=0.0)
+    s.init_if_needed()
+    _add(s, "a")
+    _add(s, "b")
+    snapshot = [os.path.basename(p) for p in s.dirs()]
+    c_path = _add(s, "c")               # "concurrent" append
+    base = _add(s, "compacted", replace=True, expected_dirs=snapshot)
+    live = [os.path.basename(p) for p in s.dirs()]
+    assert live == [os.path.basename(base), os.path.basename(c_path)]
+    assert s.base_dir() == base         # new base owns artifacts
+
+
+def test_replace_commit_conflicts_for_retrain_semantics(tmp_path):
+    """on_extra='conflict' (retrain): an extra dir means the staged
+    rebuild is stale — raise, shelve the published dir back to stage
+    naming, leave the live set untouched."""
+    s = IndexStore(str(tmp_path / "idx"), gc_grace_seconds=0.0)
+    s.init_if_needed()
+    _add(s, "a")
+    snapshot = [os.path.basename(p) for p in s.dirs()]
+    _add(s, "b")                        # concurrent append
+    pre = [os.path.basename(p) for p in s.dirs()]
+    with pytest.raises(CommitConflict):
+        _add(s, "rebuild", replace=True, expected_dirs=snapshot,
+             on_extra="conflict")
+    assert [os.path.basename(p) for p in s.dirs()] == pre
+    shelved = glob.glob(f"{s.root}/.stage-conflict-*")
+    assert len(shelved) == 1            # reclaimable, not a fake v-dir
+    s.gc(include_stage=True)
+    assert not glob.glob(f"{s.root}/.stage-conflict-*")
+
+
+def test_replace_commit_conflicts_on_missing_expected_dir(tmp_path):
+    """A consumed dir no longer in the manifest = a concurrent replace
+    won; the late rewrite must conflict, not resurrect stale data."""
+    s = IndexStore(str(tmp_path / "idx"), gc_grace_seconds=0.0)
+    s.init_if_needed()
+    _add(s, "a")
+    snapshot = [os.path.basename(p) for p in s.dirs()]
+    _add(s, "winner", replace=True)     # concurrent replace
+    with pytest.raises(CommitConflict):
+        _add(s, "loser", replace=True, expected_dirs=snapshot)
+
+
+def test_meta_fn_folds_over_current_meta(tmp_path):
+    """meta_fn runs inside the commit critical section on the CURRENT
+    meta — accounting deltas compose across interleaved commits."""
+    s = IndexStore(str(tmp_path / "idx"), gc_grace_seconds=0.0)
+    s.init_if_needed(meta={"cnt": 0})
+    _add(s, "a", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    s.tag(meta={"cnt": 100})            # interleaved absolute write
+    _add(s, "b", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    assert s.meta()["cnt"] == 101
+    with pytest.raises(ValueError):
+        _add(s, "c", meta={"x": 1}, meta_fn=lambda m: m)
+
+
+def test_bm25_append_accounting_exact_under_threads(spark, tmp_path):
+    """End-to-end ADVICE r8 check: concurrent bm25_appends must not
+    lose n_docs/total_dl accounting (it feeds every score).  Four
+    threads append disjoint batches; the final accounting equals a
+    from-scratch rebuild's."""
+    from pipelinedb_spark.operators.retrieval import (bm25_index,
+                                                      bm25_load,
+                                                      bm25_append,
+                                                      bm25_persist)
+
+    path = str(tmp_path / "bm25")
+    base = spark.createDataFrame(
+        [(0, "base document zero"), (1, "base document one two")],
+        "doc_id long, text string")
+    bm25_persist(bm25_index(base), path)
+
+    batches = [
+        spark.createDataFrame(
+            [(10 * b + i, f"batch {b} doc {i} " + "pad " * (b + i))
+             for i in range(2)],
+            "doc_id long, text string")
+        for b in range(1, 5)]
+    errs = []
+
+    def worker(df):
+        try:
+            assert bm25_append(spark, path, df) == 2
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(b,)) for b in batches]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    idx = bm25_load(spark, path)
+    assert idx["n_docs"] == 2 + 8
+    # exact accounting: avgdl matches a from-scratch build over the
+    # union of every batch
+    full = base
+    for b in batches:
+        full = full.unionByName(b)
+    ref = bm25_index(full)
+    assert idx["avgdl"] == pytest.approx(ref["avgdl"], abs=1e-12)
+
+
+def test_ivf_retrain_with_concurrent_append_retries_and_keeps_all(
+        spark, tmp_path, monkeypatch):
+    """A batch appended DURING a retrain (old-centroid assignments)
+    used to be silently dropped and GC'd.  Now the pinned-snapshot
+    commit conflicts and the retrain re-runs over the larger index —
+    every vector survives, accounting resets."""
+    from pipelinedb_spark.operators import similarity
+    from pipelinedb_spark.operators.similarity import (ivf_append,
+                                                       ivf_persist,
+                                                       ivf_retrain,
+                                                       ivf_staleness)
+
+    path = str(tmp_path / "ivf")
+    ivf_persist(_vecs(spark, 40), path, n_lists=4)
+
+    orig_train = similarity.ivf_train
+    state = {"injected": False}
+
+    def train_hook(corpus, *a, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            # lands between the retrain's snapshot read and its swap
+            assert ivf_append(spark, path,
+                              _vecs(spark, 10, id0=1000)) == 10
+        return orig_train(corpus, *a, **kw)
+
+    monkeypatch.setattr(similarity, "ivf_train", train_hook)
+    ivf_retrain(spark, path)
+    rows = {r["vec_id"] for r in
+            read_index(spark, path).select("vec_id").collect()}
+    assert len(rows) == 50              # base 40 + concurrent 10
+    assert ivf_staleness(path)["appended_n"] == 0  # accounting reset
+
+
+# ------------------------------------------- kcenter (round-9 task 5)
+
+def test_kcenter_checkpoint_storage_bounded(spark, monkeypatch):
+    """Review r8: each pass's localCheckpoint used to be left to the
+    GC (up to k live copies of (id, vec, dist) in executor storage).
+    Now the previous checkpoint is released as soon as the next
+    materializes: ≤2 alive mid-run, 0 extra after return."""
+    from pipelinedb_spark.operators import similarity
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    seen = []
+    orig = similarity._release_local_checkpoint
+
+    def spy(df):
+        seen.append(jsc.getPersistentRDDs().size())
+        orig(df)
+
+    monkeypatch.setattr(similarity, "_release_local_checkpoint", spy)
+    rng = np.random.RandomState(0)
+    df = spark.createDataFrame(
+        [(i, rng.randn(6).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    out = similarity.kcenter_select(df, 6, seed=3)
+    assert out.count() == 6
+    assert len(seen) == 5               # k−2 pass releases + final
+    assert max(seen) <= base + 2        # never more than 2 alive
+    assert jsc.getPersistentRDDs().size() == base  # all freed
+
+
+def test_kcenter_over_centroids_covers_clusters(spark):
+    """The large-k composition (ivf_train pre-reduce → driver greedy
+    over centroids → one vectorized nearest-exemplar pass): on
+    well-separated clusters it selects one exemplar per cluster and
+    its covering radius stays within the quantization-slackened
+    2-approximation of the exact greedy."""
+    from pipelinedb_spark.operators.similarity import (
+        kcenter_numpy, kcenter_over_centroids)
+
+    rng = np.random.RandomState(11)
+    dim, per = 6, 40
+    centers = np.eye(dim)[:4]           # 4 orthogonal directions
+    pts, rows = [], []
+    for c_i, c in enumerate(centers):
+        for j in range(per):
+            v = c + 0.03 * rng.randn(dim)
+            pts.append(v)
+            rows.append((c_i * per + j, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = kcenter_over_centroids(df, 4, n_centroids=12, sample=400,
+                                 seed=3).collect()
+    assert len(got) == len(rows)        # every point assigned
+    assert {r["exemplar"] for r in got} == {0, 1, 2, 3}
+    # each true cluster lands on ONE exemplar, tightly
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["vec_id"] // per,
+                              set()).add(r["exemplar"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    r_comp = max(r["exemplar_dist"] for r in got)
+    # exact-greedy covering radius (numpy oracle over all points)
+    _, d = kcenter_numpy(np.array(pts), 4)
+    r_exact = float(d.max())
+    assert r_comp <= 2.0 * r_exact + 0.05  # 2-approx + quantization
+    assert r_comp < 0.1                    # structured case: tight
+
+
+def test_kcenter_over_centroids_fewer_distinct_than_k(spark):
+    from pipelinedb_spark.operators.similarity import \
+        kcenter_over_centroids
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)] +
+        [(9 + i, [0.0, 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    got = kcenter_over_centroids(df, 5, n_centroids=4, sample=64,
+                                 seed=3).collect()
+    assert len(got) == 6
+    assert len({r["exemplar"] for r in got}) == 2  # only 2 directions
+
+
+# --------------------------------- bm25_search_many broadcast gate
+
+def test_bm25_search_many_broadcast_gate_same_scores(spark):
+    """Round-9 task 3: the per-query term/idf table broadcasts only
+    under the size gate; past it (decontamination-scale query sets)
+    the join falls back to a pinned shuffle-hash — same scores, no
+    broadcast-ceiling failure mode."""
+    from pipelinedb_spark.operators.retrieval import (bm25_index,
+                                                      bm25_search_many)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} spark engine words pad{i % 3}")
+         for i in range(12)],
+        "doc_id long, text string")
+    idx = bm25_index(docs)
+    queries = spark.createDataFrame(
+        [(1, "spark engine"), (2, "pad0 words"), (3, "doc 3")],
+        "query_id long, query string")
+
+    small = bm25_search_many(idx, queries, k=5)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    large = bm25_search_many(idx, queries, k=5, broadcast_max_bytes=0)
+    plan_large = large._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_large
+
+    def rows(df):
+        return sorted((r["query_id"], r["doc_id"], r["rank"],
+                       round(r["score"], 9)) for r in df.collect())
+
+    got_small, got_large = rows(small), rows(large)
+    assert got_small == got_large       # scores identical across gate
+    assert got_small                    # and non-trivial
+
+
+# ------------------------------------------------ url_dedup gating
+
+def test_url_dedup_gates_on_parse_not_output_prefix(spark):
+    """ADVICE r8: strings normalize_url returns UNCHANGED but that
+    happen to start with 'http' (httpfoo://, http:/x) must pass
+    through, not dedup on the raw string."""
+    from pipelinedb_spark.operators.text import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "httpfoo://x"), (2, "httpfoo://x"),
+         (3, "http:/x"), (4, "http:/x"),
+         (5, "https://e.com/p"), (6, "https://E.com/p#z")],
+        "doc_id long, url string")
+    kept = url_dedup(docs).collect()
+    assert {r["doc_id"] for r in kept} == {1, 2, 3, 4, 5}
+    by_id = {r["doc_id"]: r["canonical_url"] for r in kept}
+    assert by_id[1] is None and by_id[3] is None  # pass-through rows
+
+
+def test_url_dedup_ref_param_functional_but_configurable(spark):
+    """?ref= is functional on many sites: kept by default since r9;
+    callers with tracker-style corpora opt back in."""
+    from pipelinedb_spark.operators.text import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "https://e.com/p?ref=main"),
+         (2, "https://e.com/p?ref=dev")],
+        "doc_id long, url string")
+    assert {r["doc_id"] for r in url_dedup(docs).collect()} == {1, 2}
+    opt_in = url_dedup(docs, tracking_params=("ref",)).collect()
+    assert {r["doc_id"] for r in opt_in} == {1}
