@@ -334,25 +334,65 @@ class _BlockParser(HTMLParser):
         super().close()
 
 
+# a block whose whitespace-split "words" average ≥ ~12 chars is an
+# unsegmented script (zh/ja/th write without spaces, so each "word"
+# is a whole clause) — the stopword-density signal is structurally
+# zero there, never evidence of boilerplate.  Latin link-lists stay
+# well above this ratio (~1 word per 5-8 chars).
+_SPACEFREE_WORDS_PER_CHAR = 0.08
+
+
 def _first_pass(blocks, min_good_chars=60, max_link_density=0.2,
-                min_stop_ratio=0.18, short_chars=20):
-    """Context-free verdicts: good / bad / near / short."""
+                min_stop_ratio=0.18, short_chars=20,
+                require_stopwords=True):
+    """Context-free verdicts: good / bad / near / short.
+
+    Stopword handling follows jusText's published answer for
+    stopword-free languages (Pomikálek 2011 runs with
+    ``stopwords_low = stopwords_high = 0`` there): a block that is
+    itself space-free script is exempt from the density bar, and
+    ``require_stopwords=False`` drops the bar for every block (the
+    page-level mode :func:`extract_main_text` engages when NO block
+    on the page carries any function-word signal — e.g. Korean, which
+    spaces its eojeol but shares no stopwords with the Latin list).
+    Length and link-density scoring are character-based and apply
+    unchanged."""
     out = []
     for text, link_chars, boiler in blocks:
         ld = link_chars / max(len(text), 1)
         words = text.lower().split()
         stop = sum(w.strip('.,;:!?"()[]') in _STOPWORDS for w in words)
         sr = stop / max(len(words), 1)
+        spacefree = (len(words) / max(len(text), 1)
+                     < _SPACEFREE_WORDS_PER_CHAR)
+        stop_ok = (sr >= min_stop_ratio or spacefree
+                   or not require_stopwords)
         if boiler or ld > 0.4:
             out.append("bad")
         elif (len(text) >= min_good_chars and ld <= max_link_density
-              and sr >= min_stop_ratio):
+              and stop_ok):
             out.append("good")
         elif len(text) < short_chars:
             out.append("short")
         else:
             out.append("near")
     return out
+
+
+def _max_stop_ratio(blocks, min_chars=60):
+    """Strongest function-word signal among candidate (non-boiler,
+    substantial) blocks — ~0 across the whole page means a
+    stopword-free language, not a page of boilerplate."""
+    best = 0.0
+    for text, link_chars, boiler in blocks:
+        if boiler or len(text) < min_chars:
+            continue
+        words = text.lower().split()
+        if not words:
+            continue
+        stop = sum(w.strip('.,;:!?"()[]') in _STOPWORDS for w in words)
+        best = max(best, stop / len(words))
+    return best
 
 
 def _context_pass(cls):
@@ -401,6 +441,15 @@ def extract_main_text(body: bytes, method: str = "density") -> str:
         return html_to_text_py(body)
     verdicts = _context_pass(_first_pass(p.blocks))
     good = [b[0] for b, c in zip(p.blocks, verdicts) if c == "good"]
+    if not good and _max_stop_ratio(p.blocks) < 0.05:
+        # stopword-free page (round-9 task 4): no candidate block
+        # carries ANY function-word signal, so the density bar is
+        # structurally unmeetable — re-score on length + link density
+        # alone (jusText's stopword-free mode) instead of silently
+        # tag-stripping the whole page with its boilerplate
+        verdicts = _context_pass(
+            _first_pass(p.blocks, require_stopwords=False))
+        good = [b[0] for b, c in zip(p.blocks, verdicts) if c == "good"]
     if not good:
         return html_to_text_py(body)
     return "\n\n".join(good)

@@ -450,6 +450,110 @@ def test_bm25_search_many_broadcast_gate_same_scores(spark):
     assert got_small                    # and non-trivial
 
 
+# ------------------------------ stopword-free (CJK) extraction mode
+
+_ZH_PARAS = [
+    "委员会详细审查了这项提案，认为第二稿已经回应了大部分的反对意见，"
+    "而且该稿件在会议召开之前就已经分发给了每一位成员，供大家提前审阅"
+    "并提出修改建议。",
+    "在就预算问题进行了长时间的讨论之后，成员们一致同意将新的拨款分摊"
+    "到三年之内，这样就不会有任何一个部门需要在一年之内承担全部的费用"
+    "压力，从而保证各项工作平稳推进。",
+    "最终表决定于下周举行，主席要求所有尚未提出的意见务必在月底之前以"
+    "书面形式提交，以便将其完整地记录在案，供后续的工作会议参考和查阅。",
+]
+_ZH_NAV = ('<div class="menu">' + " ".join(
+    f'<a href="/{i}">栏目{i}</a>' for i in range(10)) + "</div>")
+_ZH_PAGE = ("<html><head><title>会议纪要</title></head><body>"
+            + _ZH_NAV
+            + "<article><h1>委员会会议纪要</h1>"
+            + "".join(f"<p>{p}</p>" for p in _ZH_PARAS)
+            + "</article>" + _ZH_NAV
+            + "<footer><p>版权所有 <a href='/tos'>服务条款</a> | "
+            "<a href='/privacy'>隐私政策</a></p></footer>"
+            "</body></html>").encode()
+
+_KO_PARAS = [
+    "위원회는 제안서를 자세히 검토한 결과 두 번째 초안에서 대부분의 "
+    "반대 의견이 이미 반영되었다고 판단하였으며 해당 초안은 회의가 "
+    "소집되기 전에 모든 위원에게 미리 배포되었다고 밝혔다.",
+    "예산 문제에 대한 오랜 논의 끝에 위원들은 새로운 재원을 삼 년에 "
+    "걸쳐 나누어 집행하기로 합의하였고 이렇게 하면 어느 부서도 한 해에 "
+    "전체 비용을 부담하지 않아도 된다는 점에 모두 동의하였다.",
+]
+_KO_NAV = ('<div class="menu">' + " ".join(
+    f'<a href="/{i}">메뉴{i}</a>' for i in range(10)) + "</div>")
+_KO_PAGE = ("<html><body>" + _KO_NAV
+            + "<article>"
+            + "".join(f"<p>{p}</p>" for p in _KO_PARAS)
+            + "</article>" + _KO_NAV + "</body></html>").encode()
+
+
+def test_extraction_chinese_page_drops_boilerplate(spark):
+    """Round-9 task 4: space-free scripts used to silently fall back
+    to tag-strip (zero stopword density → no block ever 'good').
+    Block-level space-free exemption keeps the article and still
+    drops the link-list boilerplate."""
+    from pipelinedb_spark.operators.warc import (extract_main_text,
+                                                 html_to_text_py)
+
+    strip = html_to_text_py(_ZH_PAGE)
+    assert "栏目3" in strip                  # baseline keeps nav
+    dense = extract_main_text(_ZH_PAGE)
+    assert dense != strip                    # NOT the fallback
+    for p in _ZH_PARAS:
+        assert p in dense
+    assert "委员会会议纪要" in dense          # heading survives
+    assert "栏目3" not in dense              # link-list nav gone
+    assert "隐私政策" not in dense            # footer gone
+
+
+def test_extraction_korean_page_uses_pagelevel_fallback(spark):
+    """Korean spaces its eojeol (blocks are NOT space-free) but shares
+    no stopwords with the Latin list — the page-level degenerate-
+    signal mode re-scores on length + link density alone."""
+    from pipelinedb_spark.operators.warc import (extract_main_text,
+                                                 html_to_text_py)
+
+    dense = extract_main_text(_KO_PAGE)
+    assert dense != html_to_text_py(_KO_PAGE)
+    for p in _KO_PARAS:
+        assert p in dense
+    assert "메뉴3" not in dense
+
+
+def test_extraction_mixed_page_keeps_cjk_paragraph(spark):
+    """A mostly-English page with one Chinese paragraph: the Latin
+    path stays stopword-gated, and the CJK block rides the space-free
+    exemption instead of being dropped."""
+    from pipelinedb_spark.operators.warc import extract_main_text
+    from tests.test_r8_fixes import _ARTICLE_PAGE, _PARAS
+
+    page = _ARTICLE_PAGE.replace(
+        b"</article>",
+        f"<p>{_ZH_PARAS[0]}</p></article>".encode())
+    dense = extract_main_text(page)
+    for p in _PARAS:
+        assert p in dense
+    assert _ZH_PARAS[0] in dense
+    assert "Pricing" not in dense            # nav still gone
+
+
+def test_extraction_english_linkfarm_still_falls_back(spark):
+    """All-boilerplate Latin pages keep the old behavior: the
+    stopword-free mode never engages when function-word signal
+    exists, and high link density stays bad in both modes — the page
+    tag-strips rather than returning empty."""
+    from pipelinedb_spark.operators.warc import (extract_main_text,
+                                                 html_to_text_py)
+
+    page = ("<html><body>" + "".join(
+        '<div>' + " ".join(f'<a href="/{i}-{j}">item of list {i} '
+                           f'number {j}</a>' for j in range(8))
+        + '</div>' for i in range(5)) + "</body></html>").encode()
+    assert extract_main_text(page) == html_to_text_py(page)
+
+
 # ------------------------------------------------ url_dedup gating
 
 def test_url_dedup_gates_on_parse_not_output_prefix(spark):
