@@ -187,28 +187,40 @@ def main() -> None:
     except Exception as exc:
         print(f"warmup failed (continuing): {exc}", file=sys.stderr)
 
-    # best-of-3 per query: run 1 pays whole-stage-codegen JIT, run 2
-    # still warms Arrow/python-worker pools for UDF-heavy queries
-    # (measured: doc_fingerprints needs a 3rd run to reach steady
-    # state), run 3 measures the steady-state plan.  All runs are
-    # full end-to-end computations through the noop sink.
+    # 5 runs per query (round-9 bench protocol): run 1 pays
+    # whole-stage-codegen JIT and Arrow/python-worker warmup, runs
+    # 2..5 measure the steady-state plan.  Two statistics ride the
+    # artifact so a round-over-round delta can outrun this box's
+    # documented ±15% idle variance: the BEST (comparable with every
+    # earlier round's best-of-3 artifact — the headline "value") and
+    # the MEDIAN of the steady-state runs plus each query's
+    # steady-state spread, so a +3% total move is attributable to
+    # noise or to a plan change by inspection.  All runs are full
+    # end-to-end computations through the noop sink.
     # per-query error isolation: one broken query must not erase the
     # whole artifact — it gets an "error" entry and the loop continues
-    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in queries:
         fn = Q.get(name)
         if fn is None:
             continue
-        best = None
+        runs: list[float] = []
         try:
             for _ in range(RUNS):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(min(runs), 3)
+            steady = sorted(runs[1:]) or runs  # drop the JIT run
+            mid = len(steady) // 2
+            med = (steady[mid] if len(steady) % 2
+                   else (steady[mid - 1] + steady[mid]) / 2)
+            medians[name] = round(med, 3)
+            spreads[name] = round(steady[-1] - steady[0], 3)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -218,9 +230,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "runs_per_query": RUNS,
-        "timing": "best-of-3 (steady-state plan; earlier runs pay "
-                  "codegen JIT and Arrow worker warmup)",
+        "timing": f"best-of-{RUNS} (headline, comparable with earlier "
+                  "rounds' best-of-3); value_median/queries_median are "
+                  "the median of the steady-state runs (run 1 dropped "
+                  "— it pays codegen JIT and Arrow worker warmup) and "
+                  "queries_spread is each query's steady-state "
+                  "max−min, so deltas can be judged against dispersion",
+        "value_median": round(sum(medians.values()), 3),
         "queries": times,
+        "queries_median": medians,
+        "queries_spread": spreads,
         **({"errors": errors} if errors else {}),
         "contention": sentinel,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -740,7 +740,8 @@ def _release_local_checkpoint(df: DataFrame) -> None:
 
 def kcenter_select(corpus: DataFrame, k: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   seed: int = 7) -> DataFrame:
+                   seed: int = 7, start_id=None,
+                   exact: bool = False) -> DataFrame:
     """Greedy k-center diversity selection (Gonzalez 1985, the
     2-approximation for the k-center radius): pick a deterministic
     seed exemplar, then k−1 times select the point FARTHEST (cosine
@@ -766,20 +767,33 @@ def kcenter_select(corpus: DataFrame, k: int,
     could accumulate up to k copies on a big corpus).  k passes over
     the corpus is the algorithm's true cost at any scale.  For large
     k, use :func:`kcenter_over_centroids` — the ivf_train pre-reduce
-    composition this docstring used to merely describe."""
+    composition this docstring used to merely describe.
+
+    ``start_id`` pins the seed exemplar to a caller-chosen id instead
+    of the hash-order min, and ``exact=True`` scores with the
+    1e-8-quantized integer dot product (:func:`cosine_exact`) — the
+    combination makes the whole greedy bit-replayable by an external
+    engine (the querybank's duckdb oracle), since every distance and
+    every argmax tie-break is then engine-independent."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    cos = cosine_exact if exact else cosine_double
 
     def d_to(center: list) -> Column:
         c = F.array(*[F.lit(float(x)) for x in center])
-        return 1.0 - cosine_double(F.col("__v"), c)
+        return 1.0 - cos(F.col("__v"), c)
 
     cur = corpus.select(F.col(id_col).alias("__i"),
                         F.col(vec_col).alias("__v"))
     # deterministic seed exemplar: hash-order min (the ivf_train
-    # sampling contract — stable under retries and partitioning)
-    first = (cur.orderBy(F.xxhash64(F.col("__i"), F.lit(seed)))
-             .limit(1).collect())
+    # sampling contract — stable under retries and partitioning),
+    # unless the caller pinned one
+    if start_id is not None:
+        first = cur.filter(F.col("__i") == F.lit(start_id)) \
+            .limit(1).collect()
+    else:
+        first = (cur.orderBy(F.xxhash64(F.col("__i"), F.lit(seed)))
+                 .limit(1).collect())
     if not first:
         schema = f"`{id_col}` {corpus.schema[id_col].dataType.simpleString()}"
         return corpus.sparkSession.createDataFrame(

@@ -967,19 +967,6 @@ def media_metadata(spark, sf_dir):
     return extract_metadata(attach_binary(docs, kind="image"))
 
 
-@query("media_frame_sample", """
-SELECT doc_id AS media_id,
-       UNNEST(range(0, octet_length(encode(text)) % 300 + 1, 30)) AS frame_idx
-FROM documents WHERE doc_id % 2 = 0
-""")
-def media_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing: one row per sampled frame index."""
-    from pipelinedb_spark.operators.multimodal import (attach_binary,
-                                                       frame_sample)
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
-    return frame_sample(attach_binary(docs, kind="video"), every_n=30)
-
-
 # ---------------------------------------------------------------------------
 # Sketch aggregates (SURVEY §2.4) — each emits its own exact anchor plus
 # a within-accuracy-bound predicate; the duckdb oracle computes the same
@@ -1195,59 +1182,6 @@ def cv_engine_combine_rollup(spark, sf_dir):
         ctx.close()
 
 
-@query("cv_engine_grouping_sets_hll", """
-WITH gs AS (
-  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity,
-         COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS ndv_exact
-  FROM events
-  GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)),
-                          (event_type), ())
-)
-SELECT event_type, parity, cnt, ndv_exact, TRUE AS ndv_within_bound
-FROM gs
-""")
-def cv_engine_grouping_sets_hll(spark, sf_dir):
-    """END-TO-END GROUPING SETS × HLL ENGINE CHECK: an approximate
-    aggregate rides the grouping-sets worker/combiner (reference
-    supports grouping sets with its full agg library,
-    src/analyzer.c:2819-2859) — each grouping combination's HLL
-    estimate must sit within 5% of exact NDV (p=14 ≈0.81% rse)."""
-    ctx = _engine_ctx(spark, "gshll")
-    try:
-        ctx.create_stream("ev_gh", "event_id long, user_id long, "
-                                   "event_type string")
-        ctx.create_view(
-            "cv_gh",
-            "SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, "
-            "count(*) AS cnt, hll_count_distinct(user_id) AS ndv "
-            "FROM ev_gh "
-            "GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), "
-            "(event_type), ())")
-        ev = t(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type")
-        for i in range(2):
-            ctx.insert("ev_gh", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
-        got = ctx.read_view("cv_gh")
-        exact = ev.groupingSets(
-            [[F.col("event_type"), (F.col("user_id") % 2).cast("bigint")],
-             [F.col("event_type")], []],
-            F.col("event_type"), (F.col("user_id") % 2).cast("bigint")) \
-            .agg(F.count_distinct("user_id").alias("ndv_exact"))
-        exact = exact.toDF("event_type", "parity", "ndv_exact")
-        ek = [F.coalesce(F.col("event_type"), F.lit("∅")).alias("__k1"),
-              F.coalesce(F.col("parity"), F.lit(-1)).alias("__k2")]
-        g = got.select(*ek, "event_type", "parity", "cnt", "ndv")
-        e = exact.select(*ek, "ndv_exact")
-        out = (g.join(e, ["__k1", "__k2"])
-               .select("event_type", "parity", "cnt", "ndv_exact",
-                       (F.abs(F.col("ndv") - F.col("ndv_exact")) /
-                        F.col("ndv_exact") < 0.05)
-                       .alias("ndv_within_bound")))
-        return out.localCheckpoint(eager=True)
-    finally:
-        ctx.close()
-
-
 @query("cv_engine_combine_join", """
 SELECT event_type, CAST(user_id % 10 % 2 AS BIGINT) AS parity,
        COUNT(*) AS n,
@@ -1362,28 +1296,6 @@ def decimal_avg_sum(spark, sf_dir):
         F.count("*").alias("n"))
 
 
-@query("supplier_part_rollup", f"""
-SELECT s.s_nationkey, p.p_brand,
-       COUNT(*) AS n_lines,
-       {sql_dsum('l.l_extendedprice')} AS revenue
-FROM lineitem l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE p.p_size <= 20
-GROUP BY s.s_nationkey, p.p_brand
-""")
-def supplier_part_rollup(spark, sf_dir):
-    """Two broadcast dims + filter pushdown on the dim side."""
-    li = t(spark, sf_dir, "lineitem")
-    s = F.broadcast(t(spark, sf_dir, "supplier"))
-    p = F.broadcast(t(spark, sf_dir, "part").filter(F.col("p_size") <= 20))
-    return (li.join(s, li.l_suppkey == s.s_suppkey)
-            .join(p, li.l_partkey == p.p_partkey)
-            .groupBy("s_nationkey", "p_brand")
-            .agg(F.count("*").alias("n_lines"),
-                 dsum("l_extendedprice").alias("revenue")))
-
-
 @query("events_hourly_top_type", f"""
 WITH hourly AS (
   SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour_s,
@@ -1442,48 +1354,6 @@ def cv_engine_sliding_window(spark, sf_dir):
     finally:
         ctx.close()
 
-
-
-@query("cv_engine_sw_grouping_sets", f"""
-SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, COUNT(*) AS cnt,
-       {sql_dsum('value')} AS sv
-FROM events
-GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), (event_type), ())
-""")
-def cv_engine_sw_grouping_sets(spark, sf_dir):
-    """END-TO-END SW × GROUPING SETS ENGINE CHECK: arrival timestamps
-    synthesized across ~14 step buckets inside the 1-hour window, so
-    the read exercises per-set grouping_id keys AND cross-step
-    re-combine; all rows in-window ⇒ overlay equals the batch
-    grouping-sets aggregate (cont_grouping_sets.sql × sliding
-    windows)."""
-    ctx = _engine_ctx(spark, "swgs")
-    try:
-        ctx.create_stream("ev_swgs", "event_id long, user_id long, "
-                                     "event_type string, value double")
-        ctx.create_view(
-            "cv_swgs_q",
-            "SELECT event_type, CAST(user_id % 2 AS BIGINT) AS parity, "
-            "count(*) AS cnt, sum(CAST(value AS DECIMAL(38,6))) AS sv_dec "
-            "FROM ev_swgs "
-            "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
-            "GROUP BY GROUPING SETS ((event_type, CAST(user_id % 2 AS BIGINT)), "
-            "(event_type), ())")
-        ev = (t(spark, sf_dir, "events")
-              .select("event_id", "user_id", "event_type", "value")
-              .withColumn("arrival_timestamp",
-                          F.current_timestamp()
-                          - F.make_interval(mins=(F.col("event_id") % 40)
-                                            .cast("int"))))
-        for i in range(2):
-            ctx.insert("ev_swgs",
-                       ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
-        out = ctx.read_view("cv_swgs_q")
-        return out.select("event_type", "parity", "cnt",
-                          F.col("sv_dec").cast("double").alias("sv")
-                          ).localCheckpoint(eager=True)
-    finally:
-        ctx.close()
 
 
 @query("vocabulary_topk", """
@@ -1793,3 +1663,250 @@ def ivfpq_ann_recall(spark, sf_dir):
         ((F.sum(F.col("hit").cast("long")) / F.count("*")) >= 0.70)
         .alias("recall_ok"))
         .select(F.col("n_queries"), F.col("recall_ok")))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation: the round-8 curation operators under the driver's
+# independent DuckDB oracle (URL canonicalization, boilerplate-aware
+# extraction, k-center selection, incremental BM25) — swapped in for
+# four near-overlapping TPC-H / engine-variant shapes, keeping the
+# querybank at exactly 50 entries (driver contract).
+# ---------------------------------------------------------------------------
+
+
+@query("url_normalize_dedup", """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 53 AS VARCHAR) AS g, doc_id % 4 AS v
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN 'http://Example' || g || '.COM/p/x/?b=2&a=1'
+           WHEN 1 THEN 'http://example' || g ||
+                       '.com:80/p/x?a=1&b=2&utm_source=z#frag'
+           WHEN 2 THEN 'HTTP://example' || g || '.com/p/x/?b=2&gclid=42&a=1'
+           ELSE 'ftp://example' || g || '.com/p/x' END AS url,
+         CASE WHEN v <= 2
+              THEN 'http://example' || g || '.com/p/x?a=1&b=2' END AS canon
+  FROM d
+),
+keep AS (
+  SELECT canon AS ck, MIN(doc_id) AS keep_id FROM urls
+  WHERE canon IS NOT NULL GROUP BY canon
+)
+SELECT u.doc_id, u.url, u.canon AS canonical_url
+FROM urls u LEFT JOIN keep k ON u.canon = k.ck
+WHERE u.canon IS NULL OR u.doc_id = k.keep_id
+""")
+def url_normalize_dedup(spark, sf_dir):
+    """URL canonicalization + URL-keyed dedup (operators/text.py
+    normalize_url/url_dedup): every document gets one of four crawl
+    URL variants of its page — case-mangled host + trailing slash,
+    default :80 port + tracking param + fragment, unsorted query with
+    a click id, or a non-http scheme.  The Spark side runs the real
+    regexp canonicalization on the messy strings; the oracle derives
+    each variant's canonical form analytically from the construction
+    parameters (an independent statement of WHAT canonicalization
+    must produce) and replays keep-min-id dedup with pass-through for
+    rows that don't parse as http(s)."""
+    from pipelinedb_spark.operators.text import url_dedup
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 53).cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(
+               F.lit("http://Example"), g, F.lit(".COM/p/x/?b=2&a=1")))
+           .when(v == 1, F.concat(
+               F.lit("http://example"), g,
+               F.lit(".com:80/p/x?a=1&b=2&utm_source=z#frag")))
+           .when(v == 2, F.concat(
+               F.lit("HTTP://example"), g,
+               F.lit(".com/p/x/?b=2&gclid=42&a=1")))
+           .otherwise(F.concat(
+               F.lit("ftp://example"), g, F.lit(".com/p/x"))))
+    return (url_dedup(docs.withColumn("url", url))
+            .select("doc_id", "url", "canonical_url"))
+
+
+_QB_NAV = ('<nav><a href="/">Home</a> <a href="/products">Products</a> '
+           '<a href="/pricing">Pricing</a> <a href="/contact">Contact</a> '
+           '<a href="/blog">Blog</a> <a href="/careers">Careers</a></nav>')
+_QB_FOOT = ('<footer><a href="/tos">Terms of service</a> '
+            '<a href="/privacy">Privacy policy</a></footer>')
+_QB_TAIL = ("This is the closing paragraph that we keep because it is "
+            "made of the usual function words.")
+
+
+@query("warc_extract_main_text", f"""
+SELECT 'http://corpus.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       text || chr(10) || chr(10) || '{_QB_TAIL}' AS text
+FROM documents
+""")
+def warc_extract_main_text(spark, sf_dir):
+    """Boilerplate-aware extraction end-to-end through the WARC
+    document path (operators/warc.py extract_main_text via
+    warc_text_documents): each document is wrapped into a full HTML
+    page — link-list <nav>, the document text as an article
+    paragraph, one fixed prose paragraph, and a <footer> — and the
+    extractor must return EXACTLY article + prose joined by a blank
+    line (the oracle states the expected text independently; any
+    surviving nav/footer text, or a silent tag-strip fallback, is a
+    value mismatch).  The article paragraph is outcome-deterministic
+    for any corpus: link-free and ≥20 chars it is never 'short' or
+    'bad', and the adjacent fixed paragraph is always 'good', so the
+    jusText context pass keeps it regardless of the document's own
+    stopword density."""
+    from pipelinedb_spark.operators.warc import warc_text_documents
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.lit('<html><head><title>t</title></head><body>' + _QB_NAV
+              + '<p>'),
+        F.col("text"),
+        F.lit('</p><p>' + _QB_TAIL + '</p>' + _QB_FOOT
+              + '</body></html>'))
+    rec = docs.select(
+        F.concat(F.lit("rec-"), F.col("doc_id")).alias("record_id"),
+        F.concat(F.lit("http://corpus.test/doc/"),
+                 F.col("doc_id")).alias("target_uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/html").alias("content_type"),
+        F.encode(page, "UTF-8").alias("payload"))
+    return warc_text_documents(rec).select("url", "text")
+
+
+def _qb_kc_step(prev_d: str, prev_c: str) -> str:
+    """One duckdb greedy k-center step: fold the distance-to-newest-
+    center into the running min (same double ops as the engine)."""
+    return f"""
+  SELECT {prev_d}.vec_id, {prev_d}.v, {prev_d}.n2,
+         LEAST({prev_d}.d,
+               1.0 - CAST(list_sum([{prev_d}.v[i] * {prev_c}.v[i]
+                                    for i in range(1, len({prev_d}.v) + 1)])
+                          AS DOUBLE)
+                     / sqrt({prev_d}.n2 * {prev_c}.n2)) AS d
+  FROM {prev_d}, {prev_c}"""
+
+
+@query("kcenter_diversity", f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+          for x in embedding] AS v
+  FROM embeddings WHERE vec_id < 120
+),
+n AS (SELECT vec_id, v,
+             CAST(list_sum([y * y for y in v]) AS DOUBLE) AS n2 FROM q),
+c0 AS (SELECT * FROM n WHERE vec_id = 0),
+d1 AS (
+  SELECT n.vec_id, n.v, n.n2,
+         1.0 - CAST(list_sum([n.v[i] * c0.v[i]
+                              for i in range(1, len(n.v) + 1)]) AS DOUBLE)
+               / sqrt(n.n2 * c0.n2) AS d
+  FROM n, c0),
+c1 AS (SELECT * FROM d1 ORDER BY d DESC, vec_id DESC LIMIT 1),
+d2 AS ({_qb_kc_step('d1', 'c1')}),
+c2 AS (SELECT * FROM d2 ORDER BY d DESC, vec_id DESC LIMIT 1),
+d3 AS ({_qb_kc_step('d2', 'c2')}),
+c3 AS (SELECT * FROM d3 ORDER BY d DESC, vec_id DESC LIMIT 1),
+d4 AS ({_qb_kc_step('d3', 'c3')}),
+c4 AS (SELECT * FROM d4 ORDER BY d DESC, vec_id DESC LIMIT 1)
+SELECT vec_id, sel_order, sel_dist FROM (
+  SELECT vec_id, 0 AS sel_order, CAST(0.0 AS DOUBLE) AS sel_dist FROM c0
+  UNION ALL SELECT vec_id, 1, ROUND(d, 9) FROM c1
+  UNION ALL SELECT vec_id, 2, ROUND(d, 9) FROM c2
+  UNION ALL SELECT vec_id, 3, ROUND(d, 9) FROM c3
+  UNION ALL SELECT vec_id, 4, ROUND(d, 9) FROM c4
+)
+""")
+def kcenter_diversity(spark, sf_dir):
+    """Greedy k-center diversity selection (operators/similarity.py
+    kcenter_select, Gonzalez 1985) in its bit-replayable mode:
+    ``start_id=0`` pins the seed exemplar and ``exact=True`` scores
+    with the 1e-8-quantized integer dot product, so every distance,
+    every running-min fold, and every argmax tie-break (max distance,
+    then max id — ORDER BY d DESC, vec_id DESC) is engine-independent
+    and the oracle replays the full k=5 greedy as chained SQL steps.
+    The seed's sentinel distance reports as 0.0."""
+    from pipelinedb_spark.operators.similarity import kcenter_select
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    out = kcenter_select(emb, k=5, start_id=0, exact=True)
+    return out.select(
+        "vec_id", "sel_order",
+        F.when(F.col("sel_order") == 0, F.lit(0.0))
+        .otherwise(F.round("sel_dist", 9)).alias("sel_dist"))
+
+
+_QB_BM25_QUERIES = [(0, "agg join fast"), (1, "window scan"),
+                    (2, "hash table slow value")]
+_QB_BM25_QT = ", ".join(f"({qid}, '{w}')"
+                        for qid, s in _QB_BM25_QUERIES
+                        for w in s.split())
+
+
+@query("bm25_append_scores", f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(lower(text), ' '),
+                            x -> x != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id,
+         COALESCE(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x != '')), 0) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {_QB_BM25_QT}) AS t(query_id, term)),
+hits AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM qt JOIN dfs d ON qt.term = d.term
+       JOIN tf ON tf.term = qt.term
+       JOIN dl ON dl.doc_id = tf.doc_id, stats s
+)
+SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+FROM hits GROUP BY query_id, doc_id
+""")
+def bm25_append_scores(spark, sf_dir):
+    """Incremental BM25 (operators/retrieval.py): build the index
+    from one third of the corpus, admit the other two thirds through
+    two bm25_append batches (each staged + committed via one atomic
+    manifest swap carrying the n_docs/total_dl accounting), reopen,
+    and batch-score three queries with bm25_search_many.  The oracle
+    computes BM25 (k1=1.2, b=0.75) from scratch over ALL documents in
+    SQL — so the append path's postings/df/doc-length union AND the
+    manifest's exact avgdl accounting must together reproduce the
+    never-appended scores for every matching document (k is set above
+    any match count; scores at 6 decimals)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pipelinedb_spark.operators.retrieval import (
+        bm25_append, bm25_index, bm25_load, bm25_persist,
+        bm25_search_many)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="qb_bm25_")
+    path = os.path.join(tmp, "idx")
+    try:
+        bm25_persist(bm25_index(docs.filter(F.col("doc_id") % 3 == 0)),
+                     path)
+        bm25_append(spark, path, docs.filter(F.col("doc_id") % 3 == 1))
+        bm25_append(spark, path, docs.filter(F.col("doc_id") % 3 == 2))
+        idx = bm25_load(spark, path)
+        qdf = spark.createDataFrame(_QB_BM25_QUERIES,
+                                    "query_id int, query string")
+        out = bm25_search_many(idx, qdf, k=1_000_000)
+        return (out.select("query_id", "doc_id",
+                           F.round("score", 6).alias("score"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -585,3 +585,62 @@ def test_url_dedup_ref_param_functional_but_configurable(spark):
     assert {r["doc_id"] for r in url_dedup(docs).collect()} == {1, 2}
     opt_in = url_dedup(docs, tracking_params=("ref",)).collect()
     assert {r["doc_id"] for r in opt_in} == {1}
+
+
+# ------------------------------- kcenter bit-replayable mode (r9)
+
+def test_kcenter_start_id_and_exact_mode(spark):
+    """start_id pins the seed exemplar and exact=True scores with the
+    1e-8-quantized integer dot product — an int64 numpy replay (the
+    same arithmetic, no float summation-order slack) reproduces the
+    selection AND the distances to ~1e-12."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.similarity import kcenter_select
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    out = sorted(kcenter_select(df, k=6, start_id=3, exact=True)
+                 .collect(), key=lambda r: r["sel_order"])
+    assert out[0]["vec_id"] == 3 and out[0]["sel_order"] == 0
+
+    q = np.floor(mat.astype(np.float64) * 1e8 + 0.5).astype(np.int64)
+
+    def cos(i, j):
+        dot = float((q[i] * q[j]).sum())
+        return dot / np.sqrt(float((q[i] * q[i]).sum())
+                             * float((q[j] * q[j]).sum()))
+
+    sel, dists = [3], [float("inf")]
+    d = np.array([1.0 - cos(i, 3) for i in range(40)])
+    for _ in range(5):
+        m = d.max()
+        idx = max(i for i in range(40) if d[i] == m)  # max-id tiebreak
+        sel.append(idx)
+        dists.append(float(m))
+        d = np.minimum(d, [1.0 - cos(i, idx) for i in range(40)])
+    assert [r["vec_id"] for r in out] == sel
+    for r, dd in zip(out[1:], dists[1:]):
+        assert abs(r["sel_dist"] - dd) < 1e-12
+
+
+def test_kcenter_default_seed_unaffected_by_new_params(spark):
+    """Omitting start_id keeps the hash-order seed contract (the
+    pre-r9 behavior, byte-for-byte)."""
+    import numpy as np
+
+    from pipelinedb_spark.operators.similarity import kcenter_select
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(25, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(25)],
+        "vec_id long, embedding array<float>")
+    a = sorted((r["vec_id"], r["sel_order"])
+               for r in kcenter_select(df, k=4).collect())
+    b = sorted((r["vec_id"], r["sel_order"])
+               for r in kcenter_select(df, k=4).collect())
+    assert a == b and len(a) == 4
