@@ -224,6 +224,8 @@ def decode_jpeg_py(p: bytes):
                 qt[tid] = tbl.reshape(8, 8)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
             if body[0] not in (8, 12):  # T.81: DCT modes are 8/12-bit
                 raise NotImplementedError(f"{body[0]}-bit DCT JPEG")
             precision = body[0]
@@ -247,6 +249,8 @@ def decode_jpeg_py(p: bytes):
                               "tq": tq, "dc_done": False})
         elif marker == 0xC3:  # SOF3: lossless sequential (Annex H)
             lossless = True
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
             precision = body[0]
             if not 2 <= precision <= 16:
                 raise ValueError(f"bad lossless precision {precision}")
@@ -284,11 +288,21 @@ def decode_jpeg_py(p: bytes):
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if w is None:
                 raise ValueError("SOS before SOF")
+            # fuzz (r9): a bogus length field can slice body short of
+            # the ns-sized header it declares — every index below
+            # must be inside it, and an unknown component id must be
+            # a controlled error, not a StopIteration
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated SOS header")
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(cc for cc in comps if cc["id"] == cs)
+                comp = next((cc for cc in comps if cc["id"] == cs),
+                            None)
+                if comp is None:
+                    raise ValueError(
+                        f"SOS references unknown component {cs}")
                 comp["td"], comp["ta"] = tt >> 4, tt & 0x0F
                 scan.append(comp)
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]

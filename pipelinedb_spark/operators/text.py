@@ -21,6 +21,51 @@ STOPWORDS = {
     "es": ["el", "la", "los", "de", "que", "es", "un", "una"],
 }
 
+# Unicode script ranges for the non-Latin-script languages a real
+# crawl is substantially made of — the stopword heuristic above is
+# structurally blind to them (no shared function words / no spaces),
+# so every zh/ja/ko/ru/ar/hi/th/el page came back 'und' (round-9 gap,
+# the lang-ID twin of the extraction fix).  Plain character-class
+# ranges in the Java-regex ∩ RE2 subset so the duckdb oracle counts
+# the exact same characters.
+SCRIPT_RANGES = {
+    "ar": "[\u0600-\u06ff]",   # Arabic
+    "el": "[\u0370-\u03ff]",   # Greek
+    "hi": "[\u0900-\u097f]",   # Devanagari
+    "ja": "[\u3040-\u30ff]",   # Hiragana + Katakana (unique to ja)
+    "ko": "[\uac00-\ud7af]",   # Hangul syllables
+    "ru": "[\u0400-\u04ff]",   # Cyrillic
+    "th": "[\u0e00-\u0e7f]",   # Thai
+    "zh": "[\u4e00-\u9fff]",   # CJK Unified Ideographs (Han)
+}
+
+
+def _script_lang(script_counts: dict[str, Column], chars: Column,
+                 fallback: Column) -> Column:
+    """Script-range language decision: engages when ≥25% of the
+    document's characters sit in one of the tracked script ranges
+    (Latin pages fall through to the stopword path untouched).
+    Argmax over per-script char counts, alphabetical-order
+    strict-greater tie-break; one Japanese override — kana is unique
+    to ja while kanji count as Han/zh, so any non-trivial kana share
+    (≥2% of script chars) decides ja.  Every branch is deterministic
+    Column arithmetic, mirrored verbatim by the test oracle."""
+    total = None
+    for c in sorted(SCRIPT_RANGES):
+        total = script_counts[c] if total is None \
+            else total + script_counts[c]
+    best_s = F.lit("und")
+    best_c = F.lit(0).cast("long")
+    for c in sorted(SCRIPT_RANGES):
+        better = script_counts[c] > best_c
+        best_s = F.when(better, F.lit(c)).otherwise(best_s)
+        best_c = F.when(better, script_counts[c]).otherwise(best_c)
+    decided = F.when((script_counts["ja"] > 0)
+                     & (script_counts["ja"] * 50 >= total),
+                     F.lit("ja")).otherwise(best_s)
+    return F.when((total > 0) & (total * 4 >= chars), decided) \
+        .otherwise(fallback)
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (regex-free hot path)."""
@@ -72,10 +117,13 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Heuristic n-gram/stopword language ID: argmax of per-language
-    stopword hits, 'und' (undetermined) when nothing matches.
-    Deterministic tie-break by language code order en<de<es<fr via
-    strictly-greater comparison in a fixed scan order."""
+    """Heuristic language ID, two tiers: the script-range decision
+    (:func:`_script_lang` — zh/ja/ko/ru/ar/hi/th/el by dominant
+    Unicode script, ≥25% of chars) first, then the stopword argmax
+    for Latin-script text ('und' when nothing matches; deterministic
+    tie-break by language code order via strictly-greater comparison
+    in a fixed scan order).  Latin pages are byte-for-byte unchanged
+    vs the pre-r9 stopword-only rule (their script counts are 0)."""
     counts = {lg: stopword_count(text, lg) for lg in STOPWORDS}
     best_lang = F.lit("und")
     best_cnt = F.lit(0).cast("long")
@@ -84,7 +132,9 @@ def lang_id(text: Column) -> Column:
         is_better = c > best_cnt
         best_lang = F.when(is_better, F.lit(lg)).otherwise(best_lang)
         best_cnt = F.when(is_better, c).otherwise(best_cnt)
-    return best_lang
+    scripts = {c: F.regexp_count(text, F.lit(SCRIPT_RANGES[c]))
+               .cast("long") for c in SCRIPT_RANGES}
+    return _script_lang(scripts, char_count(text), best_lang)
 
 
 def quality_score(text: Column) -> Column:
@@ -124,6 +174,10 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"_c_{lg}",
             F.size(F.filter(F.col("_toks"), in_set(STOPWORDS[lg])))
             .cast("long"))
+    for sc in sorted(SCRIPT_RANGES):
+        counts = counts.withColumn(
+            f"_s_{sc}",
+            F.regexp_count(text, F.lit(SCRIPT_RANGES[sc])).cast("long"))
 
     n = F.col("_n")
     awl = (char_count(text) - (n - 1)) / n
@@ -134,6 +188,9 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         better = c > best_cnt
         best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
         best_cnt = F.when(better, c).otherwise(best_cnt)
+    best_lang = _script_lang(
+        {sc: F.col(f"_s_{sc}") for sc in SCRIPT_RANGES},
+        char_count(text), best_lang)
     quality = (F.least(n / F.lit(64.0), F.lit(1.0))
                * F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0))
                .otherwise(F.lit(0.5))

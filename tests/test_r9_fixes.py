@@ -644,3 +644,113 @@ def test_kcenter_default_seed_unaffected_by_new_params(spark):
     b = sorted((r["vec_id"], r["sel_order"])
                for r in kcenter_select(df, k=4).collect())
     assert a == b and len(a) == 4
+
+
+# -------------------------------- script-range language ID (r9)
+
+_LANG_SAMPLES = [
+    (1, "委员会详细审查了这项提案，认为第二稿已经回应了意见。", "zh"),
+    (2, "これは日本語のテストです。漢字も含まれています。", "ja"),
+    (3, "위원회는 제안서를 검토한 결과 대부분 반영되었다고 판단했다", "ko"),
+    (4, "Комитет рассмотрел предложение и принял решение", "ru"),
+    (5, "اللجنة راجعت الاقتراح بالتفصيل قبل الاجتماع", "ar"),
+    (6, "समिति ने प्रस्ताव की समीक्षा की और निर्णय लिया", "hi"),
+    (7, "คณะกรรมการตรวจสอบข้อเสนออย่างละเอียด", "th"),
+    (8, "Η επιτροπή εξέτασε την πρόταση λεπτομερώς", "el"),
+    (9, "the cat sat on the mat and it is a test", "en"),
+    (10, "der hund und die katze ist nicht da", "de"),
+    (11, "xyzzy qwerty asdf plugh", "und"),
+    (12, "mostly english text with the and of plus 漢", "en"),
+]
+
+
+def test_lang_id_script_ranges(spark):
+    """Round-9: the stopword heuristic is structurally blind to
+    non-Latin scripts (every zh/ja/ko/ru/ar/hi/th/el page was 'und');
+    the script-range tier decides them, Latin rows are unchanged, and
+    a Han-only stray char below the 25% bar does not flip an English
+    doc."""
+    from pipelinedb_spark.operators.text import lang_id
+
+    df = spark.createDataFrame([(i, t) for i, t, _ in _LANG_SAMPLES],
+                               "id long, text string")
+    got = {r["id"]: r["lang"]
+           for r in df.select("id", lang_id(F.col("text")).alias("lang"))
+           .collect()}
+    for i, _, want in _LANG_SAMPLES:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_lang_id_script_counts_match_duckdb(spark):
+    """Cross-engine oracle: duckdb (RE2) counts the same script chars
+    over the same ranges, and replaying the documented rule on those
+    counts reproduces Spark's decision for every sample row."""
+    import duckdb
+
+    from pipelinedb_spark.operators.text import (SCRIPT_RANGES,
+                                                 STOPWORDS, lang_id)
+
+    con = duckdb.connect()
+    rows = [(i, t) for i, t, _ in _LANG_SAMPLES]
+    con.execute("CREATE TABLE s (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", rows)
+
+    def re2(rng):  # [؀-ۿ] -> [\x{0600}-\x{06ff}]
+        lo, hi = ord(rng[1]), ord(rng[3])
+        return f"[\\x{{{lo:04x}}}-\\x{{{hi:04x}}}]"
+
+    exprs = ", ".join(
+        f"len(regexp_extract_all(text, '{re2(SCRIPT_RANGES[c])}')) AS c_{c}"
+        for c in sorted(SCRIPT_RANGES))
+    duck = con.execute(
+        f"SELECT id, length(text) AS chars, {exprs} FROM s").df()
+
+    def decide(row, text):
+        counts = {c: int(row[f"c_{c}"]) for c in SCRIPT_RANGES}
+        total = sum(counts.values())
+        if total > 0 and total * 4 >= int(row["chars"]):
+            if counts["ja"] > 0 and counts["ja"] * 50 >= total:
+                return "ja"
+            best, bc = "und", 0
+            for c in sorted(SCRIPT_RANGES):
+                if counts[c] > bc:
+                    best, bc = c, counts[c]
+            return best
+        best, bc = "und", 0
+        words = text.split(" ")
+        for lg in sorted(STOPWORDS):
+            n = sum(w in STOPWORDS[lg] for w in words)
+            if n > bc:
+                best, bc = lg, n
+        return best
+
+    texts = dict(rows)
+    want = {int(r["id"]): decide(r, texts[int(r["id"])])
+            for _, r in duck.iterrows()}
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"]
+           for r in df.select("id", lang_id(F.col("text")).alias("lang"))
+           .collect()}
+    assert got == want
+
+
+def test_analyze_documents_lang_pred_uses_script_tier(spark):
+    """analyze_documents' lang_pred column routes through the same
+    two-tier rule as lang_id — and on the Latin-only test corpus the
+    script tier never fires, so text_profile's oracle is unchanged."""
+    from pipelinedb_spark.operators.text import analyze_documents, lang_id
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in _LANG_SAMPLES], "doc_id long, text string")
+    prof = {r["doc_id"]: r["lang_pred"]
+            for r in analyze_documents(df).collect()}
+    via_fn = {r["doc_id"]: r["lang"]
+              for r in df.select("doc_id",
+                                 lang_id(F.col("text")).alias("lang"))
+              .collect()}
+    assert prof == via_fn
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = analyze_documents(docs.select("doc_id", "text"))
+    langs = {r["lang_pred"] for r in out.select("lang_pred").distinct()
+             .collect()}
+    assert langs <= {"en", "de", "es", "fr", "und"}
