@@ -114,7 +114,18 @@ class IndexStore:
     def init_if_needed(self, meta: dict | None = None) -> None:
         os.makedirs(self.root, exist_ok=True)
         io = self._io()
-        if not io.exists():
+        if io.exists():
+            return
+        # rename-mode manifest writes are last-writer-wins: two
+        # concurrent creators racing here could regress an
+        # already-committed version 1 back to an empty version 0 (its
+        # dirs then unreferenced → GC'd: silent loss — review r9).
+        # Serialize creation under the commit lock and re-check;
+        # condput creation is CAS-safe on its own but the lock is
+        # harmless there.
+        with self._commit_lock():
+            if self._io().exists():
+                return
             try:
                 io.write({"version": 0, "dirs": [], "meta": meta or {}},
                          base_seq=0)
@@ -131,15 +142,18 @@ class IndexStore:
 
         Stale-breaking is TOCTOU-safe (round-8 review finding): each
         lock file carries a unique token, and a breaker (1) reads the
-        token it judged stale, (2) claims the file via rename-to-
-        unique — atomic, so of N concurrent breakers exactly one
-        wins — then (3) verifies the claimed file still carries the
-        observed token.  If the token changed (the crashed owner's
-        lock was released and a FRESH committer acquired between stat
-        and rename), the breaker restores it via os.link (create-
-        exclusive, never clobbers a newer lock) and goes back to
-        waiting.  A stale lock can never cause two live committers to
-        run concurrently."""
+        token it judged stale, (2) re-reads token + staleness
+        IMMEDIATELY before the reap (a fresh lock acquired since the
+        first look is never renamed away — review r9), (3) claims the
+        file via rename-to-unique — atomic, so of N concurrent
+        breakers exactly one wins — then (4) verifies the claimed
+        file still carries the observed token.  If the token changed
+        in the microseconds between (2) and (3), the breaker restores
+        it via os.link (create-exclusive, never clobbers a newer
+        lock) and goes back to waiting.  The residual window is
+        backstopped by commit()/tag(): they re-verify ownership of
+        the yielded token right before the manifest write and retry
+        instead of writing on a stolen lock."""
         import contextlib
 
         path = os.path.join(self.root, "_commit.lock")
@@ -164,6 +178,20 @@ class IndexStore:
                     except OSError:
                         continue  # lock released while we looked
                     if stale:
+                        # re-verify right before the reap: only a
+                        # lock STILL carrying the stale token may be
+                        # renamed away — a live committer's fresh
+                        # lock never is
+                        try:
+                            with open(path) as f:
+                                still = f.read()
+                            if (still != observed
+                                    or time.time()
+                                    - os.path.getmtime(path)
+                                    <= stale_after):
+                                continue
+                        except OSError:
+                            continue
                         reap = f"{path}.reap-{uuid.uuid4().hex[:8]}"
                         try:
                             os.rename(path, reap)  # one breaker wins
@@ -191,7 +219,7 @@ class IndexStore:
                             f"commit lock busy > {timeout}s: {path}")
                     time.sleep(0.05)
             try:
-                yield
+                yield token
             finally:
                 try:
                     os.remove(path)
@@ -199,6 +227,17 @@ class IndexStore:
                     pass
 
         return lock()
+
+    def _lock_owned(self, token: str) -> bool:
+        """Whether the commit lock still carries OUR token — the
+        backstop for the (microsecond) breaker window: a committer
+        whose lock was stolen retries instead of racing the thief's
+        manifest read-modify-write."""
+        try:
+            with open(os.path.join(self.root, "_commit.lock")) as f:
+                return f.read() == token
+        except OSError:
+            return False
 
     # -- staging + commit ----------------------------------------------
     def stage(self) -> str:
@@ -257,43 +296,62 @@ class IndexStore:
         absolute path."""
         if meta is not None and meta_fn is not None:
             raise ValueError("pass meta or meta_fn, not both")
-        fpath = None
+        state: dict = {"fpath": None}
+
+        def fold_dirs(m: dict, version: int) -> list[str]:
+            final = f"v{version:05d}-{uuid.uuid4().hex[:6]}"
+            new_fpath = os.path.join(self.root, final)
+            # publish (or renumber after a lost CAS); invisible until
+            # a manifest references it, so no atomicity of this
+            # rename is assumed
+            os.rename(state["fpath"] or staged, new_fpath)
+            state["fpath"] = new_fpath
+            # a pre-commit GC pass may have grace-stamped the stage
+            # dir; the stamp must not ride into the committed dir, or
+            # a LATER dereference would skip its grace window
+            try:
+                os.remove(os.path.join(new_fpath, ".unref_ts"))
+            except OSError:
+                pass
+            if not replace:
+                return list(m["dirs"]) + [final]
+            extra: list[str] = []
+            if expected_dirs is not None:
+                cur = list(m["dirs"])
+                missing = [d for d in expected_dirs if d not in cur]
+                extra = [d for d in cur if d not in expected_dirs]
+                if missing or (extra and on_extra == "conflict"):
+                    raise CommitConflict(
+                        f"live dirs moved under {self.root}: "
+                        f"missing={missing} extra={extra}")
+            return [final] + extra
+
+        try:
+            self._swap_manifest(fold_dirs, meta, meta_fn, txn,
+                                max_retries)
+        except CommitConflict:
+            self._shelve_conflict(state["fpath"])
+            raise
+        self.gc()
+        return state["fpath"]
+
+    def _swap_manifest(self, fold_dirs, meta, meta_fn, txn,
+                       max_retries: int) -> None:
+        """THE manifest read-modify-write loop, shared by
+        :meth:`commit` and :meth:`tag` (review r9: the two had
+        diverging near-copies): lock → read current → derive
+        dirs/meta/txns → verify lock ownership → write.  A lost CAS
+        (condput) or a stolen lock re-reads and re-derives;
+        ``fold_dirs(m, version)`` returns the new dir list, and a
+        CommitConflict raised THERE is a semantic conflict
+        (expected_dirs moved) that propagates without retry, unlike a
+        lost manifest CAS."""
         for _ in range(max_retries):
-            with self._commit_lock():
+            with self._commit_lock() as lock_token:
                 io = self._io()
                 m, seq = io.read_versioned()
                 version = m["version"] + 1
-                final = f"v{version:05d}-{uuid.uuid4().hex[:6]}"
-                new_fpath = os.path.join(self.root, final)
-                # publish (or renumber after a lost CAS); invisible
-                # until a manifest references it, so no atomicity of
-                # this rename is assumed
-                os.rename(fpath or staged, new_fpath)
-                fpath = new_fpath
-                # a pre-commit GC pass may have grace-stamped the
-                # stage dir; the stamp must not ride into the
-                # committed dir, or a LATER dereference would skip
-                # its grace window
-                try:
-                    os.remove(os.path.join(fpath, ".unref_ts"))
-                except OSError:
-                    pass
-                if replace:
-                    extra: list[str] = []
-                    if expected_dirs is not None:
-                        cur = list(m["dirs"])
-                        missing = [d for d in expected_dirs
-                                   if d not in cur]
-                        extra = [d for d in cur
-                                 if d not in expected_dirs]
-                        if missing or (extra and on_extra == "conflict"):
-                            self._shelve_conflict(fpath)
-                            raise CommitConflict(
-                                f"live dirs moved under {self.root}: "
-                                f"missing={missing} extra={extra}")
-                    dirs = [final] + extra
-                else:
-                    dirs = list(m["dirs"]) + [final]
+                dirs = fold_dirs(m, version)
                 if meta_fn is not None:
                     eff_meta = meta_fn(dict(m.get("meta", {})))
                 elif meta is not None:
@@ -317,18 +375,21 @@ class IndexStore:
                                     [:MAX_TXN_SOURCES])
                 if txns:
                     out["txns"] = txns
+                # breaker-window backstop (review r9): never write on
+                # a stolen lock — re-acquire and re-derive instead.
+                # Lockless committers (the object-storage story stubs
+                # the advisory lock out entirely) yield no token and
+                # rely on the manifest CAS alone.
+                if lock_token is not None \
+                        and not self._lock_owned(lock_token):
+                    continue
                 try:
                     io.write(out, seq)
-                    break
+                    return
                 except CommitConflict:
-                    continue  # re-read and re-derive, then retry
-        else:
-            self._shelve_conflict(fpath)
-            raise CommitConflict(
-                f"manifest CAS lost {max_retries} times under "
-                f"{self.root}")
-        self.gc()
-        return fpath
+                    continue  # lost CAS: re-read and re-derive
+        raise CommitConflict(
+            f"manifest CAS lost {max_retries} times under {self.root}")
 
     def _shelve_conflict(self, fpath: str | None) -> None:
         """Demote a published-but-never-referenced version dir back to
@@ -361,40 +422,8 @@ class IndexStore:
             return
         if meta is not None and meta_fn is not None:
             raise ValueError("pass meta or meta_fn, not both")
-        for _ in range(max_retries):
-            with self._commit_lock():
-                io = self._io()
-                m, seq = io.read_versioned()
-                version = m["version"] + 1
-                if meta_fn is not None:
-                    eff_meta = meta_fn(dict(m.get("meta", {})))
-                elif meta is not None:
-                    eff_meta = meta
-                else:
-                    eff_meta = m.get("meta", {})
-                out = {"version": version, "dirs": m["dirs"],
-                       "meta": eff_meta}
-                txns = dict(m.get("txns", {}))
-                if txn is not None:
-                    app, ver = txn
-                    prev = txns.get(app)
-                    txns[app] = [max(int(ver),
-                                     int(prev[0] if prev is not None
-                                         else -1)), version]
-                    if len(txns) > MAX_TXN_SOURCES:
-                        txns = dict(sorted(txns.items(),
-                                           key=lambda kv: kv[1][1],
-                                           reverse=True)
-                                    [:MAX_TXN_SOURCES])
-                if txns:
-                    out["txns"] = txns
-                try:
-                    io.write(out, seq)
-                    return
-                except CommitConflict:
-                    continue
-        raise CommitConflict(
-            f"manifest CAS lost {max_retries} times under {self.root}")
+        self._swap_manifest(lambda m, version: list(m["dirs"]),
+                            meta, meta_fn, txn, max_retries)
 
     # -- read side -------------------------------------------------------
     def dirs(self) -> list[str]:

@@ -118,13 +118,24 @@ class CondPutManifestIO:
         return ent[-1][0] if ent else None
 
     def read_versioned(self) -> tuple[dict, int]:
-        ent = self._entries()
-        if not ent:
-            raise FileNotFoundError(
-                f"no committed manifest under {self.dir}")
-        seq, name = ent[-1]
-        with open(os.path.join(self.dir, name)) as f:
-            return json.load(f), seq
+        # list-then-open retries: a slow reader can lose its picked
+        # entry to a concurrent writer's gc() (KEEP manifests behind
+        # head) — re-list and take the new head instead of crashing
+        # (review r9).  Starving 5 re-lists would need 8+ commits per
+        # window; any later manifest is a valid (newer) read.
+        for _ in range(5):
+            ent = self._entries()
+            if not ent:
+                raise FileNotFoundError(
+                    f"no committed manifest under {self.dir}")
+            seq, name = ent[-1]
+            try:
+                with open(os.path.join(self.dir, name)) as f:
+                    return json.load(f), seq
+            except FileNotFoundError:
+                continue  # pruned between list and open
+        raise FileNotFoundError(
+            f"manifest head churned through 5 re-lists under {self.dir}")
 
     def write(self, m: dict, base_seq: int) -> None:
         os.makedirs(self.dir, exist_ok=True)

@@ -114,15 +114,16 @@ def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
     corpus-scaled postings — one pruned postings pass regardless of
     query count, then a windowed top-k per query.
 
-    The qidf side broadcasts only while its Observation-counted size
-    fits ``broadcast_max_bytes`` (the lsh/span probe gate): qidf
-    scales with |queries| × |terms per query|, and a
-    decontamination-scale query set (millions of queries) would blow
-    past the broadcast ceiling and fail the job — past the gate it
-    falls back to a pinned shuffle-hash join (never a sort-merge of
-    the corpus-scaled postings).  The count rides the localCheckpoint
-    materialization; no extra pass."""
-    from pyspark.sql import Observation, Window
+    The qidf side broadcasts only while its counted size fits
+    ``broadcast_max_bytes`` (the lsh/span probe gate): qidf scales
+    with |queries| × |terms per query|, and a decontamination-scale
+    query set (millions of queries) would blow past the broadcast
+    ceiling and fail the job — past the gate it falls back to a
+    pinned shuffle-hash join (never a sort-merge of the corpus-scaled
+    postings).  The count is one query-scaled job; nothing is
+    checkpointed (a pinned qidf would sit in executor storage until
+    driver GC)."""
+    from pyspark.sql import Window
 
     id_col = index["id_col"]
     n, avgdl = index["n_docs"], index["avgdl"]
@@ -140,16 +141,18 @@ def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
               .distinct())
     idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
-    obs = Observation()
     qidf = (qterms.join(index["dfs"], "term")
-            .select(query_id_col, "term", idf.alias("__idf"))
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True))
-    try:
-        # ~48 bytes: term string + id + idf double + row overhead
-        est_bytes = int(obs.get["n"]) * 48
-    except Exception:  # empty qidf can eliminate CollectMetrics
-        est_bytes = 0
+            .select(query_id_col, "term", idf.alias("__idf")))
+    # size the gate with a plain count() job (query-scaled, cheap)
+    # instead of Observation + localCheckpoint: the checkpoint pinned
+    # the full qidf table in executor storage until driver GC — the
+    # exact leak class kcenter_select releases explicitly, but HERE
+    # the returned (lazy) result still references qidf, so there is
+    # no safe point to unpersist it inside this function (review r9).
+    # Re-computing the explode+distinct+join subtree once more inside
+    # the main job costs far less than pinning it.
+    # ~48 bytes: term string + id + idf double + row overhead
+    est_bytes = qidf.count() * 48
     qidf = (F.broadcast(qidf) if est_bytes <= broadcast_max_bytes
             else qidf.hint("shuffle_hash"))
     hits = (index["postings"]

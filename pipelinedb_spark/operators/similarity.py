@@ -721,6 +721,12 @@ def ivf_retrain(spark, path: str, n_lists: int | None = None,
         f"ivf_retrain lost 3 rebuild races under {path}")
 
 
+# "distance is zero" tolerance for the greedy's fewer-than-k-distinct
+# break: double rounding leaves selected points at ~1e-16 from
+# themselves, far below any real inter-point distance of interest
+_KC_ZERO_EPS = 1e-12
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Deterministically free a localCheckpoint's executor storage.
 
@@ -808,8 +814,14 @@ def kcenter_select(corpus: DataFrame, k: int,
         top = cur.agg(F.max(F.struct(F.col("__d"), F.col("__i"),
                                      F.col("__v"))).alias("m")) \
             .first()["m"]
-        if top is None or float(top["__d"]) <= 0.0:
-            break          # fewer than k distinct points
+        if top is None or float(top["__d"]) <= _KC_ZERO_EPS:
+            # fewer than k distinct points.  Epsilon, not 0.0: a
+            # selected point's own folded distance is 1 − x/√(x·x),
+            # which float rounding can leave at ~+1e-16 (and exact
+            # mode's long→double cast rounds above 2^53), so an exact
+            # zero test could re-pick an already-selected exemplar on
+            # duplicate-vector corpora (review r9)
+            break
         nid = top["__i"]
         sel.append((nid, r, float(top["__d"])))
         center = list(top["__v"])
@@ -845,8 +857,10 @@ def kcenter_numpy(mat: np.ndarray, k: int, start: int = 0
     d = 1.0 - m @ m[start]
     for _ in range(1, min(k, len(m))):
         i = int(d.argmax())
-        if d[i] <= 0.0:
+        if d[i] <= _KC_ZERO_EPS:
             break                       # fewer than k distinct rows
+            # (epsilon for the same float-residual reason as
+            # kcenter_select)
         sel.append(i)
         np.minimum(d, 1.0 - m @ m[i], out=d)
     return sel, d

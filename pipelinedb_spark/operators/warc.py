@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .text import SCRIPT_RANGES
+
 WARC_SCHEMA = T.StructType([
     T.StructField("warc_file", T.StringType()),
     T.StructField("record_idx", T.IntegerType()),
@@ -334,12 +336,26 @@ class _BlockParser(HTMLParser):
         super().close()
 
 
-# a block whose whitespace-split "words" average ≥ ~12 chars is an
-# unsegmented script (zh/ja/th write without spaces, so each "word"
-# is a whole clause) — the stopword-density signal is structurally
-# zero there, never evidence of boilerplate.  Latin link-lists stay
-# well above this ratio (~1 word per 5-8 chars).
-_SPACEFREE_WORDS_PER_CHAR = 0.08
+# one character class spanning every script the stopword union is
+# BLIND to (text.py SCRIPT_RANGES: CJK/kana/hangul/cyrillic/arabic/
+# devanagari/thai/greek) — a block written predominantly in those
+# scripts has a structurally-zero stopword density, never evidence
+# of boilerplate.  Keying the exemption on actual script characters
+# (not a words-per-char heuristic, review r9) means a Latin block of
+# long tokens (base64 blobs, bare URLs, minified identifiers) gets
+# NO free pass, and spaced-but-stopword-free scripts like Korean are
+# exempt per-block instead of relying on the page-level fallback.
+_SW_BLIND_RE = re.compile(
+    "[" + "".join(r[1:-1] for r in SCRIPT_RANGES.values()) + "]")
+
+
+def _stopword_blind(text: str) -> bool:
+    """≥50% of the block's non-space characters sit in scripts the
+    stopword list can't score."""
+    total = len(text) - text.count(" ")
+    if total <= 0:
+        return False
+    return 2 * len(_SW_BLIND_RE.findall(text)) >= total
 
 
 def _first_pass(blocks, min_good_chars=60, max_link_density=0.2,
@@ -349,12 +365,13 @@ def _first_pass(blocks, min_good_chars=60, max_link_density=0.2,
 
     Stopword handling follows jusText's published answer for
     stopword-free languages (Pomikálek 2011 runs with
-    ``stopwords_low = stopwords_high = 0`` there): a block that is
-    itself space-free script is exempt from the density bar, and
+    ``stopwords_low = stopwords_high = 0`` there): a block written
+    predominantly in a script the stopword union is blind to
+    (:func:`_stopword_blind`) is exempt from the density bar, and
     ``require_stopwords=False`` drops the bar for every block (the
     page-level mode :func:`extract_main_text` engages when NO block
-    on the page carries any function-word signal — e.g. Korean, which
-    spaces its eojeol but shares no stopwords with the Latin list).
+    on the page carries any function-word signal — e.g. Vietnamese
+    or Turkish, Latin-script languages outside the stopword union).
     Length and link-density scoring are character-based and apply
     unchanged."""
     out = []
@@ -363,10 +380,8 @@ def _first_pass(blocks, min_good_chars=60, max_link_density=0.2,
         words = text.lower().split()
         stop = sum(w.strip('.,;:!?"()[]') in _STOPWORDS for w in words)
         sr = stop / max(len(words), 1)
-        spacefree = (len(words) / max(len(text), 1)
-                     < _SPACEFREE_WORDS_PER_CHAR)
-        stop_ok = (sr >= min_stop_ratio or spacefree
-                   or not require_stopwords)
+        stop_ok = (sr >= min_stop_ratio or not require_stopwords
+                   or _stopword_blind(text))
         if boiler or ld > 0.4:
             out.append("bad")
         elif (len(text) >= min_good_chars and ld <= max_link_density

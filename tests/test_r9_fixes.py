@@ -163,8 +163,13 @@ def test_misjudged_break_restores_fresh_lock(tmp_path, monkeypatch):
     def fake_mtime(p):
         if os.path.abspath(str(p)) == os.path.abspath(lock):
             calls["n"] += 1
-            if calls["n"] == 1:
-                return time.time() - 10_000  # judged stale ONCE
+            if calls["n"] <= 2:
+                # judged stale at the first look AND at the pre-reap
+                # re-verify (r9): the swap this test simulates lands
+                # in the microsecond window between re-verify and
+                # rename, which only the post-reap token check (and
+                # the commit-time ownership backstop) can catch
+                return time.time() - 10_000
         return orig_mtime(p)
 
     monkeypatch.setattr(os.path, "getmtime", fake_mtime)
@@ -509,9 +514,10 @@ def test_extraction_chinese_page_drops_boilerplate(spark):
 
 
 def test_extraction_korean_page_uses_pagelevel_fallback(spark):
-    """Korean spaces its eojeol (blocks are NOT space-free) but shares
-    no stopwords with the Latin list — the page-level degenerate-
-    signal mode re-scores on length + link density alone."""
+    """Korean spaces its eojeol but shares no stopwords with the
+    Latin list — hangul blocks ride the per-block script exemption
+    (review r9: was the page-level mode, which a single good Latin
+    block would have disabled)."""
     from pipelinedb_spark.operators.warc import (extract_main_text,
                                                  html_to_text_py)
 
@@ -754,3 +760,75 @@ def test_analyze_documents_lang_pred_uses_script_tier(spark):
     langs = {r["lang_pred"] for r in out.select("lang_pred").distinct()
              .collect()}
     assert langs <= {"en", "de", "es", "fr", "und"}
+
+
+def test_extraction_korean_body_survives_english_abstract(spark):
+    """Review r9: a page with ONE good English block used to disable
+    the page-level stopword-free mode, dropping the entire Korean
+    body ('near' blocks fenced by bad nav).  The per-block script
+    exemption keeps the body regardless of other blocks."""
+    from pipelinedb_spark.operators.warc import extract_main_text
+
+    abstract = ("This is the English abstract of the report and it is "
+                "made of the usual function words that score well.")
+    page = ("<html><body><p>" + abstract + "</p>" + _KO_NAV
+            + "<article>"
+            + "".join(f"<p>{p}</p>" for p in _KO_PARAS)
+            + "</article>" + _KO_NAV + "</body></html>").encode()
+    dense = extract_main_text(page)
+    assert abstract in dense
+    for p in _KO_PARAS:
+        assert p in dense                 # body kept, not just abstract
+    assert "메뉴3" not in dense            # nav still dropped
+
+
+def test_extraction_latin_blob_gets_no_spacefree_pass(spark):
+    """Review r9: the old words-per-char heuristic let any ≥60-char
+    Latin block of few long tokens (base64 blobs, bare URLs) ride the
+    exemption straight to 'good'.  Script-keyed exemption keeps such
+    junk 'near' — on an otherwise-boilerplate page it is dropped with
+    everything else (page tag-strips, blob not extracted as main
+    text)."""
+    from pipelinedb_spark.operators.warc import (_context_pass,
+                                                 _first_pass)
+
+    blob = "QWxhZGRpbjpvcGVuIHNlc2FtZQ" * 4          # 104 chars, 1 word
+    url = ("https://example.com/a/very/long/path?x=" + "y" * 60)
+    for junk in (blob, url):
+        verdicts = _context_pass(_first_pass(
+            [("Home About Products Pricing", 28, False),   # link-list
+             (junk, 0, False),
+             ("Contact Careers Blog Terms", 26, False)]))
+        assert verdicts[1] != "good"      # no free pass for Latin junk
+    # while a real CJK block in the same sandwich IS exempt
+    zh = "委员会详细审查了这项提案，认为第二稿已经回应了大部分的意见。" * 2
+    verdicts = _context_pass(_first_pass(
+        [("Home About Products Pricing", 28, False),
+         (zh, 0, False),
+         ("Contact Careers Blog Terms", 26, False)]))
+    assert verdicts[1] == "good"
+
+
+def test_kcenter_duplicate_corpus_breaks_instead_of_repicking(spark):
+    """Review r9: with duplicate vectors and k > n_distinct, float
+    residuals (1 − x/√(x·x) ≈ +1e-16) could re-pick an
+    already-selected exemplar instead of hitting the
+    fewer-than-k-distinct break.  Epsilon break: output must hold
+    each distinct vector once, no duplicates, in both modes."""
+    from pipelinedb_spark.operators.similarity import (kcenter_numpy,
+                                                       kcenter_select)
+
+    base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    rows = [(i, base[i % 3]) for i in range(12)]   # 3 distinct, 12 rows
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for exact in (False, True):
+        out = kcenter_select(df, k=8, start_id=0, exact=exact).collect()
+        ids = [r["vec_id"] for r in out]
+        assert len(ids) == len(set(ids))           # no re-picks
+        assert len(ids) == 3                       # broke at n_distinct
+        vecs = {tuple(base[i % 3]) for i in ids}
+        assert len(vecs) == 3                      # one per distinct vec
+
+    mat = np.array([base[i % 3] for i in range(12)], dtype=np.float64)
+    sel, _ = kcenter_numpy(mat, k=8)
+    assert len(sel) == len(set(sel)) == 3
