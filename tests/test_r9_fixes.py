@@ -832,3 +832,91 @@ def test_kcenter_duplicate_corpus_breaks_instead_of_repicking(spark):
     mat = np.array([base[i % 3] for i in range(12)], dtype=np.float64)
     sel, _ = kcenter_numpy(mat, k=8)
     assert len(sel) == len(set(sel)) == 3
+
+
+# -------------------- threaded swap-loop invariants (r9 refactor)
+
+@pytest.mark.parametrize("fmt", ["rename", "condput"])
+def test_concurrent_append_compact_tag_loses_nothing(tmp_path, fmt):
+    """Interleaving stress over the shared _swap_manifest loop:
+    appenders, a compactor (replace + expected_dirs), and a tagger
+    race freely.  Invariants at the end: the union of content lines
+    across live dirs equals every appended token (compaction merges,
+    never drops), every referenced dir exists on disk, and each app's
+    txn tag holds its max epoch."""
+    import pipelinedb_spark.indexstore as ixs
+
+    root = str(tmp_path / f"idx-{fmt}")
+    s = IndexStore(root, gc_grace_seconds=60.0)
+    s.manifest_format = fmt
+    s.init_if_needed()
+    errs: list = []
+    N_APP, N_EACH = 3, 12
+
+    def appender(tid):
+        st = IndexStore(root, gc_grace_seconds=60.0)
+        try:
+            for i in range(N_EACH):
+                staged = st.stage()
+                os.makedirs(staged)
+                with open(os.path.join(staged, "f.txt"), "w") as f:
+                    f.write(f"tok-{tid}-{i}")
+                st.commit(staged, replace=False,
+                          txn=(f"app{tid}", i), max_retries=50)
+        except Exception as e:            # pragma: no cover
+            errs.append(e)
+
+    def compactor():
+        st = IndexStore(root, gc_grace_seconds=60.0)
+        try:
+            for _ in range(8):
+                time.sleep(0.05)
+                paths = st.dirs()
+                if len(paths) < 2:
+                    continue
+                lines = []
+                for p in paths:
+                    with open(os.path.join(p, "f.txt")) as f:
+                        lines.extend(f.read().splitlines())
+                staged = st.stage()
+                os.makedirs(staged)
+                with open(os.path.join(staged, "f.txt"), "w") as f:
+                    f.write("\n".join(lines))
+                try:
+                    st.commit(staged, replace=True,
+                              expected_dirs=[os.path.basename(p)
+                                             for p in paths],
+                              on_extra="keep", max_retries=50)
+                except ixs.CommitConflict:
+                    pass  # lost to a concurrent replace: no data moved
+        except Exception as e:            # pragma: no cover
+            errs.append(e)
+
+    def tagger():
+        st = IndexStore(root, gc_grace_seconds=60.0)
+        try:
+            for i in range(10):
+                st.tag(txn=("tagger", i), max_retries=50)
+                time.sleep(0.02)
+        except Exception as e:            # pragma: no cover
+            errs.append(e)
+
+    ts = ([threading.Thread(target=appender, args=(t,))
+           for t in range(N_APP)]
+          + [threading.Thread(target=compactor),
+             threading.Thread(target=tagger)])
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+
+    st = IndexStore(root, gc_grace_seconds=60.0)
+    got: list[str] = []
+    for p in st.dirs():
+        assert os.path.isdir(p)           # every referenced dir exists
+        with open(os.path.join(p, "f.txt")) as f:
+            got.extend(f.read().splitlines())
+    want = {f"tok-{t}-{i}" for t in range(N_APP) for i in range(N_EACH)}
+    assert sorted(got) == sorted(want)    # nothing lost, nothing doubled
+    for t in range(N_APP):
+        assert st.txn_version(f"app{t}") == N_EACH - 1
+    assert st.txn_version("tagger") == 9
