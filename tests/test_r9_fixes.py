@@ -920,3 +920,62 @@ def test_concurrent_append_compact_tag_loses_nothing(tmp_path, fmt):
     for t in range(N_APP):
         assert st.txn_version(f"app{t}") == N_EACH - 1
     assert st.txn_version("tagger") == 9
+
+
+_VI_PARAS = [
+    "Ủy ban đã xem xét kỹ lưỡng đề xuất này và cho rằng bản thảo thứ "
+    "hai đã phản hồi phần lớn các ý kiến phản đối trước khi cuộc họp "
+    "được triệu tập để mọi thành viên xem xét trước.",
+    "Sau cuộc thảo luận kéo dài về ngân sách, các thành viên đồng ý "
+    "chia khoản kinh phí mới trong ba năm để không bộ phận nào phải "
+    "gánh toàn bộ chi phí trong một năm duy nhất.",
+]
+_VI_NAV = ('<div class="menu">' + " ".join(
+    f'<a href="/{i}">Mục{i}</a>' for i in range(10)) + "</div>")
+
+
+def test_extraction_latin_stopwordfree_page_uses_pagelevel_mode(spark):
+    """Vietnamese: Latin-adjacent script (words/char high, no script-
+    range chars) sharing no stopwords with the union — per-block
+    exemption does NOT apply, so this page exercises the PAGE-level
+    degenerate-signal rescore (the branch Korean used to cover before
+    it moved to the per-block script exemption)."""
+    from pipelinedb_spark.operators.warc import (extract_main_text,
+                                                 html_to_text_py)
+
+    page = ("<html><body>" + _VI_NAV
+            + "<article>"
+            + "".join(f"<p>{p}</p>" for p in _VI_PARAS)
+            + "</article>" + _VI_NAV + "</body></html>").encode()
+    dense = extract_main_text(page)
+    assert dense != html_to_text_py(page)     # not the fallback
+    for p in _VI_PARAS:
+        assert p in dense
+    assert "Mục3" not in dense                # nav dropped
+
+
+def test_extraction_japanese_mixed_kana_kanji(spark):
+    """Japanese blocks are kanji+kana mixtures — both ranges are in
+    the blind set, so the block exemption holds for the mixture, and
+    the article survives while the link-list nav drops."""
+    from pipelinedb_spark.operators.warc import (extract_main_text,
+                                                 html_to_text_py)
+
+    paras = [
+        "委員会はこの提案を詳細に審査し、第二稿がほとんどの反対意見に"
+        "すでに対応していると判断しました。会議の前に全員へ配布されて"
+        "いたため、各委員は事前に内容を確認することができました。",
+        "予算に関する長い議論の後、委員たちは新しい資金を三年間に分けて"
+        "執行することで合意し、どの部門も一年間で全額を負担しなくて"
+        "済むようにしました。",
+    ]
+    nav = ('<div class="menu">' + " ".join(
+        f'<a href="/{i}">メニュー{i}</a>' for i in range(10)) + "</div>")
+    page = ("<html><body>" + nav + "<article>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</article>" + nav + "</body></html>").encode()
+    dense = extract_main_text(page)
+    assert dense != html_to_text_py(page)
+    for p in paras:
+        assert p in dense
+    assert "メニュー3" not in dense
