@@ -120,17 +120,24 @@ class IndexStore:
         # concurrent creators racing here could regress an
         # already-committed version 1 back to an empty version 0 (its
         # dirs then unreferenced → GC'd: silent loss — review r9).
-        # Serialize creation under the commit lock and re-check;
-        # condput creation is CAS-safe on its own but the lock is
-        # harmless there.
-        with self._commit_lock():
-            if self._io().exists():
+        # Serialize creation under the commit lock, re-check, and
+        # apply the same stolen-lock backstop as _swap_manifest (a
+        # creator stalled past stale_after must not wake and clobber
+        # what the breaker's successor committed); condput creation
+        # is CAS-safe on its own but the lock is harmless there.
+        for _ in range(3):
+            with self._commit_lock() as lock_token:
+                if self._io().exists():
+                    return
+                if lock_token is not None \
+                        and not self._lock_owned(lock_token):
+                    continue  # reaped while stalled: re-acquire
+                try:
+                    io.write({"version": 0, "dirs": [],
+                              "meta": meta or {}}, base_seq=0)
+                except CommitConflict:
+                    pass  # a concurrent creator initialized first
                 return
-            try:
-                io.write({"version": 0, "dirs": [], "meta": meta or {}},
-                         base_seq=0)
-            except CommitConflict:
-                pass  # a concurrent creator initialized first
 
     def _commit_lock(self, timeout: float = 120.0,
                      stale_after: float = 600.0):
@@ -221,8 +228,15 @@ class IndexStore:
             try:
                 yield token
             finally:
+                # compare-and-delete (review r9): a committer whose
+                # lock was reaped while it stalled must not delete
+                # the NEW owner's live lock on its way out — that
+                # would cascade the theft to a third committer
                 try:
-                    os.remove(path)
+                    with open(path) as f:
+                        mine = f.read() == token
+                    if mine:
+                        os.remove(path)
                 except OSError:
                     pass
 

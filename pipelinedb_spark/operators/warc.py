@@ -37,8 +37,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .text import SCRIPT_RANGES
-
 WARC_SCHEMA = T.StructType([
     T.StructField("warc_file", T.StringType()),
     T.StructField("record_idx", T.IntegerType()),
@@ -336,17 +334,25 @@ class _BlockParser(HTMLParser):
         super().close()
 
 
-# one character class spanning every script the stopword union is
-# BLIND to (text.py SCRIPT_RANGES: CJK/kana/hangul/cyrillic/arabic/
-# devanagari/thai/greek) — a block written predominantly in those
-# scripts has a structurally-zero stopword density, never evidence
-# of boilerplate.  Keying the exemption on actual script characters
-# (not a words-per-char heuristic, review r9) means a Latin block of
-# long tokens (base64 blobs, bare URLs, minified identifiers) gets
-# NO free pass, and spaced-but-stopword-free scripts like Korean are
-# exempt per-block instead of relying on the page-level fallback.
+# the stopword union covers LATIN-script languages only, so the
+# density bar is meaningful exactly for characters in the Latin
+# ranges (+ digits/punctuation that ride along in Latin prose).
+# Every other script — CJK/kana/hangul/thai, but equally khmer, lao,
+# myanmar, tibetan, hebrew, georgian, … (review r9: an explicit
+# script list chases omissions forever) — has a structurally-zero
+# stopword density, never evidence of boilerplate.  Keying the
+# exemption on actual non-Latin characters (not a words-per-char
+# heuristic) means a Latin block of long tokens (base64 blobs, bare
+# URLs, minified identifiers) gets NO free pass, and
+# spaced-but-stopword-free scripts like Korean are exempt per-block
+# instead of relying on the page-level fallback.  Scoreable ranges:
+# ASCII + Latin-1 + Latin Extended A/B/Additional, plus General
+# Punctuation (curly quotes/dashes in English prose must not count
+# as "blind").  Latin-script languages OUTSIDE the stopword union
+# (Vietnamese, Turkish, …) intentionally stay non-exempt — the
+# page-level degenerate-signal mode covers them.
 _SW_BLIND_RE = re.compile(
-    "[" + "".join(r[1:-1] for r in SCRIPT_RANGES.values()) + "]")
+    "[^\\u0000-\\u024f\\u1e00-\\u1eff\\u2000-\\u206f]")
 
 
 def _stopword_blind(text: str) -> bool:
@@ -355,7 +361,8 @@ def _stopword_blind(text: str) -> bool:
     total = len(text) - text.count(" ")
     if total <= 0:
         return False
-    return 2 * len(_SW_BLIND_RE.findall(text)) >= total
+    blind = sum(1 for _ in _SW_BLIND_RE.finditer(text))
+    return 2 * blind >= total
 
 
 def _first_pass(blocks, min_good_chars=60, max_link_density=0.2,
@@ -377,20 +384,27 @@ def _first_pass(blocks, min_good_chars=60, max_link_density=0.2,
     out = []
     for text, link_chars, boiler in blocks:
         ld = link_chars / max(len(text), 1)
-        words = text.lower().split()
-        stop = sum(w.strip('.,;:!?"()[]') in _STOPWORDS for w in words)
-        sr = stop / max(len(words), 1)
-        stop_ok = (sr >= min_stop_ratio or not require_stopwords
-                   or _stopword_blind(text))
         if boiler or ld > 0.4:
             out.append("bad")
-        elif (len(text) >= min_good_chars and ld <= max_link_density
-              and stop_ok):
-            out.append("good")
-        elif len(text) < short_chars:
-            out.append("short")
-        else:
-            out.append("near")
+            continue
+        # the stopword pass (lowercase + split + set lookups) and the
+        # blind-script scan run ONLY for length/link-density-eligible
+        # blocks — nav/footer/link-lists, a large share of every
+        # crawled page, are classified from ld/boiler alone (review
+        # r9: this loop is the per-document hot path of the
+        # extraction kernel)
+        if len(text) >= min_good_chars and ld <= max_link_density:
+            if not require_stopwords:
+                out.append("good")
+                continue
+            words = text.lower().split()
+            stop = sum(w.strip('.,;:!?"()[]') in _STOPWORDS
+                       for w in words)
+            if (stop / max(len(words), 1) >= min_stop_ratio
+                    or _stopword_blind(text)):
+                out.append("good")
+                continue
+        out.append("short" if len(text) < short_chars else "near")
     return out
 
 

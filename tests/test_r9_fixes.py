@@ -979,3 +979,25 @@ def test_extraction_japanese_mixed_kana_kanji(spark):
     for p in paras:
         assert p in dense
     assert "メニュー3" not in dense
+
+
+def test_extraction_khmer_body_survives_english_abstract(spark):
+    """Review r9 (second pass): the blind-script class is the
+    complement of the Latin ranges, not an explicit list — scripts
+    outside the lang-ID set (Khmer here) keep the exemption even when
+    a good English block disables the page-level mode."""
+    from pipelinedb_spark.operators.warc import extract_main_text
+
+    abstract = ("This is the English abstract of the report and it is "
+                "made of the usual function words that score well.")
+    km = ("គណៈកម្មការបានពិនិត្យមើលសំណើនេះយ៉ាងលម្អិត ហើយយល់ថាសេចក្តីព្រាងទីពីរ"
+          "បានឆ្លើយតបនឹងមតិភាគច្រើនរួចហើយ មុនពេលកិច្ចប្រជុំត្រូវបានកោះប្រជុំ។")
+    nav = ('<div class="menu">' + " ".join(
+        f'<a href="/{i}">link{i}</a>' for i in range(10)) + "</div>")
+    page = ("<html><body><p>" + abstract + "</p>" + nav
+            + f"<article><p>{km}</p><p>{km}</p></article>"
+            + nav + "</body></html>").encode()
+    dense = extract_main_text(page)
+    assert abstract in dense
+    assert km in dense
+    assert "link3" not in dense
