@@ -1001,3 +1001,44 @@ def test_extraction_khmer_body_survives_english_abstract(spark):
     assert abstract in dense
     assert km in dense
     assert "link3" not in dense
+
+
+def test_lock_release_is_compare_and_delete(tmp_path):
+    """Review r9 (second pass): a committer whose lock was stolen
+    while it stalled must not delete the NEW owner's live lock on
+    exit — release compares the token first."""
+    s = IndexStore(str(tmp_path / "idx"))
+    s.init_if_needed()
+    lock = os.path.join(s.root, "_commit.lock")
+    with s._commit_lock():
+        with open(lock, "w") as f:      # theft mid-section
+            f.write("thief-token")
+    with open(lock) as f:
+        assert f.read() == "thief-token"   # NOT deleted on exit
+    os.remove(lock)
+    # normal path still releases
+    with s._commit_lock():
+        pass
+    assert not os.path.exists(lock)
+
+
+def test_commit_retries_when_lock_stolen_mid_section(
+        tmp_path, monkeypatch):
+    """The ownership backstop: a commit that loses its lock between
+    derive and write re-acquires and lands EXACTLY once."""
+    s = IndexStore(str(tmp_path / "idx"))
+    s.init_if_needed()
+    calls = {"n": 0}
+    orig = IndexStore._lock_owned
+
+    def stolen_once(self, token):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False               # theft at the worst moment
+        return orig(self, token)
+
+    monkeypatch.setattr(IndexStore, "_lock_owned", stolen_once)
+    _add(s, "x")
+    assert calls["n"] >= 2
+    assert len(s.dirs()) == 1          # exactly one committed dir
+    assert s.read_manifest()["version"] == 1
