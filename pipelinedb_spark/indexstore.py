@@ -127,7 +127,13 @@ class IndexStore:
         # is CAS-safe on its own but the lock is harmless there.
         for _ in range(3):
             with self._commit_lock() as lock_token:
-                if self._io().exists():
+                # re-resolve INSIDE the lock: a concurrent creator in
+                # the other format may have won the race (e.g. left a
+                # _manifests/ dir), flipping the sticky resolution —
+                # writing through the pre-lock strategy would strand
+                # the manifest where no future reader looks
+                io = self._io()
+                if io.exists():
                     return
                 if lock_token is not None \
                         and not self._lock_owned(lock_token):
@@ -138,6 +144,9 @@ class IndexStore:
                 except CommitConflict:
                     pass  # a concurrent creator initialized first
                 return
+        raise CommitConflict(
+            f"store creation lost the commit lock 3 times under "
+            f"{self.root}")
 
     def _commit_lock(self, timeout: float = 120.0,
                      stale_after: float = 600.0):
@@ -228,15 +237,27 @@ class IndexStore:
             try:
                 yield token
             finally:
-                # compare-and-delete (review r9): a committer whose
-                # lock was reaped while it stalled must not delete
-                # the NEW owner's live lock on its way out — that
-                # would cascade the theft to a third committer
+                # atomic claim-then-verify release (review r9, both
+                # passes): a committer whose lock was reaped while it
+                # stalled must not delete the NEW owner's live lock
+                # on its way out.  Plain read-then-remove leaves a
+                # window between the token check and the unlink; the
+                # breaker's own rename-to-unique pattern closes it —
+                # rename claims the file atomically, the token check
+                # runs on the claimed copy, and a claimed NON-mine
+                # lock is linked back (create-exclusive, never
+                # clobbering anything newer).
+                reap = f"{path}.reap-{token[:8]}"
                 try:
-                    with open(path) as f:
+                    os.rename(path, reap)
+                    with open(reap) as f:
                         mine = f.read() == token
-                    if mine:
-                        os.remove(path)
+                    if not mine:
+                        try:
+                            os.link(reap, path)
+                        except OSError:
+                            pass
+                    os.remove(reap)
                 except OSError:
                     pass
 

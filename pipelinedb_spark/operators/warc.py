@@ -356,12 +356,18 @@ _SW_BLIND_RE = re.compile(
 
 
 def _stopword_blind(text: str) -> bool:
-    """≥50% of the block's non-space characters sit in scripts the
-    stopword list can't score."""
+    """≥50% of the block's non-space characters are LETTERS of
+    scripts the stopword list can't score.  The isalpha() gate keeps
+    non-script junk — U+FFFD replacement runs from undecodable
+    bytes, emoji, arrows/dingbats/symbol art — OUT of the blind
+    count (review r9: a mojibake or star-rating block must not ride
+    the exemption to 'good').  Latin pages run zero finditer
+    iterations, so the hot path is untouched."""
     total = len(text) - text.count(" ")
     if total <= 0:
         return False
-    blind = sum(1 for _ in _SW_BLIND_RE.finditer(text))
+    blind = sum(1 for m in _SW_BLIND_RE.finditer(text)
+                if m.group().isalpha())
     return 2 * blind >= total
 
 

@@ -1042,3 +1042,19 @@ def test_commit_retries_when_lock_stolen_mid_section(
     assert calls["n"] >= 2
     assert len(s.dirs()) == 1          # exactly one committed dir
     assert s.read_manifest()["version"] == 1
+
+
+def test_extraction_mojibake_and_symbol_art_not_exempt(spark):
+    """Review r9 (third pass): U+FFFD replacement runs and symbol art
+    are not LETTERS of any script — they get no stopword exemption
+    and never surface as main text on an otherwise-boilerplate
+    page."""
+    from pipelinedb_spark.operators.warc import (_context_pass,
+                                                 _first_pass)
+
+    for junk in ("�" * 80, "★★★★☆ → ← ↑ ↓ ✦ ✧ " * 6):
+        verdicts = _context_pass(_first_pass(
+            [("Home About Products Pricing", 28, False),
+             (junk, 0, False),
+             ("Contact Careers Blog Terms", 26, False)]))
+        assert verdicts[1] != "good"
