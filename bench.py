@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+the machine-readable headline as the LAST stdout line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — compact enough for the driver's
+bounded tail capture.  A preceding detail line carries the per-query
+median/spread dispersion stats (round-9 protocol).
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect overhead distorting the measurement).
@@ -225,24 +228,38 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Two stdout lines (round-10 protocol).  The driver's tail capture
+    # has a bounded window and parses the LAST JSON line it sees — the
+    # round-9 single-line artifact grew past that window and the round
+    # recorded "parsed": null.  So: line 1 carries the full per-query
+    # detail (best/median/spread, errors) for humans and the repo
+    # archive; line 2 — LAST — is a compact headline object (well under
+    # any tail window) carrying the machine-readable metric.
     print(json.dumps({
-        "metric": "headline_queries_total_time",
-        "value": total,
-        "unit": "sec",
+        "detail": "per-query timings",
         "runs_per_query": RUNS,
         "timing": f"best-of-{RUNS} (headline, comparable with earlier "
-                  "rounds' best-of-3); value_median/queries_median are "
-                  "the median of the steady-state runs (run 1 dropped "
-                  "— it pays codegen JIT and Arrow worker warmup) and "
+                  "rounds' best-of-3); queries_median is the median of "
+                  "the steady-state runs (run 1 dropped — it pays "
+                  "codegen JIT and Arrow worker warmup) and "
                   "queries_spread is each query's steady-state "
                   "max−min, so deltas can be judged against dispersion",
-        "value_median": round(sum(medians.values()), 3),
         "queries": times,
         "queries_median": medians,
         "queries_spread": spreads,
         **({"errors": errors} if errors else {}),
+    }))
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "value_median": round(sum(medians.values()), 3),
+        "runs_per_query": RUNS,
+        "queries": times,
+        **({"n_errors": len(errors)} if errors else {}),
         "contention": sentinel,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }))
 
 

@@ -19,6 +19,14 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "nicht", "ist", "ich", "ein"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
     "es": ["el", "la", "los", "de", "que", "es", "un", "una"],
+    # r10: Latin-script languages the r9 script tier can't see (their
+    # script is Latin) and the old union didn't cover — vi/tr pages
+    # lang-ID'd 'und'.  Markers are chosen to be distinctive: no
+    # entry collides with a frequent word of another covered language
+    # (tr deliberately omits 'de'/'da', which are core Spanish/German
+    # tokens).  Ties still break by language-code scan order.
+    "tr": ["bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha"],
+    "vi": ["của", "và", "là", "có", "không", "được", "một", "người"],
 }
 
 # Unicode script ranges for the non-Latin-script languages a real
@@ -39,17 +47,32 @@ SCRIPT_RANGES = {
     "zh": "[\u4e00-\u9fff]",   # CJK Unified Ideographs (Han)
 }
 
+# The script tier decides on a bounded PREFIX of the document, not the
+# full text.  Script dominance is stable within a few KB — a page that
+# is 25% Hangul is 25% Hangul in its first 4 KB — while 8 full-text
+# regexp scans per document cost 42% of text_profile at sf0.1 and are
+# paid on EVERY document at 100 TB (round-9 verdict).  Both the counts
+# and the ≥25% denominator use the same prefix, so the rule stays a
+# pure function of text[:LANG_ID_PREFIX]; the duckdb oracles mirror
+# the cap verbatim.
+LANG_ID_PREFIX = 4096
+
 
 def _script_lang(script_counts: dict[str, Column], chars: Column,
                  fallback: Column) -> Column:
     """Script-range language decision: engages when ≥25% of the
-    document's characters sit in one of the tracked script ranges
-    (Latin pages fall through to the stopword path untouched).
-    Argmax over per-script char counts, alphabetical-order
+    examined characters sit in one of the tracked script ranges
+    (Latin pages fall through to the stopword path untouched; callers
+    pass counts and length over the same :data:`LANG_ID_PREFIX`
+    window).  Argmax over per-script char counts, alphabetical-order
     strict-greater tie-break; one Japanese override — kana is unique
-    to ja while kanji count as Han/zh, so any non-trivial kana share
-    (≥2% of script chars) decides ja.  Every branch is deterministic
-    Column arithmetic, mirrored verbatim by the test oracle."""
+    to ja while kanji count as Han/zh, so when the argmax lands on
+    'zh' a non-trivial kana share (≥2% of script chars) re-decides
+    ja.  The override is scoped to zh-dominant pages: a Korean or
+    Russian page quoting a line of Japanese must stay ko/ru (ADVICE
+    round 9 — the old unscoped form let 2% kana outrank 95% Hangul).
+    Every branch is deterministic Column arithmetic, mirrored
+    verbatim by the test oracle."""
     total = None
     for c in sorted(SCRIPT_RANGES):
         total = script_counts[c] if total is None \
@@ -60,7 +83,8 @@ def _script_lang(script_counts: dict[str, Column], chars: Column,
         better = script_counts[c] > best_c
         best_s = F.when(better, F.lit(c)).otherwise(best_s)
         best_c = F.when(better, script_counts[c]).otherwise(best_c)
-    decided = F.when((script_counts["ja"] > 0)
+    decided = F.when((best_s == "zh")
+                     & (script_counts["ja"] > 0)
                      & (script_counts["ja"] * 50 >= total),
                      F.lit("ja")).otherwise(best_s)
     return F.when((total > 0) & (total * 4 >= chars), decided) \
@@ -127,14 +151,15 @@ def lang_id(text: Column) -> Column:
     counts = {lg: stopword_count(text, lg) for lg in STOPWORDS}
     best_lang = F.lit("und")
     best_cnt = F.lit(0).cast("long")
-    for lg in sorted(STOPWORDS):  # de, en, es, fr — fixed order
+    for lg in sorted(STOPWORDS):  # de, en, es, fr, tr, vi — fixed order
         c = counts[lg]
         is_better = c > best_cnt
         best_lang = F.when(is_better, F.lit(lg)).otherwise(best_lang)
         best_cnt = F.when(is_better, c).otherwise(best_cnt)
-    scripts = {c: F.regexp_count(text, F.lit(SCRIPT_RANGES[c]))
+    head = F.substring(text, 1, LANG_ID_PREFIX)
+    scripts = {c: F.regexp_count(head, F.lit(SCRIPT_RANGES[c]))
                .cast("long") for c in SCRIPT_RANGES}
-    return _script_lang(scripts, char_count(text), best_lang)
+    return _script_lang(scripts, F.length(head).cast("long"), best_lang)
 
 
 def quality_score(text: Column) -> Column:
@@ -174,10 +199,11 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"_c_{lg}",
             F.size(F.filter(F.col("_toks"), in_set(STOPWORDS[lg])))
             .cast("long"))
+    head = F.substring(text, 1, LANG_ID_PREFIX)
     for sc in sorted(SCRIPT_RANGES):
         counts = counts.withColumn(
             f"_s_{sc}",
-            F.regexp_count(text, F.lit(SCRIPT_RANGES[sc])).cast("long"))
+            F.regexp_count(head, F.lit(SCRIPT_RANGES[sc])).cast("long"))
 
     n = F.col("_n")
     awl = (char_count(text) - (n - 1)) / n
@@ -190,7 +216,8 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         best_cnt = F.when(better, c).otherwise(best_cnt)
     best_lang = _script_lang(
         {sc: F.col(f"_s_{sc}") for sc in SCRIPT_RANGES},
-        char_count(text), best_lang)
+        F.least(char_count(text), F.lit(LANG_ID_PREFIX).cast("long")),
+        best_lang)
     quality = (F.least(n / F.lit(64.0), F.lit(1.0))
                * F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0))
                .otherwise(F.lit(0.5))

@@ -687,6 +687,8 @@ _SW_EN = "'the','a','of','and','to','in','is','that'"
 _SW_DE = "'der','die','das','und','nicht','ist','ich','ein'"
 _SW_FR = "'le','la','les','et','est','un','une','que'"
 _SW_ES = "'el','la','los','de','que','es','un','una'"
+_SW_TR = "'bir','ve','bu','için','ile','olarak','çok','daha'"
+_SW_VI = "'của','và','là','có','không','được','một','người'"
 
 
 @query("text_profile", f"""
@@ -697,17 +699,23 @@ WITH base AS (
          len(list_filter(string_split(text, ' '), w -> w IN ({_SW_EN}))) AS c_en,
          len(list_filter(string_split(text, ' '), w -> w IN ({_SW_DE}))) AS c_de,
          len(list_filter(string_split(text, ' '), w -> w IN ({_SW_FR}))) AS c_fr,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_ES}))) AS c_es
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_ES}))) AS c_es,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_TR}))) AS c_tr,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_VI}))) AS c_vi
   FROM documents
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len,
        CAST(c_en AS DOUBLE) / n_tokens AS stopword_ratio_en,
-       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
-            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
-            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
-            WHEN c_es >= c_fr THEN 'es'
-            ELSE 'fr' END AS lang_pred,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_tr, c_vi) = 0 THEN 'und'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
+                 AND c_de >= c_tr AND c_de >= c_vi THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr
+                 AND c_en >= c_tr AND c_en >= c_vi THEN 'en'
+            WHEN c_es >= c_fr AND c_es >= c_tr AND c_es >= c_vi THEN 'es'
+            WHEN c_fr >= c_tr AND c_fr >= c_vi THEN 'fr'
+            WHEN c_tr >= c_vi THEN 'tr'
+            ELSE 'vi' END AS lang_pred,
        least(n_tokens / 64.0, 1.0)
          * (CASE WHEN (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) >= 2.0
                   AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) <= 12.0

@@ -1,0 +1,136 @@
+"""Round-10 fixes, each with its own regression:
+
+* vi/tr stopword tiers — Latin-script languages the script tier is
+  structurally blind to (their script IS Latin) lang-ID'd 'und'
+  (round-9 "What's missing" #5).
+* ja kana-override scoped to zh-dominant pages — a Korean/Russian page
+  quoting a line of Japanese must stay ko/ru (ADVICE round 9).
+* script tier decides on text[:LANG_ID_PREFIX] — 8 full-text regexp
+  scans per document regressed text_profile 42% at sf0.1 and would be
+  paid per-document at 100 TB (round-9 verdict What's-wrong #2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+# vi/tr/en/de sample rows; short Latin text, script tier never fires
+_VI_TR_SAMPLES = [
+    (1, "đây là một bài kiểm tra và nó có kết quả không được tốt", "vi"),
+    (2, "người dùng của hệ thống và một số bạn là thành viên", "vi"),
+    (3, "bu bir test ve çok daha iyi olarak kabul edildi", "tr"),
+    (4, "bu proje için bir rapor ve daha fazla bilgi ile geldi", "tr"),
+    (5, "the committee reviewed the proposal and it is a test", "en"),
+    (6, "der hund und die katze ist nicht da", "de"),
+    (7, "xyzzy qwerty asdf plugh", "und"),
+]
+
+
+def test_lang_id_vi_tr(spark):
+    from pipelinedb_spark.operators.text import lang_id
+
+    df = spark.createDataFrame([(i, t) for i, t, _ in _VI_TR_SAMPLES],
+                               "id long, text string")
+    got = {r["id"]: r["lang"]
+           for r in df.select("id", lang_id(F.col("text")).alias("lang"))
+           .collect()}
+    for i, _, want in _VI_TR_SAMPLES:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_lang_id_vi_tr_duckdb_replay(spark):
+    """Cross-engine oracle: duckdb counts the same stopword tokens and
+    replaying the documented argmax rule (strict-greater, language-code
+    scan order) reproduces Spark's decision for every row."""
+    import duckdb
+
+    from pipelinedb_spark.operators.text import STOPWORDS, lang_id
+
+    con = duckdb.connect()
+    rows = [(i, t) for i, t, _ in _VI_TR_SAMPLES]
+    con.execute("CREATE TABLE s (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", rows)
+    exprs = ", ".join(
+        "len(list_filter(string_split(text, ' '), w -> w IN ("
+        + ", ".join("'" + w + "'" for w in STOPWORDS[lg]) + f"))) AS c_{lg}"
+        for lg in sorted(STOPWORDS))
+    duck = con.execute(f"SELECT id, {exprs} FROM s").df()
+
+    def decide(row):
+        best, bc = "und", 0
+        for lg in sorted(STOPWORDS):
+            n = int(row[f"c_{lg}"])
+            if n > bc:
+                best, bc = lg, n
+        return best
+
+    want = {int(r["id"]): decide(r) for _, r in duck.iterrows()}
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"]
+           for r in df.select("id", lang_id(F.col("text")).alias("lang"))
+           .collect()}
+    assert got == want
+    # and the oracle itself must agree with the labeled expectations
+    labels = {i: want_l for i, _, want_l in _VI_TR_SAMPLES}
+    assert want == labels
+
+
+def test_ja_override_scoped_to_zh_dominant(spark):
+    """ADVICE r9: the kana override exists only to split ja from zh
+    (kanji count as Han).  It must not outrank a dominant non-Han
+    script: a Korean or Russian page quoting Japanese stays ko/ru."""
+    from pipelinedb_spark.operators.text import lang_id
+
+    ko_body = "위원회는 제안서를 검토한 결과 대부분 반영되었다고 판단했다 " * 5
+    ru_body = "Комитет рассмотрел предложение и принял решение вчера " * 5
+    ja_quote = "これはテスト"  # >=2% kana of script chars, quoted line
+    samples = [
+        (1, ko_body + ja_quote, "ko"),
+        (2, ru_body + ja_quote, "ru"),
+        # kanji-dominant Japanese (Han argmax, kana >=2%) -> the
+        # override's job: without it this would mislabel as zh
+        (3, "経済産業省は新政策を発表した" * 4, "ja"),
+        # pure Han, no kana -> zh
+        (4, "委员会详细审查了这项提案认为第二稿已经回应了意见", "zh"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples],
+                               "id long, text string")
+    got = {r["id"]: r["lang"]
+           for r in df.select("id", lang_id(F.col("text")).alias("lang"))
+           .collect()}
+    for i, _, want in samples:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_lang_id_prefix_cap(spark):
+    """The script tier is a pure function of text[:LANG_ID_PREFIX]:
+    a document whose first 4 KB is English prose stays 'en' no matter
+    how much Hangul follows, and one whose first 4 KB is Hangul stays
+    'ko' no matter how much Latin follows."""
+    from pipelinedb_spark.operators.text import (LANG_ID_PREFIX,
+                                                 analyze_documents,
+                                                 lang_id)
+
+    en_head = ("the committee reviewed the proposal and it is a test "
+               * (LANG_ID_PREFIX // 50))[:LANG_ID_PREFIX]
+    ko_head = ("위원회는 제안서를 검토한 결과 대부분 반영되었다 "
+               * (LANG_ID_PREFIX // 20))[:LANG_ID_PREFIX]
+    ko_tail = "한글 본문이 계속 이어진다 " * 2000
+    en_tail = " the and of to in is that a " * 2000
+    samples = [
+        (1, en_head + " " + ko_tail, "en"),
+        (2, ko_head + " " + en_tail, "ko"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"]
+           for r in df.select("doc_id",
+                              lang_id(F.col("text")).alias("lang"))
+           .collect()}
+    for i, _, want in samples:
+        assert got[i] == want, (i, got[i], want)
+    # analyze_documents routes through the identical capped rule
+    prof = {r["doc_id"]: r["lang_pred"]
+            for r in analyze_documents(df).collect()}
+    assert prof == got

@@ -693,7 +693,8 @@ def test_lang_id_script_counts_match_duckdb(spark):
     counts reproduces Spark's decision for every sample row."""
     import duckdb
 
-    from pipelinedb_spark.operators.text import (SCRIPT_RANGES,
+    from pipelinedb_spark.operators.text import (LANG_ID_PREFIX,
+                                                 SCRIPT_RANGES,
                                                  STOPWORDS, lang_id)
 
     con = duckdb.connect()
@@ -705,22 +706,28 @@ def test_lang_id_script_counts_match_duckdb(spark):
         lo, hi = ord(rng[1]), ord(rng[3])
         return f"[\\x{{{lo:04x}}}-\\x{{{hi:04x}}}]"
 
+    # r10: the script tier is a pure function of text[:LANG_ID_PREFIX]
+    # — the oracle caps both the counts and the denominator the same way
     exprs = ", ".join(
-        f"len(regexp_extract_all(text, '{re2(SCRIPT_RANGES[c])}')) AS c_{c}"
+        f"len(regexp_extract_all(substring(text, 1, {LANG_ID_PREFIX}), "
+        f"'{re2(SCRIPT_RANGES[c])}')) AS c_{c}"
         for c in sorted(SCRIPT_RANGES))
     duck = con.execute(
-        f"SELECT id, length(text) AS chars, {exprs} FROM s").df()
+        f"SELECT id, least(length(text), {LANG_ID_PREFIX}) AS chars, "
+        f"{exprs} FROM s").df()
 
     def decide(row, text):
         counts = {c: int(row[f"c_{c}"]) for c in SCRIPT_RANGES}
         total = sum(counts.values())
         if total > 0 and total * 4 >= int(row["chars"]):
-            if counts["ja"] > 0 and counts["ja"] * 50 >= total:
-                return "ja"
             best, bc = "und", 0
             for c in sorted(SCRIPT_RANGES):
                 if counts[c] > bc:
                     best, bc = c, counts[c]
+            # ja override is scoped to zh-dominant pages (r10)
+            if (best == "zh" and counts["ja"] > 0
+                    and counts["ja"] * 50 >= total):
+                return "ja"
             return best
         best, bc = "und", 0
         words = text.split(" ")
@@ -759,7 +766,7 @@ def test_analyze_documents_lang_pred_uses_script_tier(spark):
     out = analyze_documents(docs.select("doc_id", "text"))
     langs = {r["lang_pred"] for r in out.select("lang_pred").distinct()
              .collect()}
-    assert langs <= {"en", "de", "es", "fr", "und"}
+    assert langs <= {"en", "de", "es", "fr", "tr", "vi", "und"}
 
 
 def test_extraction_korean_body_survives_english_abstract(spark):
