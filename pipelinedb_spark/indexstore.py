@@ -70,7 +70,8 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-from .manifestio import CommitConflict, resolve_manifest_io
+from .manifestio import (CommitConflict, RenameManifestIO,
+                         resolve_manifest_io)
 
 __all__ = ["IndexStore", "CommitConflict", "open_index", "read_index",
            "MANIFEST"]
@@ -363,15 +364,26 @@ class IndexStore:
 
         try:
             self._swap_manifest(fold_dirs, meta, meta_fn, txn,
-                                max_retries)
-        except CommitConflict:
+                                max_retries,
+                                applied=lambda cur: (
+                                    state["fpath"] is not None
+                                    and os.path.basename(state["fpath"])
+                                    in cur["dirs"]))
+        except Exception:
+            # shelve on ANY escape, not just CommitConflict (ADVICE
+            # round 9): a TimeoutError from a busy commit lock on a
+            # retry iteration AFTER fold_dirs renamed the stage would
+            # otherwise leave the dir under a v-name numbered above
+            # the manifest version — which gc() treats as an
+            # in-flight commit forever, unreclaimable even by
+            # gc(include_stage=True).
             self._shelve_conflict(state["fpath"])
             raise
         self.gc()
         return state["fpath"]
 
     def _swap_manifest(self, fold_dirs, meta, meta_fn, txn,
-                       max_retries: int) -> None:
+                       max_retries: int, applied=None) -> None:
         """THE manifest read-modify-write loop, shared by
         :meth:`commit` and :meth:`tag` (review r9: the two had
         diverging near-copies): lock → read current → derive
@@ -380,7 +392,22 @@ class IndexStore:
         ``fold_dirs(m, version)`` returns the new dir list, and a
         CommitConflict raised THERE is a semantic conflict
         (expected_dirs moved) that propagates without retry, unlike a
-        lost manifest CAS."""
+        lost manifest CAS.
+
+        Rename mode has no CAS, so the pre-write ownership check
+        leaves a microsecond window: a lock stolen between the check
+        and ``os.replace`` lets the thief's read-modify-write race
+        ours.  The post-write verification closes the DATA-LOSS
+        direction (ADVICE round 9): when the lock is no longer ours
+        after a rename-mode write, re-read the head — if it is our
+        write, or ``applied(cur)`` says our effect survives in it
+        (commit passes a dirs-membership probe: dir presence implies
+        the whole write, meta fold included, entered the ancestry),
+        the commit stands; otherwise the thief clobbered it and we
+        re-derive and re-write.  :meth:`tag` retries on the bare
+        head-mismatch — its only non-idempotent passenger would be a
+        ``meta_fn`` fold, and every tag() call site passes just
+        ``txn`` (a max-fold, idempotent under refold)."""
         for _ in range(max_retries):
             with self._commit_lock() as lock_token:
                 io = self._io()
@@ -420,9 +447,21 @@ class IndexStore:
                     continue
                 try:
                     io.write(out, seq)
-                    return
                 except CommitConflict:
                     continue  # lost CAS: re-read and re-derive
+                if (isinstance(io, RenameManifestIO)
+                        and lock_token is not None
+                        and not self._lock_owned(lock_token)):
+                    # stolen mid-write: did our pointer swap survive?
+                    try:
+                        cur, _ = io.read_versioned()
+                    except OSError:
+                        continue
+                    if cur == out or (applied is not None
+                                      and applied(cur)):
+                        return  # our write is (in) the ancestry
+                    continue    # clobbered by the thief: redo
+                return
         raise CommitConflict(
             f"manifest CAS lost {max_retries} times under {self.root}")
 

@@ -46,6 +46,58 @@ CONDPUT_DIR = "_manifests"
 _SEQ_RE = re.compile(r"^m(\d{20})\.json$")
 
 
+class LocalFSObjectClient:
+    """The FOUR object-store primitives the condput commit path is
+    allowed to use — ``list``, ``get``, ``put_if_absent``, ``delete``
+    — implemented over a local directory.  ``put_if_absent`` is
+    ``os.link`` of a fully-fsynced temp file (atomic create-exclusive,
+    the S3 ``PUT If-None-Match: *`` shape).  No rename, no mtime, no
+    in-place mutation anywhere in the interface, so a test can swap in
+    a pure key-value fake (tests/test_manifest_condput.py) and prove
+    no posix-only assumption hides in the commit path."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+
+    def list(self) -> list[str]:
+        try:
+            return os.listdir(self.dir)
+        except FileNotFoundError:
+            return []
+
+    def get(self, name: str) -> str:
+        with open(os.path.join(self.dir, name)) as f:
+            return f.read()
+
+    def put_if_absent(self, name: str, data: str) -> None:
+        """Create ``name`` with ``data`` iff absent; raises
+        FileExistsError when another writer owns the name."""
+        os.makedirs(self.dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmp-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.link(tmp, os.path.join(self.dir, name))
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def delete(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self.dir, name))
+        except OSError:
+            pass
+
+
+# Seam for the storage-contract fake: tests replace this with an
+# in-memory client factory; production code never touches it.
+CLIENT_FACTORY = LocalFSObjectClient
+
+
 class CommitConflict(RuntimeError):
     """A conditional manifest write lost the compare-and-set: another
     committer published a newer manifest between this writer's read
@@ -74,7 +126,23 @@ class RenameManifestIO:
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_manifest")
         with os.fdopen(fd, "w") as f:
             json.dump(m, f)
+            f.flush()
+            # fsync BEFORE the rename (ADVICE round 9): without it a
+            # power loss can make the rename durable while the data
+            # isn't, leaving a truncated manifest — the store's ONLY
+            # pointer — so the whole index would read as empty/corrupt
+            # with all its dirs unreferenced.  Matches the condput
+            # path's durability discipline.
+            os.fsync(f.fileno())
         os.replace(tmp, self.path)  # atomic pointer swap
+        try:  # best-effort: persist the directory entry too
+            dfd = os.open(self.root, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
 
     def gc(self) -> None:
         pass
@@ -94,20 +162,18 @@ class CondPutManifestIO:
 
     KEEP = 8  # manifest-history tail for in-flight readers
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, client=None):
         self.root = root
         self.dir = os.path.join(root, CONDPUT_DIR)
+        self.client = client if client is not None \
+            else CLIENT_FACTORY(self.dir)
 
     def exists(self) -> bool:
         return self._max_seq() is not None
 
     def _entries(self) -> list[tuple[int, str]]:
-        try:
-            names = os.listdir(self.dir)
-        except FileNotFoundError:
-            return []
         out = []
-        for n in names:
+        for n in self.client.list():
             sm = _SEQ_RE.match(n)
             if sm is not None:
                 out.append((int(sm.group(1)), n))
@@ -130,42 +196,26 @@ class CondPutManifestIO:
                     f"no committed manifest under {self.dir}")
             seq, name = ent[-1]
             try:
-                with open(os.path.join(self.dir, name)) as f:
-                    return json.load(f), seq
+                return json.loads(self.client.get(name)), seq
             except FileNotFoundError:
                 continue  # pruned between list and open
         raise FileNotFoundError(
             f"manifest head churned through 5 re-lists under {self.dir}")
 
     def write(self, m: dict, base_seq: int) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        target = os.path.join(self.dir, f"m{base_seq + 1:020d}.json")
-        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmp-")
+        target = f"m{base_seq + 1:020d}.json"
         try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(m, f)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, target)  # the conditional put
-            except FileExistsError:
-                raise CommitConflict(
-                    f"manifest seq {base_seq + 1} already committed "
-                    f"under {self.dir}") from None
-        finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            self.client.put_if_absent(target, json.dumps(m))
+        except FileExistsError:
+            raise CommitConflict(
+                f"manifest seq {base_seq + 1} already committed "
+                f"under {self.dir}") from None
         self.gc()
 
     def gc(self) -> None:
         ent = self._entries()
         for seq, name in ent[:-self.KEEP]:
-            try:
-                os.unlink(os.path.join(self.dir, name))
-            except OSError:
-                pass
+            self.client.delete(name)
 
 
 def resolve_manifest_io(root: str, filename: str,

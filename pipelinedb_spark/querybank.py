@@ -735,20 +735,6 @@ def text_profile(spark, sf_dir):
         "lang_pred", "quality", "fp")
 
 
-@query("token_count_by_source", """
-SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-       COUNT(*) AS n_docs
-FROM documents GROUP BY source
-""")
-def token_count_by_source(spark, sf_dir):
-    """Corpus token accounting per source (operators/text.py)."""
-    from pipelinedb_spark.operators.text import token_count
-    docs = t(spark, sf_dir, "documents")
-    return (docs.groupBy("source")
-            .agg(F.sum(token_count(F.col("text"))).alias("total_tokens"),
-                 F.count("*").alias("n_docs")))
-
-
 @query("doc_fingerprints", """
 SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id,
        TRUE AS consistent
@@ -1155,76 +1141,6 @@ def cv_engine_rollup(spark, sf_dir):
             "event_type", "cnt",
             F.col("sv_dec").cast("double").alias("sv"),
             "ndv", "big_cnt").localCheckpoint(eager=True)
-    finally:
-        ctx.close()
-
-
-@query("cv_engine_combine_rollup", f"""
-SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} / COUNT(*) AS avg_v
-FROM events GROUP BY event_type
-""")
-def cv_engine_combine_rollup(spark, sf_dir):
-    """END-TO-END ENGINE CHECK of combine(): a CV grouped by
-    (event_type, user_id band) is re-rolled-up at read time to
-    event_type — the user_combine.sql feature — and must equal direct
-    batch SQL."""
-    ctx = _engine_ctx(spark, "combine")
-    try:
-        ctx.create_stream("ev_c", "event_id long, user_id long, "
-                                  "event_type string, value double")
-        ctx.create_view(
-            "cv_band",
-            "SELECT event_type, user_id % 10 AS band, count(*) AS n, "
-            "sum(CAST(value AS DECIMAL(38,6))) AS sv "
-            "FROM ev_c GROUP BY event_type, user_id % 10")
-        ev = t(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value")
-        for i in range(2):
-            ctx.insert("ev_c", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
-        rolled = ctx.combine_read("cv_band", group_by=["event_type"])
-        return rolled.select(
-            "event_type", "n",
-            (F.col("sv").cast("double") / F.col("n")).alias("avg_v")
-        ).localCheckpoint(eager=True)
-    finally:
-        ctx.close()
-
-
-@query("cv_engine_combine_join", """
-SELECT event_type, CAST(user_id % 10 % 2 AS BIGINT) AS parity,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv
-FROM events GROUP BY 1, 2
-""")
-def cv_engine_combine_join(spark, sf_dir):
-    """END-TO-END combine()-in-SQL WITH A JOIN: a CV grouped by
-    (event_type, band) is joined against a dimension table and
-    re-combined under (event_type, parity) — the general
-    RewriteCombineAggs shape (reference src/analyzer.c:4662,
-    user_combine.sql:24-50) — and must equal direct batch SQL."""
-    ctx = _engine_ctx(spark, "cj")
-    try:
-        ctx.create_stream("ev_cj", "event_id long, user_id long, "
-                                   "event_type string, value double")
-        ctx.create_view(
-            "cv_cj",
-            "SELECT event_type, user_id % 10 AS band, count(*) AS n, "
-            "sum(CAST(value AS DECIMAL(38,6))) AS sv "
-            "FROM ev_cj GROUP BY event_type, user_id % 10")
-        ev = t(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value")
-        for i in range(2):
-            ctx.insert("ev_cj", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
-        dim = spark.range(10).select(
-            F.col("id").alias("band"),
-            (F.col("id") % 2).alias("parity"))
-        ctx.register_table("band_dim", dim)
-        out = ctx.sql(
-            "SELECT event_type, parity, combine(n) AS n, "
-            "CAST(combine(sv) AS DOUBLE) AS sv "
-            "FROM cv_cj JOIN band_dim ON cv_cj.band = band_dim.band "
-            "GROUP BY event_type, parity")
-        return out.localCheckpoint(eager=True)
     finally:
         ctx.close()
 
@@ -1918,3 +1834,297 @@ def bm25_append_scores(spark, sf_dir):
                 .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+# ---------------------------------------------------------------------------
+# Round-10 rotation: three pytest-only operator families lifted into
+# the driver bank (PII redaction, Gopher quality rules, script-tier
+# language ID), replacing token_count_by_source (token accounting
+# stays driver-checked via text_profile.n_tokens and
+# bpe_byte_token_counts) and the two near-overlapping cv_engine
+# combine variants (combine()/combine-with-join engine paths stay
+# pytest-covered in test_engine_extended.py).
+# ---------------------------------------------------------------------------
+
+_QB_PII_SNIPPETS = [
+    "contact alice.smith+spam@example-corp.io today",
+    "server at 10.42.255.7 rebooted",
+    "ssn 123-45-6789 on file",
+    "card 4111 1111-1111 1111 declined",
+    "call +1 (415) 555-0143 now",
+    "mail bob@x.co or 192.168.0.1",
+]
+
+
+@query("pii_redact_profile", r"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' ' || list_extract(['contact alice.smith+spam@example-corp.io today', 'server at 10.42.255.7 rebooted', 'ssn 123-45-6789 on file', 'card 4111 1111-1111 1111 declined', 'call +1 (415) 555-0143 now', 'mail bob@x.co or 192.168.0.1'],
+                   CAST((doc_id // 3) % 6 AS INT) + 1)
+              ELSE text END AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+         len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+         len(regexp_extract_all(text, '\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b')) AS n_credit_card,
+         len(regexp_extract_all(text, '(?:\+[0-9]{1,2}[ -]?)?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}\b')) AS n_phone
+  FROM seeded
+)
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_credit_card, n_phone,
+       n_email + n_ipv4 + n_ssn + n_credit_card + n_phone AS n_pii,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'), '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<ipv4>', 'g'), '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ssn>', 'g'), '\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b', '<credit_card>', 'g'), '(?:\+[0-9]{1,2}[ -]?)?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}\b', '<phone>', 'g') AS clean
+FROM counted
+""")
+def pii_redact_profile(spark, sf_dir):
+    """PII scan + redaction (operators/pii.py pii_profile/pii_redact):
+    PII snippets cycling through every pattern kind are appended to a
+    known doc subset (the synthetic corpus has no organic PII), then
+    per-kind match counts and the fully-redacted text must equal the
+    oracle running the SAME pattern strings in duckdb/RE2 — patterns
+    live in the Java-regex ∩ RE2 subset by design (pii.py docstring),
+    and redaction order is the fixed most-specific-first chain."""
+    from pipelinedb_spark.operators.pii import pii_profile, pii_redact
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    snip = F.element_at(
+        F.array(*[F.lit(x) for x in _QB_PII_SNIPPETS]),
+        (F.floor(F.col("doc_id") / 3) % len(_QB_PII_SNIPPETS) + 1)
+        .cast("int"))
+    seeded = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0,
+                       F.concat("text", F.lit(" "), snip))
+        .otherwise(F.col("text")))
+    red = pii_redact(pii_profile(seeded), out_col="clean")
+    return red.select("doc_id", "n_email", "n_ipv4", "n_ssn",
+                      "n_credit_card", "n_phone", "n_pii", "clean")
+
+
+@query("gopher_quality_flags", """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws,
+         list_filter(string_split(text, chr(10)), x -> x != '') AS ls
+  FROM documents
+),
+wm AS (
+  SELECT doc_id, len(ws) AS wc,
+         COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+           AS sumlen,
+         len(ls) AS ln_n, len(list_distinct(ls)) AS ln_d
+  FROM w
+),
+lc AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt > 1 THEN cnt * ll ELSE 0 END) AS l_dup,
+         SUM(cnt * ll) AS l_tot
+  FROM (SELECT doc_id, l, COUNT(*) AS cnt, length(l) AS ll
+        FROM (SELECT doc_id, UNNEST(ls) AS l FROM w) GROUP BY 1, 2)
+  GROUP BY 1
+),
+g2_c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) - 1 AS glen
+  FROM (SELECT doc_id,
+               UNNEST([list_aggr(ws[i:i+1], 'string_agg', chr(31))
+                       for i in range(1, len(ws) - 0)]) AS gram
+        FROM w WHERE len(ws) >= 2)
+  GROUP BY 1, 2),
+g2_a AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt * glen) AS tot,
+         SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup
+  FROM g2_c GROUP BY 1),
+g2 AS (
+  SELECT a.doc_id, ANY_VALUE(a.tot) AS tot, ANY_VALUE(a.dup) AS dup,
+         MAX(c.cnt * c.glen) AS top
+  FROM g2_a a JOIN g2_c c
+    ON a.doc_id = c.doc_id AND c.cnt = a.top_cnt
+  GROUP BY 1),
+g3_c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) - 2 AS glen
+  FROM (SELECT doc_id,
+               UNNEST([list_aggr(ws[i:i+2], 'string_agg', chr(31))
+                       for i in range(1, len(ws) - 1)]) AS gram
+        FROM w WHERE len(ws) >= 3)
+  GROUP BY 1, 2),
+g3_a AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt * glen) AS tot,
+         SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup
+  FROM g3_c GROUP BY 1),
+g3 AS (
+  SELECT a.doc_id, ANY_VALUE(a.tot) AS tot, ANY_VALUE(a.dup) AS dup,
+         MAX(c.cnt * c.glen) AS top
+  FROM g3_a a JOIN g3_c c
+    ON a.doc_id = c.doc_id AND c.cnt = a.top_cnt
+  GROUP BY 1),
+g4_c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) - 3 AS glen
+  FROM (SELECT doc_id,
+               UNNEST([list_aggr(ws[i:i+3], 'string_agg', chr(31))
+                       for i in range(1, len(ws) - 2)]) AS gram
+        FROM w WHERE len(ws) >= 4)
+  GROUP BY 1, 2),
+g4_a AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt * glen) AS tot,
+         SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup
+  FROM g4_c GROUP BY 1),
+g4 AS (
+  SELECT a.doc_id, ANY_VALUE(a.tot) AS tot, ANY_VALUE(a.dup) AS dup,
+         MAX(c.cnt * c.glen) AS top
+  FROM g4_a a JOIN g4_c c
+    ON a.doc_id = c.doc_id AND c.cnt = a.top_cnt
+  GROUP BY 1),
+g5_c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) - 4 AS glen
+  FROM (SELECT doc_id,
+               UNNEST([list_aggr(ws[i:i+4], 'string_agg', chr(31))
+                       for i in range(1, len(ws) - 3)]) AS gram
+        FROM w WHERE len(ws) >= 5)
+  GROUP BY 1, 2),
+g5_a AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt * glen) AS tot,
+         SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup
+  FROM g5_c GROUP BY 1),
+g5 AS (
+  SELECT a.doc_id, ANY_VALUE(a.tot) AS tot, ANY_VALUE(a.dup) AS dup,
+         MAX(c.cnt * c.glen) AS top
+  FROM g5_a a JOIN g5_c c
+    ON a.doc_id = c.doc_id AND c.cnt = a.top_cnt
+  GROUP BY 1),
+g6_c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) - 5 AS glen
+  FROM (SELECT doc_id,
+               UNNEST([list_aggr(ws[i:i+5], 'string_agg', chr(31))
+                       for i in range(1, len(ws) - 4)]) AS gram
+        FROM w WHERE len(ws) >= 6)
+  GROUP BY 1, 2),
+g6_a AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt * glen) AS tot,
+         SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup
+  FROM g6_c GROUP BY 1),
+g6 AS (
+  SELECT a.doc_id, ANY_VALUE(a.tot) AS tot, ANY_VALUE(a.dup) AS dup,
+         MAX(c.cnt * c.glen) AS top
+  FROM g6_a a JOIN g6_c c
+    ON a.doc_id = c.doc_id AND c.cnt = a.top_cnt
+  GROUP BY 1),
+g10_c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) - 9 AS glen
+  FROM (SELECT doc_id,
+               UNNEST([list_aggr(ws[i:i+9], 'string_agg', chr(31))
+                       for i in range(1, len(ws) - 8)]) AS gram
+        FROM w WHERE len(ws) >= 10)
+  GROUP BY 1, 2),
+g10_a AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt * glen) AS tot,
+         SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup
+  FROM g10_c GROUP BY 1),
+g10 AS (
+  SELECT a.doc_id, ANY_VALUE(a.tot) AS tot, ANY_VALUE(a.dup) AS dup,
+         MAX(c.cnt * c.glen) AS top
+  FROM g10_a a JOIN g10_c c
+    ON a.doc_id = c.doc_id AND c.cnt = a.top_cnt
+  GROUP BY 1)
+SELECT w.doc_id,
+  (wc >= 50 AND wc <= 100000) AS ok_word_count,
+  (wc > 0 AND sumlen >= 3 * wc AND sumlen <= 10 * wc)
+    AS ok_mean_word_length,
+  ((ln_n - ln_d) * 10 <= 3 * ln_n) AS ok_dup_line_frac,
+  (COALESCE(l_dup, 0) * 5 <= COALESCE(l_tot, 0))
+    AS ok_dup_line_char_frac,
+  (COALESCE(g2.top, 0) * 5 <= COALESCE(g2.tot, 0))
+    AS ok_top_2gram_char_frac,
+  (COALESCE(g3.top, 0) * 50 <= COALESCE(g3.tot, 0) * 9)
+    AS ok_top_3gram_char_frac,
+  (COALESCE(g4.top, 0) * 25 <= COALESCE(g4.tot, 0) * 4)
+    AS ok_top_4gram_char_frac,
+  (COALESCE(g5.dup, 0) * 20 <= COALESCE(g5.tot, 0) * 3)
+    AS ok_dup_5gram_char_frac,
+  (COALESCE(g6.dup, 0) * 50 <= COALESCE(g6.tot, 0) * 7)
+    AS ok_dup_6gram_char_frac,
+  (COALESCE(g10.dup, 0) * 10 <= COALESCE(g10.tot, 0))
+    AS ok_dup_10gram_char_frac,
+  ((wc >= 50 AND wc <= 100000)
+   AND (wc > 0 AND sumlen >= 3 * wc AND sumlen <= 10 * wc)
+   AND ((ln_n - ln_d) * 10 <= 3 * ln_n)
+   AND (COALESCE(l_dup, 0) * 5 <= COALESCE(l_tot, 0))
+   AND (COALESCE(g2.top, 0) * 5 <= COALESCE(g2.tot, 0))
+   AND (COALESCE(g3.top, 0) * 50 <= COALESCE(g3.tot, 0) * 9)
+   AND (COALESCE(g4.top, 0) * 25 <= COALESCE(g4.tot, 0) * 4)
+   AND (COALESCE(g5.dup, 0) * 20 <= COALESCE(g5.tot, 0) * 3)
+   AND (COALESCE(g6.dup, 0) * 50 <= COALESCE(g6.tot, 0) * 7)
+   AND (COALESCE(g10.dup, 0) * 10 <= COALESCE(g10.tot, 0)))
+    AS passes_quality
+FROM w
+JOIN wm ON w.doc_id = wm.doc_id
+LEFT JOIN lc ON w.doc_id = lc.doc_id
+LEFT JOIN g2 ON w.doc_id = g2.doc_id
+LEFT JOIN g3 ON w.doc_id = g3.doc_id
+LEFT JOIN g4 ON w.doc_id = g4.doc_id
+LEFT JOIN g5 ON w.doc_id = g5.doc_id
+LEFT JOIN g6 ON w.doc_id = g6.doc_id
+LEFT JOIN g10 ON w.doc_id = g10.doc_id
+""")
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher/MassiveText quality rules end-to-end (operators/
+    quality.py quality_flags over the Arrow repetition-metrics
+    kernel): one boolean per rule + passes_quality.  The oracle
+    rebuilds every metric relationally in duckdb (token n-gram
+    char-run stats with the max-count/max-char-product tie-break,
+    line dup fractions, word stats) and evaluates each threshold in
+    EXACT integer arithmetic (frac <= a/b as num*b <= den*a), so the
+    comparison is engine-independent — no float rounding can flip a
+    flag."""
+    from pipelinedb_spark.operators.quality import quality_flags
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    flags = quality_flags(docs)
+    return flags.select(
+        "doc_id", "ok_word_count", "ok_mean_word_length",
+        "ok_dup_line_frac", "ok_dup_line_char_frac",
+        "ok_top_2gram_char_frac", "ok_top_3gram_char_frac",
+        "ok_top_4gram_char_frac", "ok_dup_5gram_char_frac",
+        "ok_dup_6gram_char_frac", "ok_dup_10gram_char_frac",
+        "passes_quality")
+
+
+@query("script_lang_id_mixed", """
+SELECT doc_id,
+       CASE doc_id % 9
+           WHEN 0 THEN 'zh'
+           WHEN 1 THEN 'ja'
+           WHEN 2 THEN 'ko'
+           WHEN 3 THEN 'ru'
+           WHEN 4 THEN 'ar'
+           WHEN 5 THEN 'en'
+           WHEN 8 THEN 'und'
+           WHEN 6 THEN 'ko'
+           ELSE 'en' END AS lang
+FROM documents
+""")
+def script_lang_id_mixed(spark, sf_dir):
+    """Script-tier language ID on a mixed-script corpus (operators/
+    text.py lang_id): nine deterministic per-doc variants cover every
+    decision branch — each non-Latin script's dominance, the
+    zh-scoped kana override (kanji-dominant ja decides ja; a Korean
+    page QUOTING Japanese stays ko), the stopword fallback, 'und',
+    and the LANG_ID_PREFIX cap (a >4KB English head followed by a
+    Hangul tail big enough that an uncapped scan would flip the doc
+    to ko).  The oracle states each variant's expected language
+    analytically from the construction — fully engine-independent."""
+    from pipelinedb_spark.operators.text import lang_id
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 9
+    text = (F.when(v == 0, F.lit("委员会详细审查了这项提案认为第二稿已经回应了意见"))
+            .when(v == 1, F.lit("経済産業省は新政策を発表した"))
+            .when(v == 2, F.lit("위원회는 제안서를 검토한 결과 대부분 반영되었다"))
+            .when(v == 3, F.lit("Комитет рассмотрел предложение и принял решение"))
+            .when(v == 4, F.lit("اللجنة راجعت الاقتراح بالتفصيل قبل الاجتماع"))
+            .when(v == 5, F.lit("the committee reviewed the proposal and it is a test"))
+            .when(v == 6, F.concat(F.repeat(F.lit("위원회는 제안서를 검토한 결과 대부분 반영되었다 "), 5),
+                                   F.lit("これはテスト")))
+            .when(v == 7, F.concat(F.repeat(F.lit("the and of to in is that a "), 160),
+                                   F.repeat(F.lit("한글 본문이 계속 이어진다 "), 400)))
+            .otherwise(F.lit("xyzzy qwerty asdf plugh")))
+    return (docs.withColumn("lang", lang_id(text))
+            .select("doc_id", "lang"))
+

@@ -346,3 +346,232 @@ def test_condput_matrel_compact_truncate_lifecycle(spark, tmp_path):
     assert store.read() is None
     # no rename-mode pointer ever appeared
     assert not os.path.exists(os.path.join(store.dir, "MANIFEST"))
+
+
+# ------------------------------ object-store contract fake (r10)
+#
+# The condput path above still ran against the LOCAL filesystem (its
+# os.link emulation).  These tests replace the storage client outright
+# with a pure key-value fake exposing ONLY the four object-store
+# primitives — list, get, put_if_absent, delete; no link, no rename,
+# no mtime — proving no posix-only assumption hides in the manifest
+# commit path, and that the data-dir rename at commit stays
+# correctness-IRRELEVANT (a renamed-but-unreferenced dir is invisible
+# to every reader because only the manifest publishes dirs).
+
+import pipelinedb_spark.manifestio as mio
+
+
+class FakeObjectStore:
+    """In-memory strongly-consistent object store shared by every
+    client; conditional put under one lock (the S3 contract)."""
+
+    def __init__(self):
+        self.objects = {}          # (dir, name) -> str
+        self.mutex = threading.Lock()
+        self.crash_dir = None      # arm_crash target
+        self.crash_remaining = 0
+        self.put_count = 0
+
+    def arm_crash(self, root, on_call=1):
+        self.crash_dir = os.path.abspath(os.path.join(root, CONDPUT_DIR))
+        self.crash_remaining = on_call
+
+    def client(self, directory):
+        return _FakeClient(self, os.path.abspath(directory))
+
+
+class _FakeClient:
+    def __init__(self, store, directory):
+        self.store, self.dir = store, directory
+
+    def list(self):
+        with self.store.mutex:
+            return [n for (d, n) in self.store.objects if d == self.dir]
+
+    def get(self, name):
+        with self.store.mutex:
+            try:
+                return self.store.objects[(self.dir, name)]
+            except KeyError:
+                raise FileNotFoundError(name) from None
+
+    def put_if_absent(self, name, data):
+        with self.store.mutex:
+            if self.dir == self.store.crash_dir:
+                self.store.crash_remaining -= 1
+                if self.store.crash_remaining == 0:
+                    raise OSError("injected: crash at manifest put")
+            if (self.dir, name) in self.store.objects:
+                raise FileExistsError(name)
+            self.store.objects[(self.dir, name)] = data
+            self.store.put_count += 1
+
+    def delete(self, name):
+        with self.store.mutex:
+            self.store.objects.pop((self.dir, name), None)
+
+
+@pytest.fixture()
+def objstore(monkeypatch):
+    fake = FakeObjectStore()
+    monkeypatch.setattr(mio, "CLIENT_FACTORY", fake.client)
+    return fake
+
+
+def _no_local_manifests(root):
+    """Nothing under root/_manifests on the REAL filesystem — every
+    manifest byte went through the fake client."""
+    return not os.path.exists(os.path.join(root, CONDPUT_DIR))
+
+
+def test_objfake_commit_lifecycle(tmp_path, objstore):
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=0.0)
+    s.init_if_needed(meta={"cnt": 0})
+    _add(s, "a", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    snapshot = [os.path.basename(p) for p in s.dirs()]
+    c = _add(s, "c", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    base = _add(s, "compacted", replace=True, expected_dirs=snapshot)
+    assert [os.path.basename(p) for p in s.dirs()] == \
+        [os.path.basename(base), os.path.basename(c)]
+    assert s.meta()["cnt"] == 2
+    with pytest.raises(CommitConflict):
+        _add(s, "stale", replace=True, expected_dirs=snapshot,
+             on_extra="conflict")
+    # manifest-history gc runs through client.delete
+    for i in range(12):
+        _add(s, f"x{i}")
+    names = sorted(n for (d, n) in objstore.objects.items()
+                   if False) or [n for (d, n) in objstore.objects]
+    manifests = [n for n in names if n.startswith("m")]
+    assert 0 < len(manifests) <= mio.CondPutManifestIO.KEEP
+    assert _no_local_manifests(root)
+    assert objstore.put_count >= 15
+
+
+def test_objfake_lockless_concurrent_appends(tmp_path, objstore,
+                                             monkeypatch):
+    monkeypatch.setattr(IndexStore, "_commit_lock",
+                        lambda self, **kw: contextlib.nullcontext())
+    s = IndexStore(str(tmp_path / "idx"), gc_grace_seconds=60.0)
+    s.init_if_needed()
+    errs = []
+
+    def appender(i):
+        try:
+            _add(s, f"t{i}", max_retries=20)
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender, args=(i,))
+          for i in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert len(s.dirs()) == 6
+    assert s.read_manifest()["version"] == 6
+    assert _no_local_manifests(str(tmp_path / "idx"))
+
+
+def test_objfake_ivf_append_crash_pre_state(spark, tmp_path, objstore):
+    from pipelinedb_spark.operators.similarity import (ivf_append,
+                                                       ivf_persist,
+                                                       ivf_staleness)
+
+    path = str(tmp_path / "ivf")
+    ivf_persist(_vecs(spark, 40), path, n_lists=4)
+    assert _no_local_manifests(path)
+    pre = _index_rows(spark, path)
+
+    objstore.arm_crash(path)
+    with pytest.raises(OSError, match="injected"):
+        ivf_append(spark, path, _vecs(spark, 20, id0=1000))
+
+    # the crash left a renamed-but-unreferenced v-dir on local disk;
+    # readers never see it — the data-dir rename is correctness-
+    # irrelevant because only the manifest publishes dirs
+    assert _index_rows(spark, path) == pre
+    assert ivf_staleness(path)["appended_n"] == 0
+    assert ivf_append(spark, path, _vecs(spark, 20, id0=1000)) == 20
+    assert len(_index_rows(spark, path)) == 60
+
+
+def test_objfake_matrel_merge_crash_pre_state_then_replay(
+        spark, tmp_path, objstore):
+    store = MatrelStore(spark, str(tmp_path), "m", num_buckets=4)
+    store.gc_grace_seconds = 0.0
+    batch = spark.createDataFrame([("a", 1), ("b", 2)],
+                                  "k string, n long")
+    store.merge(batch, ["k"], _merge_fn, txn=("src", 1))
+    pre = _state(store)
+    assert _no_local_manifests(store.dir)
+
+    objstore.arm_crash(store.dir)
+    with pytest.raises(OSError, match="injected"):
+        store.merge(spark.createDataFrame([("a", 10)],
+                                          "k string, n long"),
+                    ["k"], _merge_fn, txn=("src", 2))
+
+    re1 = MatrelStore(spark, str(tmp_path), "m", num_buckets=4)
+    re1.gc_grace_seconds = 0.0
+    assert _state(re1) == pre
+    assert re1.txn_version("src") == 1
+    re1.merge(spark.createDataFrame([("a", 10)], "k string, n long"),
+              ["k"], _merge_fn, txn=("src", 2))
+    assert _state(re1) == {"a": 11, "b": 2}
+    assert re1.txn_version("src") == 2
+
+
+def test_objfake_shelve_on_timeout_escape(tmp_path, objstore,
+                                          monkeypatch):
+    """ADVICE r9: an exception OTHER than CommitConflict escaping
+    _swap_manifest after fold_dirs renamed the stage (lock timeout on
+    a retry iteration) must shelve the dir back to stage naming, or
+    gc treats the above-version v-dir as an in-flight commit
+    forever."""
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=0.0)
+    s.init_if_needed()
+    _add(s, "a")
+
+    orig_write = mio.CondPutManifestIO.write
+    fails = {"n": 1}
+
+    def conflict_once(self, m, base_seq):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise CommitConflict("simulated lost CAS")
+        return orig_write(self, m, base_seq)
+
+    monkeypatch.setattr(mio.CondPutManifestIO, "write", conflict_once)
+
+    orig_lock = IndexStore._commit_lock
+    calls = {"n": 0}
+
+    def flaky_lock(self, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise TimeoutError("commit lock busy (simulated)")
+        return orig_lock(self, **kw)
+
+    monkeypatch.setattr(IndexStore, "_commit_lock", flaky_lock)
+
+    with pytest.raises(TimeoutError):
+        _add(s, "b")
+    # (no monkeypatch.undo(): it would also strip the objstore fake;
+    # both injected faults are self-disarming and the remaining ops
+    # take no commit lock)
+
+    # nothing above the manifest version left under a v-name...
+    m = s.read_manifest()
+    stray = [e for e in os.listdir(root)
+             if ixs._VDIR_RE.match(e) and e not in m["dirs"]]
+    assert stray == []
+    # ...the dir was shelved to stage naming and IS reclaimable
+    shelved = [e for e in os.listdir(root)
+               if e.startswith(".stage-conflict-")]
+    assert len(shelved) == 1
+    s.gc(include_stage=True)
+    assert not any(e.startswith(".stage-") for e in os.listdir(root))
+    assert len(s.dirs()) == 1           # the committed 'a' only

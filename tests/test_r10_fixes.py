@@ -205,3 +205,103 @@ def test_bm25_search_many_repartition_gate(spark):
 
     a, b, c = rows(small), rows(large_b), rows(large_s)
     assert a == b == c and a
+
+
+# ------------- rename-mode stolen-lock post-write verification (r10)
+#
+# Rename manifests have no CAS, so a lock stolen in the microsecond
+# between the ownership check and os.replace lets the thief's
+# read-modify-write race ours (ADVICE round 9 — "silently dropping
+# the loser's appended dir").  _swap_manifest now re-verifies
+# ownership AFTER the write: if the head is no longer our write and
+# our committed dir is not in its ancestry, the commit re-derives and
+# re-writes; if the write survived, it stands without a double-fold.
+
+import contextlib
+import json
+import os
+
+
+def _mk_add(store, content, **kw):
+    staged = store.stage()
+    os.makedirs(staged)
+    with open(os.path.join(staged, "f.txt"), "w") as f:
+        f.write(content)
+    return store.commit(staged, replace=False, **kw)
+
+
+def test_rename_steal_mid_write_append_not_lost(tmp_path, monkeypatch):
+    from pipelinedb_spark.indexstore import IndexStore
+    from pipelinedb_spark.manifestio import RenameManifestIO
+
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=60.0,
+                   manifest_format="rename")
+    s.init_if_needed(meta={"cnt": 0})
+    _mk_add(s, "a", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    pre_manifest = s.read_manifest()
+    lockpath = os.path.join(root, "_commit.lock")
+
+    orig_write = RenameManifestIO.write
+    state = {"armed": True}
+
+    def write_with_thief(self, m, base_seq):
+        orig_write(self, m, base_seq)
+        if state["armed"] and self.path.endswith("_manifest.json"):
+            state["armed"] = False
+            # thief: read the manifest BEFORE our write (pre-state),
+            # stole our lock while we stalled, writes AFTER ours —
+            # clobbering our append — then finishes and releases
+            thief = {"version": pre_manifest["version"] + 1,
+                     "dirs": list(pre_manifest["dirs"]) + ["v99999-feed"],
+                     "meta": dict(pre_manifest["meta"])}
+            orig_write(self, thief, 0)
+            try:
+                os.remove(lockpath)     # thief released
+            except OSError:
+                pass
+
+    monkeypatch.setattr(RenameManifestIO, "write", write_with_thief)
+    mine = _mk_add(s, "b", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    monkeypatch.setattr(RenameManifestIO, "write", orig_write)
+
+    m = s.read_manifest()
+    assert os.path.basename(mine) in m["dirs"]      # NOT lost
+    assert "v99999-feed" in m["dirs"]               # thief's kept too
+    assert m["meta"]["cnt"] == 2                    # folded exactly once
+
+
+def test_rename_steal_but_write_survives_no_refold(tmp_path,
+                                                   monkeypatch):
+    """The other steal interleaving: the thief took the lock but our
+    os.replace landed last — the commit must stand AS IS (no second
+    rename, no double meta fold)."""
+    from pipelinedb_spark.indexstore import IndexStore
+    from pipelinedb_spark.manifestio import RenameManifestIO
+
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=60.0,
+                   manifest_format="rename")
+    s.init_if_needed(meta={"cnt": 0})
+    lockpath = os.path.join(root, "_commit.lock")
+
+    orig_write = RenameManifestIO.write
+    state = {"armed": True}
+
+    def write_then_steal_token(self, m, base_seq):
+        orig_write(self, m, base_seq)
+        if state["armed"] and self.path.endswith("_manifest.json"):
+            state["armed"] = False
+            with open(lockpath, "w") as f:   # thief holds the lock now
+                f.write("thief-token")
+
+    monkeypatch.setattr(RenameManifestIO, "write",
+                        write_then_steal_token)
+    mine = _mk_add(s, "a", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    monkeypatch.setattr(RenameManifestIO, "write", orig_write)
+    os.remove(lockpath)                      # thief eventually releases
+
+    m = s.read_manifest()
+    assert m["dirs"] == [os.path.basename(mine)]
+    assert m["meta"]["cnt"] == 1             # no refold
+    assert m["version"] == 1                 # no second commit
