@@ -196,9 +196,12 @@ def bm25_search_many(index: dict, queries: DataFrame, k: int = 10,
     # narrow window exchange.  At/above the gate every partition is
     # busy either way and the single exchange wins (measured 2.0-2.4x
     # at 1k-10k queries, round 9).
-    shuffle_parts = int(
-        queries.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                      "200"))
+    try:
+        shuffle_parts = int(
+            queries.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+    except ValueError:   # e.g. "auto" under some AQE configs
+        shuffle_parts = 200
     if n_queries >= shuffle_parts:
         hits = hits.repartition(F.col(query_id_col))
     return (hits

@@ -57,6 +57,18 @@ SCRIPT_RANGES = {
 # the cap verbatim.
 LANG_ID_PREFIX = 4096
 
+# One combined character class covering every tracked script: a
+# single regexp pass decides whether a document contains ANY script
+# character, and only then do the 8 per-script counts run.  The crawl
+# majority is Latin-script, so most documents pay 1 bounded-prefix
+# regex pass instead of 8 (the per-script counts are when()-guarded —
+# value-identical, since a doc with zero combined matches has zero
+# matches in every range; the duckdb oracles stay unchanged).
+
+
+_ANY_SCRIPT_RE = "[" + "".join(
+    r[1:-1] for r in SCRIPT_RANGES.values()) + "]"
+
 
 def _script_lang(script_counts: dict[str, Column], chars: Column,
                  fallback: Column) -> Column:
@@ -157,8 +169,11 @@ def lang_id(text: Column) -> Column:
         best_lang = F.when(is_better, F.lit(lg)).otherwise(best_lang)
         best_cnt = F.when(is_better, c).otherwise(best_cnt)
     head = F.substring(text, 1, LANG_ID_PREFIX)
-    scripts = {c: F.regexp_count(head, F.lit(SCRIPT_RANGES[c]))
-               .cast("long") for c in SCRIPT_RANGES}
+    any_sc = F.regexp_count(head, F.lit(_ANY_SCRIPT_RE)).cast("long")
+    scripts = {c: F.when(any_sc > 0,
+                         F.regexp_count(head, F.lit(SCRIPT_RANGES[c])))
+               .otherwise(F.lit(0)).cast("long")
+               for c in SCRIPT_RANGES}
     return _script_lang(scripts, F.length(head).cast("long"), best_lang)
 
 
@@ -200,10 +215,15 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.filter(F.col("_toks"), in_set(STOPWORDS[lg])))
             .cast("long"))
     head = F.substring(text, 1, LANG_ID_PREFIX)
+    counts = counts.withColumn(
+        "_any_sc", F.regexp_count(head, F.lit(_ANY_SCRIPT_RE))
+        .cast("long"))
     for sc in sorted(SCRIPT_RANGES):
         counts = counts.withColumn(
             f"_s_{sc}",
-            F.regexp_count(head, F.lit(SCRIPT_RANGES[sc])).cast("long"))
+            F.when(F.col("_any_sc") > 0,
+                   F.regexp_count(head, F.lit(SCRIPT_RANGES[sc])))
+            .otherwise(F.lit(0)).cast("long"))
 
     n = F.col("_n")
     awl = (char_count(text) - (n - 1)) / n
