@@ -305,3 +305,87 @@ def test_rename_steal_but_write_survives_no_refold(tmp_path,
     assert m["dirs"] == [os.path.basename(mine)]
     assert m["meta"]["cnt"] == 1             # no refold
     assert m["version"] == 1                 # no second commit
+
+
+# -------------------- lang_id fuzz oracle vs pure-Python replica
+
+def _lang_id_replica(text):
+    """Exact Python restatement of the documented two-tier rule —
+    independent of Spark and of the duckdb oracles."""
+    from pipelinedb_spark.operators.text import (LANG_ID_PREFIX,
+                                                 SCRIPT_RANGES,
+                                                 STOPWORDS)
+    words = text.split(" ")
+    best, bc = "und", 0
+    for lg in sorted(STOPWORDS):
+        n = sum(w in STOPWORDS[lg] for w in words)
+        if n > bc:
+            best, bc = lg, n
+    head = text[:LANG_ID_PREFIX]
+    rng = {c: (ord(SCRIPT_RANGES[c][1]), ord(SCRIPT_RANGES[c][3]))
+           for c in SCRIPT_RANGES}
+    counts = {c: sum(lo <= ord(ch) <= hi for ch in head)
+              for c, (lo, hi) in rng.items()}
+    total = sum(counts.values())
+    if total > 0 and total * 4 >= len(head):
+        sbest, sbc = "und", 0
+        for c in sorted(SCRIPT_RANGES):
+            if counts[c] > sbc:
+                sbest, sbc = c, counts[c]
+        if (sbest == "zh" and counts["ja"] > 0
+                and counts["ja"] * 50 >= total):
+            return "ja"
+        return sbest
+    return best
+
+
+def test_lang_id_fuzz_vs_replica(spark):
+    """300 seeded random texts mixing stopwords of all 6 languages,
+    random Latin junk, and random codepoints drawn from every tracked
+    script range (BMP only, as are all 8 ranges) at random densities
+    — Spark's lang_id must equal the pure-Python replica on every
+    row, including argmax ties, the 25% engagement bar, the zh-scoped
+    kana override, and the prefix cap."""
+    import random
+
+    from pipelinedb_spark.operators.text import (SCRIPT_RANGES,
+                                                 STOPWORDS, lang_id)
+
+    rnd = random.Random(20260815)
+    ranges = {c: (ord(SCRIPT_RANGES[c][1]), ord(SCRIPT_RANGES[c][3]))
+              for c in SCRIPT_RANGES}
+    all_sw = [w for ws in STOPWORDS.values() for w in ws]
+
+    def junk_word():
+        return "".join(rnd.choice("bcdfghjklmnpqrstvwxz")
+                       for _ in range(rnd.randint(2, 8)))
+
+    def script_run(c, n):
+        lo, hi = ranges[c]
+        return "".join(chr(rnd.randint(lo, hi)) for _ in range(n))
+
+    texts = []
+    for i in range(300):
+        parts = []
+        for _ in range(rnd.randint(1, 30)):
+            roll = rnd.random()
+            if roll < 0.4:
+                parts.append(rnd.choice(all_sw))
+            elif roll < 0.7:
+                parts.append(junk_word())
+            else:
+                parts.append(script_run(rnd.choice(list(ranges)),
+                                        rnd.randint(1, 40)))
+        texts.append((i, " ".join(parts)))
+    # a few adversarial shapes: empty, script-only, > prefix length
+    texts += [(300, ""), (301, script_run("ko", 50)),
+              (302, "the " * 1200 + script_run("ko", 3000)),
+              (303, script_run("zh", 90) + script_run("ja", 4))]
+
+    df = spark.createDataFrame(texts, "id long, text string")
+    got = {r["id"]: r["lang"]
+           for r in df.select("id", lang_id(F.col("text")).alias("lang"))
+           .collect()}
+    want = {i: _lang_id_replica(t) for i, t in texts}
+    diffs = {i: (got[i], want[i]) for i in want if got[i] != want[i]}
+    assert not diffs, dict(list(diffs.items())[:5])
