@@ -442,9 +442,8 @@ def test_objfake_commit_lifecycle(tmp_path, objstore):
     # manifest-history gc runs through client.delete
     for i in range(12):
         _add(s, f"x{i}")
-    names = sorted(n for (d, n) in objstore.objects.items()
-                   if False) or [n for (d, n) in objstore.objects]
-    manifests = [n for n in names if n.startswith("m")]
+    manifests = [n for (_d, n) in objstore.objects
+                 if n.startswith("m")]
     assert 0 < len(manifests) <= mio.CondPutManifestIO.KEEP
     assert _no_local_manifests(root)
     assert objstore.put_count >= 15
