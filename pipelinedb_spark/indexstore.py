@@ -88,10 +88,20 @@ DEFAULT_MANIFEST_FORMAT = "rename"
 
 class IndexStore:
     def __init__(self, root: str, gc_grace_seconds: float = 60.0,
-                 manifest_format: str | None = None):
+                 manifest_format: str | None = None,
+                 commit_lock: bool = True):
         self.root = root
         self.gc_grace_seconds = gc_grace_seconds
         self.manifest_format = manifest_format
+        # commit_lock=False is the pure object-storage deployment: no
+        # O_EXCL lock file exists there, and with the condput format
+        # the manifest CAS alone serializes committers (the lock is
+        # only a local optimization that saves CAS retries).  Requires
+        # a NONZERO gc grace — a CAS loser's renamed-but-unreferenced
+        # dir is only protected from a concurrent gc pass by the
+        # stamp-then-delete grace window while it renumbers.  Refused
+        # for the rename format, which has no CAS to fall back on.
+        self.use_commit_lock = commit_lock
 
     # -- manifest ------------------------------------------------------
     @property
@@ -172,6 +182,19 @@ class IndexStore:
         the yielded token right before the manifest write and retry
         instead of writing on a stolen lock."""
         import contextlib
+
+        if not getattr(self, "use_commit_lock", True):
+            if isinstance(self._io(), RenameManifestIO):
+                raise ValueError(
+                    "commit_lock=False requires the condput manifest "
+                    "format: rename-mode pointer swaps have no CAS and "
+                    "MUST be serialized by the advisory lock")
+            if self.gc_grace_seconds <= 0:
+                raise ValueError(
+                    "commit_lock=False requires gc_grace_seconds > 0 "
+                    "(a CAS loser renumbering its dir is protected "
+                    "from concurrent gc only by the grace window)")
+            return contextlib.nullcontext()
 
         path = os.path.join(self.root, "_commit.lock")
 

@@ -574,3 +574,43 @@ def test_objfake_shelve_on_timeout_escape(tmp_path, objstore,
     s.gc(include_stage=True)
     assert not any(e.startswith(".stage-") for e in os.listdir(root))
     assert len(s.dirs()) == 1           # the committed 'a' only
+
+
+def test_lockless_mode_is_a_supported_parameter(tmp_path, objstore):
+    """commit_lock=False is the real object-storage deployment (no
+    O_EXCL files exist there) — a first-class parameter, not a test
+    stub: condput CAS alone serializes 6 concurrent appenders; the
+    rename format and zero-grace configs are refused up front."""
+    s = IndexStore(str(tmp_path / "idx"), gc_grace_seconds=60.0,
+                   commit_lock=False)
+    s.init_if_needed()
+    errs = []
+
+    def appender(i):
+        try:
+            _add(s, f"t{i}", max_retries=20)
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender, args=(i,))
+          for i in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert len(s.dirs()) == 6
+    assert s.read_manifest()["version"] == 6
+    # no lock file ever touched the store root
+    assert not os.path.exists(os.path.join(str(tmp_path / "idx"),
+                                           "_commit.lock"))
+
+    with pytest.raises(ValueError, match="gc_grace_seconds"):
+        IndexStore(str(tmp_path / "z"), gc_grace_seconds=0.0,
+                   commit_lock=False).init_if_needed()
+
+
+def test_lockless_mode_refuses_rename_format(tmp_path, monkeypatch):
+    monkeypatch.setattr(ixs, "DEFAULT_MANIFEST_FORMAT", "rename")
+    s = IndexStore(str(tmp_path / "idx"), gc_grace_seconds=60.0,
+                   manifest_format="rename", commit_lock=False)
+    with pytest.raises(ValueError, match="condput"):
+        s.init_if_needed()
