@@ -84,12 +84,17 @@ MAX_TXN_SOURCES = 64
 # default manifest strategy for NEW stores (tests/deployments flip to
 # "condput" for object-storage semantics); existing stores are sticky
 DEFAULT_MANIFEST_FORMAT = "rename"
+# deployment-wide commit-lock default (the DEFAULT_MANIFEST_FORMAT
+# pattern): operators construct IndexStore internally, so an
+# object-storage deployment flips this to False alongside setting
+# the format default to "condput" — per-store commit_lock= overrides
+DEFAULT_COMMIT_LOCK = True
 
 
 class IndexStore:
     def __init__(self, root: str, gc_grace_seconds: float = 60.0,
                  manifest_format: str | None = None,
-                 commit_lock: bool = True):
+                 commit_lock: bool | None = None):
         self.root = root
         self.gc_grace_seconds = gc_grace_seconds
         self.manifest_format = manifest_format
@@ -101,7 +106,8 @@ class IndexStore:
         # dir is only protected from a concurrent gc pass by the
         # stamp-then-delete grace window while it renumbers.  Refused
         # for the rename format, which has no CAS to fall back on.
-        self.use_commit_lock = commit_lock
+        self.use_commit_lock = (DEFAULT_COMMIT_LOCK
+                                if commit_lock is None else commit_lock)
 
     # -- manifest ------------------------------------------------------
     @property

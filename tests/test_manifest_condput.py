@@ -614,3 +614,20 @@ def test_lockless_mode_refuses_rename_format(tmp_path, monkeypatch):
                    manifest_format="rename", commit_lock=False)
     with pytest.raises(ValueError, match="condput"):
         s.init_if_needed()
+
+
+def test_lockless_module_default_reaches_operator_stores(
+        spark, tmp_path, objstore, monkeypatch):
+    """Operators construct IndexStore internally — an object-storage
+    deployment flips the module defaults (format=condput,
+    commit_lock=False) and every *_persist/_append path runs
+    lockless without per-call plumbing."""
+    monkeypatch.setattr(ixs, "DEFAULT_COMMIT_LOCK", False)
+    from pipelinedb_spark.operators.similarity import (ivf_append,
+                                                       ivf_persist)
+
+    path = str(tmp_path / "ivf")
+    ivf_persist(_vecs(spark, 40), path, n_lists=4)
+    assert ivf_append(spark, path, _vecs(spark, 20, id0=1000)) == 20
+    assert len(_index_rows(spark, path)) == 60
+    assert not os.path.exists(os.path.join(path, "_commit.lock"))
