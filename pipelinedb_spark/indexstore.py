@@ -47,7 +47,9 @@ paths.  Version dirs numbered ABOVE the manifest version are
 in-flight commits by a concurrent writer and are never collected;
 ``.stage-*`` dirs are never touched by automatic GC at all (they are
 indistinguishable from an in-flight write).  Commits serialize on an
-advisory O_EXCL lock.
+advisory O_EXCL lock — or, with the condput format, on the manifest
+CAS alone (``commit_lock=False`` / ``DEFAULT_COMMIT_LOCK``, the pure
+object-storage deployment where no O_EXCL primitive exists).
 
 Manifest atomicity is pluggable (manifestio.py): the default
 ``rename`` strategy swaps one pointer file with ``os.replace``
