@@ -389,3 +389,72 @@ def test_lang_id_fuzz_vs_replica(spark):
     want = {i: _lang_id_replica(t) for i, t in texts}
     diffs = {i: (got[i], want[i]) for i in want if got[i] != want[i]}
     assert not diffs, dict(list(diffs.items())[:5])
+
+
+# ------------------- dedup_clusters: pointer jumping + union-find fuzz
+
+def test_dedup_clusters_fuzz_vs_union_find(spark):
+    """Differential oracle: random graphs (sparse random, cliques,
+    stars, and a 60-node PATH whose diameter defeats the old
+    20-round plain min-propagation) — labels must equal a python
+    union-find's component minima exactly.  The old loop returned
+    silently-partial clusters on the path; the pointer-jumped loop
+    converges in O(log diameter) rounds or raises."""
+    import random
+
+    from pipelinedb_spark.operators.dedup import dedup_clusters
+
+    rnd = random.Random(101)
+    cases = []
+    # sparse random graphs
+    for n, m in ((30, 25), (80, 60), (120, 200)):
+        cases.append([(rnd.randrange(n), rnd.randrange(n))
+                      for _ in range(m)])
+    # a clique + a star + a long path in one graph
+    clique = [(i, j) for i in range(200, 206) for j in range(i + 1, 206)]
+    star = [(300, 300 + i) for i in range(1, 15)]
+    path = [(400 + i, 401 + i) for i in range(60)]
+    cases.append(clique + star + path)
+
+    def union_find(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        df = spark.createDataFrame(pairs, "d1 long, d2 long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup_clusters(df).collect()}
+        want = union_find(pairs)
+        assert got == want, {k: (got.get(k), want[k])
+                             for k in want if got.get(k) != want[k]}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """A diameter past the round budget must raise, never return
+    silently-partial clusters."""
+    import pytest as _pytest
+
+    from pipelinedb_spark.operators.dedup import dedup_clusters
+
+    path = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(path, "d1 long, d2 long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(df, max_iterations=2)
+    # and with the budget it converges to one cluster
+    got = dedup_clusters(df, max_iterations=20).collect()
+    assert {r["cluster_id"] for r in got} == {0}
