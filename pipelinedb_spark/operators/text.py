@@ -359,17 +359,31 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     under), not on a prefix of the output: strings like
     ``httpfoo://x`` or ``http:/x`` come back unchanged from
     normalize_url and must pass through, not dedup on the raw string
-    (ADVICE round 8)."""
+    (ADVICE round 8).
+
+    Plan shape (round 10): ONE shuffle of only the dedupable rows —
+    keep-min-id is a min() window over the canonical key and the
+    non-http pass-through rows ride a shuffle-free union branch.
+    The previous groupBy+join shape shuffled the FULL table twice
+    (aggregate exchange + join exchange, NULL-key rows included);
+    at crawl scale the pass-through fraction never belongs in a
+    shuffle, and a window needs no second pass.  The NULL keys also
+    never enter a window partition, so there is no all-NULLs skew
+    partition."""
+    from pyspark.sql import Window
+
     keyed = df.withColumn(
         "__cu", normalize_url(F.col(url_col),
                               tracking_params=tracking_params))
     dedupable = F.col(url_col).rlike(_HTTP_RE)
     keyed = keyed.withColumn(
         "__cu", F.when(dedupable, F.col("__cu")))  # else NULL
-    w_min = (keyed.filter(F.col("__cu").isNotNull())
-             .groupBy("__cu").agg(F.min(id_col).alias("__keep")))
-    return (keyed.join(w_min.hint("shuffle_hash"), "__cu", "left")
-            .filter(F.col("__cu").isNull()
-                    | (F.col(id_col) == F.col("__keep")))
-            .drop("__keep")
+    dedup_rows = keyed.filter(F.col("__cu").isNotNull())
+    passthrough = keyed.filter(F.col("__cu").isNull())
+    kept = (dedup_rows
+            .withColumn("__keep",
+                        F.min(id_col).over(Window.partitionBy("__cu")))
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("__keep"))
+    return (kept.unionByName(passthrough)
             .withColumnRenamed("__cu", "canonical_url"))

@@ -458,3 +458,27 @@ def test_dedup_clusters_nonconvergence_raises(spark):
     # and with the budget it converges to one cluster
     got = dedup_clusters(df, max_iterations=20).collect()
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_url_dedup_single_shuffle_plan(spark):
+    """Round-10 plan shape: keep-min-id is one window exchange over
+    only the dedupable rows; pass-through (non-http) rows ride a
+    shuffle-free union branch — the old groupBy+join shape shuffled
+    the full table twice, NULL keys included."""
+    from pipelinedb_spark.operators.text import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "https://E.com/page?utm_source=a"),
+         (2, "https://e.com/page"),
+         (3, "not a url"),
+         (4, "ftp://e.com/x"),
+         (5, "https://e.com/other")],
+        "doc_id long, url string")
+    out = url_dedup(docs)
+    # plan BEFORE collect: post-execution AQE toString appends an
+    # "Initial Plan" section that duplicates every exchange line
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Union" in plan
+    assert {r["doc_id"] for r in out.collect()} == {1, 3, 4, 5}
