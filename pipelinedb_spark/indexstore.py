@@ -75,8 +75,21 @@ from pyspark.sql import DataFrame
 from .manifestio import (CommitConflict, RenameManifestIO,
                          resolve_manifest_io)
 
-__all__ = ["IndexStore", "CommitConflict", "open_index", "read_index",
-           "MANIFEST"]
+__all__ = ["IndexStore", "CommitConflict", "CommitOutcomeUnknown",
+           "open_index", "read_index", "MANIFEST"]
+
+
+class CommitOutcomeUnknown(RuntimeError):
+    """A rename-mode commit wrote the manifest, lost its lock, and the
+    head then stayed unreadable through the bounded re-read retries —
+    the write may or may not be the live ancestry, so NOTHING may be
+    renamed: not a renumber (the manifest may reference the committed
+    name) and not a conflict-shelve (same reason).  The committed dir
+    is intentionally left in place under its v-name; if the head
+    recovers and does not reference it, ``gc`` ignores v-dirs, so an
+    operator reclaims it via the manifest itself (ADVICE round 10 —
+    the old ``continue`` converted a transient pointer-read error
+    into a possible dangling live dirs entry)."""
 
 MANIFEST = "_manifest.json"
 _VDIR_RE = re.compile(r"^v(\d+)-[0-9a-f]+$")
@@ -400,14 +413,20 @@ class IndexStore:
                                     state["fpath"] is not None
                                     and os.path.basename(state["fpath"])
                                     in cur["dirs"]))
+        except CommitOutcomeUnknown:
+            # the write may BE the live manifest (its head is just
+            # unreadable right now) — renaming the dir to a shelf
+            # name would dangle the published dirs entry, the exact
+            # failure the unknown-outcome path exists to prevent
+            raise
         except Exception:
-            # shelve on ANY escape, not just CommitConflict (ADVICE
-            # round 9): a TimeoutError from a busy commit lock on a
-            # retry iteration AFTER fold_dirs renamed the stage would
-            # otherwise leave the dir under a v-name numbered above
-            # the manifest version — which gc() treats as an
-            # in-flight commit forever, unreclaimable even by
-            # gc(include_stage=True).
+            # shelve on ANY other escape, not just CommitConflict
+            # (ADVICE round 9): a TimeoutError from a busy commit
+            # lock on a retry iteration AFTER fold_dirs renamed the
+            # stage would otherwise leave the dir under a v-name
+            # numbered above the manifest version — which gc()
+            # treats as an in-flight commit forever, unreclaimable
+            # even by gc(include_stage=True).
             self._shelve_conflict(state["fpath"])
             raise
         self.gc()
@@ -484,10 +503,26 @@ class IndexStore:
                         and lock_token is not None
                         and not self._lock_owned(lock_token)):
                     # stolen mid-write: did our pointer swap survive?
-                    try:
-                        cur, _ = io.read_versioned()
-                    except OSError:
-                        continue
+                    # The head is a single pointer file, so an OSError
+                    # here is retried in place — `continue` would let
+                    # the next iteration's fold_dirs RENAME the
+                    # committed dir while the live manifest may still
+                    # reference its current name (ADVICE round 10);
+                    # only renumber once the head is confirmed
+                    # readable and confirmed clobbered.
+                    cur = None
+                    for attempt in range(5):
+                        try:
+                            cur, _ = io.read_versioned()
+                            break
+                        except OSError:
+                            time.sleep(0.01 * (attempt + 1))
+                    if cur is None:
+                        raise CommitOutcomeUnknown(
+                            f"manifest head unreadable after a "
+                            f"stolen-lock write under {self.root}; "
+                            f"commit outcome unknown — dir left "
+                            f"in place")
                     if cur == out or (applied is not None
                                       and applied(cur)):
                         return  # our write is (in) the ancestry

@@ -12,9 +12,16 @@ unchanged at any corpus size and parallelizes per-partition.
 Metric definitions (documented precisely so the duckdb oracle can
 mirror them verbatim):
 
-* ``duplicate_word_fraction``   — 1 − distinct(words)/count(words).
-* ``duplicate_line_fraction``   — 1 − distinct(lines)/count(lines)
-  (lines split on newline; single-line docs score 0).
+* ``duplicate_word_fraction``   — (count(words) − distinct(words))
+  ÷ count(words).  Computed in that (n−d)/n form, NOT 1.0 − d/n:
+  for a doc at exactly a p/q threshold the single division rounds to
+  the same double as the threshold literal, so flag comparisons
+  agree with an exact-integer-arithmetic oracle (num*q <= den*p);
+  the 1−x form is up to 1 ulp high and flips boundary docs (ADVICE
+  round 10 — 10 lines / 7 distinct gave 0.30000000000000004 > 0.30).
+* ``duplicate_line_fraction``   — (count(lines) − distinct(lines))
+  ÷ count(lines), same form (lines split on newline; single-line
+  docs score 0).
 * ``duplicate_line_char_fraction`` — characters inside lines whose
   text occurs more than once ÷ total line characters (every
   occurrence counts, matching the MassiveText definition).
@@ -134,17 +141,18 @@ def duplicate_ngram_char_fraction(text: Column, n: int) -> Column:
 
 
 def duplicate_word_fraction(text: Column) -> Column:
+    # (n - d) / n, not 1.0 - d/n — exact-at-threshold (module docstring)
     ws = _words(text)
     return F.when(F.size(ws) > 0,
-                  1.0 - F.size(F.array_distinct(ws)) / F.size(ws)
-                  ).otherwise(F.lit(0.0))
+                  (F.size(ws) - F.size(F.array_distinct(ws)))
+                  / F.size(ws)).otherwise(F.lit(0.0))
 
 
 def duplicate_line_fraction(text: Column) -> Column:
     lines = F.filter(F.split(text, "\n"), lambda l: l != "")
     return F.when(F.size(lines) > 0,
-                  1.0 - F.size(F.array_distinct(lines)) / F.size(lines)
-                  ).otherwise(F.lit(0.0))
+                  (F.size(lines) - F.size(F.array_distinct(lines)))
+                  / F.size(lines)).otherwise(F.lit(0.0))
 
 
 def duplicate_line_char_fraction(text: Column) -> Column:
@@ -309,7 +317,8 @@ def _batch_repetition_metrics(texts, top_ns, dup_ns):
     # word duplicate fraction via 1-gram runs
     w = run_stats(tok_doc, th, tl)
     out["dup_word_frac"] = np.where(
-        counts > 0, 1.0 - w["n_runs"] / np.maximum(counts, 1), 0.0)
+        counts > 0,
+        (counts - w["n_runs"]) / np.maximum(counts, 1), 0.0)
 
     # line metrics
     line_lists = [[l for l in t.split("\n") if l != ""]
@@ -331,7 +340,8 @@ def _batch_repetition_metrics(texts, top_ns, dup_ns):
     ldoc = np.repeat(np.arange(nd, dtype=np.int64), lcounts)
     ls = run_stats(ldoc, lh, ll)
     out["dup_line_frac"] = np.where(
-        lcounts > 0, 1.0 - ls["n_runs"] / np.maximum(lcounts, 1), 0.0)
+        lcounts > 0,
+        (lcounts - ls["n_runs"]) / np.maximum(lcounts, 1), 0.0)
     out["dup_line_char_frac"] = np.where(
         ls["total_chars"] > 0,
         ls["dup_chars"] / np.maximum(ls["total_chars"], 1), 0.0)
