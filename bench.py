@@ -126,6 +126,43 @@ def _contention_sentinel() -> dict:
     }
 
 
+def _gated_sentinel() -> dict:
+    """Sentinel GATES the run (round-10 verdict task 5): the r10
+    artifact was taken at loadavg 6.68 and every query moved +3-23%
+    with zero code change, costing the round a clean delta read.  If
+    the box looks busy — calibration off baseline OR loadavg above
+    ncpus/8 — sleep and re-probe up to BENCH_GATE_ATTEMPTS times
+    before measuring, then measure anyway and stamp the artifact
+    `degraded` so the reader knows the numbers carry ambient error
+    bars.  Quiet is required, not proven: spin can read >1.0 on a
+    contended box (r10 read 1.127 at loadavg 6.68 — turbo clocks),
+    so loadavg rides the gate alongside both calibrations."""
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "6"))
+    sleep_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_SLEEP", "20"))
+    load_cap = max(2.0, (os.cpu_count() or 8) / 8.0)
+
+    def quiet(s: dict) -> bool:
+        return (0.95 <= s["spin_ratio"]
+                and s["bw_ratio"] >= 0.9
+                and s["loadavg_1m"] <= load_cap)
+
+    sentinel = _contention_sentinel()
+    used = 1
+    while not quiet(sentinel) and used < attempts:
+        print(f"bench gate: box busy (spin {sentinel['spin_ratio']}, "
+              f"bw {sentinel['bw_ratio']}, load "
+              f"{sentinel['loadavg_1m']} > cap {load_cap:.1f}?) — "
+              f"sleeping {sleep_s:.0f}s (attempt {used}/{attempts})",
+              file=sys.stderr)
+        time.sleep(sleep_s)
+        sentinel = _contention_sentinel()
+        used += 1
+    sentinel["gate_attempts"] = used
+    sentinel["load_cap"] = round(load_cap, 1)
+    sentinel["degraded"] = not quiet(sentinel)
+    return sentinel
+
+
 def main() -> None:
     import argparse
     ap = argparse.ArgumentParser()
@@ -155,7 +192,7 @@ def main() -> None:
                                 "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    sentinel = _contention_sentinel()  # before Spark spins up
+    sentinel = _gated_sentinel()  # before Spark spins up
 
     from pipelinedb_spark import get_spark
     from pipelinedb_spark.querybank import Q

@@ -27,7 +27,25 @@ STOPWORDS = {
     # tokens).  Ties still break by language-code scan order.
     "tr": ["bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha"],
     "vi": ["của", "và", "là", "có", "không", "được", "một", "người"],
+    # r11: it/pt/nl promoted from the warc extraction stopword union
+    # (warc.py _STOPWORDS has carried full lists since r8) into the
+    # lang-ID tier.  Same selection rule as vi/tr: markers must not
+    # collide with a frequent word of ANY other covered language —
+    # so no it 'il'/'per'/'e' (French 'il', English 'per'), no pt
+    # 'para'/'como'/'os' (core Spanish), no nl 'de'/'en'/'is'/'van'
+    # (Spanish/French articles, English 'is').  Pairwise disjointness
+    # across all nine sets is asserted by test_r11_lang.py.
+    "it": ["che", "della", "sono", "anche", "più", "gli", "questo",
+           "nel"],
+    "pt": ["não", "uma", "são", "também", "você", "isso", "já",
+           "até"],
+    "nl": ["het", "een", "niet", "zijn", "voor", "maar", "ook",
+           "deze"],
 }
+
+# Fixed argmax scan order (language-code order) — ties break toward
+# the earlier code, and the duckdb oracles replay the same order.
+_LANGS = tuple(sorted(STOPWORDS))
 
 # Unicode script ranges for the non-Latin-script languages a real
 # crawl is substantially made of — the stopword heuristic above is
@@ -152,23 +170,90 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return stopword_count(text, lang) / token_count(text)
 
 
+def stopword_count_vec(toks: Column) -> Column:
+    """Per-language stopword counts over a token array as ONE
+    ``F.aggregate`` fold: ``array<long>`` in :data:`_LANGS` order.
+    Before r11 each language was its own ``F.size(F.filter(_toks,
+    …))`` pass, so lang-ID cost grew one array traversal per
+    supported language per document (6 passes at r10, 9 after
+    it/pt/nl — the round-10 verdict's text_profile watch item); the
+    fold keeps it at exactly one traversal no matter how many
+    languages are added.
+
+    Per token: one membership test against the union of all marker
+    words (a single ``isin`` — above Catalyst's inSetConversion
+    threshold it compiles to one hash-set probe); only HITS (bounded
+    by the corpus's stopword density) pay the per-language indicator
+    vector + element-wise add.  Measured at sf0.1: equal to the old
+    6-pass shape while covering 9 languages.  (A literal
+    word→vector map probed inside the lambda is 7× slower — Catalyst
+    does not constant-fold expressions under a LambdaFunction, so
+    the map was REBUILT per token.)"""
+    union = sorted({w for ws in STOPWORDS.values() for w in ws})
+    zero = F.array(*([F.lit(0).cast("long")] * len(_LANGS)))
+    return F.aggregate(
+        toks, zero,
+        lambda acc, w: F.when(
+            w.isin(union),
+            F.zip_with(acc,
+                       F.array(*[w.isin(STOPWORDS[lg]).cast("long")
+                                 for lg in _LANGS]),
+                       lambda a, b: a + b)).otherwise(acc))
+
+
+# Vietnamese tone-marked Latin letters (Latin Extended Additional,
+# U+1E00–U+1EFF: ạ ả ấ ề ổ ợ ữ …) are in practice unique to
+# Vietnamese text at density.  A vi page made of listings/tables has
+# few FUNCTION words (the stopword tier sees nothing) but its content
+# words still carry tone marks, so: when BOTH tiers decline — no
+# script dominance, every stopword count zero — and ≥5% of the
+# bounded prefix's characters sit in this block, predict 'vi'.
+# Only 'und' rows can ever change, so every previously-decided row is
+# byte-identical (round-10 verdict task 7).
+_VI_DIACRITIC_RE = "[Ḁ-ỿ]"
+
+
+def _vi_diacritic_fallback(head: Column) -> Column:
+    """'vi' when ≥5% of the prefix's chars are Vietnamese tone-marked
+    letters, else 'und' (the len>0 guard keeps empty text 'und')."""
+    n_dia = F.regexp_count(head, F.lit(_VI_DIACRITIC_RE)).cast("long")
+    return F.when((F.length(head) > 0)
+                  & (n_dia * 20 >= F.length(head)),
+                  F.lit("vi")).otherwise(F.lit("und"))
+
+
+def _argmax_lang(vec: Column, fallback: Column) -> Column:
+    """First-max argmax over a stopword count vector in
+    :data:`_LANGS` order (``array_position`` returns the FIRST
+    position of the max — identical to the documented
+    strictly-greater fixed-order scan); `fallback` when all zero."""
+    mx = F.array_max(vec)
+    return F.when(
+        mx > 0,
+        F.element_at(F.array(*[F.lit(lg) for lg in _LANGS]),
+                     F.array_position(vec, mx).cast("int"))
+    ).otherwise(fallback)
+
+
 def lang_id(text: Column) -> Column:
-    """Heuristic language ID, two tiers: the script-range decision
-    (:func:`_script_lang` — zh/ja/ko/ru/ar/hi/th/el by dominant
-    Unicode script, ≥25% of chars) first, then the stopword argmax
-    for Latin-script text ('und' when nothing matches; deterministic
-    tie-break by language code order via strictly-greater comparison
-    in a fixed scan order).  Latin pages are byte-for-byte unchanged
-    vs the pre-r9 stopword-only rule (their script counts are 0)."""
-    counts = {lg: stopword_count(text, lg) for lg in STOPWORDS}
-    best_lang = F.lit("und")
-    best_cnt = F.lit(0).cast("long")
-    for lg in sorted(STOPWORDS):  # de, en, es, fr, tr, vi — fixed order
-        c = counts[lg]
-        is_better = c > best_cnt
-        best_lang = F.when(is_better, F.lit(lg)).otherwise(best_lang)
-        best_cnt = F.when(is_better, c).otherwise(best_cnt)
+    """Heuristic language ID, two tiers + one fallback: the
+    script-range decision (:func:`_script_lang` — zh/ja/ko/ru/ar/hi/
+    th/el by dominant Unicode script, ≥25% of chars) first, then the
+    stopword argmax for Latin-script text (deterministic tie-break by
+    language code order — first max in a fixed scan order), then the
+    Vietnamese diacritic-density fallback for rows both tiers leave
+    'und'.  Latin pages with any stopword hit are byte-for-byte
+    unchanged vs the pre-r9 stopword-only rule (their script counts
+    are 0 and the fallback never fires).  The stopword tier is ONE
+    fold over the token array (:func:`stopword_count_vec`) — adding a
+    language adds zero per-document passes; the fold result is
+    let-bound through a single-element ``transform`` so the argmax's
+    multiple references don't re-run it."""
     head = F.substring(text, 1, LANG_ID_PREFIX)
+    und_or_vi = _vi_diacritic_fallback(head)
+    best_lang = F.element_at(
+        F.transform(F.array(stopword_count_vec(tokens(text))),
+                    lambda v: _argmax_lang(v, und_or_vi)), 1)
     any_sc = F.regexp_count(head, F.lit(_ANY_SCRIPT_RE)).cast("long")
     scripts = {c: F.when(any_sc > 0,
                          F.regexp_count(head, F.lit(SCRIPT_RANGES[c])))
@@ -199,21 +284,22 @@ def fingerprint(text: Column) -> Column:
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-scan text profiling of a document table.
 
-    The token array and per-language stopword counts are materialized
-    in intermediate projections — inlining them would make Catalyst
+    The token array and the stopword count VECTOR are materialized in
+    intermediate projections — inlining them would make Catalyst
     re-split the text once per derived metric (~10×; measured 40×
-    slower than duckdb before this change, ~3× after)."""
+    slower than duckdb before this change, ~3× after).  The vector is
+    one fold (:func:`stopword_count_vec`): r10 ran one
+    ``F.size(F.filter(_toks, …))`` pass per language per document, so
+    supporting a language cost a full token-array traversal at 100 TB;
+    the per-language ``_c_*`` columns are now O(1) ``element_at``
+    lookups on the materialized vector."""
     text = F.col(text_col)
     toks = df.withColumn("_toks", tokens(text))
-    counts = toks.withColumn("_n", F.size("_toks").cast("long"))
-    def in_set(words):
-        return lambda w: w.isin(words)
-
-    for lg in sorted(STOPWORDS):
+    counts = (toks.withColumn("_n", F.size("_toks").cast("long"))
+              .withColumn("_swv", stopword_count_vec(F.col("_toks"))))
+    for i, lg in enumerate(_LANGS):
         counts = counts.withColumn(
-            f"_c_{lg}",
-            F.size(F.filter(F.col("_toks"), in_set(STOPWORDS[lg])))
-            .cast("long"))
+            f"_c_{lg}", F.element_at(F.col("_swv"), i + 1))
     head = F.substring(text, 1, LANG_ID_PREFIX)
     counts = counts.withColumn(
         "_any_sc", F.regexp_count(head, F.lit(_ANY_SCRIPT_RE))
@@ -228,8 +314,12 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.col("_n")
     awl = (char_count(text) - (n - 1)) / n
     sw_ratio = F.col("_c_en") / n
-    best_lang, best_cnt = F.lit("und"), F.lit(0).cast("long")
-    for lg in sorted(STOPWORDS):
+    # seed the argmax scan with the vi-diacritic fallback: it is the
+    # result exactly when every stopword count is zero, so only
+    # previously-'und' rows can change (lang_id's documented rule)
+    best_lang = _vi_diacritic_fallback(head)
+    best_cnt = F.lit(0).cast("long")
+    for lg in _LANGS:
         c = F.col(f"_c_{lg}")
         better = c > best_cnt
         best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)

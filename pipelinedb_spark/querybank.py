@@ -689,6 +689,9 @@ _SW_FR = "'le','la','les','et','est','un','une','que'"
 _SW_ES = "'el','la','los','de','que','es','un','una'"
 _SW_TR = "'bir','ve','bu','için','ile','olarak','çok','daha'"
 _SW_VI = "'của','và','là','có','không','được','một','người'"
+_SW_IT = "'che','della','sono','anche','più','gli','questo','nel'"
+_SW_PT = "'não','uma','são','também','você','isso','já','até'"
+_SW_NL = "'het','een','niet','zijn','voor','maar','ook','deze'"
 
 
 @query("text_profile", f"""
@@ -701,19 +704,38 @@ WITH base AS (
          len(list_filter(string_split(text, ' '), w -> w IN ({_SW_FR}))) AS c_fr,
          len(list_filter(string_split(text, ' '), w -> w IN ({_SW_ES}))) AS c_es,
          len(list_filter(string_split(text, ' '), w -> w IN ({_SW_TR}))) AS c_tr,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_VI}))) AS c_vi
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_VI}))) AS c_vi,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_IT}))) AS c_it,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_PT}))) AS c_pt,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_NL}))) AS c_nl
   FROM documents
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len,
        CAST(c_en AS DOUBLE) / n_tokens AS stopword_ratio_en,
-       CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_tr, c_vi) = 0 THEN 'und'
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_it,
+                          c_nl, c_pt, c_tr, c_vi) = 0 THEN
+              CASE WHEN length(substr(text, 1, 4096)) > 0
+                    AND 20 * len(regexp_extract_all(
+                          substr(text, 1, 4096), '[Ḁ-ỿ]'))
+                        >= length(substr(text, 1, 4096))
+                   THEN 'vi' ELSE 'und' END
             WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
+                 AND c_de >= c_it AND c_de >= c_nl AND c_de >= c_pt
                  AND c_de >= c_tr AND c_de >= c_vi THEN 'de'
             WHEN c_en >= c_es AND c_en >= c_fr
+                 AND c_en >= c_it AND c_en >= c_nl AND c_en >= c_pt
                  AND c_en >= c_tr AND c_en >= c_vi THEN 'en'
-            WHEN c_es >= c_fr AND c_es >= c_tr AND c_es >= c_vi THEN 'es'
-            WHEN c_fr >= c_tr AND c_fr >= c_vi THEN 'fr'
+            WHEN c_es >= c_fr AND c_es >= c_it AND c_es >= c_nl
+                 AND c_es >= c_pt AND c_es >= c_tr AND c_es >= c_vi
+                 THEN 'es'
+            WHEN c_fr >= c_it AND c_fr >= c_nl AND c_fr >= c_pt
+                 AND c_fr >= c_tr AND c_fr >= c_vi THEN 'fr'
+            WHEN c_it >= c_nl AND c_it >= c_pt AND c_it >= c_tr
+                 AND c_it >= c_vi THEN 'it'
+            WHEN c_nl >= c_pt AND c_nl >= c_tr AND c_nl >= c_vi
+                 THEN 'nl'
+            WHEN c_pt >= c_tr AND c_pt >= c_vi THEN 'pt'
             WHEN c_tr >= c_vi THEN 'tr'
             ELSE 'vi' END AS lang_pred,
        least(n_tokens / 64.0, 1.0)

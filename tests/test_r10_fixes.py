@@ -316,12 +316,16 @@ def _lang_id_replica(text):
                                                  SCRIPT_RANGES,
                                                  STOPWORDS)
     words = text.split(" ")
+    head = text[:LANG_ID_PREFIX]
     best, bc = "und", 0
     for lg in sorted(STOPWORDS):
         n = sum(w in STOPWORDS[lg] for w in words)
         if n > bc:
             best, bc = lg, n
-    head = text[:LANG_ID_PREFIX]
+    if best == "und":  # r11 vi-diacritic fallback (only 'und' rows)
+        dia = sum("Ḁ" <= ch <= "ỿ" for ch in head)
+        if len(head) > 0 and dia * 20 >= len(head):
+            best = "vi"
     rng = {c: (ord(SCRIPT_RANGES[c][1]), ord(SCRIPT_RANGES[c][3]))
            for c in SCRIPT_RANGES}
     counts = {c: sum(lo <= ord(ch) <= hi for ch in head)
