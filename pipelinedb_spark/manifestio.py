@@ -93,6 +93,130 @@ class LocalFSObjectClient:
             pass
 
 
+def _aws_error(exc) -> tuple[str, int | None]:
+    """(error code, HTTP status) from a botocore-shaped ClientError —
+    read structurally (``exc.response`` dict) so this module never
+    imports botocore: the fake used by the always-run contract tests
+    raises plain exceptions carrying the same ``response`` shape."""
+    r = getattr(exc, "response", None)
+    if isinstance(r, dict):
+        code = r.get("Error", {}).get("Code", "")
+        status = r.get("ResponseMetadata", {}).get("HTTPStatusCode")
+        return code, status
+    return "", None
+
+
+class S3ObjectClient:
+    """The four condput primitives over an S3-compatible bucket — the
+    production instance of the seam :class:`LocalFSObjectClient`
+    emulates locally (round-10 verdict What's-missing #3).
+
+    * ``put_if_absent`` → ``PUT`` with ``If-None-Match: *`` (real
+      conditional put — S3 since 2024-08, and MinIO/GCS-XML/R2 honor
+      it).  412 PreconditionFailed means another committer owns the
+      name → :class:`FileExistsError`, exactly the local contract.
+      409 ConditionalRequestConflict (a concurrent conditional PUT in
+      flight on the same key) maps the same way: the caller re-reads
+      the head and retries, which is correct whether or not the rival
+      write ultimately landed.
+    * ``list``  → paginated ``ListObjectsV2`` under the prefix
+      (strongly consistent on S3), direct children only.
+    * ``get``   → ``GetObject`` (NoSuchKey → FileNotFoundError, the
+      shape ``read_versioned``'s pruned-entry retry expects).
+    * ``delete``→ ``DeleteObject``, errors swallowed like the local
+      client (gc is advisory).
+
+    Deployment wiring is one module-level flip, same as the format
+    and lock defaults::
+
+        from pipelinedb_spark import manifestio
+        manifestio.CLIENT_FACTORY = (
+            lambda d: manifestio.S3ObjectClient("bucket", d))
+
+    where each store's manifest directory path becomes the key
+    prefix.  boto3 is imported lazily and only when no ``client`` is
+    injected, so the dependency stays optional."""
+
+    def __init__(self, bucket: str, prefix: str, *, client=None,
+                 endpoint_url: str | None = None,
+                 region_name: str | None = None):
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        if self.prefix:
+            self.prefix += "/"
+        if client is None:
+            try:
+                import boto3
+            except ImportError as exc:  # pragma: no cover
+                raise RuntimeError(
+                    "S3ObjectClient needs boto3 (or an injected "
+                    "botocore-shaped client)") from exc
+            kw = {}
+            if endpoint_url:
+                kw["endpoint_url"] = endpoint_url
+            if region_name:
+                kw["region_name"] = region_name
+            client = boto3.client("s3", **kw)
+        self.client = client
+
+    @classmethod
+    def from_url(cls, url: str, **kw) -> "S3ObjectClient":
+        """``s3://bucket/key/prefix`` → client."""
+        if not url.startswith("s3://"):
+            raise ValueError(f"not an s3 url: {url!r}")
+        bucket, _, prefix = url[5:].partition("/")
+        return cls(bucket, prefix, **kw)
+
+    def list(self) -> list[str]:
+        names = []
+        token: str | None = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": self.prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                rel = obj["Key"][len(self.prefix):]
+                if rel and "/" not in rel:  # direct children only
+                    names.append(rel)
+            if not resp.get("IsTruncated"):
+                return names
+            token = resp.get("NextContinuationToken")
+
+    def get(self, name: str) -> str:
+        try:
+            resp = self.client.get_object(Bucket=self.bucket,
+                                          Key=self.prefix + name)
+        except Exception as exc:
+            code, status = _aws_error(exc)
+            if code in ("NoSuchKey", "404") or status == 404:
+                raise FileNotFoundError(name) from None
+            raise
+        body = resp["Body"].read()
+        return body.decode() if isinstance(body, bytes) else body
+
+    def put_if_absent(self, name: str, data: str) -> None:
+        try:
+            self.client.put_object(Bucket=self.bucket,
+                                   Key=self.prefix + name,
+                                   Body=data.encode(),
+                                   IfNoneMatch="*")
+        except Exception as exc:
+            code, status = _aws_error(exc)
+            if (code in ("PreconditionFailed",
+                         "ConditionalRequestConflict")
+                    or status in (412, 409)):
+                raise FileExistsError(name) from None
+            raise
+
+    def delete(self, name: str) -> None:
+        try:
+            self.client.delete_object(Bucket=self.bucket,
+                                      Key=self.prefix + name)
+        except Exception:
+            pass  # gc is advisory, same as the local client
+
+
 # Seam for the storage-contract fake: tests replace this with an
 # in-memory client factory; production code never touches it.
 CLIENT_FACTORY = LocalFSObjectClient

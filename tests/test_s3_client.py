@@ -1,0 +1,266 @@
+"""S3 adapter behind the condput seam (round-10 verdict
+What's-missing #3 / task 3).
+
+Three tiers:
+
+* always-run unit tests of ``S3ObjectClient``'s translation layer —
+  error mapping (412/409 → FileExistsError, NoSuchKey →
+  FileNotFoundError), prefix stripping, direct-children-only listing,
+  ListObjectsV2 pagination — against an in-memory botocore-shaped
+  fake, so the adapter's own code paths run in this container even
+  though boto3 isn't installed.
+* always-run contract tests: ``CondPutManifestIO`` and a full
+  ``IndexStore`` lifecycle (append / CAS conflict / manifest-history
+  gc) with ``CLIENT_FACTORY`` routed through the ADAPTER over the
+  fake service — one layer deeper than test_manifest_condput.py's
+  four-primitive fake, which stays unchanged.
+* a skip-gated e2e against a real S3-compatible endpoint (needs boto3
+  + $SPARK_GRAFT_S3_TEST_URL, optional $SPARK_GRAFT_S3_ENDPOINT),
+  the Kafka-test pattern: self-skips in this container.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+import pipelinedb_spark.manifestio as mio
+from pipelinedb_spark.indexstore import CommitConflict, IndexStore
+from pipelinedb_spark.manifestio import (CONDPUT_DIR, CondPutManifestIO,
+                                         S3ObjectClient)
+
+
+# ------------------------------------------------- botocore-shaped fake
+
+class _AwsError(Exception):
+    """Structurally identical to botocore.exceptions.ClientError for
+    the fields the adapter reads (``.response``)."""
+
+    def __init__(self, code, status):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code},
+                         "ResponseMetadata": {"HTTPStatusCode": status}}
+
+
+class _Body:
+    def __init__(self, data: bytes):
+        self._d = data
+
+    def read(self) -> bytes:
+        return self._d
+
+
+class _FakeS3Service:
+    """One in-memory bucket namespace shared by every adapter client,
+    conditional-put semantics included."""
+
+    def __init__(self, page_size=2):
+        self.objects: dict[tuple[str, str], bytes] = {}
+        self.mutex = threading.Lock()
+        self.page_size = page_size  # tiny pages force pagination
+
+    # --- boto3 s3 client surface the adapter uses
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        with self.mutex:
+            if IfNoneMatch == "*" and (Bucket, Key) in self.objects:
+                raise _AwsError("PreconditionFailed", 412)
+            self.objects[(Bucket, Key)] = Body
+
+    def get_object(self, Bucket, Key):
+        with self.mutex:
+            try:
+                return {"Body": _Body(self.objects[(Bucket, Key)])}
+            except KeyError:
+                raise _AwsError("NoSuchKey", 404) from None
+
+    def delete_object(self, Bucket, Key):
+        with self.mutex:
+            self.objects.pop((Bucket, Key), None)
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        with self.mutex:
+            keys = sorted(k for (b, k) in self.objects
+                          if b == Bucket and k.startswith(Prefix))
+        start = int(ContinuationToken or 0)
+        page = keys[start:start + self.page_size]
+        out = {"Contents": [{"Key": k} for k in page],
+               "IsTruncated": start + self.page_size < len(keys)}
+        if out["IsTruncated"]:
+            out["NextContinuationToken"] = str(start + self.page_size)
+        return out
+
+
+@pytest.fixture()
+def svc():
+    return _FakeS3Service()
+
+
+def _client(svc, prefix="root/idx/_manifests"):
+    return S3ObjectClient("bkt", prefix, client=svc)
+
+
+# --------------------------------------------------------- unit tests
+
+def test_put_if_absent_conflict_maps_to_fileexists(svc):
+    c = _client(svc)
+    c.put_if_absent("m1.json", "a")
+    with pytest.raises(FileExistsError):
+        c.put_if_absent("m1.json", "b")
+    assert c.get("m1.json") == "a"  # loser never clobbers
+
+
+def test_409_conditional_conflict_also_maps(svc):
+    c = _client(svc)
+
+    def put_409(**kw):
+        raise _AwsError("ConditionalRequestConflict", 409)
+
+    svc.put_object = put_409
+    with pytest.raises(FileExistsError):
+        c.put_if_absent("m1.json", "a")
+
+
+def test_get_missing_maps_to_filenotfound(svc):
+    with pytest.raises(FileNotFoundError):
+        _client(svc).get("nope.json")
+
+
+def test_unexpected_errors_propagate(svc):
+    c = _client(svc)
+
+    def put_500(**kw):
+        raise _AwsError("InternalError", 500)
+
+    svc.put_object = put_500
+    with pytest.raises(_AwsError):
+        c.put_if_absent("m1.json", "a")
+
+
+def test_list_strips_prefix_direct_children_only_paginated(svc):
+    c = _client(svc)
+    for i in range(7):  # > page_size → pagination exercised
+        c.put_if_absent(f"m{i}.json", "x")
+    # a nested key and a sibling prefix must not appear
+    svc.put_object(Bucket="bkt", Key="root/idx/_manifests/sub/deep.json",
+                   Body=b"y")
+    svc.put_object(Bucket="bkt", Key="root/idx/other.json", Body=b"z")
+    assert sorted(c.list()) == sorted(f"m{i}.json" for i in range(7))
+
+
+def test_delete_swallows_and_from_url():
+    svc = _FakeS3Service()
+    c = S3ObjectClient.from_url("s3://bkt/root/idx/_manifests",
+                                client=svc)
+    c.delete("missing.json")  # no raise
+    c.put_if_absent("a.json", "1")
+    c.delete("a.json")
+    with pytest.raises(FileNotFoundError):
+        c.get("a.json")
+    with pytest.raises(ValueError):
+        S3ObjectClient.from_url("gs://bkt/x", client=svc)
+
+
+def test_empty_prefix_is_bucket_root():
+    svc = _FakeS3Service()
+    c = S3ObjectClient("bkt", "", client=svc)
+    c.put_if_absent("m1.json", "a")
+    assert ("bkt", "m1.json") in svc.objects
+    assert c.list() == ["m1.json"]
+
+
+# ----------------------------------------------- condput contract
+
+def test_condput_cas_and_gc_through_adapter(tmp_path, svc):
+    root = str(tmp_path / "idx")
+    io = CondPutManifestIO(root, client=_client(
+        svc, os.path.join(root, CONDPUT_DIR)))
+    assert not io.exists()
+    io.write({"version": 1}, base_seq=0)
+    m, seq = io.read_versioned()
+    assert (m, seq) == ({"version": 1}, 1)
+    with pytest.raises(mio.CommitConflict):
+        io.write({"version": "rival"}, base_seq=0)  # CAS lost
+    for i in range(2, 15):
+        io.write({"version": i}, base_seq=i - 1)
+    m, seq = io.read_versioned()
+    assert m == {"version": 14} and seq == 14
+    names = [k for (_b, k) in svc.objects]
+    assert 0 < len(names) <= CondPutManifestIO.KEEP  # history pruned
+    assert not os.path.exists(os.path.join(root, CONDPUT_DIR))
+
+
+def test_indexstore_lifecycle_through_adapter(tmp_path, svc,
+                                              monkeypatch):
+    """Full store semantics with every manifest byte riding the
+    adapter: append, meta fold, replace-commit conflict, history gc —
+    the test_objfake lifecycle one layer deeper."""
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: S3ObjectClient("bkt", os.path.abspath(d), client=svc))
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=0.0,
+                   manifest_format="condput")
+    s.init_if_needed(meta={"cnt": 0})
+
+    def add(content, replace=False, **kw):
+        staged = s.stage()
+        os.makedirs(staged)
+        with open(os.path.join(staged, "f.txt"), "w") as f:
+            f.write(content)
+        return s.commit(staged, replace=replace, **kw)
+
+    add("a", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    snapshot = [os.path.basename(p) for p in s.dirs()]
+    c = add("c", meta_fn=lambda m: {**m, "cnt": m["cnt"] + 1})
+    base = add("compacted", replace=True, expected_dirs=snapshot)
+    assert [os.path.basename(p) for p in s.dirs()] == \
+        [os.path.basename(base), os.path.basename(c)]
+    assert s.meta()["cnt"] == 2
+    with pytest.raises(CommitConflict):
+        add("stale", replace=True, expected_dirs=snapshot,
+            on_extra="conflict")
+    for i in range(12):
+        add(f"x{i}")
+    manifests = [k for (_b, k) in svc.objects if "m0" in k]
+    assert 0 < len(manifests) <= CondPutManifestIO.KEEP
+    # no manifest bytes ever touched the local _manifests dir
+    assert not os.path.exists(os.path.join(root, CONDPUT_DIR))
+
+
+# ------------------------------------------------- gated real-S3 e2e
+
+def _real_s3_available():
+    if not os.environ.get("SPARK_GRAFT_S3_TEST_URL"):
+        return False
+    try:
+        import boto3  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _real_s3_available(),
+    reason="needs boto3 + $SPARK_GRAFT_S3_TEST_URL "
+           "(s3://bucket/prefix; optional $SPARK_GRAFT_S3_ENDPOINT)")
+def test_real_s3_commit_conflict_gc(tmp_path):
+    url = os.environ["SPARK_GRAFT_S3_TEST_URL"].rstrip("/")
+    endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT") or None
+    c = S3ObjectClient.from_url(url + "/pdbtest_manifests",
+                                endpoint_url=endpoint)
+    try:
+        root = str(tmp_path / "idx")
+        io = CondPutManifestIO(root, client=c)
+        io.write({"version": 1}, base_seq=0)
+        assert io.read_versioned() == ({"version": 1}, 1)
+        with pytest.raises(mio.CommitConflict):
+            io.write({"version": "rival"}, base_seq=0)
+        for i in range(2, 12):
+            io.write({"version": i}, base_seq=i - 1)
+        assert io.read_versioned()[1] == 11
+        assert len(c.list()) <= CondPutManifestIO.KEEP
+    finally:
+        for name in c.list():
+            c.delete(name)
