@@ -896,74 +896,6 @@ def embedding_neardup_pairs(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 9))
 
 
-@query("ann_lsh_topk", _ANN_ORACLE)
-def ann_lsh_topk(spark, sf_dir):
-    """Multi-table hyperplane-LSH top-k with decimal-exact rerank —
-    oracle is the exact brute-force result.  This corpus's true
-    neighbours are weak (cosine ≈0.3 → per-bit agreement ≈0.6), so
-    the table count is sized for full recall (32 tables × 4 bits +
-    1-bit multiprobe → per-neighbour miss < 1e-6); at 100 TB in the
-    near-dup regime (cosine ≥0.8) the same operator runs with
-    bits=16, tables=8, touching ~8N/2¹⁶ rows per query."""
-    from pipelinedb_spark.operators.similarity import lsh_bucketed_topk
-    emb = t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    out = lsh_bucketed_topk(emb, queries_df, k=5, dim=64, bits=4,
-                            multiprobe=1, tables=32, exact_rerank=True)
-    return out.withColumn("cosine", F.round("cosine", 9))
-
-
-@query("ivf_ann_recall", """
-WITH norms AS (
-  SELECT vec_id, embedding,
-         CAST(list_sum([CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
-                        * CAST(FLOOR(CAST(x AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
-                        for x in embedding]) AS DOUBLE) AS n2
-  FROM embeddings
-),
-pairs AS (
-  SELECT a.vec_id AS id1, b.vec_id AS id2
-  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-  WHERE CAST(list_sum([CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
-                       * CAST(FLOOR(CAST(b.embedding[i] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
-                       for i in range(1, len(a.embedding) + 1)]) AS DOUBLE)
-          / sqrt(a.n2 * b.n2) >= 0.45
-)
-SELECT COUNT(DISTINCT id) AS n_queries, TRUE AS recall_ok
-FROM (SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs)
-""")
-def ivf_ann_recall(spark, sf_dir):
-    """IVF (inverted-file) ANN, self-verifying: queries are the
-    members of planted near-dup pairs (cosine ≥ 0.45); the boolean
-    asserts IVF top-5 retrieves ≥ 75% of the true partners.
-    Everything is deterministic (seeded k-means on a hash-ordered
-    sample), so the boolean is a per-dataset constant; the duckdb
-    oracle anchors n_queries from the exact pair SQL and asserts
-    TRUE.  Calibrated: 14/14 at sf0.001, 27/28 at sf0.01, 230/264 at
-    sf0.1 — all within the 0.75 bound with margin.  This corpus's
-    0.45-threshold pairs sit at ~63°, near the IVF-hostile random
-    regime, hence nprobe=8/16; production near-dups (cosine ≥ 0.8)
-    route with nprobe 1-2 of many more lists — genuinely sublinear."""
-    from pipelinedb_spark.operators.similarity import ivf_topk, neardup_pairs
-    emb = t(spark, sf_dir, "embeddings")
-    pairs = neardup_pairs(emb, threshold=0.45)
-    members = (pairs.select(F.col("id1").alias("vec_id"),
-                            F.col("id2").alias("partner"))
-               .unionByName(pairs.select(F.col("id2").alias("vec_id"),
-                                         F.col("id1").alias("partner"))))
-    q = emb.join(members.select("vec_id").distinct(), "vec_id")
-    res = ivf_topk(emb, q, k=5, n_lists=16, nprobe=8)
-    hits = (members.join(res, (members.vec_id == res.q_id) &
-                         (members.partner == res.n_id), "left")
-            .groupBy(members.vec_id)
-            .agg(F.max(res.n_id.isNotNull()).alias("hit")))
-    return (hits.agg(
-        F.count("*").alias("n_queries"),
-        ((F.sum(F.col("hit").cast("long")) / F.count("*")) >= 0.75)
-        .alias("recall_ok"))
-        .select(F.col("n_queries"), F.col("recall_ok")))
-
-
 @query("media_metadata", """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1025,41 +957,6 @@ def topk_agg_sketch(spark, sf_dir):
     return probed.select(
         "event_type", F.col("e.value").alias("value"),
         F.col("e.freq").alias("freq"),
-        (F.col("pos") + 1).cast("long").alias("rk"))
-
-
-@query("weighted_topk_agg", """
-WITH c AS (
-  SELECT event_type, CAST(user_id % 20 AS VARCHAR) AS value,
-         CAST(SUM(user_id % 7 + 1) AS BIGINT) AS wfreq
-  FROM events GROUP BY 1, 2
-), r AS (
-  SELECT event_type, value, wfreq,
-         ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY wfreq DESC, value ASC) AS rk
-  FROM c
-)
-SELECT event_type, value, wfreq, rk FROM r WHERE rk <= 5
-""")
-def weighted_topk_agg(spark, sf_dir):
-    """topk_agg(x, k, weight) — weighted Filtered-Space-Saving
-    (reference topk_agg_weightedtrans src/topkfuncs.c:34-686, SQL
-    registration pipelinedb--1.0.0.sql:1748-1901, test topk.sql).
-    Domain (20 keys) is within capacity (k*4 = 20) so the weighted
-    sketch is exact and the oracle is the exact weighted top-5."""
-    from pipelinedb_spark.functions.sketch_fns import topk as topk_fn
-    from pipelinedb_spark.sketches.registration import _topk_build_weighted
-    ev = t(spark, sf_dir, "events")
-    states = ev.groupBy("event_type").agg(
-        _topk_build_weighted(5)(
-            (F.col("user_id") % 20).cast("string"),
-            (F.col("user_id") % 7 + 1).cast("long")).alias("ss"))
-    probed = states.select(
-        "event_type",
-        F.posexplode(topk_fn("ss", F.lit(5))).alias("pos", "e"))
-    return probed.select(
-        "event_type", F.col("e.value").alias("value"),
-        F.col("e.freq").alias("wfreq"),
         (F.col("pos") + 1).cast("long").alias("rk"))
 
 
@@ -2150,3 +2047,128 @@ def script_lang_id_mixed(spark, sf_dir):
     return (docs.withColumn("lang", lang_id(text))
             .select("doc_id", "lang"))
 
+
+
+# ---------------------------------------------------------------------------
+# Round-11 rotation: three slots moved onto previously pytest-only
+# operators (bank stays at exactly 50 — driver contract).  Out:
+# ann_lsh_topk and ivf_ann_recall (the ANN-recall family keeps
+# ivfpq_ann_recall, its superset path — IVF coarse quantizer + PQ +
+# exact rerank; both removed entries stay pytest-covered in
+# test_operators.py) and weighted_topk_agg (the weighted FSS
+# transition stays pytest-covered in test_sketches.py;
+# topk_agg_sketch keeps the family's driver slot).
+# ---------------------------------------------------------------------------
+
+
+@query("bucket_agg_latest", """
+WITH b AS (
+  SELECT event_type, user_id,
+         CAST(FLOOR(value) AS INTEGER) % 4 AS bucket,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type, user_id
+             ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                      CAST(FLOOR(value) AS INTEGER) % 4 ASC
+         ) AS rk
+  FROM events
+)
+SELECT event_type, bucket AS bucket_id, COUNT(*) AS n_values
+FROM b WHERE rk = 1 GROUP BY 1, 2
+""")
+def bucket_agg_latest(spark, sf_dir):
+    """bucket_agg(value, bucket_id, ts): every value belongs to the
+    bucket of its LATEST observation; finalize counts distinct values
+    per bucket (reference aggfuncs.c:462-931, regress bucket_agg.sql
+    — the 'element moves between buckets' semantics).  Runs the
+    registry spec's real partial+finalize pieces one-shot
+    (aggregates.py:466; the merge limb is engine-tested in
+    test_engine_extended.py).  The oracle replays the documented rule
+    relationally: per (group, value) keep the max-ts row — ties take
+    the smaller bucket, the state's (key, -ts, bucket) sort order —
+    then count values per bucket.  xxhash64 in the state exists only
+    for value distinctness, so counting user_ids directly is
+    identical absent collisions (none at this scale); FLOOR before
+    the int cast because Spark truncates double→int while duckdb
+    rounds."""
+    from pipelinedb_spark.aggregates import REGISTRY
+    spec = REGISTRY.get("bucket_agg")
+    # unix_micros: TIMESTAMP_NTZ has no direct double cast; micros
+    # (~1.7e15) are exact in the state's double nt (< 2^53)
+    args = ["user_id", "CAST(FLOOR(value) AS INT) % 4",
+            "unix_micros(CAST(ts AS TIMESTAMP))"]
+    ev = t(spark, sf_dir, "events")
+    part = spec.partial(args)
+    st = ev.groupBy("event_type").agg(
+        *[c.alias(f"ba__{k}") for k, c in part.items()])
+    fin = spec.finalize(lambda suf: F.col(f"ba__{suf}"), args)
+    return (st.select("event_type", F.explode(fin).alias("e"))
+            .select("event_type",
+                    F.col("e.bucket_id").alias("bucket_id"),
+                    F.col("e.count").alias("n_values")))
+
+
+@query("json_object_sums", """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract(props, 'k') AS BIGINT) AS vk,
+         user_id % 10 AS vt
+  FROM events
+)
+SELECT event_type,
+       '{"k":' || CAST(SUM(vk) AS VARCHAR) || ',"t_' || event_type ||
+       '":' || CAST(SUM(vt) AS VARCHAR) || '}' AS sums
+FROM x GROUP BY event_type
+""")
+def json_object_sums(spark, sf_dir):
+    """json_object_int_sum(json): per-key integer sums across
+    documents, JSON in → JSON out (reference json_object_int_sum
+    src/json.c:2728-2826).  Runs the registry spec's real
+    partial+finalize one-shot (aggregates.py:517 — the sorted-entry
+    fold state; merge limb engine-tested).  The input fans props'
+    single key out to a two-key object ({"k": …, "t_<type>": …}) so
+    the per-key fold and the key-sorted serialization are both
+    exercised; the oracle rebuilds the exact output string — map keys
+    serialize sorted ('k' < 't_…' always), no spaces, matching
+    Spark's to_json."""
+    from pipelinedb_spark.aggregates import REGISTRY
+    spec = REGISTRY.get("json_object_int_sum")
+    args = ["to_json(map("
+            "'k', CAST(get_json_object(props, '$.k') AS BIGINT), "
+            "concat('t_', event_type), user_id % 10))"]
+    ev = t(spark, sf_dir, "events")
+    part = spec.partial(args)
+    st = ev.groupBy("event_type").agg(
+        *[c.alias(f"js__{k}") for k, c in part.items()])
+    fin = spec.finalize(lambda suf: F.col(f"js__{suf}"), args)
+    return st.select("event_type", fin.alias("sums"))
+
+
+@query("decontamination_overlap", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+             UNNEST(list_distinct([list_aggr(ws[i:i+7],
+                                   'string_agg', chr(31))
+                                   for i in range(1, len(ws) - 6)]))
+             AS gram
+      FROM d WHERE len(ws) >= 8),
+e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0)
+SELECT g.doc_id, e.eval_id, COUNT(*) AS n_hits
+FROM g JOIN e USING (gram)
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+""")
+def decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py
+    contamination_pairs): corpus docs sharing ≥3 distinct
+    8-token shingles with an eval set (every 50th doc) — the
+    standard train/test-overlap check.  One corpus scan joined
+    against the BROADCAST eval-gram table; the duckdb oracle builds
+    the same chr(31)-joined string grams exactly (gram hashing is
+    collision-free at this scale, so hash-hit counts equal
+    string-gram-hit counts — the test_curation.py oracle lifted into
+    the driver bank)."""
+    from pipelinedb_spark.operators.curation import contamination_pairs
+    docs = t(spark, sf_dir, "documents")
+    eval_set = (docs.filter(F.col("doc_id") % 50 == 0)
+                .select(F.col("doc_id").alias("eval_id"), "text"))
+    return contamination_pairs(docs, eval_set, ngram=8, min_hits=3)
