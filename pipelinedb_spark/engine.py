@@ -2031,9 +2031,17 @@ class PipelineContext:
             return probe.withColumn(BUCKET_COL, F.lit(0)).limit(0)
         return df
 
-    def output_of(self, name: str) -> DataFrame:
+    def output_of(self, name: str, with_seq: bool = False) -> DataFrame:
         """Retained tail of a CQ's output stream, read from disk —
-        scale-safe for high-cardinality CVs and long-running engines."""
+        scale-safe for high-cardinality CVs and long-running engines.
+
+        Row order across segments is NOT emission order (a multi-path
+        parquet scan orders files for split packing, not by name);
+        ``with_seq=True`` appends an ``_seq`` column carrying each
+        row's emission-batch number (its segment index) so callers
+        can ``orderBy("_seq")`` — e.g. to fold a ticker's old/new
+        chain.  Rows within one batch share a seq; their relative
+        order is immaterial (one change row per group per batch)."""
         osrel = f"{name}_osrel"
         segs = self._osrel_segments(osrel)
         if not segs:
@@ -2058,11 +2066,19 @@ class PipelineContext:
                         "default; pass track_output_streams=True to "
                         "PipelineContext for a retained history tail "
                         "with no readers attached", name)
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            return (empty.withColumn("_seq", F.lit(None).cast("long"))
+                    if with_seq else empty)
         # segments may span an emission-schema change (e.g. an added
         # struct column): merge instead of trusting the first file
-        return self.spark.read.option("mergeSchema", "true") \
+        df = self.spark.read.option("mergeSchema", "true") \
             .parquet(*segs)
+        if with_seq:
+            df = df.withColumn(
+                "_seq",
+                F.regexp_extract(F.input_file_name(), r"seg_(\d+)", 1)
+                .cast("long"))
+        return df
 
     def combine_read(self, name: str, group_by: list[str] | None = None,
                      at: float | None = None) -> DataFrame:

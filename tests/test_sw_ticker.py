@@ -49,3 +49,37 @@ def test_streaming_epoch_replay_is_idempotent(ctx, tmp_path):
     handle(batch, 1)  # replay of epoch 1 after simulated crash
     handle(batch, 0)  # stale replay
     assert ctx.read_view("cv_eo").collect()[0]["n"] == 2
+
+
+def test_output_of_with_seq_orders_across_segments(ctx):
+    """output_of's multi-segment parquet scan orders files for split
+    packing, not emission order (round-11 soak finding: 'last new per
+    group' grabbed the FIRST tick on long runs) — with_seq=True
+    carries each row's segment index so the old/new chain folds in
+    emission order."""
+    import time
+
+    ctx.track_output_streams = True
+    ctx.create_stream("tks", "k string, v long")
+    ctx.create_view(
+        "cv_tks",
+        "SELECT k, count(*) AS n FROM tks "
+        "WHERE arrival_timestamp > clock_timestamp() - interval '60 seconds' "
+        "GROUP BY k")
+    now = time.time()
+    for i in range(5):  # 5 emitting ticks -> 5 segments
+        ctx.insert("tks", [{"k": "a", "v": i}])
+        assert ctx.tick_sw("cv_tks", now=now + i) == 1
+    rows = (ctx.output_of("cv_tks", with_seq=True)
+            .orderBy("_seq").collect())
+    assert len(rows) == 5
+    assert [r["_seq"] for r in rows] == sorted(r["_seq"] for r in rows)
+    # the chain folds exactly in _seq order: n = 1..5, old = prev new
+    prev = None
+    for i, r in enumerate(rows):
+        o = None if r["old"] is None else r["old"].asDict()
+        assert o == prev, (i, o, prev)
+        assert r["new"]["n"] == i + 1
+        prev = r["new"].asDict()
+    # without with_seq the schema is unchanged (no _seq column)
+    assert "_seq" not in ctx.output_of("cv_tks").columns
