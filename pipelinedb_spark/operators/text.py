@@ -41,6 +41,16 @@ STOPWORDS = {
            "até"],
     "nl": ["het", "een", "niet", "zijn", "voor", "maar", "ook",
            "deze"],
+    # r11b: with the one-fold vector a language costs zero extra
+    # per-document passes, so the next three crawl-major Latin
+    # languages ride along.  Same collision rule: no sv 'en'/'som'
+    # (Spanish/French 'en', Portuguese 'som'), no pl 'nie' (common
+    # German), no id markers shadowing covered-language words.
+    "pl": ["się", "jest", "oraz", "przez", "tylko", "może", "która",
+           "żeby"],
+    "id": ["yang", "dan", "untuk", "dengan", "tidak", "ini", "itu",
+           "adalah"],
+    "sv": ["och", "att", "det", "inte", "för", "på", "är", "från"],
 }
 
 # Fixed argmax scan order (language-code order) — ties break toward

@@ -692,6 +692,44 @@ _SW_VI = "'của','và','là','có','không','được','một','người'"
 _SW_IT = "'che','della','sono','anche','più','gli','questo','nel'"
 _SW_PT = "'não','uma','são','também','você','isso','já','até'"
 _SW_NL = "'het','een','niet','zijn','voor','maar','ook','deze'"
+_SW_PL = "'się','jest','oraz','przez','tylko','może','która','żeby'"
+_SW_ID = "'yang','dan','untuk','dengan','tidak','ini','itu','adalah'"
+_SW_SV = "'och','att','det','inte','för','på','är','från'"
+
+# lang-ID oracle pieces are GENERATED from this dict so a language
+# addition cannot desync the count columns from the argmax cascade
+# (the word lists stay spelled out above — the oracle remains an
+# independent restatement, not an import of the engine's constant)
+_SW = {"de": _SW_DE, "en": _SW_EN, "es": _SW_ES, "fr": _SW_FR,
+       "id": _SW_ID, "it": _SW_IT, "nl": _SW_NL, "pl": _SW_PL,
+       "pt": _SW_PT, "sv": _SW_SV, "tr": _SW_TR, "vi": _SW_VI}
+
+_SW_COUNT_COLS = ",\n".join(
+    f"         len(list_filter(string_split(text, ' '), "
+    f"w -> w IN ({words}))) AS c_{lg}"
+    for lg, words in sorted(_SW.items()))
+
+# first-max argmax in language-code order (strictly-greater scan ≡
+# 'c_X >= every later language' cascade), all-zero → the vi
+# diacritic-density fallback over the same 4096-char prefix
+_VI_FALLBACK_SQL = """
+              CASE WHEN length(substr(text, 1, 4096)) > 0
+                    AND 20 * len(regexp_extract_all(
+                          substr(text, 1, 4096), '[Ḁ-ỿ]'))
+                        >= length(substr(text, 1, 4096))
+                   THEN 'vi' ELSE 'und' END"""
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(_SW)
+    lines = [f"CASE WHEN greatest({', '.join('c_' + lg for lg in langs)})"
+             f" = 0 THEN{_VI_FALLBACK_SQL}"]
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{lg} >= c_{rest}"
+                             for rest in langs[i + 1:])
+        lines.append(f"            WHEN {conds} THEN '{lg}'")
+    lines.append(f"            ELSE '{langs[-1]}' END")
+    return "\n".join(lines)
 
 
 @query("text_profile", f"""
@@ -699,45 +737,13 @@ WITH base AS (
   SELECT doc_id, text,
          len(string_split(text, ' ')) AS n_tokens,
          length(text) AS n_chars,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_EN}))) AS c_en,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_DE}))) AS c_de,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_FR}))) AS c_fr,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_ES}))) AS c_es,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_TR}))) AS c_tr,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_VI}))) AS c_vi,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_IT}))) AS c_it,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_PT}))) AS c_pt,
-         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_NL}))) AS c_nl
+{_SW_COUNT_COLS}
   FROM documents
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len,
        CAST(c_en AS DOUBLE) / n_tokens AS stopword_ratio_en,
-       CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_it,
-                          c_nl, c_pt, c_tr, c_vi) = 0 THEN
-              CASE WHEN length(substr(text, 1, 4096)) > 0
-                    AND 20 * len(regexp_extract_all(
-                          substr(text, 1, 4096), '[Ḁ-ỿ]'))
-                        >= length(substr(text, 1, 4096))
-                   THEN 'vi' ELSE 'und' END
-            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
-                 AND c_de >= c_it AND c_de >= c_nl AND c_de >= c_pt
-                 AND c_de >= c_tr AND c_de >= c_vi THEN 'de'
-            WHEN c_en >= c_es AND c_en >= c_fr
-                 AND c_en >= c_it AND c_en >= c_nl AND c_en >= c_pt
-                 AND c_en >= c_tr AND c_en >= c_vi THEN 'en'
-            WHEN c_es >= c_fr AND c_es >= c_it AND c_es >= c_nl
-                 AND c_es >= c_pt AND c_es >= c_tr AND c_es >= c_vi
-                 THEN 'es'
-            WHEN c_fr >= c_it AND c_fr >= c_nl AND c_fr >= c_pt
-                 AND c_fr >= c_tr AND c_fr >= c_vi THEN 'fr'
-            WHEN c_it >= c_nl AND c_it >= c_pt AND c_it >= c_tr
-                 AND c_it >= c_vi THEN 'it'
-            WHEN c_nl >= c_pt AND c_nl >= c_tr AND c_nl >= c_vi
-                 THEN 'nl'
-            WHEN c_pt >= c_tr AND c_pt >= c_vi THEN 'pt'
-            WHEN c_tr >= c_vi THEN 'tr'
-            ELSE 'vi' END AS lang_pred,
+       {_lang_case_sql()} AS lang_pred,
        least(n_tokens / 64.0, 1.0)
          * (CASE WHEN (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) >= 2.0
                   AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) <= 12.0

@@ -47,6 +47,19 @@ _LANG_SAMPLES = [
     (15, "sản phẩm chất lượng giá rẻ giao hàng nhanh", "vi"),
     # sparse diacritics (<5%): stays 'und' — one ạ in a long ASCII run
     (16, "ạ " + "qwrt zxcv bnml " * 8, "und"),
+    # r11b: pl/id/sv ride the one-fold vector (zero extra passes)
+    (17, "się okazało że to jest tylko test oraz może nic więcej "
+         "przez przypadek która działa żeby", "pl"),
+    (18, "przez ostatnie lata jest tylko jedna rzecz która może się "
+         "zmienić żeby było lepiej", "pl"),
+    (19, "rumah ini adalah tempat yang baik untuk keluarga dan teman "
+         "dengan banyak ruang tidak jauh", "id"),
+    (20, "itu bukan masalah yang besar untuk kami dan semua orang "
+         "dengan rencana ini", "id"),
+    (21, "det är inte så svårt att förstå och på många sätt från "
+         "början", "sv"),
+    (22, "vi har ett hus och det är inte stort på något sätt från "
+         "utsidan att se", "sv"),
 ]
 
 
@@ -61,9 +74,9 @@ def test_marker_sets_disjoint():
     from pipelinedb_spark.operators.text import STOPWORDS
 
     langs = sorted(STOPWORDS)
-    assert langs == ["de", "en", "es", "fr", "it", "nl", "pt", "tr",
-                     "vi"]
-    promoted = ["it", "nl", "pt", "tr", "vi"]
+    assert langs == ["de", "en", "es", "fr", "id", "it", "nl", "pl",
+                     "pt", "sv", "tr", "vi"]
+    promoted = ["id", "it", "nl", "pl", "pt", "sv", "tr", "vi"]
     for a in promoted:
         for b in langs:
             if a == b:
