@@ -307,9 +307,6 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = df.withColumn("_toks", tokens(text))
     counts = (toks.withColumn("_n", F.size("_toks").cast("long"))
               .withColumn("_swv", stopword_count_vec(F.col("_toks"))))
-    for i, lg in enumerate(_LANGS):
-        counts = counts.withColumn(
-            f"_c_{lg}", F.element_at(F.col("_swv"), i + 1))
     head = F.substring(text, 1, LANG_ID_PREFIX)
     counts = counts.withColumn(
         "_any_sc", F.regexp_count(head, F.lit(_ANY_SCRIPT_RE))
@@ -323,17 +320,16 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     n = F.col("_n")
     awl = (char_count(text) - (n - 1)) / n
-    sw_ratio = F.col("_c_en") / n
-    # seed the argmax scan with the vi-diacritic fallback: it is the
-    # result exactly when every stopword count is zero, so only
-    # previously-'und' rows can change (lang_id's documented rule)
-    best_lang = _vi_diacritic_fallback(head)
-    best_cnt = F.lit(0).cast("long")
-    for lg in _LANGS:
-        c = F.col(f"_c_{lg}")
-        better = c > best_cnt
-        best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
-        best_cnt = F.when(better, c).otherwise(best_cnt)
+    sw_ratio = (F.element_at(F.col("_swv"), _LANGS.index("en") + 1)
+                / n)
+    # argmax via array ops on the materialized vector, all-zero →
+    # the vi-diacritic fallback (only previously-'und' rows can
+    # change).  NOT a per-language when-chain: at 12 languages the
+    # chain over 12 element_at columns pushed the whole-stage-codegen
+    # method past janino's 64 KB limit, silently dropping the ENTIRE
+    # stage to interpreted execution (7× at sf0.1 — round-11
+    # finding; same argmax shape as scalar lang_id).
+    best_lang = _argmax_lang(F.col("_swv"), _vi_diacritic_fallback(head))
     best_lang = _script_lang(
         {sc: F.col(f"_s_{sc}") for sc in SCRIPT_RANGES},
         F.least(char_count(text), F.lit(LANG_ID_PREFIX).cast("long")),

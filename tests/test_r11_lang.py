@@ -178,3 +178,29 @@ def test_lang_id_duckdb_replay(spark):
     assert got == want
     # and the oracle itself must agree with the labeled expectations
     assert want == {i: w for i, _, w in _LANG_SAMPLES}
+
+
+def test_analyze_documents_whole_stage_codegen_compiles(spark):
+    """Round-11 regression: at 12 languages a per-language when-chain
+    argmax pushed the generated processNext() past janino's 64 KB
+    method limit — codegen failed and the WHOLE stage silently ran
+    interpreted (7x at sf0.1).  With codegen fallback disabled, a
+    compile failure throws instead of degrading, so this executes the
+    full profile plan under that regime."""
+    import pyspark.sql.functions as F
+
+    from pipelinedb_spark.operators.text import analyze_documents
+
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in _LANG_SAMPLES],
+            "doc_id long, text string")
+        out = analyze_documents(df)
+        # force full materialization of every output column (count()
+        # would let Catalyst prune the expensive expressions away)
+        assert out.agg(F.count("fp"), F.count("lang_pred"),
+                       F.count("quality")).collect()[0][0] > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
