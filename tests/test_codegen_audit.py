@@ -33,3 +33,41 @@ def test_all_bank_queries_compile_under_codegen_strict(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
     assert not failed, failed
+
+
+def test_wide_cv_engine_paths_compile_under_codegen_strict(spark, tmp_path):
+    """The engine's worker partial / combiner merge / overlay finalize
+    plans at realistic CV width (10 stream columns × 6 aggregates = 61
+    output columns) under spark.sql.codegen.fallback=false — the same
+    silent-interpreted landmine the bank audit guards, isolated to the
+    engine's generated plans (two inserts so the merge/upsert plan
+    runs, then a finalize read)."""
+    from pipelinedb_spark import PipelineContext
+
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    ctx = PipelineContext(spark, root=str(tmp_path / "pdb"),
+                          num_buckets=8)
+    try:
+        ctx.create_stream(
+            "wcg", "k string, " + ", ".join(f"v{i} double"
+                                            for i in range(10)))
+        aggs = []
+        for i in range(10):
+            aggs += [f"count(v{i}) AS c{i}", f"sum(v{i}) AS s{i}",
+                     f"avg(v{i}) AS a{i}", f"min(v{i}) AS mn{i}",
+                     f"max(v{i}) AS mx{i}", f"stddev(v{i}) AS sd{i}"]
+        ctx.create_view("cv_wcg", "SELECT k, " + ", ".join(aggs) +
+                        " FROM wcg GROUP BY k")
+        rows = [{"k": f"g{j % 20}",
+                 **{f"v{i}": float(i * j % 97) for i in range(10)}}
+                for j in range(400)]
+        ctx.insert("wcg", rows)
+        ctx.insert("wcg", rows)  # merge/upsert plan
+        out = ctx.read_view("cv_wcg")
+        assert len(out.columns) == 61
+        got = {r["k"]: r["c0"] for r in out.collect()}
+        assert got == {f"g{j}": 40 for j in range(20)}
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+        ctx.close()
