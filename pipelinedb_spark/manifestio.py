@@ -41,6 +41,7 @@ import json
 import os
 import re
 import tempfile
+import time
 
 CONDPUT_DIR = "_manifests"
 _SEQ_RE = re.compile(r"^m(\d{20})\.json$")
@@ -137,6 +138,15 @@ class S3ObjectClient:
     prefix.  boto3 is imported lazily and only when no ``client`` is
     injected, so the dependency stays optional."""
 
+    #: transient server-side statuses retried with linear backoff —
+    #: 503 SlowDown (S3 throttling) and 500 InternalError are
+    #: documented retry-safe for every primitive used here (the
+    #: conditional PUT stays safe: a retry after an ambiguous success
+    #: gets 412 from our OWN object, which the caller resolves by
+    #: re-reading the head — same as any lost CAS)
+    RETRY_STATUSES = (500, 503)
+    RETRIES = 4
+
     def __init__(self, bucket: str, prefix: str, *, client=None,
                  endpoint_url: str | None = None,
                  region_name: str | None = None):
@@ -159,6 +169,21 @@ class S3ObjectClient:
             client = boto3.client("s3", **kw)
         self.client = client
 
+    def _call(self, fn, **kw):
+        """Issue one S3 API call, retrying transient server statuses
+        with linear backoff.  Non-retryable errors (412/404/409 and
+        anything without a recognizable status) propagate on first
+        sight so the semantic mapping in each primitive stays exact."""
+        for attempt in range(self.RETRIES + 1):
+            try:
+                return fn(**kw)
+            except Exception as exc:
+                _, status = _aws_error(exc)
+                if status not in self.RETRY_STATUSES \
+                        or attempt == self.RETRIES:
+                    raise
+                time.sleep(0.1 * (attempt + 1))
+
     @classmethod
     def from_url(cls, url: str, **kw) -> "S3ObjectClient":
         """``s3://bucket/key/prefix`` → client."""
@@ -174,7 +199,7 @@ class S3ObjectClient:
             kw = {"Bucket": self.bucket, "Prefix": self.prefix}
             if token:
                 kw["ContinuationToken"] = token
-            resp = self.client.list_objects_v2(**kw)
+            resp = self._call(self.client.list_objects_v2, **kw)
             for obj in resp.get("Contents", []):
                 rel = obj["Key"][len(self.prefix):]
                 if rel and "/" not in rel:  # direct children only
@@ -185,8 +210,9 @@ class S3ObjectClient:
 
     def get(self, name: str) -> str:
         try:
-            resp = self.client.get_object(Bucket=self.bucket,
-                                          Key=self.prefix + name)
+            resp = self._call(self.client.get_object,
+                              Bucket=self.bucket,
+                              Key=self.prefix + name)
         except Exception as exc:
             code, status = _aws_error(exc)
             if code in ("NoSuchKey", "404") or status == 404:
@@ -197,10 +223,11 @@ class S3ObjectClient:
 
     def put_if_absent(self, name: str, data: str) -> None:
         try:
-            self.client.put_object(Bucket=self.bucket,
-                                   Key=self.prefix + name,
-                                   Body=data.encode(),
-                                   IfNoneMatch="*")
+            self._call(self.client.put_object,
+                       Bucket=self.bucket,
+                       Key=self.prefix + name,
+                       Body=data.encode(),
+                       IfNoneMatch="*")
         except Exception as exc:
             code, status = _aws_error(exc)
             if (code in ("PreconditionFailed",
@@ -211,8 +238,9 @@ class S3ObjectClient:
 
     def delete(self, name: str) -> None:
         try:
-            self.client.delete_object(Bucket=self.bucket,
-                                      Key=self.prefix + name)
+            self._call(self.client.delete_object,
+                       Bucket=self.bucket,
+                       Key=self.prefix + name)
         except Exception:
             pass  # gc is advisory, same as the local client
 

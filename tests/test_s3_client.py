@@ -127,15 +127,75 @@ def test_get_missing_maps_to_filenotfound(svc):
         _client(svc).get("nope.json")
 
 
-def test_unexpected_errors_propagate(svc):
+def test_unexpected_errors_propagate_without_retry(svc):
     c = _client(svc)
+    calls = []
 
-    def put_500(**kw):
-        raise _AwsError("InternalError", 500)
+    def put_403(**kw):
+        calls.append(1)
+        raise _AwsError("AccessDenied", 403)
 
-    svc.put_object = put_500
+    svc.put_object = put_403
     with pytest.raises(_AwsError):
         c.put_if_absent("m1.json", "a")
+    assert len(calls) == 1  # non-transient → no retry
+
+
+def test_transient_503_retried_to_success(svc, monkeypatch):
+    """SlowDown throttling heals within the retry budget: the caller
+    never sees the 503 and the object lands exactly once."""
+    naps = []
+    monkeypatch.setattr(mio.time, "sleep", naps.append)
+    c = _client(svc)
+    real_put, fails = svc.put_object, [0]
+
+    def flaky_put(**kw):
+        if fails[0] < 2:
+            fails[0] += 1
+            raise _AwsError("SlowDown", 503)
+        return real_put(**kw)
+
+    svc.put_object = flaky_put
+    c.put_if_absent("m1.json", "a")
+    assert c.get("m1.json") == "a"
+    assert naps == [0.1, 0.2]  # linear backoff, one nap per failure
+
+
+def test_persistent_500_raises_after_budget(svc, monkeypatch):
+    monkeypatch.setattr(mio.time, "sleep", lambda _s: None)
+    c = _client(svc)
+    calls = []
+
+    def get_500(**kw):
+        calls.append(1)
+        raise _AwsError("InternalError", 500)
+
+    svc.get_object = get_500
+    with pytest.raises(_AwsError):
+        c.get("m1.json")
+    assert len(calls) == S3ObjectClient.RETRIES + 1
+
+
+def test_412_after_ambiguous_retry_still_maps(svc, monkeypatch):
+    """The documented CAS-safety story: a 503 whose PUT actually
+    landed server-side makes the retry see 412 from our OWN object —
+    the adapter must still surface FileExistsError (the caller then
+    re-reads the head, same as any lost CAS)."""
+    monkeypatch.setattr(mio.time, "sleep", lambda _s: None)
+    c = _client(svc)
+    real_put, first = svc.put_object, [True]
+
+    def ambiguous_put(**kw):
+        if first[0]:
+            first[0] = False
+            real_put(**kw)  # write lands...
+            raise _AwsError("SlowDown", 503)  # ...but reply is lost
+        return real_put(**kw)
+
+    svc.put_object = ambiguous_put
+    with pytest.raises(FileExistsError):
+        c.put_if_absent("m1.json", "a")
+    assert c.get("m1.json") == "a"  # the data is there regardless
 
 
 def test_list_strips_prefix_direct_children_only_paginated(svc):
