@@ -433,7 +433,8 @@ class IndexStore:
         return state["fpath"]
 
     def _swap_manifest(self, fold_dirs, meta, meta_fn, txn,
-                       max_retries: int, applied=None) -> None:
+                       max_retries: int, applied=None,
+                       pins_fn=None) -> None:
         """THE manifest read-modify-write loop, shared by
         :meth:`commit` and :meth:`tag` (review r9: the two had
         diverging near-copies): lock → read current → derive
@@ -487,6 +488,15 @@ class IndexStore:
                                     [:MAX_TXN_SOURCES])
                 if txns:
                     out["txns"] = txns
+                # pins ride every swap untouched (a commit that
+                # dropped them would expose pinned dirs to gc);
+                # pin()/unpin() mutate them via pins_fn inside this
+                # same critical section.
+                pins = dict(m.get("pins", {}))
+                if pins_fn is not None:
+                    pins = pins_fn(pins, m)
+                if pins:
+                    out["pins"] = pins
                 # breaker-window backstop (review r9): never write on
                 # a stolen lock — re-acquire and re-derive instead.
                 # Lockless committers (the object-storage story stubs
@@ -565,6 +575,66 @@ class IndexStore:
         self._swap_manifest(lambda m, version: list(m["dirs"]),
                             meta, meta_fn, txn, max_retries)
 
+    # -- pins (named snapshot refs) ----------------------------------------
+    def pin(self, name: str, max_retries: int = 5) -> dict:
+        """Pin the CURRENT live dir set under ``name`` — a named
+        snapshot ref (the Iceberg-tag shape): gc never reclaims a
+        pinned dir, later appends / replace-commits / retrains leave
+        the pinned set untouched, and :meth:`read_pinned` reads the
+        exact rows a consumer (a training run) saw at pin time, bit
+        for bit, regardless of what the index has become since.
+
+        The dir list is captured INSIDE the commit critical section,
+        so the pin is an atomic point in the manifest ancestry — it
+        can never name a half-committed set.  The record carries the
+        manifest version and meta at that point for provenance.
+        Pins are immutable: a live ``name`` raises FileExistsError
+        (unpin first — a silent overwrite could strand the dirs of
+        a still-running consumer).  Returns the pin record."""
+        state: dict = {}
+
+        def pins_fn(pins: dict, m: dict) -> dict:
+            if name in pins:
+                raise FileExistsError(
+                    f"pin {name!r} already exists under {self.root}")
+            pins[name] = {"dirs": list(m["dirs"]),
+                          "version": m["version"],
+                          "meta": m.get("meta", {})}
+            state["rec"] = pins[name]
+            return pins
+
+        self._swap_manifest(lambda m, version: list(m["dirs"]),
+                            None, None, None, max_retries,
+                            pins_fn=pins_fn)
+        return state["rec"]
+
+    def unpin(self, name: str, max_retries: int = 5) -> None:
+        """Drop a pin; its dirs become reclaimable on the next gc
+        pass (grace-stamped like any dereference) unless still live
+        or held by another pin.  Missing names raise KeyError."""
+        def pins_fn(pins: dict, m: dict) -> dict:
+            if name not in pins:
+                raise KeyError(
+                    f"no pin {name!r} under {self.root}")
+            del pins[name]
+            return pins
+
+        self._swap_manifest(lambda m, version: list(m["dirs"]),
+                            None, None, None, max_retries,
+                            pins_fn=pins_fn)
+
+    def pins(self) -> dict:
+        """Live pin records: ``{name: {dirs, version, meta}}``."""
+        return dict(self.read_manifest().get("pins", {}))
+
+    def read_pinned(self, spark, name: str) -> DataFrame:
+        """Union over a pin's dirs — the snapshot read side."""
+        rec = self.read_manifest().get("pins", {}).get(name)
+        if rec is None:
+            raise KeyError(f"no pin {name!r} under {self.root}")
+        return self.read_from(spark, [os.path.join(self.root, d)
+                                      for d in rec["dirs"]])
+
     # -- read side -------------------------------------------------------
     def dirs(self) -> list[str]:
         return [os.path.join(self.root, d)
@@ -623,6 +693,8 @@ class IndexStore:
         explicit maintenance sweep that knows no writer is active."""
         m = self.read_manifest()
         live = set(m["dirs"])
+        for rec in m.get("pins", {}).values():
+            live.update(rec["dirs"])  # pinned snapshots never reclaimed
         now = time.time()
         for entry in os.listdir(self.root):
             path = os.path.join(self.root, entry)
