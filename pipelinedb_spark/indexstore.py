@@ -28,7 +28,11 @@ Manifest::
                                     dirs[0] is the BASE (the last
                                     replace-commit) and owns the
                                     artifacts
-     "meta":    {...}}              operator params + drift counters
+     "meta":    {...},              operator params + drift counters
+     "pins":    {name: {...}}}      optional named snapshot refs
+                                    (dirs + version + meta at pin
+                                    time); pinned dirs are exempt
+                                    from GC until unpinned
 
 Commit protocol: the caller writes parquet (and artifacts) into
 ``stage()``, then calls ``commit(staged, replace=..., meta=...)``
@@ -76,7 +80,8 @@ from .manifestio import (CommitConflict, RenameManifestIO,
                          resolve_manifest_io)
 
 __all__ = ["IndexStore", "CommitConflict", "CommitOutcomeUnknown",
-           "open_index", "read_index", "MANIFEST"]
+           "open_index", "read_index", "pin_index",
+           "read_pinned_index", "MANIFEST"]
 
 
 class CommitOutcomeUnknown(RuntimeError):
@@ -736,3 +741,17 @@ def open_index(root: str, gc_grace_seconds: float = 60.0) -> IndexStore:
 def read_index(spark, root: str) -> DataFrame:
     """Read an index's live rows (all committed dirs unioned)."""
     return open_index(root).read(spark)
+
+
+def pin_index(root: str, name: str) -> dict:
+    """Pin an index's current snapshot under ``name`` (see
+    :meth:`IndexStore.pin`) — one call for training-run provenance:
+    ``pin_index(lsh_path, f"run-{run_id}")`` before the run starts,
+    ``read_pinned_index`` to reproduce its exact inputs later."""
+    return open_index(root).pin(name)
+
+
+def read_pinned_index(spark, root: str, name: str) -> DataFrame:
+    """Read the exact rows a pin captured, regardless of what the
+    index has become since."""
+    return open_index(root).read_pinned(spark, name)

@@ -128,3 +128,15 @@ def test_pin_through_object_store_adapter(tmp_path, spark,
     s.gc()
     assert _vals(s.read_pinned(spark, "run")) == [5, 6]
     assert _vals(s.read(spark)) == [7]
+
+
+def test_module_level_pin_helpers(tmp_path, spark):
+    from pipelinedb_spark.indexstore import (pin_index,
+                                             read_pinned_index)
+    s = _store(tmp_path)
+    _add(s, spark, [1, 2])
+    rec = pin_index(s.root, "run")
+    assert rec["dirs"] == s.pins()["run"]["dirs"]
+    _add(s, spark, [3], replace=True)
+    s.gc()
+    assert _vals(read_pinned_index(spark, s.root, "run")) == [1, 2]
