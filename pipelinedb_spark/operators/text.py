@@ -51,6 +51,27 @@ STOPWORDS = {
     "id": ["yang", "dan", "untuk", "dengan", "tidak", "ini", "itu",
            "adalah"],
     "sv": ["och", "att", "det", "inte", "för", "på", "är", "från"],
+    # r11c: the remaining crawl-major Latin-script languages, same
+    # collision rule (no marker is a frequent word of ANY other
+    # covered language): da omits 'på'/'er'/'det' (Swedish marker /
+    # German-Dutch 'er' / Swedish marker), fi omits 'kun' (frequent
+    # Danish 'kun'), cs's 'že' is a distinct codepoint from Polish
+    # 'że' (U+017E vs U+017C), hu's 'és' is distinct from Spanish
+    # 'es', and hu 'mint' is only a rare English noun.  Two
+    # documented blends, inherent to marker-based ID: Norwegian
+    # bokmål shares most Danish function words → no pages ID 'da'
+    # (the nearest covered language), and Slovak shares several
+    # Czech markers → sk pages lean 'cs'.
+    "cs": ["že", "jsem", "není", "být", "však", "již", "pouze",
+           "této"],
+    "da": ["og", "ikke", "jeg", "også", "hvad", "være", "hvor",
+           "nogle"],
+    "fi": ["että", "mutta", "hän", "myös", "kuin", "niin", "jos",
+           "sekä"],
+    "hu": ["hogy", "és", "egy", "csak", "már", "még", "vagy",
+           "mint"],
+    "ro": ["și", "să", "pentru", "această", "sunt", "după", "până",
+           "fără"],
 }
 
 # Fixed argmax scan order (language-code order) — ties break toward

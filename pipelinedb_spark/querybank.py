@@ -695,14 +695,21 @@ _SW_NL = "'het','een','niet','zijn','voor','maar','ook','deze'"
 _SW_PL = "'się','jest','oraz','przez','tylko','może','która','żeby'"
 _SW_ID = "'yang','dan','untuk','dengan','tidak','ini','itu','adalah'"
 _SW_SV = "'och','att','det','inte','för','på','är','från'"
+_SW_CS = "'že','jsem','není','být','však','již','pouze','této'"
+_SW_DA = "'og','ikke','jeg','også','hvad','være','hvor','nogle'"
+_SW_FI = "'että','mutta','hän','myös','kuin','niin','jos','sekä'"
+_SW_HU = "'hogy','és','egy','csak','már','még','vagy','mint'"
+_SW_RO = "'și','să','pentru','această','sunt','după','până','fără'"
 
 # lang-ID oracle pieces are GENERATED from this dict so a language
 # addition cannot desync the count columns from the argmax cascade
 # (the word lists stay spelled out above — the oracle remains an
 # independent restatement, not an import of the engine's constant)
-_SW = {"de": _SW_DE, "en": _SW_EN, "es": _SW_ES, "fr": _SW_FR,
+_SW = {"cs": _SW_CS, "da": _SW_DA, "de": _SW_DE, "en": _SW_EN,
+       "es": _SW_ES, "fi": _SW_FI, "fr": _SW_FR, "hu": _SW_HU,
        "id": _SW_ID, "it": _SW_IT, "nl": _SW_NL, "pl": _SW_PL,
-       "pt": _SW_PT, "sv": _SW_SV, "tr": _SW_TR, "vi": _SW_VI}
+       "pt": _SW_PT, "ro": _SW_RO, "sv": _SW_SV, "tr": _SW_TR,
+       "vi": _SW_VI}
 
 _SW_COUNT_COLS = ",\n".join(
     f"         len(list_filter(string_split(text, ' '), "

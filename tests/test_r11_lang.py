@@ -60,6 +60,33 @@ _LANG_SAMPLES = [
          "början", "sv"),
     (22, "vi har ett hus och det är inte stort på något sätt från "
          "utsidan att se", "sv"),
+    # r11c: cs/da/fi/hu/ro ride the same one-fold vector
+    (23, "jeg ved ikke hvad du mener og hvor det skal være men "
+         "nogle gange er også godt", "da"),
+    (24, "og hvor kan jeg finde nogle gode steder som ikke er dyre "
+         "og også billige", "da"),
+    (25, "en tiedä mutta hän sanoi että se on myös niin hyvä kuin "
+         "luulin ja jos sataa", "fi"),
+    (26, "että tämä toimii niin hyvin kuin myös sekä se mutta ei "
+         "ole jos kaikki menee", "fi"),
+    (27, "jsem si jist že to není jen test ale být však již pouze "
+         "začátek této cesty", "cs"),
+    (28, "že to však není pouze o tom jsem již věděl a být této "
+         "věci blíž", "cs"),
+    (29, "și nu este clar pentru mine dar sunt sigur că după aceea "
+         "până mâine fără să știm această", "ro"),
+    (30, "sunt multe lucruri pentru care să luptăm și fără această "
+         "teamă până mâine după program", "ro"),
+    (31, "azt hiszem hogy ez csak egy teszt és már nem kell még "
+         "vagy mint korábban", "hu"),
+    (32, "és hogy miért csak most jött el még egy lehetőség vagy "
+         "már mint mindig", "hu"),
+    # documented tie semantics: c_da == c_sv == 1 → first max in
+    # language-code order → 'da'
+    (33, "det og", "da"),
+    # documented blend: Norwegian bokmål shares the Danish function
+    # words — no pages ID as the nearest covered language, 'da'
+    (34, "jeg vet ikke hvor de er og om det går også bra", "da"),
 ]
 
 
@@ -74,9 +101,11 @@ def test_marker_sets_disjoint():
     from pipelinedb_spark.operators.text import STOPWORDS
 
     langs = sorted(STOPWORDS)
-    assert langs == ["de", "en", "es", "fr", "id", "it", "nl", "pl",
-                     "pt", "sv", "tr", "vi"]
-    promoted = ["id", "it", "nl", "pl", "pt", "sv", "tr", "vi"]
+    assert langs == ["cs", "da", "de", "en", "es", "fi", "fr", "hu",
+                     "id", "it", "nl", "pl", "pt", "ro", "sv", "tr",
+                     "vi"]
+    promoted = ["cs", "da", "fi", "hu", "id", "it", "nl", "pl",
+                "pt", "ro", "sv", "tr", "vi"]
     for a in promoted:
         for b in langs:
             if a == b:
