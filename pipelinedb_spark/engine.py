@@ -693,6 +693,35 @@ class ContView:
             return empty
         return self.finalize(states)
 
+    def read_pinned(self, pin_name: str) -> DataFrame:
+        """Finalized rows of a named matrel pin (MatrelStore.pin): the
+        view exactly as it stood at pin time, reproducible forever.
+        SW views evaluate their window cutoff at the pin's recorded
+        ``at`` instant — the same rows on every later read, even after
+        the live window has slid past them and the reaper dropped
+        their step buckets (pinned dirs are GC-exempt)."""
+        rec = self.matrel.pins().get(pin_name)
+        if rec is None:
+            raise KeyError(
+                f"no pin {pin_name!r} on view {self.matrel.name}")
+        if self.plan.sw_column is not None:
+            cutoff = float(rec["at"]) - float(self.plan.sw_seconds)
+            tol = float(self.plan.sw_step_seconds)
+            buckets = None
+            if self._time_bucketed:
+                buckets = [int(b) for b in rec["buckets"]
+                           if int(b) * tol >= cutoff - tol]
+            states = self.matrel.read_pinned(pin_name, buckets)
+            if states is not None:
+                states = states.filter(
+                    ts_epoch(F.col(STEP_COL)) >= F.lit(cutoff) - tol)
+        else:
+            states = self.matrel.read_pinned(pin_name)
+        if states is None:
+            return self.ctx.spark.createDataFrame(
+                [], self._overlay_schema())
+        return self.finalize(states)
+
     def _overlay_schema(self) -> T.StructType:
         empty = self.ctx.empty_stream_df(self.plan.stream)
         pre = self.ctx._worker_input(self.plan, self.plan.stream, empty)
@@ -2021,6 +2050,39 @@ class PipelineContext:
             self._flush_prepared(cv.plan.stream)
         self._flush_cv(name)
         return self.views[name].read(at=at)
+
+    def pin_view(self, name: str, pin_name: str) -> dict:
+        """Pin view ``name``'s current state under ``pin_name`` — a
+        named, GC-exempt snapshot of the matrel's bucket map, taken
+        under the view's commit lock (so it can never interleave with
+        a combiner merge).  ``read_view_pinned`` replays the view
+        exactly as it stood, across later merges, compactions, SW
+        expiry, and truncates — reproducible inputs for a training
+        run over continuously-maintained aggregates.  Returns the pin
+        record ({buckets, version, at})."""
+        cv = self.views[name]
+        if self._prepared:
+            self._flush_prepared(cv.plan.stream)
+        self._flush_cv(name)
+        with cv.commit_lock:
+            return cv.matrel.pin(pin_name)
+
+    def unpin_view(self, name: str, pin_name: str) -> None:
+        """Drop a view pin; its version dirs become reclaimable on
+        the matrel's next GC sweep unless still live or held by
+        another pin."""
+        cv = self.views[name]
+        with cv.commit_lock:
+            cv.matrel.unpin(pin_name)
+
+    def view_pins(self, name: str) -> dict:
+        """Live pin records of a view: {pin_name: {buckets, version,
+        at}}."""
+        return self.views[name].matrel.pins()
+
+    def read_view_pinned(self, name: str, pin_name: str) -> DataFrame:
+        """Finalized rows of a view pin (see :meth:`pin_view`)."""
+        return self.views[name].read_pinned(pin_name)
 
     def read_matrel(self, name: str) -> DataFrame:
         self._flush_cv(name)

@@ -174,6 +174,9 @@ class MatrelStore:
         if buckets is not None:
             entries = {str(b): p for b in buckets
                        if (p := entries.get(str(b))) is not None}
+        return self._read_entries(entries)
+
+    def _read_entries(self, entries: dict[str, str]) -> DataFrame | None:
         paths = sorted(set(entries.values()))
         if not paths:
             return None
@@ -194,6 +197,68 @@ class MatrelStore:
                     F.input_file_name(), r"/(v\d+)/[^/]*$", 1))
                 .join(F.broadcast(valid), ["__v", BUCKET_COL], "left_semi")
                 .drop("__v"))
+
+    # -- pins (named snapshot refs) ------------------------------------------
+    # The indexstore pin discipline (indexstore.py IndexStore.pin)
+    # applied to the matrel: a pin captures the manifest's ENTIRE
+    # bucket→version map in one record, so it names a consistent
+    # snapshot (every commit swaps that map atomically).  GC treats
+    # pin-referenced version dirs as live, every commit carries pins
+    # through untouched, and reads against the pinned map replay the
+    # exact rows — across later merges, compactions, truncates, and
+    # SW bucket expiry.  Callers serialize pin writes with commits
+    # (the engine holds the view's commit_lock), matching the store's
+    # single-writer contract.
+    def pin(self, name: str, at: float | None = None) -> dict:
+        """Record the current bucket map under ``name``.  ``at``
+        (default now) is the snapshot's logical read time — SW reads
+        of the pin evaluate their window cutoff at this instant, so a
+        pinned sliding window returns the same rows forever.  Bucket
+        paths are stored relative to the store dir (rename-safe).
+        A live ``name`` raises FileExistsError (pins are immutable;
+        unpin first)."""
+        m = self._read_manifest()
+        pins = m.setdefault("pins", {})
+        if name in pins:
+            raise FileExistsError(
+                f"pin {name!r} already exists on matrel {self.name}")
+        pins[name] = {"buckets": {b: os.path.relpath(p, self.dir)
+                                  for b, p in m["buckets"].items()},
+                      "version": m["version"],
+                      "at": time.time() if at is None else float(at)}
+        self._write_manifest(m)
+        return dict(pins[name])
+
+    def unpin(self, name: str) -> None:
+        """Drop a pin; its dirs become GC-reclaimable (grace-stamped
+        like any dereference) unless still live or held by another
+        pin.  Missing names raise KeyError."""
+        m = self._read_manifest()
+        if name not in m.get("pins", {}):
+            raise KeyError(f"no pin {name!r} on matrel {self.name}")
+        del m["pins"][name]
+        if not m["pins"]:
+            del m["pins"]
+        self._write_manifest(m)
+
+    def pins(self) -> dict:
+        return dict(self._read_manifest().get("pins", {}))
+
+    def read_pinned(self, name: str,
+                    buckets: list[int] | None = None) -> DataFrame | None:
+        """Read a pin's rows (optionally restricted to ``buckets`` —
+        the SW manifest-level step pruning, evaluated by the caller
+        at the pin's ``at`` time).  Same validity rule as :meth:`read`
+        with the pin's map as the manifest."""
+        rec = self._read_manifest().get("pins", {}).get(name)
+        if rec is None:
+            raise KeyError(f"no pin {name!r} on matrel {self.name}")
+        entries = {b: os.path.join(self.dir, p)
+                   for b, p in rec["buckets"].items()}
+        if buckets is not None:
+            entries = {str(b): p for b in buckets
+                       if (p := entries.get(str(b))) is not None}
+        return self._read_entries(entries)
 
     # -- merge -------------------------------------------------------------
     def bucket_expr(self, group_cols: list[str]):
@@ -328,6 +393,8 @@ class MatrelStore:
         fresh = {"version": m["version"] + 1, "buckets": {}}
         if m.get("layout") is not None:
             fresh["layout"] = m["layout"]
+        if m.get("pins"):
+            fresh["pins"] = m["pins"]  # snapshots outlive a truncate
         self._write_manifest(fresh)
 
     def _commit(self, df: DataFrame, affected: list[int] | None,
@@ -381,6 +448,9 @@ class MatrelStore:
         out = {"version": version, "buckets": new_buckets, "dirs": dirs}
         if m.get("layout") is not None:
             out["layout"] = m["layout"]
+        if m.get("pins"):
+            out["pins"] = m["pins"]  # dropping them would expose
+            # pinned dirs to GC
         txns = dict(m.get("txns", {}))
         if txn is not None:
             # (app_id, version) tags ride the SAME atomic manifest
@@ -431,6 +501,10 @@ class MatrelStore:
         for p in m["buckets"].values():
             d = os.path.relpath(p, self.dir).split(os.sep)[0]
             live_of[d] = live_of.get(d, 0) + 1
+        pinned = set()
+        for rec in m.get("pins", {}).values():
+            pinned.update(p.split(os.sep)[0]
+                          for p in rec["buckets"].values())
         dirs = m.get("dirs", {})
         live = stale = 0
         for entry in os.listdir(self.dir):
@@ -442,6 +516,11 @@ class MatrelStore:
                 _du(os.path.join(self.dir, entry))
             written = max(1, info["written"]) if info else None
             n_live = live_of.get(entry, 0)
+            if n_live == 0 and entry in pinned:
+                # retention-held by a pin: not dead bytes — counting
+                # it stale would make maybe_compact() fire every
+                # grace window without ever reclaiming anything
+                continue
             if written is None:  # pre-accounting dir: split by liveness
                 frac = 1.0 if n_live else 0.0
             else:
@@ -480,8 +559,12 @@ class MatrelStore:
         a ``.unref_ts`` marker inside it (dot-prefixed: Spark file
         listings skip it) and leaves the files; a later pass deletes
         the dir once the stamp is older than the grace."""
+        m = self._read_manifest()
         live_dirs = {os.path.relpath(p, self.dir).split(os.sep)[0]
-                     for p in self._read_manifest()["buckets"].values()}
+                     for p in m["buckets"].values()}
+        for rec in m.get("pins", {}).values():
+            live_dirs.update(p.split(os.sep)[0]  # stored relative
+                             for p in rec["buckets"].values())
         now = time.time()
         for entry in os.listdir(self.dir):
             if not entry.startswith("v"):
@@ -542,6 +625,8 @@ class MatrelStore:
         m = self._read_manifest()
         m["buckets"] = {b: os.path.join(new_dir, os.path.relpath(p, old_dir))
                         for b, p in m["buckets"].items()}
+        # pin bucket paths are stored RELATIVE, so they survive the
+        # move with no rewrite
         self._write_manifest(m)
 
     def drop(self) -> None:

@@ -1,0 +1,126 @@
+"""View-level snapshot pins (round-11 reach): pin_view captures a
+continuous view's exact state — the matrel bucket map, under the
+view's commit lock — and read_view_pinned replays it forever, across
+later inserts, compactions, truncates, and sliding-window expiry.
+The matrel pin is the indexstore pin discipline (test_pins.py)
+applied to the engine's materialization store.
+"""
+
+import os
+import time
+
+import pytest
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pin_survives_later_inserts_and_compaction(ctx):
+    ctx.create_stream("p1", "k string, v long")
+    ctx.create_view("cv_p1",
+                    "SELECT k, count(*) AS n, sum(v) AS s FROM p1 "
+                    "GROUP BY k")
+    ctx.insert("p1", [{"k": "a", "v": 1}, {"k": "b", "v": 10}])
+    rec = ctx.pin_view("cv_p1", "run-1")
+    assert rec["buckets"] and "at" in rec
+    snapshot = _rows(ctx.read_view("cv_p1"))
+
+    ctx.insert("p1", [{"k": "a", "v": 5}, {"k": "c", "v": 7}])
+    mat = ctx.views["cv_p1"].matrel
+    mat.gc_grace_seconds = 0.0
+    mat.compact()          # full rewrite dereferences the old dirs
+    mat.gc_sweep()
+
+    assert _rows(ctx.read_view_pinned("cv_p1", "run-1")) == snapshot
+    live = _rows(ctx.read_view("cv_p1"))
+    assert live != snapshot
+    assert ("a", 2, 6) in live and ("c", 1, 7) in live
+
+
+def test_pin_survives_truncate(ctx):
+    ctx.create_stream("p2", "k string, v long")
+    ctx.create_view("cv_p2",
+                    "SELECT k, sum(v) AS s FROM p2 GROUP BY k")
+    ctx.insert("p2", [{"k": "x", "v": 3}])
+    ctx.pin_view("cv_p2", "before")
+    ctx.truncate_view("cv_p2")
+    assert ctx.read_view("cv_p2").count() == 0
+    assert _rows(ctx.read_view_pinned("cv_p2", "before")) == [("x", 3)]
+
+
+def test_sw_pin_frozen_after_window_slides_and_reap(ctx):
+    """The SW case: the pin's recorded `at` fixes the window cutoff,
+    so the pinned read returns the same rows after the live window
+    has slid past them AND after the reaper dropped the expired step
+    buckets (pinned dirs are GC-exempt)."""
+    ctx.create_stream("p3", "k string, v long")
+    ctx.create_view(
+        "cv_p3",
+        "SELECT k, count(*) AS n FROM p3 "
+        "WHERE arrival_timestamp > clock_timestamp() - interval "
+        "'30 seconds' GROUP BY k")
+    ctx.insert("p3", [{"k": "a", "v": 1}, {"k": "a", "v": 2}])
+    ctx.pin_view("cv_p3", "tick")
+    pinned_now = _rows(ctx.read_view_pinned("cv_p3", "tick"))
+    assert pinned_now == [("a", 2)]
+
+    later = time.time() + 600
+    assert ctx.read_view("cv_p3", at=later).count() == 0  # live decays
+    mat = ctx.views["cv_p3"].matrel
+    mat.gc_grace_seconds = 0.0
+    # one matrel state row (group 'a') expires
+    assert ctx.reap_ttl("cv_p3", now=later) == 1
+    mat.gc_sweep()
+    assert ctx.read_matrel("cv_p3").count() == 0
+    # the pin still replays the original window
+    assert _rows(ctx.read_view_pinned("cv_p3", "tick")) == [("a", 2)]
+
+
+def test_unpin_releases_and_collision_raises(ctx):
+    ctx.create_stream("p4", "k string, v long")
+    ctx.create_view("cv_p4",
+                    "SELECT k, count(*) AS n FROM p4 GROUP BY k")
+    ctx.insert("p4", [{"k": "a", "v": 1}])
+    rec = ctx.pin_view("cv_p4", "dup")
+    with pytest.raises(FileExistsError):
+        ctx.pin_view("cv_p4", "dup")
+    with pytest.raises(KeyError):
+        ctx.unpin_view("cv_p4", "never")
+    with pytest.raises(KeyError):
+        ctx.read_view_pinned("cv_p4", "never")
+
+    mat = ctx.views["cv_p4"].matrel
+    pinned_dir = os.path.join(
+        mat.dir, next(iter(rec["buckets"].values())).split(os.sep)[0])
+    ctx.insert("p4", [{"k": "b", "v": 2}])
+    mat.gc_grace_seconds = 0.0
+    mat.compact()
+    mat.gc_sweep()
+    assert os.path.isdir(pinned_dir)      # held by the pin
+    ctx.unpin_view("cv_p4", "dup")
+    assert ctx.view_pins("cv_p4") == {}
+    mat.gc_sweep()
+    assert not os.path.isdir(pinned_dir)  # released
+
+
+def test_pin_reads_equal_live_at_pin_time_fuzz(ctx):
+    """Pin after every batch; each pin must equal the live read taken
+    at its pin instant, verified at the end after all batches (the
+    snapshot-isolation property, multi-pin)."""
+    ctx.create_stream("p5", "k string, v long")
+    ctx.create_view("cv_p5",
+                    "SELECT k, count(*) AS n, sum(v) AS s FROM p5 "
+                    "GROUP BY k")
+    want = {}
+    for i in range(4):
+        ctx.insert("p5", [{"k": f"k{j % 3}", "v": j + i}
+                          for j in range(6)])
+        ctx.pin_view("cv_p5", f"b{i}")
+        want[f"b{i}"] = _rows(ctx.read_view("cv_p5"))
+    mat = ctx.views["cv_p5"].matrel
+    mat.gc_grace_seconds = 0.0
+    mat.compact()
+    mat.gc_sweep()
+    for name, rows in want.items():
+        assert _rows(ctx.read_view_pinned("cv_p5", name)) == rows
