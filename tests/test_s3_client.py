@@ -324,3 +324,65 @@ def test_real_s3_commit_conflict_gc(tmp_path):
     finally:
         for name in c.list():
             c.delete(name)
+
+
+def test_concurrent_appends_with_injected_503s(tmp_path, monkeypatch):
+    """Retry × CAS composition under contention: 6 threads append
+    through the adapter while every service call randomly throws
+    SlowDown.  Every append must land exactly once (the CAS dedups
+    ambiguous retried PUTs; the retry heals the throttling) and the
+    final manifest must reference every committed dir."""
+    import random
+
+    monkeypatch.setattr(mio.time, "sleep", lambda _s: None)
+    svc = _FakeS3Service()
+    rnd = random.Random(20260816)
+
+    def flaky(fn):
+        def wrapped(**kw):
+            if rnd.random() < 0.25:
+                raise _AwsError("SlowDown", 503)
+            return fn(**kw)
+        return wrapped
+
+    for meth in ("put_object", "get_object", "list_objects_v2"):
+        setattr(svc, meth, flaky(getattr(svc, meth)))
+
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: S3ObjectClient("bkt", os.path.abspath(d), client=svc))
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=60.0,
+                   manifest_format="condput")
+    s.init_if_needed(meta={"n": 0})
+
+    def appender(tid, out):
+        st = IndexStore(root, gc_grace_seconds=60.0,
+                        manifest_format="condput")
+        for i in range(4):
+            staged = st.stage()
+            os.makedirs(staged)
+            with open(os.path.join(staged, "f.txt"), "w") as f:
+                f.write(f"{tid}-{i}")
+            out.append(st.commit(
+                staged, replace=False, max_retries=50,
+                meta_fn=lambda m: {**m, "n": m["n"] + 1}))
+
+    done: list[str] = []
+    threads = [threading.Thread(target=appender, args=(t, done))
+               for t in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert len(done) == 24
+    m = s.read_manifest()
+    assert m["meta"]["n"] == 24           # no fold lost or doubled
+    assert sorted(m["dirs"]) == sorted(os.path.basename(p)
+                                       for p in done)
+    contents = set()
+    for d in m["dirs"]:
+        with open(os.path.join(root, d, "f.txt")) as f:
+            contents.add(f.read())
+    assert len(contents) == 24            # every append exactly once
