@@ -700,27 +700,33 @@ class ContView:
         ``at`` instant — the same rows on every later read, even after
         the live window has slid past them and the reaper dropped
         their step buckets (pinned dirs are GC-exempt)."""
-        rec = self.matrel.pins().get(pin_name)
-        if rec is None:
-            raise KeyError(
-                f"no pin {pin_name!r} on view {self.matrel.name}")
-        if self.plan.sw_column is not None:
-            cutoff = float(rec["at"]) - float(self.plan.sw_seconds)
-            tol = float(self.plan.sw_step_seconds)
-            buckets = None
-            if self._time_bucketed:
-                buckets = [int(b) for b in rec["buckets"]
-                           if int(b) * tol >= cutoff - tol]
-            states = self.matrel.read_pinned(pin_name, buckets)
-            if states is not None:
-                states = states.filter(
-                    ts_epoch(F.col(STEP_COL)) >= F.lit(cutoff) - tol)
-        else:
-            states = self.matrel.read_pinned(pin_name)
+        states = self.pinned_states(pin_name)
         if states is None:
             return self.ctx.spark.createDataFrame(
                 [], self._overlay_schema())
         return self.finalize(states)
+
+    def pinned_states(self, pin_name: str) -> DataFrame | None:
+        """A pin's matrel states, SW window cutoff evaluated at the
+        pin's recorded ``at`` instant (shared by :meth:`read_pinned`
+        and the pinned ``combine_read``)."""
+        rec = self.matrel.pins().get(pin_name)
+        if rec is None:
+            raise KeyError(
+                f"no pin {pin_name!r} on view {self.matrel.name}")
+        if self.plan.sw_column is None:
+            return self.matrel.read_pinned(pin_name)
+        cutoff = float(rec["at"]) - float(self.plan.sw_seconds)
+        tol = float(self.plan.sw_step_seconds)
+        buckets = None
+        if self._time_bucketed:
+            buckets = [int(b) for b in rec["buckets"]
+                       if int(b) * tol >= cutoff - tol]
+        states = self.matrel.read_pinned(pin_name, buckets)
+        if states is None:
+            return None
+        return states.filter(
+            ts_epoch(F.col(STEP_COL)) >= F.lit(cutoff) - tol)
 
     def _overlay_schema(self) -> T.StructType:
         empty = self.ctx.empty_stream_df(self.plan.stream)
@@ -2143,14 +2149,21 @@ class PipelineContext:
         return df
 
     def combine_read(self, name: str, group_by: list[str] | None = None,
-                     at: float | None = None) -> DataFrame:
+                     at: float | None = None,
+                     pin: str | None = None) -> DataFrame:
         """Read-time re-rollup over persisted partial states — the
         ``combine(col)`` feature (reference RewriteCombineAggs
-        src/analyzer.c:4662; test user_combine.sql)."""
+        src/analyzer.c:4662; test user_combine.sql).  ``pin`` rolls
+        up a named snapshot's states instead of the live matrel (SW
+        cutoff at the pin instant), so a training run's coarser
+        summaries stay derivable from the exact state it consumed."""
         self._flush_cv(name)
         cv = self.views[name]
-        states = (cv.sw_states(at) if cv.plan.sw_column is not None
-                  else cv.matrel.read())
+        if pin is not None:
+            states = cv.pinned_states(pin)
+        else:
+            states = (cv.sw_states(at) if cv.plan.sw_column is not None
+                      else cv.matrel.read())
         if states is None:
             return cv.read(at=at).limit(0)
         group_by = group_by or []

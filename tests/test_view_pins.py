@@ -124,3 +124,25 @@ def test_pin_reads_equal_live_at_pin_time_fuzz(ctx):
     mat.gc_sweep()
     for name, rows in want.items():
         assert _rows(ctx.read_view_pinned("cv_p5", name)) == rows
+
+
+def test_combine_read_over_pin(ctx):
+    """Re-rollup under a coarser grouping from a PIN's states: the
+    run's summaries stay derivable from the exact snapshot it
+    consumed, not from whatever the live matrel has become."""
+    ctx.create_stream("p6", "k string, g string, v long")
+    ctx.create_view("cv_p6",
+                    "SELECT k, g, count(*) AS n, avg(v) AS a FROM p6 "
+                    "GROUP BY k, g")
+    ctx.insert("p6", [{"k": "a", "g": "x", "v": 2},
+                      {"k": "a", "g": "y", "v": 4},
+                      {"k": "b", "g": "x", "v": 10}])
+    ctx.pin_view("cv_p6", "run")
+    want = _rows(ctx.combine_read("cv_p6", group_by=["k"]))
+    ctx.insert("p6", [{"k": "a", "g": "x", "v": 100},
+                      {"k": "c", "g": "z", "v": 5}])
+    # live rollup moved; the pinned rollup reproduces the snapshot
+    assert _rows(ctx.combine_read("cv_p6", group_by=["k"])) != want
+    assert _rows(ctx.combine_read("cv_p6", group_by=["k"],
+                                  pin="run")) == want
+    assert want == [("a", 2, 3.0), ("b", 1, 10.0)]
