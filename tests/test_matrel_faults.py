@@ -268,3 +268,40 @@ def test_truncate_crash_keeps_rows(spark, tmp_path, monkeypatch):
     assert _state(re1) == pre
     re1.truncate()
     assert re1.read() is None
+
+
+def test_pin_crash_at_manifest_swap_is_atomic(spark, tmp_path, store,
+                                              monkeypatch):
+    """A pin is one manifest swap: a crash mid-pin leaves the
+    reopened store with NO pin and unchanged data (never a torn
+    record); the retry lands it whole, and a crash mid-UNPIN leaves
+    the pin intact and still GC-protecting its dirs."""
+    store.merge(_batch(spark, [("a", 1), ("b", 2)]), ["k"], _merge_fn)
+    pre = _state(store)
+
+    _ManifestSwapFault(monkeypatch, store)
+    with pytest.raises(OSError, match="injected"):
+        store.pin("run")
+    monkeypatch.undo()
+
+    re1 = MatrelStore(spark, str(tmp_path), "m", num_buckets=4)
+    re1.gc_grace_seconds = 0.0
+    assert re1.pins() == {}          # nothing torn
+    assert _state(re1) == pre
+    rec = re1.pin("run")             # replay lands whole
+    assert re1.pins()["run"]["buckets"] == rec["buckets"]
+
+    # crash mid-unpin: pin survives, dirs stay protected
+    re1.merge(_batch(spark, [("a", 9)]), ["k"], _merge_fn)
+    _ManifestSwapFault(monkeypatch, re1)
+    with pytest.raises(OSError, match="injected"):
+        re1.unpin("run")
+    monkeypatch.undo()
+
+    re2 = MatrelStore(spark, str(tmp_path), "m", num_buckets=4)
+    re2.gc_grace_seconds = 0.0
+    assert "run" in re2.pins()
+    assert {r["k"]: r["n"] for r in
+            re2.read_pinned("run").collect()} == pre
+    re2.unpin("run")                 # replay converges
+    assert re2.pins() == {}
