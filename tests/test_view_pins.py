@@ -146,3 +146,46 @@ def test_combine_read_over_pin(ctx):
     assert _rows(ctx.combine_read("cv_p6", group_by=["k"],
                                   pin="run")) == want
     assert want == [("a", 2, 3.0), ("b", 1, 10.0)]
+
+
+def test_pin_under_concurrent_inserts_never_torn(ctx):
+    """Atomicity under a live writer: every batch inserts exactly one
+    row per key, and a batch becomes visible in ONE manifest swap —
+    so any pin taken concurrently must show EQUAL counts across all
+    keys (a torn pin would catch some buckets at batch i and others
+    at i-1).  pin_view serializes on the view's commit lock."""
+    import threading
+
+    keys = ["k0", "k1", "k2", "k3"]
+    ctx.create_stream("p7", "k string, v long")
+    ctx.create_view("cv_p7",
+                    "SELECT k, count(*) AS n FROM p7 GROUP BY k")
+    ctx.insert("p7", [{"k": k, "v": 0} for k in keys])  # batch 1
+
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        try:
+            for i in range(12):
+                if stop.is_set():
+                    return
+                ctx.insert("p7", [{"k": k, "v": i} for k in keys])
+        except Exception as e:  # surfaced in the main thread
+            errs.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        for i in range(6):
+            ctx.pin_view("cv_p7", f"c{i}")
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+
+    for i in range(6):
+        rows = _rows(ctx.read_view_pinned("cv_p7", f"c{i}"))
+        counts = {n for _k, n in rows}
+        assert len(rows) == len(keys)
+        assert len(counts) == 1, (i, rows)  # never torn across buckets
