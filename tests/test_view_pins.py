@@ -189,3 +189,69 @@ def test_pin_under_concurrent_inserts_never_torn(ctx):
         counts = {n for _k, n in rows}
         assert len(rows) == len(keys)
         assert len(counts) == 1, (i, rows)  # never torn across buckets
+
+
+def test_pin_model_fuzz_random_op_sequences(spark, tmp_path):
+    """Model-based fuzz at the MatrelStore layer: random sequences of
+    merge / compact / truncate / pin / unpin / gc_sweep checked
+    against a pure-Python model.  Invariants per step: live read ==
+    model live state; every pin reads == the model state captured at
+    its pin step — regardless of how many rewrites happened since."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pipelinedb_spark.matrel import BUCKET_COL, MatrelStore
+
+    def merge_fn(df):
+        return df.groupBy("k", BUCKET_COL).agg(F.sum("n").alias("n"))
+
+    def read_all(store):
+        df = store.read()
+        return {} if df is None else \
+            {r["k"]: r["n"] for r in df.collect()}
+
+    rnd = random.Random(20260816)
+    for trial in range(3):
+        root = str(tmp_path / f"t{trial}")
+        store = MatrelStore(spark, root, "m", num_buckets=4)
+        store.gc_grace_seconds = 0.0
+        model_live: dict[str, int] = {}
+        model_pins: dict[str, dict] = {}
+        ops = [rnd.choice(["merge", "merge", "merge", "pin",
+                           "compact", "truncate", "unpin", "sweep"])
+               for _ in range(12)]
+        for step, op in enumerate(ops):
+            if op == "merge":
+                rows = [(f"k{rnd.randint(0, 5)}", rnd.randint(1, 9))
+                        for _ in range(rnd.randint(1, 4))]
+                delta = {}
+                for k, n in rows:
+                    delta[k] = delta.get(k, 0) + n
+                store.merge(
+                    spark.createDataFrame(rows, "k string, n long"),
+                    ["k"], merge_fn)
+                for k, n in delta.items():
+                    model_live[k] = model_live.get(k, 0) + n
+            elif op == "pin":
+                name = f"p{step}"
+                store.pin(name)
+                model_pins[name] = dict(model_live)
+            elif op == "unpin" and model_pins:
+                name = rnd.choice(sorted(model_pins))
+                store.unpin(name)
+                del model_pins[name]
+            elif op == "compact":
+                store.compact()
+            elif op == "truncate":
+                store.truncate()
+                model_live = {}
+            elif op == "sweep":
+                store.gc_sweep()
+            assert read_all(store) == model_live, (trial, step, op)
+        # final: every surviving pin replays its captured state
+        for name, want in model_pins.items():
+            df = store.read_pinned(name)
+            got = {} if df is None else \
+                {r["k"]: r["n"] for r in df.collect()}
+            assert got == want, (trial, name)
