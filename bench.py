@@ -60,20 +60,27 @@ SCALE_SUBSET = [
 ]
 
 
-def _spin_calibrate(seconds: float = 1.0) -> float:
+def _spin_calibrate(seconds: float = 0.3, reps: int = 5) -> float:
     """Single-thread spin-loop calibration (loops/sec).  Compared with
     the stored idle-box constant in BENCH_SPIN.json to flag artifacts
     measured under ambient load — the round-5 artifact showed +8.5%
     that an idle re-run fully erased, so a contended run must be
-    visible in the emitted JSON."""
-    end = time.perf_counter() + seconds
-    n = 0
-    x = 0
-    while time.perf_counter() < end:
-        for _ in range(100_000):
-            x += 1
-        n += 1
-    return n / seconds
+    visible in the emitted JSON.  Best of ``reps`` short windows:
+    one long window averages across cpufreq/turbo ramp-up, which made
+    an IDLE box read 0.70-0.78 with ±8% run-to-run wobble — peak
+    capability is the stable quantity (bw already measures best-of-3
+    for the same reason)."""
+    best = 0.0
+    for _ in range(reps):
+        end = time.perf_counter() + seconds
+        n = 0
+        x = 0
+        while time.perf_counter() < end:
+            for _ in range(100_000):
+                x += 1
+            n += 1
+        best = max(best, n / seconds)
+    return best
 
 
 def _bw_calibrate() -> float:
@@ -91,6 +98,24 @@ def _bw_calibrate() -> float:
         np.copyto(dst, src)
         best = min(best, time.perf_counter() - t0)
     return (src.nbytes * 2 / best) / 1e9  # read + write
+
+
+def _steal_pct(interval: float = 0.2) -> float:
+    """CPU steal time over a short window (%): the direct signal for
+    hypervisor-level CPU theft, which a co-tenant VM exerts WITHOUT
+    showing up in this guest's loadavg.  0 on bare metal."""
+    def snap():
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+        except (OSError, ValueError):
+            return 0, 1
+        return (vals[7] if len(vals) > 7 else 0), max(1, sum(vals))
+
+    s0, t0 = snap()
+    time.sleep(interval)
+    s1, t1 = snap()
+    return 100.0 * (s1 - s0) / max(1, t1 - t0)
 
 
 def _contention_sentinel() -> dict:
@@ -120,6 +145,7 @@ def _contention_sentinel() -> dict:
         "spin_ratio": round(spin_ratio, 3),
         "bw_ratio": round(bw_ratio, 3),
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "steal_pct": round(_steal_pct(), 2),
         # spin catches CPU theft; bandwidth catches noisy-neighbor
         # memory pressure that spin can't see
         "contended": spin_ratio < 0.9 or bw_ratio < 0.8,
@@ -146,20 +172,50 @@ def _gated_sentinel() -> dict:
                 and s["bw_ratio"] >= 0.9
                 and s["loadavg_1m"] <= load_cap)
 
-    sentinel = _contention_sentinel()
-    used = 1
-    while not quiet(sentinel) and used < attempts:
-        print(f"bench gate: box busy (spin {sentinel['spin_ratio']}, "
-              f"bw {sentinel['bw_ratio']}, load "
-              f"{sentinel['loadavg_1m']} > cap {load_cap:.1f}?) — "
-              f"sleeping {sleep_s:.0f}s (attempt {used}/{attempts})",
+    # Steady-slow-host acceptance (round-11): the stored calibration
+    # was captured on a different host generation, so a QUIET box here
+    # can read spin 0.7-0.8 forever and every artifact would stamp
+    # degraded.  Contention is distinguishable from a slower host:
+    # theft shows as loadavg, hypervisor steal time, or probe-to-probe
+    # drift, while a slower host reads STABLE ratios with all three
+    # clean.  Require 3 consecutive stable probes (spin band ≤5%, bw
+    # band ≤5%), loadavg under the cap, and steal ≤1% — then the run
+    # is trusted and `host_ratio` rides the artifact so cross-round
+    # readers normalize absolute numbers across host generations.
+    def steady(hist: list[dict]) -> bool:
+        last = hist[-3:]
+        if len(last) < 3 or last[-1]["loadavg_1m"] > load_cap:
+            return False
+
+        def band(key: str) -> float:
+            return (max(s[key] for s in last)
+                    - min(s[key] for s in last))
+
+        return (max(s["steal_pct"] for s in last) <= 1.0
+                and band("spin_ratio") <= 0.05
+                and band("bw_ratio") <= 0.05)
+
+    history = [_contention_sentinel()]
+    while (not quiet(history[-1]) and not steady(history)
+           and len(history) < attempts):
+        s = history[-1]
+        print(f"bench gate: box busy (spin {s['spin_ratio']}, "
+              f"bw {s['bw_ratio']}, load "
+              f"{s['loadavg_1m']} > cap {load_cap:.1f}?) — "
+              f"sleeping {sleep_s:.0f}s "
+              f"(attempt {len(history)}/{attempts})",
               file=sys.stderr)
         time.sleep(sleep_s)
-        sentinel = _contention_sentinel()
-        used += 1
-    sentinel["gate_attempts"] = used
+        history.append(_contention_sentinel())
+    sentinel = history[-1]
+    sentinel["gate_attempts"] = len(history)
     sentinel["load_cap"] = round(load_cap, 1)
-    sentinel["degraded"] = not quiet(sentinel)
+    if not quiet(sentinel) and steady(history):
+        sentinel["steady_slow_host"] = True
+        sentinel["host_ratio"] = round(sum(
+            s["spin_ratio"] for s in history[-3:]) / 3, 3)
+    sentinel["degraded"] = not quiet(sentinel) \
+        and not sentinel.get("steady_slow_host", False)
     return sentinel
 
 

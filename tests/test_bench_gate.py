@@ -1,0 +1,81 @@
+"""Bench sentinel gate classification (round-11): the gate must
+distinguish a STEADILY SLOWER HOST (stable calibration ratios, quiet
+loadavg, zero hypervisor steal — trust the run, stamp host_ratio)
+from real contention (ratio drift, steal, or load — stamp degraded).
+Probes and sleeps are stubbed; this tests the decision logic only.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "bench.py")
+
+
+@pytest.fixture()
+def bench(monkeypatch):
+    spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod.time, "sleep", lambda _s: None)
+    return mod
+
+
+def _gate(bench, monkeypatch, seq):
+    it = iter(seq)
+    monkeypatch.setattr(bench, "_contention_sentinel",
+                        lambda: dict(next(it)))
+    return bench._gated_sentinel()
+
+
+_SLOW = {"spin_ratio": 0.78, "bw_ratio": 0.82, "loadavg_1m": 0.3,
+         "steal_pct": 0.0, "contended": True}
+
+
+def test_steady_slow_host_trusted_early_exit(bench, monkeypatch):
+    out = _gate(bench, monkeypatch, [dict(_SLOW) for _ in range(6)])
+    assert out["steady_slow_host"] and not out["degraded"]
+    assert out["host_ratio"] == pytest.approx(0.78)
+    assert out["gate_attempts"] == 3  # stops at 3 stable probes
+
+
+def test_ratio_drift_is_contention(bench, monkeypatch):
+    seq = [dict(_SLOW, spin_ratio=r)
+           for r in (0.78, 0.9, 0.7, 0.85, 0.6, 0.75)]
+    out = _gate(bench, monkeypatch, seq)
+    assert out["degraded"] and "steady_slow_host" not in out
+
+
+def test_hypervisor_steal_is_contention(bench, monkeypatch):
+    seq = [dict(_SLOW, steal_pct=8.0) for _ in range(6)]
+    out = _gate(bench, monkeypatch, seq)
+    assert out["degraded"]
+
+
+def test_high_loadavg_is_contention(bench, monkeypatch):
+    seq = [dict(_SLOW, loadavg_1m=9.0) for _ in range(6)]
+    out = _gate(bench, monkeypatch, seq)
+    assert out["degraded"]
+
+
+def test_quiet_at_baseline_passes_first_probe(bench, monkeypatch):
+    seq = [{"spin_ratio": 1.0, "bw_ratio": 1.0, "loadavg_1m": 0.2,
+            "steal_pct": 0.0, "contended": False}]
+    out = _gate(bench, monkeypatch, seq)
+    assert not out["degraded"] and out["gate_attempts"] == 1
+
+
+def test_heals_to_quiet_mid_gate(bench, monkeypatch):
+    """A transient spike that clears: the gate keeps probing and the
+    run is trusted on the first QUIET probe, not misclassified by
+    the earlier noisy ones."""
+    noisy = dict(_SLOW, spin_ratio=0.5, loadavg_1m=7.0)
+    quiet = {"spin_ratio": 0.97, "bw_ratio": 0.95, "loadavg_1m": 0.4,
+             "steal_pct": 0.0, "contended": False}
+    out = _gate(bench, monkeypatch, [noisy, noisy, quiet])
+    assert not out["degraded"] and "steady_slow_host" not in out
+    assert out["gate_attempts"] == 3
