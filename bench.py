@@ -128,8 +128,14 @@ def _contention_sentinel() -> dict:
         with open(base_path) as f:
             base = json.load(f)
     changed = False
-    if "loops_per_sec" not in base:
-        base["loops_per_sec"] = round(spin, 1)
+    # the spin key is METHOD-VERSIONED: v2 is best-of-5 peak windows,
+    # the legacy key was one 1.0s averaged window — comparing a peak
+    # measurement against an averaged baseline would systematically
+    # inflate spin_ratio and let a genuinely contended box pass the
+    # gate.  A missing v2 baseline is captured fresh (assume idle,
+    # the same assumption as the original capture).
+    if "loops_per_sec_v2" not in base:
+        base["loops_per_sec_v2"] = round(spin, 1)
         changed = True
     if "mem_gb_per_sec" not in base:
         base["mem_gb_per_sec"] = round(bw, 2)
@@ -139,7 +145,7 @@ def _contention_sentinel() -> dict:
                         "idle machine")
         with open(base_path, "w") as f:
             json.dump(base, f)
-    spin_ratio = spin / base["loops_per_sec"]
+    spin_ratio = spin / base["loops_per_sec_v2"]
     bw_ratio = bw / base["mem_gb_per_sec"]
     return {
         "spin_ratio": round(spin_ratio, 3),
@@ -184,14 +190,22 @@ def _gated_sentinel() -> dict:
     # readers normalize absolute numbers across host generations.
     def steady(hist: list[dict]) -> bool:
         last = hist[-3:]
-        if len(last) < 3 or last[-1]["loadavg_1m"] > load_cap:
+        if len(last) < 3:
             return False
 
         def band(key: str) -> float:
             return (max(s[key] for s in last)
                     - min(s[key] for s in last))
 
-        return (max(s["steal_pct"] for s in last) <= 1.0
+        # floors: a co-tenant steadily saturating the memory
+        # controller reads STABLE ratios with zero steal and zero
+        # guest loadavg — bw collapse (or spin collapse) is
+        # contention however stable it looks.  A slower host
+        # generation sits well above these (observed 0.75/0.78).
+        return (all(s["loadavg_1m"] <= load_cap for s in last)
+                and max(s["steal_pct"] for s in last) <= 1.0
+                and min(s["spin_ratio"] for s in last) >= 0.6
+                and min(s["bw_ratio"] for s in last) >= 0.7
                 and band("spin_ratio") <= 0.05
                 and band("bw_ratio") <= 0.05)
 
@@ -214,6 +228,11 @@ def _gated_sentinel() -> dict:
         sentinel["steady_slow_host"] = True
         sentinel["host_ratio"] = round(sum(
             s["spin_ratio"] for s in history[-3:]) / 3, 3)
+        # both dimensions: bandwidth-bound queries scale with bw,
+        # compute-bound with spin — a reader normalizing absolute
+        # numbers across host generations needs both
+        sentinel["host_bw_ratio"] = round(sum(
+            s["bw_ratio"] for s in history[-3:]) / 3, 3)
     sentinel["degraded"] = not quiet(sentinel) \
         and not sentinel.get("steady_slow_host", False)
     return sentinel

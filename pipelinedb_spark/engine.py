@@ -2157,11 +2157,13 @@ class PipelineContext:
         up a named snapshot's states instead of the live matrel (SW
         cutoff at the pin instant), so a training run's coarser
         summaries stay derivable from the exact state it consumed."""
-        self._flush_cv(name)
         cv = self.views[name]
         if pin is not None:
+            # no flush: a pin is immutable — flushing would run a
+            # whole combiner merge whose output this read ignores
             states = cv.pinned_states(pin)
         else:
+            self._flush_cv(name)
             states = (cv.sw_states(at) if cv.plan.sw_column is not None
                       else cv.matrel.read())
         if states is None:

@@ -502,6 +502,14 @@ class IndexStore:
                     pins = pins_fn(pins, m)
                 if pins:
                     out["pins"] = pins
+                # carry every passenger this writer does not own —
+                # a rebuilt-from-scratch manifest that forgot one
+                # (e.g. pins) would silently drop it, and for pins
+                # that means GC reclaiming a pinned snapshot
+                for k, v in m.items():
+                    if k not in ("version", "dirs", "meta", "txns",
+                                 "pins"):
+                        out[k] = v
                 # breaker-window backstop (review r9): never write on
                 # a stolen lock — re-acquire and re-derive instead.
                 # Lockless committers (the object-storage story stubs
@@ -513,7 +521,37 @@ class IndexStore:
                 try:
                     io.write(out, seq)
                 except CommitConflict:
-                    continue  # lost CAS: re-read and re-derive
+                    # Either a rival really won the CAS, or OUR write
+                    # landed but its success reply was lost (S3 500/503
+                    # with the PUT applied server-side: the adapter's
+                    # retry sees 412 from our own object).  The two
+                    # MUST be told apart before retrying: a blind
+                    # retry after an ambiguous success would make
+                    # fold_dirs RENAME the already-live committed dir
+                    # (dangling the published dirs entry) and refold
+                    # meta/txns a second time.  Same resolution as the
+                    # stolen-lock branch: re-read the head; if it is
+                    # our write — or ``applied(cur)`` says our effect
+                    # survives in the ancestry — the commit stands.
+                    cur = None
+                    for attempt in range(5):
+                        try:
+                            cur, _ = io.read_versioned()
+                            break
+                        except OSError:
+                            time.sleep(0.01 * (attempt + 1))
+                    if cur is None:
+                        # cannot tell success from loss; a retry
+                        # could rename a live dir — stop here, dir
+                        # left in place (the commit-path contract)
+                        raise CommitOutcomeUnknown(
+                            f"manifest head unreadable after a "
+                            f"conflicted write under {self.root}; "
+                            f"commit outcome unknown")
+                    if cur == out or (applied is not None
+                                      and applied(cur)):
+                        return
+                    continue  # genuine lost CAS: re-derive
                 if (isinstance(io, RenameManifestIO)
                         and lock_token is not None
                         and not self._lock_owned(lock_token)):
@@ -610,7 +648,9 @@ class IndexStore:
 
         self._swap_manifest(lambda m, version: list(m["dirs"]),
                             None, None, None, max_retries,
-                            pins_fn=pins_fn)
+                            pins_fn=pins_fn,
+                            applied=lambda cur:
+                                name in cur.get("pins", {}))
         return state["rec"]
 
     def unpin(self, name: str, max_retries: int = 5) -> None:
@@ -626,7 +666,9 @@ class IndexStore:
 
         self._swap_manifest(lambda m, version: list(m["dirs"]),
                             None, None, None, max_retries,
-                            pins_fn=pins_fn)
+                            pins_fn=pins_fn,
+                            applied=lambda cur:
+                                name not in cur.get("pins", {}))
 
     def pins(self) -> dict:
         """Live pin records: ``{name: {dirs, version, meta}}``."""

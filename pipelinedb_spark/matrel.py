@@ -145,7 +145,21 @@ class MatrelStore:
         return m
 
     def _write_manifest(self, m: dict) -> None:
-        self._mio().write(m, getattr(self, "_last_seq", 0))
+        try:
+            self._mio().write(m, getattr(self, "_last_seq", 0))
+        except Exception as exc:
+            # Condput mode, ambiguous success (S3 500/503 whose PUT
+            # landed server-side: the adapter's retry sees 412 from
+            # our OWN object → CommitConflict).  The store is
+            # single-writer, so the only manifest that can own our
+            # seq is our own write — re-read and compare; propagating
+            # a conflict for a DURABLE commit would make the engine
+            # retry the merge and double-apply the batch.
+            if type(exc).__name__ != "CommitConflict":
+                raise
+            cur, _seq = self._mio().read_versioned()
+            if cur != m:
+                raise  # single-writer contract actually violated
 
     # -- read --------------------------------------------------------------
     def is_empty(self) -> bool:
@@ -390,11 +404,13 @@ class MatrelStore:
 
     def truncate(self) -> None:
         m = self._read_manifest()
-        fresh = {"version": m["version"] + 1, "buckets": {}}
-        if m.get("layout") is not None:
-            fresh["layout"] = m["layout"]
-        if m.get("pins"):
-            fresh["pins"] = m["pins"]  # snapshots outlive a truncate
+        # same passenger carry as _commit: pins (snapshots outlive a
+        # truncate), layout, AND txns — dropping replay tags here
+        # would let a replayed pre-truncate epoch re-apply into the
+        # emptied matrel, resurrecting deliberately-truncated rows
+        fresh = {k: v for k, v in m.items()
+                 if k not in ("version", "buckets", "dirs")}
+        fresh.update({"version": m["version"] + 1, "buckets": {}})
         self._write_manifest(fresh)
 
     def _commit(self, df: DataFrame, affected: list[int] | None,
@@ -445,12 +461,14 @@ class MatrelStore:
                 if d in ref_dirs}
         dirs[f"v{version}"] = {"bytes": _du(vdir),
                                "written": len(present)}
-        out = {"version": version, "buckets": new_buckets, "dirs": dirs}
-        if m.get("layout") is not None:
-            out["layout"] = m["layout"]
-        if m.get("pins"):
-            out["pins"] = m["pins"]  # dropping them would expose
-            # pinned dirs to GC
+        # carry every passenger this writer does not own (layout,
+        # pins, anything future) — a rebuilt-from-scratch manifest
+        # that forgot one would silently drop it, and for pins that
+        # means GC reclaiming a pinned snapshot
+        out = {k: v for k, v in m.items()
+               if k not in ("version", "buckets", "dirs", "txns")}
+        out.update({"version": version, "buckets": new_buckets,
+                    "dirs": dirs})
         txns = dict(m.get("txns", {}))
         if txn is not None:
             # (app_id, version) tags ride the SAME atomic manifest
@@ -511,16 +529,20 @@ class MatrelStore:
             if not entry.startswith("v") or \
                     not os.path.isdir(os.path.join(self.dir, entry)):
                 continue
-            info = dirs.get(entry)
-            nbytes = info["bytes"] if info else \
-                _du(os.path.join(self.dir, entry))
-            written = max(1, info["written"]) if info else None
             n_live = live_of.get(entry, 0)
             if n_live == 0 and entry in pinned:
                 # retention-held by a pin: not dead bytes — counting
                 # it stale would make maybe_compact() fire every
-                # grace window without ever reclaiming anything
+                # grace window without ever reclaiming anything.
+                # Skipped BEFORE any byte accounting: _commit prunes
+                # pinned-only dirs from the accounting map, so the
+                # info-missing fallback below would _du-walk the
+                # whole pinned snapshot on EVERY stale_stats call.
                 continue
+            info = dirs.get(entry)
+            nbytes = info["bytes"] if info else \
+                _du(os.path.join(self.dir, entry))
+            written = max(1, info["written"]) if info else None
             if written is None:  # pre-accounting dir: split by liveness
                 frac = 1.0 if n_live else 0.0
             else:

@@ -79,3 +79,23 @@ def test_heals_to_quiet_mid_gate(bench, monkeypatch):
     out = _gate(bench, monkeypatch, [noisy, noisy, quiet])
     assert not out["degraded"] and "steady_slow_host" not in out
     assert out["gate_attempts"] == 3
+
+
+def test_stable_bw_collapse_is_contention(bench, monkeypatch):
+    """A co-tenant steadily saturating the memory controller: spin
+    clean, zero steal, zero guest loadavg, bw collapsed but STABLE —
+    must still classify as contention (the bw sentinel exists
+    precisely because spin can't see this)."""
+    seq = [dict(_SLOW, spin_ratio=1.0, bw_ratio=0.55)
+           for _ in range(6)]
+    out = _gate(bench, monkeypatch, seq)
+    assert out["degraded"] and "steady_slow_host" not in out
+
+
+def test_loadavg_spike_inside_window_blocks_steady(bench, monkeypatch):
+    """Every 3-probe window contains a load spike: no window is
+    steady even though each individual non-spike probe looks calm."""
+    seq = [dict(_SLOW, loadavg_1m=(9.0 if i % 2 else 0.3))
+           for i in range(6)]
+    out = _gate(bench, monkeypatch, seq)
+    assert out["degraded"] and "steady_slow_host" not in out

@@ -386,3 +386,131 @@ def test_concurrent_appends_with_injected_503s(tmp_path, monkeypatch):
         with open(os.path.join(root, d, "f.txt")) as f:
             contents.add(f.read())
     assert len(contents) == 24            # every append exactly once
+
+
+def test_commit_survives_ambiguous_put_success(tmp_path, svc,
+                                               monkeypatch):
+    """THE ambiguous-success resolution end-to-end (round-11 review):
+    the manifest PUT lands server-side but replies 503; the adapter's
+    retry sees 412 from our OWN object → CommitConflict.  The store
+    must recognize its write in the re-read head and return success —
+    a blind retry would rename the already-live committed dir
+    (dangling the published dirs entry) and double-fold the meta."""
+    monkeypatch.setattr(mio.time, "sleep", lambda _s: None)
+    real_put = svc.put_object
+    state = {"armed": False, "fired": False}
+
+    def ambiguous_put(**kw):
+        if state["armed"] and not state["fired"] \
+                and kw["Key"].endswith("m" + "2".zfill(20) + ".json"):
+            state["fired"] = True
+            real_put(**kw)                    # the write LANDS...
+            raise _AwsError("SlowDown", 503)  # ...the reply is lost
+        return real_put(**kw)
+
+    svc.put_object = ambiguous_put
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: S3ObjectClient("bkt", os.path.abspath(d), client=svc))
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=0.0,
+                   manifest_format="condput")
+    s.init_if_needed(meta={"n": 0})
+
+    def add(content):
+        staged = s.stage()
+        os.makedirs(staged)
+        with open(os.path.join(staged, "f.txt"), "w") as f:
+            f.write(content)
+        return s.commit(staged, replace=False,
+                        meta_fn=lambda m: {**m, "n": m["n"] + 1})
+
+    state["armed"] = True
+    d1 = add("a")                      # the ambiguous commit
+    state["armed"] = False
+    assert state["fired"]
+    m = s.read_manifest()
+    assert m["meta"]["n"] == 1         # folded exactly once
+    assert m["dirs"] == [os.path.basename(d1)]
+    assert os.path.isdir(d1)           # never renamed away
+    d2 = add("b")                      # store still fully functional
+    assert s.read_manifest()["dirs"] == [os.path.basename(d1),
+                                         os.path.basename(d2)]
+
+
+def test_pin_survives_ambiguous_put_success(tmp_path, svc,
+                                            monkeypatch):
+    """Same resolution for the pins path: an ambiguous pin write must
+    not surface FileExistsError from its own landed record."""
+    monkeypatch.setattr(mio.time, "sleep", lambda _s: None)
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: S3ObjectClient("bkt", os.path.abspath(d), client=svc))
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=0.0,
+                   manifest_format="condput")
+    s.init_if_needed(meta={})
+    staged = s.stage()
+    os.makedirs(staged)
+    with open(os.path.join(staged, "f.txt"), "w") as f:
+        f.write("x")
+    s.commit(staged, replace=False)
+
+    real_put, fired = svc.put_object, [False]
+
+    def ambiguous_put(**kw):
+        if not fired[0] and kw.get("IfNoneMatch") == "*":
+            fired[0] = True
+            real_put(**kw)
+            raise _AwsError("SlowDown", 503)
+        return real_put(**kw)
+
+    svc.put_object = ambiguous_put
+    s.pin("run")                       # must NOT raise FileExistsError
+    assert fired[0]
+    assert "run" in s.pins()
+
+
+def test_matrel_condput_ambiguous_put_single_apply(tmp_path, svc,
+                                                   monkeypatch,
+                                                   spark):
+    """Matrel manifests ride the same adapter: an ambiguous manifest
+    PUT on a merge commit must resolve as success (single-writer:
+    the head can only be our own write), not propagate
+    CommitConflict — which would make the engine retry the merge and
+    double-apply the batch."""
+    from pyspark.sql import functions as F
+
+    from pipelinedb_spark.matrel import BUCKET_COL, MatrelStore
+
+    monkeypatch.setattr(mio.time, "sleep", lambda _s: None)
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: S3ObjectClient("bkt", os.path.abspath(d), client=svc))
+    store = MatrelStore(spark, str(tmp_path), "m", num_buckets=4,
+                        manifest_format="condput")
+    store.gc_grace_seconds = 0.0
+
+    def merge_fn(df):
+        return df.groupBy("k", BUCKET_COL).agg(F.sum("n").alias("n"))
+
+    def merge(rows):
+        store.merge(spark.createDataFrame(rows, "k string, n long"),
+                    ["k"], merge_fn)
+
+    merge([("a", 1)])
+    real_put, armed = svc.put_object, [True]
+
+    def ambiguous_put(**kw):
+        if armed[0] and kw.get("IfNoneMatch") == "*" \
+                and "/_manifests/" in kw["Key"]:
+            armed[0] = False
+            real_put(**kw)
+            raise _AwsError("SlowDown", 503)
+        return real_put(**kw)
+
+    svc.put_object = ambiguous_put
+    merge([("a", 10), ("b", 5)])       # the ambiguous commit
+    assert not armed[0]
+    got = {r["k"]: r["n"] for r in store.read().collect()}
+    assert got == {"a": 11, "b": 5}    # applied exactly once

@@ -255,3 +255,86 @@ def test_pin_model_fuzz_random_op_sequences(spark, tmp_path):
             got = {} if df is None else \
                 {r["k"]: r["n"] for r in df.collect()}
             assert got == want, (trial, name)
+
+
+def test_truncate_carries_replay_tags(ctx, spark):
+    """Review round-11: truncate used to rebuild the manifest without
+    txns — a replayed pre-truncate epoch would then re-apply into the
+    emptied matrel, resurrecting deliberately-truncated rows."""
+    from pyspark.sql import functions as F
+
+    ctx.create_stream("p8", "k string, v long")
+    ctx.create_view("cv_p8",
+                    "SELECT k, count(*) AS n FROM p8 GROUP BY k")
+    ctx.insert("p8", [{"k": "a", "v": 1}])
+    mat = ctx.views["cv_p8"].matrel
+
+    def merge_fn(df):
+        from pipelinedb_spark.matrel import BUCKET_COL
+        cols = [c for c in df.columns
+                if c not in ("k", BUCKET_COL)]
+        return df.groupBy("k", BUCKET_COL).agg(
+            *[F.sum(c).alias(c) for c in cols])
+
+    assert mat.txn_version("app") is None
+    mat.merge(spark.createDataFrame([("z", 1)], "k string, n long"),
+              ["k"], lambda df: df.groupBy(
+                  "k", "__bucket").agg(F.sum("n").alias("n")),
+              txn=("app", 7))
+    assert mat.txn_version("app") == 7
+    mat.truncate()
+    assert mat.txn_version("app") == 7  # replay tag survives
+
+
+def test_stale_stats_never_walks_pinned_dirs(ctx, spark,
+                                             monkeypatch):
+    """Review round-11: _commit prunes pinned-only dirs from the
+    byte-accounting map, so stale_stats' info-missing fallback would
+    _du-walk the whole pinned snapshot on EVERY call (maybe_compact
+    runs per micro-batch).  The pinned skip must come first."""
+    import pipelinedb_spark.matrel as matrel_mod
+
+    ctx.create_stream("p9", "k string, v long")
+    ctx.create_view("cv_p9",
+                    "SELECT k, count(*) AS n FROM p9 GROUP BY k")
+    ctx.insert("p9", [{"k": "a", "v": 1}])
+    rec = ctx.pin_view("cv_p9", "hold")
+    # rewrite the pinned buckets so the pinned dir leaves accounting
+    ctx.insert("p9", [{"k": "a", "v": 2}])
+    mat = ctx.views["cv_p9"].matrel
+    mat.gc_grace_seconds = 0.0
+    mat.compact()
+
+    pinned_dir = os.path.join(
+        mat.dir, next(iter(rec["buckets"].values())).split(os.sep)[0])
+    walked = []
+    orig = matrel_mod._du
+
+    def spy(path):
+        walked.append(os.path.abspath(path))
+        return orig(path)
+
+    monkeypatch.setattr(matrel_mod, "_du", spy)
+    mat.stale_stats()
+    assert os.path.abspath(pinned_dir) not in walked
+
+
+def test_combine_read_over_pin_does_not_flush(ctx):
+    """Review round-11: the pinned rollup reads an immutable record —
+    it must not trigger a combiner merge (the live manifest version
+    must not move)."""
+    ctx.create_stream("p10", "k string, g string, v long")
+    ctx.create_view("cv_p10",
+                    "SELECT k, g, count(*) AS n FROM p10 "
+                    "GROUP BY k, g")
+    ctx.insert("p10", [{"k": "a", "g": "x", "v": 1}])
+    ctx.pin_view("cv_p10", "run")
+    mat = ctx.views["cv_p10"].matrel
+    ctx.insert("p10", [{"k": "b", "g": "y", "v": 2}])  # stays pending
+    v0 = mat._read_manifest()["version"]
+    got = _rows(ctx.combine_read("cv_p10", group_by=["k"], pin="run"))
+    assert got == [("a", 1)]
+    assert mat._read_manifest()["version"] == v0  # no flush/merge ran
+    # the live path still flushes and sees the pending batch
+    live = _rows(ctx.combine_read("cv_p10", group_by=["k"]))
+    assert ("b", 1) in live
