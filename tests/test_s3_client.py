@@ -514,3 +514,65 @@ def test_matrel_condput_ambiguous_put_single_apply(tmp_path, svc,
     assert not armed[0]
     got = {r["k"]: r["n"] for r in store.read().collect()}
     assert got == {"a": 11, "b": 5}    # applied exactly once
+
+
+def test_concurrent_appends_with_ambiguous_successes(tmp_path,
+                                                     monkeypatch):
+    """The storm again, but 20% of conditional PUTs APPLY and then
+    reply 503 (the ambiguous-success shape, not just clean throttling)
+    — every committer must resolve its own landed write via the head
+    re-read + applied() probe and never double-fold or lose a dir."""
+    import random
+
+    monkeypatch.setattr(mio.time, "sleep", lambda _s: None)
+    svc = _FakeS3Service()
+    rnd = random.Random(20260817)
+    rlock = threading.Lock()
+    real_put = svc.put_object
+
+    def ambiguous_put(**kw):
+        with rlock:
+            roll = rnd.random()
+        if roll < 0.2:
+            real_put(**kw)                    # lands...
+            raise _AwsError("SlowDown", 503)  # ...reply lost
+        if roll < 0.3:
+            raise _AwsError("SlowDown", 503)  # clean throttle
+        return real_put(**kw)
+
+    svc.put_object = ambiguous_put
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: S3ObjectClient("bkt", os.path.abspath(d), client=svc))
+    root = str(tmp_path / "idx")
+    s = IndexStore(root, gc_grace_seconds=60.0,
+                   manifest_format="condput")
+    s.init_if_needed(meta={"n": 0})
+
+    def appender(tid, out):
+        st = IndexStore(root, gc_grace_seconds=60.0,
+                        manifest_format="condput")
+        for i in range(4):
+            staged = st.stage()
+            os.makedirs(staged)
+            with open(os.path.join(staged, "f.txt"), "w") as f:
+                f.write(f"{tid}-{i}")
+            out.append(st.commit(
+                staged, replace=False, max_retries=50,
+                meta_fn=lambda m: {**m, "n": m["n"] + 1}))
+
+    done: list[str] = []
+    threads = [threading.Thread(target=appender, args=(t, done))
+               for t in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert len(done) == 24
+    m = s.read_manifest()
+    assert m["meta"]["n"] == 24            # no double-fold
+    assert sorted(m["dirs"]) == sorted(os.path.basename(p)
+                                       for p in done)
+    for d in m["dirs"]:
+        assert os.path.isdir(os.path.join(root, d))  # never renamed
