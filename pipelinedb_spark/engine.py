@@ -2144,7 +2144,15 @@ class PipelineContext:
         if with_seq:
             df = df.withColumn(
                 "_seq",
-                F.regexp_extract(F.input_file_name(), r"seg_(\d+)", 1)
+                # anchored to the dir that directly CONTAINS the file:
+                # a bare seg_(\d+) takes the FIRST match anywhere in
+                # the absolute path, so a store root like
+                # /data/seg_3/pdb (or a view named seg_2_foo) would
+                # stamp every row with the same wrong _seq — the same
+                # sharp edge as matrel's __v extraction (round-11
+                # review)
+                F.regexp_extract(F.input_file_name(),
+                                 r"/seg_(\d+)/[^/]*$", 1)
                 .cast("long"))
         return df
 

@@ -132,3 +132,36 @@ def test_sw_tick_snapshot_survives_engine_restart(spark, tmp_path):
     assert last["old"]["n"] == 1 and last["new"]["n"] == 2 \
         and last["new"]["k"] == "a"
     c2.close()
+
+
+def test_with_seq_anchored_when_root_path_contains_seg_n(spark,
+                                                         tmp_path):
+    """Round-11 review: a bare seg_(\\d+) regex matched the FIRST
+    occurrence anywhere in the absolute path — a store root like
+    .../seg_3/pdb stamped every row _seq=3, silently breaking the
+    emission-order chain fold.  The extraction is now anchored to the
+    dir that directly contains the file."""
+    import time
+
+    from pipelinedb_spark import PipelineContext
+
+    root = str(tmp_path / "seg_3" / "pdb")  # adversarial root
+    c = PipelineContext(spark, root=root, num_buckets=4,
+                        track_output_streams=True)
+    try:
+        c.create_stream("tka", "k string, v long")
+        c.create_view(
+            "cv_tka",
+            "SELECT k, count(*) AS n FROM tka "
+            "WHERE arrival_timestamp > clock_timestamp() - interval "
+            "'60 seconds' GROUP BY k")
+        now = time.time()
+        for i in range(3):
+            c.insert("tka", [{"k": "a", "v": i}])
+            assert c.tick_sw("cv_tka", now=now + i) == 1
+        rows = (c.output_of("cv_tka", with_seq=True)
+                .orderBy("_seq").collect())
+        assert len({r["_seq"] for r in rows}) == 3  # not all seg_3
+        assert [r["new"]["n"] for r in rows] == [1, 2, 3]
+    finally:
+        c.close()
