@@ -118,6 +118,70 @@ def _steal_pct(interval: float = 0.2) -> float:
     return 100.0 * (s1 - s0) / max(1, t1 - t0)
 
 
+def _throttle_probe() -> dict:
+    """CPU-throttling observability (ADVICE round 11): the
+    steady-slow-host gate trusts any box with stable ratios above its
+    floors, but steady cgroup CPU-quota throttling or thermal capping
+    presents exactly that signature.  Record the raw counters a
+    reader needs to tell a slower host GENERATION (zero throttling,
+    full clocks) from a sustained-throttled box:
+
+    * cgroup cpu.stat ``nr_throttled`` / throttled time (v2 at
+      /sys/fs/cgroup/cpu.stat, v1 at /sys/fs/cgroup/cpu/cpu.stat) —
+      ADVANCING between probes means quota throttling is active now;
+    * the configured quota (v2 cpu.max / v1 cfs_quota_us) — a finite
+      quota under ncpus explains a stable sub-1.0 spin ratio;
+    * cpufreq cur/max (cpu0) — sustained thermal/power capping shows
+      as cur pinned far below max.
+
+    All fields best-effort: containers hide some or all of these, and
+    a missing counter is recorded as absent rather than zero so the
+    reader can tell "not throttled" from "not observable"."""
+    out: dict = {}
+    for path, keys in (
+            ("/sys/fs/cgroup/cpu.stat",
+             {"nr_throttled": "nr_throttled",
+              "throttled_usec": "throttled_usec"}),
+            ("/sys/fs/cgroup/cpu/cpu.stat",
+             {"nr_throttled": "nr_throttled",
+              "throttled_time": "throttled_ns"})):
+        try:
+            with open(path) as f:
+                stat = dict(line.split()[:2] for line in f
+                            if line.strip())
+        except OSError:
+            continue
+        for src, dst in keys.items():
+            if src in stat:
+                out[dst] = int(stat[src])
+        break
+    try:  # cgroup v2 quota: "max 100000" or "50000 100000"
+        with open("/sys/fs/cgroup/cpu.max") as f:
+            quota, period = f.read().split()
+        if quota != "max":
+            out["cpu_quota_cores"] = round(int(quota) / int(period), 2)
+    except (OSError, ValueError):
+        try:  # v1 quota: -1 = none
+            with open("/sys/fs/cgroup/cpu/cpu.cfs_quota_us") as f:
+                quota = int(f.read())
+            with open("/sys/fs/cgroup/cpu/cpu.cfs_period_us") as f:
+                period = int(f.read())
+            if quota > 0:
+                out["cpu_quota_cores"] = round(quota / period, 2)
+        except (OSError, ValueError):
+            pass
+    try:
+        base = "/sys/devices/system/cpu/cpu0/cpufreq"
+        with open(f"{base}/scaling_cur_freq") as f:
+            cur = int(f.read())
+        with open(f"{base}/cpuinfo_max_freq") as f:
+            mx = int(f.read())
+        out["cpufreq_cur_over_max"] = round(cur / max(1, mx), 3)
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def _contention_sentinel() -> dict:
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_SPIN.json")
@@ -165,7 +229,10 @@ def _contention_sentinel() -> dict:
         "loadavg_1m": round(loadavg, 2),
         "steal_pct": round(steal, 2),
         # spin catches CPU theft; bandwidth catches noisy-neighbor
-        # memory pressure that spin can't see
+        # memory pressure that spin can't see; the throttle counters
+        # let a reader tell slow-host-generation from sustained
+        # quota/thermal throttling (ADVICE round 11)
+        "throttle": _throttle_probe(),
         "contended": spin_ratio < 0.9 or bw_ratio < 0.8,
     }
     if changed:
@@ -219,6 +286,17 @@ def _gated_sentinel() -> dict:
         # guest loadavg — bw collapse (or spin collapse) is
         # contention however stable it looks.  A slower host
         # generation sits well above these (observed 0.75/0.78).
+        # advancing cgroup throttle counters are ACTIVE quota
+        # throttling, not a slower host generation — reject even if
+        # the ratios hold steady (ADVICE round 11).  A missing
+        # counter (container hides the cgroup files) contributes
+        # nothing either way; the raw counters ride the artifact so
+        # the reader can audit the call.
+        for key in ("nr_throttled", "throttled_usec", "throttled_ns"):
+            seen = [s["throttle"][key] for s in last
+                    if key in s.get("throttle", {})]
+            if len(seen) >= 2 and seen[-1] > seen[0]:
+                return False
         return (all(s["loadavg_1m"] <= load_cap for s in last)
                 and max(s["steal_pct"] for s in last) <= 1.0
                 and min(s["spin_ratio"] for s in last) >= 0.6
@@ -252,6 +330,28 @@ def _gated_sentinel() -> dict:
             s["bw_ratio"] for s in history[-3:]) / 3, 3)
     sentinel["degraded"] = not quiet(sentinel) \
         and not sentinel.get("steady_slow_host", False)
+    # Host-normalization factor (round-11 verdict task 1): two
+    # consecutive degraded-box rounds made cross-round absolute reads
+    # blind, so the artifact carries a normalized series alongside
+    # the raw one: normalized = raw × host_factor, where host_factor
+    # is the CONSERVATIVE (larger, i.e. least-flattering) of the two
+    # calibration ratios — a slower box reads ratios < 1 and the max
+    # shrinks the times least; a faster box reads > 1 and the max
+    # inflates them most.  Steady-slow hosts use the 3-probe averaged
+    # ratios the gate already certified; quiet boxes sit at ≈1.0 so
+    # the normalized series coincides with raw; degraded boxes get
+    # the final probe's ratios with a basis stamp saying the factor
+    # is an ambient estimate, not a certified host constant.
+    if sentinel.get("steady_slow_host"):
+        factor = max(sentinel["host_ratio"],
+                     sentinel["host_bw_ratio"])
+        basis = "steady_slow_host_3probe_avg"
+    else:
+        factor = max(sentinel["spin_ratio"], sentinel["bw_ratio"])
+        basis = ("quiet_final_probe" if quiet(sentinel)
+                 else "degraded_ambient_estimate")
+    sentinel["host_factor"] = round(factor, 3)
+    sentinel["host_factor_basis"] = basis
     return sentinel
 
 
@@ -377,12 +477,21 @@ def main() -> None:
         "queries": times,
         "queries_median": medians,
         "queries_spread": spreads,
+        "normalization": "queries_normalized = queries × "
+                         "contention.host_factor (the conservative "
+                         "= larger of the spin/bw calibration "
+                         "ratios; see host_factor_basis) — read "
+                         "THIS series for cross-round deltas when "
+                         "either round's box was off-baseline",
+        "queries_normalized": {k: round(v * sentinel["host_factor"], 3)
+                               for k, v in times.items()},
         **({"errors": errors} if errors else {}),
     }))
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
+        "value_normalized": round(total * sentinel["host_factor"], 3),
         "value_median": round(sum(medians.values()), 3),
         "runs_per_query": RUNS,
         "queries": times,

@@ -646,11 +646,23 @@ class IndexStore:
             state["rec"] = pins[name]
             return pins
 
+        # applied probe compares the full RECORD, not just the name
+        # (ADVICE round 11): if a rival raced pin() with the same name
+        # and won the CAS, a name-only probe would declare success and
+        # hand back OUR never-committed record whose dirs/version
+        # differ from the pin that actually landed.  A record mismatch
+        # returns False → the retry re-runs pins_fn against the new
+        # head and raises the documented FileExistsError.  (An
+        # IDENTICAL rival record — same dirs, version, meta — is
+        # indistinguishable from our own write landing, and returning
+        # success is then harmless by construction.)
         self._swap_manifest(lambda m, version: list(m["dirs"]),
                             None, None, None, max_retries,
                             pins_fn=pins_fn,
-                            applied=lambda cur:
-                                name in cur.get("pins", {}))
+                            applied=lambda cur: (
+                                state.get("rec") is not None
+                                and cur.get("pins", {}).get(name)
+                                == state["rec"]))
         return state["rec"]
 
     def unpin(self, name: str, max_retries: int = 5) -> None:

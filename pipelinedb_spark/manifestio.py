@@ -116,10 +116,16 @@ class S3ObjectClient:
       conditional put — S3 since 2024-08, and MinIO/GCS-XML/R2 honor
       it).  412 PreconditionFailed means another committer owns the
       name → :class:`FileExistsError`, exactly the local contract.
-      409 ConditionalRequestConflict (a concurrent conditional PUT in
-      flight on the same key) maps the same way: the caller re-reads
-      the head and retries, which is correct whether or not the rival
-      write ultimately landed.
+      409 ConditionalRequestConflict means a concurrent conditional
+      PUT was in flight on the same key — possibly our OWN
+      botocore-level retry racing itself — and NEITHER write is known
+      to have landed, so it is RETRIED with backoff until the
+      in-flight write settles into 200 (we won) or 412 (an object
+      exists).  A 409 that outlives the retry budget propagates raw:
+      mapping it to FileExistsError would claim "object exists" when
+      none may, which MatrelStore's single-writer recovery (one
+      immediate head compare) would misreport as a violated contract
+      (ADVICE round 11).
     * ``list``  → paginated ``ListObjectsV2`` under the prefix
       (strongly consistent on S3), direct children only.
     * ``get``   → ``GetObject`` (NoSuchKey → FileNotFoundError, the
@@ -145,6 +151,12 @@ class S3ObjectClient:
     #: gets 412 from our OWN object, which the caller resolves by
     #: re-reading the head — same as any lost CAS)
     RETRY_STATUSES = (500, 503)
+    #: the conditional PUT additionally retries 409 (see class
+    #: docstring) — only the PUT: a 409 is defined in terms of a
+    #: concurrent conditional write, so it cannot mean anything for
+    #: GET/LIST/DELETE and those keep the strict propagate-on-sight
+    #: behavior
+    PUT_RETRY_STATUSES = (500, 503, 409)
     RETRIES = 4
 
     def __init__(self, bucket: str, prefix: str, *, client=None,
@@ -169,18 +181,20 @@ class S3ObjectClient:
             client = boto3.client("s3", **kw)
         self.client = client
 
-    def _call(self, fn, **kw):
+    def _call(self, fn, retry_statuses: tuple | None = None, **kw):
         """Issue one S3 API call, retrying transient server statuses
-        with linear backoff.  Non-retryable errors (412/404/409 and
+        with linear backoff.  Non-retryable errors (412/404 and
         anything without a recognizable status) propagate on first
-        sight so the semantic mapping in each primitive stays exact."""
+        sight so the semantic mapping in each primitive stays exact.
+        ``retry_statuses`` widens the retryable set per call site
+        (the conditional PUT adds 409 — see class docstring)."""
+        statuses = retry_statuses or self.RETRY_STATUSES
         for attempt in range(self.RETRIES + 1):
             try:
                 return fn(**kw)
             except Exception as exc:
                 _, status = _aws_error(exc)
-                if status not in self.RETRY_STATUSES \
-                        or attempt == self.RETRIES:
+                if status not in statuses or attempt == self.RETRIES:
                     raise
                 time.sleep(0.1 * (attempt + 1))
 
@@ -224,15 +238,17 @@ class S3ObjectClient:
     def put_if_absent(self, name: str, data: str) -> None:
         try:
             self._call(self.client.put_object,
+                       retry_statuses=self.PUT_RETRY_STATUSES,
                        Bucket=self.bucket,
                        Key=self.prefix + name,
                        Body=data.encode(),
                        IfNoneMatch="*")
         except Exception as exc:
             code, status = _aws_error(exc)
-            if (code in ("PreconditionFailed",
-                         "ConditionalRequestConflict")
-                    or status in (412, 409)):
+            # only 412 means "an object exists"; a 409 that survived
+            # the retry budget is an unresolved in-flight conflict
+            # and propagates raw (ADVICE round 11 — see class doc)
+            if code == "PreconditionFailed" or status == 412:
                 raise FileExistsError(name) from None
             raise
 

@@ -28,7 +28,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .manifestio import resolve_manifest_io
+from .manifestio import CommitConflict, resolve_manifest_io
 
 BUCKET_COL = "__bucket"
 # manifest strategy for NEW stores ("rename" = os.replace pointer
@@ -147,7 +147,7 @@ class MatrelStore:
     def _write_manifest(self, m: dict) -> None:
         try:
             self._mio().write(m, getattr(self, "_last_seq", 0))
-        except Exception as exc:
+        except CommitConflict:
             # Condput mode, ambiguous success (S3 500/503 whose PUT
             # landed server-side: the adapter's retry sees 412 from
             # our OWN object → CommitConflict).  The store is
@@ -155,8 +155,10 @@ class MatrelStore:
             # seq is our own write — re-read and compare; propagating
             # a conflict for a DURABLE commit would make the engine
             # retry the merge and double-apply the batch.
-            if type(exc).__name__ != "CommitConflict":
-                raise
+            # (isinstance, not name-matching — ADVICE round 11: a
+            # same-named unrelated exception must not be swallowed
+            # into this recovery path, and a subclass must not
+            # escape it.)
             cur, _seq = self._mio().read_versioned()
             if cur != m:
                 raise  # single-writer contract actually violated

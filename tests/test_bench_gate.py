@@ -92,6 +92,44 @@ def test_stable_bw_collapse_is_contention(bench, monkeypatch):
     assert out["degraded"] and "steady_slow_host" not in out
 
 
+def test_advancing_throttle_counters_block_steady(bench, monkeypatch):
+    """ADVICE round 11: steady cgroup CPU-quota throttling presents
+    exactly the steady-slow-host signature (stable ratios, zero
+    steal, quiet loadavg).  Advancing nr_throttled across the stable
+    window is ACTIVE throttling, not a slower host generation —
+    classify as degraded."""
+    seq = [dict(_SLOW, throttle={"nr_throttled": 100 + 10 * i,
+                                 "throttled_usec": 5_000 * i})
+           for i in range(6)]
+    out = _gate(bench, monkeypatch, seq)
+    assert out["degraded"] and "steady_slow_host" not in out
+
+
+def test_static_throttle_counters_allow_steady(bench, monkeypatch):
+    """Non-zero but NON-advancing counters are history, not present
+    throttling — a genuinely slower host with an old throttling
+    episode in its counters is still trusted."""
+    seq = [dict(_SLOW, throttle={"nr_throttled": 100,
+                                 "throttled_usec": 5_000})
+           for _ in range(6)]
+    out = _gate(bench, monkeypatch, seq)
+    assert out["steady_slow_host"] and not out["degraded"]
+
+
+def test_host_factor_stamped_conservative(bench, monkeypatch):
+    """host_factor is the larger (least-flattering) of the two
+    certified ratios on a steady-slow host, and rides every
+    artifact with its basis."""
+    out = _gate(bench, monkeypatch, [dict(_SLOW) for _ in range(6)])
+    assert out["host_factor"] == pytest.approx(0.82)  # bw > spin
+    assert out["host_factor_basis"] == "steady_slow_host_3probe_avg"
+    quiet = {"spin_ratio": 1.02, "bw_ratio": 0.97, "loadavg_1m": 0.2,
+             "steal_pct": 0.0, "contended": False}
+    out2 = _gate(bench, monkeypatch, [quiet])
+    assert out2["host_factor"] == pytest.approx(1.02)
+    assert out2["host_factor_basis"] == "quiet_final_probe"
+
+
 def test_loadavg_spike_inside_window_blocks_steady(bench, monkeypatch):
     """Every 3-probe window contains a load spike: no window is
     steady even though each individual non-spike probe looks calm."""

@@ -83,6 +83,54 @@ def test_pin_name_collision_and_unpin_missing(tmp_path, spark):
         s.read_pinned(spark, "y")
 
 
+def test_pin_same_name_race_loser_raises(tmp_path, spark,
+                                         monkeypatch):
+    """ADVICE round 11: two writers race pin() with the SAME name.
+    The CAS loser's head re-read shows a pin under that name — but it
+    is the RIVAL's record (different dirs/version).  A name-only
+    applied probe would declare success and hand back the loser's
+    never-committed record; the record-compare probe must instead
+    drive the retry into the documented FileExistsError, leaving the
+    rival's pin untouched."""
+    root = str(tmp_path / "idx")
+    a = IndexStore(root, gc_grace_seconds=60.0,
+                   manifest_format="condput", commit_lock=False)
+    a.init_if_needed(meta={"batches": 0})
+    b = IndexStore(root, gc_grace_seconds=60.0,
+                   manifest_format="condput", commit_lock=False)
+    _add(a, spark, [1, 2])
+
+    real_io_fn = a._io
+    fired = {"n": 0}
+
+    class _RaceIO:
+        """First write attempt loses the CAS to a rival that appends
+        a dir and pins the same name — the head A re-reads carries
+        the rival's pin record."""
+
+        def __init__(self, io):
+            self._wrapped = io
+
+        def __getattr__(self, k):
+            return getattr(self._wrapped, k)
+
+        def write(self, m, seq):
+            if fired["n"] == 0:
+                fired["n"] += 1
+                _add(b, spark, [3])
+                b.pin("run")
+            return self._wrapped.write(m, seq)
+
+    monkeypatch.setattr(a, "_io", lambda: _RaceIO(real_io_fn()))
+    with pytest.raises(FileExistsError):
+        a.pin("run")
+    # the pin that survives is the rival's 2-dir record, bit for bit
+    assert fired["n"] == 1
+    assert a.pins()["run"] == b.pins()["run"]
+    assert len(a.pins()["run"]["dirs"]) == 2
+    assert _vals(a.read_pinned(spark, "run")) == [1, 2, 3]
+
+
 def test_unpin_releases_dirs_to_gc(tmp_path, spark):
     s = _store(tmp_path)
     _add(s, spark, [1])

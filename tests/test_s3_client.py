@@ -111,14 +111,60 @@ def test_put_if_absent_conflict_maps_to_fileexists(svc):
     assert c.get("m1.json") == "a"  # loser never clobbers
 
 
-def test_409_conditional_conflict_also_maps(svc):
+def test_409_retried_until_it_settles(svc, monkeypatch):
+    """409 ConditionalRequestConflict means a concurrent conditional
+    PUT was in flight and NEITHER write is known to have landed
+    (ADVICE round 11) — the adapter retries until the in-flight
+    write settles.  Here it settles into success: we won."""
+    monkeypatch.setattr(mio.time, "sleep", lambda s: None)
+    c = _client(svc)
+    real_put = svc.put_object
+    calls = []
+
+    def put_409_then_ok(**kw):
+        calls.append(1)
+        if len(calls) < 3:
+            raise _AwsError("ConditionalRequestConflict", 409)
+        return real_put(**kw)
+
+    svc.put_object = put_409_then_ok
+    c.put_if_absent("m1.json", "a")  # no error
+    assert len(calls) == 3
+    assert c.get("m1.json") == "a"
+
+
+def test_409_settling_into_412_maps_to_fileexists(svc, monkeypatch):
+    """...and here it settles into 412: the rival's object landed, so
+    the retry sees the true exists condition and maps it."""
+    monkeypatch.setattr(mio.time, "sleep", lambda s: None)
+    c = _client(svc)
+    calls = []
+
+    def put_409_then_412(**kw):
+        calls.append(1)
+        if len(calls) < 2:
+            raise _AwsError("ConditionalRequestConflict", 409)
+        raise _AwsError("PreconditionFailed", 412)
+
+    svc.put_object = put_409_then_412
+    with pytest.raises(FileExistsError):
+        c.put_if_absent("m1.json", "a")
+
+
+def test_persistent_409_propagates_raw_not_fileexists(svc,
+                                                      monkeypatch):
+    """A 409 that outlives the retry budget must NOT claim 'object
+    exists' — no object may exist, and FileExistsError would send
+    MatrelStore's single-writer recovery down a head-compare that
+    misreports the transient as a violated contract."""
+    monkeypatch.setattr(mio.time, "sleep", lambda s: None)
     c = _client(svc)
 
     def put_409(**kw):
         raise _AwsError("ConditionalRequestConflict", 409)
 
     svc.put_object = put_409
-    with pytest.raises(FileExistsError):
+    with pytest.raises(_AwsError):
         c.put_if_absent("m1.json", "a")
 
 
