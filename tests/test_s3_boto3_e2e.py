@@ -1,0 +1,227 @@
+"""REAL-boto3 execution of ``S3ObjectClient`` against the in-process
+S3-subset HTTP fake (round-11 verdict What's-missing #2 / task 2).
+
+Every test here drives genuine botocore — SigV4 request signing,
+``If-None-Match`` header mapping, error-XML parsing, ListObjectsV2
+response parsing, and botocore's OWN internal retry layer — none of
+which the injected-fake suite (tests/test_s3_client.py) executes.
+The fake server (tests/s3http_fake.py) implements only the S3 verbs
+the condput commit path uses and injects faults per HTTP request, so
+botocore's internal retries drain scripted transients exactly like
+real S3.
+
+The previously never-executed paths now covered:
+* ``boto3.client("s3", endpoint_url=…)`` construction inside the
+  adapter (``client=None``);
+* conditional PUT winning / losing (real 412 XML → FileExistsError);
+* ambiguous success (PUT lands, 500 reply) resolved end-to-end
+  through botocore retry → 412-from-own-object → CommitConflict →
+  IndexStore head re-read, applying the commit exactly once;
+* the endpoint-gated e2e body from test_s3_client.py, run verbatim
+  against the fake endpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+import pipelinedb_spark.manifestio as mio
+from pipelinedb_spark.indexstore import IndexStore
+from pipelinedb_spark.manifestio import CondPutManifestIO, S3ObjectClient
+
+from s3http_fake import S3HttpFake
+
+boto3 = pytest.importorskip("boto3")
+
+
+@pytest.fixture()
+def fake(monkeypatch):
+    # static creds so botocore signs without touching metadata/config
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
+    with S3HttpFake() as f:
+        yield f
+
+
+def _client(fake, prefix="root/idx/_manifests") -> S3ObjectClient:
+    # client=None: the REAL construction path builds boto3.client
+    return S3ObjectClient("bkt", prefix,
+                          endpoint_url=fake.endpoint_url,
+                          region_name="us-east-1")
+
+
+# ------------------------------------------------------- primitives
+
+def test_primitives_through_real_boto3(fake):
+    c = _client(fake)
+    c.put_if_absent("m1.json", '{"v":1}')
+    assert c.get("m1.json") == '{"v":1}'
+    with pytest.raises(FileExistsError):
+        c.put_if_absent("m1.json", "rival")
+    assert c.get("m1.json") == '{"v":1}'  # loser never clobbers
+    with pytest.raises(FileNotFoundError):
+        c.get("absent.json")
+    # pagination: 3 keys > server page size 2 forces the
+    # continuation-token loop through real ListObjectsV2 XML
+    c.put_if_absent("m2.json", "b")
+    c.put_if_absent("m3.json", "c")
+    assert sorted(c.list()) == ["m1.json", "m2.json", "m3.json"]
+    assert ("LIST", "root/idx/_manifests/") in fake.request_log
+    c.delete("m2.json")
+    assert sorted(c.list()) == ["m1.json", "m3.json"]
+    c.delete("m2.json")  # deleting absent: swallowed, like local
+
+
+def test_transient_503_healed(fake):
+    c = _client(fake)
+    fake.fail_next("PUT", status=503, code="SlowDown", times=2)
+    c.put_if_absent("m1.json", "a")  # retries (botocore's or ours)
+    assert c.get("m1.json") == "a"
+
+
+def test_list_sees_only_direct_children(fake):
+    c = _client(fake)
+    c.put_if_absent("m1.json", "a")
+    deep = _client(fake, prefix="root/idx/_manifests/sub")
+    deep.put_if_absent("nested.json", "x")
+    assert c.list() == ["m1.json"]
+
+
+# ------------------------------------------- gated e2e, flipped on
+
+def test_gated_e2e_body_against_fake(fake, tmp_path, monkeypatch):
+    """The endpoint-gated real-S3 e2e (test_s3_client.py) has
+    self-skipped since r11 for lack of an endpoint — run its exact
+    body here against the fake endpoint: CAS lifecycle, conflict,
+    manifest-history gc, teardown."""
+    monkeypatch.setenv("SPARK_GRAFT_S3_TEST_URL", "s3://bkt/e2e")
+    monkeypatch.setenv("SPARK_GRAFT_S3_ENDPOINT", fake.endpoint_url)
+    from test_s3_client import test_real_s3_commit_conflict_gc
+    test_real_s3_commit_conflict_gc(tmp_path)
+    # teardown inside the body deleted every manifest it wrote
+    assert not [k for (_b, k) in fake.objects if "pdbtest" in k]
+
+
+# -------------------------------------- ambiguous success, full stack
+
+def _store(root: str) -> IndexStore:
+    s = IndexStore(root, gc_grace_seconds=60.0,
+                   manifest_format="condput", commit_lock=False)
+    return s
+
+
+def _add(s: IndexStore, content: str, **kw) -> str:
+    staged = s.stage()
+    os.makedirs(staged)
+    with open(os.path.join(staged, "f.txt"), "w") as f:
+        f.write(content)
+    return s.commit(staged, replace=False, **kw)
+
+
+def test_ambiguous_put_resolved_through_real_botocore(
+        fake, tmp_path, monkeypatch):
+    """The manifest PUT LANDS server-side but its reply is a 500.
+    The retry (botocore's internal layer, or the adapter's) re-sends
+    the conditional PUT, sees 412 from OUR OWN object, and the
+    adapter maps FileExistsError → CommitConflict; IndexStore's head
+    re-read then recognizes its own write and the commit stands —
+    applied exactly once, meta folded exactly once, no shelved or
+    dangling dirs."""
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: _client(fake, prefix=os.path.abspath(d)))
+    s = _store(str(tmp_path / "idx"))
+    s.init_if_needed(meta={"n": 0})
+    _add(s, "a", meta_fn=lambda m: {**m, "n": m["n"] + 1})
+
+    fake.fail_next("PUT", status=500, code="InternalError",
+                   key_contains="m0", apply_first=True)
+    _add(s, "b", meta_fn=lambda m: {**m, "n": m["n"] + 1})
+
+    assert s.meta()["n"] == 2          # folded exactly once
+    assert len(s.dirs()) == 2          # both dirs live, none shelved
+    assert not [d for d in os.listdir(s.root)
+                if d.startswith(".stage")]
+
+
+def test_pin_ambiguous_success_through_real_botocore(
+        fake, tmp_path, monkeypatch):
+    """pin() through the same ambiguity: the record-compare applied
+    probe (round-12 fix) must recognize the manifest head as OUR pin
+    and return the committed record."""
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: _client(fake, prefix=os.path.abspath(d)))
+    s = _store(str(tmp_path / "idx"))
+    s.init_if_needed(meta={})
+    _add(s, "a")
+    fake.fail_next("PUT", status=500, code="InternalError",
+                   key_contains="m0", apply_first=True)
+    rec = s.pin("run-a")
+    assert s.pins()["run-a"] == rec
+    assert len(rec["dirs"]) == 1
+
+
+def test_concurrent_append_storm_through_real_botocore(
+        fake, tmp_path, monkeypatch):
+    """6 lockless committers race appends through real boto3 while
+    the server injects transient 503s and ambiguous 500-after-apply
+    successes.  Every append must land exactly once and the final
+    manifest must reference every committed dir — the CAS dedups,
+    the retries heal, through genuine botocore."""
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: _client(fake, prefix=os.path.abspath(d)))
+    monkeypatch.setattr(mio.time, "sleep", lambda _s: None)
+    root = str(tmp_path / "idx")
+    _store(root).init_if_needed(meta={"n": 0})
+    fake.fail_next("PUT", status=503, code="SlowDown",
+                   key_contains="m0", times=5)
+    fake.fail_next("PUT", status=500, code="InternalError",
+                   key_contains="m0", times=4, apply_first=True)
+
+    APPENDS = 4
+    errors: list[Exception] = []
+
+    def worker(i: int):
+        s = _store(root)
+        try:
+            for j in range(APPENDS):
+                _add(s, f"w{i}-{j}",
+                     meta_fn=lambda m: {**m, "n": m["n"] + 1},
+                     max_retries=50)
+        except Exception as exc:  # surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    s = _store(root)
+    assert s.meta()["n"] == 6 * APPENDS      # exactly once each
+    assert len(s.dirs()) == 6 * APPENDS + 0  # every dir referenced
+    names = {os.path.basename(d) for d in s.dirs()}
+    assert len(names) == 6 * APPENDS
+
+
+def test_condput_io_cas_through_real_botocore(fake, tmp_path):
+    """Two CondPutManifestIO writers on the same prefix: the loser's
+    conditional PUT gets the real 412 XML and surfaces as
+    CommitConflict; history stays within KEEP."""
+    c = _client(fake, prefix="x/_manifests")
+    io1 = CondPutManifestIO(str(tmp_path / "x"), client=c)
+    io1.write({"version": 1}, base_seq=0)
+    with pytest.raises(mio.CommitConflict):
+        io1.write({"version": "rival"}, base_seq=0)
+    for i in range(2, 12):
+        io1.write({"version": i}, base_seq=i - 1)
+    assert io1.read_versioned()[1] == 11
+    assert len(c.list()) <= CondPutManifestIO.KEEP
