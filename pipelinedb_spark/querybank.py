@@ -1152,32 +1152,82 @@ def decimal_avg_sum(spark, sf_dir):
         F.count("*").alias("n"))
 
 
-@query("events_hourly_top_type", f"""
-WITH hourly AS (
-  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour_s,
-         event_type, COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2
-), ranked AS (
-  SELECT hour_s, event_type, cnt,
-         ROW_NUMBER() OVER (PARTITION BY hour_s
-                            ORDER BY cnt DESC, event_type ASC) AS rk
-  FROM hourly
-)
-SELECT hour_s, event_type, cnt FROM ranked WHERE rk = 1
+@query("combine_rerollup", f"""
+SELECT event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sv,
+       COUNT(DISTINCT user_id) AS ndv,
+       (list_sort(list(value)))[1] AS fv1,
+       (list_sort(list(value)))[2] AS fv2,
+       (list_sort(list(value)))[3] AS fv3,
+       arg_max(value, event_id) AS lastv,
+       TRUE AS hll_within_bound,
+       COUNT(*) AS sw_cnt
+FROM events GROUP BY event_type
 """)
-def events_hourly_top_type(spark, sf_dir):
-    """Per-hour leading event type — window-function read over a
-    CV-shaped hourly rollup (reference allows OVER only on CV reads,
-    analyzer.c:1216-1220)."""
-    from pyspark.sql import Window
-    ev = t(spark, sf_dir, "events")
-    hour = F.floor(ts_epoch(F.col("ts")) / 3600).cast("bigint")
-    hourly = (ev.groupBy(hour.alias("hour_s"), F.col("event_type"))
-              .agg(F.count("*").alias("cnt")))
-    w = Window.partitionBy("hour_s").orderBy(F.desc("cnt"),
-                                             F.asc("event_type"))
-    return (hourly.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1).drop("rk"))
+def combine_rerollup(spark, sf_dir):
+    """combine()/sw_combine() READ-PATH RE-ROLLUP — the signature
+    PipelineDB read feature (reference RewriteCombineAggs
+    analyzer.c:4662, test user_combine.sql): a CV grouped fine by
+    (event_type, hour) has its persisted PARTIAL STATES merged at
+    read time to the coarser event_type grouping, never touching raw
+    rows.  The oracle re-aggregates the raw events relationally at
+    the coarse grouping, so every state merge must be exact:
+
+    * cnt / sv_dec — count + decimal-sum limb merges;
+    * ndv — exact_count_distinct set-union state (sql:1040-1047);
+    * fv1..3 — first_values(3, value) bounded sorted-prefix merge
+      (reference firstvalues.c): prefixes from each hour flatten,
+      re-sort, re-truncate;
+    * lastv — keyed_max(event_id, value) (k,v)-struct merge
+      (reference kv.c:332-393), event_id unique → arg_max replay;
+    * hll_within_bound — hll_count_distinct register-union across
+      hours, self-verified |est−exact|/exact < 5% (sketch merges
+      have no relational replay; the bound is the oracle);
+    * sw_cnt — the SAME re-rollup through a sliding-window CV
+      (sw_combine: step states recombined at read, reference
+      cont_sw.sql), equal to cnt because every row is in-window
+      right after ingest."""
+    ctx = _engine_ctx(spark, "cmb")
+    try:
+        ctx.create_stream(
+            "ev_c", "event_id long, user_id long, event_type string, "
+                    "value double, hour_s long")
+        ctx.create_view(
+            "cv_cmb",
+            "SELECT event_type, hour_s, count(*) AS cnt, "
+            "sum(CAST(value AS DECIMAL(38,6))) AS sv_dec, "
+            "exact_count_distinct(user_id) AS ndv, "
+            "first_values(3, value) AS fv, "
+            "keyed_max(event_id, value) AS lastv, "
+            "hll_count_distinct(user_id) AS hndv "
+            "FROM ev_c GROUP BY event_type, hour_s")
+        ctx.create_view(
+            "cv_cmb_sw",
+            "SELECT event_type, hour_s, count(*) AS swc FROM ev_c "
+            "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
+            "GROUP BY event_type, hour_s")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value",
+            F.floor(ts_epoch(F.col("ts")) / 3600).cast("long")
+            .alias("hour_s"))
+        for i in range(2):
+            ctx.insert("ev_c", ev.filter(
+                F.pmod(F.col("event_id"), F.lit(2)) == i))
+        out = ctx.combine_read("cv_cmb", group_by=["event_type"])
+        sw = (ctx.combine_read("cv_cmb_sw", group_by=["event_type"])
+              .select("event_type", F.col("swc").alias("sw_cnt")))
+        return (out.join(sw, "event_type").select(
+            "event_type", "cnt",
+            F.col("sv_dec").cast("double").alias("sv"),
+            "ndv",
+            F.element_at("fv", 1)["c0"].alias("fv1"),
+            F.element_at("fv", 2)["c0"].alias("fv2"),
+            F.element_at("fv", 3)["c0"].alias("fv3"),
+            "lastv",
+            (F.abs(F.col("hndv").cast("double") - F.col("ndv"))
+             / F.col("ndv") < 0.05).alias("hll_within_bound"),
+            "sw_cnt").localCheckpoint(eager=True))
+    finally:
+        ctx.close()
 
 
 @query("cv_engine_sliding_window", f"""
