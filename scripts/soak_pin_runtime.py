@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Pin × LIVE-RUNTIME interaction soak (round-11 verdict task 4):
+engine-level pin tests are thorough (test_view_pins.py), but a pin
+taken WHILE a streaming attachment, SW ticker, compactions, and the
+reaper are all running is the one untested seam — the same gap shape
+the round-10 ticker soak closed for tick_sw itself.
+
+Chain under test: rate source → stream → {SW CV (60 s window) with
+`tick_sw` firing every ~2 s, plain rollup CV} while a maintenance leg
+every ~15 ticks runs `compact()` + `reap_ttl` under the commit lock.
+After a warm-up, `pin_view` snapshots BOTH CVs mid-flight.
+
+Verification:
+
+* **Byte stability across ≥50 subsequent ticks**: the pinned reads
+  (collected, canonically sorted) are re-read at every maintenance
+  leg and must equal the capture taken at pin time, bit for bit,
+  while live ingest keeps merging, the SW window slides fully past
+  the pinned rows, step buckets expire, and compaction rewrites the
+  live dirs out from under the pin's version set.
+* **Across a FULL ENGINE RESTART**: mid-run the attachment stops,
+  the PipelineContext closes, a fresh context opens over the same
+  root, and both pins must read identically before ingest resumes.
+* **Unpin releases GC**: at the end, dirs referenced only by the
+  pins must survive every sweep while pinned and be reclaimed after
+  `unpin_view` + sweep.
+* Flat driver RSS across the run.
+
+Usage: python scripts/soak_pin_runtime.py [--seconds 300] [--rps 300]
+Appends/refreshes "pin_runtime_soak" in BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from probeutil import rss_kb as _rss_kb
+
+
+def _rows(df) -> list[tuple]:
+    # repr-canonical: any byte-level drift (a float reassembled
+    # differently, an int widened) breaks equality
+    return sorted(tuple(repr(v) for v in r) for r in df.collect())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rps", type=int, default=300)
+    ap.add_argument("--seconds", type=float, default=300.0)
+    ap.add_argument("--tick-every", type=float, default=2.0)
+    ap.add_argument("--window", type=int, default=60)
+    ap.add_argument("--maint-every-ticks", type=int, default=15)
+    ap.add_argument("--workdir", default="/tmp/soak_pin_runtime")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SCALING.json"))
+    args = ap.parse_args()
+
+    from pipelinedb_spark import PipelineContext, get_spark
+    from pipelinedb_spark.streaming.runtime import attach_rate_stream
+
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    spark = get_spark("soak_pin_runtime")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = os.path.join(args.workdir, "pdb")
+
+    def open_ctx() -> PipelineContext:
+        return PipelineContext(spark, root=root, num_buckets=8,
+                               track_output_streams=True)
+
+    ctx = open_ctx()
+    ctx.create_stream("swr", "v long")
+    ctx.create_view(
+        "cv_swt",
+        f"SELECT v % 8 AS b, count(*) AS n, sum(v) AS sv FROM swr "
+        f"WHERE arrival_timestamp > clock_timestamp() "
+        f"- interval '{args.window} seconds' GROUP BY v % 8")
+    ctx.create_view(
+        "cv_tot",
+        "SELECT v % 8 AS b, count(*) AS n, sum(v) AS sv "
+        "FROM swr GROUP BY v % 8")
+
+    def attach():
+        return attach_rate_stream(
+            ctx, "swr", rows_per_second=args.rps,
+            value_exprs={"v": "value",
+                         "arrival_timestamp": "timestamp"})
+
+    def maintenance():
+        for name in ("cv_swt", "cv_tot"):
+            cv = ctx.views[name]
+            with cv.commit_lock:
+                cv.matrel.compact()
+            ctx.reap_ttl(name)
+
+    rss = [("start", _rss_kb())]
+    att = attach()
+    t0 = time.monotonic()
+    warm = min(20.0, args.seconds / 5)
+    ticks = 0
+    next_tick = time.monotonic() + args.tick_every
+    while time.monotonic() - t0 < warm:
+        if time.monotonic() >= next_tick:
+            ctx.tick_sw("cv_swt", now=time.time())
+            ticks += 1
+            next_tick = time.monotonic() + args.tick_every
+        time.sleep(0.1)
+
+    # ---- pins taken mid-flight: attachment live, ticker running
+    pin_at = time.monotonic() - t0
+    ctx.pin_view("cv_swt", "run-sw")
+    ctx.pin_view("cv_tot", "run-tot")
+    snap_sw = _rows(ctx.read_view_pinned("cv_swt", "run-sw"))
+    snap_tot = _rows(ctx.read_view_pinned("cv_tot", "run-tot"))
+    assert snap_sw and snap_tot, "pins captured empty state"
+
+    # dirs held ONLY by the pins (for the release check at the end)
+    def pin_only_dirs(name: str, pin: str) -> set[str]:
+        mat = ctx.views[name].matrel
+        rec = mat.pins()[pin]
+        pinned = {os.path.join(mat.dir, p.split(os.sep)[0])
+                  for p in rec["buckets"].values()}
+        live = {os.path.join(mat.dir, p.split(os.sep)[0])
+                for p in mat._read_manifest()["buckets"].values()}
+        return pinned - live
+
+    ticks_after_pin = 0
+    stability_checks = 0
+    restarted = False
+    restart_at = args.seconds * 0.6
+    while (time.monotonic() - t0 < args.seconds
+           or ticks_after_pin < 50):
+        now_m = time.monotonic()
+        if not restarted and now_m - t0 >= restart_at:
+            # full engine restart under the pins: stop ingest, drop
+            # the context, replay definitions + state from the
+            # catalog (ctx.close() is a rmtree teardown helper, not
+            # a shutdown — a restart must NOT call it)
+            att.stop()
+            ctx = open_ctx()
+            assert _rows(ctx.read_view_pinned("cv_swt", "run-sw")) \
+                == snap_sw, "SW pin drifted across engine restart"
+            assert _rows(ctx.read_view_pinned("cv_tot", "run-tot")) \
+                == snap_tot, "rollup pin drifted across engine restart"
+            rss.append(("restart", _rss_kb()))
+            att = attach()
+            restarted = True
+            continue
+        if now_m >= next_tick:
+            ctx.tick_sw("cv_swt", now=time.time())
+            ticks += 1
+            ticks_after_pin += 1
+            next_tick = now_m + args.tick_every
+            if ticks_after_pin % args.maint_every_ticks == 0:
+                maintenance()
+                assert _rows(ctx.read_view_pinned("cv_swt", "run-sw")) \
+                    == snap_sw, (f"SW pin drifted at tick "
+                                 f"{ticks_after_pin}")
+                assert _rows(ctx.read_view_pinned("cv_tot", "run-tot")) \
+                    == snap_tot, (f"rollup pin drifted at tick "
+                                  f"{ticks_after_pin}")
+                stability_checks += 1
+        time.sleep(0.1)
+    att.stop()
+    wall = time.monotonic() - t0
+    rss.append(("end", _rss_kb()))
+
+    # final stability read after ingest stopped
+    assert _rows(ctx.read_view_pinned("cv_swt", "run-sw")) == snap_sw
+    assert _rows(ctx.read_view_pinned("cv_tot", "run-tot")) == snap_tot
+    # the live SW view has slid fully past the pin (window < elapsed),
+    # so live and pinned MUST differ — proves the pin is not just
+    # reading the live state
+    live_sw = _rows(ctx.read_view("cv_swt"))
+    assert live_sw != snap_sw, "pin indistinguishable from live read"
+
+    # ---- unpin releases gc
+    release = {}
+    for name, pin in (("cv_swt", "run-sw"), ("cv_tot", "run-tot")):
+        mat = ctx.views[name].matrel
+        held = pin_only_dirs(name, pin)
+        mat.gc_grace_seconds = 0.0
+        with ctx.views[name].commit_lock:
+            mat.compact()
+        mat.gc_sweep()
+        still = [d for d in held if os.path.isdir(d)]
+        assert len(still) == len(held), \
+            f"{name}: pinned-only dirs reclaimed while pinned"
+        ctx.unpin_view(name, pin)
+        mat.gc_sweep()
+        gone = [d for d in held if not os.path.isdir(d)]
+        assert len(gone) == len(held), \
+            f"{name}: {len(held) - len(gone)} dirs survive unpin+sweep"
+        release[name] = {"pin_only_dirs": len(held),
+                         "reclaimed_after_unpin": len(gone)}
+
+    rss_mb = {k: v // 1024 for k, v in rss}
+    entry = {
+        "what": "pin_view taken while rate ingest + SW ticker run; "
+                "byte-stable across ticks/compaction/reap and a full "
+                "engine restart; unpin releases GC",
+        "rows_per_second_target": args.rps,
+        "wall_sec": round(wall, 1),
+        "ticks_total": ticks,
+        "ticks_after_pin": ticks_after_pin,
+        "pin_taken_at_sec": round(pin_at, 1),
+        "stability_checks": stability_checks,
+        "engine_restart": restarted,
+        "sw_pin_groups": len(snap_sw),
+        "release": release,
+        "driver_rss_mb": rss_mb,
+        "rss_growth_mb": rss_mb.get("end", 0) - rss_mb.get("start", 0),
+    }
+    data = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            data = json.load(f)
+    data["pin_runtime_soak"] = entry
+    with open(args.out, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(entry))
+    ctx.close()
+
+
+if __name__ == "__main__":
+    main()

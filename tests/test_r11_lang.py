@@ -130,8 +130,11 @@ def test_lang_id_it_pt_nl_and_vi_fallback(spark):
 
 def test_analyze_documents_agrees_with_lang_id(spark):
     """The fused-fold DataFrame path (analyze_documents) and the
-    scalar Column path (lang_id) implement the same documented rule —
-    they must agree on every fixture row, including fallback rows."""
+    scalar Column path (lang_id) implement the same documented rule
+    on documents within LANG_ID_PREFIX — they must agree on every
+    fixture row, including fallback rows.  (Beyond the prefix the
+    two surfaces diverge BY DESIGN since r12 — see
+    test_lang_id_prefix_cap_documented_divergence.)"""
     from pipelinedb_spark.operators.text import analyze_documents, lang_id
 
     df = spark.createDataFrame(
@@ -144,6 +147,37 @@ def test_analyze_documents_agrees_with_lang_id(spark):
                       "doc_id", lang_id(F.col("text")).alias("lang"))
                   .collect()}
     assert via_analyze == via_scalar
+
+
+def test_lang_id_prefix_cap_documented_divergence(spark):
+    """r12 (round-11 verdict low #2): standalone lang_id is a pure
+    function of text[:LANG_ID_PREFIX] — its stopword fold is capped
+    to the head, bounding per-document cost on megabyte docs.  A
+    >4 KB document whose head is German and whose (much longer) tail
+    is English must decide 'de' on the scalar path; analyze_documents
+    folds the full materialized token array and decides 'en' — the
+    documented divergence, each surface matching its own oracle."""
+    from pipelinedb_spark.operators.text import (LANG_ID_PREFIX,
+                                                 analyze_documents,
+                                                 lang_id)
+
+    head = "der die das und nicht ist ich ein " * 130   # ≈4.4 KB de
+    tail = "the a of and to in is that " * 600           # ≈17 KB en
+    assert len(head) > LANG_ID_PREFIX
+    df = spark.createDataFrame([(1, head + tail)],
+                               "doc_id long, text string")
+    scalar = df.select(lang_id(F.col("text")).alias("lang")) \
+        .collect()[0]["lang"]
+    full = analyze_documents(df).collect()[0]["lang_pred"]
+    assert scalar == "de"
+    assert full == "en"
+    # within the prefix the same document's head alone agrees on
+    # both surfaces
+    df_head = spark.createDataFrame(
+        [(1, head[:LANG_ID_PREFIX])], "doc_id long, text string")
+    assert df_head.select(lang_id(F.col("text")).alias("lang")) \
+        .collect()[0]["lang"] == "de"
+    assert analyze_documents(df_head).collect()[0]["lang_pred"] == "de"
 
 
 def test_stopword_vec_equals_per_language_filters(spark):
@@ -177,8 +211,11 @@ def test_lang_id_duckdb_replay(spark):
     rows = [(i, t) for i, t, _ in _LANG_SAMPLES]
     con.execute("CREATE TABLE s (id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO s VALUES (?, ?)", rows)
+    # r12: the standalone lang_id caps its stopword fold to the same
+    # prefix as the script/vi tiers — the replica mirrors the cap
     exprs = ", ".join(
-        "len(list_filter(string_split(text, ' '), w -> w IN ("
+        f"len(list_filter(string_split(substr(text, 1, "
+        f"{LANG_ID_PREFIX}), ' '), w -> w IN ("
         + ", ".join("'" + w + "'" for w in STOPWORDS[lg]) + f"))) AS c_{lg}"
         for lg in sorted(STOPWORDS))
     duck = con.execute(
