@@ -13,12 +13,15 @@ successive approximation per T.81 Annex G — interleaved/non-interleaved
 DC scans, per-component AC band scans with EOB runs, DC/AC refinement
 scans with correction bits), 8- or 12-bit samples (12-bit scales down
 to the uint8 pixel contract), Huffman coding, 1 or 3 components, any
-sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals, AND
+sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals,
 lossless sequential (SOF3, T.81 Annex H: predictors 1-7, point
-transform, 2-16-bit precision, modulo-2^16 reconstruction).
-Arithmetic coding and hierarchical modes raise NotImplementedError —
-the Pillow backend (multimodal.decode_pixels backend='pil') covers
-those where installed.
+transform, 2-16-bit precision, modulo-2^16 reconstruction), AND
+sequential ARITHMETIC coding (SOF9 + DAC conditioning, r12 — the
+Annex D QM-coder and Annex F statistical model live in
+jpegarith.py).  Progressive-arithmetic (SOF10) and hierarchical
+modes raise NotImplementedError — the Pillow backend
+(multimodal.decode_pixels backend='pil') covers those where
+installed.
 
 The hot path is vectorized where it matters: the IDCT is one
 einsum over ALL blocks of a component (separable orthonormal DCT-II
@@ -178,10 +181,11 @@ def _next_marker(p: bytes, start: int) -> int:
 
 
 def decode_jpeg_py(p: bytes):
-    """Baseline, progressive, or lossless (SOF3) JPEG → (h, w, c)
-    uint8 array (c = 1 gray, 3 RGB; >8-bit precision scales down).
-    Returns None when the payload is not a JPEG; raises
-    NotImplementedError for arithmetic/hierarchical streams."""
+    """Baseline, progressive, lossless (SOF3), or sequential-
+    arithmetic (SOF9) JPEG → (h, w, c) uint8 array (c = 1 gray,
+    3 RGB; >8-bit precision scales down).  Returns None when the
+    payload is not a JPEG; raises NotImplementedError for
+    progressive-arithmetic/hierarchical streams."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -192,6 +196,8 @@ def decode_jpeg_py(p: bytes):
     restart_interval = 0
     progressive = False
     lossless = False
+    arith = False
+    arith_cond = None
     precision = 8
     scan_seen = False
     mcux = mcuy = 0
@@ -222,8 +228,11 @@ def decode_jpeg_py(p: bytes):
                                                 j + 1)
                     j += 65
                 qt[tid] = tbl.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic
+            # sequential (entropy decode in jpegarith.py, r12)
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
             if body[0] not in (8, 12):  # T.81: DCT modes are 8/12-bit
@@ -268,12 +277,18 @@ def decode_jpeg_py(p: bytes):
                         "subsampled lossless JPEG (all-1x1 only)")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False})
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential, "
-                "progressive, and lossless (SOF3) Huffman decode "
-                "without codec libraries")
+                f"JPEG SOF{marker - 0xC0}: baseline/progressive/"
+                "lossless Huffman and sequential arithmetic (SOF9) "
+                "only, without codec libraries")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            from pipelinedb_spark.operators.jpegarith import \
+                ArithConditioning
+            if arith_cond is None:
+                arith_cond = ArithConditioning()
+            arith_cond.set_from_dac(body)
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(body):
@@ -340,9 +355,18 @@ def decode_jpeg_py(p: bytes):
             if ss == 0 and ah == 0:
                 for c in scan:
                     c["dc_done"] = True
-            _decode_scan_into(p, i + 2 + seg_len, scan, huff_dc,
-                              huff_ac, restart_interval, ss, se,
-                              ah, al, mcux, mcuy)
+            if arith:
+                from pipelinedb_spark.operators.jpegarith import (
+                    ArithConditioning, decode_arith_scan)
+                if arith_cond is None:  # defaults: L=0, U=1, Kx=5
+                    arith_cond = ArithConditioning()
+                decode_arith_scan(p, i + 2 + seg_len, scan,
+                                  arith_cond, restart_interval,
+                                  mcux, mcuy, ZIGZAG)
+            else:
+                _decode_scan_into(p, i + 2 + seg_len, scan, huff_dc,
+                                  huff_ac, restart_interval, ss, se,
+                                  ah, al, mcux, mcuy)
             i = _next_marker(p, i + 2 + seg_len)
             continue
         i += 2 + seg_len

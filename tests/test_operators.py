@@ -1229,12 +1229,14 @@ def test_decode_jpeg_420_restart_and_progressive_gate():
     prog[idx + 1] = 0xC2
     got2 = decode_jpeg_py(bytes(prog))
     assert np.array_equal(got2, decode_jpeg_py(base_payload))
-    # arithmetic coding (SOF9) stays honestly gated; a DCT stream
-    # relabeled SOF3 (lossless, now implemented — test_r8_fixes.py)
-    # is rejected as malformed, not silently decoded
+    # progressive-arithmetic (SOF10) stays honestly gated (SOF9
+    # sequential arithmetic is implemented since r12 —
+    # test_r12_jpeg_arith.py); a DCT stream relabeled SOF3
+    # (lossless, now implemented — test_r8_fixes.py) is rejected as
+    # malformed, not silently decoded
     arith = bytearray(_make_jpeg(smooth))
-    arith[idx + 1] = 0xC9
-    with pytest.raises(NotImplementedError, match="SOF9"):
+    arith[idx + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="SOF10"):
         decode_jpeg_py(bytes(arith))
     loss = bytearray(_make_jpeg(smooth))
     loss[idx + 1] = 0xC3
