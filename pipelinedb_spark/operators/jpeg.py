@@ -16,10 +16,10 @@ to the uint8 pixel contract), Huffman coding, 1 or 3 components, any
 sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals,
 lossless sequential (SOF3, T.81 Annex H: predictors 1-7, point
 transform, 2-16-bit precision, modulo-2^16 reconstruction), AND
-sequential ARITHMETIC coding (SOF9 + DAC conditioning, r12 — the
-Annex D QM-coder and Annex F statistical model live in
-jpegarith.py).  Progressive-arithmetic (SOF10) and hierarchical
-modes raise NotImplementedError — the Pillow backend
+sequential AND progressive ARITHMETIC coding (SOF9/SOF10 + DAC
+conditioning, r12 — the Annex D QM-coder and Annex F/G statistical
+models live in jpegarith.py).  Hierarchical modes raise
+NotImplementedError — the Pillow backend
 (multimodal.decode_pixels backend='pil') covers those where
 installed.
 
@@ -181,11 +181,11 @@ def _next_marker(p: bytes, start: int) -> int:
 
 
 def decode_jpeg_py(p: bytes):
-    """Baseline, progressive, lossless (SOF3), or sequential-
-    arithmetic (SOF9) JPEG → (h, w, c) uint8 array (c = 1 gray,
-    3 RGB; >8-bit precision scales down).  Returns None when the
-    payload is not a JPEG; raises NotImplementedError for
-    progressive-arithmetic/hierarchical streams."""
+    """Baseline, progressive, lossless (SOF3), or arithmetic
+    (SOF9/SOF10) JPEG → (h, w, c) uint8 array (c = 1 gray, 3 RGB;
+    >8-bit precision scales down).  Returns None when the payload
+    is not a JPEG; raises NotImplementedError for hierarchical
+    streams."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -228,11 +228,12 @@ def decode_jpeg_py(p: bytes):
                                                 j + 1)
                     j += 65
                 qt[tid] = tbl.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic
-            # sequential (entropy decode in jpegarith.py, r12)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9/SOF10
+            # arithmetic sequential/progressive (entropy decode in
+            # jpegarith.py, r12)
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
             if body[0] not in (8, 12):  # T.81: DCT modes are 8/12-bit
@@ -277,12 +278,13 @@ def decode_jpeg_py(p: bytes):
                         "subsampled lossless JPEG (all-1x1 only)")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False})
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: baseline/progressive/"
-                "lossless Huffman and sequential arithmetic (SOF9) "
-                "only, without codec libraries")
+                "lossless Huffman and sequential/progressive "
+                "arithmetic (SOF9/SOF10) only — hierarchical and "
+                "lossless-arithmetic modes need codec libraries")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             from pipelinedb_spark.operators.jpegarith import \
                 ArithConditioning
@@ -362,7 +364,8 @@ def decode_jpeg_py(p: bytes):
                     arith_cond = ArithConditioning()
                 decode_arith_scan(p, i + 2 + seg_len, scan,
                                   arith_cond, restart_interval,
-                                  mcux, mcuy, ZIGZAG)
+                                  mcux, mcuy, ZIGZAG,
+                                  ss=ss, se=se, ah=ah, al=al)
             else:
                 _decode_scan_into(p, i + 2 + seg_len, scan, huff_dc,
                                   huff_ac, restart_interval, ss, se,

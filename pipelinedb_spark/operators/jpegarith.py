@@ -1,6 +1,6 @@
 """Arithmetic-coded JPEG entropy decode (ITU-T T.81 Annex D QM-coder
-+ Annex F sequential DCT statistical model) — closes the SOF9 gate in
-:mod:`jpeg` (round-11 verdict task 8, the declared-feasible stretch:
++ Annex F/G DCT statistical models) — closes the SOF9 AND SOF10
+gates in :mod:`jpeg` (round-11 verdict task 8, the stretch:
 unlike MP3's underivable ISO tables, the QM conditioning table is
 printed in T.81 Table D.3 and is small).
 
@@ -275,14 +275,16 @@ def _decode_dc(dec: ArithDecoder, stats: _ScanStats, c: dict,
 
 def _decode_ac_block(dec: ArithDecoder, stats: _ScanStats, c: dict,
                      cond: ArithConditioning, blk: np.ndarray,
-                     zz: np.ndarray, se: int = 63) -> None:
-    """AC coefficients 1..se of one block (F.2.2.2): per-k EOB /
-    nonzero decisions, fixed-bin sign, magnitude chains split at
-    Kx."""
+                     zz: np.ndarray, ss: int = 1, se: int = 63,
+                     al: int = 0) -> None:
+    """AC coefficients ss..se of one block (F.2.2.2, first-pass
+    form): per-k EOB / nonzero decisions, fixed-bin sign, magnitude
+    chains split at Kx; progressive first scans store values
+    ``<< al``."""
     tbl = c["ta"]
     st = stats.ac[tbl]
     kx = cond.ac[tbl]
-    k = 1
+    k = ss
     while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):            # EOB
@@ -313,7 +315,7 @@ def _decode_ac_block(dec: ArithDecoder, stats: _ScanStats, c: dict,
                 v |= mm
             mm >>= 1
         v += 1
-        blk[zz[k]] = -v if sign else v
+        blk[zz[k]] = (-v if sign else v) << al
         k += 1
 
 
@@ -334,13 +336,52 @@ def _find_restart(data: bytes, pos: int, n: int) -> int:
     raise ValueError("missing restart marker in arithmetic scan")
 
 
+def _decode_ac_refine(dec: ArithDecoder, stats: _ScanStats, c: dict,
+                      blk: np.ndarray, zz: np.ndarray,
+                      ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement (G.1.3.3 arithmetic form): per
+    coefficient index — a correction bit for already-nonzero history
+    (bin st+2), the newly-nonzero decision at st+1 with a fixed-bin
+    sign, and an EOB decision only past the previous scan's end."""
+    st = stats.ac[c["ta"]]
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex > 0 and blk[zz[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return                          # EOB
+        while True:
+            cur = int(blk[zz[k]])
+            if cur:
+                if dec.decode(st, base + 2) and (cur & p1) == 0:
+                    blk[zz[k]] = cur + (p1 if cur > 0 else m1)
+                break
+            if dec.decode(st, base + 1):
+                blk[zz[k]] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError(
+                    "arithmetic AC refinement index overflow")
+            base = 3 * (k - 1)
+        k += 1
+
+
 def decode_arith_scan(p: bytes, pos: int, scan: list[dict],
                       cond: ArithConditioning, ri: int,
-                      mcux: int, mcuy: int, zz: np.ndarray) -> None:
-    """Sequential-DCT arithmetic scan (the SOF9 twin of the Huffman
-    MCU walk): full-band DC+AC per block, interleaved or single-
-    component, restart intervals re-initializing decoder AND
-    statistics."""
+                      mcux: int, mcuy: int, zz: np.ndarray,
+                      ss: int = 0, se: int = 63,
+                      ah: int = 0, al: int = 0) -> None:
+    """Arithmetic entropy scan — the SOF9/SOF10 twin of the Huffman
+    MCU walk.  One driver covers every scan shape: sequential
+    full-band (ss=0, se=63, ah=al=0), progressive DC first/refine
+    (interleaved or not), progressive AC band first/refine (single
+    component).  Restart intervals re-initialize the decoder AND all
+    statistics (F.1.4.2); statistics are per-scan by construction."""
     stats = _ScanStats()
     for c in scan:
         c["pred"] = 0
@@ -360,6 +401,21 @@ def decode_arith_scan(p: bytes, pos: int, scan: list[dict],
             cc["pred"] = 0
             cc["dc_ctx"] = 0
 
+    def block(c: dict, blk: np.ndarray) -> None:
+        if ah == 0:                         # first pass
+            if ss == 0:
+                blk[0] = _decode_dc(dec, stats, c, cond) << al
+            if se > 0 and (ss > 0 or se == 63):
+                # AC band (progressive) or full sequential band;
+                # a DC-only progressive scan (ss=0, se=0) skips AC
+                _decode_ac_block(dec, stats, c, cond, blk, zz,
+                                 ss=max(ss, 1), se=se, al=al)
+        elif ss == 0:                       # DC refinement: fixed bin
+            if dec.decode(stats.fixed, 0):
+                blk[0] |= 1 << al
+        else:                               # AC refinement
+            _decode_ac_refine(dec, stats, c, blk, zz, ss, se, al)
+
     if len(scan) == 1:
         c = scan[0]
         nbx, nby = c["nbx"], c["nby"]
@@ -367,9 +423,7 @@ def decode_arith_scan(p: bytes, pos: int, scan: list[dict],
             if ri and m and m % ri == 0:
                 restart()
             row, col = divmod(m, nbx)
-            blk = c["coef"][row * c["bw"] + col].reshape(64)
-            blk[0] = _decode_dc(dec, stats, c, cond)
-            _decode_ac_block(dec, stats, c, cond, blk, zz)
+            block(c, c["coef"][row * c["bw"] + col].reshape(64))
     else:
         for m in range(mcux * mcuy):
             if ri and m and m % ri == 0:
@@ -380,6 +434,4 @@ def decode_arith_scan(p: bytes, pos: int, scan: list[dict],
                     for bx in range(c["h"]):
                         idx = ((my * c["v"] + by) * c["bw"]
                                + mx * c["h"] + bx)
-                        blk = c["coef"][idx].reshape(64)
-                        blk[0] = _decode_dc(dec, stats, c, cond)
-                        _decode_ac_block(dec, stats, c, cond, blk, zz)
+                        block(c, c["coef"][idx].reshape(64))

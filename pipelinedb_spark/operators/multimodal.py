@@ -8,7 +8,7 @@ baseline + progressive JPEG (operators/jpeg.py — Huffman entropy
 decode + vectorized IDCT) are all real, dependency-free byte/numpy
 parsing, including Adam7-interlaced PNG, interlaced GIF, and MJPEG
 video frames inside AVI containers.  Only
-rare sub-formats (progressive-arithmetic/hierarchical JPEG, 16-bit
+rare sub-formats (hierarchical JPEG, 16-bit
 depths) remain behind ``NotImplementedError``
 — the Spark-side plumbing (schemas, batch iteration, partition
 sizing, UDF signatures) is exactly what a production deployment
@@ -934,10 +934,9 @@ def decode_gif_py(p: bytes):
 def decode_jpeg_py(p: bytes):
     """JPEG → (h, w, c) uint8 array — full dependency-free codec in
     operators/jpeg.py (baseline/progressive/lossless/12-bit Huffman
-    plus sequential-arithmetic SOF9 entropy decode, dequant,
-    vectorized IDCT, chroma upsample, YCbCr→RGB).  Progressive-
-    arithmetic / hierarchical streams raise NotImplementedError
-    there."""
+    plus arithmetic SOF9/SOF10 entropy decode, dequant,
+    vectorized IDCT, chroma upsample, YCbCr→RGB).  Hierarchical
+    streams raise NotImplementedError there."""
     from pipelinedb_spark.operators.jpeg import decode_jpeg_py as _dec
     return _dec(p)
 
@@ -948,11 +947,11 @@ def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
     (the production path — C codecs), 'pure' uses the dependency-free
     decoders (24-bit BMP, binary PPM, PNG incl. Adam7 via stdlib
     zlib, GIF incl. interlaced via pure-Python LZW, and
-    baseline/progressive/lossless/12-bit/sequential-arithmetic JPEG
-    in operators/jpeg.py + jpegarith.py), 'auto' (default) picks pil
-    when importable.  Under 'pure', rare sub-formats
-    (progressive-arithmetic JPEG, 16-bit depths) raise
-    NotImplementedError — under 'pil' they decode for real.  Unrecognized payloads yield
+    baseline/progressive/lossless/12-bit/arithmetic JPEG in
+    operators/jpeg.py + jpegarith.py), 'auto' (default) picks pil
+    when importable.  Under 'pure', rare sub-formats (hierarchical
+    JPEG, 16-bit depths) raise NotImplementedError — under 'pil'
+    they decode for real.  Unrecognized payloads yield
     a null-stats row (format NULL) rather than failing the batch."""
     backend = resolve_decode_backend(backend)
 

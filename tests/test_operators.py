@@ -1229,15 +1229,15 @@ def test_decode_jpeg_420_restart_and_progressive_gate():
     prog[idx + 1] = 0xC2
     got2 = decode_jpeg_py(bytes(prog))
     assert np.array_equal(got2, decode_jpeg_py(base_payload))
-    # progressive-arithmetic (SOF10) stays honestly gated (SOF9
-    # sequential arithmetic is implemented since r12 —
-    # test_r12_jpeg_arith.py); a DCT stream relabeled SOF3
-    # (lossless, now implemented — test_r8_fixes.py) is rejected as
-    # malformed, not silently decoded
-    arith = bytearray(_make_jpeg(smooth))
-    arith[idx + 1] = 0xCA
-    with pytest.raises(NotImplementedError, match="SOF10"):
-        decode_jpeg_py(bytes(arith))
+    # hierarchical modes stay honestly gated (SOF9/SOF10 arithmetic
+    # is implemented since r12 — test_r12_jpeg_arith.py); a DCT
+    # stream relabeled SOF3 (lossless, now implemented —
+    # test_r8_fixes.py) is rejected as malformed, not silently
+    # decoded
+    hier = bytearray(_make_jpeg(smooth))
+    hier[idx + 1] = 0xCE
+    with pytest.raises(NotImplementedError, match="SOF14"):
+        decode_jpeg_py(bytes(hier))
     loss = bytearray(_make_jpeg(smooth))
     loss[idx + 1] = 0xC3
     with pytest.raises(ValueError):  # Ss=0 is no lossless predictor

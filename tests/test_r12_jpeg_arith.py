@@ -1,4 +1,5 @@
-"""Sequential arithmetic-coded JPEG (SOF9) — round-11 verdict task 8.
+"""Arithmetic-coded JPEG (SOF9 sequential + SOF10 progressive) —
+round-11 verdict task 8.
 
 The suite carries a mirror QM ENCODER (T.81 Annex D encode flow +
 Annex F sequential statistical model, the jcarith.c shape) sharing
@@ -182,21 +183,110 @@ def _encode_ac_block(enc, stats, comp, cond_ac, seq):
         enc.encode(st, 3 * (k - 1), 1)    # EOB
 
 
+def _encode_ac_first(enc, stats, comp, cond_ac, seq, ss, se, al):
+    """Progressive AC first scan (band ss..se, point transform al) —
+    the sequential AC encoder over the scaled band."""
+    tbl = comp["ta"]
+    st = stats.ac[tbl]
+    kx = cond_ac[tbl]
+    scaled = [0] * 64
+    for k in range(ss, se + 1):
+        v = int(seq[k])
+        scaled[k] = (v >> al) if v >= 0 else -((-v) >> al)
+    ke = se
+    while ke >= ss and scaled[ke] == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)
+        while scaled[k] == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(st, base + 1, 1)
+        v = scaled[k]
+        sign = 1 if v < 0 else 0
+        enc.encode(stats.fixed, 0, sign)
+        if sign:
+            v = -v
+        idx = base + 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, idx, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, idx, 1)
+                m = 2
+                idx = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, idx, 1)
+                    m <<= 1
+                    idx += 1
+        enc.encode(st, idx, 0)
+        idx += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, idx, 1 if (v & mm) else 0)
+            mm >>= 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)    # EOB
+
+
+def _encode_ac_refine(enc, stats, comp, seq, ss, se, al):
+    """Progressive AC refinement: correction bits for history
+    coefficients, newly-nonzero decisions with fixed-bin signs, EOB
+    decisions only past the previous scan's end (jcarith shape)."""
+    st = stats.ac[comp["ta"]]
+    absv = [0] * 64
+    sgn = [0] * 64
+    for k in range(ss, se + 1):
+        v = int(seq[k])
+        absv[k] = (v if v >= 0 else -v) >> al
+        sgn[k] = 1 if v < 0 else 0
+    ke = se
+    while ke >= ss and absv[ke] == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (absv[kex] >> 1) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)       # not EOB yet
+        while True:
+            temp = absv[k]
+            if temp > 1:                  # history: correction bit
+                enc.encode(st, base + 2, temp & 1)
+                break
+            if temp == 1:                 # newly nonzero this scan
+                enc.encode(st, base + 1, 1)
+                enc.encode(stats.fixed, 0, sgn[k])
+                break
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)    # EOB
+
+
 # ------------------------------------------------- fixture builder
 
 
-def _make_arith_jpeg(rgb, subsample=False, quant=None, restart=0,
-                     dac=None):
-    """SOF9 sequential arithmetic JPEG (test oracle): the _make_jpeg
-    coefficient pipeline with QM entropy coding.  ``dac`` overrides
-    conditioning as {"dc": {tbl: (L, U)}, "ac": {tbl: Kx}} and emits
-    the DAC marker."""
+def _build_blocks(rgb, subsample, quant):
+    """Shared coefficient pipeline (the _make_jpeg shape): color
+    transform, optional 4:2:0, FDCT, quantize.  Returns
+    (blocks, samp, h, w, mcux, mcuy)."""
     arr = np.asarray(rgb, dtype=np.float64)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    if quant is None:
-        quant = np.ones((8, 8), dtype=np.int32)
-
     if gray:
         planes = [arr - 128.0]
         samp = [(1, 1)]
@@ -221,7 +311,6 @@ def _make_arith_jpeg(rgb, subsample=False, quant=None, restart=0,
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-
     blocks = []
     for pl, (sh, sv) in zip(planes, samp):
         bw, bh = mcux * sh, mcuy * sv
@@ -233,7 +322,10 @@ def _make_arith_jpeg(rgb, subsample=False, quant=None, restart=0,
         blk = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ik,yxkl,jl->yxij", _DCT_A, blk, _DCT_A)
         blocks.append(np.round(coef / quant).astype(np.int32))
+    return blocks, samp, h, w, mcux, mcuy
 
+
+def _conditioning(dac):
     cond_dc = {i: (0, 1) for i in range(4)}
     cond_ac = {i: 5 for i in range(4)}
     dac_body = b""
@@ -244,12 +336,57 @@ def _make_arith_jpeg(rgb, subsample=False, quant=None, restart=0,
         for tbl, kxv in dac.get("ac", {}).items():
             cond_ac[tbl] = kxv
             dac_body += bytes([0x10 | tbl, kxv])
+    return cond_dc, cond_ac, dac_body
 
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) \
+        + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _headers(sof_marker, quant, h, w, samp, dac_body, restart):
+    zz = ZIGZAG
+    dqt = bytes([0]) + bytes(int(quant.reshape(8, 8).flat[zz[i]])
+                             for i in range(64))
+    sof_body = bytes([8]) + h.to_bytes(2, "big") \
+        + w.to_bytes(2, "big") + bytes([len(samp)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof_body += bytes([ci + 1, (sh << 4) | sv, 0])
+    out = b"\xff\xd8" + _seg(0xDB, dqt) + _seg(sof_marker, sof_body)
+    if dac_body:
+        out += _seg(0xCC, dac_body)
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    return out
+
+
+def _sos(comps, cids, ss, se, ah, al):
+    body = bytes([len(cids)])
+    for ci in cids:
+        body += bytes([ci + 1,
+                       (comps[ci]["td"] << 4) | comps[ci]["ta"]])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def _make_comps(n):
     # luma uses table 0, chroma table 1 (the libjpeg convention)
-    comps = [{"td": 0 if ci == 0 else min(ci, 1),
-              "ta": 0 if ci == 0 else min(ci, 1),
-              "pred": 0, "dc_ctx": 0}
-             for ci in range(len(planes))]
+    return [{"td": 0 if ci == 0 else 1, "ta": 0 if ci == 0 else 1,
+             "pred": 0, "dc_ctx": 0} for ci in range(n)]
+
+
+def _make_arith_jpeg(rgb, subsample=False, quant=None, restart=0,
+                     dac=None):
+    """SOF9 sequential arithmetic JPEG (test oracle): the _make_jpeg
+    coefficient pipeline with QM entropy coding.  ``dac`` overrides
+    conditioning as {"dc": {tbl: (L, U)}, "ac": {tbl: Kx}} and emits
+    the DAC marker."""
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int32)
+    blocks, samp, h, w, mcux, mcuy = _build_blocks(rgb, subsample,
+                                                   quant)
+    cond_dc, cond_ac, dac_body = _conditioning(dac)
+    comps = _make_comps(len(blocks))
 
     def fresh():
         for cmp_ in comps:
@@ -260,8 +397,7 @@ def _make_arith_jpeg(rgb, subsample=False, quant=None, restart=0,
     zz = ZIGZAG
     enc, stats = fresh()
     chunks = []
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
+    for m in range(mcux * mcuy):
         if restart and m and m % restart == 0:
             chunks.append(enc.flush())
             chunks.append(bytes([0xFF,
@@ -279,30 +415,76 @@ def _make_arith_jpeg(rgb, subsample=False, quant=None, restart=0,
                     _encode_ac_block(enc, stats, comps[ci], cond_ac,
                                      seq)
     chunks.append(enc.flush())
-    entropy = b"".join(chunks)
+    return _headers(0xC9, quant, h, w, samp, dac_body, restart) \
+        + _sos(comps, list(range(len(comps))), 0, 63, 0, 0) \
+        + b"".join(chunks) + b"\xff\xd9"
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2,
-                                                                "big") \
-            + body
 
-    dqt = bytes([0]) + bytes(int(quant.reshape(8, 8).flat[zz[i]])
-                             for i in range(64))
-    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
-        + bytes([len(planes)])
-    for ci, (sh, sv) in enumerate(samp):
-        sof_body += bytes([ci + 1, (sh << 4) | sv, 0])
-    sos_body = bytes([len(planes)])
-    for ci, cmp_ in enumerate(comps):
-        sos_body += bytes([ci + 1, (cmp_["td"] << 4) | cmp_["ta"]])
-    sos_body += bytes([0, 63, 0])
-    out = b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC9, sof_body)
-    if dac_body:
-        out += seg(0xCC, dac_body)
-    if restart:
-        out += seg(0xDD, restart.to_bytes(2, "big"))
-    out += seg(0xDA, sos_body) + entropy + b"\xff\xd9"
-    return out
+def _make_prog_arith_jpeg(rgb, quant=None, dac=None, dc_al=1,
+                          ac_al=1, band_split=5):
+    """SOF10 progressive arithmetic JPEG (4:4:4 / gray): DC first
+    (Al=dc_al) → AC band first scans split at ``band_split``
+    (Al=ac_al) → DC refinement → AC refinement scans — every
+    arithmetic progressive scan shape."""
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int32)
+    blocks, samp, h, w, mcux, mcuy = _build_blocks(rgb, False, quant)
+    assert all(s == (1, 1) for s in samp)
+    cond_dc, cond_ac, dac_body = _conditioning(dac)
+    comps = _make_comps(len(blocks))
+    zz = ZIGZAG
+    ncomp = len(blocks)
+    seqs = [[blocks[ci][divmod(m, mcux)].reshape(64)[zz]
+             for m in range(mcux * mcuy)] for ci in range(ncomp)]
+
+    def fresh():
+        for cmp_ in comps:
+            cmp_["pred"] = 0
+            cmp_["dc_ctx"] = 0
+        return _QMEncoder(), _Stats()
+
+    out = _headers(0xCA, quant, h, w, samp, dac_body, 0)
+
+    # scan 1: DC first, interleaved, scaled by dc_al
+    enc, stats = fresh()
+    for m in range(mcux * mcuy):
+        for ci in range(ncomp):
+            scaled = int(seqs[ci][m][0]) >> dc_al
+            diff = scaled - comps[ci]["pred"]
+            comps[ci]["pred"] = scaled
+            _encode_dc(enc, stats, comps[ci], cond_dc, diff)
+    out += _sos(comps, list(range(ncomp)), 0, 0, 0, dc_al) \
+        + enc.flush()
+
+    # scans 2..: AC band firsts per component
+    bands = [(1, band_split), (band_split + 1, 63)]
+    for ci in range(ncomp):
+        for ss, se in bands:
+            enc, stats = fresh()
+            for seq in seqs[ci]:
+                _encode_ac_first(enc, stats, comps[ci], cond_ac,
+                                 seq, ss, se, ac_al)
+            out += _sos(comps, [ci], ss, se, 0, ac_al) + enc.flush()
+
+    # DC refinement (interleaved, fixed bin)
+    enc, stats = fresh()
+    for m in range(mcux * mcuy):
+        for ci in range(ncomp):
+            enc.encode(stats.fixed, 0,
+                       (int(seqs[ci][m][0]) >> (dc_al - 1)) & 1)
+    out += _sos(comps, list(range(ncomp)), 0, 0, dc_al, dc_al - 1) \
+        + enc.flush()
+
+    # AC refinements per component
+    for ci in range(ncomp):
+        for ss, se in bands:
+            enc, stats = fresh()
+            for seq in seqs[ci]:
+                _encode_ac_refine(enc, stats, comps[ci], seq,
+                                  ss, se, ac_al - 1)
+            out += _sos(comps, [ci], ss, se, ac_al, ac_al - 1) \
+                + enc.flush()
+    return out + b"\xff\xd9"
 
 
 # ------------------------------------------------------- tests
@@ -420,12 +602,60 @@ def test_arith_truncation_and_corruption_never_hang():
             pass
 
 
-def test_progressive_arithmetic_still_gated():
+def test_prog_arith_gray_roundtrip():
+    """SOF10: DC first/refine + AC band first/refine scans rebuild
+    the exact coefficients (quant=1 → pixels within DCT float
+    noise)."""
+    rng = np.random.RandomState(17)
+    img = np.clip(rng.randint(50, 210, (3, 3)).repeat(8, 0)
+                  .repeat(8, 1) + rng.randint(-7, 8, (24, 24)),
+                  0, 255)
+    p = _make_prog_arith_jpeg(img)
+    assert b"\xff\xca" in p
+    got = decode_jpeg_py(p)
+    assert got.shape == (24, 24, 1)
+    assert np.max(np.abs(got[..., 0].astype(int) - img)) <= 2
+
+
+def test_prog_arith_color_dac_and_deeper_al():
+    """Color 4:4:4 progressive arithmetic with non-default DAC
+    conditioning and a 2-bit successive-approximation ladder on the
+    DC path (dc_al=2 exercises multiple refinement semantics)."""
+    rng = np.random.RandomState(19)
+    img = np.clip(rng.randint(0, 256, (2, 2, 3)).repeat(8, 0)
+                  .repeat(8, 1) + rng.randint(-3, 4, (16, 16, 3)),
+                  0, 255)
+    p = _make_prog_arith_jpeg(img, dac={"dc": {0: (1, 2), 1: (0, 3)},
+                                        "ac": {0: 11, 1: 3}},
+                              band_split=9)
+    got = decode_jpeg_py(p)
+    assert got.shape == img.shape
+    assert np.max(np.abs(got.astype(int) - img)) <= 4
+
+
+def test_prog_arith_partial_stream_is_viewable():
+    """The progressive contract: a stream truncated after the first
+    scans still decodes to a coarse image once every component has
+    its DC scan (the multi-scan coverage rule)."""
+    rng = np.random.RandomState(23)
+    img = np.clip(rng.randint(60, 200, (16, 16)), 0, 255)
+    p = _make_prog_arith_jpeg(img)
+    # cut after the 2nd SOS (DC first + first AC band)
+    cuts = [m.start() for m in __import__("re").finditer(
+        b"\xff\xda", p)]
+    coarse = decode_jpeg_py(p[:cuts[2]] + b"\xff\xd9")
+    assert coarse.shape == (16, 16, 1)
+    # DC-only-ish reconstruction: block means near the original's
+    full = decode_jpeg_py(p)
+    assert np.mean(np.abs(coarse.astype(float) - full.astype(float))) < 40
+
+
+def test_hierarchical_arithmetic_still_gated():
     img = np.zeros((8, 8), dtype=np.uint8)
     p = bytearray(_make_arith_jpeg(img))
     i = p.find(b"\xff\xc9")
-    p[i + 1] = 0xCA                      # SOF10: progressive arith
-    with pytest.raises(NotImplementedError):
+    p[i + 1] = 0xCE                      # SOF14: differential prog
+    with pytest.raises(NotImplementedError, match="SOF14"):
         decode_jpeg_py(bytes(p))
 
 
