@@ -500,6 +500,24 @@ def test_qe_table_invariants():
     # estimator sharpens as MPS streaks lengthen)
     for i in range(0, 13):
         assert QE_TABLE[i][0] > QE_TABLE[i + 1][0]
+    # global estimator direction: every MPS transition weakly
+    # SHARPENS the estimate (Qe non-increasing) and every non-switch
+    # LPS transition weakly WEAKENS it — properties of the published
+    # machine that a transcription slip would likely break, giving
+    # independent evidence beyond encoder-mirror roundtrips
+    for i, (qe, nl, nm, sw) in enumerate(QE_TABLE[:113]):
+        assert QE_TABLE[nm][0] <= qe, (i, "MPS transition raises Qe")
+        if not sw:
+            assert QE_TABLE[nl][0] >= qe, (i, "LPS transition lowers")
+    # every state is reachable from the start state
+    seen, frontier = {0}, [0]
+    while frontier:
+        s = frontier.pop()
+        for nxt in QE_TABLE[s][1:3]:
+            if nxt not in seen:
+                seen.add(nxt)
+                frontier.append(nxt)
+    assert seen >= set(range(113))
 
 
 def test_raw_coder_roundtrip_random_bitstreams():
