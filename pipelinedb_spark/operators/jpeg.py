@@ -345,6 +345,15 @@ def decode_jpeg_py(p: bytes):
                 continue
             if not progressive:
                 ss, se, ah, al = 0, 63, 0, 0
+            # T.81 B.2.3 bounds for DCT scans: a hostile Se/Al would
+            # otherwise index past the (arithmetic) stat arrays or
+            # overflow int32 on the successive-approximation shift —
+            # both must be the contract's ValueError, not a numpy
+            # IndexError/OverflowError
+            if not (ss <= se <= 63 and ah <= 13 and al <= 13):
+                raise ValueError(
+                    f"bad DCT scan header Ss={ss} Se={se} "
+                    f"Ah={ah} Al={al}")
             if ss > 0 and ns != 1:
                 raise ValueError("interleaved progressive AC scan")
             if not scan_seen:

@@ -668,6 +668,26 @@ def test_prog_arith_partial_stream_is_viewable():
     assert np.mean(np.abs(coarse.astype(float) - full.astype(float))) < 40
 
 
+def test_hostile_scan_header_bounds_raise_valueerror():
+    """T.81 B.2.3 bounds on progressive scan headers: a hostile Se
+    (stat-array index) or Al (int32 coefficient shift) must be the
+    decode contract's ValueError, not a numpy IndexError/
+    OverflowError escaping from the entropy loop."""
+    import re
+    rng = np.random.RandomState(29)
+    p = _make_prog_arith_jpeg(
+        np.clip(rng.randint(0, 256, (16, 16)), 0, 255))
+    cuts = [m.start() for m in re.finditer(b"\xff\xda", p)]
+    bad_se = bytearray(p)
+    bad_se[cuts[1] + 8] = 255            # AC band scan: Se=255
+    with pytest.raises(ValueError, match="scan header"):
+        decode_jpeg_py(bytes(bad_se))
+    bad_al = bytearray(p)
+    bad_al[cuts[2] + 9] = 0x1F           # Ah=1, Al=15
+    with pytest.raises(ValueError, match="scan header"):
+        decode_jpeg_py(bytes(bad_al))
+
+
 def test_hierarchical_arithmetic_still_gated():
     img = np.zeros((8, 8), dtype=np.uint8)
     p = bytearray(_make_arith_jpeg(img))
