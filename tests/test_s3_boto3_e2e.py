@@ -212,6 +212,55 @@ def test_concurrent_append_storm_through_real_botocore(
     assert len(names) == 6 * APPENDS
 
 
+def test_engine_cv_lifecycle_through_real_botocore(
+        fake, tmp_path, monkeypatch, spark):
+    """The full continuous-query engine with its matrel manifests on
+    the object store (the documented deployment flip: condput module
+    default + CLIENT_FACTORY), every manifest byte riding real
+    botocore — including one ambiguous landed-but-500 manifest PUT
+    mid-stream, which the matrel's single-writer recovery must
+    resolve without double-applying the batch.  A view pin rides the
+    same object-store manifests."""
+    import pipelinedb_spark.matrel as matrel_mod
+    from pipelinedb_spark import PipelineContext
+
+    monkeypatch.setattr(matrel_mod, "DEFAULT_MANIFEST_FORMAT",
+                        "condput")
+    monkeypatch.setattr(
+        mio, "CLIENT_FACTORY",
+        lambda d: _client(fake, prefix=os.path.abspath(d)))
+    ctx = PipelineContext(spark, root=str(tmp_path / "pdb"),
+                          num_buckets=4,
+                          track_output_streams=False)
+    try:
+        ctx.create_stream("s3s", "k string, v double")
+        ctx.create_view("cv_s3",
+                        "SELECT k, count(*) AS n, sum(v) AS s "
+                        "FROM s3s GROUP BY k")
+        ctx.insert("s3s", [{"k": "a", "v": 1.0},
+                           {"k": "b", "v": 2.0}])
+        assert sorted(tuple(r)
+                      for r in ctx.read_view("cv_s3").collect()) \
+            == [("a", 1, 1.0), ("b", 1, 2.0)]
+        # ambiguous success on the NEXT matrel manifest PUT
+        fake.fail_next("PUT", status=500, code="InternalError",
+                       key_contains="m0", apply_first=True)
+        ctx.insert("s3s", [{"k": "a", "v": 3.0}])
+        rows = sorted(tuple(r)
+                      for r in ctx.read_view("cv_s3").collect())
+        assert rows == [("a", 2, 4.0), ("b", 1, 2.0)]  # applied once
+        # manifest objects live in the fake bucket
+        assert [k for (_b, k) in fake.objects if "_manifests" in k]
+        # pins ride the object-store manifests too
+        ctx.pin_view("cv_s3", "run")
+        ctx.insert("s3s", [{"k": "a", "v": 9.0}])
+        assert sorted(tuple(r) for r in
+                      ctx.read_view_pinned("cv_s3", "run").collect()) \
+            == rows
+    finally:
+        ctx.close()
+
+
 def test_condput_io_cas_through_real_botocore(fake, tmp_path):
     """Two CondPutManifestIO writers on the same prefix: the loser's
     conditional PUT gets the real 412 XML and surfaces as
