@@ -18,8 +18,8 @@ lossless sequential (SOF3, T.81 Annex H: predictors 1-7, point
 transform, 2-16-bit precision, modulo-2^16 reconstruction), AND
 sequential AND progressive ARITHMETIC coding (SOF9/SOF10 + DAC
 conditioning, r12 — the Annex D QM-coder and Annex F/G statistical
-models live in jpegarith.py).  Hierarchical modes raise
-NotImplementedError — the Pillow backend
+models live in jpegarith.py).  Hierarchical modes and
+lossless-arithmetic (SOF11) raise NotImplementedError — the Pillow backend
 (multimodal.decode_pixels backend='pil') covers those where
 installed.
 
@@ -184,8 +184,8 @@ def decode_jpeg_py(p: bytes):
     """Baseline, progressive, lossless (SOF3), or arithmetic
     (SOF9/SOF10) JPEG → (h, w, c) uint8 array (c = 1 gray, 3 RGB;
     >8-bit precision scales down).  Returns None when the payload
-    is not a JPEG; raises NotImplementedError for hierarchical
-    streams."""
+    is not a JPEG; raises NotImplementedError for hierarchical and
+    lossless-arithmetic (SOF11) streams."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -354,6 +354,18 @@ def decode_jpeg_py(p: bytes):
                 raise ValueError(
                     f"bad DCT scan header Ss={ss} Se={se} "
                     f"Ah={ah} Al={al}")
+            if progressive and ss == 0 and se not in (0, 63):
+                # B.2.3: a progressive DC scan is exactly Ss=Se=0 —
+                # accepting Ss=0 with a partial band would have the
+                # arithmetic path skip the declared AC coefficients
+                # and silently desync the entropy stream (round-12
+                # review).  The full-band (0, 63) shape stays
+                # accepted as the documented baseline-compatibility
+                # tolerance (a SOF2 frame whose one scan is
+                # baseline-shaped decodes as baseline).
+                raise ValueError(
+                    f"progressive DC scan must have Se=0 "
+                    f"(or the full band 63), got {se}")
             if ss > 0 and ns != 1:
                 raise ValueError("interleaved progressive AC scan")
             if not scan_seen:

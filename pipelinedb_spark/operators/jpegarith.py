@@ -163,9 +163,10 @@ class ArithDecoder:
         mps = sv >> 7
         qe, nlps, nmps, sw = QE_TABLE[sv & 0x7F]
         a -= qe
-        if self.c >= (a << self.ct):
+        t = a << self.ct         # hoisted: this is the per-bit hot path
+        if self.c >= t:
             # upper (LPS-sized) subinterval, conditional exchange
-            self.c -= a << self.ct
+            self.c -= t
             if a < qe:
                 bit = mps
                 st[i] = (mps << 7) | nmps
@@ -197,6 +198,11 @@ class ArithConditioning:
         self.ac = {i: 5 for i in range(4)}
 
     def set_from_dac(self, body: bytes) -> None:
+        if len(body) % 2:
+            # an orphaned half-definition could be the very table the
+            # scan references — dropping it would decode with default
+            # conditioning and desync (round-12 review)
+            raise ValueError("odd-length DAC segment")
         j = 0
         while j + 1 < len(body):
             cls, tid = body[j] >> 4, body[j] & 0x0F
@@ -327,11 +333,13 @@ def _find_restart(data: bytes, pos: int, n: int) -> int:
     while i + 1 < len(data):
         if data[i] == 0xFF and data[i + 1] == want:
             return i + 2
-        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD9 \
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7 \
                 and data[i + 1] != want:
+            # 0xD8/0xD9 (SOI/EOI) are NOT restart markers — they
+            # fall through to the missing-marker diagnostic below
             raise ValueError(
                 f"restart marker out of order: expected RST{n & 7}, "
-                f"found {data[i + 1] - 0xD0:#x}")
+                f"found RST{data[i + 1] - 0xD0}")
         i += 1
     raise ValueError("missing restart marker in arithmetic scan")
 
@@ -405,9 +413,11 @@ def decode_arith_scan(p: bytes, pos: int, scan: list[dict],
         if ah == 0:                         # first pass
             if ss == 0:
                 blk[0] = _decode_dc(dec, stats, c, cond) << al
-            if se > 0 and (ss > 0 or se == 63):
-                # AC band (progressive) or full sequential band;
-                # a DC-only progressive scan (ss=0, se=0) skips AC
+            if max(ss, 1) <= se:
+                # AC band (progressive) or full sequential band; a
+                # DC-only progressive scan (ss=se=0) skips AC, and
+                # the SOS parse rejects ss=0 with 0<se (B.2.3), so
+                # this covers every valid shape
                 _decode_ac_block(dec, stats, c, cond, blk, zz,
                                  ss=max(ss, 1), se=se, al=al)
         elif ss == 0:                       # DC refinement: fixed bin

@@ -8,8 +8,8 @@ baseline + progressive JPEG (operators/jpeg.py — Huffman entropy
 decode + vectorized IDCT) are all real, dependency-free byte/numpy
 parsing, including Adam7-interlaced PNG, interlaced GIF, and MJPEG
 video frames inside AVI containers.  Only
-rare sub-formats (hierarchical JPEG, 16-bit
-depths) remain behind ``NotImplementedError``
+rare sub-formats (hierarchical and lossless-arithmetic JPEG,
+16-bit depths) remain behind ``NotImplementedError``
 — the Spark-side plumbing (schemas, batch iteration, partition
 sizing, UDF signatures) is exactly what a production deployment
 keeps, swapping those branches for PIL/ffmpeg.
@@ -935,8 +935,9 @@ def decode_jpeg_py(p: bytes):
     """JPEG → (h, w, c) uint8 array — full dependency-free codec in
     operators/jpeg.py (baseline/progressive/lossless/12-bit Huffman
     plus arithmetic SOF9/SOF10 entropy decode, dequant,
-    vectorized IDCT, chroma upsample, YCbCr→RGB).  Hierarchical
-    streams raise NotImplementedError there."""
+    vectorized IDCT, chroma upsample, YCbCr→RGB).  Hierarchical and
+    lossless-arithmetic (SOF11) streams raise NotImplementedError
+    there."""
     from pipelinedb_spark.operators.jpeg import decode_jpeg_py as _dec
     return _dec(p)
 
@@ -949,9 +950,9 @@ def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
     zlib, GIF incl. interlaced via pure-Python LZW, and
     baseline/progressive/lossless/12-bit/arithmetic JPEG in
     operators/jpeg.py + jpegarith.py), 'auto' (default) picks pil
-    when importable.  Under 'pure', rare sub-formats (hierarchical
-    JPEG, 16-bit depths) raise NotImplementedError — under 'pil'
-    they decode for real.  Unrecognized payloads yield
+    when importable.  Under 'pure', rare sub-formats (hierarchical /
+    lossless-arithmetic JPEG, 16-bit depths) raise
+    NotImplementedError — under 'pil' they decode for real.  Unrecognized payloads yield
     a null-stats row (format NULL) rather than failing the batch."""
     backend = resolve_decode_backend(backend)
 

@@ -668,6 +668,58 @@ def test_prog_arith_partial_stream_is_viewable():
     assert np.mean(np.abs(coarse.astype(float) - full.astype(float))) < 40
 
 
+def test_arith_and_huffman_fixtures_decode_identically():
+    """Cross-fixture lock (round-12 review): this file's coefficient
+    pipeline deliberately mirrors test_operators._make_jpeg; with
+    quant=1 the SAME image through the Huffman and arithmetic
+    encoders must decode to IDENTICAL pixels — any divergence in the
+    duplicated color-transform/downsample/FDCT code breaks this, so
+    the two oracle suites stay pinned to one coefficient source."""
+    from test_operators import _make_jpeg
+
+    rng = np.random.RandomState(37)
+    img = np.clip(rng.randint(0, 256, (3, 2, 3)).repeat(8, 0)
+                  .repeat(8, 1) + rng.randint(-4, 5, (24, 16, 3)),
+                  0, 255)
+    assert np.array_equal(decode_jpeg_py(_make_jpeg(img)),
+                          decode_jpeg_py(_make_arith_jpeg(img)))
+    assert np.array_equal(
+        decode_jpeg_py(_make_jpeg(img, subsample=True)),
+        decode_jpeg_py(_make_arith_jpeg(img, subsample=True)))
+    gray = np.clip(rng.randint(0, 256, (17, 11)), 0, 255)
+    assert np.array_equal(decode_jpeg_py(_make_jpeg(gray)),
+                          decode_jpeg_py(_make_arith_jpeg(gray)))
+
+
+def test_malformed_dac_and_dc_scan_headers_rejected():
+    """Round-12 review regressions: an odd-length DAC segment (an
+    orphaned half table definition) and a progressive DC scan with
+    Se>0 (which would silently skip the declared AC band) both raise
+    the contract's ValueError."""
+    import re
+    rng = np.random.RandomState(41)
+    p = _make_prog_arith_jpeg(
+        np.clip(rng.randint(0, 256, (16, 16)), 0, 255),
+        dac={"ac": {0: 7}})
+    dac = p.find(b"\xff\xcc")
+    odd = bytearray(p)
+    # stretch the DAC length by one and inject a stray byte
+    ln = int.from_bytes(odd[dac + 2:dac + 4], "big")
+    odd[dac + 2:dac + 4] = (ln + 1).to_bytes(2, "big")
+    odd.insert(dac + 2 + ln, 0x01)
+    with pytest.raises(ValueError, match="DAC"):
+        decode_jpeg_py(bytes(odd))
+
+    bad_dc = bytearray(p)
+    first_sos = p.find(b"\xff\xda")
+    # the DC scan is interleaved over all components; Se byte sits
+    # after ns pairs
+    ns = bad_dc[first_sos + 4]
+    bad_dc[first_sos + 5 + 2 * ns + 1] = 30   # Se=30 on a DC scan
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg_py(bytes(bad_dc))
+
+
 def test_hostile_scan_header_bounds_raise_valueerror():
     """T.81 B.2.3 bounds on progressive scan headers: a hostile Se
     (stat-array index) or Al (int32 coefficient shift) must be the
