@@ -466,24 +466,26 @@ def _make_prog_arith_jpeg(rgb, quant=None, dac=None, dc_al=1,
                                  seq, ss, se, ac_al)
             out += _sos(comps, [ci], ss, se, 0, ac_al) + enc.flush()
 
-    # DC refinement (interleaved, fixed bin)
-    enc, stats = fresh()
-    for m in range(mcux * mcuy):
-        for ci in range(ncomp):
-            enc.encode(stats.fixed, 0,
-                       (int(seqs[ci][m][0]) >> (dc_al - 1)) & 1)
-    out += _sos(comps, list(range(ncomp)), 0, 0, dc_al, dc_al - 1) \
-        + enc.flush()
+    # DC refinement ladder (interleaved, fixed bin) down to Al=0
+    for a in range(dc_al - 1, -1, -1):
+        enc, stats = fresh()
+        for m in range(mcux * mcuy):
+            for ci in range(ncomp):
+                enc.encode(stats.fixed, 0,
+                           (int(seqs[ci][m][0]) >> a) & 1)
+        out += _sos(comps, list(range(ncomp)), 0, 0, a + 1, a) \
+            + enc.flush()
 
-    # AC refinements per component
-    for ci in range(ncomp):
-        for ss, se in bands:
-            enc, stats = fresh()
-            for seq in seqs[ci]:
-                _encode_ac_refine(enc, stats, comps[ci], seq,
-                                  ss, se, ac_al - 1)
-            out += _sos(comps, [ci], ss, se, ac_al, ac_al - 1) \
-                + enc.flush()
+    # AC refinement ladder per component down to Al=0
+    for a in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                enc, stats = fresh()
+                for seq in seqs[ci]:
+                    _encode_ac_refine(enc, stats, comps[ci], seq,
+                                      ss, se, a)
+                out += _sos(comps, [ci], ss, se, a + 1, a) \
+                    + enc.flush()
     return out + b"\xff\xd9"
 
 
@@ -761,6 +763,60 @@ def test_arith_metadata_header_parses():
     meta = parse_media_header(_make_arith_jpeg(img))
     assert meta is not None
     assert meta["width"] == 17 and meta["height"] == 24
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1), st.booleans(), st.booleans(),
+       st.integers(0, 3), st.sampled_from([1, 2, 5]))
+def test_arith_roundtrip_hypothesis(seed, color, subsample, restart,
+                                    kx):
+    """Property fuzz over the sequential arithmetic path: any small
+    image, gray/color, 4:4:4/4:2:0, restart interval, and Kx
+    conditioning must roundtrip within the DCT float-noise bound —
+    the randomized complement to the directed fixtures."""
+    rng = np.random.RandomState(seed % (2 ** 31))
+    h = int(rng.randint(8, 28))
+    w = int(rng.randint(8, 28))
+    base = rng.randint(0, 256, (h, w))
+    img = np.stack([np.clip(base + rng.randint(-3, 4, (h, w)),
+                            0, 255)] * 3, axis=-1) if color \
+        else np.clip(base, 0, 255)
+    p = _make_arith_jpeg(img, subsample=subsample and color,
+                         restart=restart,
+                         dac={"ac": {0: kx, 1: kx}})
+    got = decode_jpeg_py(p)
+    want = img if color else img[..., None]
+    assert got.shape == want.shape
+    tol = 4 if (color and subsample) else (4 if color else 2)
+    if color and subsample:
+        # chroma is genuinely downsampled: bound luma instead
+        gy = got.astype(float) @ np.array([0.299, 0.587, 0.114])
+        wy = want.astype(float) @ np.array([0.299, 0.587, 0.114])
+        assert np.max(np.abs(gy - wy)) <= 3
+    else:
+        assert np.max(np.abs(got.astype(int)
+                             - want.astype(int))) <= tol
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1), st.integers(1, 2),
+       st.sampled_from([3, 5, 20]))
+def test_prog_arith_roundtrip_hypothesis(seed, ac_al, band_split):
+    """Property fuzz over the progressive arithmetic scan script:
+    random images, successive-approximation depth, and band split."""
+    rng = np.random.RandomState(seed % (2 ** 31))
+    h = int(rng.randint(8, 25))
+    w = int(rng.randint(8, 25))
+    img = np.clip(rng.randint(0, 256, (h, w)), 0, 255)
+    p = _make_prog_arith_jpeg(img, ac_al=ac_al,
+                              band_split=band_split)
+    got = decode_jpeg_py(p)
+    assert got.shape == (h, w, 1)
+    assert np.max(np.abs(got[..., 0].astype(int) - img)) <= 2
 
 
 @pytest.mark.skipif(shutil.which("cjpeg") is None,
