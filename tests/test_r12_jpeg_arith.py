@@ -421,11 +421,13 @@ def _make_arith_jpeg(rgb, subsample=False, quant=None, restart=0,
 
 
 def _make_prog_arith_jpeg(rgb, quant=None, dac=None, dc_al=1,
-                          ac_al=1, band_split=5):
+                          ac_al=1, band_split=5, restart=0):
     """SOF10 progressive arithmetic JPEG (4:4:4 / gray): DC first
     (Al=dc_al) → AC band first scans split at ``band_split``
-    (Al=ac_al) → DC refinement → AC refinement scans — every
-    arithmetic progressive scan shape."""
+    (Al=ac_al) → full DC/AC refinement ladders down to Al=0 — every
+    arithmetic progressive scan shape, optionally with restart
+    intervals in EVERY scan (fresh coder + stats + preds per
+    interval, RSTn numbering restarting at RST0 per scan)."""
     if quant is None:
         quant = np.ones((8, 8), dtype=np.int32)
     blocks, samp, h, w, mcux, mcuy = _build_blocks(rgb, False, quant)
@@ -434,8 +436,9 @@ def _make_prog_arith_jpeg(rgb, quant=None, dac=None, dc_al=1,
     comps = _make_comps(len(blocks))
     zz = ZIGZAG
     ncomp = len(blocks)
+    n_units = mcux * mcuy        # 4:4:4: blocks per component = MCUs
     seqs = [[blocks[ci][divmod(m, mcux)].reshape(64)[zz]
-             for m in range(mcux * mcuy)] for ci in range(ncomp)]
+             for m in range(n_units)] for ci in range(ncomp)]
 
     def fresh():
         for cmp_ in comps:
@@ -443,49 +446,63 @@ def _make_prog_arith_jpeg(rgb, quant=None, dac=None, dc_al=1,
             cmp_["dc_ctx"] = 0
         return _QMEncoder(), _Stats()
 
-    out = _headers(0xCA, quant, h, w, samp, dac_body, 0)
+    def scan_entropy(emit_unit) -> bytes:
+        """One scan's entropy data, chunked at ``restart`` units."""
+        enc, stats = fresh()
+        parts = []
+        for m in range(n_units):
+            if restart and m and m % restart == 0:
+                parts.append(enc.flush())
+                parts.append(bytes(
+                    [0xFF, 0xD0 + ((m // restart - 1) % 8)]))
+                enc, stats = fresh()
+            emit_unit(enc, stats, m)
+        parts.append(enc.flush())
+        return b"".join(parts)
+
+    out = _headers(0xCA, quant, h, w, samp, dac_body, restart)
 
     # scan 1: DC first, interleaved, scaled by dc_al
-    enc, stats = fresh()
-    for m in range(mcux * mcuy):
+    def dc_first(enc, stats, m):
         for ci in range(ncomp):
             scaled = int(seqs[ci][m][0]) >> dc_al
             diff = scaled - comps[ci]["pred"]
             comps[ci]["pred"] = scaled
             _encode_dc(enc, stats, comps[ci], cond_dc, diff)
+
     out += _sos(comps, list(range(ncomp)), 0, 0, 0, dc_al) \
-        + enc.flush()
+        + scan_entropy(dc_first)
 
     # scans 2..: AC band firsts per component
     bands = [(1, band_split), (band_split + 1, 63)]
     for ci in range(ncomp):
         for ss, se in bands:
-            enc, stats = fresh()
-            for seq in seqs[ci]:
-                _encode_ac_first(enc, stats, comps[ci], cond_ac,
-                                 seq, ss, se, ac_al)
-            out += _sos(comps, [ci], ss, se, 0, ac_al) + enc.flush()
+            out += _sos(comps, [ci], ss, se, 0, ac_al) \
+                + scan_entropy(
+                    lambda enc, stats, m, ci=ci, ss=ss, se=se:
+                    _encode_ac_first(enc, stats, comps[ci], cond_ac,
+                                     seqs[ci][m], ss, se, ac_al))
 
     # DC refinement ladder (interleaved, fixed bin) down to Al=0
     for a in range(dc_al - 1, -1, -1):
-        enc, stats = fresh()
-        for m in range(mcux * mcuy):
+        def dc_refine(enc, stats, m, a=a):
             for ci in range(ncomp):
                 enc.encode(stats.fixed, 0,
                            (int(seqs[ci][m][0]) >> a) & 1)
+
         out += _sos(comps, list(range(ncomp)), 0, 0, a + 1, a) \
-            + enc.flush()
+            + scan_entropy(dc_refine)
 
     # AC refinement ladder per component down to Al=0
     for a in range(ac_al - 1, -1, -1):
         for ci in range(ncomp):
             for ss, se in bands:
-                enc, stats = fresh()
-                for seq in seqs[ci]:
-                    _encode_ac_refine(enc, stats, comps[ci], seq,
-                                      ss, se, a)
                 out += _sos(comps, [ci], ss, se, a + 1, a) \
-                    + enc.flush()
+                    + scan_entropy(
+                        lambda enc, stats, m,
+                        ci=ci, ss=ss, se=se, a=a:
+                        _encode_ac_refine(enc, stats, comps[ci],
+                                          seqs[ci][m], ss, se, a))
     return out + b"\xff\xd9"
 
 
@@ -651,6 +668,22 @@ def test_prog_arith_color_dac_and_deeper_al():
     got = decode_jpeg_py(p)
     assert got.shape == img.shape
     assert np.max(np.abs(got.astype(int) - img)) <= 4
+
+
+def test_prog_arith_restart_intervals_every_scan():
+    """Restart intervals inside progressive arithmetic scans: every
+    scan kind (DC first, AC first, DC refine, AC refine) restarts
+    the coder + statistics + predictions per interval, with RSTn
+    numbering restarting per scan — must reconstruct exactly."""
+    rng = np.random.RandomState(43)
+    img = np.clip(rng.randint(40, 220, (4, 3)).repeat(8, 0)
+                  .repeat(8, 1) + rng.randint(-6, 7, (32, 24)),
+                  0, 255)
+    p = _make_prog_arith_jpeg(img, dc_al=2, ac_al=2, restart=3)
+    assert p.count(b"\xff\xdd") == 1 and b"\xff\xd0" in p
+    got = decode_jpeg_py(p)
+    assert got.shape == (32, 24, 1)
+    assert np.max(np.abs(got[..., 0].astype(int) - img)) <= 2
 
 
 def test_prog_arith_partial_stream_is_viewable():
