@@ -209,6 +209,9 @@ class ArithConditioning:
             val = body[j + 1]
             if tid > 3:
                 raise ValueError(f"bad DAC table id {tid}")
+            if cls > 1:
+                # T.81 B.2.4.3 defines only Tc=0 (DC) and Tc=1 (AC)
+                raise ValueError(f"bad DAC table class {cls}")
             if cls == 0:
                 lo, hi = val & 0x0F, val >> 4
                 if not (0 <= lo <= hi <= 15):
@@ -331,15 +334,25 @@ def _find_restart(data: bytes, pos: int, n: int) -> int:
     want = 0xD0 + (n & 7)
     i = pos
     while i + 1 < len(data):
-        if data[i] == 0xFF and data[i + 1] == want:
-            return i + 2
-        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7 \
-                and data[i + 1] != want:
-            # 0xD8/0xD9 (SOI/EOI) are NOT restart markers — they
-            # fall through to the missing-marker diagnostic below
-            raise ValueError(
-                f"restart marker out of order: expected RST{n & 7}, "
-                f"found RST{data[i + 1] - 0xD0}")
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == want:
+                return i + 2
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    f"restart marker out of order: expected "
+                    f"RST{n & 7}, found RST{nxt - 0xD0}")
+            if 0xC0 <= nxt <= 0xFE:
+                # any other marker (SOI/EOI/SOS/SOF/DHT/...) means the
+                # expected RSTn is missing and the search has crossed a
+                # scan or image boundary — halting here prevents a
+                # corrupt/concatenated stream from resyncing on a
+                # coincidental later RSTn and decoding garbage
+                # (round-12 review); 0xFF00 is a stuffed data byte and
+                # 0xFFFF a fill byte, both legal inside the segment
+                raise ValueError(
+                    f"missing restart marker: expected RST{n & 7}, "
+                    f"hit marker 0xFF{nxt:02X}")
         i += 1
     raise ValueError("missing restart marker in arithmetic scan")
 
@@ -365,7 +378,14 @@ def _decode_ac_refine(dec: ArithDecoder, stats: _ScanStats, c: dict,
         while True:
             cur = int(blk[zz[k]])
             if cur:
-                if dec.decode(st, base + 2) and (cur & p1) == 0:
+                # no (cur & p1) == 0 guard: the reference arithmetic
+                # decoder (libjpeg jdarith.c decode_mcu_AC_refine)
+                # applies the correction unconditionally — history
+                # values on conforming streams are multiples of
+                # 2^(al+1), so the bit can never double-apply; keeping
+                # the flow identical means even nonconforming input
+                # diverges from libjpeg nowhere (round-12 review)
+                if dec.decode(st, base + 2):
                     blk[zz[k]] = cur + (p1 if cur > 0 else m1)
                 break
             if dec.decode(st, base + 1):

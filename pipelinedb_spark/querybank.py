@@ -1230,31 +1230,52 @@ def combine_rerollup(spark, sf_dir):
         ctx.close()
 
 
-@query("cv_engine_sliding_window", f"""
-SELECT event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sv
-FROM events GROUP BY event_type
+@query("ttl_reaper_retention", f"""
+WITH mx AS (SELECT MAX(epoch(CAST(ts AS TIMESTAMP))) AS m FROM events)
+SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+         AS hr_s,
+       event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sv
+FROM events, mx
+GROUP BY 1, 2, m
+HAVING hr_s >= m - 864000.0
 """)
-def cv_engine_sliding_window(spark, sf_dir):
-    """END-TO-END SW ENGINE CHECK: a 1-hour sliding-window CV read
-    immediately after ingest sees every row in-window, so its overlay
-    (step re-combine + finalize) must equal the full batch aggregate —
-    the test_sliding_windows.py equivalence, driver-verified."""
-    ctx = _engine_ctx(spark, "sw")
+def ttl_reaper_retention(spark, sf_dir):
+    """TTL REAPER vs the independent oracle (reference reaper.c:63-128;
+    pipeline_set_ttl/ttl_expire sql:2630-2639 — the ttl_expiration.sql
+    regress shape), rotated into the bank per the r12 verdict task 5:
+    reaper semantics had pytest-only coverage since r3.  An hourly
+    rollup CV gets a 10-day TTL on its hour column at runtime
+    (set_ttl), events ingest through the engine in 2 micro-batches,
+    then the reaper runs at a FROZEN now — the corpus max(ts), so the
+    cutoff is a pure function of the data.  The surviving matrel must
+    equal duckdb's replay of the retention DELETE: every (hour,
+    event_type) group with hour-start epoch < max_ts − 10 days gone
+    (~2/3 of the 30-day corpus), every aggregate on surviving hours
+    untouched.  The rotated-out cv_engine_sliding_window keeps a
+    pytest oracle (test_r13_rotation.py), like r12's rotation did."""
+    ctx = _engine_ctx(spark, "ttl")
     try:
-        ctx.create_stream("ev_sw", "event_id long, event_type string, "
-                                   "value double")
+        ctx.create_stream("ev_ttl", "event_id long, event_type string, "
+                                    "value double, hr_s long")
         ctx.create_view(
-            "cv_sw_q",
-            "SELECT event_type, count(*) AS cnt, "
-            "sum(CAST(value AS DECIMAL(38,6))) AS sv_dec FROM ev_sw "
-            "WHERE arrival_timestamp > clock_timestamp() - interval '1 hour' "
-            "GROUP BY event_type")
-        ev = t(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value")
+            "cv_ttl",
+            "SELECT hr_s, event_type, count(*) AS cnt, "
+            "sum(CAST(value AS DECIMAL(38,6))) AS sv_dec "
+            "FROM ev_ttl GROUP BY hr_s, event_type")
+        ctx.set_ttl("cv_ttl", "10 days", "hr_s")
+        raw = t(spark, sf_dir, "events")
+        ev = raw.select(
+            "event_id", "event_type", "value",
+            (F.floor(ts_epoch(F.col("ts")) / 3600) * 3600)
+            .cast("long").alias("hr_s"))
         for i in range(2):
-            ctx.insert("ev_sw", ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i))
-        out = ctx.read_view("cv_sw_q")
-        return out.select("event_type", "cnt",
+            ctx.insert("ev_ttl", ev.filter(
+                F.pmod(F.col("event_id"), F.lit(2)) == i))
+        frozen = float(raw.agg(
+            F.max(ts_epoch(F.col("ts")))).first()[0])
+        ctx.reap_ttl("cv_ttl", now=frozen)
+        out = ctx.read_view("cv_ttl")
+        return out.select("hr_s", "event_type", "cnt",
                           F.col("sv_dec").cast("double").alias("sv")
                           ).localCheckpoint(eager=True)
     finally:

@@ -3,7 +3,14 @@
 __spark_entry__ query on Spark AND its oracle SQL on duckdb at a given
 sf dir, compare row-count + (order-insensitive) values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT] [sf_dir] [query ...]
+
+--json OUT writes a driver-artifact-shaped per-query record (rows /
+schema / value match booleans) — round-12 verdict task 2 runs the
+whole bank at sf0.1 and records it as CORRECTNESS_SF01_r13.json, so
+scale-sensitive failure classes (decimal limb overflow, skewed-group
+paths, Arrow batch boundaries) face the oracle at 10× the driver's
+gate scale.
 """
 
 from __future__ import annotations
@@ -51,8 +58,15 @@ def row_set(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     import duckdb
     import __spark_entry__ as entrymod
@@ -73,40 +87,59 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        records[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"spark error: {e}"[:300]
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            rec.update(rows_match=True, schema_match=True,
+                       hash_match=True, err="rows-only (no oracle)")
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             continue
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            rec["oracle_rows"] = len(orows)
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"duckdb error: {e}"[:300]
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        rec["rows_match"] = len(srows) == len(orows)
+        rec["schema_match"] = (sorted(c.lower() for c in scols)
+                               == sorted(c.lower() for c in ocols))
+        if not rec["schema_match"]:
             failures.append(name)
             print(f"FAIL  {name}: schema mismatch spark={sorted(scols)} duck={sorted(ocols)}")
             continue
         s_set = row_set(srows, [c.lower() for c in scols])
         o_set = row_set(orows, [c.lower() for c in ocols])
-        if len(srows) != len(orows):
+        rec["hash_match"] = s_set == o_set
+        if not rec["rows_match"]:
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(orows)}")
-        elif s_set != o_set:
+        elif not rec["hash_match"]:
             failures.append(name)
             diff = [(a, b) for a, b in zip(s_set, o_set) if a != b][:3]
             print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
         else:
             print(f"OK    {name}: {len(srows)} rows")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": records,
+                       "failures": failures}, f, indent=1)
     print(f"\n{len(failures)} failures" if failures else "\nall OK")
     sys.exit(1 if failures else 0)
 

@@ -27,7 +27,17 @@ Verification:
 * Flat driver RSS across the run.
 
 Usage: python scripts/soak_pin_runtime.py [--seconds 300] [--rps 300]
-Appends/refreshes "pin_runtime_soak" in BENCH_SCALING.json.
+                                          [--manifest rename|condput]
+Appends/refreshes "pin_runtime_soak" (rename mode) or
+"pin_runtime_soak_condput" in BENCH_SCALING.json.
+
+``--manifest condput`` (round-12 verdict task 3) runs the SAME live
+soak with every matrel manifest riding the object-store condput
+commit path through REAL botocore against the in-process S3-subset
+HTTP fake (tests/s3http_fake.py) — the last uncombined seam: the r12
+pin_runtime_soak proved pins under a live runtime on posix-rename
+manifests, and the r12 S3 e2e proved pins on bucket manifests but not
+under a live ticker/reaper.
 """
 
 from __future__ import annotations
@@ -57,6 +67,8 @@ def main() -> None:
     ap.add_argument("--tick-every", type=float, default=2.0)
     ap.add_argument("--window", type=int, default=60)
     ap.add_argument("--maint-every-ticks", type=int, default=15)
+    ap.add_argument("--manifest", default="rename",
+                    choices=("rename", "condput"))
     ap.add_argument("--workdir", default="/tmp/soak_pin_runtime")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -65,6 +77,30 @@ def main() -> None:
 
     from pipelinedb_spark import PipelineContext, get_spark
     from pipelinedb_spark.streaming.runtime import attach_rate_stream
+
+    fake = None
+    if args.manifest == "condput":
+        # the deployment flip under test: condput module default +
+        # object-store client factory, manifests riding real botocore
+        # against the in-process S3-subset fake (same wiring as
+        # tests/test_s3_boto3_e2e.py::test_engine_cv_lifecycle...)
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tests"))
+        import pipelinedb_spark.indexstore as indexstore_mod
+        import pipelinedb_spark.manifestio as mio
+        import pipelinedb_spark.matrel as matrel_mod
+        from s3http_fake import S3HttpFake
+        os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+        os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+        os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+        os.environ.setdefault("AWS_EC2_METADATA_DISABLED", "true")
+        fake = S3HttpFake()
+        fake.__enter__()
+        matrel_mod.DEFAULT_MANIFEST_FORMAT = "condput"
+        indexstore_mod.DEFAULT_MANIFEST_FORMAT = "condput"
+        mio.CLIENT_FACTORY = lambda d: mio.S3ObjectClient(
+            "bkt", os.path.abspath(d),
+            endpoint_url=fake.endpoint_url, region_name="us-east-1")
 
     shutil.rmtree(args.workdir, ignore_errors=True)
     spark = get_spark("soak_pin_runtime")
@@ -205,7 +241,11 @@ def main() -> None:
     entry = {
         "what": "pin_view taken while rate ingest + SW ticker run; "
                 "byte-stable across ticks/compaction/reap and a full "
-                "engine restart; unpin releases GC",
+                "engine restart; unpin releases GC"
+                + (" — matrel manifests on the object-store condput "
+                   "path through real botocore (in-process S3 fake)"
+                   if args.manifest == "condput" else ""),
+        "manifest_format": args.manifest,
         "rows_per_second_target": args.rps,
         "wall_sec": round(wall, 1),
         "ticks_total": ticks,
@@ -218,15 +258,27 @@ def main() -> None:
         "driver_rss_mb": rss_mb,
         "rss_growth_mb": rss_mb.get("end", 0) - rss_mb.get("start", 0),
     }
+    if fake is not None:
+        # every manifest byte must actually have crossed the wire
+        puts = sum(1 for (m, k) in fake.request_log
+                   if m == "PUT" and "_manifests" in k)
+        lists = sum(1 for (m, _k) in fake.request_log if m == "LIST")
+        entry["s3_manifest_puts"] = puts
+        entry["s3_lists"] = lists
+        assert puts > 0 and lists > 0, "condput soak never hit the bucket"
     data = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
             data = json.load(f)
-    data["pin_runtime_soak"] = entry
+    key = ("pin_runtime_soak_condput" if args.manifest == "condput"
+           else "pin_runtime_soak")
+    data[key] = entry
     with open(args.out, "w") as f:
         json.dump(data, f, indent=2)
     print(json.dumps(entry))
     ctx.close()
+    if fake is not None:
+        fake.__exit__(None, None, None)
 
 
 if __name__ == "__main__":

@@ -137,3 +137,68 @@ def test_loadavg_spike_inside_window_blocks_steady(bench, monkeypatch):
            for i in range(6)]
     out = _gate(bench, monkeypatch, seq)
     assert out["degraded"] and "steady_slow_host" not in out
+
+
+# ---------------------------------------------------------- _cal_block
+# workload-level calibration (round-12 verdict task 1): pure artifact
+# assembly — no Spark, no probes.
+
+
+def test_cal_block_stable_pair(bench, tmp_path):
+    p = str(tmp_path / "spin.json")
+    cal = bench._cal_block(10.0, 10.5, "0.1", {"degraded": False},
+                           base_path=p)
+    assert cal["cal_sec"] == 10.0
+    assert cal["drift_pct"] == 5.0 and cal["stable"]
+    # first stable, non-degraded run captures the per-sf reference
+    assert cal["ref_captured_this_run"] and cal["ref_sec"] == 10.0
+    assert cal["factor"] == 1.0
+    import json as _json
+    with open(p) as f:
+        assert _json.load(f)["cal_sec_v1_sf0.1"] == 10.0
+
+
+def test_cal_block_drift_flagged_and_not_persisted(bench, tmp_path):
+    p = str(tmp_path / "spin.json")
+    cal = bench._cal_block(10.0, 12.0, "0.1", {"degraded": False},
+                           base_path=p)
+    assert cal["drift_pct"] == 20.0 and not cal["stable"]
+    assert "note" in cal
+    assert "ref_captured_this_run" not in cal
+    assert not (tmp_path / "spin.json").exists()
+
+
+def test_cal_block_degraded_box_never_becomes_reference(bench, tmp_path):
+    p = str(tmp_path / "spin.json")
+    cal = bench._cal_block(10.0, 10.1, "0.1", {"degraded": True},
+                           base_path=p)
+    assert cal["stable"] and "ref_captured_this_run" not in cal
+    assert "factor" not in cal
+
+
+def test_cal_block_factor_against_existing_reference(bench, tmp_path):
+    import json as _json
+    p = str(tmp_path / "spin.json")
+    with open(p, "w") as f:
+        _json.dump({"cal_sec_v1_sf0.1": 8.0}, f)
+    # slower box: cal 16s vs ref 8s -> factor 0.5 shrinks times to
+    # reference-box equivalents
+    cal = bench._cal_block(16.0, 16.4, "0.1", {"degraded": False},
+                           base_path=p)
+    assert cal["factor"] == 0.5 and cal["ref_sec"] == 8.0
+    assert "ref_captured_this_run" not in cal
+    # reference file untouched
+    with open(p) as f:
+        assert _json.load(f) == {"cal_sec_v1_sf0.1": 8.0}
+
+
+def test_cal_block_missing_after_is_unstable(bench, tmp_path):
+    cal = bench._cal_block(10.0, None, "0.1", {"degraded": False},
+                           base_path=str(tmp_path / "s.json"))
+    assert not cal["stable"] and cal["cal_sec"] == 10.0
+
+
+def test_cal_block_failed_calibration(bench, tmp_path):
+    cal = bench._cal_block(None, None, "0.1", {},
+                           base_path=str(tmp_path / "s.json"))
+    assert "error" in cal
