@@ -18,9 +18,14 @@ lossless sequential (SOF3, T.81 Annex H: predictors 1-7, point
 transform, 2-16-bit precision, modulo-2^16 reconstruction), AND
 sequential AND progressive ARITHMETIC coding (SOF9/SOF10 + DAC
 conditioning, r12 — the Annex D QM-coder and Annex F/G statistical
-models live in jpegarith.py).  Hierarchical modes and
-lossless-arithmetic (SOF11) raise NotImplementedError — the Pillow backend
-(multimodal.decode_pixels backend='pil') covers those where
+models live in jpegarith.py), AND hierarchical coding (r13, T.81
+Annex J: DHP frame pyramid, EXP reference expansion with the
+normative J.1.1.2 interpolation, differential Huffman frames
+SOF5/SOF6 with DC prediction disabled and level-shift-free IDCT;
+1x1-sampled 8-bit, first frame non-differential).
+Differential-lossless (SOF7), lossless-arithmetic (SOF11) and
+arithmetic-differential frames raise NotImplementedError — the Pillow
+backend (multimodal.decode_pixels backend='pil') covers those where
 installed.
 
 The hot path is vectorized where it matters: the IDCT is one
@@ -44,6 +49,37 @@ ZIGZAG = np.array([
 _DCT_A = np.array([[(np.sqrt(1 / 8) if k == 0 else 0.5)
                     * np.cos((2 * n + 1) * k * np.pi / 16)
                     for n in range(8)] for k in range(8)])
+
+
+def _idct_raw(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized blocks → rounded spatial values with NO
+    level shift and NO clipping — the differential-frame IDCT (T.81
+    J.1.1: hierarchical differential frames omit the level shift; the
+    sum with the reference is clamped instead)."""
+    return np.round(np.einsum("ki,nkl,lj->nij", _DCT_A, coefs, _DCT_A,
+                              optimize=True)).astype(np.int32)
+
+
+def _exp_expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference-grid expansion: ×2 per flagged axis.
+    Even output samples copy the input; odd samples are the rounded
+    mean of the two neighbors ((a + b + 1) >> 1); the final odd sample
+    replicates the edge.  This filter is NORMATIVE (decoder-side), so
+    the mirror encoder in tests uses the identical arithmetic."""
+    p = plane.astype(np.int32)
+    if ev:
+        out = np.empty((p.shape[0] * 2, p.shape[1]), np.int32)
+        out[0::2] = p
+        out[1:-1:2] = (p[:-1] + p[1:] + 1) >> 1
+        out[-1] = p[-1]
+        p = out
+    if eh:
+        out = np.empty((p.shape[0], p.shape[1] * 2), np.int32)
+        out[:, 0::2] = p
+        out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    return p
 
 
 def idct_blocks(coefs: np.ndarray, precision: int = 8) -> np.ndarray:
@@ -120,6 +156,14 @@ class _Huff:
     T.81 §F.2.2.3, plus a fast 8-bit lookup for short codes."""
 
     def __init__(self, bits: list[int], vals: bytes):
+        if sum(bits) > len(vals):
+            # hostile DHT: more codes declared than values supplied —
+            # must be the contract's ValueError, not an IndexError
+            # escaping from the prefix-LUT build (r13 hierarchical
+            # fuzz finding; reachable from any corrupt Huffman stream)
+            raise ValueError(
+                f"DHT declares {sum(bits)} codes but carries "
+                f"{len(vals)} values")
         self.vals = vals
         code = 0
         k = 0
@@ -181,11 +225,14 @@ def _next_marker(p: bytes, start: int) -> int:
 
 
 def decode_jpeg_py(p: bytes):
-    """Baseline, progressive, lossless (SOF3), or arithmetic
-    (SOF9/SOF10) JPEG → (h, w, c) uint8 array (c = 1 gray, 3 RGB;
-    >8-bit precision scales down).  Returns None when the payload
-    is not a JPEG; raises NotImplementedError for hierarchical and
-    lossless-arithmetic (SOF11) streams."""
+    """Baseline, progressive, lossless (SOF3), arithmetic
+    (SOF9/SOF10), or hierarchical (Annex J: DHP + EXP + differential
+    Huffman frames SOF5/SOF6, 1x1-sampled 8-bit) JPEG → (h, w, c)
+    uint8 array (c = 1 gray, 3 RGB; >8-bit precision scales down).
+    Returns None when the payload is not a JPEG; raises
+    NotImplementedError for differential-lossless (SOF7),
+    lossless-arithmetic (SOF11) and arithmetic-differential
+    streams."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -201,7 +248,41 @@ def decode_jpeg_py(p: bytes):
     precision = 8
     scan_seen = False
     mcux = mcuy = 0
+    # hierarchical (T.81 Annex J) state: DHP header, per-component
+    # reference reconstruction, and the EXP expansion pending for the
+    # next frame
+    hier: dict | None = None
+    ref: dict | None = None
+    differential = False
+    pending_exp: tuple[int, int] | None = None
     i = 2
+
+    def finish_hier_frame() -> None:
+        """Fold the just-decoded frame into the hierarchical reference
+        reconstruction (T.81 J.1.1): non-differential frames rebuild
+        it (IDCT + level shift), differential frames add their
+        level-shift-free IDCT output to it; both clamp to [0, 255]."""
+        nonlocal ref
+        missing = [c["id"] for c in comps if not c["dc_done"]]
+        if missing:
+            raise ValueError(
+                f"JPEG scan coverage incomplete: component(s) "
+                f"{missing} never received a DC scan")
+        planes = {}
+        for c in comps:
+            if c["tq"] not in qt:
+                raise ValueError(f"undeclared quant table {c['tq']}")
+            deq = c["coef"] * qt[c["tq"]][None, :, :]
+            sp = _idct_raw(deq)
+            bh, bw = c["bh"], c["bw"]
+            planes[c["id"]] = sp.reshape(bh, bw, 8, 8).transpose(
+                0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
+        if differential:
+            for cid, pl in planes.items():
+                ref[cid] = np.clip(ref[cid] + pl, 0, 255)
+        else:
+            ref = {cid: np.clip(pl + 128, 0, 255)
+                   for cid, pl in planes.items()}
     while i + 4 <= len(p):
         if p[i] != 0xFF:
             i += 1
@@ -232,12 +313,24 @@ def decode_jpeg_py(p: bytes):
             # SOF0/1 baseline, SOF2 progressive, SOF9/SOF10
             # arithmetic sequential/progressive (entropy decode in
             # jpegarith.py, r12)
+            if hier is not None and (scan_seen or ref is not None):
+                # Annex J allows later non-differential frames (they
+                # reset the reference for new components) — honest
+                # subset: first frame non-differential, the rest
+                # differential
+                raise NotImplementedError(
+                    "non-differential hierarchical frame after the "
+                    "first frame")
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
+            differential = False
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
             if body[0] not in (8, 12):  # T.81: DCT modes are 8/12-bit
                 raise NotImplementedError(f"{body[0]}-bit DCT JPEG")
+            if hier is not None and body[0] != 8:
+                raise NotImplementedError(
+                    f"{body[0]}-bit hierarchical JPEG")
             precision = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -247,6 +340,10 @@ def decode_jpeg_py(p: bytes):
             # executor OOM cannot be caught
             if w < 1 or h < 1 or w * h > 64 * 1024 * 1024:
                 raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            if hier is not None and (h > hier["h"] or w > hier["w"]):
+                raise ValueError(
+                    f"hierarchical frame {w}x{h} exceeds DHP size "
+                    f"{hier['w']}x{hier['h']}")
             nc = body[5]
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
@@ -255,6 +352,12 @@ def decode_jpeg_py(p: bytes):
                 if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0x0F) <= 4):
                     raise ValueError(
                         f"invalid JPEG sampling factors 0x{hv:02x}")
+                if hier is not None and hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled hierarchical JPEG (all-1x1 only)")
+                if hier is not None and cid not in hier["ids"]:
+                    raise ValueError(
+                        f"frame component {cid} not declared in DHP")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq, "dc_done": False})
         elif marker == 0xC3:  # SOF3: lossless sequential (Annex H)
@@ -278,13 +381,113 @@ def decode_jpeg_py(p: bytes):
                         "subsampled lossless JPEG (all-1x1 only)")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False})
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6):
+            # differential Huffman frames (Annex J): sequential DCT
+            # (SOF5) / progressive DCT (SOF6) over the difference
+            # between the source and the (possibly EXP-expanded)
+            # reference reconstruction
+            if hier is None:
+                raise ValueError(
+                    f"JPEG SOF{marker - 0xC0}: differential frame "
+                    "outside a hierarchical (DHP) sequence")
+            if not scan_seen:
+                raise ValueError(
+                    "differential frame before any non-differential "
+                    "frame")
+            finish_hier_frame()      # fold the previous frame
+            comps = []
+            scan_seen = False
+            progressive = marker == 0xC6
+            arith = False
+            differential = True
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
+            if body[0] != 8:
+                raise NotImplementedError(
+                    f"{body[0]}-bit hierarchical JPEG")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if w < 1 or h < 1 or w * h > 64 * 1024 * 1024:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            if h > hier["h"] or w > hier["w"]:
+                raise ValueError(
+                    f"hierarchical frame {w}x{h} exceeds DHP size "
+                    f"{hier['w']}x{hier['h']}")
+            ph, pw = next(iter(ref.values())).shape
+            if pending_exp is not None:
+                eh_, ev_ = pending_exp
+                ref = {cid: _exp_expand(pl, eh_, ev_)
+                       for cid, pl in ref.items()}
+                # J.1.1.2: expansion doubles the flagged axes; the
+                # frame may declare one less along an expanded axis
+                # (odd full-size level) — crop the reference to it
+                ok_h = h in ((2 * ph, 2 * ph - 1) if ev_ else (ph,))
+                ok_w = w in ((2 * pw, 2 * pw - 1) if eh_ else (pw,))
+                if not (ok_h and ok_w):
+                    raise ValueError(
+                        f"EXP-expanded reference "
+                        f"{2 * pw if eh_ else pw}x"
+                        f"{2 * ph if ev_ else ph} does not cover "
+                        f"frame {w}x{h}")
+                ref = {cid: pl[:h, :w] for cid, pl in ref.items()}
+                pending_exp = None
+            elif (h, w) != (ph, pw):
+                raise ValueError(
+                    f"differential frame {w}x{h} mismatches "
+                    f"reference {pw}x{ph} (no EXP)")
+            nc = body[5]
+            if nc != len(hier["ids"]) or len(body) < 6 + 3 * nc:
+                raise NotImplementedError(
+                    "hierarchical frame over a component subset")
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled hierarchical JPEG (all-1x1 only)")
+                if cid not in ref:
+                    raise ValueError(
+                        f"differential frame component {cid} has no "
+                        "reference")
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
+                              "dc_done": False, "dfr": True})
+        elif marker in (0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: baseline/progressive/"
-                "lossless Huffman and sequential/progressive "
-                "arithmetic (SOF9/SOF10) only — hierarchical and "
-                "lossless-arithmetic modes need codec libraries")
+                f"JPEG SOF{marker - 0xC0}: hierarchical differential "
+                "frames are Huffman-DCT only (SOF5/SOF6) — "
+                "differential lossless (SOF7), lossless-arithmetic "
+                "(SOF11) and arithmetic differential modes stay gated")
+        elif marker == 0xDE:  # DHP: hierarchical progression (Annex J)
+            if hier is not None:
+                raise ValueError("duplicate DHP marker")
+            if comps:
+                raise ValueError("DHP after a frame header")
+            if len(body) < 6:
+                raise ValueError("truncated DHP header")
+            if body[0] != 8:
+                raise NotImplementedError(
+                    f"{body[0]}-bit hierarchical JPEG")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            if fw < 1 or fh < 1 or fw * fh > 64 * 1024 * 1024:
+                raise ValueError(
+                    f"implausible JPEG dimensions {fw}x{fh}")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated DHP header")
+            hier = {"h": fh, "w": fw,
+                    "ids": [body[6 + 3 * c] for c in range(nc)]}
+        elif marker == 0xDF:  # EXP: expand reference before next frame
+            if hier is None or not scan_seen:
+                raise ValueError(
+                    "EXP outside a hierarchical frame sequence")
+            if len(body) < 1:
+                raise ValueError("truncated EXP segment")
+            eh_, ev_ = body[0] >> 4, body[0] & 0x0F
+            if eh_ > 1 or ev_ > 1 or (eh_ == 0 and ev_ == 0):
+                raise ValueError(f"bad EXP expansion 0x{body[0]:02x}")
+            pending_exp = (eh_, ev_)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             from pipelinedb_spark.operators.jpegarith import \
                 ArithConditioning
@@ -401,6 +604,21 @@ def decode_jpeg_py(p: bytes):
         raise ValueError(
             f"JPEG scan coverage incomplete: component(s) {missing} "
             "never received a DC scan (truncated multi-scan stream)")
+    if hier is not None:
+        finish_hier_frame()          # fold the final frame
+        absent = [cid for cid in hier["ids"] if cid not in ref]
+        if absent:
+            raise ValueError(
+                f"hierarchical stream missing component(s) {absent}")
+        planes = [ref[cid] for cid in hier["ids"]]
+        if planes[0].shape != (hier["h"], hier["w"]):
+            raise ValueError(
+                f"hierarchical stream ended at "
+                f"{planes[0].shape[1]}x{planes[0].shape[0]}, below "
+                f"DHP size {hier['w']}x{hier['h']}")
+        if len(planes) == 1:
+            return planes[0].astype(np.uint8)[..., None]
+        return _ycc_to_rgb(planes)
     if lossless:
         # no DCT, no color transform: T.81 defines none for lossless
         # (DNG-style writers store component data as-is); >8-bit
@@ -545,8 +763,13 @@ def _decode_block(br, blk, c, huff_dc, huff_ac, ss, se, ah, al, eob):
         if ss == 0:
             t = huff_dc[c["td"]].decode(br)
             diff = _extend(br.read(t), t) if t else 0
-            c["pred"] += diff
-            blk[0] = c["pred"] << al
+            if c.get("dfr"):
+                # differential frame (Annex J): DC prediction is
+                # disabled — every block's DC codes its value directly
+                blk[0] = diff << al
+            else:
+                c["pred"] += diff
+                blk[0] = c["pred"] << al
         k = max(ss, 1)
         if k > se:
             return
@@ -643,7 +866,13 @@ def _finalize(comps, qt, w, h, precision: int = 8):
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return planes[0][..., None]
-    y, cb, cr = (pl.astype(np.float64) for pl in planes)
+    return _ycc_to_rgb(planes)
+
+
+def _ycc_to_rgb(planes) -> np.ndarray:
+    """JFIF YCbCr → RGB (shared by the single-frame finalize and the
+    hierarchical output path)."""
+    y, cb, cr = (np.asarray(pl, dtype=np.float64) for pl in planes)
     r = y + 1.402 * (cr - 128)
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
     b = y + 1.772 * (cb - 128)

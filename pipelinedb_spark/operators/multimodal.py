@@ -96,8 +96,14 @@ def parse_media_header(payload: bytes) -> dict | None:
                     i += 2
                     continue
                 seg_len = int.from_bytes(p[i + 2:i + 4], "big")
-                if (0xC0 <= marker <= 0xCF
-                        and marker not in (0xC4, 0xC8, 0xCC)):
+                if marker == 0xDE or (0xC0 <= marker <= 0xCF
+                                      and marker not in (0xC4, 0xC8,
+                                                         0xCC)):
+                    # DHP (hierarchical, Annex J) shares the SOF
+                    # layout and carries the authoritative FULL image
+                    # size — it precedes every frame header, so
+                    # returning on the first size-bearing marker is
+                    # correct for both stream shapes
                     return {"width": int.from_bytes(p[i + 7:i + 9], "big"),
                             "height": int.from_bytes(p[i + 5:i + 7], "big"),
                             "n_frames": 1, "sample_rate": None}
@@ -934,8 +940,10 @@ def decode_gif_py(p: bytes):
 def decode_jpeg_py(p: bytes):
     """JPEG → (h, w, c) uint8 array — full dependency-free codec in
     operators/jpeg.py (baseline/progressive/lossless/12-bit Huffman
-    plus arithmetic SOF9/SOF10 entropy decode, dequant,
-    vectorized IDCT, chroma upsample, YCbCr→RGB).  Hierarchical and
+    plus arithmetic SOF9/SOF10 entropy decode, hierarchical Annex-J
+    frame pyramids with differential SOF5/SOF6 frames, dequant,
+    vectorized IDCT, chroma upsample, YCbCr→RGB).
+    Differential-lossless (SOF7) and
     lossless-arithmetic (SOF11) streams raise NotImplementedError
     there."""
     from pipelinedb_spark.operators.jpeg import decode_jpeg_py as _dec
@@ -948,12 +956,13 @@ def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
     (the production path — C codecs), 'pure' uses the dependency-free
     decoders (24-bit BMP, binary PPM, PNG incl. Adam7 via stdlib
     zlib, GIF incl. interlaced via pure-Python LZW, and
-    baseline/progressive/lossless/12-bit/arithmetic JPEG in
-    operators/jpeg.py + jpegarith.py), 'auto' (default) picks pil
-    when importable.  Under 'pure', rare sub-formats (hierarchical /
-    lossless-arithmetic JPEG, 16-bit depths) raise
-    NotImplementedError — under 'pil' they decode for real.  Unrecognized payloads yield
-    a null-stats row (format NULL) rather than failing the batch."""
+    baseline/progressive/lossless/12-bit/arithmetic/hierarchical JPEG
+    in operators/jpeg.py + jpegarith.py), 'auto' (default) picks pil
+    when importable.  Under 'pure', rare sub-formats
+    (differential-lossless / lossless-arithmetic JPEG, 16-bit depths)
+    raise NotImplementedError — under 'pil' they decode for real.
+    Unrecognized payloads yield a null-stats row (format NULL) rather
+    than failing the batch."""
     backend = resolve_decode_backend(backend)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
