@@ -136,11 +136,18 @@ class IndexStore:
 
     def _io(self):
         # getattr: some fault tests stub __init__ and set only
-        # root/gc_grace_seconds
-        return resolve_manifest_io(
-            self.root, MANIFEST,
-            getattr(self, "manifest_format", None),
-            DEFAULT_MANIFEST_FORMAT)
+        # root/gc_grace_seconds.  Memoized: format resolution is
+        # sticky for the store's life, and the condput IO instance
+        # carries the head-seq probe cache (manifestio.py) — a fresh
+        # instance per call would re-LIST for exists() and discard it
+        io = getattr(self, "_io_inst", None)
+        if io is None:
+            io = resolve_manifest_io(
+                self.root, MANIFEST,
+                getattr(self, "manifest_format", None),
+                DEFAULT_MANIFEST_FORMAT)
+            self._io_inst = io
+        return io
 
     def exists(self) -> bool:
         return self._io().exists()

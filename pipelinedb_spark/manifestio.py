@@ -335,6 +335,13 @@ class CondPutManifestIO:
         self.dir = os.path.join(root, CONDPUT_DIR)
         self.client = client if client is not None \
             else CLIENT_FACTORY(self.dir)
+        # last head seq this instance observed (read or wrote): lets
+        # reads GET-probe forward instead of LISTing the bucket every
+        # time.  Purely an optimization hint — the probe protocol
+        # below is exact regardless of how stale it is, and a cold or
+        # fallen-behind cache falls back to the LIST path.
+        self._cache_seq: int | None = None
+        self._gc_count = 0
 
     def exists(self) -> bool:
         return self._max_seq() is not None
@@ -351,12 +358,55 @@ class CondPutManifestIO:
         ent = self._entries()
         return ent[-1][0] if ent else None
 
+    def _probe_from(self, last: int):
+        """Exact head read by GET-probing forward from a previously
+        observed seq ``last`` — S3 GETs are strongly consistent and
+        12.5× cheaper than LISTs, and the live engine reads manifests
+        ~50× more often than it writes them (the r13 condput soak
+        measured 10.9k LISTs against 202 PUTs in 300 s), so on a real
+        bucket this is the difference between the manifest being a
+        rounding error and being the dominant request cost at scale.
+
+        Exactness: seqs are consecutive (every write CASes base+1)
+        and gc only ever deletes an ascending PREFIX of the live
+        entries, so the live seq set is always a contiguous suffix
+        [x, H] of the committed history — even across skipped or
+        aborted sweeps.  Under contiguity, "m{last} exists and
+        m{last+1} does not" forces last == H (last ∈ [x, H] while
+        last+1 ∉ [x, H]); the same argument ends the forward walk at
+        the true head.  Either object missing where the argument
+        needs it → return None and the caller re-LISTs (this
+        instance fell ≥KEEP commits behind and its anchor was
+        pruned)."""
+        seq, body = last, None
+        for _ in range(self.KEEP):
+            try:
+                nxt = self.client.get(f"m{seq + 1:020d}.json")
+            except FileNotFoundError:
+                break
+            seq, body = seq + 1, nxt
+        else:
+            return None          # ≥KEEP new commits: re-LIST
+        if body is None:
+            try:                 # head may still be `last`: exact iff
+                body = self.client.get(f"m{last:020d}.json")
+            except FileNotFoundError:
+                return None      # fell behind the gc window: re-LIST
+        self._cache_seq = seq
+        return json.loads(body), seq
+
     def read_versioned(self) -> tuple[dict, int]:
-        # list-then-open retries: a slow reader can lose its picked
-        # entry to a concurrent writer's gc() (KEEP manifests behind
-        # head) — re-list and take the new head instead of crashing
-        # (review r9).  Starving 5 re-lists would need 8+ commits per
-        # window; any later manifest is a valid (newer) read.
+        if self._cache_seq is not None:
+            got = self._probe_from(self._cache_seq)
+            if got is not None:
+                return got
+        # LIST path (first read of this instance, or the probe fell
+        # behind the gc window).  list-then-open retries: a slow
+        # reader can lose its picked entry to a concurrent writer's
+        # gc() (KEEP manifests behind head) — re-list and take the new
+        # head instead of crashing (review r9).  Starving 5 re-lists
+        # would need 8+ commits per window; any later manifest is a
+        # valid (newer) read.
         for _ in range(5):
             ent = self._entries()
             if not ent:
@@ -364,7 +414,9 @@ class CondPutManifestIO:
                     f"no committed manifest under {self.dir}")
             seq, name = ent[-1]
             try:
-                return json.loads(self.client.get(name)), seq
+                m = json.loads(self.client.get(name))
+                self._cache_seq = seq
+                return m, seq
             except FileNotFoundError:
                 continue  # pruned between list and open
         raise FileNotFoundError(
@@ -378,9 +430,21 @@ class CondPutManifestIO:
             raise CommitConflict(
                 f"manifest seq {base_seq + 1} already committed "
                 f"under {self.dir}") from None
+        self._cache_seq = base_seq + 1
         self.gc()
 
     def gc(self) -> None:
+        # full prefix sweep on every successful write (NOT an
+        # incremental delete of head-KEEP): the probe-read's
+        # exactness proof needs the live seq set to stay a CONTIGUOUS
+        # suffix [x, head], and a prefix sweep preserves that even
+        # when a sweep is skipped entirely (ambiguous landed-but-500
+        # commits raise out of write() before gc) or aborted midway —
+        # per-seq deletes would leave an orphan below a later hole
+        # and a probe could then stop at the orphan and serve a stale
+        # head (caught by test_concurrent_appends_with_ambiguous_
+        # successes when r13 tried incremental gc).  Writes are ~50×
+        # rarer than reads, so one LIST per write is cheap.
         ent = self._entries()
         for seq, name in ent[:-self.KEEP]:
             self.client.delete(name)

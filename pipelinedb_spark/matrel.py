@@ -136,9 +136,18 @@ class MatrelStore:
     # condput mode a violated single-writer contract surfaces as
     # CommitConflict instead of a silently-lost pointer.
     def _mio(self):
-        return resolve_manifest_io(self.dir, "MANIFEST",
-                                   getattr(self, "manifest_format", None),
-                                   DEFAULT_MANIFEST_FORMAT)
+        # memoized: format resolution is sticky for the store's whole
+        # life by design, and the condput IO instance carries the
+        # head-seq probe cache (manifestio.py) — re-resolving per read
+        # would both re-LIST for exists() and discard that cache
+        io = getattr(self, "_mio_inst", None)
+        if io is None:
+            io = resolve_manifest_io(self.dir, "MANIFEST",
+                                     getattr(self, "manifest_format",
+                                             None),
+                                     DEFAULT_MANIFEST_FORMAT)
+            self._mio_inst = io
+        return io
 
     def _read_manifest(self) -> dict:
         m, self._last_seq = self._mio().read_versioned()

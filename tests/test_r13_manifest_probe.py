@@ -1,0 +1,130 @@
+"""Condput head-seq probe reads (round 13): manifest reads GET-probe
+forward from the last observed seq instead of LISTing the bucket on
+every read — the r13 condput soak measured 10.9k LISTs vs 202 PUTs in
+300 s, so at bucket scale the read path, not the commit path, was the
+dominant request cost.  These tests pin the exactness contract:
+
+* warm reads issue ZERO LISTs at a steady head;
+* another instance's commits are picked up exactly (forward walk);
+* falling ≥KEEP commits behind falls back to the LIST path;
+* an ambiguous commit that skips its gc sweep (orphan below head)
+  never yields a stale read — the prefix-sweep gc keeps the live seq
+  set contiguous, which is what the probe's proof rides on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipelinedb_spark.manifestio import (CommitConflict,
+                                         CondPutManifestIO,
+                                         LocalFSObjectClient)
+
+
+class _CountingClient:
+    def __init__(self, directory):
+        self.inner = LocalFSObjectClient(directory)
+        self.ops = {"list": 0, "get": 0, "put": 0, "delete": 0}
+
+    def list(self):
+        self.ops["list"] += 1
+        return self.inner.list()
+
+    def get(self, name):
+        self.ops["get"] += 1
+        return self.inner.get(name)
+
+    def put_if_absent(self, name, data):
+        self.ops["put"] += 1
+        return self.inner.put_if_absent(name, data)
+
+    def delete(self, name):
+        self.ops["delete"] += 1
+        return self.inner.delete(name)
+
+
+def _io(tmp_path, name="s"):
+    root = str(tmp_path / name)
+    c = _CountingClient(root + "/_manifests")
+    return CondPutManifestIO(root, client=c), c
+
+
+def test_steady_head_reads_never_list(tmp_path):
+    io, c = _io(tmp_path)
+    io.write({"v": 1}, base_seq=0)
+    io.read_versioned()
+    c.ops["list"] = 0
+    c.ops["get"] = 0
+    for _ in range(10):
+        m, seq = io.read_versioned()
+        assert m == {"v": 1} and seq == 1
+    assert c.ops["list"] == 0
+    # per read: one 404 probe + one head re-get
+    assert c.ops["get"] == 20
+
+
+def test_probe_sees_other_writers_commits(tmp_path):
+    io1, c1 = _io(tmp_path)
+    io1.write({"v": 1}, base_seq=0)
+    io1.read_versioned()
+    io2 = CondPutManifestIO(io1.root,
+                            client=LocalFSObjectClient(io1.dir))
+    _, seq = io2.read_versioned()
+    for k in range(3):
+        io2.write({"v": 2 + k}, base_seq=seq + k)
+    c1.ops["list"] = 0
+    m, seq1 = io1.read_versioned()
+    assert (m, seq1) == ({"v": 4}, 4)
+    assert c1.ops["list"] == 0          # pure forward walk
+
+
+def test_fallen_behind_gc_window_relists(tmp_path):
+    io1, c1 = _io(tmp_path)
+    io1.write({"v": 1}, base_seq=0)
+    io1.read_versioned()
+    io2 = CondPutManifestIO(io1.root,
+                            client=LocalFSObjectClient(io1.dir))
+    _, seq = io2.read_versioned()
+    n = CondPutManifestIO.KEEP + 4
+    for k in range(n):
+        io2.write({"v": 2 + k}, base_seq=seq + k)
+    c1.ops["list"] = 0
+    m, seq1 = io1.read_versioned()
+    assert m == {"v": 1 + n} and seq1 == 1 + n
+    assert c1.ops["list"] >= 1          # anchor pruned → LIST path
+
+
+def test_orphan_from_skipped_gc_never_serves_stale_head(tmp_path):
+    """An ambiguous landed-but-500 commit raises out of write() before
+    gc, leaving its sweep skipped; later sweeps must still keep the
+    live set contiguous so a probe anchored below the orphan cannot
+    stop early on a hole."""
+    io1, _ = _io(tmp_path)
+    io1.write({"v": 1}, base_seq=0)
+    io1.read_versioned()                # anchor at seq 1
+    io2 = CondPutManifestIO(io1.root,
+                            client=LocalFSObjectClient(io1.dir))
+    _, seq = io2.read_versioned()
+    # seq 2 lands WITHOUT a gc sweep (the ambiguous-commit shape)
+    io2.client.put_if_absent("m%020d.json" % (seq + 1), '{"v": 2}')
+    # many normal commits push the head far past the window
+    io3 = CondPutManifestIO(io1.root,
+                            client=LocalFSObjectClient(io1.dir))
+    _, s3 = io3.read_versioned()
+    for k in range(CondPutManifestIO.KEEP + 3):
+        io3.write({"v": 3 + k}, base_seq=s3 + k)
+    head_m, head_seq = io3.read_versioned()
+    # the stale-anchored instance must agree with the true head
+    m, seq1 = io1.read_versioned()
+    assert (m, seq1) == (head_m, head_seq)
+
+
+def test_cas_conflict_leaves_probe_consistent(tmp_path):
+    io, _ = _io(tmp_path)
+    io.write({"v": 1}, base_seq=0)
+    _, seq = io.read_versioned()
+    io.write({"v": 2}, base_seq=seq)
+    with pytest.raises(CommitConflict):
+        io.write({"v": 99}, base_seq=seq)
+    m, s = io.read_versioned()
+    assert (m, s) == ({"v": 2}, 2)
