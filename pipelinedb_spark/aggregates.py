@@ -448,14 +448,30 @@ def _latest_per_key(flat):
     keeping, per key, the element with the LATEST timestamp.  Sort by
     (k asc, nt asc ≡ t desc) then keep each key's first occurrence via
     adjacent-dedup — O(n log n), vs the fold-with-filter formulation
-    whose accumulator rescan made it O(n²) per group per batch."""
+    whose accumulator rescan made it O(n²) per group per batch.
+
+    The adjacent-dedup must NOT reference the sorted array from inside
+    a lambda (the r3-r12 formulation did `F.get(srt, i - 1)` in the
+    filter predicate): Catalyst inlines the full array_sort expression
+    at the reference site and re-evaluates it PER ELEMENT, turning the
+    dedup O(n² log n) per group — invisible at sf0.01 (~2k rows/group,
+    the driver gate's scale) and a >15-minute stall at sf0.1 (~20k
+    rows/group), found by the r13 full-bank sf0.1 oracle sweep.
+    Instead, zip the sorted array against its own keys shifted right
+    by one (both built once per row, outside any lambda) and keep an
+    element iff its key differs from its predecessor's."""
     srt = F.array_sort(flat)
-    # keep an element iff its key differs from its predecessor's
-    # (F.get is 0-based and NULL out-of-range, so i==0 passes via
-    # three-valued OR without an ANSI index error)
+    prev_keys = F.concat(
+        F.array(F.lit(None).cast("long")),
+        F.transform(srt, lambda e: e.getField("k")))
+    # zip_with pads the shorter side with nulls: the extra trailing
+    # prev-key pairs with a null element, which the isNotNull filter
+    # drops along with the non-first duplicates
     deduped = F.filter(
-        srt, lambda e, i: (i == F.lit(0)) |
-        (e.getField("k") != F.get(srt, i - 1).getField("k")))
+        F.zip_with(srt, prev_keys,
+                   lambda e, pk: F.when(
+                       pk.isNull() | (e.getField("k") != pk), e)),
+        lambda x: x.isNotNull())
     return F.map_from_entries(F.transform(
         deduped, lambda e: F.struct(
             e.getField("k").alias("key"),

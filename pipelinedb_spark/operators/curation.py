@@ -22,17 +22,19 @@ def _gram_hashes(text: Column, n: int) -> Column:
     """xxhash64 of each n-token shingle (token-concat with a separator
     that cannot appear inside whitespace tokens)."""
     ws = F.split(text, " ")
-    m = F.size(ws) - (n - 1)
-    # sequence(0, -1) yields a DESCENDING [0, -1] in Spark, not an
-    # empty array: a doc shorter than n tokens would otherwise emit
-    # two partial grams (harmless for contamination joins — a
-    # partial gram can't equal any real n-gram — but wrong in
-    # principle and it skews gram counts).
-    idx = F.when(m > 0, F.sequence(F.lit(0), m - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(
-            "\x1f", *[F.get(ws, i + k) for k in range(n)])))
+    # n-1 chained zips over shifted slices, all built ONCE per row
+    # (the index transform with `F.get(ws, i + k)` in the lambda
+    # re-evaluated the token array per element — O(len²) per document,
+    # r13 scale finding, see quality._grams).  A zero slice length
+    # covers docs shorter than n tokens (empty gram set, no partial
+    # grams).  Hash inputs are bit-identical: chained concat_ws
+    # associates.
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    acc = F.slice(ws, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(ws, k + 1, m),
+                         lambda a, b: F.concat_ws("\x1f", a, b))
+    return F.transform(acc, lambda g: F.xxhash64(g))
 
 
 def contamination_pairs(corpus: DataFrame, eval_set: DataFrame,

@@ -30,11 +30,14 @@ def _words(text: Column) -> Column:
 def _bigram_pairs(text: Column) -> Column:
     """array<struct<w1,w2>> of adjacent token pairs."""
     ws = _words(text)
-    m = F.size(ws) - 1
-    idx = F.when(m > 0, F.sequence(F.lit(0), m - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.struct(
-        F.get(ws, i).alias("w1"), F.get(ws, i + 1).alias("w2")))
+    # zip of two shifted slices, each built once per row — the index
+    # transform with `F.get(ws, i)` in the lambda re-evaluated the
+    # split per element, O(len²) per document (r13 scale finding,
+    # see quality._grams)
+    m = F.greatest(F.size(ws) - 1, F.lit(0))
+    return F.zip_with(F.slice(ws, 1, m), F.slice(ws, 2, m),
+                      lambda a, b: F.struct(a.alias("w1"),
+                                            b.alias("w2")))
 
 
 def train_bigram_lm(corpus: DataFrame, text_col: str = "text",

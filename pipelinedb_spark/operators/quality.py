@@ -57,14 +57,20 @@ def _token_ngrams(ws: Column, n: int) -> Column:
     """
     if n == 1:
         return ws
-    m = F.size(ws) - (n - 1)
-    # sequence(0, -1) yields a DESCENDING [0, -1] in Spark, not an
-    # empty array — docs shorter than n tokens must short-circuit.
-    idx = F.when(m > 0, F.sequence(F.lit(0), m - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.concat_ws(_SEP, *[F.get(ws, i + k)
-                                           for k in range(n)]))
+    # n-1 chained zips over shifted slices, all built ONCE per row.
+    # The previous index-transform formulation did `F.get(ws, i + k)`
+    # inside the lambda, and Catalyst inlines + re-evaluates the whole
+    # token-array expression per element — O(len²) per document
+    # (55 s for ONE 20k-token doc, measured r13; fine on short test
+    # docs, lethal on real long-document corpora).  Gram strings are
+    # bit-identical to the old formulation (chained concat_ws
+    # associates: a⊕b⊕c == (a⊕b)⊕c).
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    acc = F.slice(ws, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(ws, k + 1, m),
+                         lambda a, b: F.concat_ws(_SEP, a, b))
+    return acc
 
 
 def _gram_len(g: Column, n: int) -> Column:
