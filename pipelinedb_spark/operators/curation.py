@@ -247,17 +247,30 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
     toks = F.filter(F.split(F.col(text_col), " "),
                     lambda w: w != "")
     n = F.size(toks)
-    nchunks = (F.lit(1)
-               + F.ceil((F.greatest(n - F.lit(chunk_tokens), F.lit(0)))
-                        / F.lit(stride)).cast("int"))
-    chunks = F.transform(
-        F.sequence(F.lit(0), nchunks - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_id"),
-            F.array_join(F.slice(toks, i * stride + 1,
-                                 chunk_tokens), " ").alias("text"),
-            F.least(F.lit(chunk_tokens),
-                    n - i * stride).cast("long").alias("n_tokens")))
+
+    # let-binding via a 1-element transform: the chunk lambda below
+    # slices the token array per chunk, and referencing `toks` (the
+    # split expression) directly from inside it would make Catalyst
+    # re-evaluate the split per chunk — O(len²/stride) per document
+    # (r13 scale finding, see quality._grams).  Wrapping the array in
+    # F.array and taking it as the outer lambda's ARGUMENT binds it to
+    # a lambda variable, so the inner slices read a materialized array.
+    def _chunks_of(t):
+        tn = F.size(t)
+        nchunks = (F.lit(1)
+                   + F.ceil((F.greatest(tn - F.lit(chunk_tokens),
+                                        F.lit(0)))
+                            / F.lit(stride)).cast("int"))
+        return F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.array_join(F.slice(t, i * stride + 1,
+                                     chunk_tokens), " ").alias("text"),
+                F.least(F.lit(chunk_tokens),
+                        tn - i * stride).cast("long").alias("n_tokens")))
+
+    chunks = F.get(F.transform(F.array(toks), _chunks_of), 0)
     keep = [c for c in df.columns if c != text_col]
     return (df.withColumn("__toks_n", n)
             .filter(F.col("__toks_n") > 0)

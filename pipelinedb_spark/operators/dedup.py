@@ -27,12 +27,22 @@ from pyspark.sql import types as T
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as an array column (JVM-only)."""
+    """Distinct word n-grams as an array column (JVM-only).
+
+    n-1 chained zips over shifted slices, each built once per row —
+    the previous index-transform did `F.slice(ws, i + 1, n)` inside
+    the lambda, and Catalyst re-evaluates the whole split per element
+    (O(len²) per document, r13 scale finding — see quality._grams);
+    it also fed `F.sequence(0, size - n)` unguarded, which DESCENDS
+    for docs shorter than n tokens and made slice trap on a 0 start
+    index.  Gram strings are identical (chained space-joins)."""
     ws = F.split(text, " ")
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
-    return F.array_distinct(grams)
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    acc = F.slice(ws, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(ws, k + 1, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(acc)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
