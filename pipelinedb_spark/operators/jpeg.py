@@ -21,12 +21,13 @@ conditioning, r12 — the Annex D QM-coder and Annex F/G statistical
 models live in jpegarith.py), AND hierarchical coding (r13, T.81
 Annex J: DHP frame pyramid, EXP reference expansion with the
 normative J.1.1.2 interpolation, differential Huffman frames
-SOF5/SOF6 with DC prediction disabled and level-shift-free IDCT;
+SOF5/SOF6 with DC prediction disabled and level-shift-free IDCT,
+differential lossless SOF7 with predictor 0 and modulo-2^16
+reconstruction — a pyramid ending in SOF7 is losslessly exact;
 1x1-sampled 8-bit, first frame non-differential).
-Differential-lossless (SOF7), lossless-arithmetic (SOF11) and
-arithmetic-differential frames raise NotImplementedError — the Pillow
-backend (multimodal.decode_pixels backend='pil') covers those where
-installed.
+Lossless-arithmetic (SOF11) and arithmetic-differential frames raise
+NotImplementedError — the Pillow backend (multimodal.decode_pixels
+backend='pil') covers those where installed.
 
 The hot path is vectorized where it matters: the IDCT is one
 einsum over ALL blocks of a component (separable orthonormal DCT-II
@@ -227,12 +228,11 @@ def _next_marker(p: bytes, start: int) -> int:
 def decode_jpeg_py(p: bytes):
     """Baseline, progressive, lossless (SOF3), arithmetic
     (SOF9/SOF10), or hierarchical (Annex J: DHP + EXP + differential
-    Huffman frames SOF5/SOF6, 1x1-sampled 8-bit) JPEG → (h, w, c)
-    uint8 array (c = 1 gray, 3 RGB; >8-bit precision scales down).
-    Returns None when the payload is not a JPEG; raises
-    NotImplementedError for differential-lossless (SOF7),
-    lossless-arithmetic (SOF11) and arithmetic-differential
-    streams."""
+    Huffman frames SOF5/SOF6/SOF7, 1x1-sampled 8-bit) JPEG →
+    (h, w, c) uint8 array (c = 1 gray, 3 RGB; >8-bit precision scales
+    down).  Returns None when the payload is not a JPEG; raises
+    NotImplementedError for lossless-arithmetic (SOF11) and
+    arithmetic-differential streams."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -268,6 +268,15 @@ def decode_jpeg_py(p: bytes):
             raise ValueError(
                 f"JPEG scan coverage incomplete: component(s) "
                 f"{missing} never received a DC scan")
+        if lossless:
+            # differential lossless (SOF7): samples ARE the spatial
+            # diffs; modulo-2^16 addition reconstructs exactly (the
+            # clip only bites on nonconforming streams)
+            for c in comps:
+                ref[c["id"]] = np.clip(
+                    (ref[c["id"]].astype(np.int64) + c["sam"])
+                    & 0xFFFF, 0, 255).astype(np.int32)
+            return
         planes = {}
         for c in comps:
             if c["tq"] not in qt:
@@ -381,11 +390,14 @@ def decode_jpeg_py(p: bytes):
                         "subsampled lossless JPEG (all-1x1 only)")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False})
-        elif marker in (0xC5, 0xC6):
+        elif marker in (0xC5, 0xC6, 0xC7):
             # differential Huffman frames (Annex J): sequential DCT
             # (SOF5) / progressive DCT (SOF6) over the difference
             # between the source and the (possibly EXP-expanded)
-            # reference reconstruction
+            # reference reconstruction, or differential LOSSLESS
+            # (SOF7: Annex-H coding of the spatial difference with
+            # prediction disabled and modulo-2^16 reconstruction — a
+            # pyramid ending in a SOF7 frame is losslessly exact)
             if hier is None:
                 raise ValueError(
                     f"JPEG SOF{marker - 0xC0}: differential frame "
@@ -398,6 +410,7 @@ def decode_jpeg_py(p: bytes):
             comps = []
             scan_seen = False
             progressive = marker == 0xC6
+            lossless = marker == 0xC7
             arith = False
             differential = True
             if len(body) < 6:
@@ -450,12 +463,12 @@ def decode_jpeg_py(p: bytes):
                         "reference")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False, "dfr": True})
-        elif marker in (0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: hierarchical differential "
-                "frames are Huffman-DCT only (SOF5/SOF6) — "
-                "differential lossless (SOF7), lossless-arithmetic "
-                "(SOF11) and arithmetic differential modes stay gated")
+                "frames are Huffman-only (SOF5/SOF6/SOF7) — "
+                "lossless-arithmetic (SOF11) and arithmetic "
+                "differential modes stay gated")
         elif marker == 0xDE:  # DHP: hierarchical progression (Annex J)
             if hier is not None:
                 raise ValueError("duplicate DHP marker")
@@ -529,8 +542,19 @@ def decode_jpeg_py(p: bytes):
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             if lossless:
                 # Annex H reuses the scan header: Ss = predictor
-                # selector, Al = point transform
-                if not 1 <= ss <= 7:
+                # selector, Al = point transform.  Differential
+                # lossless frames (SOF7) disable prediction entirely
+                # — T.81 marks them with Ss = 0.
+                if differential:
+                    if ss != 0:
+                        raise ValueError(
+                            f"differential lossless scan must have "
+                            f"Ss=0, got {ss}")
+                    if al != 0:
+                        raise NotImplementedError(
+                            "point transform in differential "
+                            "lossless frames")
+                elif not 1 <= ss <= 7:
                     raise ValueError(f"bad lossless predictor {ss}")
                 if al >= precision:
                     raise ValueError("point transform >= precision")
@@ -543,7 +567,8 @@ def decode_jpeg_py(p: bytes):
                     c["dc_done"] = True
                 _decode_lossless_scan(p, i + 2 + seg_len, scan,
                                       huff_dc, restart_interval,
-                                      ss, al, precision, w, h)
+                                      ss, al, precision, w, h,
+                                      differential=differential)
                 i = _next_marker(p, i + 2 + seg_len)
                 continue
             if not progressive:
@@ -660,14 +685,19 @@ def _lossless_predict(s, x, y, pred_sel):
 
 
 def _decode_lossless_scan(p, pos, scan, huff_dc, restart_interval,
-                          pred_sel, pt, precision, w, h):
+                          pred_sel, pt, precision, w, h,
+                          differential: bool = False):
     """Lossless sequential scan (T.81 Annex H): one sample per
     component per MCU, Huffman magnitude category from the DC table +
     EXTEND difference, modulo-2^16 reconstruction in the
     point-transformed domain.  After a restart marker the prediction
     resets to the scan-start default for the next sample (the PVRG /
     libjpeg lossless convention), then neighbor prediction resumes.
-    Samples are stored point-transformed; the caller applies << Pt."""
+    Samples are stored point-transformed; the caller applies << Pt.
+    ``differential`` (SOF7 frames, Annex J): prediction is disabled —
+    every coded value IS the spatial difference (predictor 0), so the
+    stored samples are the modulo-2^16 diffs the caller adds to the
+    reference."""
     br = _BitReader(p, pos)
     default = 1 << (precision - pt - 1)
     tabs = []
@@ -691,8 +721,11 @@ def _decode_lossless_scan(p, pos, scan, huff_dc, restart_interval,
                     diff = 0
                 else:
                     diff = _extend(br.read(t), t)
-                px = default if reset else _lossless_predict(
-                    s, x, y, pred_sel)
+                if differential:
+                    px = 0           # Annex J: predictor disabled
+                else:
+                    px = default if reset else _lossless_predict(
+                        s, x, y, pred_sel)
                 s[y, x] = (px + diff) & 0xFFFF
             reset = False
             mcu += 1

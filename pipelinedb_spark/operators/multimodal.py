@@ -941,10 +941,9 @@ def decode_jpeg_py(p: bytes):
     """JPEG → (h, w, c) uint8 array — full dependency-free codec in
     operators/jpeg.py (baseline/progressive/lossless/12-bit Huffman
     plus arithmetic SOF9/SOF10 entropy decode, hierarchical Annex-J
-    frame pyramids with differential SOF5/SOF6 frames, dequant,
+    frame pyramids with differential SOF5/SOF6/SOF7 frames, dequant,
     vectorized IDCT, chroma upsample, YCbCr→RGB).
-    Differential-lossless (SOF7) and
-    lossless-arithmetic (SOF11) streams raise NotImplementedError
+    Lossless-arithmetic (SOF11) streams raise NotImplementedError
     there."""
     from pipelinedb_spark.operators.jpeg import decode_jpeg_py as _dec
     return _dec(p)

@@ -270,14 +270,55 @@ def _prog_diff_scans(comps_q) -> bytes:
 # ------------------------------------------------- stream assembly
 
 
+def _lossless_diff_scan(diffs) -> bytes:
+    """One interleaved differential-lossless scan (SOF7 frames): each
+    modulo-2^16 diff coded as a DC magnitude category + EXTEND bits
+    (t=16 carries no bits, per H.2), prediction disabled (Ss=0)."""
+    syms, ev = set(), []
+    fh, fw = diffs[0].shape
+    for y in range(fh):
+        for x in range(fw):
+            for d0 in diffs:
+                d = int(d0[y, x])
+                if d == 32768:
+                    syms.add(16)
+                    ev.append((16, 0, 0))
+                    continue
+                if d > 32768:
+                    d -= 65536
+                t = _cat(d)
+                syms.add(t)
+                ev.append((t, _extra(d, t), t))
+    dbits, dsyms, dcodes = _build_table(syms or {0})
+    out = bytearray()
+    out += _seg(0xC4, bytes([0x00]) + bytes(dbits) + bytes(dsyms))
+    sos = bytes([len(diffs)])
+    for ci in range(len(diffs)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 0, 0])             # Ss=0 (no prediction), Al=0
+    out += _seg(0xDA, sos)
+    w = _BitWriter(out)
+    for t, extra, n in ev:
+        code, ln = dcodes[t]
+        w.put(code, ln)
+        if n:
+            w.put(extra, n)
+    w.flush()
+    return bytes(out)
+
+
 def _make_hier_jpeg(img, levels: int = 2, quant=None,
-                    progressive_diff: bool = False, restart: int = 0):
+                    progressive_diff: bool = False, restart: int = 0,
+                    lossless_final: bool = False):
     """Hierarchical JPEG + the decoder-exact expected pixels.
 
     Pyramid: 2x2-mean decimation per level (encoder's choice); frame 1
     is a non-differential SOF0 at the smallest size; each later level
     is EXP(1,1) expansion + a differential SOF5 (or SOF6 with
-    ``progressive_diff``) frame of the residual.  Returns
+    ``progressive_diff``) frame of the residual.  With
+    ``lossless_final`` one more SOF7 frame at full size codes the
+    exact spatial difference, making the whole pyramid lossless (the
+    Annex-J headline property).  Returns
     (jpeg_bytes, expected_hwc_uint8)."""
     arr = np.asarray(img, dtype=np.float64)
     gray = arr.ndim == 2
@@ -348,6 +389,22 @@ def _make_hier_jpeg(img, levels: int = 2, quant=None,
             out += _seq_scan(qs, differential=True, restart=restart)
         ref = [np.clip(rf + _recon_planes(q, quant, fh, fw), 0, 255)
                for rf, q in zip(ref, qs)]
+
+    if lossless_final:
+        # SOF7 at full size, no EXP: exact spatial diffs mod 2^16
+        fh, fw = pyr[-1][0].shape
+        sof = bytes([8]) + fh.to_bytes(2, "big") \
+            + fw.to_bytes(2, "big") + bytes([nc])
+        for ci in range(nc):
+            sof += bytes([ci + 1, 0x11, 0])
+        out += _seg(0xC7, sof)
+        srcs = [np.clip(np.round(pl), 0, 255).astype(np.int64)
+                for pl in pyr[-1]]
+        diffs = [(s - rf.astype(np.int64)) & 0xFFFF
+                 for s, rf in zip(srcs, ref)]
+        out += _lossless_diff_scan(diffs)
+        ref = [np.clip((rf.astype(np.int64) + d) & 0xFFFF, 0, 255)
+               for rf, d in zip(ref, diffs)]
 
     out += b"\xff\xd9"
     if gray:
@@ -452,15 +509,59 @@ def test_hier_hostile_streams():
     bad[exp + 4] = 0x22
     with pytest.raises(ValueError, match="bad EXP"):
         decode_jpeg_py(bytes(bad))
-    # SOF7 (differential lossless) stays gated
+    # arithmetic differential stays gated
     bad = bytearray(p)
-    bad[sof5 + 1] = 0xC7
+    bad[sof5 + 1] = 0xCE
     with pytest.raises(NotImplementedError):
         decode_jpeg_py(bytes(bad))
     # second non-differential frame: honest subset
     bad = bytearray(p)
     bad[sof5 + 1] = 0xC0
     with pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg_py(bytes(bad))
+
+
+def test_hier_lossless_final_gray_is_bit_exact_to_source():
+    """The Annex-J headline property: a lossy DCT pyramid topped with
+    a differential-lossless (SOF7) frame reconstructs the SOURCE
+    image exactly — not just the encoder's prediction."""
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (23, 17))       # pure noise, odd dims
+    q = np.full((8, 8), 8, dtype=np.int64)    # very lossy levels
+    p, want = _make_hier_jpeg(img, levels=2, quant=q,
+                              lossless_final=True)
+    assert b"\xff\xc7" in p
+    got = decode_jpeg_py(p)
+    assert np.array_equal(got[..., 0], img)   # source, bit for bit
+    assert np.array_equal(got, want)
+
+
+def test_hier_lossless_final_color_exact():
+    rng = np.random.RandomState(22)
+    img = np.clip(rng.randint(0, 256, (16, 20, 3)), 0, 255)
+    p, want = _make_hier_jpeg(img, levels=2,
+                              quant=np.full((8, 8), 6, dtype=np.int64),
+                              lossless_final=True)
+    got = decode_jpeg_py(p)
+    # exact vs the encoder's YCbCr-domain expectation (the RGB source
+    # itself differs only by the color-transform roundtrip)
+    assert np.array_equal(got, want)
+    assert np.mean(np.abs(got.astype(float) - img)) < 2.0
+
+
+def test_hier_sof7_hostile_scan_headers():
+    img = _img_gray(16, 16)
+    p, _ = _make_hier_jpeg(img, levels=2, lossless_final=True)
+    sof7 = p.find(b"\xff\xc7")
+    sos = p.find(b"\xff\xda", sof7)
+    ns = p[sos + 4]
+    bad = bytearray(p)
+    bad[sos + 5 + 2 * ns] = 1                 # Ss=1 in a SOF7 scan
+    with pytest.raises(ValueError, match="Ss=0"):
+        decode_jpeg_py(bytes(bad))
+    bad = bytearray(p)
+    bad[sos + 7 + 2 * ns] = 2                 # point transform
+    with pytest.raises(NotImplementedError):
         decode_jpeg_py(bytes(bad))
 
 
