@@ -655,6 +655,10 @@ class MatrelStore:
         self.name = new_name
         self.dir = new_dir
         self._manifest_path = os.path.join(new_dir, "MANIFEST")
+        # the memoized manifest IO is bound to the OLD directory path
+        # (and, in condput mode, carries a probe cache for it) — drop
+        # it so the next access re-resolves against the moved dir
+        self._mio_inst = None
         m = self._read_manifest()
         m["buckets"] = {b: os.path.join(new_dir, os.path.relpath(p, old_dir))
                         for b, p in m["buckets"].items()}
