@@ -368,7 +368,7 @@ def _cal_block(before: float | None, after: float | None, sf: str,
         return {"error": "calibration workload failed; see stderr"}
     cal: dict = {
         "before_sec": before,
-        "reps": 3,
+        "reps": 5,
         "workload": "frozen r1-q1-x4 replica + fixed 20M-row shuffle+agg "
                     "(bench_cal.py — never edited after round 13)",
     }
@@ -495,7 +495,7 @@ def main() -> None:
     from bench_cal import cal_best
     cal_before = cal_after = None
     try:
-        cal_before = cal_best(spark, sf_dir, warm=2)
+        cal_before = cal_best(spark, sf_dir, reps=5, warm=2)
     except Exception as exc:
         print(f"calibration failed (continuing): {exc}", file=sys.stderr)
 
@@ -546,7 +546,7 @@ def main() -> None:
     # ---- calibration leg 2 + artifact block
     if cal_before is not None:
         try:
-            cal_after = cal_best(spark, sf_dir)
+            cal_after = cal_best(spark, sf_dir, reps=5)
         except Exception as exc:
             print(f"post-sweep calibration failed: {exc}",
                   file=sys.stderr)

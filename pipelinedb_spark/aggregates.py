@@ -557,6 +557,13 @@ def _json_object_int_sum_spec() -> AggSpec:
 
 
 def _json_sum_fold(acc, e):
+    # O(k) per step (k = distinct keys so far, the fold rescans its
+    # own accumulator): total O(n·k) per group.  Bounded by the JSON
+    # object SCHEMA width, not row count — fine for the telemetry
+    # shapes this mirrors (reference json_object_int_sum sums fixed
+    # counters); checked at sf0.1 by the r13 oracle sweep.  Unlike the
+    # r13 HOF findings, `acc` is the lambda's own argument (a bound
+    # variable), so nothing here re-evaluates an outer expression.
     key = e.getField("key")
     val = e.getField("value")
     hit = F.filter(acc, lambda kv: kv.getField("key") == key)

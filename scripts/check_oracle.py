@@ -92,9 +92,15 @@ def main():
                "oracle_rows": None, "err": None}
         records[name] = rec
         try:
+            import time
+            t0 = time.perf_counter()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # spark-side wall seconds ride the artifact: the r13 sweep
+            # found a quadratic plan by STALLING — a timed series lets
+            # the next one find a 10x regression without stalling
+            rec["spark_sec"] = round(time.perf_counter() - t0, 2)
             rec["spark_rows"] = len(srows)
         except Exception as e:
             failures.append(name)
