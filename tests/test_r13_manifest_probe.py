@@ -128,3 +128,59 @@ def test_cas_conflict_leaves_probe_consistent(tmp_path):
         io.write({"v": 99}, base_seq=seq)
     m, s = io.read_versioned()
     assert (m, s) == ({"v": 2}, 2)
+
+
+def test_probe_reads_linearize_under_random_schedules(tmp_path):
+    """Property: under ANY single-threaded interleaving of commits
+    (from multiple IO instances over one root, including ambiguous
+    commits that skip their gc sweep) and reads (from instances with
+    arbitrarily stale anchors), every read returns exactly the latest
+    committed manifest."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 3),
+                              st.sampled_from(["commit", "read",
+                                               "orphan_commit"])),
+                    min_size=1, max_size=40))
+    def run(script):
+        import shutil
+        import tempfile
+        root = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            ios = [CondPutManifestIO(
+                root, client=LocalFSObjectClient(
+                    root + "/_manifests")) for _ in range(4)]
+            head = {"v": 0}
+            head_seq = 0
+            ios[0].write(head, base_seq=0)
+            head_seq = 1
+            for who, op in script:
+                io = ios[who]
+                if op == "read":
+                    m, seq = io.read_versioned()
+                    assert (m, seq) == (head, head_seq), \
+                        f"stale read: got seq {seq}, head {head_seq}"
+                elif op == "commit":
+                    nxt = {"v": head["v"] + 1}
+                    try:
+                        io.write(nxt, base_seq=head_seq)
+                        head, head_seq = nxt, head_seq + 1
+                    except CommitConflict:
+                        pass          # stale base: legal, no change
+                else:  # ambiguous commit: lands, gc sweep skipped
+                    nxt = {"v": head["v"] + 1}
+                    try:
+                        io.client.put_if_absent(
+                            "m%020d.json" % (head_seq + 1),
+                            __import__("json").dumps(nxt))
+                        head, head_seq = nxt, head_seq + 1
+                    except FileExistsError:
+                        pass
+            for io in ios:            # final convergence
+                assert io.read_versioned() == (head, head_seq)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
