@@ -2115,7 +2115,20 @@ def script_lang_id_mixed(spark, sf_dir):
     to ko).  The oracle states each variant's expected language
     analytically from the construction — fully engine-independent."""
     from pipelinedb_spark.operators.text import lang_id
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # two plan hygiene points found by the r13 timed sf0.1 sweep
+    # (this entry read 21 s of the sweep's 120 s):
+    # * the doc_id-only scan reads ONE row-group → one partition, and
+    #   a zero-shuffle projection inherits it — repartition before a
+    #   heavy projection (scan parallelism follows row-group layout,
+    #   not CPU count; 5000 bigint ids shuffle for free);
+    # * lang_id references its input in dozens of regex/fold sites, so
+    #   feeding it the 9-way CASE construction directly inlines that
+    #   CASE at every site and Catalyst spends ~6 s per ACTION
+    #   optimizing the exploded tree (row-count-independent — 555
+    #   rows cost the same as 5000).  localCheckpoint materializes the
+    #   synthetic text so lang_id sees a plain column attribute.
+    docs = (t(spark, sf_dir, "documents").select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
     v = F.col("doc_id") % 9
     text = (F.when(v == 0, F.lit("委员会详细审查了这项提案认为第二稿已经回应了意见"))
             .when(v == 1, F.lit("経済産業省は新政策を発表した"))
@@ -2128,7 +2141,8 @@ def script_lang_id_mixed(spark, sf_dir):
             .when(v == 7, F.concat(F.repeat(F.lit("the and of to in is that a "), 160),
                                    F.repeat(F.lit("한글 본문이 계속 이어진다 "), 400)))
             .otherwise(F.lit("xyzzy qwerty asdf plugh")))
-    return (docs.withColumn("lang", lang_id(text))
+    mat = docs.withColumn("text", text).localCheckpoint(eager=True)
+    return (mat.withColumn("lang", lang_id(F.col("text")))
             .select("doc_id", "lang"))
 
 
