@@ -341,7 +341,6 @@ class CondPutManifestIO:
         # below is exact regardless of how stale it is, and a cold or
         # fallen-behind cache falls back to the LIST path.
         self._cache_seq: int | None = None
-        self._gc_count = 0
 
     def exists(self) -> bool:
         return self._max_seq() is not None
@@ -387,11 +386,17 @@ class CondPutManifestIO:
             seq, body = seq + 1, nxt
         else:
             return None          # ≥KEEP new commits: re-LIST
-        if body is None:
-            try:                 # head may still be `last`: exact iff
-                body = self.client.get(f"m{last:020d}.json")
-            except FileNotFoundError:
-                return None      # fell behind the gc window: re-LIST
+        # the contiguity argument is a statement about ONE instant, so
+        # the object that anchors it (m{seq} existing while m{seq+1}
+        # does not) must be (re-)read AFTER the 404 — a walked body
+        # fetched before the 404 could have been pruned in between by
+        # a writer racing far ahead, and returning it would both serve
+        # a stale head and let a CAS from it re-create a pruned seq
+        # below the live suffix (review r13)
+        try:
+            body = self.client.get(f"m{seq:020d}.json")
+        except FileNotFoundError:
+            return None          # fell behind the gc window: re-LIST
         self._cache_seq = seq
         return json.loads(body), seq
 

@@ -146,7 +146,13 @@ class MatrelStore:
                                      getattr(self, "manifest_format",
                                              None),
                                      DEFAULT_MANIFEST_FORMAT)
-            self._mio_inst = io
+            # memoize only once the store EXISTS on disk: a resolution
+            # made against an empty root is a default, not a sticky
+            # fact — freezing it would blind an exists()-polling
+            # reader to another process initializing the root in the
+            # other format (round-13 review)
+            if io.exists():
+                self._mio_inst = io
         return io
 
     def _read_manifest(self) -> dict:

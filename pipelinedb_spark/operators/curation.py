@@ -22,19 +22,12 @@ def _gram_hashes(text: Column, n: int) -> Column:
     """xxhash64 of each n-token shingle (token-concat with a separator
     that cannot appear inside whitespace tokens)."""
     ws = F.split(text, " ")
-    # n-1 chained zips over shifted slices, all built ONCE per row
-    # (the index transform with `F.get(ws, i + k)` in the lambda
-    # re-evaluated the token array per element — O(len²) per document,
-    # r13 scale finding, see quality._grams).  A zero slice length
-    # covers docs shorter than n tokens (empty gram set, no partial
-    # grams).  Hash inputs are bit-identical: chained concat_ws
-    # associates.
-    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
-    acc = F.slice(ws, 1, m)
-    for k in range(1, n):
-        acc = F.zip_with(acc, F.slice(ws, k + 1, m),
-                         lambda a, b: F.concat_ws("\x1f", a, b))
-    return F.transform(acc, lambda g: F.xxhash64(g))
+    # the r13 linear-time chained-zip shape, shared across every text
+    # operator (functions/ngrams.py); hash inputs are bit-identical
+    # to the old index formulation (chained concat_ws associates)
+    from pipelinedb_spark.functions.ngrams import chained_ngrams
+    return F.transform(chained_ngrams(ws, n, "\x1f"),
+                       lambda g: F.xxhash64(g))
 
 
 def contamination_pairs(corpus: DataFrame, eval_set: DataFrame,

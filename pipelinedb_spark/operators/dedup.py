@@ -29,20 +29,15 @@ from pyspark.sql import types as T
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams as an array column (JVM-only).
 
-    n-1 chained zips over shifted slices, each built once per row —
+    The r13 linear-time chained-zip shape (functions/ngrams.py) —
     the previous index-transform did `F.slice(ws, i + 1, n)` inside
     the lambda, and Catalyst re-evaluates the whole split per element
-    (O(len²) per document, r13 scale finding — see quality._grams);
-    it also fed `F.sequence(0, size - n)` unguarded, which DESCENDS
-    for docs shorter than n tokens and made slice trap on a 0 start
-    index.  Gram strings are identical (chained space-joins)."""
-    ws = F.split(text, " ")
-    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
-    acc = F.slice(ws, 1, m)
-    for k in range(1, n):
-        acc = F.zip_with(acc, F.slice(ws, k + 1, m),
-                         lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(acc)
+    (O(len²) per document, r13 scale finding); it also fed
+    `F.sequence(0, size - n)` unguarded, which DESCENDS for docs
+    shorter than n tokens and made slice trap on a 0 start index.
+    Gram strings are identical (chained space-joins)."""
+    from pipelinedb_spark.functions.ngrams import chained_ngrams
+    return F.array_distinct(chained_ngrams(F.split(text, " "), n, " "))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",

@@ -370,6 +370,15 @@ def decode_jpeg_py(p: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq, "dc_done": False})
         elif marker == 0xC3:  # SOF3: lossless sequential (Annex H)
+            if hier is not None:
+                # Annex J allows a lossless NON-differential first
+                # frame; the hier reference fold only implements the
+                # DCT + differential-lossless shapes — gate honestly
+                # instead of crashing on ref=None at finalize
+                # (round-13 review)
+                raise NotImplementedError(
+                    "lossless non-differential frame inside a "
+                    "hierarchical (DHP) sequence")
             lossless = True
             if len(body) < 6:
                 raise ValueError("truncated SOF header")

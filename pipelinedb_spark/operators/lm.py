@@ -29,15 +29,11 @@ def _words(text: Column) -> Column:
 
 def _bigram_pairs(text: Column) -> Column:
     """array<struct<w1,w2>> of adjacent token pairs."""
-    ws = _words(text)
-    # zip of two shifted slices, each built once per row — the index
-    # transform with `F.get(ws, i)` in the lambda re-evaluated the
-    # split per element, O(len²) per document (r13 scale finding,
-    # see quality._grams)
-    m = F.greatest(F.size(ws) - 1, F.lit(0))
-    return F.zip_with(F.slice(ws, 1, m), F.slice(ws, 2, m),
-                      lambda a, b: F.struct(a.alias("w1"),
-                                            b.alias("w2")))
+    # the r13 linear-time shifted-slice zip, shared (functions/
+    # ngrams.py) — the index transform with `F.get(ws, i)` in the
+    # lambda re-evaluated the split per element, O(len²) per document
+    from pipelinedb_spark.functions.ngrams import shifted_pairs
+    return shifted_pairs(_words(text))
 
 
 def train_bigram_lm(corpus: DataFrame, text_col: str = "text",

@@ -956,10 +956,12 @@ def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
     decoders (24-bit BMP, binary PPM, PNG incl. Adam7 via stdlib
     zlib, GIF incl. interlaced via pure-Python LZW, and
     baseline/progressive/lossless/12-bit/arithmetic/hierarchical JPEG
-    in operators/jpeg.py + jpegarith.py), 'auto' (default) picks pil
-    when importable.  Under 'pure', rare sub-formats
-    (differential-lossless / lossless-arithmetic JPEG, 16-bit depths)
-    raise NotImplementedError — under 'pil' they decode for real.
+    in operators/jpeg.py + jpegarith.py — hierarchical pyramids
+    including differential-lossless SOF7 decode for real), 'auto'
+    (default) picks pil when importable.  Under 'pure', rare
+    sub-formats (lossless-arithmetic JPEG, arithmetic-differential
+    frames, 16-bit depths) raise NotImplementedError — under 'pil'
+    they decode for real.
     Unrecognized payloads yield a null-stats row (format NULL) rather
     than failing the batch."""
     backend = resolve_decode_backend(backend)

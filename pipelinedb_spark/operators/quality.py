@@ -55,22 +55,10 @@ def _token_ngrams(ws: Column, n: int) -> Column:
     Gram *length* counts token characters only (the separator is
     bookkeeping, not content), so char fractions are over real text.
     """
-    if n == 1:
-        return ws
-    # n-1 chained zips over shifted slices, all built ONCE per row.
-    # The previous index-transform formulation did `F.get(ws, i + k)`
-    # inside the lambda, and Catalyst inlines + re-evaluates the whole
-    # token-array expression per element — O(len²) per document
-    # (55 s for ONE 20k-token doc, measured r13; fine on short test
-    # docs, lethal on real long-document corpora).  Gram strings are
-    # bit-identical to the old formulation (chained concat_ws
-    # associates: a⊕b⊕c == (a⊕b)⊕c).
-    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
-    acc = F.slice(ws, 1, m)
-    for k in range(1, n):
-        acc = F.zip_with(acc, F.slice(ws, k + 1, m),
-                         lambda a, b: F.concat_ws(_SEP, a, b))
-    return acc
+    # the r13 linear-time chained-zip shape, shared across every text
+    # operator (see functions/ngrams.py for the why)
+    from pipelinedb_spark.functions.ngrams import chained_ngrams
+    return chained_ngrams(ws, n, _SEP)
 
 
 def _gram_len(g: Column, n: int) -> Column:

@@ -184,3 +184,43 @@ def test_probe_reads_linearize_under_random_schedules(tmp_path):
             shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_probe_walk_reverifies_anchor_after_the_404(tmp_path):
+    """gc race (round-13 review): the probe walks to m2, then a rival
+    bursts the head past the KEEP window (pruning m2) BEFORE the m3
+    probe 404s.  Returning the already-fetched m2 body would serve a
+    pruned manifest as the head — the walk must re-verify its anchor
+    AFTER the 404 and fall back to LIST."""
+    root = str(tmp_path / "race")
+    plain = LocalFSObjectClient(root + "/_manifests")
+
+    io_writer = CondPutManifestIO(root, client=plain)
+    io_writer.write({"v": 1}, base_seq=0)
+
+    class _RaceClient(LocalFSObjectClient):
+        def __init__(self, directory, trigger, action):
+            super().__init__(directory)
+            self.trigger, self.action, self.fired = trigger, action, False
+
+        def get(self, name):
+            out = super().get(name)
+            if not self.fired and name == self.trigger:
+                self.fired = True
+                self.action()
+            return out
+
+    def burst():
+        _, seq = io_writer.read_versioned()
+        for k in range(CondPutManifestIO.KEEP + 4):
+            io_writer.write({"v": 100 + k}, base_seq=seq + k)
+
+    reader = CondPutManifestIO(
+        root, client=_RaceClient(root + "/_manifests",
+                                 "m%020d.json" % 2, burst))
+    reader.read_versioned()              # anchor at seq 1
+    io_writer.write({"v": 2}, base_seq=1)  # head -> 2 (walk target)
+    m, seq = reader.read_versioned()     # walk m2, burst fires, m3 404
+    head = io_writer.read_versioned()
+    assert (m, seq) == head, f"stale read {(m, seq)} vs head {head}"
+    assert seq == 2 + CondPutManifestIO.KEEP + 4
