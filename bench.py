@@ -405,13 +405,18 @@ def _cal_block(before: float | None, after: float | None, sf: str,
         # first capture anchors the reference to THIS box; a degraded
         # or drifting run must not become the yardstick.  Stamped so a
         # reader knows this round's factor is self-referential (≈1.0).
-        base[key] = cal["cal_sec"]
         try:
+            base[key] = cal["cal_sec"]
             with open(base_path, "w") as f:
                 json.dump(base, f)
             cal["ref_captured_this_run"] = True
         except OSError:
-            pass
+            # the anchor never reached disk: do NOT stamp
+            # ref_sec/factor against it, or the artifact would claim
+            # cal-normalized numbers vs a reference that was never
+            # saved and the next round would silently re-anchor
+            del base[key]
+            cal["ref_persist_failed"] = True
     if key in base:
         cal["ref_sec"] = base[key]
         cal["factor"] = round(base[key] / cal["cal_sec"], 3)

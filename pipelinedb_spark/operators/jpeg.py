@@ -279,9 +279,12 @@ def decode_jpeg_py(p: bytes):
             return
         planes = {}
         for c in comps:
-            if c["tq"] not in qt:
-                raise ValueError(f"undeclared quant table {c['tq']}")
-            deq = c["coef"] * qt[c["tq"]][None, :, :]
+            # per-frame quant snapshot (stashed at the component's
+            # first scan): hierarchical frames are folded lazily at
+            # the NEXT SOF/EOI, and a DQT between frames — legal per
+            # T.81 and normal in multi-frame pyramids — must apply to
+            # the frame that FOLLOWS it, not retroactively to this one
+            deq = c["coef"] * c["qtbl"][None, :, :]
             sp = _idct_raw(deq)
             bh, bw = c["bh"], c["bw"]
             planes[c["id"]] = sp.reshape(bh, bw, 8, 8).transpose(
@@ -509,6 +512,10 @@ def decode_jpeg_py(p: bytes):
             eh_, ev_ = body[0] >> 4, body[0] & 0x0F
             if eh_ > 1 or ev_ > 1 or (eh_ == 0 and ev_ == 0):
                 raise ValueError(f"bad EXP expansion 0x{body[0]:02x}")
+            if pending_exp is not None:
+                raise ValueError(
+                    "consecutive EXP segments without a differential "
+                    "frame between them")
             pending_exp = (eh_, ev_)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             from pipelinedb_spark.operators.jpegarith import \
@@ -605,6 +612,20 @@ def decode_jpeg_py(p: bytes):
                     f"(or the full band 63), got {se}")
             if ss > 0 and ns != 1:
                 raise ValueError("interleaved progressive AC scan")
+            for c in scan:
+                # snapshot the quant table at the component's first
+                # scan (libjpeg latches likewise): a later DQT that
+                # redefines this table id applies to scans started
+                # AFTER it, never retroactively — matters for lazily
+                # finalized frames (hierarchical fold at next
+                # SOF/EOI, single-frame _finalize at EOI).  DQT
+                # installs a fresh array per redefinition, so holding
+                # the reference IS the snapshot.
+                if "qtbl" not in c:
+                    if c["tq"] not in qt:
+                        raise ValueError(
+                            f"undeclared quant table {c['tq']}")
+                    c["qtbl"] = qt[c["tq"]]
             if not scan_seen:
                 _init_coefs(comps, w, h)
                 hmax = max(c["h"] for c in comps)
@@ -639,6 +660,13 @@ def decode_jpeg_py(p: bytes):
             f"JPEG scan coverage incomplete: component(s) {missing} "
             "never received a DC scan (truncated multi-scan stream)")
     if hier is not None:
+        if pending_exp is not None:
+            # an EXP never consumed by a differential frame is a
+            # syntax error (T.81 J.1: EXP applies to the frame that
+            # follows); the final-size check alone would accept a
+            # stray trailing EXP on a full-size reference
+            raise ValueError(
+                "EXP expansion never consumed by a differential frame")
         finish_hier_frame()          # fold the final frame
         absent = [cid for cid in hier["ids"] if cid not in ref]
         if absent:
@@ -664,7 +692,7 @@ def decode_jpeg_py(p: bytes):
                 full = full >> (precision - 8)
             planes.append(np.clip(full, 0, 255).astype(np.uint8))
         return np.stack(planes, axis=-1)
-    return _finalize(comps, qt, w, h, precision)
+    return _finalize(comps, w, h, precision)
 
 
 def _lossless_predict(s, x, y, pred_sel):
@@ -888,12 +916,15 @@ def _refine_ac(br, blk, ac_tbl, ss, se, al, eob):
         eob[0] -= 1
 
 
-def _finalize(comps, qt, w, h, precision: int = 8):
+def _finalize(comps, w, h, precision: int = 8):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
-        deq = c["coef"] * qt[c["tq"]][None, :, :]
+        # quant table snapshotted at the component's first scan — a
+        # DQT between the last scan and EOI must not change this
+        # frame's dequantization (see the SOS-time snapshot)
+        deq = c["coef"] * c["qtbl"][None, :, :]
         spatial = idct_blocks(deq, precision)
         if precision > 8:   # 12-bit sample precision → uint8 contract
             spatial = (spatial >> (precision - 8)).astype(np.uint8)
