@@ -1030,13 +1030,14 @@ def freq_bloom_probes(spark, sf_dir):
 # ENGINE's micro-batched incremental results against plain batch SQL.
 # ---------------------------------------------------------------------------
 
-def _engine_ctx(spark, tag: str):
+def _engine_ctx(spark, tag: str, track: bool = False):
     import tempfile
     from pipelinedb_spark import PipelineContext
     root = tempfile.mkdtemp(prefix=f"pdb_qb_{tag}_")
     # bench/correctness path: no one reads these CVs' output streams
+    # (track=True only for the change-feed oracle, which reads them)
     return PipelineContext(spark, root=root, num_buckets=16,
-                           track_output_streams=False)
+                           track_output_streams=track)
 
 
 @query("cv_engine_rollup", f"""
@@ -1081,37 +1082,6 @@ def cv_engine_rollup(spark, sf_dir):
 # Additional relational coverage: temporal/string min-max, sorted
 # array_agg, set operations, decimal aggregation, supplier/part dims
 # ---------------------------------------------------------------------------
-
-@query("minmax_temporal_string", """
-SELECT o_orderpriority,
-       MIN(o_orderdate) AS first_order,
-       MAX(o_orderdate) AS last_order,
-       MIN(o_orderstatus) AS lo_status,
-       MAX(o_orderstatus) AS hi_status,
-       COUNT(*) AS n,
-       CAST(SUM(epoch(CAST(o_orderdate AS TIMESTAMP))
-                - epoch(TIMESTAMP '1992-01-01')) AS BIGINT) AS sum_age_s
-FROM orders GROUP BY o_orderpriority
-""")
-def minmax_temporal_string(spark, sf_dir):
-    """min/max over timestamp and string types (reference
-    cont_min_max.sql covers per-type variants) plus sum(interval) —
-    the interval member of the reference's sum polymorphic family
-    (pipelinedb--1.0.0.sql:142-265): a true DayTimeInterval sum
-    (timestamp difference → interval → interval SUM), surfaced as
-    total seconds for the oracle."""
-    o = t(spark, sf_dir, "orders")
-    base = F.expr("TIMESTAMP_NTZ '1992-01-01 00:00:00'")
-    return o.groupBy("o_orderpriority").agg(
-        F.min("o_orderdate").alias("first_order"),
-        F.max("o_orderdate").alias("last_order"),
-        F.min("o_orderstatus").alias("lo_status"),
-        F.max("o_orderstatus").alias("hi_status"),
-        F.count("*").alias("n"),
-        F.sum(F.col("o_orderdate").cast("timestamp_ntz") - base)
-        .cast("bigint").alias("sum_age_s"))
-
-
 
 @query("set_ops_over_aggregates", """
 WITH hi AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 49),
@@ -1283,6 +1253,138 @@ def ttl_reaper_retention(spark, sf_dir):
 
 
 
+@query("output_stream_changefeed", """
+WITH b1 AS (SELECT event_type, MAX(value) AS mx, MIN(value) AS mn
+            FROM events WHERE event_id % 2 = 0 GROUP BY event_type),
+b2 AS (SELECT event_type, MAX(value) AS mx, MIN(value) AS mn
+       FROM events WHERE event_id % 2 = 1 GROUP BY event_type),
+tot AS (SELECT event_type, MAX(value) AS mx, MIN(value) AS mn
+        FROM events GROUP BY event_type)
+SELECT event_type,
+       CAST(NULL AS DOUBLE) AS old_mx, CAST(NULL AS DOUBLE) AS old_mn,
+       mx AS new_mx, mn AS new_mn, mx AS delta_mx, mn AS delta_mn
+FROM b1
+UNION ALL
+SELECT t.event_type, b1.mx AS old_mx, b1.mn AS old_mn,
+       t.mx AS new_mx, t.mn AS new_mn,
+       b2.mx AS delta_mx, b2.mn AS delta_mn
+FROM b2
+JOIN tot t ON t.event_type = b2.event_type
+LEFT JOIN b1 ON b1.event_type = b2.event_type
+WHERE b1.event_type IS NULL
+   OR t.mx IS DISTINCT FROM b1.mx
+   OR t.mn IS DISTINCT FROM b1.mn
+""")
+def output_stream_changefeed(spark, sf_dir):
+    """OUTPUT-STREAM (osrel) old/new/delta semantics vs the
+    independent oracle (reference output_streams.sql /
+    delta_streams.sql; change rows written during combine,
+    src/combiner.c:1578-1601; no-op elision compare_slots
+    src/combiner.c:731-786) — rotated into the bank per the r13
+    verdict task 1: the change-feed feature had pytest-only coverage
+    since landing.
+
+    Three explicit micro-batches through a max/min CV make the feed a
+    pure function of the corpus: batch 1 (even event_id) emits
+    insert rows (old NULL, new = delta = batch-1 agg); batch 2 (odd
+    event_id) emits update rows (old = batch-1 agg, new = total agg,
+    delta = batch-2 agg) for exactly the groups whose max or min
+    actually moved — duckdb replays the elision predicate; batch 3
+    re-inserts only rows STRICTLY INSIDE each group's total
+    (min, max), so every merged row compares equal to its old row and
+    compare_slots elides the entire batch — any spurious emission
+    shows up as extra rows in the hash compare."""
+    ctx = _engine_ctx(spark, "osrel", track=True)
+    try:
+        ctx.create_stream("ev_os", "event_id long, event_type string, "
+                                   "value double")
+        ctx.create_view(
+            "cv_feed",
+            "SELECT event_type, max(value) AS mx, min(value) AS mn "
+            "FROM ev_os GROUP BY event_type")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value")
+        for i in range(2):
+            ctx.insert("ev_os", ev.filter(
+                F.pmod(F.col("event_id"), F.lit(2)) == i))
+        bounds = ev.groupBy("event_type").agg(
+            F.min("value").alias("b_mn"), F.max("value").alias("b_mx"))
+        interior = (ev.join(F.broadcast(bounds), "event_type")
+                    .filter((F.col("value") > F.col("b_mn"))
+                            & (F.col("value") < F.col("b_mx")))
+                    .select("event_id", "event_type", "value"))
+        ctx.insert("ev_os", interior)   # must emit NOTHING (elision)
+        out = ctx.output_of("cv_feed")
+        return out.select(
+            F.col("new.event_type").alias("event_type"),
+            F.col("old.mx").alias("old_mx"),
+            F.col("old.mn").alias("old_mn"),
+            F.col("new.mx").alias("new_mx"),
+            F.col("new.mn").alias("new_mn"),
+            F.col("delta.mx").alias("delta_mx"),
+            F.col("delta.mn").alias("delta_mn"),
+        ).localCheckpoint(eager=True)
+    finally:
+        ctx.close()
+
+
+@query("json_agg_family", """
+WITH src AS (
+  SELECT event_type, event_id, user_id
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT event_type,
+       '[' || string_agg(CAST(user_id AS VARCHAR), ','
+                         ORDER BY user_id) || ']' AS users_json,
+       '{' || string_agg('"' || CAST(event_id AS VARCHAR) || '":'
+                         || CAST(user_id AS VARCHAR), ','
+                         ORDER BY CAST(event_id AS VARCHAR)) || '}'
+           AS obj_json,
+       COUNT(*) AS n
+FROM src GROUP BY event_type
+""")
+def json_agg_family(spark, sf_dir):
+    """COMBINABLE JSON AGGREGATES vs the independent oracle (reference
+    json_agg/jsonb_agg json.c:1876-2480, json_object_agg/
+    jsonb_object_agg jsonb.c:1523-2008; regress cont_json_agg.sql) —
+    the last §2.3 family with pytest-only coverage (r13 verdict task
+    4).  Ingests two engine micro-batches so the element-list states
+    really merge (partial -> flatten-merge -> to_json finalize), then
+    canonicalizes both JSON texts (element-sorted array, key-sorted
+    object — parse, sort, re-serialize) so the nondeterministic
+    collection order cannot leak into the hash compare; duckdb
+    rebuilds the exact same strings with ORDER BY inside string_agg.
+    event_id keys are globally unique, so object semantics are
+    unambiguous."""
+    ctx = _engine_ctx(spark, "json")
+    try:
+        ctx.create_stream("ev_js", "event_id long, user_id long, "
+                                   "event_type string")
+        ctx.create_view(
+            "cv_js",
+            "SELECT event_type, json_agg(user_id) AS arr, "
+            "jsonb_object_agg(event_id, user_id) AS obj, "
+            "count(*) AS n FROM ev_js GROUP BY event_type")
+        ev = (t(spark, sf_dir, "events")
+              .filter(F.pmod(F.col("event_id"), F.lit(97)) == 0)
+              .select("event_id", "user_id", "event_type"))
+        for i in range(2):
+            ctx.insert("ev_js", ev.filter(
+                F.pmod(F.col("event_id"), F.lit(2)) == i))
+        out = ctx.read_view("cv_js")
+        return out.select(
+            "event_type",
+            F.to_json(F.array_sort(F.from_json(
+                F.col("arr"), "array<bigint>"))).alias("users_json"),
+            F.to_json(F.map_from_entries(F.array_sort(F.map_entries(
+                F.from_json(F.col("obj"), "map<string,bigint>")))))
+            .alias("obj_json"),
+            "n",
+        ).localCheckpoint(eager=True)
+    finally:
+        ctx.close()
+
+
 @query("vocabulary_topk", """
 WITH toks AS (
   SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
@@ -1331,42 +1433,6 @@ def dedup_cluster_assignment(spark, sf_dir):
     from pipelinedb_spark.operators.dedup import dedup_clusters, jaccard_pairs
     pairs = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
     return dedup_clusters(pairs)
-
-
-@query("q5_local_supplier_volume", f"""
-SELECT n.n_name AS nation,
-       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-       COUNT(*) AS n_lines
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'ASIA'
-GROUP BY n.n_name
-""")
-def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join with a co-nationality predicate.
-    True dims (supplier/nation/region) broadcast; customer scales with
-    the facts so it keeps a shuffle join (AQE may still broadcast it
-    at small SF where it fits the threshold)."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    s = F.broadcast(t(spark, sf_dir, "supplier"))
-    n = F.broadcast(t(spark, sf_dir, "nation"))
-    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(c, o.o_custkey == c.c_custkey)
-            .join(s, (li.l_suppkey == s.s_suppkey) &
-                  (c.c_nationkey == s.s_nationkey))
-            .join(n, s.s_nationkey == n.n_nationkey)
-            .join(r, n.n_regionkey == r.r_regionkey)
-            .groupBy(F.col("n_name").alias("nation"))
-            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                 .alias("revenue"),
-                 F.count("*").alias("n_lines")))
 
 
 @query("sessionization", """
