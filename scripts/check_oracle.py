@@ -15,13 +15,43 @@ gate scale.
 
 from __future__ import annotations
 
+import glob
 import math
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# --- per-query time-regression tripwire (r13 verdict task 2) --------
+# A bank query whose wall time exceeds RATIO_BAR × its previous
+# round's recorded time (and is above the absolute floor, so sub-
+# second noise can't trip) is flagged in the artifact and fails the
+# run with exit code 2 — the r13 quadratic-HOF class was caught only
+# because a human read the timings; this makes the artifact catch the
+# next one.  A query whose plan intentionally changed this round is
+# waived HERE, with the reason recorded in the artifact.
+RATIO_BAR = 3.0
+ABS_FLOOR_SEC = 2.0
+EXPLAINED_REGRESSIONS: dict[str, str] = {}
+
+
+def _latest_prev_artifact(repo_root: str,
+                          exclude: str | None) -> str | None:
+    """Newest CORRECTNESS_SF01_r*.json by round number — the previous
+    sweep's per-query times are the tripwire baseline.  The artifact
+    being WRITTEN is excluded so a re-run keeps comparing against the
+    prior round, not against itself."""
+    best, best_r = None, -1
+    for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_SF01_r*.json")):
+        if exclude and os.path.abspath(p) == os.path.abspath(exclude):
+            continue
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_r:
+            best, best_r = p, int(m.group(1))
+    return best
 
 
 def canon(v):
@@ -55,6 +85,49 @@ def row_set(rows, colnames):
         vals = list(r)
         out.append(tuple(canon(vals[i]) for i in order))
     return sorted(out)
+
+
+def apply_time_tripwire(records: dict, sf_dir: str,
+                        json_out: str | None, repo_root: str):
+    """Stamp prev_spark_sec / time_ratio on each record from the
+    newest prior sweep artifact at the SAME scale factor, flag
+    unexplained >RATIO_BAR jumps above the absolute floor.  Returns
+    (baseline_path, [flagged query names])."""
+    import json
+    prev_path = _latest_prev_artifact(repo_root, exclude=json_out)
+    regressions: list[str] = []
+    if not prev_path:
+        return None, regressions
+    try:
+        with open(prev_path) as f:
+            prev_art = json.load(f)
+        prev_qs = prev_art.get("queries", {})
+        # times are only comparable at the same scale factor
+        if os.path.basename(str(prev_art.get("sf_dir", "")).rstrip(
+                "/")) != os.path.basename(sf_dir.rstrip("/")):
+            prev_qs = {}
+    except (OSError, ValueError):
+        prev_qs = {}
+    for name, rec in records.items():
+        prev = prev_qs.get(name, {}).get("spark_sec")
+        cur = rec.get("spark_sec")
+        if prev is None or cur is None:
+            continue
+        rec["prev_spark_sec"] = prev
+        rec["time_ratio"] = round(cur / prev, 2) if prev > 0 else None
+        if (rec["time_ratio"] is not None
+                and rec["time_ratio"] > RATIO_BAR
+                and cur > ABS_FLOOR_SEC):
+            if name in EXPLAINED_REGRESSIONS:
+                rec["time_regression_waived"] = \
+                    EXPLAINED_REGRESSIONS[name]
+            else:
+                regressions.append(name)
+                rec["time_regression"] = True
+                print(f"SLOW  {name}: {cur:.2f}s is "
+                      f"{rec['time_ratio']}x the previous sweep's "
+                      f"{prev:.2f}s (bar {RATIO_BAR}x)")
+    return prev_path, regressions
 
 
 def main():
@@ -144,13 +217,24 @@ def main():
             print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
         else:
             print(f"OK    {name}: {len(srows)} rows")
+    # time-regression tripwire vs the previous sweep artifact
+    prev_path, regressions = apply_time_tripwire(
+        records, sf_dir, json_out,
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if json_out:
         import json
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "queries": records,
-                       "failures": failures}, f, indent=1)
+                       "failures": failures,
+                       "time_regression_baseline": prev_path,
+                       "unexplained_time_regressions": regressions,
+                       "time_regression_bar": RATIO_BAR}, f, indent=1)
     print(f"\n{len(failures)} failures" if failures else "\nall OK")
-    sys.exit(1 if failures else 0)
+    if regressions:
+        print(f"{len(regressions)} unexplained time regression(s): "
+              f"{regressions} — waive in EXPLAINED_REGRESSIONS with a "
+              "reason if the plan intentionally changed")
+    sys.exit(1 if failures else (2 if regressions else 0))
 
 
 if __name__ == "__main__":

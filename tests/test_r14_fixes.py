@@ -165,6 +165,41 @@ def test_cal_block_flags_failed_anchor_persist(tmp_path):
     assert "ref_captured_this_run" not in cal
 
 
+def test_cal_local_normalization_corrects_mid_sweep_drift():
+    """Interior cal legs (r13 verdict task 3): a run measured during
+    a slow patch is corrected by THAT patch's cal reading.  Box runs
+    at reference speed for reps 0-1 (legs read 2.0), then everything
+    slows 2x for rep 2 (leg reads 4.0): the rep-2 run of 10 s
+    cal-local-normalizes to 5 s, matching the clean reps."""
+    import bench
+    cal = {"ref_sec": 2.0}
+    runs_by = {"qa": [(0, 5.0), (1, 5.0), (2, 10.0)]}
+    legs = [2.0, 2.0, 4.0, 4.0]     # leg i brackets rep i
+    out = bench._cal_local_normalized(runs_by, legs, cal, {})
+    assert out == {"qa": 5.0}
+    assert cal["series"] == [2.0, 2.0, 4.0, 4.0]
+    assert cal["series_drift_pct"] == 100.0
+
+
+def test_cal_local_normalization_skips_without_reference():
+    import bench
+    cal = {}                         # no frozen ref captured
+    out = bench._cal_local_normalized(
+        {"qa": [(0, 5.0)]}, [2.0, 2.0], cal, {})
+    assert out == {}
+    assert cal["series"] == [2.0, 2.0]   # series still attached
+
+
+def test_cal_local_normalization_tolerates_failed_leg():
+    import bench
+    cal = {"ref_sec": 2.0}
+    # interior leg failed (None): rep 1 falls back to the other
+    # bracketing leg instead of being dropped
+    out = bench._cal_local_normalized(
+        {"qa": [(0, 6.0), (1, 6.0)]}, [2.0, None, 3.0], cal, {})
+    assert out == {"qa": 4.0}        # rep1: 6*2/3; rep0: 6*2/2=6
+
+
 def test_cal_block_normal_capture_roundtrip(tmp_path):
     import bench
     path = tmp_path / "BENCH_SPIN.json"
