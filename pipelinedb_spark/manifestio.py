@@ -87,6 +87,25 @@ class LocalFSObjectClient:
             except OSError:
                 pass
 
+    def put(self, name: str, data: str) -> None:
+        """Unconditional overwrite (last-writer-wins) — the plain S3
+        PUT.  NOT one of the four commit-path primitives: only
+        advisory hint objects (``HEAD.json``) use it, and the condput
+        CAS never does.  Locally emulated as temp + atomic replace."""
+        os.makedirs(self.dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmp-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.dir, name))
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
     def delete(self, name: str) -> None:
         try:
             os.unlink(os.path.join(self.dir, name))
@@ -252,6 +271,16 @@ class S3ObjectClient:
                 raise FileExistsError(name) from None
             raise
 
+    def put(self, name: str, data: str) -> None:
+        """Plain (unconditional) PUT — advisory hint objects only;
+        idempotent for a fixed body, so the 5xx/429 retry budget of
+        the conditional PUT applies."""
+        self._call(self.client.put_object,
+                   retry_statuses=self.PUT_RETRY_STATUSES,
+                   Bucket=self.bucket,
+                   Key=self.prefix + name,
+                   Body=data.encode())
+
     def delete(self, name: str) -> None:
         try:
             self._call(self.client.delete_object,
@@ -342,8 +371,27 @@ class CondPutManifestIO:
         # fallen-behind cache falls back to the LIST path.
         self._cache_seq: int | None = None
 
+    HEAD_HINT = "HEAD.json"
+
     def exists(self) -> bool:
+        if self._head_hint() is not None:
+            return True      # written only after a successful commit
         return self._max_seq() is not None
+
+    def _head_hint(self) -> int | None:
+        """Advisory head pointer (round-13 verdict task 6): written
+        unconditionally after each commit so a cold or fallen-behind
+        reader can GET one object and probe from there instead of
+        LISTing the bucket.  NEVER trusted as the head: the probe
+        protocol re-verifies against the live contiguous suffix, so a
+        stale (racing last-writer-wins), pruned-below-window, or
+        corrupt hint at worst costs the LIST fallback it was meant to
+        avoid — it can never serve a wrong manifest."""
+        try:
+            seq = int(json.loads(self.client.get(self.HEAD_HINT))["seq"])
+            return seq if seq > 0 else None
+        except Exception:
+            return None
 
     def _entries(self) -> list[tuple[int, str]]:
         out = []
@@ -405,6 +453,15 @@ class CondPutManifestIO:
             got = self._probe_from(self._cache_seq)
             if got is not None:
                 return got
+        # cold instance or fallen-behind anchor: one GET of the
+        # advisory head hint usually replaces the LIST below — the
+        # probe from the hint re-verifies it, so a bad hint only
+        # demotes to the LIST path
+        hint = self._head_hint()
+        if hint is not None and hint != self._cache_seq:
+            got = self._probe_from(hint)
+            if got is not None:
+                return got
         # LIST path (first read of this instance, or the probe fell
         # behind the gc window).  list-then-open retries: a slow
         # reader can lose its picked entry to a concurrent writer's
@@ -436,6 +493,12 @@ class CondPutManifestIO:
                 f"manifest seq {base_seq + 1} already committed "
                 f"under {self.dir}") from None
         self._cache_seq = base_seq + 1
+        put = getattr(self.client, "put", None)
+        if put is not None:
+            try:          # advisory hint; the probe never trusts it
+                put(self.HEAD_HINT, json.dumps({"seq": base_seq + 1}))
+            except Exception:
+                pass
         self.gc()
 
     def gc(self) -> None:

@@ -95,12 +95,30 @@ def main() -> None:
         os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
         os.environ.setdefault("AWS_EC2_METADATA_DISABLED", "true")
         fake = S3HttpFake()
+        list_calls = [0, 0]   # [total logical list() calls, from gc]
         fake.__enter__()
         matrel_mod.DEFAULT_MANIFEST_FORMAT = "condput"
         indexstore_mod.DEFAULT_MANIFEST_FORMAT = "condput"
         mio.CLIENT_FACTORY = lambda d: mio.S3ObjectClient(
             "bkt", os.path.abspath(d),
             endpoint_url=fake.endpoint_url, region_name="us-east-1")
+        # logical list() accounting (HTTP LISTs paginate ~5x): total
+        # calls and how many were the per-write gc sweep
+        _orig_list = mio.S3ObjectClient.list
+
+        def _counted_list(self):
+            list_calls[0] += 1
+            f = sys._getframe(1)
+            for _ in range(4):
+                if f is None:
+                    break
+                if f.f_code.co_name == "gc":
+                    list_calls[1] += 1
+                    break
+                f = f.f_back
+            return _orig_list(self)
+
+        mio.S3ObjectClient.list = _counted_list
 
     shutil.rmtree(args.workdir, ignore_errors=True)
     spark = get_spark("soak_pin_runtime")
@@ -259,13 +277,28 @@ def main() -> None:
         "rss_growth_mb": rss_mb.get("end", 0) - rss_mb.get("start", 0),
     }
     if fake is not None:
-        # every manifest byte must actually have crossed the wire
-        puts = sum(1 for (m, k) in fake.request_log
-                   if m == "PUT" and "_manifests" in k)
+        # every manifest byte must actually have crossed the wire.
+        # Accounting (r14): the fake paginates LISTs at page_size=2,
+        # so raw HTTP LIST requests overcount logical client.list()
+        # calls ~5x for a KEEP-sized store — record both, plus the
+        # gc/other split the HEAD-hint work targets (verdict task 6:
+        # "soak LIST count ≈ gc sweeps only").
+        commits = sum(1 for (m, k) in fake.request_log
+                      if m == "PUT" and "_manifests" in k
+                      and not k.endswith("HEAD.json"))
+        head_puts = sum(1 for (m, k) in fake.request_log
+                        if m == "PUT" and k.endswith("HEAD.json"))
         lists = sum(1 for (m, _k) in fake.request_log if m == "LIST")
-        entry["s3_manifest_puts"] = puts
-        entry["s3_lists"] = lists
-        assert puts > 0 and lists > 0, "condput soak never hit the bucket"
+        entry["s3_manifest_puts"] = commits
+        entry["s3_head_hint_puts"] = head_puts
+        entry["s3_list_http_requests"] = lists
+        entry["s3_list_calls"] = list_calls[0]
+        entry["s3_list_calls_from_gc"] = list_calls[1]
+        # the hint's whole point: non-gc list calls are one-time
+        # store opens, not per-read traffic
+        entry["s3_list_calls_other"] = list_calls[0] - list_calls[1]
+        assert commits > 0 and lists > 0, \
+            "condput soak never hit the bucket"
     data = {}
     if os.path.exists(args.out):
         with open(args.out) as f:

@@ -78,7 +78,10 @@ def test_probe_sees_other_writers_commits(tmp_path):
     assert c1.ops["list"] == 0          # pure forward walk
 
 
-def test_fallen_behind_gc_window_relists(tmp_path):
+def test_fallen_behind_gc_window_uses_head_hint_then_relists(tmp_path):
+    """A reader whose anchor was pruned re-syncs via the HEAD.json
+    hint with ZERO lists (r14); with the hint gone, the original
+    LIST fallback still holds."""
     io1, c1 = _io(tmp_path)
     io1.write({"v": 1}, base_seq=0)
     io1.read_versioned()
@@ -91,7 +94,16 @@ def test_fallen_behind_gc_window_relists(tmp_path):
     c1.ops["list"] = 0
     m, seq1 = io1.read_versioned()
     assert m == {"v": 1 + n} and seq1 == 1 + n
-    assert c1.ops["list"] >= 1          # anchor pruned → LIST path
+    assert c1.ops["list"] == 0          # anchor pruned → hint rescued
+
+    # hint deleted: the pre-r14 LIST fallback must still be there
+    for k in range(n, 2 * n):
+        io2.write({"v": 2 + k}, base_seq=seq + k)
+    io2.client.delete(CondPutManifestIO.HEAD_HINT)
+    c1.ops["list"] = 0
+    m, seq1 = io1.read_versioned()
+    assert m == {"v": 1 + 2 * n} and seq1 == 1 + 2 * n
+    assert c1.ops["list"] >= 1          # no hint → LIST path
 
 
 def test_orphan_from_skipped_gc_never_serves_stale_head(tmp_path):

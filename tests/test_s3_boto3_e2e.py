@@ -23,6 +23,7 @@ The previously never-executed paths now covered:
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 
@@ -273,4 +274,7 @@ def test_condput_io_cas_through_real_botocore(fake, tmp_path):
     for i in range(2, 12):
         io1.write({"version": i}, base_seq=i - 1)
     assert io1.read_versioned()[1] == 11
-    assert len(c.list()) <= CondPutManifestIO.KEEP
+    manifests = [n for n in c.list() if n != "HEAD.json"]
+    assert len(manifests) <= CondPutManifestIO.KEEP
+    # the advisory head hint went through real botocore's plain PUT
+    assert json.loads(c.get("HEAD.json"))["seq"] == 11

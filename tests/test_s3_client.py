@@ -21,6 +21,7 @@ Three tiers:
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 
@@ -292,8 +293,14 @@ def test_condput_cas_and_gc_through_adapter(tmp_path, svc):
         io.write({"version": i}, base_seq=i - 1)
     m, seq = io.read_versioned()
     assert m == {"version": 14} and seq == 14
-    names = [k for (_b, k) in svc.objects]
-    assert 0 < len(names) <= CondPutManifestIO.KEEP  # history pruned
+    manifests = [bk for bk in svc.objects
+                 if not bk[1].endswith("HEAD.json")]
+    assert 0 < len(manifests) <= CondPutManifestIO.KEEP  # pruned
+    # the advisory head hint rides the bucket too (r14) and is exact
+    # here (single writer): one plain-PUT object, never gc'd
+    heads = [bk for bk in svc.objects if bk[1].endswith("HEAD.json")]
+    assert len(heads) == 1
+    assert json.loads(svc.objects[heads[0]])["seq"] == 14
     assert not os.path.exists(os.path.join(root, CONDPUT_DIR))
 
 
@@ -366,7 +373,9 @@ def test_real_s3_commit_conflict_gc(tmp_path):
         for i in range(2, 12):
             io.write({"version": i}, base_seq=i - 1)
         assert io.read_versioned()[1] == 11
-        assert len(c.list()) <= CondPutManifestIO.KEEP
+        manifests = [n for n in c.list() if n != "HEAD.json"]
+        assert len(manifests) <= CondPutManifestIO.KEEP
+        assert json.loads(c.get("HEAD.json"))["seq"] == 11
     finally:
         for name in c.list():
             c.delete(name)
