@@ -24,10 +24,13 @@ normative J.1.1.2 interpolation, differential Huffman frames
 SOF5/SOF6 with DC prediction disabled and level-shift-free IDCT,
 differential lossless SOF7 with predictor 0 and modulo-2^16
 reconstruction — a pyramid ending in SOF7 is losslessly exact;
-1x1-sampled 8-bit, first frame non-differential).
-Lossless-arithmetic (SOF11) and arithmetic-differential frames raise
-NotImplementedError — the Pillow backend (multimodal.decode_pixels
-backend='pil') covers those where installed.
+1x1-sampled 8-bit, first frame non-differential), AND lossless
+ARITHMETIC (SOF11, r14: Annex-H prediction with the two-dimensional
+Da×Db conditioning of the Annex F/G entropy layer, in jpegarith.py).
+Only the arithmetic-DIFFERENTIAL frames (SOF13-SOF15 inside a DHP
+pyramid) raise NotImplementedError — the Pillow backend
+(multimodal.decode_pixels backend='pil') covers those where
+installed.
 
 The hot path is vectorized where it matters: the IDCT is one
 einsum over ALL blocks of a component (separable orthonormal DCT-II
@@ -226,13 +229,13 @@ def _next_marker(p: bytes, start: int) -> int:
 
 
 def decode_jpeg_py(p: bytes):
-    """Baseline, progressive, lossless (SOF3), arithmetic
-    (SOF9/SOF10), or hierarchical (Annex J: DHP + EXP + differential
-    Huffman frames SOF5/SOF6/SOF7, 1x1-sampled 8-bit) JPEG →
-    (h, w, c) uint8 array (c = 1 gray, 3 RGB; >8-bit precision scales
-    down).  Returns None when the payload is not a JPEG; raises
-    NotImplementedError for lossless-arithmetic (SOF11) and
-    arithmetic-differential streams."""
+    """Baseline, progressive, lossless (SOF3 Huffman / SOF11
+    arithmetic), arithmetic DCT (SOF9/SOF10), or hierarchical
+    (Annex J: DHP + EXP + differential Huffman frames SOF5/SOF6/SOF7,
+    1x1-sampled 8-bit) JPEG → (h, w, c) uint8 array (c = 1 gray,
+    3 RGB; >8-bit precision scales down).  Returns None when the
+    payload is not a JPEG; raises NotImplementedError only for
+    arithmetic-DIFFERENTIAL streams (SOF13-SOF15)."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -372,7 +375,10 @@ def decode_jpeg_py(p: bytes):
                         f"frame component {cid} not declared in DHP")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq, "dc_done": False})
-        elif marker == 0xC3:  # SOF3: lossless sequential (Annex H)
+        elif marker in (0xC3, 0xCB):
+            # SOF3: lossless sequential, Huffman (Annex H); SOF11:
+            # lossless sequential, arithmetic (Annex H prediction,
+            # Annex F/G entropy — decode in jpegarith.py, r14)
             if hier is not None:
                 # Annex J allows a lossless NON-differential first
                 # frame; the hier reference fold only implements the
@@ -383,6 +389,7 @@ def decode_jpeg_py(p: bytes):
                     "lossless non-differential frame inside a "
                     "hierarchical (DHP) sequence")
             lossless = True
+            arith = marker == 0xCB
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
             precision = body[0]
@@ -475,12 +482,12 @@ def decode_jpeg_py(p: bytes):
                         "reference")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False, "dfr": True})
-        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: hierarchical differential "
-                "frames are Huffman-only (SOF5/SOF6/SOF7) — "
-                "lossless-arithmetic (SOF11) and arithmetic "
-                "differential modes stay gated")
+                "frames are Huffman-only (SOF5/SOF6/SOF7) — the "
+                "arithmetic differential modes stay gated (SOF11 "
+                "standalone decodes since r14)")
         elif marker == 0xDE:  # DHP: hierarchical progression (Annex J)
             if hier is not None:
                 raise ValueError("duplicate DHP marker")
@@ -581,10 +588,19 @@ def decode_jpeg_py(p: bytes):
                     scan_seen = True
                 for c in scan:
                     c["dc_done"] = True
-                _decode_lossless_scan(p, i + 2 + seg_len, scan,
-                                      huff_dc, restart_interval,
-                                      ss, al, precision, w, h,
-                                      differential=differential)
+                if arith:  # SOF11 (differential-arith frames gated)
+                    from pipelinedb_spark.operators.jpegarith import (
+                        ArithConditioning, decode_arith_lossless_scan)
+                    if arith_cond is None:
+                        arith_cond = ArithConditioning()
+                    decode_arith_lossless_scan(
+                        p, i + 2 + seg_len, scan, arith_cond,
+                        restart_interval, ss, al, precision, w, h)
+                else:
+                    _decode_lossless_scan(p, i + 2 + seg_len, scan,
+                                          huff_dc, restart_interval,
+                                          ss, al, precision, w, h,
+                                          differential=differential)
                 i = _next_marker(p, i + 2 + seg_len)
                 continue
             if not progressive:

@@ -399,6 +399,123 @@ def _decode_ac_refine(dec: ArithDecoder, stats: _ScanStats, c: dict,
         k += 1
 
 
+# Lossless-arithmetic (SOF11, T.81 Annex H) statistics layout: 25
+# two-dimensional contexts (5-way classification of the neighbor
+# diffs Da × Db, H.1.2.2) × 4 decision bins each (S0/SS/SP/SN, the
+# Annex-F DC tree) = bins 0..99, then TWO magnitude X/M chains
+# selected by Db's category (small-or-zero vs large) — 16 X bins + 16
+# M bins each (headroom for 16-bit-precision diffs up to 32768).
+LL_CHAIN_A = 100      # Db zero/small: X 100..115, M 116..131
+LL_CHAIN_B = 132      # Db large:      X 132..147, M 148..163
+LL_CHAIN_LEN = 16
+LL_STAT_BINS = 164
+
+
+def _ll_classify(m: int, sign: int, lo: int, hi: int) -> int:
+    """5-way difference classification from the magnitude-category
+    bound ``m`` (the same quantity the DC model conditions on,
+    F.1.4.4.1.2): 0 zero, 1 +small, 2 −small, 3 +large, 4 −large."""
+    if m < ((1 << lo) >> 1):
+        return 0
+    if m > ((1 << hi) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def decode_arith_lossless_scan(p: bytes, pos: int, scan: list[dict],
+                               cond: ArithConditioning, ri: int,
+                               pred_sel: int, pt: int, precision: int,
+                               w: int, h: int) -> None:
+    """Lossless arithmetic scan (SOF11 — T.81 Annex H prediction with
+    the Annex-F DC decision tree over Annex-G-style conditioning).
+
+    Prediction is identical to the Huffman lossless path (predictors
+    1-7 via Ss, first-line/first-column fallbacks, scan-start/restart
+    default 2^(P-Pt-1)); only the entropy layer differs: each
+    prediction residual is decoded with the DC magnitude tree, but
+    conditioned on a TWO-dimensional context — the 5-way categories
+    of the residuals already decoded at the left (Da) and above (Db)
+    neighbors, classified with the DC conditioning bounds (L, U) of
+    the scan's Tb table (H.1.2.2-H.1.2.3).  Out-of-image neighbors
+    read category 0.  The magnitude X/M chain is selected by Db's
+    category (large → second chain).  Restart markers re-initialize
+    the decoder, zero the statistics, and reset prediction to the
+    scan-start default (F.1.4.2); the decoded-residual category
+    history is a property of the decoded samples and survives.
+
+    Self-consistency caveat (same as SOF9/SOF10, r12): no third-party
+    arithmetic codec exists in this container, so conformance is
+    pinned by the mirror encoder + the Huffman-vs-arithmetic
+    cross-check (same pixels through SOF3 and SOF11), not by interop.
+
+    Samples land point-transformed in each component's ``sam`` (the
+    caller applies << Pt), modulo 2^16 like the Huffman path."""
+    dec = ArithDecoder(p, pos)
+    stats = {c["td"]: np.zeros(LL_STAT_BINS, dtype=np.uint8)
+             for c in scan}
+    # per-component category history of decoded residuals (uint8 the
+    # size of the image: 5 values)
+    hist = [np.zeros((h, w), dtype=np.uint8) for _ in scan]
+    sams = [c["sam"] for c in scan]
+    default = 1 << (precision - pt - 1)
+    rst = 0
+    reset = True
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if ri and mcu and mcu % ri == 0:
+                start = (dec.marker_pos if dec.marker_pos is not None
+                         else dec.pos)
+                nxt = _find_restart(p, start, rst)
+                rst = (rst + 1) & 7
+                dec = ArithDecoder(p, nxt)
+                for st in stats.values():
+                    st.fill(0)
+                reset = True
+            for c, s, cl in zip(scan, sams, hist):
+                st = stats[c["td"]]
+                lo, hi = cond.dc[c["td"]]
+                ca = int(cl[y, x - 1]) if x else 0
+                cb = int(cl[y - 1, x]) if y else 0
+                base = 4 * (5 * cb + ca)
+                if dec.decode(st, base) == 0:
+                    dv = 0
+                    cl[y, x] = 0
+                else:
+                    sign = dec.decode(st, base + 1)
+                    m = dec.decode(st, base + 2 + sign)
+                    idx = base + 2 + sign
+                    if m:
+                        idx = LL_CHAIN_B if cb >= 3 else LL_CHAIN_A
+                        while dec.decode(st, idx):
+                            m <<= 1
+                            if m == 0x10000:
+                                raise ValueError(
+                                    "arithmetic lossless magnitude "
+                                    "overflow")
+                            idx += 1
+                    cl[y, x] = _ll_classify(m, sign, lo, hi)
+                    v = m
+                    idx += LL_CHAIN_LEN
+                    mm = m >> 1
+                    while mm:
+                        if dec.decode(st, idx):
+                            v |= mm
+                        mm >>= 1
+                    v += 1
+                    dv = -v if sign else v
+                px = default if reset else _ll_predict(
+                    s, x, y, pred_sel)
+                s[y, x] = (px + dv) & 0xFFFF
+            reset = False
+            mcu += 1
+
+
+def _ll_predict(s, x, y, pred_sel):
+    from pipelinedb_spark.operators.jpeg import _lossless_predict
+    return _lossless_predict(s, x, y, pred_sel)
+
+
 def decode_arith_scan(p: bytes, pos: int, scan: list[dict],
                       cond: ArithConditioning, ri: int,
                       mcux: int, mcuy: int, zz: np.ndarray,
