@@ -451,8 +451,13 @@ def decode_arith_lossless_scan(p: bytes, pos: int, scan: list[dict],
     Samples land point-transformed in each component's ``sam`` (the
     caller applies << Pt), modulo 2^16 like the Huffman path."""
     dec = ArithDecoder(p, pos)
-    stats = {c["td"]: np.zeros(LL_STAT_BINS, dtype=np.uint8)
-             for c in scan}
+    stats: dict[int, np.ndarray] = {}
+    for c in scan:
+        if not 0 <= c["td"] <= 3:
+            # contract error, not a KeyError into the 4-table bank
+            raise ValueError(
+                f"bad arithmetic conditioning table {c['td']}")
+        stats[c["td"]] = np.zeros(LL_STAT_BINS, dtype=np.uint8)
     # per-component category history of decoded residuals (uint8 the
     # size of the image: 5 values)
     hist = [np.zeros((h, w), dtype=np.uint8) for _ in scan]

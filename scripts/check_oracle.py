@@ -46,7 +46,13 @@ def _latest_prev_artifact(repo_root: str,
     prior round, not against itself."""
     best, best_r = None, -1
     for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_SF01_r*.json")):
-        if exclude and os.path.abspath(p) == os.path.abspath(exclude):
+        # exclude by abspath AND basename: a re-run from another CWD
+        # passes a relative --json whose abspath differs from the
+        # repo-root copy of the same artifact, and comparing an
+        # artifact against itself would read every ratio as 1.0
+        if exclude and (os.path.abspath(p) == os.path.abspath(exclude)
+                        or os.path.basename(p)
+                        == os.path.basename(exclude)):
             continue
         m = re.search(r"_r(\d+)\.json$", p)
         if m and int(m.group(1)) > best_r:
