@@ -26,9 +26,14 @@ differential lossless SOF7 with predictor 0 and modulo-2^16
 reconstruction — a pyramid ending in SOF7 is losslessly exact;
 1x1-sampled 8-bit, first frame non-differential), AND lossless
 ARITHMETIC (SOF11, r14: Annex-H prediction with the two-dimensional
-Da×Db conditioning of the Annex F/G entropy layer, in jpegarith.py).
-Only the arithmetic-DIFFERENTIAL frames (SOF13-SOF15 inside a DHP
-pyramid) raise NotImplementedError — the Pillow backend
+Da×Db conditioning of the Annex F/G entropy layer, in jpegarith.py),
+AND the arithmetic DIFFERENTIAL frames (SOF13/SOF14/SOF15, r14 —
+the QM scans with DC prediction cut via the dfr flag), completing
+every T.81 frame type.  The remaining honest subset constraints are
+hierarchical-specific: DHP pyramids are 1x1-sampled 8-bit with a
+non-differential first DCT frame (a lossless non-differential frame
+inside a DHP, and later non-differential frames, raise
+NotImplementedError) — the Pillow backend
 (multimodal.decode_pixels backend='pil') covers those where
 installed.
 
@@ -231,11 +236,13 @@ def _next_marker(p: bytes, start: int) -> int:
 def decode_jpeg_py(p: bytes):
     """Baseline, progressive, lossless (SOF3 Huffman / SOF11
     arithmetic), arithmetic DCT (SOF9/SOF10), or hierarchical
-    (Annex J: DHP + EXP + differential Huffman frames SOF5/SOF6/SOF7,
-    1x1-sampled 8-bit) JPEG → (h, w, c) uint8 array (c = 1 gray,
-    3 RGB; >8-bit precision scales down).  Returns None when the
-    payload is not a JPEG; raises NotImplementedError only for
-    arithmetic-DIFFERENTIAL streams (SOF13-SOF15)."""
+    (Annex J: DHP + EXP + differential frames, Huffman SOF5/SOF6/SOF7
+    or arithmetic SOF13/SOF14/SOF15, 1x1-sampled 8-bit) JPEG →
+    (h, w, c) uint8 array (c = 1 gray, 3 RGB; >8-bit precision scales
+    down).  Returns None when the payload is not a JPEG; the only
+    NotImplementedError gates left are hierarchical subset
+    constraints (subsampled/12-bit pyramids, non-differential frames
+    after the first)."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -409,14 +416,17 @@ def decode_jpeg_py(p: bytes):
                         "subsampled lossless JPEG (all-1x1 only)")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False})
-        elif marker in (0xC5, 0xC6, 0xC7):
-            # differential Huffman frames (Annex J): sequential DCT
-            # (SOF5) / progressive DCT (SOF6) over the difference
-            # between the source and the (possibly EXP-expanded)
-            # reference reconstruction, or differential LOSSLESS
-            # (SOF7: Annex-H coding of the spatial difference with
-            # prediction disabled and modulo-2^16 reconstruction — a
-            # pyramid ending in a SOF7 frame is losslessly exact)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            # differential frames (Annex J): sequential DCT
+            # (SOF5/SOF13) / progressive DCT (SOF6/SOF14) over the
+            # difference between the source and the (possibly
+            # EXP-expanded) reference reconstruction, or differential
+            # LOSSLESS (SOF7/SOF15: coding of the spatial difference
+            # with prediction disabled and modulo-2^16 reconstruction
+            # — a pyramid ending in one is losslessly exact).
+            # SOF5-7 are Huffman-coded, SOF13-15 arithmetic (r14 —
+            # the final T.81 frame family; entropy in jpegarith.py
+            # with DC prediction cut via the dfr flag)
             if hier is None:
                 raise ValueError(
                     f"JPEG SOF{marker - 0xC0}: differential frame "
@@ -428,9 +438,9 @@ def decode_jpeg_py(p: bytes):
             finish_hier_frame()      # fold the previous frame
             comps = []
             scan_seen = False
-            progressive = marker == 0xC6
-            lossless = marker == 0xC7
-            arith = False
+            progressive = marker in (0xC6, 0xCE)
+            lossless = marker in (0xC7, 0xCF)
+            arith = marker >= 0xCD
             differential = True
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
@@ -482,12 +492,6 @@ def decode_jpeg_py(p: bytes):
                         "reference")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False, "dfr": True})
-        elif marker in (0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: hierarchical differential "
-                "frames are Huffman-only (SOF5/SOF6/SOF7) — the "
-                "arithmetic differential modes stay gated (SOF11 "
-                "standalone decodes since r14)")
         elif marker == 0xDE:  # DHP: hierarchical progression (Annex J)
             if hier is not None:
                 raise ValueError("duplicate DHP marker")
@@ -588,14 +592,15 @@ def decode_jpeg_py(p: bytes):
                     scan_seen = True
                 for c in scan:
                     c["dc_done"] = True
-                if arith:  # SOF11 (differential-arith frames gated)
+                if arith:  # SOF11 standalone / SOF15 differential
                     from pipelinedb_spark.operators.jpegarith import (
                         ArithConditioning, decode_arith_lossless_scan)
                     if arith_cond is None:
                         arith_cond = ArithConditioning()
                     decode_arith_lossless_scan(
                         p, i + 2 + seg_len, scan, arith_cond,
-                        restart_interval, ss, al, precision, w, h)
+                        restart_interval, ss, al, precision, w, h,
+                        differential=differential)
                 else:
                     _decode_lossless_scan(p, i + 2 + seg_len, scan,
                                           huff_dc, restart_interval,

@@ -246,13 +246,18 @@ class _ScanStats:
 def _decode_dc(dec: ArithDecoder, stats: _ScanStats, c: dict,
                cond: ArithConditioning) -> int:
     """One DC difference (F.2.2.1), updating the component's
-    conditioning context and prediction."""
+    conditioning context and prediction.  In a DIFFERENTIAL frame
+    (``dfr``, Annex J: SOF13/SOF14) prediction is disabled — the
+    decoded value IS the block's DC — while the conditioning context
+    still follows the coded values exactly as in the non-differential
+    flow (the statistical model is unchanged, only the prediction
+    feedback is cut, mirroring the Huffman differential path)."""
     tbl = c["td"]
     st = stats.dc[tbl]
     base = c["dc_ctx"]
     if dec.decode(st, base) == 0:
         c["dc_ctx"] = 0
-        return c["pred"]
+        return 0 if c.get("dfr") else c["pred"]
     sign = dec.decode(st, base + 1)
     idx = base + 2 + sign
     m = dec.decode(st, idx)
@@ -278,6 +283,8 @@ def _decode_dc(dec: ArithDecoder, stats: _ScanStats, c: dict,
             v |= mm
         mm >>= 1
     v += 1
+    if c.get("dfr"):
+        return -v if sign else v
     c["pred"] += -v if sign else v
     return c["pred"]
 
@@ -425,7 +432,8 @@ def _ll_classify(m: int, sign: int, lo: int, hi: int) -> int:
 def decode_arith_lossless_scan(p: bytes, pos: int, scan: list[dict],
                                cond: ArithConditioning, ri: int,
                                pred_sel: int, pt: int, precision: int,
-                               w: int, h: int) -> None:
+                               w: int, h: int,
+                               differential: bool = False) -> None:
     """Lossless arithmetic scan (SOF11 — T.81 Annex H prediction with
     the Annex-F DC decision tree over Annex-G-style conditioning).
 
@@ -449,7 +457,12 @@ def decode_arith_lossless_scan(p: bytes, pos: int, scan: list[dict],
     cross-check (same pixels through SOF3 and SOF11), not by interop.
 
     Samples land point-transformed in each component's ``sam`` (the
-    caller applies << Pt), modulo 2^16 like the Huffman path."""
+    caller applies << Pt), modulo 2^16 like the Huffman path.
+
+    ``differential`` (SOF15, Annex J): prediction is disabled — every
+    coded value IS the spatial difference (predictor 0), so the
+    stored samples are the modulo-2^16 diffs the caller adds to the
+    hierarchical reference; the conditioning model is unchanged."""
     dec = ArithDecoder(p, pos)
     stats: dict[int, np.ndarray] = {}
     for c in scan:
@@ -509,8 +522,11 @@ def decode_arith_lossless_scan(p: bytes, pos: int, scan: list[dict],
                         mm >>= 1
                     v += 1
                     dv = -v if sign else v
-                px = default if reset else _ll_predict(
-                    s, x, y, pred_sel)
+                if differential:
+                    px = 0               # Annex J: predictor disabled
+                else:
+                    px = default if reset else _ll_predict(
+                        s, x, y, pred_sel)
                 s[y, x] = (px + dv) & 0xFFFF
             reset = False
             mcu += 1

@@ -8,7 +8,7 @@ baseline + progressive JPEG (operators/jpeg.py — Huffman entropy
 decode + vectorized IDCT) are all real, dependency-free byte/numpy
 parsing, including Adam7-interlaced PNG, interlaced GIF, and MJPEG
 video frames inside AVI containers.  Only
-rare sub-formats (arithmetic-differential JPEG frames,
+rare sub-formats (subsampled/12-bit hierarchical JPEG pyramids,
 16-bit depths) remain behind ``NotImplementedError``
 — the Spark-side plumbing (schemas, batch iteration, partition
 sizing, UDF signatures) is exactly what a production deployment
@@ -941,9 +941,11 @@ def decode_jpeg_py(p: bytes):
     """JPEG → (h, w, c) uint8 array — full dependency-free codec in
     operators/jpeg.py (baseline/progressive/lossless/12-bit Huffman
     plus arithmetic SOF9/SOF10/SOF11 entropy decode, hierarchical
-    Annex-J frame pyramids with differential SOF5/SOF6/SOF7 frames,
-    dequant, vectorized IDCT, chroma upsample, YCbCr→RGB).
-    Arithmetic-differential frames raise NotImplementedError there."""
+    Annex-J frame pyramids with differential SOF5-7 (Huffman) and
+    SOF13-15 (arithmetic) frames, dequant, vectorized IDCT, chroma
+    upsample, YCbCr→RGB) — every T.81 frame type decodes; only
+    hierarchical subset constraints (subsampled/12-bit pyramids)
+    raise NotImplementedError there."""
     from pipelinedb_spark.operators.jpeg import decode_jpeg_py as _dec
     return _dec(p)
 
@@ -958,8 +960,9 @@ def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
     in operators/jpeg.py + jpegarith.py — hierarchical pyramids
     including differential-lossless SOF7 decode for real), 'auto'
     (default) picks pil when importable.  Under 'pure', rare
-    sub-formats (arithmetic-differential JPEG frames, 16-bit depths)
-    raise NotImplementedError — under 'pil' they decode for real.
+    sub-formats (subsampled/12-bit hierarchical JPEG pyramids,
+    16-bit depths) raise NotImplementedError — under 'pil' they
+    decode for real.
     Unrecognized payloads yield a null-stats row (format NULL) rather
     than failing the batch."""
     backend = resolve_decode_backend(backend)

@@ -1229,14 +1229,14 @@ def test_decode_jpeg_420_restart_and_progressive_gate():
     prog[idx + 1] = 0xC2
     got2 = decode_jpeg_py(bytes(prog))
     assert np.array_equal(got2, decode_jpeg_py(base_payload))
-    # hierarchical modes stay honestly gated (SOF9/SOF10 arithmetic
-    # is implemented since r12 — test_r12_jpeg_arith.py); a DCT
-    # stream relabeled SOF3 (lossless, now implemented —
-    # test_r8_fixes.py) is rejected as malformed, not silently
-    # decoded
+    # a differential frame (SOF14, implemented since r14 —
+    # test_r14_jpeg_hier_arith.py) with no DHP context is a
+    # structural error, same as the Huffman SOF5-7; a DCT stream
+    # relabeled SOF3 (lossless, now implemented — test_r8_fixes.py)
+    # is rejected as malformed, not silently decoded
     hier = bytearray(_make_jpeg(smooth))
     hier[idx + 1] = 0xCE
-    with pytest.raises(NotImplementedError, match="SOF14"):
+    with pytest.raises(ValueError, match="outside a hierarchical"):
         decode_jpeg_py(bytes(hier))
     loss = bytearray(_make_jpeg(smooth))
     loss[idx + 1] = 0xC3

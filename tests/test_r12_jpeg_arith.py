@@ -775,12 +775,15 @@ def test_hostile_scan_header_bounds_raise_valueerror():
         decode_jpeg_py(bytes(bad_al))
 
 
-def test_hierarchical_arithmetic_still_gated():
+def test_differential_arithmetic_requires_dhp():
+    """r14 implemented SOF13-15, so the old blanket gate is gone;
+    a differential frame with no hierarchical (DHP) context is now
+    the same structural ValueError the Huffman SOF5-7 get."""
     img = np.zeros((8, 8), dtype=np.uint8)
     p = bytearray(_make_arith_jpeg(img))
     i = p.find(b"\xff\xc9")
     p[i + 1] = 0xCE                      # SOF14: differential prog
-    with pytest.raises(NotImplementedError, match="SOF14"):
+    with pytest.raises(ValueError, match="outside a hierarchical"):
         decode_jpeg_py(bytes(p))
 
 

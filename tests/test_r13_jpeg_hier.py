@@ -509,11 +509,18 @@ def test_hier_hostile_streams():
     bad[exp + 4] = 0x22
     with pytest.raises(ValueError, match="bad EXP"):
         decode_jpeg_py(bytes(bad))
-    # arithmetic differential stays gated
+    # SOF5 relabeled SOF14 (r14: arithmetic differential frames
+    # decode now): Huffman scan bits fed to the QM coder are hostile
+    # input — the contract is a controlled outcome, either a
+    # ValueError or a well-formed pixel array, never a hang or an
+    # uncontrolled exception type
     bad = bytearray(p)
     bad[sof5 + 1] = 0xCE
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_py(bytes(bad))
+    try:
+        out = decode_jpeg_py(bytes(bad))
+        assert out is None or hasattr(out, "shape")
+    except ValueError:
+        pass
     # second non-differential frame: honest subset
     bad = bytearray(p)
     bad[sof5 + 1] = 0xC0

@@ -1,0 +1,317 @@
+"""Arithmetic-coded hierarchical JPEG (SOF13 differential sequential,
+SOF14 differential progressive, SOF15 differential lossless) — the
+LAST T.81 frame family, closing the codec matrix (r12 arithmetic
+SOF9/SOF10, r13 hierarchical Huffman SOF5/SOF6/SOF7, r14 lossless
+arithmetic SOF11 + these).
+
+Mirror encoder: the r13 hierarchical pyramid assembly with the r12 QM
+sequential/progressive scan encoders (DC coded directly in
+differential frames — prediction cut exactly like the decoder's dfr
+flag) and the r14 lossless-arithmetic residual coder for SOF15.  A
+lossy arithmetic pyramid topped with a SOF15 frame must reconstruct
+the source bit-exactly — the same Annex-J headline property the
+Huffman SOF7 tests pin.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pipelinedb_spark.operators.jpeg import ZIGZAG, _exp_expand, \
+    _ycc_to_rgb, decode_jpeg_py
+from pipelinedb_spark.operators.jpegarith import LL_STAT_BINS
+from pipelinedb_spark.operators.multimodal import parse_media_header
+from test_r12_jpeg_arith import (_QMEncoder, _Stats, _encode_ac_block,
+                                 _encode_ac_first, _encode_dc)
+from test_r13_jpeg_hier import _fdct_quant, _img_gray, _recon_planes, _seg
+from test_r14_jpeg_sof11 import _encode_ll_diff
+
+_COND_DC = {i: (0, 1) for i in range(4)}
+_COND_AC = {i: 5 for i in range(4)}
+
+
+def _sos(nc: int, ss: int, se: int, cids=None) -> bytes:
+    body = bytes([nc if cids is None else len(cids)])
+    for ci in (range(nc) if cids is None else cids):
+        body += bytes([ci + 1, 0x00])
+    body += bytes([ss, se, 0])
+    return _seg(0xDA, body)
+
+
+def _arith_seq_scan(comps_q, differential: bool,
+                    restart: int = 0) -> bytes:
+    """Interleaved sequential arithmetic scan bytes over full-band
+    coefficients (1x1 sampling); differential codes DC against 0."""
+    zz = ZIGZAG
+
+    def fresh():
+        cs = [{"td": 0, "ta": 0, "pred": 0, "dc_ctx": 0}
+              for _ in comps_q]
+        return _QMEncoder(), _Stats(), cs
+
+    enc, stats, comps = fresh()
+    out = bytearray()
+    nby, nbx = comps_q[0].shape[:2]
+    m = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart and m and m % restart == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + ((m // restart - 1) % 8)])
+                enc, stats, comps = fresh()
+            for ci, q in enumerate(comps_q):
+                seq = q[by, bx].reshape(64)[zz]
+                dc = int(seq[0])
+                d = dc if differential else dc - comps[ci]["pred"]
+                comps[ci]["pred"] = dc
+                _encode_dc(enc, stats, comps[ci], _COND_DC, d)
+                _encode_ac_block(enc, stats, comps[ci], _COND_AC, seq)
+            m += 1
+    out += enc.flush()
+    return bytes(out)
+
+
+def _arith_prog_diff_scans(comps_q) -> bytes:
+    """SOF14 scan set: one interleaved DC-only scan (DC coded
+    directly — differential), then one full-band AC scan per
+    component."""
+    zz = ZIGZAG
+    nc = len(comps_q)
+    nby, nbx = comps_q[0].shape[:2]
+    out = bytearray(_sos(nc, 0, 0))
+    enc, stats = _QMEncoder(), _Stats()
+    comps = [{"td": 0, "ta": 0, "pred": 0, "dc_ctx": 0}
+             for _ in comps_q]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, q in enumerate(comps_q):
+                _encode_dc(enc, stats, comps[ci], _COND_DC,
+                           int(q[by, bx].reshape(64)[zz][0]))
+    out += enc.flush()
+    for ci, q in enumerate(comps_q):
+        out += _sos(nc, 1, 63, cids=[ci])
+        enc, stats = _QMEncoder(), _Stats()
+        comp = {"td": 0, "ta": 0, "pred": 0, "dc_ctx": 0}
+        for by in range(nby):
+            for bx in range(nbx):
+                _encode_ac_first(enc, stats, comp, _COND_AC,
+                                 q[by, bx].reshape(64)[zz], 1, 63, 0)
+        out += enc.flush()
+    return bytes(out)
+
+
+def _arith_ll_diff_scan(diffs) -> bytes:
+    """SOF15 scan bytes: the spatial diffs (mod 2^16) through the
+    lossless-arithmetic coder with prediction disabled (every value
+    coded against 0), conditioning history per component."""
+    h, w = diffs[0].shape
+    enc = _QMEncoder()
+    st = np.zeros(LL_STAT_BINS, dtype=np.uint8)
+    hist = [np.zeros((h, w), dtype=np.uint8) for _ in diffs]
+    for y in range(h):
+        for x in range(w):
+            for dpl, cl in zip(diffs, hist):
+                d = int(dpl[y, x])
+                if d > 32768:
+                    d -= 65536
+                ca = int(cl[y, x - 1]) if x else 0
+                cb = int(cl[y - 1, x]) if y else 0
+                cl[y, x] = _encode_ll_diff(enc, st, ca, cb, 0, 1, d)
+    return enc.flush()
+
+
+def _make_hier_arith_jpeg(img, levels: int = 2, quant=None,
+                          progressive_diff: bool = False,
+                          restart: int = 0,
+                          lossless_final: bool = False):
+    """Arithmetic-coded Annex-J pyramid + decoder-exact expected
+    pixels — the twin of test_r13_jpeg_hier._make_hier_jpeg with
+    QM entropy: SOF9 first frame, EXP(1,1) + SOF13 (or SOF14)
+    differential frames, optional SOF15 exact top."""
+    arr = np.asarray(img, dtype=np.float64)
+    gray = arr.ndim == 2
+    h0, w0 = arr.shape[:2]
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int64)
+    quant = np.asarray(quant, dtype=np.int64)
+    if gray:
+        planes = [arr]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128]
+    nc = len(planes)
+
+    def down(pl):
+        ph, pw = pl.shape
+        eh, ew = -(-ph // 2) * 2, -(-pw // 2) * 2
+        pad = np.pad(pl, ((0, eh - ph), (0, ew - pw)), mode="edge")
+        return pad.reshape(eh // 2, 2, ew // 2, 2).mean((1, 3))
+
+    pyr = [planes]
+    for _ in range(levels - 1):
+        pyr.append([down(pl) for pl in pyr[-1]])
+    pyr.reverse()
+
+    out = bytearray(b"\xff\xd8")
+    qbody = bytes([0]) + bytes(int(quant.reshape(64)[z])
+                               for z in ZIGZAG)
+    out += _seg(0xDB, qbody)
+    dhp = bytes([8]) + h0.to_bytes(2, "big") + w0.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci in range(nc):
+        dhp += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xDE, dhp)
+
+    def sof(marker, fh, fw):
+        body = bytes([8]) + fh.to_bytes(2, "big") \
+            + fw.to_bytes(2, "big") + bytes([nc])
+        for ci in range(nc):
+            body += bytes([ci + 1, 0x11, 0])
+        return _seg(marker, body)
+
+    lv = pyr[0]
+    fh, fw = lv[0].shape
+    out += sof(0xC9, fh, fw)             # SOF9 non-differential
+    qs = [_fdct_quant(pl - 128.0, quant) for pl in lv]
+    out += _sos(nc, 0, 63)
+    out += _arith_seq_scan(qs, differential=False)
+    ref = [np.clip(_recon_planes(q, quant, fh, fw) + 128, 0, 255)
+           for q in qs]
+
+    for lv in pyr[1:]:
+        fh, fw = lv[0].shape
+        if restart:
+            out += _seg(0xDD, restart.to_bytes(2, "big"))
+        out += _seg(0xDF, bytes([0x11]))
+        ref = [_exp_expand(pl, 1, 1)[:fh, :fw] for pl in ref]
+        qs = [_fdct_quant(src - rf, quant)
+              for src, rf in zip(lv, ref)]
+        if progressive_diff:
+            out += sof(0xCE, fh, fw)     # SOF14
+            out += _arith_prog_diff_scans(qs)
+        else:
+            out += sof(0xCD, fh, fw)     # SOF13
+            out += _sos(nc, 0, 63)
+            out += _arith_seq_scan(qs, differential=True,
+                                   restart=restart)
+        ref = [np.clip(rf + _recon_planes(q, quant, fh, fw), 0, 255)
+               for rf, q in zip(ref, qs)]
+
+    if lossless_final:
+        fh, fw = pyr[-1][0].shape
+        out += sof(0xCF, fh, fw)         # SOF15
+        srcs = [np.clip(np.round(pl), 0, 255).astype(np.int64)
+                for pl in pyr[-1]]
+        diffs = [(s - rf.astype(np.int64)) & 0xFFFF
+                 for s, rf in zip(srcs, ref)]
+        out += _sos(nc, 0, 0)            # Ss=0: predictor disabled
+        out += _arith_ll_diff_scan(diffs)
+        ref = [np.clip((rf.astype(np.int64) + d) & 0xFFFF, 0, 255)
+               for rf, d in zip(ref, diffs)]
+
+    out += b"\xff\xd9"
+    if gray:
+        expected = ref[0].astype(np.uint8)[..., None]
+    else:
+        expected = _ycc_to_rgb(ref)
+    return bytes(out), expected
+
+
+# ------------------------------------------------------- roundtrips
+
+
+def test_hier_arith_gray_two_level_exact():
+    img = _img_gray(21, 17)
+    p, want = _make_hier_arith_jpeg(img, levels=2)
+    assert b"\xff\xc9" in p and b"\xff\xcd" in p
+    got = decode_jpeg_py(p)
+    assert got.shape == (21, 17, 1)
+    assert np.array_equal(got, want)
+
+
+def test_hier_arith_color_three_level_exact():
+    rng = np.random.RandomState(3)
+    img = np.clip(rng.randint(0, 256, (30, 22, 3)), 0, 255)
+    p, want = _make_hier_arith_jpeg(img, levels=3)
+    got = decode_jpeg_py(p)
+    assert got.shape == (30, 22, 3)
+    assert np.array_equal(got, want)
+
+
+def test_hier_arith_progressive_differential_exact():
+    img = _img_gray(19, 23, seed=5)
+    p, want = _make_hier_arith_jpeg(img, levels=2,
+                                    progressive_diff=True)
+    assert b"\xff\xce" in p
+    got = decode_jpeg_py(p)
+    assert np.array_equal(got, want)
+
+
+def test_hier_arith_restart_in_differential_frame():
+    img = _img_gray(26, 26, seed=9)
+    p, want = _make_hier_arith_jpeg(img, levels=2, restart=2)
+    assert b"\xff\xdd" in p
+    got = decode_jpeg_py(p)
+    assert np.array_equal(got, want)
+
+
+def test_hier_arith_lossless_final_gray_bit_exact():
+    """The Annex-J headline, arithmetic edition: a lossy quantized
+    SOF9+SOF13 pyramid topped with a SOF15 frame reconstructs the
+    source exactly."""
+    img = _img_gray(24, 20, seed=11)
+    q = np.full((8, 8), 4, dtype=np.int64)
+    q[0, 0] = 2
+    p, want = _make_hier_arith_jpeg(img, levels=2, quant=q,
+                                    lossless_final=True)
+    assert b"\xff\xcf" in p
+    got = decode_jpeg_py(p)
+    assert np.array_equal(got, want)
+    # the encoder codes round(img) (the fixture returns floats)
+    assert np.array_equal(
+        got[..., 0], np.clip(np.round(img), 0, 255).astype(np.uint8))
+
+
+def test_hier_arith_lossless_final_color_exact():
+    rng = np.random.RandomState(7)
+    img = np.clip(rng.randint(0, 256, (14, 11, 3)), 0, 255)
+    p, want = _make_hier_arith_jpeg(img, levels=2, quant=np.full(
+        (8, 8), 3, dtype=np.int64), lossless_final=True)
+    got = decode_jpeg_py(p)
+    assert np.array_equal(got, want)
+
+
+def test_hier_arith_metadata_reports_dhp_size():
+    img = _img_gray(21, 17)
+    p, _ = _make_hier_arith_jpeg(img, levels=2)
+    meta = parse_media_header(p)
+    assert meta["width"] == 17 and meta["height"] == 21
+
+
+def test_hier_arith_hostile_streams():
+    img = _img_gray(16, 16)
+    p, _ = _make_hier_arith_jpeg(img, levels=2)
+
+    # truncated after frame 1: ends below DHP size
+    sof13 = p.find(b"\xff\xcd")
+    with pytest.raises(ValueError):
+        decode_jpeg_py(p[:sof13] + b"\xff\xd9")
+    # differential frame first (no non-differential frame yet)
+    dhp = p.find(b"\xff\xde")
+    dhp_end = dhp + 2 + int.from_bytes(p[dhp + 2:dhp + 4], "big")
+    sof9 = p.find(b"\xff\xc9")
+    with pytest.raises(ValueError, match="before any"):
+        decode_jpeg_py(p[:sof9] + p[sof13:])
+    # corruption fuzz: controlled outcomes only, never a hang
+    rng = np.random.RandomState(0)
+    sos = p.find(b"\xff\xda")
+    for _ in range(40):
+        q = bytearray(p)
+        i = rng.randint(sos + 8, len(q) - 2)
+        q[i] ^= 1 << rng.randint(0, 8)
+        try:
+            decode_jpeg_py(bytes(q))
+        except (ValueError, NotImplementedError):
+            pass
