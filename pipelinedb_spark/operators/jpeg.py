@@ -30,11 +30,11 @@ Da×Db conditioning of the Annex F/G entropy layer, in jpegarith.py),
 AND the arithmetic DIFFERENTIAL frames (SOF13/SOF14/SOF15, r14 —
 the QM scans with DC prediction cut via the dfr flag), completing
 every T.81 frame type.  The remaining honest subset constraints are
-hierarchical-specific: DHP pyramids are 1x1-sampled 8-bit with a
-non-differential first DCT frame (a lossless non-differential frame
-inside a DHP, and later non-differential frames, raise
-NotImplementedError) — the Pillow backend
-(multimodal.decode_pixels backend='pil') covers those where
+hierarchical-specific: DHP pyramids are 1x1-sampled 8-bit, the first
+frame non-differential (DCT or lossless — SOF3/SOF11 open a pyramid
+too, their samples becoming the reference directly), and later
+non-differential frames raise NotImplementedError — the Pillow
+backend (multimodal.decode_pixels backend='pil') covers those where
 installed.
 
 The hot path is vectorized where it matters: the IDCT is one
@@ -279,9 +279,19 @@ def decode_jpeg_py(p: bytes):
                 f"JPEG scan coverage incomplete: component(s) "
                 f"{missing} never received a DC scan")
         if lossless:
-            # differential lossless (SOF7): samples ARE the spatial
-            # diffs; modulo-2^16 addition reconstructs exactly (the
-            # clip only bites on nonconforming streams)
+            if not differential:
+                # lossless NON-differential first frame (SOF3/SOF11
+                # opening a DHP sequence, r14): the decoded samples
+                # ARE the reference (J.1.1 — no IDCT, no level shift;
+                # hier is 8-bit so << Pt lands in [0, 255] on
+                # conforming streams)
+                ref = {c["id"]: np.clip(c["sam"] << c["pt"],
+                                        0, 255).astype(np.int32)
+                       for c in comps}
+                return
+            # differential lossless (SOF7/SOF15): samples ARE the
+            # spatial diffs; modulo-2^16 addition reconstructs
+            # exactly (the clip only bites on nonconforming streams)
             for c in comps:
                 ref[c["id"]] = np.clip(
                     (ref[c["id"]].astype(np.int64) + c["sam"])
@@ -385,16 +395,15 @@ def decode_jpeg_py(p: bytes):
         elif marker in (0xC3, 0xCB):
             # SOF3: lossless sequential, Huffman (Annex H); SOF11:
             # lossless sequential, arithmetic (Annex H prediction,
-            # Annex F/G entropy — decode in jpegarith.py, r14)
-            if hier is not None:
-                # Annex J allows a lossless NON-differential first
-                # frame; the hier reference fold only implements the
-                # DCT + differential-lossless shapes — gate honestly
-                # instead of crashing on ref=None at finalize
-                # (round-13 review)
+            # Annex F/G entropy — decode in jpegarith.py, r14).
+            # Inside a DHP sequence this is the Annex-J lossless
+            # NON-differential FIRST frame (r14 — the fold takes the
+            # samples as the reference directly); later
+            # non-differential frames stay gated like the DCT branch
+            if hier is not None and (scan_seen or ref is not None):
                 raise NotImplementedError(
-                    "lossless non-differential frame inside a "
-                    "hierarchical (DHP) sequence")
+                    "non-differential hierarchical frame after the "
+                    "first frame")
             lossless = True
             arith = marker == 0xCB
             if len(body) < 6:
@@ -402,10 +411,17 @@ def decode_jpeg_py(p: bytes):
             precision = body[0]
             if not 2 <= precision <= 16:
                 raise ValueError(f"bad lossless precision {precision}")
+            if hier is not None and precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit hierarchical JPEG")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             if w < 1 or h < 1 or w * h > 64 * 1024 * 1024:
                 raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            if hier is not None and (h > hier["h"] or w > hier["w"]):
+                raise ValueError(
+                    f"hierarchical frame {w}x{h} exceeds DHP size "
+                    f"{hier['w']}x{hier['h']}")
             nc = body[5]
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
@@ -414,6 +430,9 @@ def decode_jpeg_py(p: bytes):
                 if nc > 1 and hv != 0x11:
                     raise NotImplementedError(
                         "subsampled lossless JPEG (all-1x1 only)")
+                if hier is not None and cid not in hier["ids"]:
+                    raise ValueError(
+                        f"frame component {cid} not declared in DHP")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
                               "dc_done": False})
         elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):

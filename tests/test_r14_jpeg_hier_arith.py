@@ -290,6 +290,70 @@ def test_hier_arith_metadata_reports_dhp_size():
     assert meta["width"] == 17 and meta["height"] == 21
 
 
+def test_hier_lossless_nondifferential_first_frame_arith():
+    """Annex J allows a LOSSLESS non-differential first frame (r14 —
+    previously gated): a one-level DHP wrapping a SOF11 frame decodes
+    to exactly the standalone SOF11 pixels (samples ARE the
+    reference)."""
+    from test_r14_jpeg_sof11 import _img, _make_sof11
+    img = _img(18, 15, seed=4)
+    standalone = _make_sof11(img, pred_sel=4)
+    want = decode_jpeg_py(standalone)
+    dhp = bytes([8]) + (18).to_bytes(2, "big") + (15).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    wrapped = b"\xff\xd8" + _seg(0xDE, dhp) + standalone[2:]
+    got = decode_jpeg_py(wrapped)
+    assert np.array_equal(got, want)
+
+
+def test_hier_lossless_first_frame_then_differential_dct():
+    """Mixed pyramid: SOF3 (Huffman lossless) small first frame, EXP,
+    SOF5 differential DCT residual at full size — exact with quant=1
+    (the lossless base makes the whole chain integer)."""
+    from test_r13_jpeg_hier import _seq_scan
+    from test_r8_fixes import _make_lossless_jpeg
+    img = _img_gray(20, 16, seed=6)
+
+    def down(pl):
+        return pl.reshape(10, 2, 8, 2).mean((1, 3))
+
+    small = np.round(down(np.asarray(img, dtype=np.float64)))
+    small = np.clip(small, 0, 255).astype(np.int64)
+    inner = _make_lossless_jpeg(small, pred_sel=4)[2:-2]
+
+    quant = np.ones((8, 8), dtype=np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    dhp = bytes([8]) + (20).to_bytes(2, "big") \
+        + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    out += _seg(0xDE, dhp)
+    out += inner                          # SOF3 first frame (10x8)
+    out += _seg(0xDF, bytes([0x11]))      # EXP both axes
+    ref = _exp_expand(small.astype(np.int32), 1, 1)[:20, :16]
+    sofb = bytes([8]) + (20).to_bytes(2, "big") \
+        + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    out += _seg(0xC5, sofb)               # SOF5 differential DCT
+    qs = [_fdct_quant(np.asarray(img, dtype=np.float64) - ref, quant)]
+    out += _seq_scan(qs, differential=True)
+    want = np.clip(ref + _recon_planes(qs[0], quant, 20, 16), 0, 255)
+    out += b"\xff\xd9"
+    got = decode_jpeg_py(bytes(out))
+    assert np.array_equal(got[..., 0], want.astype(np.uint8))
+
+
+def test_hier_second_nondifferential_lossless_frame_stays_gated():
+    from test_r14_jpeg_sof11 import _img, _make_sof11
+    img = _img(16, 16, seed=2)
+    standalone = _make_sof11(img)
+    dhp = bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    # two non-differential SOF11 frames back to back inside one DHP
+    two = b"\xff\xd8" + _seg(0xDE, dhp) + standalone[2:-2] \
+        + standalone[2:-2] + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="after the first"):
+        decode_jpeg_py(two)
+
+
 def test_hier_arith_hostile_streams():
     img = _img_gray(16, 16)
     p, _ = _make_hier_arith_jpeg(img, levels=2)

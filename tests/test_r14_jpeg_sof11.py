@@ -231,11 +231,13 @@ def test_sof11_hostile_streams():
     bad[j + 5 + 2 * ns] = 0                 # Ss=0 invalid for SOF11
     with pytest.raises(ValueError, match="predictor"):
         decode_jpeg_py(bytes(bad))
-    # SOF11 inside a DHP pyramid stays honestly gated
+    # SOF11 opening a DHP pyramid is the Annex-J lossless
+    # non-differential first frame (implemented later in r14):
+    # a one-level wrap decodes to the standalone pixels
     dhp = _seg(0xDE, bytes([8]) + (12).to_bytes(2, "big")
                + (12).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_py(p[:2] + dhp + p[2:])
+    assert np.array_equal(decode_jpeg_py(p[:2] + dhp + p[2:]),
+                          decode_jpeg_py(p))
     # arithmetic-differential frames remain gated with a clear error
     sof15 = bytearray(p)
     sof15[sof15.find(b"\xff\xcb") + 1] = 0xCF
