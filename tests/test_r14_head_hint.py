@@ -130,6 +130,61 @@ def test_exists_via_hint_and_without(tmp_path):
     assert fresh2.exists()
 
 
+def test_reads_linearize_under_hint_vandalism(tmp_path):
+    """Property: random interleavings of commits, reads from
+    arbitrarily stale instances, and HEAD.json vandalism (garbage,
+    stale pointer, pointer past the live head) — every read still
+    returns exactly the latest committed manifest.  The hint is an
+    optimization hint ONLY; no corruption of it may surface a stale
+    or wrong head."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipelinedb_spark.manifestio import CommitConflict
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(
+        st.integers(0, 2),
+        st.sampled_from(["commit", "read", "vandal_garbage",
+                         "vandal_stale", "vandal_future"])),
+        min_size=1, max_size=30))
+    def run(script):
+        root = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            ios = [CondPutManifestIO(
+                root, client=LocalFSObjectClient(
+                    root + "/_manifests")) for _ in range(3)]
+            raw = LocalFSObjectClient(root + "/_manifests")
+            head, head_seq = {"v": 0}, 0
+            ios[0].write(head, base_seq=0)
+            head_seq = 1
+            for who, op in script:
+                io = ios[who]
+                if op == "read":
+                    assert io.read_versioned() == (head, head_seq)
+                elif op == "commit":
+                    nxt = {"v": head["v"] + 1}
+                    try:
+                        io.write(nxt, base_seq=head_seq)
+                        head, head_seq = nxt, head_seq + 1
+                    except CommitConflict:
+                        pass
+                elif op == "vandal_garbage":
+                    raw.put("HEAD.json", "{not json")
+                elif op == "vandal_stale":
+                    raw.put("HEAD.json", json.dumps({"seq": 1}))
+                else:  # vandal_future
+                    raw.put("HEAD.json",
+                            json.dumps({"seq": head_seq + 10}))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_clients_without_put_skip_the_hint(tmp_path):
     """The storage-contract fakes expose only the four commit-path
     primitives; a client with no plain put must still commit (the
