@@ -30,12 +30,12 @@ Da×Db conditioning of the Annex F/G entropy layer, in jpegarith.py),
 AND the arithmetic DIFFERENTIAL frames (SOF13/SOF14/SOF15, r14 —
 the QM scans with DC prediction cut via the dfr flag), completing
 every T.81 frame type.  The remaining honest subset constraints are
-hierarchical-specific: DHP pyramids are 1x1-sampled 8-bit, the first
-frame non-differential (DCT or lossless — SOF3/SOF11 open a pyramid
-too, their samples becoming the reference directly), and later
-non-differential frames raise NotImplementedError — the Pillow
-backend (multimodal.decode_pixels backend='pil') covers those where
-installed.
+hierarchical-specific: DHP pyramids are 1x1-sampled at a single
+precision (8 or 12 bit — r14), the first frame non-differential (DCT
+or lossless — SOF3/SOF11 open a pyramid too, their samples becoming
+the reference directly), and later non-differential frames raise
+NotImplementedError — the Pillow backend (multimodal.decode_pixels
+backend='pil') covers those where installed.
 
 The hot path is vectorized where it matters: the IDCT is one
 einsum over ALL blocks of a component (separable orthonormal DCT-II
@@ -270,9 +270,11 @@ def decode_jpeg_py(p: bytes):
     def finish_hier_frame() -> None:
         """Fold the just-decoded frame into the hierarchical reference
         reconstruction (T.81 J.1.1): non-differential frames rebuild
-        it (IDCT + level shift), differential frames add their
-        level-shift-free IDCT output to it; both clamp to [0, 255]."""
+        it (IDCT + level shift 2^(P-1)), differential frames add their
+        level-shift-free IDCT output to it; both clamp to
+        [0, 2^P - 1] (P = the DHP precision, 8 or 12 — r14)."""
         nonlocal ref
+        mx = (1 << hier["prec"]) - 1
         missing = [c["id"] for c in comps if not c["dc_done"]]
         if missing:
             raise ValueError(
@@ -283,10 +285,9 @@ def decode_jpeg_py(p: bytes):
                 # lossless NON-differential first frame (SOF3/SOF11
                 # opening a DHP sequence, r14): the decoded samples
                 # ARE the reference (J.1.1 — no IDCT, no level shift;
-                # hier is 8-bit so << Pt lands in [0, 255] on
-                # conforming streams)
+                # << Pt lands in [0, 2^P - 1] on conforming streams)
                 ref = {c["id"]: np.clip(c["sam"] << c["pt"],
-                                        0, 255).astype(np.int32)
+                                        0, mx).astype(np.int32)
                        for c in comps}
                 return
             # differential lossless (SOF7/SOF15): samples ARE the
@@ -295,7 +296,7 @@ def decode_jpeg_py(p: bytes):
             for c in comps:
                 ref[c["id"]] = np.clip(
                     (ref[c["id"]].astype(np.int64) + c["sam"])
-                    & 0xFFFF, 0, 255).astype(np.int32)
+                    & 0xFFFF, 0, mx).astype(np.int32)
             return
         planes = {}
         for c in comps:
@@ -311,9 +312,10 @@ def decode_jpeg_py(p: bytes):
                 0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
         if differential:
             for cid, pl in planes.items():
-                ref[cid] = np.clip(ref[cid] + pl, 0, 255)
+                ref[cid] = np.clip(ref[cid] + pl, 0, mx)
         else:
-            ref = {cid: np.clip(pl + 128, 0, 255)
+            level = 1 << (hier["prec"] - 1)
+            ref = {cid: np.clip(pl + level, 0, mx)
                    for cid, pl in planes.items()}
     while i + 4 <= len(p):
         if p[i] != 0xFF:
@@ -360,9 +362,10 @@ def decode_jpeg_py(p: bytes):
                 raise ValueError("truncated SOF header")
             if body[0] not in (8, 12):  # T.81: DCT modes are 8/12-bit
                 raise NotImplementedError(f"{body[0]}-bit DCT JPEG")
-            if hier is not None and body[0] != 8:
+            if hier is not None and body[0] != hier["prec"]:
                 raise NotImplementedError(
-                    f"{body[0]}-bit hierarchical JPEG")
+                    f"{body[0]}-bit frame in a {hier['prec']}-bit "
+                    "hierarchical JPEG")
             precision = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -411,9 +414,10 @@ def decode_jpeg_py(p: bytes):
             precision = body[0]
             if not 2 <= precision <= 16:
                 raise ValueError(f"bad lossless precision {precision}")
-            if hier is not None and precision != 8:
+            if hier is not None and precision != hier["prec"]:
                 raise NotImplementedError(
-                    f"{precision}-bit hierarchical JPEG")
+                    f"{precision}-bit frame in a {hier['prec']}-bit "
+                    "hierarchical JPEG")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             if w < 1 or h < 1 or w * h > 64 * 1024 * 1024:
@@ -463,9 +467,11 @@ def decode_jpeg_py(p: bytes):
             differential = True
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
-            if body[0] != 8:
+            if body[0] != hier["prec"]:
                 raise NotImplementedError(
-                    f"{body[0]}-bit hierarchical JPEG")
+                    f"{body[0]}-bit frame in a {hier['prec']}-bit "
+                    "hierarchical JPEG")
+            precision = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             if w < 1 or h < 1 or w * h > 64 * 1024 * 1024:
@@ -518,7 +524,7 @@ def decode_jpeg_py(p: bytes):
                 raise ValueError("DHP after a frame header")
             if len(body) < 6:
                 raise ValueError("truncated DHP header")
-            if body[0] != 8:
+            if body[0] not in (8, 12):
                 raise NotImplementedError(
                     f"{body[0]}-bit hierarchical JPEG")
             fh = int.from_bytes(body[1:3], "big")
@@ -531,7 +537,7 @@ def decode_jpeg_py(p: bytes):
                 raise NotImplementedError(f"{nc}-component JPEG")
             if len(body) < 6 + 3 * nc:
                 raise ValueError("truncated DHP header")
-            hier = {"h": fh, "w": fw,
+            hier = {"h": fh, "w": fw, "prec": body[0],
                     "ids": [body[6 + 3 * c] for c in range(nc)]}
         elif marker == 0xDF:  # EXP: expand reference before next frame
             if hier is None or not scan_seen:
@@ -718,6 +724,8 @@ def decode_jpeg_py(p: bytes):
                 f"hierarchical stream ended at "
                 f"{planes[0].shape[1]}x{planes[0].shape[0]}, below "
                 f"DHP size {hier['w']}x{hier['h']}")
+        if hier["prec"] > 8:   # 12-bit pyramid → uint8 pixel contract
+            planes = [pl >> (hier["prec"] - 8) for pl in planes]
         if len(planes) == 1:
             return planes[0].astype(np.uint8)[..., None]
         return _ycc_to_rgb(planes)

@@ -8,7 +8,7 @@ baseline + progressive JPEG (operators/jpeg.py — Huffman entropy
 decode + vectorized IDCT) are all real, dependency-free byte/numpy
 parsing, including Adam7-interlaced PNG, interlaced GIF, and MJPEG
 video frames inside AVI containers.  Only
-rare sub-formats (subsampled/12-bit hierarchical JPEG pyramids,
+rare sub-formats (subsampled hierarchical JPEG pyramids,
 16-bit depths) remain behind ``NotImplementedError``
 — the Spark-side plumbing (schemas, batch iteration, partition
 sizing, UDF signatures) is exactly what a production deployment
@@ -944,8 +944,8 @@ def decode_jpeg_py(p: bytes):
     Annex-J frame pyramids with differential SOF5-7 (Huffman) and
     SOF13-15 (arithmetic) frames, dequant, vectorized IDCT, chroma
     upsample, YCbCr→RGB) — every T.81 frame type decodes; only
-    hierarchical subset constraints (subsampled/12-bit pyramids)
-    raise NotImplementedError there."""
+    hierarchical subset constraints (subsampled pyramids) raise
+    NotImplementedError there."""
     from pipelinedb_spark.operators.jpeg import decode_jpeg_py as _dec
     return _dec(p)
 
@@ -960,9 +960,9 @@ def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
     in operators/jpeg.py + jpegarith.py — hierarchical pyramids
     including differential-lossless SOF7 decode for real), 'auto'
     (default) picks pil when importable.  Under 'pure', rare
-    sub-formats (subsampled/12-bit hierarchical JPEG pyramids,
-    16-bit depths) raise NotImplementedError — under 'pil' they
-    decode for real.
+    sub-formats (subsampled hierarchical JPEG pyramids, 16-bit
+    depths) raise NotImplementedError — under 'pil' they decode
+    for real.
     Unrecognized payloads yield a null-stats row (format NULL) rather
     than failing the batch."""
     backend = resolve_decode_backend(backend)

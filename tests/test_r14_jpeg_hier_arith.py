@@ -354,6 +354,67 @@ def test_hier_second_nondifferential_lossless_frame_stays_gated():
         decode_jpeg_py(two)
 
 
+def test_hier_12bit_pyramid_exact():
+    """12-bit hierarchical pyramid (r14 — previously gated): SOF0
+    first frame + EXP + SOF5 differential + SOF7 lossless top, all at
+    precision 12 (level shift 2048, clamp 4095, Pq=1 quant table);
+    the lossless top reconstructs the 12-bit source exactly and the
+    output honors the >>4 uint8 contract."""
+    from test_r13_jpeg_hier import (_lossless_diff_scan, _seq_scan)
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 4096, (20, 16)).astype(np.int64)
+
+    def down(pl):
+        return pl.reshape(10, 2, 8, 2).mean((1, 3))
+
+    quant = np.ones((8, 8), dtype=np.int64)
+    out = bytearray(b"\xff\xd8")
+    qbody = bytes([0x10]) + b"".join(            # Pq=1: 16-bit entries
+        int(quant.reshape(64)[z]).to_bytes(2, "big") for z in ZIGZAG)
+    out += _seg(0xDB, qbody)
+    dhp = bytes([12]) + (20).to_bytes(2, "big") \
+        + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    out += _seg(0xDE, dhp)
+
+    def sof(marker, fh, fw):
+        return _seg(marker, bytes([12]) + fh.to_bytes(2, "big")
+                    + fw.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+
+    small = down(img.astype(np.float64))
+    out += sof(0xC0, 10, 8)
+    qs = [_fdct_quant(small - 2048.0, quant)]
+    out += _seq_scan(qs, differential=False)
+    ref = np.clip(_recon_planes(qs[0], quant, 10, 8) + 2048, 0, 4095)
+
+    out += _seg(0xDF, bytes([0x11]))
+    ref = _exp_expand(ref, 1, 1)[:20, :16]
+    out += sof(0xC5, 20, 16)
+    qs2 = [_fdct_quant(img - ref, quant)]
+    out += _seq_scan(qs2, differential=True)
+    ref = np.clip(ref + _recon_planes(qs2[0], quant, 20, 16), 0, 4095)
+
+    out += sof(0xC7, 20, 16)                      # SOF7 exact top
+    diffs = [(img - ref.astype(np.int64)) & 0xFFFF]
+    out += _lossless_diff_scan(diffs)
+    out += b"\xff\xd9"
+
+    got = decode_jpeg_py(bytes(out))
+    assert got.shape == (20, 16, 1)
+    assert np.array_equal(got[..., 0], (img >> 4).astype(np.uint8))
+
+
+def test_hier_precision_mismatch_gated():
+    from test_r13_jpeg_hier import _seq_scan
+    img = _img_gray(16, 16)
+    p, _ = _make_hier_arith_jpeg(img, levels=2)
+    # relabel the DHP as 12-bit: the 8-bit SOF9 frame now mismatches
+    dhp = p.find(b"\xff\xde")
+    q = bytearray(p)
+    q[dhp + 4] = 12
+    with pytest.raises(NotImplementedError, match="8-bit frame"):
+        decode_jpeg_py(bytes(q))
+
+
 def test_hier_arith_hostile_streams():
     img = _img_gray(16, 16)
     p, _ = _make_hier_arith_jpeg(img, levels=2)
