@@ -29,11 +29,14 @@ ARITHMETIC (SOF11, r14: Annex-H prediction with the two-dimensional
 Da×Db conditioning of the Annex F/G entropy layer, in jpegarith.py),
 AND the arithmetic DIFFERENTIAL frames (SOF13/SOF14/SOF15, r14 —
 the QM scans with DC prediction cut via the dfr flag), completing
-every T.81 frame type.  The remaining honest subset constraints are
-hierarchical-specific: DHP pyramids are 1x1-sampled at a single
-precision (8 or 12 bit — r14), the first frame non-differential (DCT
-or lossless — SOF3/SOF11 open a pyramid too, their samples becoming
-the reference directly), and later non-differential frames raise
+every T.81 frame type.  Pyramids may be subsampled (per-component
+references at their own extents, per-component EXP, final upsample
+to the DHP canvas — r14) and 8- or 12-bit.  The remaining honest
+subset constraints: one precision and one sampling geometry per
+pyramid (mixed frames are rejected with clear errors — silent
+truncation would corrupt), the first frame non-differential (DCT or
+lossless — SOF3/SOF11 open a pyramid too, their samples becoming the
+reference directly), and later non-differential frames raise
 NotImplementedError — the Pillow backend (multimodal.decode_pixels
 backend='pil') covers those where installed.
 
@@ -299,6 +302,8 @@ def decode_jpeg_py(p: bytes):
                     & 0xFFFF, 0, mx).astype(np.int32)
             return
         planes = {}
+        hmax_f = max(c["h"] for c in comps)
+        vmax_f = max(c["v"] for c in comps)
         for c in comps:
             # per-frame quant snapshot (stashed at the component's
             # first scan): hierarchical frames are folded lazily at
@@ -308,8 +313,12 @@ def decode_jpeg_py(p: bytes):
             deq = c["coef"] * c["qtbl"][None, :, :]
             sp = _idct_raw(deq)
             bh, bw = c["bh"], c["bw"]
+            # crop to the COMPONENT's extent (subsampled pyramids,
+            # r14): ceil(dim·sf/sfmax), not the frame dims
+            ch_ = -(-(h * c["v"]) // vmax_f)
+            cw_ = -(-(w * c["h"]) // hmax_f)
             planes[c["id"]] = sp.reshape(bh, bw, 8, 8).transpose(
-                0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
+                0, 2, 1, 3).reshape(bh * 8, bw * 8)[:ch_, :cw_]
         if differential:
             for cid, pl in planes.items():
                 ref[cid] = np.clip(ref[cid] + pl, 0, mx)
@@ -387,9 +396,6 @@ def decode_jpeg_py(p: bytes):
                 if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0x0F) <= 4):
                     raise ValueError(
                         f"invalid JPEG sampling factors 0x{hv:02x}")
-                if hier is not None and hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled hierarchical JPEG (all-1x1 only)")
                 if hier is not None and cid not in hier["ids"]:
                     raise ValueError(
                         f"frame component {cid} not declared in DHP")
@@ -480,14 +486,42 @@ def decode_jpeg_py(p: bytes):
                 raise ValueError(
                     f"hierarchical frame {w}x{h} exceeds DHP size "
                     f"{hier['w']}x{hier['h']}")
-            ph, pw = next(iter(ref.values())).shape
+            nc = body[5]
+            if nc != len(hier["ids"]) or len(body) < 6 + 3 * nc:
+                raise NotImplementedError(
+                    "hierarchical frame over a component subset")
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0x0F) <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factors 0x{hv:02x}")
+                if lossless and hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled differential lossless frame")
+                if cid not in ref:
+                    raise ValueError(
+                        f"differential frame component {cid} has no "
+                        "reference")
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq, "dc_done": False, "dfr": True})
+            # per-component reference alignment (r14 — subsampled
+            # pyramids): each component's reference lives at ITS
+            # extent ceil(dim·sf/sfmax); the full-resolution
+            # component keeps the strict J.1.1.2 2p/2p-1 EXP size
+            # rule, subsampled ones need the expansion to COVER
+            # their extent (ceil halving makes the odd-axis rule
+            # per-component ambiguous) and are cropped to it
+            hmax_f = max(cc["h"] for cc in comps)
+            vmax_f = max(cc["v"] for cc in comps)
+
+            def _ext(cc):
+                return (-(-(h * cc["v"]) // vmax_f),
+                        -(-(w * cc["h"]) // hmax_f))
+            full = next(cc for cc in comps
+                        if cc["h"] == hmax_f and cc["v"] == vmax_f)
+            ph, pw = ref[full["id"]].shape
             if pending_exp is not None:
                 eh_, ev_ = pending_exp
-                ref = {cid: _exp_expand(pl, eh_, ev_)
-                       for cid, pl in ref.items()}
-                # J.1.1.2: expansion doubles the flagged axes; the
-                # frame may declare one less along an expanded axis
-                # (odd full-size level) — crop the reference to it
                 ok_h = h in ((2 * ph, 2 * ph - 1) if ev_ else (ph,))
                 ok_w = w in ((2 * pw, 2 * pw - 1) if eh_ else (pw,))
                 if not (ok_h and ok_w):
@@ -496,27 +530,27 @@ def decode_jpeg_py(p: bytes):
                         f"{2 * pw if eh_ else pw}x"
                         f"{2 * ph if ev_ else ph} does not cover "
                         f"frame {w}x{h}")
-                ref = {cid: pl[:h, :w] for cid, pl in ref.items()}
+                ref = {cid: _exp_expand(pl, eh_, ev_)
+                       for cid, pl in ref.items()}
                 pending_exp = None
             elif (h, w) != (ph, pw):
                 raise ValueError(
                     f"differential frame {w}x{h} mismatches "
                     f"reference {pw}x{ph} (no EXP)")
-            nc = body[5]
-            if nc != len(hier["ids"]) or len(body) < 6 + 3 * nc:
-                raise NotImplementedError(
-                    "hierarchical frame over a component subset")
-            for c in range(nc):
-                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled hierarchical JPEG (all-1x1 only)")
-                if cid not in ref:
+            for cc in comps:
+                ch_, cw_ = _ext(cc)
+                pl = ref[cc["id"]]
+                # slack ≤ 1 per axis (the ceil-halving wobble of odd
+                # dimensions); more means the frame tried to change a
+                # component's sampling mid-pyramid, which truncation
+                # would corrupt silently
+                if not (0 <= pl.shape[0] - ch_ <= 1
+                        and 0 <= pl.shape[1] - cw_ <= 1):
                     raise ValueError(
-                        f"differential frame component {cid} has no "
-                        "reference")
-                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
-                              "dc_done": False, "dfr": True})
+                        f"reference {pl.shape[1]}x{pl.shape[0]} does "
+                        f"not align with component {cc['id']} extent "
+                        f"{cw_}x{ch_}")
+                ref[cc["id"]] = pl[:ch_, :cw_]
         elif marker == 0xDE:  # DHP: hierarchical progression (Annex J)
             if hier is not None:
                 raise ValueError("duplicate DHP marker")
@@ -718,12 +752,23 @@ def decode_jpeg_py(p: bytes):
         if absent:
             raise ValueError(
                 f"hierarchical stream missing component(s) {absent}")
-        planes = [ref[cid] for cid in hier["ids"]]
-        if planes[0].shape != (hier["h"], hier["w"]):
+        H, W = hier["h"], hier["w"]
+        if max(pl.shape[0] for pl in ref.values()) != H or \
+                max(pl.shape[1] for pl in ref.values()) != W:
+            full_pl = max(ref.values(), key=lambda pl: pl.shape)
             raise ValueError(
                 f"hierarchical stream ended at "
-                f"{planes[0].shape[1]}x{planes[0].shape[0]}, below "
-                f"DHP size {hier['w']}x{hier['h']}")
+                f"{full_pl.shape[1]}x{full_pl.shape[0]}, below "
+                f"DHP size {W}x{H}")
+        planes = []
+        for cid in hier["ids"]:
+            pl = ref[cid]
+            # subsampled components upsample to DHP size (nearest —
+            # the same convention as the single-frame _finalize)
+            ry, rx = -(-H // pl.shape[0]), -(-W // pl.shape[1])
+            if ry > 1 or rx > 1:
+                pl = pl.repeat(ry, axis=0).repeat(rx, axis=1)
+            planes.append(pl[:H, :W])
         if hier["prec"] > 8:   # 12-bit pyramid → uint8 pixel contract
             planes = [pl >> (hier["prec"] - 8) for pl in planes]
         if len(planes) == 1:

@@ -8,8 +8,8 @@ baseline + progressive JPEG (operators/jpeg.py — Huffman entropy
 decode + vectorized IDCT) are all real, dependency-free byte/numpy
 parsing, including Adam7-interlaced PNG, interlaced GIF, and MJPEG
 video frames inside AVI containers.  Only
-rare sub-formats (subsampled hierarchical JPEG pyramids,
-16-bit depths) remain behind ``NotImplementedError``
+rare sub-formats (mixed-precision/sampling JPEG pyramids,
+16-bit PPM) remain behind ``NotImplementedError``
 — the Spark-side plumbing (schemas, batch iteration, partition
 sizing, UDF signatures) is exactly what a production deployment
 keeps, swapping those branches for PIL/ffmpeg.
@@ -943,9 +943,9 @@ def decode_jpeg_py(p: bytes):
     plus arithmetic SOF9/SOF10/SOF11 entropy decode, hierarchical
     Annex-J frame pyramids with differential SOF5-7 (Huffman) and
     SOF13-15 (arithmetic) frames, dequant, vectorized IDCT, chroma
-    upsample, YCbCr→RGB) — every T.81 frame type decodes; only
-    hierarchical subset constraints (subsampled pyramids) raise
-    NotImplementedError there."""
+    upsample, YCbCr→RGB) — every T.81 frame type decodes, including
+    subsampled and 12-bit pyramids; only mixed-precision/sampling
+    pyramids raise NotImplementedError there."""
     from pipelinedb_spark.operators.jpeg import decode_jpeg_py as _dec
     return _dec(p)
 
@@ -960,9 +960,8 @@ def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
     in operators/jpeg.py + jpegarith.py — hierarchical pyramids
     including differential-lossless SOF7 decode for real), 'auto'
     (default) picks pil when importable.  Under 'pure', rare
-    sub-formats (subsampled hierarchical JPEG pyramids, 16-bit
-    depths) raise NotImplementedError — under 'pil' they decode
-    for real.
+    sub-formats (mixed-precision/sampling JPEG pyramids) raise
+    NotImplementedError — under 'pil' they decode for real.
     Unrecognized payloads yield a null-stats row (format NULL) rather
     than failing the batch."""
     backend = resolve_decode_backend(backend)

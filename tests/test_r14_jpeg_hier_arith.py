@@ -354,6 +354,157 @@ def test_hier_second_nondifferential_lossless_frame_stays_gated():
         decode_jpeg_py(two)
 
 
+def _pad_down(pl):
+    ph, pw = pl.shape
+    eh, ew = -(-ph // 2) * 2, -(-pw // 2) * 2
+    pad = np.pad(pl, ((0, eh - ph), (0, ew - pw)), mode="edge")
+    return pad.reshape(eh // 2, 2, ew // 2, 2).mean((1, 3))
+
+
+def _comp_blocks(planes, samp, mcux, mcuy, quant):
+    """Per-component MCU-padded quantized coefficient grids
+    (the _build_blocks pipeline over ALREADY level-shifted / residual
+    planes)."""
+    from pipelinedb_spark.operators.jpeg import _DCT_A
+    blocks = []
+    for pl, (sh, sv) in zip(planes, samp):
+        bw, bh = mcux * sh, mcuy * sv
+        pad = np.zeros((bh * 8, bw * 8))
+        ph, pw = pl.shape
+        pad[:ph, :pw] = pl
+        pad[ph:, :pw] = pad[ph - 1:ph, :pw]
+        pad[:, pw:] = pad[:, pw - 1:pw]
+        blk = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ik,yxkl,jl->yxij", _DCT_A, blk, _DCT_A)
+        blocks.append(np.round(coef / quant).astype(np.int64))
+    return blocks
+
+
+def _recon_comp(blk, quant, ch, cw):
+    from pipelinedb_spark.operators.jpeg import _idct_raw
+    bh, bw = blk.shape[:2]
+    sp = _idct_raw((blk * quant).reshape(bh * bw, 8, 8)
+                   .astype(np.int64))
+    return sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
+        bh * 8, bw * 8)[:ch, :cw]
+
+
+def _arith_mcu_scan(blocks, samp, mcux, mcuy,
+                    differential: bool) -> bytes:
+    """Interleaved sequential arithmetic scan over subsampled MCU
+    grids (the _make_arith_jpeg walk, differential-aware)."""
+    zz = ZIGZAG
+    enc, stats = _QMEncoder(), _Stats()
+    comps = [{"td": 0, "ta": 0, "pred": 0, "dc_ctx": 0}
+             for _ in blocks]
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (blk, (sh, sv)) in enumerate(zip(blocks, samp)):
+            for by in range(sv):
+                for bx in range(sh):
+                    seq = blk[my * sv + by,
+                              mx * sh + bx].reshape(64)[zz]
+                    dc = int(seq[0])
+                    d = dc if differential else dc - comps[ci]["pred"]
+                    comps[ci]["pred"] = dc
+                    _encode_dc(enc, stats, comps[ci], _COND_DC, d)
+                    _encode_ac_block(enc, stats, comps[ci], _COND_AC,
+                                     seq)
+    return enc.flush()
+
+
+def test_hier_subsampled_420_pyramid_exact():
+    """4:2:0 hierarchical pyramid (r14 — the last sampling gate):
+    SOF9 first frame + EXP + SOF13 differential, luma 2x2 / chroma
+    1x1 throughout; each component's reference lives at ITS extent,
+    EXP expands per component, and the final chroma upsamples to the
+    DHP canvas.  Decode must equal the mirror's fold bit for bit."""
+    rng = np.random.RandomState(5)
+    img = np.clip(rng.randint(0, 256, (26, 22, 3)), 0, 255)
+    h0, w0 = 26, 22
+    quant = np.ones((8, 8), dtype=np.int64)
+    arr = img.astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    samp = [(2, 2), (1, 1), (1, 1)]
+    # per-component full-resolution sources (chroma at half res)
+    srcs0 = [y, _pad_down(cb), _pad_down(cr)]
+    # level-1 sources: everything halved once more
+    srcs1 = [_pad_down(pl) for pl in srcs0]
+    h1, w1 = -(-h0 // 2), -(-w0 // 2)
+
+    def exts(fh, fw):
+        return [(-(-fh * sv // 2), -(-fw * sh // 2))
+                for sh, sv in samp]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    dhp = bytes([8]) + h0.to_bytes(2, "big") + w0.to_bytes(2, "big") \
+        + bytes([3])
+    for ci, (sh, sv) in enumerate(samp):
+        dhp += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += _seg(0xDE, dhp)
+
+    def sof(marker, fh, fw):
+        body = bytes([8]) + fh.to_bytes(2, "big") \
+            + fw.to_bytes(2, "big") + bytes([3])
+        for ci, (sh, sv) in enumerate(samp):
+            body += bytes([ci + 1, (sh << 4) | sv, 0])
+        return _seg(marker, body)
+
+    # frame 1: SOF9 at (h1, w1)
+    mcux, mcuy = -(-w1 // 16), -(-h1 // 16)
+    blocks = _comp_blocks([pl - 128.0 for pl in srcs1], samp,
+                          mcux, mcuy, quant)
+    out += sof(0xC9, h1, w1)
+    out += _sos(3, 0, 63)
+    out += _arith_mcu_scan(blocks, samp, mcux, mcuy,
+                           differential=False)
+    ref = [np.clip(_recon_comp(bk, quant, ch, cw) + 128, 0, 255)
+           for bk, (ch, cw) in zip(blocks, exts(h1, w1))]
+
+    # EXP + frame 2: SOF13 at (h0, w0)
+    out += _seg(0xDF, bytes([0x11]))
+    ref = [_exp_expand(pl, 1, 1)[:ch, :cw]
+           for pl, (ch, cw) in zip(ref, exts(h0, w0))]
+    mcux, mcuy = -(-w0 // 16), -(-h0 // 16)
+    resid = [s - rf for s, rf in zip(srcs0, ref)]
+    blocks = _comp_blocks(resid, samp, mcux, mcuy, quant)
+    out += sof(0xCD, h0, w0)
+    out += _sos(3, 0, 63)
+    out += _arith_mcu_scan(blocks, samp, mcux, mcuy,
+                           differential=True)
+    ref = [np.clip(rf + _recon_comp(bk, quant, ch, cw), 0, 255)
+           for rf, bk, (ch, cw) in zip(ref, blocks, exts(h0, w0))]
+    out += b"\xff\xd9"
+
+    # expected: chroma upsamples 2x2 to the DHP canvas, then YCC->RGB
+    up = [ref[0]] + [pl.repeat(2, axis=0).repeat(2, axis=1)[:h0, :w0]
+                     for pl in ref[1:]]
+    want = _ycc_to_rgb(up)
+    got = decode_jpeg_py(bytes(out))
+    assert got.shape == (26, 22, 3)
+    assert np.array_equal(got, want)
+
+
+def test_hier_sampling_change_mid_pyramid_rejected():
+    """A frame that silently changes a component's sampling would be
+    truncated into garbage — the per-component alignment check must
+    reject it instead."""
+    rng = np.random.RandomState(1)
+    img = np.clip(rng.randint(0, 256, (16, 16, 3)), 0, 255)
+    p, _ = _make_hier_arith_jpeg(img, levels=2)   # all-1x1 color
+    q = bytearray(p)
+    sof13 = bytes(q).find(b"\xff\xcd")
+    # luma flips to 2x2: the chroma extents halve while their
+    # references stayed full-resolution -> slack > 1
+    q[sof13 + 11] = 0x22
+    with pytest.raises(ValueError, match="align"):
+        decode_jpeg_py(bytes(q))
+
+
 def test_hier_12bit_pyramid_exact():
     """12-bit hierarchical pyramid (r14 — previously gated): SOF0
     first frame + EXP + SOF5 differential + SOF7 lossless top, all at
