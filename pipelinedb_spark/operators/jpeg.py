@@ -31,14 +31,15 @@ AND the arithmetic DIFFERENTIAL frames (SOF13/SOF14/SOF15, r14 —
 the QM scans with DC prediction cut via the dfr flag), completing
 every T.81 frame type.  Pyramids may be subsampled (per-component
 references at their own extents, per-component EXP, final upsample
-to the DHP canvas — r14) and 8- or 12-bit.  The remaining honest
-subset constraints: one precision and one sampling geometry per
-pyramid (mixed frames are rejected with clear errors — silent
-truncation would corrupt), the first frame non-differential (DCT or
-lossless — SOF3/SOF11 open a pyramid too, their samples becoming the
-reference directly), and later non-differential frames raise
-NotImplementedError — the Pillow backend (multimodal.decode_pixels
-backend='pil') covers those where installed.
+to the DHP canvas — r14), 8- or 12-bit, opened by a DCT or LOSSLESS
+non-differential frame (SOF3/SOF11 — samples become the reference),
+and may contain later non-differential frames (pyramid restarts:
+the reference is replaced).  The one remaining honest constraint is
+a single precision and sampling geometry per pyramid — mixed frames
+are rejected with clear errors, because silent truncation would
+corrupt conforming-looking output; the Pillow backend
+(multimodal.decode_pixels backend='pil') covers those where
+installed.
 
 The hot path is vectorized where it matters: the IDCT is one
 einsum over ALL blocks of a component (separable orthonormal DCT-II
@@ -240,12 +241,12 @@ def decode_jpeg_py(p: bytes):
     """Baseline, progressive, lossless (SOF3 Huffman / SOF11
     arithmetic), arithmetic DCT (SOF9/SOF10), or hierarchical
     (Annex J: DHP + EXP + differential frames, Huffman SOF5/SOF6/SOF7
-    or arithmetic SOF13/SOF14/SOF15, 1x1-sampled 8-bit) JPEG →
+    or arithmetic SOF13/SOF14/SOF15, subsampled or 1x1, 8/12-bit,
+    incl. pyramid restarts) JPEG →
     (h, w, c) uint8 array (c = 1 gray, 3 RGB; >8-bit precision scales
     down).  Returns None when the payload is not a JPEG; the only
-    NotImplementedError gates left are hierarchical subset
-    constraints (subsampled/12-bit pyramids, non-differential frames
-    after the first)."""
+    NotImplementedError gate left is mixed precision/sampling inside
+    one DHP pyramid."""
     if p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -356,17 +357,26 @@ def decode_jpeg_py(p: bytes):
             # SOF0/1 baseline, SOF2 progressive, SOF9/SOF10
             # arithmetic sequential/progressive (entropy decode in
             # jpegarith.py, r12)
-            if hier is not None and (scan_seen or ref is not None):
-                # Annex J allows later non-differential frames (they
-                # reset the reference for new components) — honest
-                # subset: first frame non-differential, the rest
-                # differential
-                raise NotImplementedError(
-                    "non-differential hierarchical frame after the "
-                    "first frame")
+            if hier is not None:
+                # Annex J allows later non-differential frames: they
+                # REPLACE the reference (a pyramid restart) — r14,
+                # closing the last structural gate.  An EXP must be
+                # followed by a differential frame (J.1), and a frame
+                # header without any scan is malformed.
+                if pending_exp is not None:
+                    raise ValueError(
+                        "EXP must be followed by a differential frame")
+                if scan_seen:
+                    finish_hier_frame()   # fold the previous frame
+                    comps = []
+                    scan_seen = False
+                elif comps:
+                    raise ValueError(
+                        "hierarchical frame with no scans")
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
             differential = False
+            lossless = False   # a DCT restart after a lossless frame
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
             if body[0] not in (8, 12):  # T.81: DCT modes are 8/12-bit
@@ -405,16 +415,25 @@ def decode_jpeg_py(p: bytes):
             # SOF3: lossless sequential, Huffman (Annex H); SOF11:
             # lossless sequential, arithmetic (Annex H prediction,
             # Annex F/G entropy — decode in jpegarith.py, r14).
-            # Inside a DHP sequence this is the Annex-J lossless
-            # NON-differential FIRST frame (r14 — the fold takes the
-            # samples as the reference directly); later
-            # non-differential frames stay gated like the DCT branch
-            if hier is not None and (scan_seen or ref is not None):
-                raise NotImplementedError(
-                    "non-differential hierarchical frame after the "
-                    "first frame")
+            # Inside a DHP sequence this is an Annex-J lossless
+            # NON-differential frame (r14): first frame or a pyramid
+            # restart — either way the decoded samples REPLACE the
+            # reference (same rules as the DCT branch above)
+            if hier is not None:
+                if pending_exp is not None:
+                    raise ValueError(
+                        "EXP must be followed by a differential frame")
+                if scan_seen:
+                    finish_hier_frame()   # fold the previous frame
+                    comps = []
+                    scan_seen = False
+                elif comps:
+                    raise ValueError(
+                        "hierarchical frame with no scans")
             lossless = True
             arith = marker == 0xCB
+            progressive = False
+            differential = False   # restart after a differential frame
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
             precision = body[0]

@@ -341,17 +341,49 @@ def test_hier_lossless_first_frame_then_differential_dct():
     assert np.array_equal(got[..., 0], want.astype(np.uint8))
 
 
-def test_hier_second_nondifferential_lossless_frame_stays_gated():
+def test_hier_second_nondifferential_frame_restarts_pyramid():
+    """Annex J allows later non-differential frames — they REPLACE
+    the reference (a pyramid restart, r14): two back-to-back SOF11
+    frames inside one DHP decode to the SECOND frame's pixels."""
     from test_r14_jpeg_sof11 import _img, _make_sof11
-    img = _img(16, 16, seed=2)
-    standalone = _make_sof11(img)
+    a = _make_sof11(_img(16, 16, seed=2))
+    b = _make_sof11(_img(16, 16, seed=9))
     dhp = bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big") \
         + bytes([1, 1, 0x11, 0])
-    # two non-differential SOF11 frames back to back inside one DHP
-    two = b"\xff\xd8" + _seg(0xDE, dhp) + standalone[2:-2] \
-        + standalone[2:-2] + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="after the first"):
-        decode_jpeg_py(two)
+    two = b"\xff\xd8" + _seg(0xDE, dhp) + a[2:-2] + b[2:-2] \
+        + b"\xff\xd9"
+    got = decode_jpeg_py(two)
+    assert np.array_equal(got, decode_jpeg_py(b))
+    assert not np.array_equal(got, decode_jpeg_py(a))
+
+
+def test_hier_exp_before_nondifferential_frame_rejected():
+    from test_r14_jpeg_sof11 import _img, _make_sof11
+    a = _make_sof11(_img(16, 16, seed=2))
+    dhp = bytes([8]) + (32).to_bytes(2, "big") + (32).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    bad = b"\xff\xd8" + _seg(0xDE, dhp) + a[2:-2] \
+        + _seg(0xDF, bytes([0x11])) + a[2:-2] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="followed by a differential"):
+        decode_jpeg_py(bad)
+
+
+def test_hier_dct_restart_after_differential_chain_exact():
+    """Full restart shape: a 2-level arithmetic pyramid, then a
+    non-differential SOF9 frame at the small size REPLACES the
+    reference, then EXP + SOF13 builds it back up — the decode must
+    equal the mirror fold of the SECOND chain."""
+    imgA = _img_gray(20, 16, seed=3)
+    imgB = _img_gray(20, 16, seed=12)
+    pA, _ = _make_hier_arith_jpeg(imgA, levels=2)
+    pB, wantB = _make_hier_arith_jpeg(imgB, levels=2)
+    # splice: pyramid A in full, then pyramid B's frames (everything
+    # after A's DQT+DHP headers) — one DHP, two chains
+    dhp_end = pA.find(b"\xff\xc9")          # first SOF of A
+    bodyB = pB[pB.find(b"\xff\xc9"):-2]     # B's frames, no EOI
+    spliced = pA[:-2] + bodyB + b"\xff\xd9"
+    got = decode_jpeg_py(spliced)
+    assert np.array_equal(got, wantB)
 
 
 def _pad_down(pl):
