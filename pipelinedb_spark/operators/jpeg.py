@@ -536,8 +536,16 @@ def decode_jpeg_py(p: bytes):
             def _ext(cc):
                 return (-(-(h * cc["v"]) // vmax_f),
                         -(-(w * cc["h"]) // hmax_f))
-            full = next(cc for cc in comps
-                        if cc["h"] == hmax_f and cc["v"] == vmax_f)
+            full = next((cc for cc in comps
+                         if cc["h"] == hmax_f and cc["v"] == vmax_f),
+                        None)
+            if full is None:
+                # e.g. (2,1)+(1,2): no component is full-resolution
+                # on BOTH axes, so the J.1.1.2 size rule has no
+                # anchor — gate loudly (a StopIteration here would
+                # escape the decoder's error contract)
+                raise NotImplementedError(
+                    "mixed-axis sampling in hierarchical frames")
             ph, pw = ref[full["id"]].shape
             if pending_exp is not None:
                 eh_, ev_ = pending_exp
