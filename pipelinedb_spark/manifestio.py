@@ -374,8 +374,22 @@ class CondPutManifestIO:
     HEAD_HINT = "HEAD.json"
 
     def exists(self) -> bool:
-        if self._head_hint() is not None:
-            return True      # written only after a successful commit
+        # The hint is written only after a successful commit, but it
+        # is never garbage-collected — an out-of-band wipe of every
+        # m*.json (external prune, store recreate) leaves it behind,
+        # and trusting the residue would make exists() return True
+        # while read_versioned() raises (r14 advice).  Accept it as
+        # existence evidence only when a manifest is actually
+        # readable: m{hint} itself (one GET, the common case — a
+        # live hint is at most KEEP-1 commits behind the head, inside
+        # the gc window), else the LIST fallback decides.
+        hint = self._head_hint()
+        if hint is not None:
+            try:
+                self.client.get(f"m{hint:020d}.json")
+                return True
+            except Exception:
+                pass         # stale/orphaned hint: verify via LIST
         return self._max_seq() is not None
 
     def _head_hint(self) -> int | None:

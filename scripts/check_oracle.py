@@ -168,12 +168,20 @@ def main():
     # session warm-up: the first query otherwise pays JVM/codegen/
     # Arrow-worker startup (~6 s) that has nothing to do with its
     # plan — it polluted q1's spark_sec and therefore the
-    # time-regression baselines.  Per-query first-run JIT of each
-    # plan shape is still included (each query runs once), which is
-    # the protocol every prior round's artifact used.
+    # time-regression baselines.  Warm with NON-bank plans only (a
+    # range-agg for codegen/JIT, a trivial parquet read for the scan
+    # stack, a tiny pandas_udf for the Arrow python-worker pool):
+    # executing the first bank query here — even limit(1) — computes
+    # its full aggregate and would exclude that one query's first-run
+    # plan cost from its recorded spark_sec while every other query's
+    # includes it (r14 advice: the protocol must be uniform — each
+    # bank query runs exactly once, cold-plan cost included for ALL).
     try:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
-        next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
+        spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
+        from pyspark.sql.functions import pandas_udf as _pudf
+        _warm = _pudf(lambda s: s + 1, "long")
+        spark.range(10).select(_warm("id")).collect()
     except Exception as exc:
         print(f"warmup failed (continuing): {exc}")
     failures = []

@@ -130,6 +130,35 @@ def test_exists_via_hint_and_without(tmp_path):
     assert fresh2.exists()
 
 
+def test_exists_false_on_orphaned_hint_after_store_wipe(tmp_path):
+    """r14 advice: HEAD.json is never gc'd, so an out-of-band removal
+    of every m*.json (external prune, store wipe-and-recreate) leaves
+    the hint as residue.  exists() must not trust it — a True here
+    while read_versioned() raises would sticky-select condput format
+    on a dead store."""
+    io, c = _io(tmp_path)
+    for n in range(3):
+        io.write({"v": n}, base_seq=n)
+    # out-of-band wipe of all manifests, hint left behind
+    for name in list(io.client.inner.list()):
+        if name != "HEAD.json":
+            io.client.inner.delete(name)
+    fresh = CondPutManifestIO(io.root, client=_CountingPutClient(io.dir))
+    assert not fresh.exists()
+    with pytest.raises(FileNotFoundError):
+        fresh.read_versioned()
+    # and a hint that is merely stale-behind (within the gc window)
+    # still answers True off one GET of m{hint}
+    io2, c2 = _io(tmp_path, "s2")
+    io2.write({"v": 1}, base_seq=0)
+    io2.write({"v": 2}, base_seq=1)
+    io2.client.inner.put("HEAD.json", json.dumps({"seq": 1}))
+    fresh2 = CondPutManifestIO(io2.root,
+                               client=_CountingPutClient(io2.dir))
+    assert fresh2.exists()
+    assert fresh2.client.ops["list"] == 0     # hint verified by GET
+
+
 def test_reads_linearize_under_hint_vandalism(tmp_path):
     """Property: random interleavings of commits, reads from
     arbitrarily stale instances, and HEAD.json vandalism (garbage,
