@@ -1101,25 +1101,64 @@ def set_ops_over_aggregates(spark, sf_dir):
     return both.unionByName(hi_only)
 
 
-@query("decimal_avg_sum", """
-SELECT l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty_dec,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-         / COUNT(l_quantity) AS avg_qty,
-       COUNT(*) AS n
-FROM lineitem GROUP BY l_linestatus
+@query("delta_stream_combine", f"""
+SELECT (user_id % 10) % 2 AS parity, COUNT(*) AS cnt,
+       {sql_dsum('value')} AS sv,
+       ROUND({sql_dsum('value')} / COUNT(*), 6) AS av,
+       MIN(value) AS mn, MAX(value) AS mx
+FROM events GROUP BY 1
 """)
-def decimal_avg_sum(spark, sf_dir):
-    """numeric/decimal aggregation path (reference sum/avg numeric
-    variants pipelinedb--1.0.0.sql:142-265).  The decimal sum is
-    rendered as its fixed-scale string so duckdb's DECIMAL128 and
-    Spark's Decimal(38,6) hash identically in the driver."""
-    li = t(spark, sf_dir, "lineitem")
-    sdec = F.sum(F.col("l_quantity").cast(T.DecimalType(38, 6)))
-    return li.groupBy("l_linestatus").agg(
-        sdec.cast(T.DecimalType(38, 6)).cast("string").alias("sum_qty_dec"),
-        (sdec.cast("double") / F.count("l_quantity")).alias("avg_qty"),
-        F.count("*").alias("n"))
+def delta_stream_combine(spark, sf_dir):
+    """DELTA-STREAM DOWNSTREAM COMBINE vs the independent oracle
+    (reference delta_streams.sql delta1-delta7; the delta tuple is
+    the batch's PARTIAL STATE, written during combine alongside
+    old/new, src/combiner.c:1578-1601) — rotated into the bank per
+    the r14 verdict task 3: `combine((delta).col)` in a CV over
+    `output_of('cv')` was the last headline streaming feature with
+    pytest-only coverage (test_streaming_semantics.py::
+    test_delta_stream_combine_states keeps the full delta1-7 mirror).
+
+    An upstream CV aggregates events by a 10-way key (user_id % 10);
+    a downstream CV groups the upstream's output stream by parity of
+    the group key and re-merges the per-batch delta STATES: count +
+    decimal-sum limb merges, weighted avg (avg-of-avgs would be
+    wrong; state merge carries (sum, count)), and order-insensitive
+    min/max.  Three explicit micro-batches (event_id % 3) make every
+    downstream row the merge of ~15 delta states.  duckdb replays the
+    whole cascade relationally: combine over all deltas of a group ==
+    the flat aggregate over all its raw rows, exactly — so any
+    dropped/duplicated delta row, unweighted avg merge, or decimal
+    limb error breaks the hash."""
+    ctx = _engine_ctx(spark, "dsc", track=True)
+    try:
+        ctx.create_stream("ev_d",
+                          "event_id long, ub long, value double")
+        ctx.create_view(
+            "dl_up",
+            "SELECT ub, count(*) AS cnt, "
+            "sum(CAST(value AS DECIMAL(38,6))) AS sv_dec, "
+            "avg(value) AS av, min(value) AS mn, max(value) AS mx "
+            "FROM ev_d GROUP BY ub")
+        ctx.create_view(
+            "dl_down",
+            "SELECT (new).ub % 2 AS parity, "
+            "combine((delta).cnt) AS cnt, "
+            "combine((delta).sv_dec) AS sv_dec, "
+            "combine((delta).av) AS av, "
+            "combine((delta).mn) AS mn, combine((delta).mx) AS mx "
+            "FROM output_of('dl_up') GROUP BY parity")
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", (F.col("user_id") % 10).alias("ub"), "value")
+        for i in range(3):
+            ctx.insert("ev_d", ev.filter(
+                F.pmod(F.col("event_id"), F.lit(3)) == i))
+        return ctx.read_view("dl_down").select(
+            "parity", "cnt",
+            F.col("sv_dec").cast("double").alias("sv"),
+            F.round("av", 6).alias("av"),
+            "mn", "mx").localCheckpoint(eager=True)
+    finally:
+        ctx.close()
 
 
 @query("combine_rerollup", f"""

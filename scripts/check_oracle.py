@@ -37,15 +37,49 @@ RATIO_BAR = 3.0
 ABS_FLOOR_SEC = 2.0
 EXPLAINED_REGRESSIONS: dict[str, str] = {}
 
+# r14 verdict task 1: the ~15 most scale-sensitive bank queries, run
+# at sf1 (~6M lineitem rows via scripts/gen_scale.py) to face the
+# failure classes sf0.1 can't see — broadcast-threshold flips, AQE
+# plan changes, memory pressure in element-list agg states.  The
+# quadratic-BY-DESIGN opt-in oracles (ngram_jaccard_neardup,
+# embedding_neardup_pairs' exact all-pairs check, ivfpq's exhaustive
+# recall oracle) are deliberately excluded: their cost is the
+# oracle's, not the production path's, and at 100× it would measure
+# nothing but the oracle.
+SCALE_SENSITIVE_SUBSET = [
+    "q1_pricing_summary",          # full-fact-table agg
+    "q3_top_revenue_orders",       # 3-way join: broadcast vs shuffle
+    "text_profile",                # single-scan text analysis
+    "script_lang_id_mixed",        # regexp-count fold over documents
+    "doc_fingerprints",            # rolling-hash + exact dedup
+    "minhash_lsh_candidates",      # signature pass + banded self-join
+    "dedup_cluster_assignment",    # iterative connected components
+    "gopher_quality_flags",        # gram arrays (array_sort hot path)
+    "url_normalize_dedup",         # regexp/array-HOF canonicalization
+    "span_duplicated_spans",       # span index build + probe
+    "sessionization",              # event-time windows, 1M-row result
+    "combine_rerollup",            # engine ingest + element-list states
+    "ttl_reaper_retention",        # engine ingest + bucket drop
+    "bm25_append_scores",          # incremental postings + rebuild oracle
+    "chunk_documents_reconstruct", # chunking + exact reassembly
+    "decontamination_overlap",     # n-gram overlap join
+    "ann_cosine_topk",             # brute-force cosine (O(N) per query)
+]
 
-def _latest_prev_artifact(repo_root: str,
-                          exclude: str | None) -> str | None:
-    """Newest CORRECTNESS_SF01_r*.json by round number — the previous
+
+def _latest_prev_artifact(repo_root: str, exclude: str | None,
+                          sf_dir: str | None = None) -> str | None:
+    """Newest CORRECTNESS_SF*_r*.json by round number — the previous
     sweep's per-query times are the tripwire baseline.  The artifact
     being WRITTEN is excluded so a re-run keeps comparing against the
-    prior round, not against itself."""
+    prior round, not against itself.  With ``sf_dir`` given, only
+    artifacts recorded at the SAME scale factor are candidates (the
+    r15 sf1 sweep coexists with the sf0.1 sweep; picking the newest
+    by round alone could select the other sf's artifact and silently
+    disable the tripwire via the same-sf guard)."""
     best, best_r = None, -1
-    for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_SF01_r*.json")):
+    want_sf = os.path.basename(sf_dir.rstrip("/")) if sf_dir else None
+    for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_SF*_r*.json")):
         # exclude by abspath AND basename: a re-run from another CWD
         # passes a relative --json whose abspath differs from the
         # repo-root copy of the same artifact, and comparing an
@@ -55,8 +89,18 @@ def _latest_prev_artifact(repo_root: str,
                         == os.path.basename(exclude)):
             continue
         m = re.search(r"_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_r:
-            best, best_r = p, int(m.group(1))
+        if not m or int(m.group(1)) <= best_r:
+            continue
+        if want_sf is not None:
+            try:
+                import json
+                with open(p) as f:
+                    art_sf = json.load(f).get("sf_dir", "")
+                if os.path.basename(str(art_sf).rstrip("/")) != want_sf:
+                    continue
+            except (OSError, ValueError):
+                continue
+        best, best_r = p, int(m.group(1))
     return best
 
 
@@ -100,7 +144,8 @@ def apply_time_tripwire(records: dict, sf_dir: str,
     unexplained >RATIO_BAR jumps above the absolute floor.  Returns
     (baseline_path, [flagged query names])."""
     import json
-    prev_path = _latest_prev_artifact(repo_root, exclude=json_out)
+    prev_path = _latest_prev_artifact(repo_root, exclude=json_out,
+                                      sf_dir=sf_dir)
     regressions: list[str] = []
     if not prev_path:
         return None, regressions
@@ -143,11 +188,18 @@ def main():
         i = argv.index("--json")
         if i + 1 >= len(argv):
             sys.exit("usage: check_oracle.py [--json OUT] "
-                     "[sf_dir] [query ...]")
+                     "[--subset scale] [sf_dir] [query ...]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    subset: list[str] = []
+    if "--subset" in argv:
+        i = argv.index("--subset")
+        if i + 1 >= len(argv) or argv[i + 1] != "scale":
+            sys.exit("--subset takes exactly one value: scale")
+        subset = SCALE_SENSITIVE_SUBSET
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    only = set(argv[1:]) | set(subset)
     records: dict[str, dict] = {}
 
     import duckdb

@@ -86,17 +86,59 @@ def test_tripwire_baseline_excludes_artifact_being_written(tmp_path):
     assert records["qa"]["prev_spark_sec"] == 2.0 and regs == []
 
 
+def test_tripwire_baseline_filters_by_scale_factor(tmp_path):
+    """r15: sf0.1 and sf1 sweep artifacts coexist; the baseline finder
+    must pick the newest artifact AT THE REQUESTED SF, not the newest
+    by round number alone (which would hit the same-sf guard and
+    silently disable the tripwire)."""
+    _prev(tmp_path, {"qa": {"spark_sec": 2.0}}, rnd=9, sf="sf0.1")
+    p = tmp_path / "CORRECTNESS_SF1_r10.json"
+    p.write_text(json.dumps({"sf_dir": "/tmp/sfgen/sf1",
+                             "queries": {"qa": {"spark_sec": 40.0}}}))
+    records = {"qa": {"spark_sec": 6.5}}
+    base, regs = check_oracle.apply_time_tripwire(
+        records, "/root/testdata/sf0.1", None, str(tmp_path))
+    assert base.endswith("_SF01_r9.json")       # not the newer sf1 one
+    assert regs == ["qa"]                       # 6.5/2.0 > 3x, flagged
+    # and an sf1 run compares against the sf1 artifact
+    records2 = {"qa": {"spark_sec": 42.0}}
+    base2, regs2 = check_oracle.apply_time_tripwire(
+        records2, "/anywhere/sf1", None, str(tmp_path))
+    assert base2.endswith("_SF1_r10.json") and regs2 == []
+
+
+def test_scale_subset_names_are_bank_queries():
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    missing = [q for q in check_oracle.SCALE_SENSITIVE_SUBSET
+               if q not in qs]
+    assert not missing, f"subset names not in the bank: {missing}"
+
+
 def test_latest_sweep_artifact_has_no_unexplained_regressions():
     """The enforcement seat: a committed sweep artifact carrying an
-    unexplained >3x per-query jump fails the suite."""
-    latest = check_oracle._latest_prev_artifact(REPO, exclude=None)
-    if latest is None:
-        pytest.skip("no sf0.1 sweep artifact present")
-    with open(latest) as f:
-        art = json.load(f)
-    if "unexplained_time_regressions" not in art:
-        pytest.skip("pre-r14 artifact without tripwire fields")
-    assert art["unexplained_time_regressions"] == [], (
-        f"{latest} flags {art['unexplained_time_regressions']} — "
-        "fix the plan or waive it in check_oracle.EXPLAINED_"
-        "REGRESSIONS with a reason")
+    unexplained >3x per-query jump fails the suite — checked for the
+    latest artifact of EVERY scale factor present (sf0.1 and, from
+    r15, sf1)."""
+    import glob as _glob
+    latest_by_sf = {}
+    for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_SF*_r*.json")):
+        m = __import__("re").search(r"(CORRECTNESS_SF[^_]+)_r(\d+)\.json$",
+                                    os.path.basename(p))
+        if not m:
+            continue
+        key, rnd = m.group(1), int(m.group(2))
+        if key not in latest_by_sf or rnd > latest_by_sf[key][0]:
+            latest_by_sf[key] = (rnd, p)
+    if not latest_by_sf:
+        pytest.skip("no sweep artifact present")
+    for key, (_, latest) in sorted(latest_by_sf.items()):
+        with open(latest) as f:
+            art = json.load(f)
+        if "unexplained_time_regressions" not in art:
+            continue  # pre-r14 artifact without tripwire fields
+        assert art["unexplained_time_regressions"] == [], (
+            f"{latest} flags {art['unexplained_time_regressions']} — "
+            "fix the plan or waive it in check_oracle.EXPLAINED_"
+            "REGRESSIONS with a reason")
+        assert art["failures"] == [], f"{latest} carries failures"
