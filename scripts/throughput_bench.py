@@ -5,7 +5,7 @@ The bench bank measures the read/batch path; the reference's core
 loop is insert -> worker partial-agg -> combiner merge (worker.c:
 339-467, combiner.c:1323-1633), and until r15 the repo's rows/s
 numbers lived only in soak notes.  This script runs a FIXED workload —
-N micro-batches through four representative continuous views attached
+micro-batches through four representative continuous views attached
 to one stream:
 
   plain_agg          count/sum/avg/min/max GROUP BY k
@@ -14,22 +14,30 @@ to one stream:
   sketch_ndv         count(DISTINCT uid) -> HLL rewrite (sketch limb)
   stream_table_join  stream JOIN dim ON uid, GROUP BY tier
 
-— and records rows/s plus the full per-batch commit-latency series
-into THROUGHPUT_r{N}.json.  A regression tripwire compares against
-the newest prior THROUGHPUT_r*.json: a run whose CAL-NORMALIZED
-throughput falls below ``REGRESSION_BAR`` (0.7x) of the prior round
-is flagged in the artifact, and tests/test_throughput_tripwire.py
-fails the suite on a flagged artifact.  Normalization uses the same
-frozen bench_cal workload the headline bench uses (host noise on a
-shared box reaches 2x; r14's sweep ran on a host measured 37.7%
-degraded mid-run — a raw-only bar would false-flag every such round,
-while a cal-normalized bar keeps the detector honest).
+— in TWO legs, each with a fresh context:
 
-The batch size is the reference's operating envelope (10k rows —
-PipelineDB batch_size default, src/config.c:365-371).
+  ref_10k    20 x 10,000-row batches — the reference's operating
+             envelope (PipelineDB batch_size default, src/config.c:
+             365-371).  Dominated by per-commit scheduling floor;
+             tracks commit-latency regressions.
+  bulk_100k  5 x 100,000-row batches — amortizes the scheduling
+             floor so the worker/combiner DATA path dominates; a 2x
+             merge-path slowdown that moves ref_10k only ~15% moves
+             this leg nearly 2x.
+
+Each leg records rows/s plus its full per-batch commit-latency series
+into THROUGHPUT_r{N}.json.  A regression tripwire compares per-leg
+against the newest prior THROUGHPUT_r*.json: a leg whose
+CAL-NORMALIZED throughput falls below ``REGRESSION_BAR`` (0.7x) of
+the prior round is flagged in the artifact, and
+tests/test_throughput_tripwire.py fails the suite on a flagged
+artifact.  Normalization uses the same frozen bench_cal workload the
+headline bench uses (host noise on a shared box reaches 2x; r14's
+sweep ran on a host measured 37.7% degraded mid-run — a raw-only bar
+would false-flag every such round).
 
 Usage: python scripts/throughput_bench.py --json THROUGHPUT_r15.json
-           [--batches 20] [--batch-rows 10000] [--cal-sf SF_DIR]
+           [--cal-sf SF_DIR]
 """
 
 from __future__ import annotations
@@ -46,10 +54,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+WORKLOAD_VERSION = "4cv_ingest_v2"   # bump on ANY workload change —
+# cross-round ratios are only meaningful at the same version
 REGRESSION_BAR = 0.7
-# waive an intentional throughput change here, with the reason
+# waive an intentional throughput change here: {"leg_name": "reason"}
 EXPLAINED: dict[str, str] = {}
 
+LEGS = [("ref_10k", 20, 10_000), ("bulk_100k", 5, 100_000)]
 N_KEYS = 1000        # group cardinality of the ingest stream
 N_UIDS = 1000        # dim-join key cardinality (100% hit rate on dim)
 
@@ -65,7 +76,7 @@ def _latest_prev(exclude: str | None) -> str | None:
     return best
 
 
-def build_workload(spark, n_batches: int, batch_rows: int):
+def build_workload(spark, tag: str, n_batches: int, batch_rows: int):
     """The fixed 4-CV workload plus pre-materialized input batches
     (generation excluded from timing)."""
     from pipelinedb_spark import PipelineContext
@@ -109,8 +120,8 @@ def build_workload(spark, n_batches: int, batch_rows: int):
 
 def sanity_check(ctx, total_rows: int) -> bool:
     """A throughput number for a broken commit path is worthless:
-    verify the plain-agg CV saw every row and the join CV saw every
-    row (dim hit rate is 100% by construction)."""
+    verify every CV saw every row (dim hit rate is 100% by
+    construction; every row is in-window right after ingest)."""
     import pyspark.sql.functions as F
     n_plain = (ctx.read_view("tp_plain_agg")
                .agg(F.sum("n")).collect()[0][0])
@@ -121,11 +132,73 @@ def sanity_check(ctx, total_rows: int) -> bool:
             and n_sw == total_rows)
 
 
+def run_leg(spark, name: str, n_batches: int, batch_rows: int) -> dict:
+    ctx, batches = build_workload(spark, name, n_batches, batch_rows)
+    per_batch: list[float] = []
+    t0 = time.perf_counter()
+    for df in batches:
+        tb = time.perf_counter()
+        ctx.insert("tp", df)
+        per_batch.append(time.perf_counter() - tb)
+    elapsed = time.perf_counter() - t0
+    total_rows = n_batches * batch_rows
+    ok = sanity_check(ctx, total_rows)
+    ctx.close()
+    srt = sorted(per_batch)
+    return {
+        "batches": n_batches,
+        "batch_rows": batch_rows,
+        "total_rows": total_rows,
+        "elapsed_sec": round(elapsed, 3),
+        "rows_per_sec": round(total_rows / elapsed, 1),
+        "per_batch_sec": {
+            "mean": round(statistics.mean(per_batch), 4),
+            "p50": round(srt[len(srt) // 2], 4),
+            "max": round(max(per_batch), 4),
+            "series": [round(x, 4) for x in per_batch],
+        },
+        "sanity_rows_exact": ok,
+    }
+
+
+def apply_tripwire(art: dict, prev_path: str | None) -> None:
+    """Stamp per-leg prev/raw_ratio/cal_normalized_ratio and collect
+    unexplained sub-bar legs into art['regression_flagged']."""
+    art["prev_artifact"] = prev_path
+    art["regression_bar"] = REGRESSION_BAR
+    art["regression_flagged"] = []
+    if not prev_path:
+        return
+    with open(prev_path) as f:
+        prev = json.load(f)
+    if prev.get("workload") != art["workload"]:
+        return  # workload version changed: ratios meaningless
+    prev_cal = (prev.get("cal") or {}).get("before_sec")
+    cur_cal = (art.get("cal") or {}).get("before_sec")
+    # host-speed correction: this box vs the prior round's box,
+    # measured by the frozen cal workload.  cal slower now -> scale
+    # the achieved throughput up before judging.
+    cal_adj = (cur_cal / prev_cal) if prev_cal and cur_cal else None
+    art["cal_host_ratio"] = round(cal_adj, 3) if cal_adj else None
+    for name, leg in art["legs"].items():
+        prev_leg = (prev.get("legs") or {}).get(name)
+        if not prev_leg or not prev_leg.get("rows_per_sec"):
+            continue
+        raw_ratio = leg["rows_per_sec"] / prev_leg["rows_per_sec"]
+        leg["prev_rows_per_sec"] = prev_leg["rows_per_sec"]
+        leg["raw_ratio"] = round(raw_ratio, 3)
+        norm = raw_ratio * (cal_adj or 1.0)
+        leg["cal_normalized_ratio"] = round(norm, 3)
+        if norm < REGRESSION_BAR:
+            if name in EXPLAINED:
+                leg["regression_waived"] = EXPLAINED[name]
+            else:
+                art["regression_flagged"].append(name)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", required=True)
-    ap.add_argument("--batches", type=int, default=20)
-    ap.add_argument("--batch-rows", type=int, default=10_000)
     ap.add_argument("--cal-sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -137,93 +210,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cal_before = bench_cal.cal_best(spark, args.cal_sf, reps=3)
-    ctx, batches = build_workload(spark, args.batches, args.batch_rows)
-
-    per_batch: list[float] = []
-    t0 = time.perf_counter()
-    for df in batches:
-        tb = time.perf_counter()
-        ctx.insert("tp", df)
-        per_batch.append(time.perf_counter() - tb)
-    elapsed = time.perf_counter() - t0
-    total_rows = args.batches * args.batch_rows
-    rows_per_sec = total_rows / elapsed
-
-    ok = sanity_check(ctx, total_rows)
+    legs = {}
+    for name, n_batches, batch_rows in LEGS:
+        legs[name] = run_leg(spark, name, n_batches, batch_rows)
     cal_after = bench_cal.cal_best(spark, args.cal_sf, reps=3)
-    ctx.close()
 
-    srt = sorted(per_batch)
     art = {
-        "workload": "4cv_ingest_v1",   # bump on ANY workload change —
-        # cross-round ratios are only meaningful at the same version
-        "batches": args.batches,
-        "batch_rows": args.batch_rows,
-        "total_rows": total_rows,
+        "workload": WORKLOAD_VERSION,
         "cvs": ["plain_agg", "sw_step", "sketch_ndv",
                 "stream_table_join"],
-        "elapsed_sec": round(elapsed, 3),
-        "rows_per_sec": round(rows_per_sec, 1),
-        "per_batch_sec": {
-            "mean": round(statistics.mean(per_batch), 4),
-            "p50": round(srt[len(srt) // 2], 4),
-            "max": round(max(per_batch), 4),
-            "series": [round(x, 4) for x in per_batch],
-        },
-        "sanity_rows_exact": ok,
+        "legs": legs,
         "cal": {"workload": "bench_cal.cal_best r13-frozen",
                 "sf_dir": args.cal_sf,
                 "before_sec": round(cal_before, 3),
                 "after_sec": round(cal_after, 3)},
     }
-
-    prev_path = _latest_prev(exclude=args.json)
-    art["prev_artifact"] = prev_path
-    art["regression_bar"] = REGRESSION_BAR
-    art["regression_flagged"] = []
-    if prev_path:
-        with open(prev_path) as f:
-            prev = json.load(f)
-        if prev.get("workload") == art["workload"] and \
-                prev.get("rows_per_sec"):
-            raw_ratio = rows_per_sec / prev["rows_per_sec"]
-            art["prev_rows_per_sec"] = prev["rows_per_sec"]
-            art["raw_ratio"] = round(raw_ratio, 3)
-            # host-speed correction: this box vs the prior round's
-            # box, measured by the frozen cal workload in the same
-            # session minutes apart.  cal slower now -> scale the
-            # achieved throughput up before judging.
-            prev_cal = (prev.get("cal") or {}).get("before_sec")
-            cal_adj = None
-            if prev_cal and cal_before:
-                cal_adj = cal_before / prev_cal
-            art["cal_host_ratio"] = (round(cal_adj, 3)
-                                     if cal_adj else None)
-            norm_ratio = raw_ratio * (cal_adj or 1.0)
-            art["cal_normalized_ratio"] = round(norm_ratio, 3)
-            if norm_ratio < REGRESSION_BAR:
-                why = EXPLAINED.get("rows_per_sec")
-                if why:
-                    art["regression_waived"] = why
-                else:
-                    art["regression_flagged"] = ["rows_per_sec"]
-        else:
-            art["prev_rows_per_sec"] = None  # workload version changed
+    apply_tripwire(art, _latest_prev(exclude=args.json))
 
     with open(args.json, "w") as f:
         json.dump(art, f, indent=1)
-    print(json.dumps({k: art[k] for k in
-                      ("rows_per_sec", "elapsed_sec",
-                       "sanity_rows_exact", "raw_ratio",
-                       "cal_normalized_ratio", "regression_flagged")
-                      if k in art}))
-    if not ok:
+    print(json.dumps({
+        "legs": {n: {k: leg[k] for k in
+                     ("rows_per_sec", "sanity_rows_exact",
+                      "raw_ratio", "cal_normalized_ratio")
+                     if k in leg}
+                 for n, leg in legs.items()},
+        "regression_flagged": art["regression_flagged"]}))
+    if not all(leg["sanity_rows_exact"] for leg in legs.values()):
         sys.exit(1)
     if art["regression_flagged"]:
-        print(f"THROUGHPUT REGRESSION: cal-normalized ratio "
-              f"{art['cal_normalized_ratio']} < {REGRESSION_BAR} vs "
-              f"{prev_path} — fix it or waive in EXPLAINED with a "
-              "reason")
+        print(f"THROUGHPUT REGRESSION: {art['regression_flagged']} "
+              f"below {REGRESSION_BAR}x cal-normalized vs "
+              f"{art['prev_artifact']} — fix the ingest path or waive "
+              "in EXPLAINED with a reason")
         sys.exit(2)
 
 

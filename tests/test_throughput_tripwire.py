@@ -2,12 +2,15 @@
 verdict task 2).
 
 scripts/throughput_bench.py runs a fixed 4-CV ingest workload (plain
-agg, SW-stepped, sketch NDV, stream-table join) and records rows/s +
-the per-batch commit-latency series into THROUGHPUT_r{N}.json, with a
-cal-normalized 0.7x regression bar against the prior round's
-artifact.  These tests pin the tripwire arithmetic on synthetic
-artifacts and make the suite itself fail on a committed artifact that
-carries an unexplained flag or a failed row-accounting sanity check.
+agg, SW-stepped, sketch NDV, stream-table join) in two legs — the
+reference's 10k-row batch envelope and a 100k-row bulk leg that
+amortizes the per-commit scheduling floor so the worker/combiner data
+path dominates — and records per-leg rows/s + the per-batch commit-
+latency series into THROUGHPUT_r{N}.json, with a cal-normalized 0.7x
+regression bar per leg against the prior round's artifact.  These
+tests pin the tripwire arithmetic on synthetic artifacts and make the
+suite itself fail on a committed artifact that carries an unexplained
+flag or a failed row-accounting sanity check.
 """
 from __future__ import annotations
 
@@ -41,52 +44,87 @@ def test_latest_throughput_artifact_green():
         pytest.skip("no throughput artifact present")
     with open(latest) as f:
         art = json.load(f)
-    assert art.get("sanity_rows_exact") is True, (
-        f"{latest}: ingest row accounting was not exact — the "
-        "throughput number measures a broken commit path")
     assert art.get("regression_flagged") == [], (
-        f"{latest} flags {art.get('regression_flagged')} "
-        f"(cal-normalized ratio {art.get('cal_normalized_ratio')}, "
-        f"bar {art.get('regression_bar')}) — fix the ingest path or "
-        "waive in throughput_bench.EXPLAINED with a reason")
-    # the artifact must carry the latency series the next round's
-    # reader compares against
-    pb = art.get("per_batch_sec", {})
-    assert len(pb.get("series", [])) == art["batches"]
+        f"{latest} flags {art.get('regression_flagged')} — fix the "
+        "ingest path or waive in throughput_bench.EXPLAINED with a "
+        "reason")
+    assert set(art["legs"]) == {n for n, _, _ in throughput_bench.LEGS}
+    for name, leg in art["legs"].items():
+        assert leg.get("sanity_rows_exact") is True, (
+            f"{latest} leg {name}: ingest row accounting was not "
+            "exact — the throughput number measures a broken commit "
+            "path")
+        # the artifact must carry the latency series the next
+        # round's reader compares against
+        assert len(leg["per_batch_sec"]["series"]) == leg["batches"]
 
 
 def test_prev_artifact_finder_excludes_self(tmp_path, monkeypatch):
     monkeypatch.setattr(throughput_bench, "REPO", str(tmp_path))
-    for rnd, rps in [(9, 50_000.0), (10, 60_000.0)]:
+    for rnd in (9, 10):
         (tmp_path / f"THROUGHPUT_r{rnd}.json").write_text(
-            json.dumps({"workload": "4cv_ingest_v1",
-                        "rows_per_sec": rps}))
+            json.dumps({"workload": throughput_bench.WORKLOAD_VERSION}))
     assert throughput_bench._latest_prev(
         exclude="THROUGHPUT_r10.json").endswith("_r9.json")
     assert throughput_bench._latest_prev(
         exclude=None).endswith("_r10.json")
 
 
-def test_workload_version_change_disables_comparison(tmp_path):
-    """A prior artifact from a DIFFERENT workload version must not be
-    used as a ratio baseline (its rows/s measures different work)."""
-    prev = {"workload": "4cv_ingest_v0", "rows_per_sec": 1e9,
-            "cal": {"before_sec": 1.0}}
+def _art(legs, cal_before=1.0):
+    return {"workload": throughput_bench.WORKLOAD_VERSION,
+            "legs": legs, "cal": {"before_sec": cal_before}}
+
+
+def test_tripwire_flags_unexplained_drop(tmp_path):
+    prev = _art({"ref_10k": {"rows_per_sec": 10_000.0},
+                 "bulk_100k": {"rows_per_sec": 60_000.0}})
     p = tmp_path / "THROUGHPUT_r9.json"
     p.write_text(json.dumps(prev))
-    # replicate the guard inline: the script only computes ratios when
-    # workload versions match
-    with open(p) as f:
-        loaded = json.load(f)
-    assert loaded["workload"] != "4cv_ingest_v1"
+    art = _art({"ref_10k": {"rows_per_sec": 9_500.0},
+                "bulk_100k": {"rows_per_sec": 20_000.0}})
+    throughput_bench.apply_tripwire(art, str(p))
+    assert art["regression_flagged"] == ["bulk_100k"]
+    assert art["legs"]["bulk_100k"]["cal_normalized_ratio"] == 0.333
+    assert art["legs"]["ref_10k"]["raw_ratio"] == 0.95
 
 
-def test_cal_normalization_arithmetic():
+def test_tripwire_cal_normalizes_slow_host(tmp_path):
     """A 2x-slower host (cal 2x prior) halving raw throughput is NOT a
     regression after normalization; the same raw drop on an equal-
-    speed host IS."""
-    raw_ratio = 0.5
-    same_host = raw_ratio * (1.0 / 1.0)
-    slow_host = raw_ratio * (2.0 / 1.0)
-    assert same_host < throughput_bench.REGRESSION_BAR
-    assert slow_host >= throughput_bench.REGRESSION_BAR
+    speed host IS (covered above)."""
+    prev = _art({"ref_10k": {"rows_per_sec": 10_000.0},
+                 "bulk_100k": {"rows_per_sec": 60_000.0}},
+                cal_before=1.0)
+    p = tmp_path / "THROUGHPUT_r9.json"
+    p.write_text(json.dumps(prev))
+    art = _art({"ref_10k": {"rows_per_sec": 5_000.0},
+                "bulk_100k": {"rows_per_sec": 30_000.0}},
+                cal_before=2.0)
+    throughput_bench.apply_tripwire(art, str(p))
+    assert art["regression_flagged"] == []
+    assert art["cal_host_ratio"] == 2.0
+    assert art["legs"]["ref_10k"]["cal_normalized_ratio"] == 1.0
+
+
+def test_tripwire_waiver_and_version_change(tmp_path):
+    prev = _art({"ref_10k": {"rows_per_sec": 10_000.0}})
+    p = tmp_path / "THROUGHPUT_r9.json"
+    p.write_text(json.dumps(prev))
+    art = _art({"ref_10k": {"rows_per_sec": 1_000.0}})
+    try:
+        throughput_bench.EXPLAINED["ref_10k"] = "intentional: x"
+        throughput_bench.apply_tripwire(art, str(p))
+    finally:
+        throughput_bench.EXPLAINED.pop("ref_10k", None)
+    assert art["regression_flagged"] == []
+    assert art["legs"]["ref_10k"]["regression_waived"].startswith(
+        "intentional")
+    # a prior artifact from a DIFFERENT workload version must not be
+    # used as a ratio baseline (its rows/s measures different work)
+    prev2 = dict(prev, workload="4cv_ingest_v0")
+    p2 = tmp_path / "THROUGHPUT_r10.json"
+    p2.write_text(json.dumps(prev2))
+    art2 = _art({"ref_10k": {"rows_per_sec": 1_000.0}})
+    throughput_bench.apply_tripwire(art2, str(p2))
+    assert art2["regression_flagged"] == []
+    assert "raw_ratio" not in art2["legs"]["ref_10k"]
