@@ -304,54 +304,85 @@ def _gated_sentinel() -> dict:
                 and band("spin_ratio") <= 0.05
                 and band("bw_ratio") <= 0.05)
 
-    history = [_contention_sentinel()]
-    while (not quiet(history[-1]) and not steady(history)
-           and len(history) < attempts):
-        s = history[-1]
-        print(f"bench gate: box busy (spin {s['spin_ratio']}, "
-              f"bw {s['bw_ratio']}, load "
-              f"{s['loadavg_1m']} > cap {load_cap:.1f}?) — "
-              f"sleeping {sleep_s:.0f}s "
-              f"(attempt {len(history)}/{attempts})",
+    def one_pass() -> dict:
+        history = [_contention_sentinel()]
+        while (not quiet(history[-1]) and not steady(history)
+               and len(history) < attempts):
+            s = history[-1]
+            print(f"bench gate: box busy (spin {s['spin_ratio']}, "
+                  f"bw {s['bw_ratio']}, load "
+                  f"{s['loadavg_1m']} > cap {load_cap:.1f}?) — "
+                  f"sleeping {sleep_s:.0f}s "
+                  f"(attempt {len(history)}/{attempts})",
+                  file=sys.stderr)
+            time.sleep(sleep_s)
+            history.append(_contention_sentinel())
+        sentinel = history[-1]
+        sentinel["gate_attempts"] = len(history)
+        return _stamp(sentinel, history)
+
+    def _stamp(sentinel: dict, history: list[dict]) -> dict:
+        sentinel["load_cap"] = round(load_cap, 1)
+        if not quiet(sentinel) and steady(history):
+            sentinel["steady_slow_host"] = True
+            sentinel["host_ratio"] = round(sum(
+                s["spin_ratio"] for s in history[-3:]) / 3, 3)
+            # both dimensions: bandwidth-bound queries scale with bw,
+            # compute-bound with spin — a reader normalizing absolute
+            # numbers across host generations needs both
+            sentinel["host_bw_ratio"] = round(sum(
+                s["bw_ratio"] for s in history[-3:]) / 3, 3)
+        sentinel["degraded"] = not quiet(sentinel) \
+            and not sentinel.get("steady_slow_host", False)
+        # Host-normalization factor (round-11 verdict task 1): two
+        # consecutive degraded-box rounds made cross-round absolute
+        # reads blind, so the artifact carries a normalized series
+        # alongside the raw one: normalized = raw × host_factor, where
+        # host_factor is the CONSERVATIVE (larger, i.e. least-
+        # flattering) of the two calibration ratios — a slower box
+        # reads ratios < 1 and the max shrinks the times least; a
+        # faster box reads > 1 and the max inflates them most.
+        # Steady-slow hosts use the 3-probe averaged ratios the gate
+        # already certified; quiet boxes sit at ≈1.0 so the normalized
+        # series coincides with raw; degraded boxes get the final
+        # probe's ratios with a basis stamp saying the factor is an
+        # ambient estimate, not a certified host constant.
+        if sentinel.get("steady_slow_host"):
+            factor = max(sentinel["host_ratio"],
+                         sentinel["host_bw_ratio"])
+            basis = "steady_slow_host_3probe_avg"
+        else:
+            factor = max(sentinel["spin_ratio"], sentinel["bw_ratio"])
+            basis = ("quiet_final_probe" if quiet(sentinel)
+                     else "degraded_ambient_estimate")
+        sentinel["host_factor"] = round(factor, 3)
+        sentinel["host_factor_basis"] = basis
+        return sentinel
+
+    sentinel = one_pass()
+    # Deferred-retry window (r14 verdict task 6): r14's gate correctly
+    # detected a degraded host but proceeded after exhausting its ~2
+    # minutes of probes, costing the round a clean absolute read.
+    # Before ACCEPTING a degraded artifact, wait one longer window
+    # (default 5 min, $SPARK_GRAFT_BENCH_GATE_RETRY_SLEEP; 0 disables)
+    # and run the whole gate once more.  A retry that still reads
+    # degraded stamps `degraded_after_retry` — the honest stamp, with
+    # the first pass's readings preserved for the artifact reader.
+    retry_sleep = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_GATE_RETRY_SLEEP", "300"))
+    if sentinel["degraded"] and retry_sleep > 0:
+        print(f"bench gate: degraded after {sentinel['gate_attempts']} "
+              f"probes — one deferred retry in {retry_sleep:.0f}s",
               file=sys.stderr)
-        time.sleep(sleep_s)
-        history.append(_contention_sentinel())
-    sentinel = history[-1]
-    sentinel["gate_attempts"] = len(history)
-    sentinel["load_cap"] = round(load_cap, 1)
-    if not quiet(sentinel) and steady(history):
-        sentinel["steady_slow_host"] = True
-        sentinel["host_ratio"] = round(sum(
-            s["spin_ratio"] for s in history[-3:]) / 3, 3)
-        # both dimensions: bandwidth-bound queries scale with bw,
-        # compute-bound with spin — a reader normalizing absolute
-        # numbers across host generations needs both
-        sentinel["host_bw_ratio"] = round(sum(
-            s["bw_ratio"] for s in history[-3:]) / 3, 3)
-    sentinel["degraded"] = not quiet(sentinel) \
-        and not sentinel.get("steady_slow_host", False)
-    # Host-normalization factor (round-11 verdict task 1): two
-    # consecutive degraded-box rounds made cross-round absolute reads
-    # blind, so the artifact carries a normalized series alongside
-    # the raw one: normalized = raw × host_factor, where host_factor
-    # is the CONSERVATIVE (larger, i.e. least-flattering) of the two
-    # calibration ratios — a slower box reads ratios < 1 and the max
-    # shrinks the times least; a faster box reads > 1 and the max
-    # inflates them most.  Steady-slow hosts use the 3-probe averaged
-    # ratios the gate already certified; quiet boxes sit at ≈1.0 so
-    # the normalized series coincides with raw; degraded boxes get
-    # the final probe's ratios with a basis stamp saying the factor
-    # is an ambient estimate, not a certified host constant.
-    if sentinel.get("steady_slow_host"):
-        factor = max(sentinel["host_ratio"],
-                     sentinel["host_bw_ratio"])
-        basis = "steady_slow_host_3probe_avg"
-    else:
-        factor = max(sentinel["spin_ratio"], sentinel["bw_ratio"])
-        basis = ("quiet_final_probe" if quiet(sentinel)
-                 else "degraded_ambient_estimate")
-    sentinel["host_factor"] = round(factor, 3)
-    sentinel["host_factor_basis"] = basis
+        first = {k: sentinel.get(k) for k in
+                 ("spin_ratio", "bw_ratio", "loadavg_1m",
+                  "steal_pct", "gate_attempts", "host_factor")}
+        time.sleep(retry_sleep)
+        sentinel = one_pass()
+        sentinel["gate_retried"] = True
+        sentinel["first_gate"] = first
+        if sentinel["degraded"]:
+            sentinel["degraded_after_retry"] = True
     return sentinel
 
 

@@ -25,7 +25,12 @@ def bench(monkeypatch):
     return mod
 
 
-def _gate(bench, monkeypatch, seq):
+def _gate(bench, monkeypatch, seq, retry=False):
+    # classification tests exercise a SINGLE gate pass; the deferred
+    # retry window (r14 verdict task 6) is opted into by the two
+    # retry tests below
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_GATE_RETRY_SLEEP",
+                       "1" if retry else "0")
     it = iter(seq)
     monkeypatch.setattr(bench, "_contention_sentinel",
                         lambda: dict(next(it)))
@@ -202,3 +207,45 @@ def test_cal_block_failed_calibration(bench, tmp_path):
     cal = bench._cal_block(None, None, "0.1", {},
                            base_path=str(tmp_path / "s.json"))
     assert "error" in cal
+
+
+def test_degraded_gate_retries_and_heals(bench, monkeypatch):
+    """r14 verdict task 6: a gate pass that would stamp degraded gets
+    ONE deferred retry window; a box that quieted down in the window
+    produces a trusted artifact with the first pass's readings
+    preserved for the reader."""
+    noisy = dict(_SLOW, spin_ratio=0.5, loadavg_1m=7.0)
+    quiet = {"spin_ratio": 0.98, "bw_ratio": 0.96, "loadavg_1m": 0.3,
+             "steal_pct": 0.0, "contended": False}
+    drift = [dict(_SLOW, spin_ratio=r, loadavg_1m=7.0)
+             for r in (0.5, 0.9, 0.6, 0.8, 0.55, 0.7)]
+    out = _gate(bench, monkeypatch, drift + [quiet], retry=True)
+    assert out["gate_retried"] is True
+    assert not out["degraded"] and "degraded_after_retry" not in out
+    assert out["first_gate"]["spin_ratio"] == 0.7
+    assert out["first_gate"]["gate_attempts"] == 6
+    assert out["gate_attempts"] == 1   # retry pass passed first probe
+    _ = noisy
+
+
+def test_degraded_gate_retry_fails_stamps_honestly(bench, monkeypatch):
+    """A retry that still reads degraded keeps the honest stamp plus
+    the degraded_after_retry marker the r15 protocol requires."""
+    drift = [dict(_SLOW, spin_ratio=r, loadavg_1m=7.0)
+             for r in (0.5, 0.9, 0.6, 0.8, 0.55, 0.7)]
+    out = _gate(bench, monkeypatch, drift + drift, retry=True)
+    assert out["gate_retried"] is True
+    assert out["degraded"] and out["degraded_after_retry"] is True
+    assert out["gate_attempts"] == 6
+
+
+def test_quiet_gate_never_retries(bench, monkeypatch):
+    """The retry window only arms on a would-be-degraded stamp — a
+    quiet or steady-slow box must not pay the 5-minute wait."""
+    quiet = {"spin_ratio": 1.0, "bw_ratio": 1.0, "loadavg_1m": 0.2,
+             "steal_pct": 0.0, "contended": False}
+    out = _gate(bench, monkeypatch, [quiet], retry=True)
+    assert "gate_retried" not in out and not out["degraded"]
+    out2 = _gate(bench, monkeypatch,
+                 [dict(_SLOW) for _ in range(6)], retry=True)
+    assert "gate_retried" not in out2 and out2["steady_slow_host"]
