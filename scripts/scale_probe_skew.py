@@ -188,8 +188,8 @@ def main() -> None:
 
     if not args.dry_run:
         path = os.path.join(ROOT, "BENCH_SCALING.json")
-        with open(path) as f:
-            all_seats = json.load(f)
+        all_seats = (json.load(open(path))
+                     if os.path.exists(path) else {})
         all_seats[SEAT] = seat
         with open(path, "w") as f:
             json.dump(all_seats, f, indent=1)

@@ -173,13 +173,23 @@ def apply_tripwire(art: dict, prev_path: str | None) -> None:
         prev = json.load(f)
     if prev.get("workload") != art["workload"]:
         return  # workload version changed: ratios meaningless
-    prev_cal = (prev.get("cal") or {}).get("before_sec")
-    cur_cal = (art.get("cal") or {}).get("before_sec")
     # host-speed correction: this box vs the prior round's box,
     # measured by the frozen cal workload.  cal slower now -> scale
-    # the achieved throughput up before judging.
-    cal_adj = (cur_cal / prev_cal) if prev_cal and cur_cal else None
-    art["cal_host_ratio"] = round(cal_adj, 3) if cal_adj else None
+    # the achieved throughput up before judging.  BOTH brackets are
+    # used (review r15): the legs run BETWEEN the before/after cal
+    # passes, so degradation that begins after the before-pass — the
+    # exact r14 mid-run scenario — only shows in the after-pass.  A
+    # leg is flagged only when it stays below the bar under EITHER
+    # bracket's normalization (i.e. the most forgiving of the two
+    # still reads sub-bar); a drop explained by host noise visible in
+    # one bracket is not a regression.
+    adjs = []
+    for key in ("before_sec", "after_sec"):
+        p, c = (prev.get("cal") or {}).get(key), \
+               (art.get("cal") or {}).get(key)
+        if p and c:
+            adjs.append(c / p)
+    art["cal_host_ratio"] = ([round(a, 3) for a in adjs] or None)
     for name, leg in art["legs"].items():
         prev_leg = (prev.get("legs") or {}).get(name)
         if not prev_leg or not prev_leg.get("rows_per_sec"):
@@ -187,7 +197,8 @@ def apply_tripwire(art: dict, prev_path: str | None) -> None:
         raw_ratio = leg["rows_per_sec"] / prev_leg["rows_per_sec"]
         leg["prev_rows_per_sec"] = prev_leg["rows_per_sec"]
         leg["raw_ratio"] = round(raw_ratio, 3)
-        norm = raw_ratio * (cal_adj or 1.0)
+        norm = max((raw_ratio * a for a in adjs),
+                   default=raw_ratio)
         leg["cal_normalized_ratio"] = round(norm, 3)
         if norm < REGRESSION_BAR:
             if name in EXPLAINED:

@@ -29,10 +29,15 @@ def _seat():
     path = os.path.join(REPO, "BENCH_SCALING.json")
     with open(path) as f:
         seats = json.load(f)
-    for k in sorted(seats, reverse=True):
-        if k.startswith("skewed_key_merge"):
-            return seats[k]
-    return None
+    # newest by PARSED round number — a lexicographic sort would rank
+    # r99 above r100 and silently pin a stale seat forever
+    import re
+    best, best_r = None, -1
+    for k, v in seats.items():
+        m = re.match(r"skewed_key_merge_r(\d+)$", k)
+        if m and int(m.group(1)) > best_r:
+            best, best_r = v, int(m.group(1))
+    return best
 
 
 def test_skew_seat_bounds_pinned():

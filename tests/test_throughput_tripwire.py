@@ -70,9 +70,12 @@ def test_prev_artifact_finder_excludes_self(tmp_path, monkeypatch):
         exclude=None).endswith("_r10.json")
 
 
-def _art(legs, cal_before=1.0):
+def _art(legs, cal_before=1.0, cal_after=None):
+    cal = {"before_sec": cal_before}
+    if cal_after is not None:
+        cal["after_sec"] = cal_after
     return {"workload": throughput_bench.WORKLOAD_VERSION,
-            "legs": legs, "cal": {"before_sec": cal_before}}
+            "legs": legs, "cal": cal}
 
 
 def test_tripwire_flags_unexplained_drop(tmp_path):
@@ -102,8 +105,30 @@ def test_tripwire_cal_normalizes_slow_host(tmp_path):
                 cal_before=2.0)
     throughput_bench.apply_tripwire(art, str(p))
     assert art["regression_flagged"] == []
-    assert art["cal_host_ratio"] == 2.0
+    assert art["cal_host_ratio"] == [2.0]
     assert art["legs"]["ref_10k"]["cal_normalized_ratio"] == 1.0
+
+
+def test_tripwire_mid_run_degradation_uses_after_bracket(tmp_path):
+    """Degradation that begins AFTER the before-cal but during the
+    legs (the r14 mid-run scenario) shows only in the after-pass; the
+    tripwire must clear the drop under that bracket rather than
+    false-flag host noise — and still flag a drop that persists under
+    BOTH brackets."""
+    prev = _art({"ref_10k": {"rows_per_sec": 10_000.0}},
+                cal_before=1.0, cal_after=1.0)
+    p = tmp_path / "THROUGHPUT_r9.json"
+    p.write_text(json.dumps(prev))
+    art = _art({"ref_10k": {"rows_per_sec": 5_000.0}},
+               cal_before=1.0, cal_after=2.0)   # slowed mid-run
+    throughput_bench.apply_tripwire(art, str(p))
+    assert art["regression_flagged"] == []
+    assert art["legs"]["ref_10k"]["cal_normalized_ratio"] == 1.0
+    # quiet both brackets + the same raw drop = a real regression
+    art2 = _art({"ref_10k": {"rows_per_sec": 5_000.0}},
+                cal_before=1.0, cal_after=1.0)
+    throughput_bench.apply_tripwire(art2, str(p))
+    assert art2["regression_flagged"] == ["ref_10k"]
 
 
 def test_tripwire_waiver_and_version_change(tmp_path):
