@@ -64,6 +64,17 @@ SCALE_SENSITIVE_SUBSET = [
     "chunk_documents_reconstruct", # chunking + exact reassembly
     "decontamination_overlap",     # n-gram overlap join
     "ann_cosine_topk",             # brute-force cosine (O(N) per query)
+    # exact-deterministic relational/engine rows, cheap at sf1 —
+    # widened from the original 17 after each probed green at sf1
+    "grouping_sets_rollup",
+    "distinct_family",
+    "events_agg_families",
+    "stream_table_join_enrich",
+    "date_round_buckets",
+    "set_ops_over_aggregates",
+    "topk_per_group",
+    "json_object_sums",
+    "stats_moments",
 ]
 
 
