@@ -77,6 +77,31 @@ SCALE_SENSITIVE_SUBSET = [
     "stats_moments",
 ]
 
+# Third decade (sf10, ~60M lineitem / 10M events rows): the subset is
+# restricted to queries whose RESULT sets stay small (the gate
+# collects both sides into the driver for the hash compare — a
+# 10M-row result would measure the compare harness, not the plan) and
+# whose oracles are linear.  Engine rows ingest the full 10M-event
+# corpus through insert->worker->combiner merge.
+SCALE10_SUBSET = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "grouping_sets_rollup",
+    "distinct_family",
+    "events_agg_families",
+    "stats_moments",
+    "stream_table_join_enrich",
+    "json_object_sums",
+    "topk_per_group",
+    "date_round_buckets",
+    "minhash_lsh_candidates",
+    "dedup_cluster_assignment",
+    "cv_engine_rollup",
+    "combine_rerollup",
+    "ttl_reaper_retention",
+    "delta_stream_combine",
+]
+
 
 def _latest_prev_artifact(repo_root: str, exclude: str | None,
                           sf_dir: str | None = None) -> str | None:
@@ -205,9 +230,11 @@ def main():
     subset: list[str] = []
     if "--subset" in argv:
         i = argv.index("--subset")
-        if i + 1 >= len(argv) or argv[i + 1] != "scale":
-            sys.exit("--subset takes exactly one value: scale")
-        subset = SCALE_SENSITIVE_SUBSET
+        tiers = {"scale": SCALE_SENSITIVE_SUBSET,
+                 "scale10": SCALE10_SUBSET}
+        if i + 1 >= len(argv) or argv[i + 1] not in tiers:
+            sys.exit("--subset takes one of: scale, scale10")
+        subset = tiers[argv[i + 1]]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:]) | set(subset)

@@ -110,9 +110,10 @@ def test_tripwire_baseline_filters_by_scale_factor(tmp_path):
 def test_scale_subset_names_are_bank_queries():
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
-    missing = [q for q in check_oracle.SCALE_SENSITIVE_SUBSET
-               if q not in qs]
-    assert not missing, f"subset names not in the bank: {missing}"
+    for subset in (check_oracle.SCALE_SENSITIVE_SUBSET,
+                   check_oracle.SCALE10_SUBSET):
+        missing = [q for q in subset if q not in qs]
+        assert not missing, f"subset names not in the bank: {missing}"
 
 
 def test_latest_sweep_artifact_has_no_unexplained_regressions():
