@@ -1930,7 +1930,8 @@ class PipelineContext:
                     sd2 = self.streams.get(osrel)
                     if sd2 is not None and sd2.readers:
                         self._dispatch_osrel(
-                            osrel, self.spark.read.parquet(seg), _depth)
+                            osrel, self._read_osrel_segment(osrel, seg),
+                            _depth)
             elif rname in self.transforms:
                 t = self.transforms[rname]
                 if not t.active:
@@ -2016,8 +2017,21 @@ class PipelineContext:
         if sd is not None and sd.readers:
             # downstream CQs read the just-written segment — a stable
             # snapshot, no recompute of the change-row plan
-            self._dispatch_osrel(osrel, self.spark.read.parquet(seg), depth)
+            self._dispatch_osrel(osrel,
+                                 self._read_osrel_segment(osrel, seg),
+                                 depth)
         return n
+
+    def _read_osrel_segment(self, osrel: str, seg: str) -> DataFrame:
+        """Read back ONE just-written segment.  The writer recorded the
+        segment's exact schema (`_osrel_schema`), so passing it skips
+        the reader's footer-inference pass — ~50 ms of driver time per
+        downstream dispatch (guide §1.2 constant-work removal)."""
+        schema = self._osrel_schema.get(osrel)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(seg)
 
     def _osrel_segments(self, osrel: str) -> list[str]:
         base = os.path.join(self.osrel_root, osrel)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import SparkSession
 
 # SQL-body temporary functions so continuous-query SQL can call the
@@ -50,7 +52,20 @@ _SQL_FUNCTIONS = [
 ]
 
 
-def register_sql_functions(spark: SparkSession) -> None:
+# sessions already carrying the registrations (weak: a stopped session
+# must not be kept alive by the guard).  Registration is session-scoped
+# and idempotent, but each CREATE FUNCTION / udf.register is a py4j
+# round-trip — ~0.3 s for the full surface — and every PipelineContext
+# used to pay it (guide §1.2: remove per-task constant work).  Keyed on
+# the session object itself, so a cloned session (foreachBatch) with
+# its own temp-function catalog still registers on first use.
+_REGISTERED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def register_sql_functions(spark: SparkSession,
+                           force: bool = False) -> None:
+    if not force and spark in _REGISTERED_SESSIONS:
+        return
     for name, body in _SQL_FUNCTIONS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
     # sketch probe functions by name, so CQ SQL can compose them with
@@ -70,3 +85,4 @@ def register_sql_functions(spark: SparkSession) -> None:
     # hll_cardinality == native hll_sketch_estimate
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION hll_cardinality"
               "(s BINARY) RETURNS BIGINT RETURN hll_sketch_estimate(s)")
+    _REGISTERED_SESSIONS.add(spark)

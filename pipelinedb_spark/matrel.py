@@ -27,6 +27,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .manifestio import CommitConflict, resolve_manifest_io
 
@@ -79,6 +80,15 @@ class MatrelStore:
         self.manifest_format = manifest_format
         self._manifest_path = os.path.join(self.dir, "MANIFEST")
         self._last_seq = 0
+        # on-disk parquet schema, learned from the first inferred read
+        # or refreshed by each commit's write schema: passing it to
+        # spark.read skips per-read footer inference — ~50-100 ms of
+        # DRIVER time per matrel read, paid twice per engine commit
+        # (merge's old-bucket read + the next read_view).  Safe
+        # because every live version dir was written from the same
+        # merge-plan schema; a commit whose names/types differ drops
+        # the cache so the next read re-infers (guide §1.2).
+        self._schema_cache: T.StructType | None = None
         if not self._mio().exists():
             self._write_manifest({"version": 0, "buckets": {}})
 
@@ -211,8 +221,13 @@ class MatrelStore:
         paths = sorted(set(entries.values()))
         if not paths:
             return None
-        df = self.spark.read.parquet(*paths) \
-            .filter(F.col(BUCKET_COL).isin([int(b) for b in entries]))
+        reader = self.spark.read
+        if self._schema_cache is not None:
+            reader = reader.schema(self._schema_cache)
+        df = reader.parquet(*paths)
+        if self._schema_cache is None:
+            self._schema_cache = df.schema
+        df = df.filter(F.col(BUCKET_COL).isin([int(b) for b in entries]))
         if len(paths) == 1:
             return df
         ver = lambda p: os.path.relpath(p, self.dir).split(os.sep)[0]
@@ -457,6 +472,16 @@ class MatrelStore:
         (df.sortWithinPartitions(BUCKET_COL)
            .observe(obs, F.collect_set(F.col(BUCKET_COL)).alias("present"))
            .write.mode("overwrite").parquet(vdir))
+        # keep the read-side schema cache honest: a commit whose
+        # names/types differ from the cached on-disk schema (schema
+        # evolution via overwrite/restore) drops the cache so the next
+        # read re-infers from footers; nullability differences are
+        # fine (the file was written FROM this schema)
+        if self._schema_cache is not None and (
+                [(f.name, f.dataType) for f in df.schema.fields]
+                != [(f.name, f.dataType)
+                    for f in self._schema_cache.fields]):
+            self._schema_cache = None
         present = {str(int(b)) for b in obs.get["present"]}
         new_buckets = {} if full else dict(m["buckets"])
         if full:
