@@ -157,8 +157,9 @@ def shingle_index(df: DataFrame, id_col: str = "doc_id",
     Arrow kernel (collision odds ~(S²/2⁶⁴): irrelevant next to the
     sketch error of any downstream use)."""
     if hashed:
-        src = df.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("text"))
+        from . import spread_input
+        src = spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                     F.col(text_col).alias("text")))
         out_schema = T.StructType([
             T.StructField("doc_id", src.schema["doc_id"].dataType),
             T.StructField("s", T.LongType())])
@@ -299,10 +300,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        shingle_n: int = 3) -> DataFrame:
     """Array of K minhash values over word shingles, computed entirely
     in one Arrow-batched numpy kernel (deterministic, no RNG state at
-    runtime).  Zero shuffle: the signature is computed in the same
-    scan that read the text."""
-    src = df.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("text"))
+    runtime).  Zero shuffle at real scale: the signature is computed
+    in the same scan that read the text (spread_input fires only when
+    the scan has fewer splits than cores)."""
+    from . import spread_input
+    src = spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                 F.col(text_col).alias("text")))
     out_schema = T.StructType([
         T.StructField("doc_id", src.schema["doc_id"].dataType),
         T.StructField("sig", T.ArrayType(T.LongType()))])
@@ -332,8 +335,9 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # signatures + per-band buckets come out of one Arrow kernel pass;
     # materialize once — the self-join would otherwise run the whole
     # shingle+hash pipeline for both sides
-    src = df.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("text"))
+    from . import spread_input
+    src = spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                 F.col(text_col).alias("text")))
     out_schema = T.StructType([
         T.StructField("doc_id", src.schema["doc_id"].dataType),
         T.StructField("sig", T.ArrayType(T.LongType())),
@@ -588,8 +592,9 @@ def _banded_rows(df: DataFrame, id_col: str, text_col: str,
                  num_hashes: int, bands: int, shingle_n: int) -> DataFrame:
     """(doc_id, sig, band, bucket) rows for a document set — the
     shared signature pass behind persist/probe/append."""
-    src = df.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("text"))
+    from . import spread_input
+    src = spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                 F.col(text_col).alias("text")))
     out_schema = T.StructType([
         T.StructField("doc_id", src.schema["doc_id"].dataType),
         T.StructField("sig", T.ArrayType(T.LongType())),

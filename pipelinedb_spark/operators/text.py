@@ -348,8 +348,12 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     >4 KB document whose head and tail disagree (see the
     LANG_ID_PREFIX comment), and this oracle (text_profile) mirrors
     the full-text rule."""
+    from . import spread_input
     text = F.col(text_col)
-    toks = df.withColumn("_toks", tokens(text))
+    # a single-row-group corpus file otherwise runs this whole wide
+    # regex/fold projection on ONE core (scan parallelism follows
+    # row-group layout); no-op when the scan already has enough splits
+    toks = spread_input(df).withColumn("_toks", tokens(text))
     counts = (toks.withColumn("_n", F.size("_toks").cast("long"))
               .withColumn("_swv", stopword_count_vec(F.col("_toks"))))
     head = F.substring(text, 1, LANG_ID_PREFIX)

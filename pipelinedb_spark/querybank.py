@@ -782,8 +782,11 @@ def doc_fingerprints(spark, sf_dir):
     stream, so every doc sharing identical content (same md5) must get
     the identical fingerprint — `consistent` asserts that per content
     group and the exact oracle emits TRUE."""
+    from pipelinedb_spark.operators import spread_input
     from pipelinedb_spark.operators.dedup import simhash_fast
-    docs = t(spark, sf_dir, "documents")
+    # the simhash pandas_udf inherits the scan's partitioning — a
+    # single-row-group corpus file would run it on one core
+    docs = spread_input(t(spark, sf_dir, "documents"))
     return (docs.select(F.md5("text").alias("fp"), F.col("doc_id"),
                         simhash_fast(F.col("text"), 16).alias("simhash"))
             .groupBy("fp")
