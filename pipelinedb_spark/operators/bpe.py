@@ -245,7 +245,8 @@ class BPETokenizer:
         kernel = _encode_kernel(self.merges, counts_only=True)
         pre = F.coalesce(bpe_ish_tokens(F.col(text_col)),
                          F.array().cast("array<string>"))
-        return df.withColumn(out_col, kernel(pre))
+        from . import spread_input
+        return spread_input(df).withColumn(out_col, kernel(pre))
 
     # -- persistence --------------------------------------------------
 

@@ -99,6 +99,9 @@ class LinearTextClassifier:
         b = self.bias
         buckets = self.buckets
 
+        from . import spread_input
+        df = spread_input(df)
+
         @F.pandas_udf(T.DoubleType())
         def score(texts: pd.Series) -> pd.Series:
             n = len(texts)

@@ -265,7 +265,8 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
 
     chunks = F.get(F.transform(F.array(toks), _chunks_of), 0)
     keep = [c for c in df.columns if c != text_col]
-    return (df.withColumn("__toks_n", n)
+    from . import spread_input
+    return (spread_input(df).withColumn("__toks_n", n)
             .filter(F.col("__toks_n") > 0)
             .withColumn("__c", F.explode(chunks))
             .select(*keep, F.col("__c.chunk_id").alias("chunk_id"),

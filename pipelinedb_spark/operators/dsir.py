@@ -96,7 +96,8 @@ def hashed_ngram_counts(df: DataFrame, text_col: str = "text",
     """Corpus-wide hashed unigram+bigram bucket counts: (bucket, n).
     Per-batch partial bincount → groupBy sum, so shuffle volume is
     ≤ B rows per task and the result is B rows at any corpus size."""
-    src = df.select(F.col(text_col).alias("text"))
+    from . import spread_input
+    src = spread_input(df.select(F.col(text_col).alias("text")))
 
     def gen(batches):
         for pdf in batches:
@@ -182,7 +183,9 @@ def dsir_weights(corpus: DataFrame, target: DataFrame | None = None,
             np.add.at(out, gdoc, ratio[gb])
         return pd.Series(out)
 
-    return corpus.withColumn(out_col, logw(F.col(text_col)))
+    from . import spread_input
+    return spread_input(corpus).withColumn(out_col,
+                                           logw(F.col(text_col)))
 
 
 def dsir_sample(corpus: DataFrame, target: DataFrame | None, n: int,

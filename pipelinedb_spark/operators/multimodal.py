@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import spread_input
+
 _HAS_CODECS = False  # PIL / soundfile / av are not in this container
 
 # Decoder allocation guard: a corrupt/hostile header declaring huge
@@ -497,7 +499,7 @@ def extract_metadata(df: DataFrame) -> DataFrame:
             })
             yield out
 
-    return df.mapInPandas(kernel, MEDIA_META_SCHEMA)
+    return spread_input(df).mapInPandas(kernel, MEDIA_META_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
@@ -994,7 +996,7 @@ def decode_pixels(df: DataFrame, backend: str = "auto") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               PIXEL_STATS_SCHEMA.fields])
 
-    return df.mapInPandas(kernel, PIXEL_STATS_SCHEMA)
+    return spread_input(df).mapInPandas(kernel, PIXEL_STATS_SCHEMA)
 
 
 FRAME_STATS_SCHEMA = T.StructType([
@@ -1099,7 +1101,7 @@ def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               FRAME_STATS_SCHEMA.fields])
 
-    return df.mapInPandas(kernel, FRAME_STATS_SCHEMA)
+    return spread_input(df).mapInPandas(kernel, FRAME_STATS_SCHEMA)
 
 
 _PIL_FMT = {"JPEG": "jpg", "PNG": "png", "GIF": "gif", "BMP": "bmp",
@@ -1261,7 +1263,7 @@ def resize_images(df: DataFrame, out_h: int, out_w: int,
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               RESIZED_SCHEMA.fields])
 
-    return df.mapInPandas(kernel, RESIZED_SCHEMA)
+    return spread_input(df).mapInPandas(kernel, RESIZED_SCHEMA)
 
 
 # IMA/DVI ADPCM reference tables (IMA "Recommended Practices for
@@ -1514,7 +1516,7 @@ def decode_audio(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_STATS_SCHEMA.fields])
 
-    return df.mapInPandas(kernel, AUDIO_STATS_SCHEMA)
+    return spread_input(df).mapInPandas(kernel, AUDIO_STATS_SCHEMA)
 
 
 AUDIO_FRAMES_SCHEMA = T.StructType([

@@ -399,7 +399,8 @@ def _repetition_profile_kernel(df: DataFrame, text_col: str,
         finally:
             np.seterr(**old)
 
-    return df.mapInPandas(gen, schema)
+    from . import spread_input
+    return spread_input(df).mapInPandas(gen, schema)
 
 
 # Gopher rule thresholds (public report values) as predicates over

@@ -122,8 +122,9 @@ def window_index(df: DataFrame, id_col: str = "doc_id",
     per TOKEN (24 bytes each) — the linear-shuffle cost that replaces
     the reference approach's single-node suffix array.
     """
-    src = df.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("text"))
+    from . import spread_input
+    src = spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                 F.col(text_col).alias("text")))
     out_schema = T.StructType([
         T.StructField("doc_id", src.schema["doc_id"].dataType),
         T.StructField("pos", T.LongType()),

@@ -174,7 +174,8 @@ def warc_records(files: DataFrame,
             yield pd.DataFrame(rows, columns=[
                 f.name for f in WARC_SCHEMA.fields])
 
-    return files.mapInPandas(kernel, WARC_SCHEMA)
+    from . import spread_input
+    return spread_input(files).mapInPandas(kernel, WARC_SCHEMA)
 
 
 def read_warc(spark: SparkSession, path: str,
@@ -544,6 +545,8 @@ def warc_text_documents(records: DataFrame,
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               schema.fields])
 
-    sel = records.select("record_id", "target_uri", "warc_date",
-                         "content_type", "payload")
+    from . import spread_input
+    sel = spread_input(records.select("record_id", "target_uri",
+                                      "warc_date", "content_type",
+                                      "payload"))
     return sel.mapInPandas(kernel, schema)

@@ -125,9 +125,15 @@ def test_repetition_profile_one_scan_schema(spark, docs):
         for c in fracs:
             assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
         assert r["word_count"] > 0 and r["mean_word_len"] > 0
-    # single scan, no shuffle
+    # single scan, no DATA-DEPENDENT shuffle: the only allowed
+    # exchange is spread_input's guarded round-robin repartition
+    # (input spread for the Arrow kernel when the scan has fewer
+    # splits than cores — r15 optimization); any hash/range exchange
+    # would mean a grouping/join shuffle crept into the profile
     plan = prof._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), plan
 
 
 def test_kernel_profile_equals_column_fold(spark, docs):
