@@ -77,6 +77,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     per query with a deterministic (cosine DESC, id ASC) tiebreak.
     The corpus is scanned once; no corpus-side shuffle before ranking.
     """
+    from . import spread_input
+    corpus = spread_input(corpus)
     norm = dot_exact if exact else (lambda a, b: dot_double(a, b))
     q = queries.select(F.col(id_col).alias("q_id"),
                        F.col(vec_col).alias("q_vec"),
@@ -132,6 +134,8 @@ def neardup_pairs(corpus: DataFrame, threshold: float = 0.45,
                  # margin dwarfs double-vs-decimal divergence (~1e-9)
                  .filter(F.col("fcos") >= threshold - 1e-6))
     else:
+        from . import spread_input
+        corpus = spread_input(corpus)
         sig = _signature_batch_udf(dim, bits, tables)
         tagged = (corpus.select(F.col(id_col).alias("id"),
                                 F.posexplode(sig(F.col(vec_col)))
