@@ -231,7 +231,13 @@ def bm25_persist(index: dict, path: str) -> None:
 
     store = IndexStore(path)
     staged = store.stage()
-    (index["postings"]
+    # one materialization of the postings build: repartitionByRange
+    # SAMPLES its input in a separate job, and dfs re-aggregates the
+    # same postings — without the checkpoint the tokenize+groupBy ran
+    # three times per persist (guide §1.2; dfs ≡ postings.groupBy(term)
+    # by construction in bm25_index)
+    postings = index["postings"].localCheckpoint(eager=True)
+    (postings
      .repartitionByRange(F.col("term"))
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(os.path.join(staged, "postings")))
@@ -239,8 +245,8 @@ def bm25_persist(index: dict, path: str) -> None:
     (index["doc_lens"]
      .observe(obs, F.sum("dl").alias("dl"))
      .write.mode("overwrite").parquet(os.path.join(staged, "doc_lens")))
-    index["dfs"].write.mode("overwrite") \
-        .parquet(os.path.join(staged, "dfs"))
+    (postings.groupBy("term").agg(F.count("*").alias("df"))
+     .write.mode("overwrite").parquet(os.path.join(staged, "dfs")))
     try:
         total_dl = float(obs.get["dl"] or 0.0)
     except Exception:  # empty corpus: CollectMetrics may be eliminated
@@ -272,8 +278,14 @@ def bm25_load(spark, path: str) -> dict:
     store = open_index(path)
 
     def tbl(name):
-        parts = [spark.read.parquet(os.path.join(d, name))
-                 for d in store.dirs()]
+        # infer the schema once from the first version dir and pass it
+        # to the rest: every dir's table was written by the same code
+        # path, and per-dir footer inference is ~50 ms of driver time
+        dirs = store.dirs()
+        first = spark.read.parquet(os.path.join(dirs[0], name))
+        parts = [first] + [
+            spark.read.schema(first.schema)
+            .parquet(os.path.join(d, name)) for d in dirs[1:]]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     dfs = tbl("dfs").groupBy("term").agg(F.sum("df").alias("df"))
@@ -322,7 +334,9 @@ def bm25_append(spark, path: str, new_docs: DataFrame,
         store.tag(txn=txn)
         return 0
     staged = store.stage()
-    (idx["postings"].repartitionByRange(F.col("term"))
+    # same single-materialization shape as bm25_persist
+    postings = idx["postings"].localCheckpoint(eager=True)
+    (postings.repartitionByRange(F.col("term"))
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(os.path.join(staged, "postings")))
     obs = Observation()
@@ -330,8 +344,8 @@ def bm25_append(spark, path: str, new_docs: DataFrame,
      .observe(obs, F.count(F.lit(1)).alias("n"),
               F.sum("dl").alias("dl"))
      .write.mode("overwrite").parquet(os.path.join(staged, "doc_lens")))
-    idx["dfs"].write.mode("overwrite") \
-        .parquet(os.path.join(staged, "dfs"))
+    (postings.groupBy("term").agg(F.count("*").alias("df"))
+     .write.mode("overwrite").parquet(os.path.join(staged, "dfs")))
     n = int(obs.get["n"])
     if n == 0:   # defensive: row-less batch after tokenization
         shutil.rmtree(staged, ignore_errors=True)
