@@ -176,7 +176,12 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     intersection via shingle self-join; |A∪B| = |A|+|B|-|A∩B|.
     Deterministic: integer counts → double division.
     """
-    sh = shingle_index(df, id_col, text_col, n)
+    # materialize the gram kernel once: the exploded index feeds BOTH
+    # self-join sides and the size table — without the checkpoint the
+    # Arrow shingle pass ran three times (the lsh_candidates
+    # materialize-once rationale, applied here too)
+    sh = shingle_index(df, id_col, text_col, n) \
+        .localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     # the exploded shingle index scales with the corpus — broadcasting
@@ -409,10 +414,13 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     cand_docs = (cands.select(F.col("d1").alias("__cid"))
                  .unionByName(cands.select(F.col("d2").alias("__cid")))
                  .distinct())
+    # materialize-once: the candidate shingle index feeds both join
+    # sides and the size table (same rationale as jaccard_pairs)
     sh = shingle_index(df.join(cand_docs,
                                F.col(id_col) == F.col("__cid"),
                                "left_semi"),
-                       id_col, text_col, shingle_n)
+                       id_col, text_col, shingle_n) \
+        .localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
     inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
