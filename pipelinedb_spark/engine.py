@@ -649,7 +649,12 @@ class ContView:
             *[F.col(kc) for kc in kcols],
             F.struct(*[F.col(c) for c in dval_cols]).alias("delta"),
             F.struct(*[F.col(c) for c in state_cols]).alias("delta_states"))
-        if old is not None and old.take(1):
+        # no emptiness probe job: a non-None `old` is never empty —
+        # read() returns None when no affected bucket is manifest-
+        # listed, and every manifest-listed bucket holds ≥1 current
+        # row (_commit drops buckets whose merged result is empty, and
+        # present-tracking writes an entry only for buckets with rows)
+        if old is not None:
             old_struct = keyed(old, "old")
             joined = (new_struct.join(old_struct, on=kcols, how="left")
                       if kcols else new_struct.crossJoin(old_struct))

@@ -342,16 +342,22 @@ class MatrelStore:
         caller already computed them (saves a probe job); otherwise
         they are collected here.
 
-        ``pin_old`` snapshots the old affected-bucket rows
-        (localCheckpoint) so the returned ``old`` stays readable after
-        this commit's version GC unlinks the files it came from — set
-        it when you will consume ``old`` after the merge (e.g. for
-        old/new change rows).  The merged write then reads the pinned
-        blocks instead of re-scanning the old parquet, so the extra
-        job pays for itself.
+        ``pin_old`` declares that the caller will consume ``old``
+        AFTER the merge (old/new change rows).  It no longer
+        checkpoints: the commit-path GC keeps the previous version
+        dirs for a 2-version tail plus a 60 s dereference grace
+        (``_gc``), which comfortably covers the synchronous
+        change-row emission that follows a commit — the checkpoint
+        was a whole extra Spark job per change-emitting commit for
+        files that were never at risk (r15 optimization; guide §1.2).
 
         Returns ``(old_rows_of_affected_buckets, merged_affected)`` so
-        the caller can compute old/new output-stream rows.  Mirrors the
+        the caller can compute old/new output-stream rows.  ``merged``
+        is the READ-BACK of the rows just committed, not the merge
+        plan: returning the plan made every downstream consumer (the
+        osrel write job) re-execute the whole union+merge-agg, while
+        the bucket-pruned, schema-cached read of the new version
+        yields the identical rows for one cheap scan.  Mirrors the
         combiner flow (``combine()`` → ``select_existing_groups`` →
         ``sync_combine``, ``src/combiner.c:1323-1633``).
         """
@@ -361,8 +367,6 @@ class MatrelStore:
             affected = [r[BUCKET_COL] for r in
                         delta.select(BUCKET_COL).distinct().collect()]
         old = self.read(affected)
-        if old is not None and pin_old:
-            old = old.localCheckpoint(eager=True)
         unioned = delta if old is None else old.unionByName(delta)
         merged = merge_agg_fn(unioned)
         if constrain_fn is not None:
@@ -371,7 +375,12 @@ class MatrelStore:
             # previous row (or is dropped entirely when new)
             merged = constrain_fn(old, merged)
         self._commit(merged, affected, txn=txn)
-        return old, merged
+        committed = self.read(affected)
+        if committed is None:
+            # every affected bucket merged/constrained to empty: keep
+            # the caller's DataFrame contract with an empty frame
+            committed = self.spark.createDataFrame([], merged.schema)
+        return old, committed
 
     def overwrite(self, states: DataFrame, group_cols: list[str]) -> None:
         """Replace the whole matrel (truncate+load / combine_table)."""
