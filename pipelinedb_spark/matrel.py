@@ -352,14 +352,19 @@ class MatrelStore:
         files that were never at risk (r15 optimization; guide §1.2).
 
         Returns ``(old_rows_of_affected_buckets, merged_affected)`` so
-        the caller can compute old/new output-stream rows.  ``merged``
-        is the READ-BACK of the rows just committed, not the merge
-        plan: returning the plan made every downstream consumer (the
-        osrel write job) re-execute the whole union+merge-agg, while
-        the bucket-pruned, schema-cached read of the new version
-        yields the identical rows for one cheap scan.  Mirrors the
-        combiner flow (``combine()`` → ``select_existing_groups`` →
-        ``sync_combine``, ``src/combiner.c:1323-1633``).
+        the caller can compute old/new output-stream rows.  Under
+        ``pin_old`` — the caller's declaration that it WILL consume
+        the returned frames — ``merged`` is the READ-BACK of the rows
+        just committed, not the merge plan: returning the plan made
+        every downstream consumer (the osrel write job) re-execute
+        the whole union+merge-agg, while the bucket-pruned,
+        schema-cached read of the new version yields the identical
+        rows for one cheap scan.  Without ``pin_old`` the plan is
+        returned as before (building the read-back costs a py4j
+        round-trip per commit that a fire-and-forget caller never
+        uses).  Mirrors the combiner flow (``combine()`` →
+        ``select_existing_groups`` → ``sync_combine``,
+        ``src/combiner.c:1323-1633``).
         """
         if BUCKET_COL not in delta.columns:
             delta = delta.withColumn(BUCKET_COL, self.bucket_expr(group_cols))
@@ -375,12 +380,14 @@ class MatrelStore:
             # previous row (or is dropped entirely when new)
             merged = constrain_fn(old, merged)
         self._commit(merged, affected, txn=txn)
-        committed = self.read(affected)
-        if committed is None:
-            # every affected bucket merged/constrained to empty: keep
-            # the caller's DataFrame contract with an empty frame
-            committed = self.spark.createDataFrame([], merged.schema)
-        return old, committed
+        if pin_old:
+            committed = self.read(affected)
+            if committed is None:
+                # every affected bucket merged/constrained to empty:
+                # keep the caller's DataFrame contract, empty frame
+                committed = self.spark.createDataFrame([], merged.schema)
+            return old, committed
+        return old, merged
 
     def overwrite(self, states: DataFrame, group_cols: list[str]) -> None:
         """Replace the whole matrel (truncate+load / combine_table)."""
