@@ -2055,7 +2055,16 @@ class PipelineContext:
         sd = self.streams[osrel]
         if not sd.schema.fields:
             sd.schema = rows.schema
-        self._dispatch(osrel, rows, _depth=depth + 1)
+        # the segment just written IS a stable snapshot (immutable until
+        # retention GC, 256 segments away), so re-checkpointing it in
+        # _dispatch was a whole redundant Spark job per osrel hop —
+        # downstream consumers can scan the parquet directly (guide
+        # §1.2 constant-work removal).  Deferred-commit mode keeps the
+        # checkpoint: an accumulate()d lazy plan may outlive many more
+        # segment writes, and checkpointed blocks cannot be GC'd out
+        # from under it.
+        self._dispatch(osrel, rows, _depth=depth + 1,
+                       checkpointed=self.commit_interval_batches == 1)
 
     # -- reads ----------------------------------------------------------------
     def _flush_cv(self, name: str) -> None:

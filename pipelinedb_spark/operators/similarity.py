@@ -100,6 +100,80 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("q_id", "n_id", "rk", "cosine"))
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (driver-side, no job) — the
+    same statistic autoBroadcastJoinThreshold gates on.  Unknown =
+    effectively infinite, so callers fail toward the scalable path."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _broadcast_matrix_scores(corpus: DataFrame, pair_ids: DataFrame,
+                             id_col: str, vec_col: str,
+                             threshold: float) -> DataFrame | None:
+    """Score candidate (id1, id2) pairs against a driver-collected
+    corpus matrix instead of joining the vectors onto every pair.
+
+    The candidate join otherwise carries two 64-float vectors per pair
+    through a shuffle and folds them in Catalyst's interpreted
+    higher-order-function path — at sf0.1 that is ~1.9M pairs × 3
+    interpreted 64-element folds.  Here only the two id columns cross
+    the Python boundary (Arrow, ~16 bytes/pair); each task gathers
+    rows from the broadcast int64-quantized matrix and scores whole
+    batches with numpy (guide §4.2: hand batches to vectorized native
+    code; §8: shuffle keys, not payloads).
+
+    EXACTNESS: quantization (floor(x·1e8 + 0.5) on float64), the int64
+    dot product (order-independent integer sum, bounded 6.4e17 < 2^63)
+    and the final double divide/sqrt replicate ``cosine_exact``
+    operation-for-operation in IEEE arithmetic, so the scores are
+    bit-identical to the JVM fold and the duckdb oracle.  No fcos
+    double pre-filter is needed: every candidate is scored exactly.
+
+    Returns None when the kernel does not apply (non-integral ids,
+    ragged/empty vectors) — the caller falls back to the vector join.
+    The caller gates on corpus size; this function assumes the collect
+    is affordable."""
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        return None
+    rows = corpus.select(F.col(id_col).cast("long"),
+                         F.col(vec_col)).collect()
+    if not rows or any(r[1] is None for r in rows):
+        return None
+    try:  # ragged vector lengths -> object array -> ValueError
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+    except ValueError:
+        return None
+    if mat.ndim != 2 or mat.shape[1] == 0:
+        return None
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    q = np.floor(mat[order] * _DOT_SCALE + 0.5).astype(np.int64)
+    n2 = (q * q).sum(axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            i1 = np.searchsorted(ids_sorted, pdf["id1"].to_numpy())
+            i2 = np.searchsorted(ids_sorted, pdf["id2"].to_numpy())
+            d12 = (q[i1] * q[i2]).sum(axis=1).astype(np.float64)
+            cos = d12 / np.sqrt(n2[i1].astype(np.float64)
+                                * n2[i2].astype(np.float64))
+            keep = cos >= threshold
+            yield pd.DataFrame({"id1": pdf["id1"].to_numpy()[keep],
+                                "id2": pdf["id2"].to_numpy()[keep],
+                                "cosine": cos[keep]})
+
+    return pair_ids.mapInPandas(
+        score, f"id1 {id_type}, id2 {id_type}, cosine double")
+
+
 def neardup_pairs(corpus: DataFrame, threshold: float = 0.45,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   exact: bool = True, dim: int = 64, bits: int = 3,
@@ -135,6 +209,7 @@ def neardup_pairs(corpus: DataFrame, threshold: float = 0.45,
                  .filter(F.col("fcos") >= threshold - 1e-6))
     else:
         from . import spread_input
+        raw_corpus = corpus  # unshuffled plan for the collect below
         corpus = spread_input(corpus)
         sig = _signature_batch_udf(dim, bits, tables)
         tagged = (corpus.select(F.col(id_col).alias("id"),
@@ -153,6 +228,19 @@ def neardup_pairs(corpus: DataFrame, threshold: float = 0.45,
                     .select(F.col("ta.id").alias("id1"),
                             F.col("tb.id").alias("id2"))
                     .dropDuplicates(["id1", "id2"]))
+        # size-gated broadcast-matrix scoring: when the corpus fits
+        # under the broadcast cap (the 64 MB bound every other
+        # broadcast gate in this package uses), score candidates
+        # against a collected int64-quantized matrix instead of
+        # joining two vectors onto every pair — identical output
+        # (see _broadcast_matrix_scores), ~none of the pair-join
+        # shuffle or interpreted HOF cost.  Past the cap (real-scale
+        # corpora) the vector join below remains the plan.
+        if exact and _plan_size_bytes(raw_corpus) <= (64 << 20):
+            scored = _broadcast_matrix_scores(raw_corpus, pair_ids,
+                                              id_col, vec_col, threshold)
+            if scored is not None:
+                return scored
         v1 = corpus.select(F.col(id_col).alias("id1"),
                            F.col(vec_col).alias("v1"),
                            dot_double(F.col(vec_col), F.col(vec_col))

@@ -13,6 +13,14 @@
 * ``merge(pin_old=True)`` read-back — the returned ``merged`` frame
   is the committed rows (not the merge plan) and stays correct when
   consumed after the commit, which is what the osrel write relies on.
+* ``_broadcast_matrix_scores`` — the size-gated collected-matrix
+  scoring kernel in ``neardup_pairs`` must be bit-identical to the
+  vector-join path it replaces, and must fall back (return None) on
+  every input shape it cannot score exactly.
+* osrel dispatch checkpoint gating — synchronous commits dispatch the
+  just-written segment read-back without re-checkpointing it (the
+  segment IS stable); deferred-commit mode keeps the checkpoint
+  because accumulated lazy plans may outlive segment retention.
 """
 
 from __future__ import annotations
@@ -127,3 +135,134 @@ def test_merge_pin_old_returns_committed_rows(spark, tmp_path):
     assert {(r["k"], r["n"]) for r in old1.collect()} == {("a", 1)}
     assert {(r["k"], r["n"]) for r in merged1.collect()} == \
         {("a", 3), ("b", 7)}
+
+
+def _neardup_corpus(spark, n=40, dim=8):
+    import math
+    rows = []
+    for i in range(n):
+        if i % 4 == 3:  # every 4th vector is a near-dup of i-1
+            base = rows[-1][1]
+            vec = [x + 0.001 * ((i + d) % 3 - 1) for d, x in enumerate(base)]
+        else:
+            vec = [math.sin(i * 0.7 + d * 1.3) for d in range(dim)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_broadcast_matrix_scores_parity(spark, monkeypatch, tmp_path):
+    """The collected-matrix kernel and the vector-join path must agree
+    BIT-FOR-BIT (same quantized int64 arithmetic, same IEEE divides)."""
+    from pipelinedb_spark.operators import similarity as sim
+
+    # parquet-backed corpus: the size gate reads Catalyst stats, which
+    # are unknown (treated as infinite — fallback) for in-memory
+    # LogicalRDD plans; that conservative default is itself load-bearing
+    path = str(tmp_path / "corpus.parquet")
+    _neardup_corpus(spark).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    assert sim._plan_size_bytes(corpus) <= (64 << 20)
+    assert sim._plan_size_bytes(_neardup_corpus(spark)) > (64 << 20)
+    out_bcast = sim.neardup_pairs(corpus, threshold=0.45, dim=8)
+    # the gate fired: scoring is the MapInPandas kernel, no vector join
+    assert "MapInPandas" in out_bcast._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    got_bcast = {(r["id1"], r["id2"]): r["cosine"]
+                 for r in out_bcast.collect()}
+
+    # force the fallback (pretend the corpus is over the 64 MB cap)
+    monkeypatch.setattr(sim, "_plan_size_bytes", lambda df: 1 << 62)
+    out_join = sim.neardup_pairs(corpus, threshold=0.45, dim=8)
+    assert "MapInPandas" not in out_join._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    got_join = {(r["id1"], r["id2"]): r["cosine"]
+                for r in out_join.collect()}
+
+    assert got_bcast and got_bcast == got_join  # exact double equality
+
+
+def test_broadcast_matrix_scores_fallbacks(spark):
+    """Every shape the kernel cannot score exactly returns None (the
+    caller then uses the vector join); it must never guess."""
+    from pipelinedb_spark.operators.similarity import \
+        _broadcast_matrix_scores
+
+    pair_ids = spark.createDataFrame([], "id1 long, id2 long")
+    # non-integral id type
+    s = spark.createDataFrame([("a", [1.0, 0.0])],
+                              "vec_id string, embedding array<double>")
+    assert _broadcast_matrix_scores(s, pair_ids, "vec_id", "embedding",
+                                    0.45) is None
+    # ragged vector lengths
+    r = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0])],
+                              "vec_id long, embedding array<double>")
+    assert _broadcast_matrix_scores(r, pair_ids, "vec_id", "embedding",
+                                    0.45) is None
+    # null vector
+    n = spark.createDataFrame([(1, [1.0, 0.0]), (2, None)],
+                              "vec_id long, embedding array<double>")
+    assert _broadcast_matrix_scores(n, pair_ids, "vec_id", "embedding",
+                                    0.45) is None
+    # empty corpus
+    e = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert _broadcast_matrix_scores(e, pair_ids, "vec_id", "embedding",
+                                    0.45) is None
+
+
+def _spy_osrel_dispatch(ctx):
+    seen = []
+    orig = ctx._dispatch
+
+    def spy(stream, batch, _depth=0, targets=None, n_rows=None,
+            checkpointed=False, txn=None):
+        if stream.endswith("_osrel"):
+            seen.append(checkpointed)
+        return orig(stream, batch, _depth=_depth, targets=targets,
+                    n_rows=n_rows, checkpointed=checkpointed, txn=txn)
+
+    ctx._dispatch = spy
+    return seen
+
+
+def _cascade(ctx):
+    ctx.create_stream("ocg_s", "k string, v long")
+    ctx.create_view("ocg_up", "SELECT k, count(*) AS n, sum(v) AS sv "
+                              "FROM ocg_s GROUP BY k")
+    ctx.create_view("ocg_down", "SELECT combine((delta).n) AS n, "
+                                "combine((delta).sv) AS sv "
+                                "FROM output_of('ocg_up')")
+
+
+def test_osrel_dispatch_skips_checkpoint_when_synchronous(spark, tmp_path):
+    """commit_interval_batches=1: the dispatched frame is the
+    just-written segment read-back (a stable parquet snapshot) — no
+    re-checkpoint job; downstream results exact."""
+    ctx = PipelineContext(spark, root=str(tmp_path / "sync"),
+                          num_buckets=4)
+    try:
+        _cascade(ctx)
+        seen = _spy_osrel_dispatch(ctx)
+        ctx.insert("ocg_s", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+        ctx.insert("ocg_s", [{"k": "a", "v": 3}])
+        assert seen and all(seen)
+        r = ctx.read_view("ocg_down").collect()[0]
+        assert (r["n"], r["sv"]) == (3, 6)
+    finally:
+        ctx.close()
+
+
+def test_osrel_dispatch_keeps_checkpoint_when_deferred(spark, tmp_path):
+    """commit_interval_batches>1: accumulated lazy plans can outlive
+    later segment writes, so the checkpoint must stay."""
+    ctx = PipelineContext(spark, root=str(tmp_path / "defer"),
+                          num_buckets=4, commit_interval_batches=2)
+    try:
+        _cascade(ctx)
+        seen = _spy_osrel_dispatch(ctx)
+        for i in range(4):  # two upstream commits, two osrel emissions
+            ctx.insert("ocg_s", [{"k": "a", "v": i}, {"k": "b", "v": i}])
+        assert seen and not any(seen)
+        r = ctx.read_view("ocg_down").collect()[0]
+        assert (r["n"], r["sv"]) == (8, 12)
+    finally:
+        ctx.close()
