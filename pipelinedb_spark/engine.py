@@ -1766,9 +1766,26 @@ class PipelineContext:
             # NOTE: no .coalesce() here — a no-shuffle coalesce before
             # localCheckpoint stalls ~2-5 s in the locality-aware
             # partition grouper (measured; partitions have no preferred
-            # locations).  Near-empty checkpoint blocks are harmless:
-            # AQE re-coalesces after the worker's shuffle anyway.
-            batch = batch.localCheckpoint(eager=True)
+            # locations).  Slice-count control happens at creation
+            # instead (_coerce_batch parallelizes ceil(n/1000) slices).
+            consumers = [c for r in sd.readers
+                         if (targets is None or r in targets) and
+                         (c := self.views.get(r) or self.transforms.get(r))
+                         is not None and c.active]
+            if (len(consumers) == 1 and consumers[0] in self.views.values()
+                    and self.commit_interval_batches == 1):
+                # single synchronous view (the same gate as the
+                # DataFrame fast path above): the worker materializes
+                # the batch exactly once inside its own checkpoint
+                # job, and a local-collection plan recomputes for
+                # free, so the eager input checkpoint was a whole
+                # redundant Spark job per insert (guide §1.2)
+                pass
+            else:
+                # several consumers (or deferred commits): materialize
+                # once so every consumer reads the same arrival
+                # timestamps from checkpointed blocks
+                batch = batch.localCheckpoint(eager=True)
         self._dispatch(stream, batch,
                        _depth=getattr(self._depth_tls, "depth", 0),
                        targets=targets, n_rows=n,
@@ -1802,7 +1819,19 @@ class PipelineContext:
             schema = T.StructType(fields)
             data = [tuple(_py_coerce(r.get(f.name), f.dataType)
                           for f in fields) for r in dict_rows]
-            src = self.spark.createDataFrame(data, schema)
+            # slice count derived from the batch size, not the core
+            # count: createDataFrame spreads even a 2-row list across
+            # defaultParallelism slices, and every downstream job then
+            # schedules that many near-empty tasks (a 32-task eager
+            # checkpoint of 2 rows measured ~10× the 1-slice cost).
+            # ceil(n/1000) keeps bulk inserts parallel — at the
+            # driver's lower-core runs defaultParallelism caps it, so
+            # the scaling measurement stays honest (guide §2.4
+            # scale-adaptive partitioning)
+            slices = max(1, min(self.spark.sparkContext.defaultParallelism,
+                                -(-len(data) // 1000)))
+            src = self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(data, slices), schema)
         out_cols = []
         for f in sd.schema.fields:
             if f.name == ARRIVAL_COL:

@@ -21,6 +21,15 @@
   just-written segment read-back without re-checkpointing it (the
   segment IS stable); deferred-commit mode keeps the checkpoint
   because accumulated lazy plans may outlive segment retention.
+* list-insert fast path — a driver-side row-list insert into a single
+  synchronous view skips the eager input checkpoint (the worker
+  materializes the batch exactly once, and a local collection
+  recomputes for free); multi-consumer and deferred-commit inserts
+  keep it so every consumer reads identical arrival timestamps.
+* batch slice sizing — ``_coerce_batch`` derives the local batch's
+  partition count from the row count (ceil(n/1000), capped at
+  defaultParallelism) instead of spreading 2 rows across 32
+  near-empty slices that every downstream job then schedules.
 """
 
 from __future__ import annotations
@@ -264,5 +273,81 @@ def test_osrel_dispatch_keeps_checkpoint_when_deferred(spark, tmp_path):
         assert seen and not any(seen)
         r = ctx.read_view("ocg_down").collect()[0]
         assert (r["n"], r["sv"]) == (8, 12)
+    finally:
+        ctx.close()
+
+
+def _count_checkpoints(monkeypatch):
+    """Count eager localCheckpoint invocations (classic DataFrame)."""
+    import pyspark.sql.classic.dataframe as cdf
+    calls = []
+    orig = cdf.DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cdf.DataFrame, "localCheckpoint", spy)
+    return calls
+
+
+def test_list_insert_single_view_skips_input_checkpoint(
+        spark, monkeypatch, tmp_path):
+    """One synchronous view: the only checkpoint job per insert is the
+    worker's own partial-state materialization — the input batch rides
+    into it un-checkpointed (exact results unchanged)."""
+    ctx = PipelineContext(spark, root=str(tmp_path / "one"), num_buckets=4)
+    try:
+        ctx.create_stream("li_s", "k string, v long")
+        ctx.create_view("li_cv", "SELECT k, count(*) AS n, sum(v) AS sv "
+                                 "FROM li_s GROUP BY k")
+        calls = _count_checkpoints(monkeypatch)
+        ctx.insert("li_s", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+        ctx.insert("li_s", [{"k": "a", "v": 3}])
+        # exactly one checkpoint per insert: the worker's delta
+        assert len(calls) == 2
+        got = {r["k"]: (r["n"], r["sv"])
+               for r in ctx.read_view("li_cv").collect()}
+        assert got == {"a": (2, 4), "b": (1, 2)}
+    finally:
+        ctx.close()
+
+
+def test_list_insert_multi_view_keeps_input_checkpoint(
+        spark, monkeypatch, tmp_path):
+    """Two views: the input must materialize once so both consumers
+    read the same arrival timestamps — checkpoint stays (1 input + 2
+    worker checkpoints per insert)."""
+    ctx = PipelineContext(spark, root=str(tmp_path / "two"), num_buckets=4)
+    try:
+        ctx.create_stream("lm_s", "k string, v long")
+        ctx.create_view("lm_cv1", "SELECT k, count(*) AS n "
+                                  "FROM lm_s GROUP BY k")
+        ctx.create_view("lm_cv2", "SELECT count(*) AS n, "
+                                  "max(arrival_timestamp) AS ts FROM lm_s")
+        calls = _count_checkpoints(monkeypatch)
+        ctx.insert("lm_s", [{"k": "a", "v": 1}])
+        assert len(calls) == 3
+        assert ctx.read_view("lm_cv1").collect()[0]["n"] == 1
+        assert ctx.read_view("lm_cv2").collect()[0]["n"] == 1
+    finally:
+        ctx.close()
+
+
+def test_coerce_batch_slices_follow_row_count(spark, tmp_path):
+    """2 rows -> 1 slice; a bulk list insert still spreads (ceil(n/1000)
+    capped at defaultParallelism) so big batches keep their
+    parallelism on any core count."""
+    ctx = PipelineContext(spark, root=str(tmp_path / "sl"), num_buckets=4)
+    try:
+        ctx.create_stream("sl_s", "k string, v long")
+        sd = ctx.streams["sl_s"]
+        small = ctx._coerce_batch(sd, [{"k": "a", "v": 1},
+                                       {"k": "b", "v": 2}], None)
+        assert small.rdd.getNumPartitions() == 1
+        big = ctx._coerce_batch(
+            sd, [{"k": f"k{i}", "v": i} for i in range(5000)], None)
+        P = spark.sparkContext.defaultParallelism
+        assert big.rdd.getNumPartitions() == min(P, 5)
     finally:
         ctx.close()
