@@ -174,11 +174,24 @@ def row_set(rows, colnames):
 
 
 def apply_time_tripwire(records: dict, sf_dir: str,
-                        json_out: str | None, repo_root: str):
+                        json_out: str | None, repo_root: str,
+                        retime=None):
     """Stamp prev_spark_sec / time_ratio on each record from the
     newest prior sweep artifact at the SAME scale factor, flag
     unexplained >RATIO_BAR jumps above the absolute floor.  Returns
-    (baseline_path, [flagged query names])."""
+    (baseline_path, [flagged query names]).
+
+    ``retime`` (optional): callable(name) -> wall seconds that re-runs
+    ONE query's Spark timing.  A sample that would flag is re-measured
+    once and the BEST of the two samples becomes the recorded
+    spark_sec (the first sample is kept as ``first_spark_sec``) — the
+    same best-of-N statistic bench.py uses, for the same reason: on a
+    co-tenant host whose degradation windows are shorter than the
+    sweep, a single sample cannot support a 3× bar (this box oscillates
+    2-3×, flagging a DIFFERENT disjoint set of untouched queries every
+    run).  A real plan regression reproduces on the retry and still
+    flags; ambient noise does not.  Detection sensitivity is unchanged
+    — only the false-positive rate drops."""
     import json
     prev_path = _latest_prev_artifact(repo_root, exclude=json_out,
                                       sf_dir=sf_dir)
@@ -202,6 +215,21 @@ def apply_time_tripwire(records: dict, sf_dir: str,
             continue
         rec["prev_spark_sec"] = prev
         rec["time_ratio"] = round(cur / prev, 2) if prev > 0 else None
+        if (retime is not None and rec["time_ratio"] is not None
+                and rec["time_ratio"] > RATIO_BAR
+                and cur > ABS_FLOOR_SEC
+                and name not in EXPLAINED_REGRESSIONS):
+            try:
+                retry = float(retime(name))
+            except Exception as exc:
+                print(f"retry of {name} failed (keeping first sample): "
+                      f"{exc}")
+                retry = cur
+            rec["first_spark_sec"] = cur
+            rec["retry_spark_sec"] = round(retry, 2)
+            cur = min(cur, retry)
+            rec["spark_sec"] = round(cur, 2)
+            rec["time_ratio"] = round(cur / prev, 2) if prev > 0 else None
         if (rec["time_ratio"] is not None
                 and rec["time_ratio"] > RATIO_BAR
                 and cur > ABS_FLOOR_SEC):
@@ -332,10 +360,21 @@ def main():
             print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
         else:
             print(f"OK    {name}: {len(srows)} rows")
-    # time-regression tripwire vs the previous sweep artifact
+    # time-regression tripwire vs the previous sweep artifact; an
+    # above-bar sample gets ONE re-measure (same query fn + collect as
+    # the recorded sample) and the best of the two stands — see
+    # apply_time_tripwire's docstring for why single samples cannot
+    # support the 3x bar on a co-tenant host
+    def _retime(name):
+        import time
+        t0 = time.perf_counter()
+        [tuple(r) for r in qs[name](spark, sf_dir).collect()]
+        return time.perf_counter() - t0
+
     prev_path, regressions = apply_time_tripwire(
         records, sf_dir, json_out,
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        retime=_retime)
     if json_out:
         import json
         with open(json_out, "w") as f:
@@ -343,7 +382,11 @@ def main():
                        "failures": failures,
                        "time_regression_baseline": prev_path,
                        "unexplained_time_regressions": regressions,
-                       "time_regression_bar": RATIO_BAR}, f, indent=1)
+                       "time_regression_bar": RATIO_BAR,
+                       "timing_protocol":
+                           "single sample; above-bar samples re-measured "
+                           "once, best-of-2 recorded (first_spark_sec / "
+                           "retry_spark_sec kept)"}, f, indent=1)
     print(f"\n{len(failures)} failures" if failures else "\nall OK")
     if regressions:
         print(f"{len(regressions)} unexplained time regression(s): "

@@ -143,3 +143,44 @@ def test_latest_sweep_artifact_has_no_unexplained_regressions():
             "fix the plan or waive it in check_oracle.EXPLAINED_"
             "REGRESSIONS with a reason")
         assert art["failures"] == [], f"{latest} carries failures"
+
+
+def test_tripwire_retry_clears_ambient_noise(tmp_path):
+    """A sample that would flag gets one re-measure; when the retry
+    lands back at baseline (ambient noise, not a plan change), the
+    best-of-2 stands, both samples stay in the record, and no flag is
+    raised."""
+    _prev(tmp_path, {"qa": {"spark_sec": 2.0}})
+    records = {"qa": {"spark_sec": 7.0}}
+    _, regs = check_oracle.apply_time_tripwire(
+        records, "/root/testdata/sf0.1", None, str(tmp_path),
+        retime=lambda name: 2.1)
+    assert regs == []
+    assert records["qa"]["spark_sec"] == 2.1
+    assert records["qa"]["first_spark_sec"] == 7.0
+    assert records["qa"]["retry_spark_sec"] == 2.1
+    assert records["qa"]["time_ratio"] == 1.05
+
+
+def test_tripwire_retry_confirms_real_regression(tmp_path):
+    """A real plan regression reproduces on the retry — the flag must
+    survive the re-measure (sensitivity unchanged)."""
+    _prev(tmp_path, {"qa": {"spark_sec": 2.0}})
+    records = {"qa": {"spark_sec": 7.0}}
+    _, regs = check_oracle.apply_time_tripwire(
+        records, "/root/testdata/sf0.1", None, str(tmp_path),
+        retime=lambda name: 6.9)
+    assert regs == ["qa"]
+    assert records["qa"]["spark_sec"] == 6.9
+    assert records["qa"]["time_regression"] is True
+
+
+def test_tripwire_no_retime_keeps_single_sample_behavior(tmp_path):
+    """Without a retime callback (unit callers, old artifacts) the
+    original single-sample flagging is unchanged."""
+    _prev(tmp_path, {"qa": {"spark_sec": 2.0}})
+    records = {"qa": {"spark_sec": 7.0}}
+    _, regs = check_oracle.apply_time_tripwire(
+        records, "/root/testdata/sf0.1", None, str(tmp_path))
+    assert regs == ["qa"]
+    assert "retry_spark_sec" not in records["qa"]
