@@ -360,6 +360,22 @@ def main():
             print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
         else:
             print(f"OK    {name}: {len(srows)} rows")
+        # release this query's driver-side state before the next one:
+        # in local mode the ONE JVM holds executor memory, broadcast
+        # relations and localCheckpoint blocks for every query of the
+        # sweep, and cleanup is asynchronous (ContextCleaner runs only
+        # after GC collects the references).  A 16-query sf10 session
+        # accumulated enough to OOM its last query's collect — which
+        # passes in isolation.  Collecting BOTH heaps between queries
+        # makes each query's footprint start clean; it runs outside
+        # the timed region, so spark_sec is unaffected.
+        del sdf, srows, orows, s_set, o_set
+        import gc
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     # time-regression tripwire vs the previous sweep artifact; an
     # above-bar sample gets ONE re-measure (same query fn + collect as
     # the recorded sample) and the best of the two stands — see
