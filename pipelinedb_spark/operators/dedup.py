@@ -148,6 +148,59 @@ def _gram_hash_mapper(shingle_n: int):
     return gen
 
 
+def _gram_array_mapper(shingle_n: int):
+    """Arrow-batched per-doc gram-hash ARRAYS: the same `_batch_grams`
+    pass as `_gram_hash_mapper` (identical seed, so gram identities are
+    bit-compatible with `shingle_index`), but emitted as one sorted
+    distinct int64 array per document instead of exploded rows — the
+    shape `lsh_verified_pairs` consumes with a native
+    `array_intersect` per candidate pair.  Docs shorter than one
+    shingle emit nothing (exactly the rows the exploded index would
+    not have)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(0x5EED ^ 0x9A55)
+    pos_mult = (rng.randint(1, 2 ** 63, size=shingle_n,
+                            dtype=np.uint64) | np.uint64(1))
+    c1 = np.uint64(0xFF51AFD7ED558CCD)
+
+    def gen(batches):
+        old = np.seterr(over="ignore")
+        try:
+            for pdf in batches:
+                nd = len(pdf["text"])
+                gdoc, g = _batch_grams(pdf["text"], shingle_n,
+                                       pos_mult, c1)
+                if nd == 0 or not len(g):
+                    continue
+                counts = np.bincount(gdoc, minlength=nd)
+                arrs = np.split(g.astype(np.int64),
+                                np.cumsum(counts)[:-1])
+                mask = counts > 0
+                ids = pdf["doc_id"].to_numpy()
+                yield pd.DataFrame({
+                    "doc_id": ids[mask],
+                    "grams": [a for a, m in zip(arrs, mask) if m]})
+        finally:
+            np.seterr(**old)
+
+    return gen
+
+
+def gram_array_index(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, sorted distinct gram-hash array) — one row per doc with at
+    least one n-gram; gram hashes identical to ``shingle_index``'s."""
+    from . import spread_input
+    src = spread_input(df.select(F.col(id_col).alias("doc_id"),
+                                 F.col(text_col).alias("text")))
+    out_schema = T.StructType([
+        T.StructField("doc_id", src.schema["doc_id"].dataType),
+        T.StructField("grams", T.ArrayType(T.LongType()))])
+    return src.mapInPandas(_gram_array_mapper(n), out_schema)
+
+
 def shingle_index(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   hashed: bool = True) -> DataFrame:
@@ -337,9 +390,28 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     completeness inside oversized buckets is intentionally given up —
     same bounded-state trade FSS top-k makes.  None (default) keeps
     exact all-pairs output (the oracle shape)."""
-    # signatures + per-band buckets come out of one Arrow kernel pass;
-    # materialize once — the self-join would otherwise run the whole
-    # shingle+hash pipeline for both sides
+    sigs = _lsh_signature_frame(df, id_col, text_col, num_hashes,
+                                bands, shingle_n)
+    # Shape note: signatures ride the bucket join and the pair-dedup
+    # shuffle (~2K·8 bytes per candidate row).  The alternative —
+    # dedup bare id pairs, then join both signatures back from `sigs`
+    # — was measured SLOWER end-to-end (2.61 s vs 1.72 s at sf0.1):
+    # the two extra corpus-sized joins shuffle comparable bytes
+    # (docs × K·8 each) and add two stages, while band-duplicate
+    # candidate pairs are rare below ~0.9 similarity.  Revisit only if
+    # a corpus shows heavy cross-band duplication.
+    cands = _band_candidate_pairs(sigs, max_bucket_size, carry_sig=True)
+    est = F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                          lambda eq: eq)) / F.lit(float(num_hashes))
+    return cands.select("d1", "d2", est.alias("est_jaccard"))
+
+
+def _lsh_signature_frame(df: DataFrame, id_col: str, text_col: str,
+                         num_hashes: int, bands: int,
+                         shingle_n: int) -> DataFrame:
+    """Signatures + per-band buckets out of one Arrow kernel pass,
+    materialized once — the band self-join would otherwise run the
+    whole shingle+hash pipeline for both sides."""
     from . import spread_input
     src = spread_input(df.select(F.col(id_col).alias("doc_id"),
                                  F.col(text_col).alias("text")))
@@ -347,10 +419,20 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         T.StructField("doc_id", src.schema["doc_id"].dataType),
         T.StructField("sig", T.ArrayType(T.LongType())),
         T.StructField("buckets", T.ArrayType(T.LongType()))])
-    sigs = (src.mapInPandas(
+    return (src.mapInPandas(
         _minhash_text_mapper(num_hashes, shingle_n, bands=bands),
         out_schema).localCheckpoint(eager=False))
-    banded = sigs.select("doc_id", "sig",
+
+
+def _band_candidate_pairs(sigs: DataFrame,
+                          max_bucket_size: int | None,
+                          carry_sig: bool) -> DataFrame:
+    """Distinct (d1 < d2) candidate pairs from the banded bucket
+    self-join (``carry_sig`` additionally rides both signatures for
+    the est-jaccard path; the verified path dedups bare id pairs —
+    ~1 KB/row less through the join and dedup shuffles)."""
+    sig_cols = ["sig"] if carry_sig else []
+    banded = sigs.select("doc_id", *sig_cols,
                          F.posexplode("buckets").alias("band", "bucket"))
     # the banded table scales with the corpus (docs × bands): Spark's
     # broadcast pick under the threshold at small SF is the wrong plan
@@ -365,14 +447,6 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                   .withColumn("__n", F.count("*").over(w)))
     a = banded.alias("a")
     b = banded.alias("b").hint("shuffle_hash")
-    # Shape note: signatures ride the bucket join and the pair-dedup
-    # shuffle (~2K·8 bytes per candidate row).  The alternative —
-    # dedup bare id pairs, then join both signatures back from `sigs`
-    # — was measured SLOWER end-to-end (2.61 s vs 1.72 s at sf0.1):
-    # the two extra corpus-sized joins shuffle comparable bytes
-    # (docs × K·8 each) and add two stages, while band-duplicate
-    # candidate pairs are rare below ~0.9 similarity.  Revisit only if
-    # a corpus shows heavy cross-band duplication.
     cond = ((F.col("a.band") == F.col("b.band")) &
             (F.col("a.bucket") == F.col("b.bucket")) &
             (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -380,15 +454,10 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         # small bucket → all pairs; oversized → star around the min id
         cond = cond & ((F.col("a.__n") <= max_bucket_size) |
                        (F.col("a.__r") == 1))
-    cands = (a.join(b, cond)
-             .select(F.col("a.doc_id").alias("d1"),
-                     F.col("b.doc_id").alias("d2"),
-                     F.col("a.sig").alias("sig1"),
-                     F.col("b.sig").alias("sig2"))
-             .dropDuplicates(["d1", "d2"]))
-    est = F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
-                          lambda eq: eq)) / F.lit(float(num_hashes))
-    return cands.select("d1", "d2", est.alias("est_jaccard"))
+    sel = [F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")]
+    if carry_sig:
+        sel += [F.col("a.sig").alias("sig1"), F.col("b.sig").alias("sig2")]
+    return a.join(b, cond).select(*sel).dropDuplicates(["d1", "d2"])
 
 
 def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -401,41 +470,47 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     the candidate docs.  Returns (d1, d2, jaccard ≥ threshold).
 
     Scale shape: LSH prunes the O(N²) pair space to candidates
-    (shuffle ∝ docs×bands); the exact shingle join then runs over
+    (shuffle ∝ docs×bands); the exact gram verification then touches
     candidate docs only — at 100 TB that is the difference between an
     impossible all-pairs join and a small verification join.  With
     bands=16/rows=4, a true pair at the 0.5 threshold J=0.9 is missed
     with prob (1-0.9⁴)¹⁶ ≈ 4e-8; misses fall only near the threshold
     boundary (J≈0.5 → ~35%), matching reference topk/bloom-style
     approximation contracts."""
-    cands = (lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                            shingle_n, max_bucket_size=max_bucket_size)
-             .select("d1", "d2").localCheckpoint(eager=False))
+    sigs = _lsh_signature_frame(df, id_col, text_col, num_hashes,
+                                bands, shingle_n)
+    cands = (_band_candidate_pairs(sigs, max_bucket_size,
+                                   carry_sig=False)
+             .localCheckpoint(eager=False))
     cand_docs = (cands.select(F.col("d1").alias("__cid"))
                  .unionByName(cands.select(F.col("d2").alias("__cid")))
                  .distinct())
-    # materialize-once: the candidate shingle index feeds both join
-    # sides and the size table (same rationale as jaccard_pairs)
-    sh = shingle_index(df.join(cand_docs,
-                               F.col(id_col) == F.col("__cid"),
-                               "left_semi"),
-                       id_col, text_col, shingle_n) \
-        .localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                    (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("d1"),
-                      F.col("b.doc_id").alias("d2"))
-             .agg(F.count("*").alias("inter"))
-             .join(cands, ["d1", "d2"], "left_semi"))
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    j = (inter.join(s1, "d1").join(s2, "d2")
+    # Exact verification over candidate docs only, as per-doc gram
+    # ARRAYS (one Arrow pass, materialized once for both join sides)
+    # joined onto each candidate pair and intersected with the native
+    # `array_intersect` — |A∩B| and |A| on distinct-gram sets are the
+    # same integers the former exploded-index self-join + groupBy +
+    # two size joins computed (identical gram hashes — same kernel
+    # seed as shingle_index), for two joins instead of five shuffle
+    # stages (r15 §9; guide §1.2 fewer passes).
+    g = (gram_array_index(df.join(cand_docs,
+                                  F.col(id_col) == F.col("__cid"),
+                                  "left_semi"),
+                          id_col, text_col, shingle_n)
+         .localCheckpoint(eager=False))
+    g1 = g.select(F.col("doc_id").alias("d1"), F.col("grams").alias("__g1"))
+    g2 = g.select(F.col("doc_id").alias("d2"), F.col("grams").alias("__g2"))
+    j = (cands.join(g1, "d1").join(g2, "d2")
+         .withColumn("__inter", F.size(F.array_intersect("__g1", "__g2")))
          .withColumn("jaccard",
-                     F.col("inter").cast("double") /
-                     (F.col("sz1") + F.col("sz2") - F.col("inter"))))
-    return (j.filter(F.col("jaccard") >= threshold)
+                     F.col("__inter").cast("double") /
+                     (F.size("__g1") + F.size("__g2") - F.col("__inter"))))
+    # `__inter > 0` mirrors the exploded-index shape exactly: a
+    # candidate pair sharing zero grams never produced an inter row
+    # there, so it must not surface here either (visible only at
+    # threshold 0.0)
+    return (j.filter((F.col("__inter") > 0) &
+                     (F.col("jaccard") >= threshold))
             .select("d1", "d2", "jaccard"))
 
 

@@ -351,3 +351,43 @@ def test_coerce_batch_slices_follow_row_count(spark, tmp_path):
         assert big.rdd.getNumPartitions() == min(P, 5)
     finally:
         ctx.close()
+
+
+def test_lsh_verified_jaccard_bit_identical_to_allpairs(spark, sf_dir):
+    """The §9 array_intersect verification must reproduce the exact
+    all-pairs jaccard BIT-IDENTICALLY for every surfaced pair (same
+    gram-hash kernel seed as shingle_index, same integer |A∩B| /
+    (|A|+|B|−|A∩B|) arithmetic), and surface every pair the exact
+    path finds at J ≥ 0.7 (the LSH recall contract)."""
+    from pipelinedb_spark.operators.dedup import (jaccard_pairs,
+                                                  lsh_verified_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    ver = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in lsh_verified_pairs(docs, threshold=0.5).collect()}
+    exact = {(r["d1"], r["d2"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert ver, "fixture corpus should contain near-dup pairs"
+    for pair, j in ver.items():
+        assert pair in exact and exact[pair] == j, (pair, j)
+    for pair, j in exact.items():
+        if j >= 0.7:
+            assert pair in ver, (pair, j)
+
+
+def test_gram_array_index_matches_shingle_index(spark, sf_dir):
+    """gram_array_index is the exploded shingle_index regrouped: same
+    doc set (short docs absent from both), same distinct gram hashes
+    per doc."""
+    from pipelinedb_spark.operators.dedup import (gram_array_index,
+                                                  shingle_index)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    arrs = {r["doc_id"]: sorted(r["grams"])
+            for r in gram_array_index(docs).collect()}
+    exploded: dict = {}
+    for r in shingle_index(docs).collect():
+        exploded.setdefault(r["doc_id"], []).append(r["s"])
+    assert set(arrs) == set(exploded)
+    for d, grams in exploded.items():
+        assert sorted(grams) == arrs[d], d
