@@ -229,13 +229,17 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     intersection via shingle self-join; |A∪B| = |A|+|B|-|A∩B|.
     Deterministic: integer counts → double division.
     """
-    # materialize the gram kernel once: the exploded index feeds BOTH
-    # self-join sides and the size table — without the checkpoint the
-    # Arrow shingle pass ran three times (the lsh_candidates
-    # materialize-once rationale, applied here too)
-    sh = shingle_index(df, id_col, text_col, n) \
+    # materialize the gram kernel once AS PER-DOC ARRAYS: the index
+    # feeds both self-join sides (exploded — same 16-byte rows as the
+    # former shingle_index shape) and the size table, which is now a
+    # free `F.size(grams)` projection instead of a count-aggregation
+    # pass over the whole exploded index (one exchange fewer, same
+    # gram hashes — gram_array_index shares shingle_index's kernel
+    # seed; r15 §9 follow-up)
+    g = gram_array_index(df, id_col, text_col, n) \
         .localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh = g.select("doc_id", F.explode("grams").alias("s"))
+    sizes = g.select("doc_id", F.size("grams").alias("sz"))
     a = sh.alias("a")
     # the exploded shingle index scales with the corpus — broadcasting
     # it (Spark's pick under the 64 MB threshold at small SF) is the
