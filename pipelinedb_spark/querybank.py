@@ -515,10 +515,15 @@ def quantile_family(spark, sf_dir):
     estimated quantile must sit within 2% of its target rank
     (t-digest compression=200 ⇒ mid-quantile rank error ≲0.2%)."""
     from pipelinedb_spark.sketches.registration import (
-        _tdigest_build, _tdigest_quantiles_pdf)
+        _tdigest_quantiles_pdf, tdigest_partial_states)
     ev = t(spark, sf_dir, "events")
-    states = ev.groupBy("event_type").agg(
-        _tdigest_build(200.0)(F.col("value")).alias("td"))
+    # two-phase build (r15 §10): per-task partial digests, merge of
+    # fixed-size states — the one-phase grouped-agg UDAF shipped every
+    # raw value to one task per event_type, the few-hot-reducers shape
+    # at corpus scale.  Estimates may differ at merge-order precision;
+    # the rank-error oracle bound (2 %) is ~10× the digest's error
+    # either way, and p50/p90/p99 are the exact JVM percentiles.
+    states = tdigest_partial_states(ev, "event_type", "value", 200.0)
     est = states.select(
         "event_type",
         _tdigest_quantiles_pdf([0.25, 0.5, 0.75, 0.9])(F.col("td"))

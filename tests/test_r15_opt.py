@@ -391,3 +391,50 @@ def test_gram_array_index_matches_shingle_index(spark, sf_dir):
     assert set(arrs) == set(exploded)
     for d, grams in exploded.items():
         assert sorted(grams) == arrs[d], d
+
+
+def test_tdigest_partial_states_two_phase(spark):
+    """§10 two-phase t-digest: per-task partial digests merged per key
+    must estimate quantiles within the digest's error bound (rank
+    error ≪ the 2% oracle bound), handle null keys like the grouped
+    UDAF did, and emit exactly one state row per key."""
+    import numpy as np
+    from pipelinedb_spark.sketches.registration import (
+        tdigest_partial_states, _tdigest_quantile_pdf)
+    from pyspark.sql import functions as F
+    rng = np.random.RandomState(7)
+    rows = ([("a", float(x)) for x in rng.normal(100, 15, 20000)]
+            + [("b", float(x)) for x in rng.exponential(10, 20000)]
+            + [(None, float(x)) for x in rng.uniform(0, 1, 5000)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    # cap 0 forces the two-phase path (this corpus sits under the
+    # 256 MB local default, where the gate keeps the one-phase UDAF)
+    states = tdigest_partial_states(df, "k", "v", 200.0,
+                                    one_phase_cap=0)
+    assert "MapInPandas" in states._jdf.queryExecution() \
+        .executedPlan().toString()
+    got = {r["k"]: r["td"] for r in states.collect()}
+    assert set(got) == {"a", "b", None}
+    est = {r["k"]: r["p50"] for r in states.select(
+        "k", _tdigest_quantile_pdf(0.5)(F.col("td")).alias("p50")).collect()}
+    by_key: dict = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        exact = float(np.median(vals))
+        rank = float(np.mean(np.asarray(vals) <= est[k]))
+        assert abs(rank - 0.5) < 0.02, (k, est[k], exact, rank)
+
+
+def test_tdigest_one_phase_gate_on_small_scan(spark, sf_dir):
+    """Below the 256 MB local default the gate keeps the one-phase
+    grouped UDAF (no MapInPandas, no extra exchange — the measured-
+    faster shape at bench scale); a LocalRelation's UNKNOWN size
+    estimate fails toward the scalable two-phase path (covered by the
+    seat above via cap=0 and by `_plan_size_bytes`'s contract)."""
+    from pipelinedb_spark.sketches.registration import \
+        tdigest_partial_states
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    one = tdigest_partial_states(ev, "event_type", "value", 200.0)
+    assert "MapInPandas" not in one._jdf.queryExecution() \
+        .executedPlan().toString()
