@@ -76,9 +76,36 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Exact cosine top-k: broadcast queries against the corpus, rank
     per query with a deterministic (cosine DESC, id ASC) tiebreak.
     The corpus is scanned once; no corpus-side shuffle before ranking.
-    """
+
+    ``exact=True`` additionally tries the query-matrix kernel
+    (:func:`_query_matrix_topk`): the collected, int64-quantized query
+    matrix scores whole corpus batches with one numpy matmul and keeps
+    a per-task top-k, so only tasks × Q × k candidate rows reach the
+    final window instead of N × Q scored rows — the window's
+    partitionBy(q_id) is Q partitions, the few-hot-reducers shape at
+    corpus scale (guide §2.3).  Scores are bit-identical to the HOF
+    fold (the §5 quantized-arithmetic contract), so the ranking — and
+    the window's final total order — is unchanged; the kernel returns
+    None (→ this join path) for non-integral ids, ragged/zero-norm
+    queries, or an over-cap / unknown-size query side."""
+    import os
+
     from . import spread_input
     corpus = spread_input(corpus)
+    # corpus-size gate: the kernel's Arrow transfer + query-collect
+    # job cost more than the interpreted folds save on a small corpus
+    # (measured even at 20k vectors ≈ 5 MB estimate, 2.32 → 1.13 s at
+    # 200k ≈ 52 MB); below the cap the join path stands unchanged
+    min_bytes = int(os.environ.get(
+        "SPARK_GRAFT_ANN_MATRIX_MIN_BYTES", str(16 * 1024 * 1024)))
+    if exact and _plan_size_bytes(corpus) >= min_bytes:
+        cand = _query_matrix_topk(corpus, queries, k, id_col, vec_col)
+        if cand is not None:
+            w = Window.partitionBy("q_id").orderBy(
+                F.desc("cosine"), F.asc("n_id"))
+            return (cand.withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") <= k)
+                    .select("q_id", "n_id", "rk", "cosine"))
     norm = dot_exact if exact else (lambda a, b: dot_double(a, b))
     q = queries.select(F.col(id_col).alias("q_id"),
                        F.col(vec_col).alias("q_vec"),
@@ -109,6 +136,129 @@ def _plan_size_bytes(df: DataFrame) -> int:
                    .stats().sizeInBytes())
     except Exception:
         return 1 << 62
+
+
+def _query_matrix_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                       id_col: str, vec_col: str) -> DataFrame | None:
+    """Per-task exact top-k candidates for ``brute_force_topk``: the
+    query side (small by contract — it is broadcast in the join path
+    too) is collected once as an int64-quantized matrix; each corpus
+    batch is scored with one integer matmul and only each task's
+    top-k rows per query are emitted.  Returns (q_id, n_id, cosine)
+    candidate rows — a SUPERSET of the global top-k, which the caller
+    finishes with the same window as the join path.
+
+    EXACTNESS (the `_broadcast_matrix_scores` contract): floor(x·1e8
+    + 0.5) quantization, order-independent int64 dots (≤ 6.4e17 <
+    2^63 at unit-normalized 64-dim), double divide/sqrt — scores are
+    bit-identical to ``cosine_exact``, and per-task top-k selection
+    under the total order (cosine DESC, n_id ASC) is lossless.
+    Corpus rows the join path scores to NULL cosine (null/ragged/
+    mismatched-length/NaN vectors, zero norms) are emitted with NULL
+    cosine so below-k backfill matches exactly.  Returns None (caller
+    falls back to the join) for non-integral ids, no/invalid query
+    vectors, or an over-cap / unknown-size query side."""
+    for df in (corpus, queries):
+        # bigint only: the kernel's int64 id round-trip must reproduce
+        # the join path's output schema exactly
+        if df.schema[id_col].dataType.simpleString() != "bigint":
+            return None
+    if _plan_size_bytes(queries) > 64 * 1024 * 1024:
+        return None
+    qrows = queries.select(F.col(id_col).cast("long"),
+                           F.col(vec_col)).collect()
+    if not qrows or any(r[1] is None for r in qrows):
+        return None
+    try:  # ragged lengths -> object array -> ValueError
+        qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    except (ValueError, TypeError):
+        return None
+    if qmat.ndim != 2 or qmat.shape[1] == 0 or np.isnan(qmat).any():
+        return None
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qq = np.floor(qmat * _DOT_SCALE + 0.5).astype(np.int64)
+    qn2 = (qq * qq).sum(axis=1)
+    if (qn2 == 0).any():
+        return None  # zero-norm query: the join path's all-NULL column
+    qn2f = qn2.astype(np.float64)
+    nq, dim = qq.shape
+    cid_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        pools = [([], []) for _ in range(nq)]  # (cos arrays, id arrays)
+        bad_ids: list = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pdf[id_col].isna().any():
+                # null ids: q_id != n_id is NULL in the join path, so
+                # those rows are filtered out there — drop them here
+                pdf = pdf[pdf[id_col].notna()]
+                if not len(pdf):
+                    continue
+            ids_b = pdf[id_col].to_numpy().astype(np.int64)
+            vecs = pdf[vec_col]
+            try:
+                mat = np.array(vecs.tolist(), dtype=np.float64)
+                if mat.ndim != 2 or mat.shape[1] != dim:
+                    raise ValueError
+                ok = ~np.isnan(mat).any(axis=1)
+            except (ValueError, TypeError):
+                # rare mixed batch: per-row conversion
+                mat = np.zeros((len(pdf), dim), dtype=np.float64)
+                ok = np.zeros(len(pdf), dtype=bool)
+                for i, v in enumerate(vecs):
+                    try:
+                        row = np.asarray(v, dtype=np.float64)
+                    except (ValueError, TypeError):
+                        continue
+                    if row.shape == (dim,) and not np.isnan(row).any():
+                        mat[i] = row
+                        ok[i] = True
+            cq = np.floor(mat[ok] * _DOT_SCALE + 0.5).astype(np.int64)
+            cn2 = (cq * cq).sum(axis=1)
+            nz = cn2 > 0
+            ok_idx = np.flatnonzero(ok)[nz]
+            bad_ids.append(ids_b[~np.isin(
+                np.arange(len(pdf)), ok_idx, assume_unique=False)])
+            if len(ok_idx):
+                cq, cn2 = cq[nz], cn2[nz]
+                ids_v = ids_b[ok_idx]
+                cos = (cq @ qq.T).astype(np.float64) / np.sqrt(
+                    cn2.astype(np.float64)[:, None] * qn2f[None, :])
+                for j in range(nq):
+                    keep = ids_v != qids[j]
+                    cj, ij = cos[keep, j], ids_v[keep]
+                    if len(cj) > k:
+                        order = np.lexsort((ij, -cj))[:k]
+                        cj, ij = cj[order], ij[order]
+                    pools[j][0].append(cj)
+                    pools[j][1].append(ij)
+        out_q, out_n, out_c = [], [], []
+        bad = (np.concatenate(bad_ids)
+               if bad_ids else np.empty(0, dtype=np.int64))
+        for j in range(nq):
+            if pools[j][0]:
+                cj = np.concatenate(pools[j][0])
+                ij = np.concatenate(pools[j][1])
+                out_q.extend([qids[j]] * len(cj))
+                out_n.extend(ij.tolist())
+                out_c.extend(cj.tolist())
+            for b in bad:
+                if b != qids[j]:  # join path's NULL-cosine rows
+                    out_q.append(qids[j])
+                    out_n.append(int(b))
+                    out_c.append(None)
+        if out_q:
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n,
+                                "cosine": pd.array(out_c,
+                                                   dtype="float64"
+                                                   if None not in out_c
+                                                   else "Float64")})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, f"q_id {qid_type}, n_id {cid_type}, cosine double")
 
 
 def _broadcast_matrix_scores(corpus: DataFrame, pair_ids: DataFrame,

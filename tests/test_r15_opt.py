@@ -438,3 +438,49 @@ def test_tdigest_one_phase_gate_on_small_scan(spark, sf_dir):
     one = tdigest_partial_states(ev, "event_type", "value", 200.0)
     assert "MapInPandas" not in one._jdf.queryExecution() \
         .executedPlan().toString()
+
+
+def test_query_matrix_topk_parity_and_edges(spark):
+    """§11 kernel: per-task top-k candidates must yield a final top-k
+    ROW-IDENTICAL to the crossJoin+HOF path, including corpus rows the
+    join scores to NULL cosine (ragged/null/zero-norm vectors — they
+    backfill below-k), null ids (dropped by the join's q!=n filter),
+    and self-pair exclusion."""
+    import pipelinedb_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+    rows = []
+    for i in range(40):
+        rows.append((i, [float((i * 7 + j * 3) % 11) - 5.0
+                         for j in range(8)]))
+    rows += [(100, None),                      # null vector
+             (101, [1.0, 2.0]),                # ragged (wrong length)
+             (102, [0.0] * 8),                 # zero norm
+             (None, [1.0] * 8)]                # null id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    # LocalRelation size is unknown -> the gate fails toward the
+    # kernel, so the default call exercises it; force the join path
+    # for the reference run
+    new = sorted(tuple(r) for r in
+                 sim.brute_force_topk(df, q, k=41, exact=True).collect())
+    assert any(r[3] is None for r in new), "below-k NULL backfill rows"
+    orig = sim._query_matrix_topk
+    sim._query_matrix_topk = lambda *a, **k: None
+    try:
+        old = sorted(tuple(r) for r in
+                     sim.brute_force_topk(df, q, k=41, exact=True).collect())
+    finally:
+        sim._query_matrix_topk = orig
+    assert new == old
+    # and on a clean corpus with small k
+    new5 = sorted(tuple(r) for r in
+                  sim.brute_force_topk(df.filter(F.col("vec_id") < 50),
+                                       q, k=5, exact=True).collect())
+    sim._query_matrix_topk = lambda *a, **k: None
+    try:
+        old5 = sorted(tuple(r) for r in
+                      sim.brute_force_topk(df.filter(F.col("vec_id") < 50),
+                                           q, k=5, exact=True).collect())
+    finally:
+        sim._query_matrix_topk = orig
+    assert new5 == old5
