@@ -542,6 +542,18 @@ class ContView:
         # job materializes the partial states AND yields the bucket set
         # (which doubles as the emptiness check — no take(1) job)
         from pyspark.sql import Observation
+        in_obs = None
+        if not self._group_cols:
+            # a GLOBAL aggregate's worker emits one zero-count state
+            # row even for an EMPTY batch, which would drive a full
+            # merge + matrel version bump per empty insert (grouped
+            # views early-return via the empty affected set below).
+            # Observe the input count on the worker's own
+            # materialization — no extra job — and skip the commit
+            # when nothing arrived (the pre-r15 n==0 early return,
+            # without the count job the fast path removed).
+            in_obs = Observation()
+            pre_df = pre_df.observe(in_obs, F.count(F.lit(1)).alias("n"))
         obs = Observation()
         obs_cols = [F.collect_set(F.col(BUCKET_COL)).alias("bks")]
         if self._arrival_log:
@@ -556,6 +568,8 @@ class ContView:
             self._next_seq = int(obs.get["mx_seq"])
         if not affected:
             return None
+        if in_obs is not None and int(in_obs.get["n"]) == 0:
+            return None  # empty batch into a global aggregate
         with self.commit_lock:
             if _already_committed():
                 return None  # lost the race: another thread merged it
@@ -654,18 +668,56 @@ class ContView:
         # listed, and every manifest-listed bucket holds ≥1 current
         # row (_commit drops buckets whose merged result is empty, and
         # present-tracking writes an entry only for buckets with rows)
+        #
+        # old/new/delta are attached with ONE union + grouped
+        # aggregation instead of the former two LEFT JOINs: one
+        # exchange instead of one per join side (guide §2.4), two
+        # fewer AQE stage-jobs per change-emitting commit — the
+        # remaining cost of the commit pipeline is its job COUNT (r15
+        # attribution).  Equi-join NULL semantics are preserved
+        # exactly: a key tuple containing NULL never matched across
+        # the joins, so NULL-keyed rows are salted with a per-source
+        # tag and never group across sources either (each source is
+        # key-unique, so `first(ignorenulls)` picks the one real value
+        # deterministically).  Pinned by the NULL-group-key duckdb
+        # replay seat (tests/test_r16_opt.py).
+        val_t = new_struct.schema["new"].dataType
+        d_t = delta_struct.schema["delta"].dataType
+        ds_t = delta_struct.schema["delta_states"].dataType
+
+        def tagged(df: DataFrame, tag: str) -> DataFrame:
+            cols = [F.col(kc) for kc in kcols]
+            if kcols:
+                nullkey = F.col(kcols[0]).isNull()
+                for kc in kcols[1:]:
+                    nullkey = nullkey | F.col(kc).isNull()
+                cols.append(F.when(nullkey, F.lit(tag))
+                            .otherwise(F.lit("")).alias("__nksrc"))
+            for name, t in (("new", val_t), ("old", val_t),
+                            ("delta", d_t), ("delta_states", ds_t)):
+                cols.append((F.col(name) if name in df.columns
+                             else F.lit(None).cast(t)).alias(name))
+            return df.select(*cols)
+
+        parts = [tagged(new_struct, "n"), tagged(delta_struct, "d")]
         if old is not None:
-            old_struct = keyed(old, "old")
-            joined = (new_struct.join(old_struct, on=kcols, how="left")
-                      if kcols else new_struct.crossJoin(old_struct))
-        else:
-            joined = new_struct.withColumn("old", F.lit(None).cast(
-                new_struct.schema["new"].dataType))
-        joined = (joined.join(delta_struct, on=kcols, how="left")
-                  if kcols else joined.crossJoin(delta_struct))
-        # no-op update elision
+            parts.append(tagged(keyed(old, "old"), "o"))
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        gcols = kcols + (["__nksrc"] if kcols else [])
+        joined = unioned.groupBy(*gcols).agg(
+            F.first("old", ignorenulls=True).alias("old"),
+            F.first("new", ignorenulls=True).alias("new"),
+            F.first("delta", ignorenulls=True).alias("delta"),
+            F.first("delta_states", ignorenulls=True)
+            .alias("delta_states"))
+        # old/delta-only groups have no counterpart in the former
+        # left-join-from-new shape; no-op update elision unchanged
         changed = joined.filter(
-            F.col("old").isNull() | (~F.col("old").eqNullSafe(F.col("new"))))
+            F.col("new").isNotNull() &
+            (F.col("old").isNull() |
+             (~F.col("old").eqNullSafe(F.col("new")))))
         return changed.select("old", "new", "delta", "delta_states")
 
     # -- reads ---------------------------------------------------------------

@@ -88,6 +88,13 @@ class MatrelStore:
         # because every live version dir was written from the same
         # merge-plan schema; a commit whose names/types differ drops
         # the cache so the next read re-infers (guide §1.2).
+        # SINGLE-OWNER contract: the cache is per-instance and only
+        # this instance's commits invalidate it, so two MatrelStores
+        # over the SAME directory could serve one of them a stale
+        # schema after the other's evolving commit.  No current code
+        # path shares a store dir across instances (each ViewState
+        # owns its matrel); add a manifest-version check here before
+        # ever introducing one.
         self._schema_cache: T.StructType | None = None
         if not self._mio().exists():
             self._write_manifest({"version": 0, "buckets": {}})
@@ -350,6 +357,15 @@ class MatrelStore:
         change-row emission that follows a commit — the checkpoint
         was a whole extra Spark job per change-emitting commit for
         files that were never at risk (r15 optimization; guide §1.2).
+        CAVEAT (the timing window this trades the checkpoint for):
+        ``gc_sweep``/``drop_buckets`` run ``_gc(keep_last=0)``, where
+        reader safety rests on the dereference grace alone — so
+        background maintenance must NOT run concurrently with a
+        change-emitting commit whose old/osrel consumption could
+        outlast ``gc_grace_seconds``, or the old version's files can
+        be unlinked mid-scan.  The engine satisfies this today: osrel
+        emission is synchronous in the same call, and maintenance
+        entry points run under the view's commit_lock.
 
         Returns ``(old_rows_of_affected_buckets, merged_affected)`` so
         the caller can compute old/new output-stream rows.  Under

@@ -186,7 +186,14 @@ def _query_matrix_topk(corpus: DataFrame, queries: DataFrame, k: int,
     qid_type = queries.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        pools = [([], []) for _ in range(nq)]  # (cos arrays, id arrays)
+        # per-query candidate pool, RE-TRUNCATED to k after every batch
+        # so a task emits at most k non-NULL rows per query no matter
+        # how many Arrow batches it saw (k x n_batches otherwise —
+        # the final window's driver-side input would grow with batch
+        # count).  Incremental top-k under the total order (cosine
+        # DESC, id ASC) is lossless: top-k of (top-k(A) ∪ B) =
+        # top-k(A ∪ B).
+        pools: list = [None] * nq              # (cos array, id array)
         bad_ids: list = []
         for pdf in batches:
             if not len(pdf):
@@ -230,18 +237,19 @@ def _query_matrix_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 for j in range(nq):
                     keep = ids_v != qids[j]
                     cj, ij = cos[keep, j], ids_v[keep]
+                    if pools[j] is not None:
+                        cj = np.concatenate([pools[j][0], cj])
+                        ij = np.concatenate([pools[j][1], ij])
                     if len(cj) > k:
                         order = np.lexsort((ij, -cj))[:k]
                         cj, ij = cj[order], ij[order]
-                    pools[j][0].append(cj)
-                    pools[j][1].append(ij)
+                    pools[j] = (cj, ij)
         out_q, out_n, out_c = [], [], []
         bad = (np.concatenate(bad_ids)
                if bad_ids else np.empty(0, dtype=np.int64))
         for j in range(nq):
-            if pools[j][0]:
-                cj = np.concatenate(pools[j][0])
-                ij = np.concatenate(pools[j][1])
+            if pools[j] is not None and len(pools[j][0]):
+                cj, ij = pools[j]
                 out_q.extend([qids[j]] * len(cj))
                 out_n.extend(ij.tolist())
                 out_c.extend(cj.tolist())
@@ -284,9 +292,9 @@ def _broadcast_matrix_scores(corpus: DataFrame, pair_ids: DataFrame,
     double pre-filter is needed: every candidate is scored exactly.
 
     Returns None when the kernel does not apply (non-integral ids,
-    ragged/empty vectors) — the caller falls back to the vector join.
-    The caller gates on corpus size; this function assumes the collect
-    is affordable."""
+    ragged/empty/NaN vectors, duplicate ids) — the caller falls back
+    to the vector join.  The caller gates on corpus size; this
+    function assumes the collect is affordable."""
     id_type = corpus.schema[id_col].dataType.simpleString()
     if id_type not in ("bigint", "int", "smallint", "tinyint"):
         return None
@@ -296,11 +304,19 @@ def _broadcast_matrix_scores(corpus: DataFrame, pair_ids: DataFrame,
         return None
     try:  # ragged vector lengths -> object array -> ValueError
         mat = np.array([r[1] for r in rows], dtype=np.float64)
-    except ValueError:
+    except (ValueError, TypeError):
         return None
-    if mat.ndim != 2 or mat.shape[1] == 0:
+    # NaN elements: NaN->int64 is undefined (typically INT64_MIN), and
+    # the vector-join path it must be bit-identical to orders NaN
+    # ABOVE every double (so NaN cosines pass the threshold filter
+    # there) — fall back rather than diverge on the size gate
+    if mat.ndim != 2 or mat.shape[1] == 0 or np.isnan(mat).any():
         return None
     ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # duplicate ids: the join path scores a pair once PER duplicate
+    # row; searchsorted would silently pick one — fall back
+    if len(np.unique(ids)) != len(ids):
+        return None
     order = np.argsort(ids)
     ids_sorted = ids[order]
     q = np.floor(mat[order] * _DOT_SCALE + 0.5).astype(np.int64)
@@ -310,8 +326,24 @@ def _broadcast_matrix_scores(corpus: DataFrame, pair_ids: DataFrame,
         for pdf in batches:
             if not len(pdf):
                 continue
-            i1 = np.searchsorted(ids_sorted, pdf["id1"].to_numpy())
-            i2 = np.searchsorted(ids_sorted, pdf["id2"].to_numpy())
+            a1 = pdf["id1"].to_numpy()
+            a2 = pdf["id2"].to_numpy()
+            i1 = np.searchsorted(ids_sorted, a1)
+            i2 = np.searchsorted(ids_sorted, a2)
+            # a pair id absent from the matrix would otherwise score
+            # against the insertion-point NEIGHBOR (or index out of
+            # bounds at the array end) — impossible while pair_ids
+            # derives from the same corpus, but this is a module-level
+            # helper: fail loudly, never guess
+            if (i1 == len(ids_sorted)).any() or \
+                    (i2 == len(ids_sorted)).any() or \
+                    (ids_sorted[np.minimum(i1, len(ids_sorted) - 1)]
+                     != a1).any() or \
+                    (ids_sorted[np.minimum(i2, len(ids_sorted) - 1)]
+                     != a2).any():
+                raise ValueError(
+                    "pair id absent from the collected corpus matrix "
+                    "(_broadcast_matrix_scores kernel contract)")
             d12 = (q[i1] * q[i2]).sum(axis=1).astype(np.float64)
             cos = d12 / np.sqrt(n2[i1].astype(np.float64)
                                 * n2[i2].astype(np.float64))

@@ -310,72 +310,83 @@ def main():
                "hash_match": False, "spark_rows": None,
                "oracle_rows": None, "err": None}
         records[name] = rec
+        # the inter-query cleanup below must run on EVERY loop path —
+        # rows-only queries and failed ones still hold sdf/srows,
+        # broadcasts and checkpoint blocks (r15 ADVICE: the `continue`
+        # branches skipped it) — hence try/finally around the body
+        sdf = srows = orows = s_set = o_set = None
         try:
-            import time
-            t0 = time.perf_counter()
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            # spark-side wall seconds ride the artifact: the r13 sweep
-            # found a quadratic plan by STALLING — a timed series lets
-            # the next one find a 10x regression without stalling
-            rec["spark_sec"] = round(time.perf_counter() - t0, 2)
-            rec["spark_rows"] = len(srows)
-        except Exception as e:
-            failures.append(name)
-            rec["err"] = f"spark error: {e}"[:300]
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
-        if name not in oracles:
-            rec.update(rows_match=True, schema_match=True,
-                       hash_match=True, err="rows-only (no oracle)")
-            print(f"rows  {name}: {len(srows)} rows (no oracle)")
-            continue
-        try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
-            rec["oracle_rows"] = len(orows)
-        except Exception as e:
-            failures.append(name)
-            rec["err"] = f"duckdb error: {e}"[:300]
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
-        rec["rows_match"] = len(srows) == len(orows)
-        rec["schema_match"] = (sorted(c.lower() for c in scols)
-                               == sorted(c.lower() for c in ocols))
-        if not rec["schema_match"]:
-            failures.append(name)
-            print(f"FAIL  {name}: schema mismatch spark={sorted(scols)} duck={sorted(ocols)}")
-            continue
-        s_set = row_set(srows, [c.lower() for c in scols])
-        o_set = row_set(orows, [c.lower() for c in ocols])
-        rec["hash_match"] = s_set == o_set
-        if not rec["rows_match"]:
-            failures.append(name)
-            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(orows)}")
-        elif not rec["hash_match"]:
-            failures.append(name)
-            diff = [(a, b) for a, b in zip(s_set, o_set) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
-        else:
-            print(f"OK    {name}: {len(srows)} rows")
-        # release this query's driver-side state before the next one:
-        # in local mode the ONE JVM holds executor memory, broadcast
-        # relations and localCheckpoint blocks for every query of the
-        # sweep, and cleanup is asynchronous (ContextCleaner runs only
-        # after GC collects the references).  A 16-query sf10 session
-        # accumulated enough to OOM its last query's collect — which
-        # passes in isolation.  Collecting BOTH heaps between queries
-        # makes each query's footprint start clean; it runs outside
-        # the timed region, so spark_sec is unaffected.
-        del sdf, srows, orows, s_set, o_set
-        import gc
-        gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+            try:
+                import time
+                t0 = time.perf_counter()
+                sdf = fn(spark, sf_dir)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
+                # spark-side wall seconds ride the artifact: the r13
+                # sweep found a quadratic plan by STALLING — a timed
+                # series lets the next one find a 10x regression
+                # without stalling
+                rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+                rec["spark_rows"] = len(srows)
+            except Exception as e:
+                failures.append(name)
+                rec["err"] = f"spark error: {e}"[:300]
+                print(f"FAIL  {name}: spark error: {e}")
+                continue
+            if name not in oracles:
+                rec.update(rows_match=True, schema_match=True,
+                           hash_match=True, err="rows-only (no oracle)")
+                print(f"rows  {name}: {len(srows)} rows (no oracle)")
+                continue
+            try:
+                cur = con.execute(oracles[name])
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
+                rec["oracle_rows"] = len(orows)
+            except Exception as e:
+                failures.append(name)
+                rec["err"] = f"duckdb error: {e}"[:300]
+                print(f"FAIL  {name}: duckdb error: {e}")
+                continue
+            rec["rows_match"] = len(srows) == len(orows)
+            rec["schema_match"] = (sorted(c.lower() for c in scols)
+                                   == sorted(c.lower() for c in ocols))
+            if not rec["schema_match"]:
+                failures.append(name)
+                print(f"FAIL  {name}: schema mismatch "
+                      f"spark={sorted(scols)} duck={sorted(ocols)}")
+                continue
+            s_set = row_set(srows, [c.lower() for c in scols])
+            o_set = row_set(orows, [c.lower() for c in ocols])
+            rec["hash_match"] = s_set == o_set
+            if not rec["rows_match"]:
+                failures.append(name)
+                print(f"FAIL  {name}: rowcount spark={len(srows)} "
+                      f"duck={len(orows)}")
+            elif not rec["hash_match"]:
+                failures.append(name)
+                diff = [(a, b) for a, b in zip(s_set, o_set) if a != b][:3]
+                print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
+            else:
+                print(f"OK    {name}: {len(srows)} rows")
+        finally:
+            # release this query's driver-side state before the next
+            # one: in local mode the ONE JVM holds executor memory,
+            # broadcast relations and localCheckpoint blocks for every
+            # query of the sweep, and cleanup is asynchronous
+            # (ContextCleaner runs only after GC collects the
+            # references).  A 16-query sf10 session accumulated enough
+            # to OOM its last query's collect — which passes in
+            # isolation.  Collecting BOTH heaps between queries makes
+            # each query's footprint start clean; it runs outside the
+            # timed region, so spark_sec is unaffected.
+            del sdf, srows, orows, s_set, o_set
+            import gc
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     # time-regression tripwire vs the previous sweep artifact; an
     # above-bar sample gets ONE re-measure (same query fn + collect as
     # the recorded sample) and the best of the two stands — see
