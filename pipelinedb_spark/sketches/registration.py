@@ -69,11 +69,16 @@ def tdigest_partial_states(df, key_col: str, value_col: str,
     exactly this split (worker partial → combiner ``_tdigest_merge``).
 
     Below the gate (Catalyst size estimate ≤ ``one_phase_cap``,
-    default 256 MB, env ``SPARK_GRAFT_TDIGEST_ONE_PHASE_CAP``): the
-    one-phase grouped UDAF — measured 0.97 vs 1.62 s at sf0.1, where
-    the two-phase shape's extra stages cost more than the raw-value
-    shuffle it avoids.  An UNKNOWN size estimate fails toward the
-    scalable two-phase path (the `_plan_size_bytes` contract).
+    default 32 MiB, env ``SPARK_GRAFT_TDIGEST_ONE_PHASE_CAP``): the
+    one-phase grouped UDAF — measured 0.97 vs 1.62 s at sf0.1
+    (0.9 MiB estimate) and 1.73 vs 2.56 s at sf1 (9 MiB), where the
+    two-phase shape's extra stages cost more than the raw-value
+    shuffle it avoids; at sf10 (91 MiB, 10M rows) two-phase measured
+    1.36x FASTER (5.27 vs 7.16 s best-of-3 interleaved,
+    BENCH_SCALING_R16OPS.json), so the r16 default sits at the
+    geometric middle of the measured crossover (9 -> 91 MiB).  An
+    UNKNOWN size estimate fails toward the scalable two-phase path
+    (the `_plan_size_bytes` contract).
     Returns (key_col, td) with one merged digest per key; estimates
     differ between the two shapes only at merge-order precision, far
     inside every consumer's self-verification bound."""
@@ -86,7 +91,7 @@ def tdigest_partial_states(df, key_col: str, value_col: str,
     sel = df.select(F.col(key_col), F.col(value_col))
     if one_phase_cap is None:
         one_phase_cap = int(os.environ.get(
-            "SPARK_GRAFT_TDIGEST_ONE_PHASE_CAP", str(256 << 20)))
+            "SPARK_GRAFT_TDIGEST_ONE_PHASE_CAP", str(32 << 20)))
     if _plan_size_bytes(sel) <= one_phase_cap:
         return sel.groupBy(key_col).agg(
             _tdigest_build(compression)(F.col(value_col)).alias("td"))

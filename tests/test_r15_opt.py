@@ -408,7 +408,7 @@ def test_tdigest_partial_states_two_phase(spark):
             + [(None, float(x)) for x in rng.uniform(0, 1, 5000)])
     df = spark.createDataFrame(rows, "k string, v double")
     # cap 0 forces the two-phase path (this corpus sits under the
-    # 256 MB local default, where the gate keeps the one-phase UDAF)
+    # 32 MiB r16 default, where the gate keeps the one-phase UDAF)
     states = tdigest_partial_states(df, "k", "v", 200.0,
                                     one_phase_cap=0)
     assert "MapInPandas" in states._jdf.queryExecution() \
@@ -427,7 +427,7 @@ def test_tdigest_partial_states_two_phase(spark):
 
 
 def test_tdigest_one_phase_gate_on_small_scan(spark, sf_dir):
-    """Below the 256 MB local default the gate keeps the one-phase
+    """Below the 32 MiB r16 default the gate keeps the one-phase
     grouped UDAF (no MapInPandas, no extra exchange — the measured-
     faster shape at bench scale); a LocalRelation's UNKNOWN size
     estimate fails toward the scalable two-phase path (covered by the
