@@ -2351,15 +2351,43 @@ def json_object_sums(spark, sf_dir):
     exercised; the oracle rebuilds the exact output string — map keys
     serialize sorted ('k' < 't_…' always), no spaces, matching
     Spark's to_json."""
+    import os
+
     from pipelinedb_spark.aggregates import REGISTRY
+    from pipelinedb_spark.operators.similarity import _plan_size_bytes
     spec = REGISTRY.get("json_object_int_sum")
     args = ["to_json(map("
             "'k', CAST(get_json_object(props, '$.k') AS BIGINT), "
             "concat('t_', event_type), user_id % 10))"]
     ev = t(spark, sf_dir, "events")
     part = spec.partial(args)
-    st = ev.groupBy("event_type").agg(
-        *[c.alias(f"js__{k}") for k, c in part.items()])
+    partial_cols = lambda p: [c.alias(f"js__{k}") for k, c in p.items()]
+    # size-gated two-level aggregation (r16; guide §2.5 two-level agg,
+    # §5 per-task state): the spec's one-shot partial materializes a
+    # whole group's entries in ONE collect_list before its fold — an
+    # O(group rows) aggregation state that heap-OOMed the sf10 sweep
+    # (10M events, 5 groups, 8g local heap).  Above the gate the rows
+    # are salted into shards sized off the Catalyst estimate, the
+    # partial folds each shard to its O(distinct keys) state, and the
+    # spec's engine-tested MERGE limb recombines shard states — the
+    # same partial→merge split the engine worker/combiner runs, so the
+    # result is identical (integer per-key sums are order-independent
+    # and finalize sorts entries before serializing).  Below the gate
+    # the one-shot plan is byte-unchanged (sf0.1 estimate: 2 MiB).
+    cap = int(os.environ.get("SPARK_GRAFT_JSONSUM_ONE_SHOT_CAP",
+                             str(32 << 20)))
+    est = _plan_size_bytes(ev)
+    if est > cap:
+        nsh = max(2, min(1024, est // (8 << 20)))
+        st = (ev.withColumn("__shard",
+                            F.pmod(F.xxhash64("event_id"), F.lit(nsh)))
+              .groupBy("event_type", "__shard")
+              .agg(*partial_cols(part))
+              .groupBy("event_type")
+              .agg(*partial_cols(
+                  spec.merge(lambda suf: F.col(f"js__{suf}")))))
+    else:
+        st = ev.groupBy("event_type").agg(*partial_cols(part))
     fin = spec.finalize(lambda suf: F.col(f"js__{suf}"), args)
     return st.select("event_type", fin.alias("sums"))
 

@@ -304,6 +304,32 @@ def test_broadcast_matrix_scores_missing_pair_id_raises(spark):
 
 
 # ---------------------------------------------------------------------------
+# json_object_sums: size-gated two-level aggregation
+# ---------------------------------------------------------------------------
+
+def test_json_object_sums_two_level_exact(spark, sf_dir, monkeypatch):
+    """The salted partial -> spec-merge two-level shape (engaged above
+    the 32 MiB gate; the one-shot partial's collect_list held a whole
+    group's entries, heap-OOMing the 10M-row sweep) must produce the
+    EXACT same rows as the one-shot plan, and the gate must keep the
+    one-shot plan at fixture scale."""
+    from pipelinedb_spark.querybank import Q
+
+    fn = Q["json_object_sums"]
+    monkeypatch.delenv("SPARK_GRAFT_JSONSUM_ONE_SHOT_CAP", raising=False)
+    one_df = fn(spark, sf_dir)
+    assert "__shard" not in one_df._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    one = sorted(tuple(r) for r in one_df.collect())
+    monkeypatch.setenv("SPARK_GRAFT_JSONSUM_ONE_SHOT_CAP", "0")
+    two_df = fn(spark, sf_dir)
+    assert "__shard" in two_df._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    two = sorted(tuple(r) for r in two_df.collect())
+    assert one and one == two
+
+
+# ---------------------------------------------------------------------------
 # empty-DataFrame insert fast path (ADVICE r15)
 # ---------------------------------------------------------------------------
 
