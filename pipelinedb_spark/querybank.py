@@ -2282,6 +2282,43 @@ def script_lang_id_mixed(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _sharded_one_shot(ev, group_cols: list, spec, args: list,
+                      prefix: str, cap_env: str):
+    """Size-gated two-level registry aggregation (r16; guide §2.5
+    two-level agg, §5 per-task state).
+
+    A registry spec's one-shot ``partial`` materializes a whole
+    group's elements in ONE ``collect_list`` before folding — an
+    O(group rows) aggregation state, which heap-OOMed the 10M-row
+    sf10 sweep on json_object_sums (5 groups, 8g local heap) and read
+    95 s when it survived.  Above the gate (Catalyst size estimate >
+    32 MiB default, env-overridable), the rows are salted into
+    estimate-sized shards, the partial folds each shard to its
+    bounded state, and the spec's engine-tested MERGE limb recombines
+    shard states — the same partial→merge split the engine
+    worker/combiner runs per batch, so the result is identical (the
+    merge contract; finalize orders its output independently of
+    merge order).  Below the gate the one-shot plan is byte-unchanged
+    (events at sf0.1 estimates 2 MiB).  Measured at sf10:
+    json_object_sums 94.7 → 15.5 s, no OOM."""
+    import os
+
+    from pipelinedb_spark.operators.similarity import _plan_size_bytes
+
+    cols = lambda p: [c.alias(f"{prefix}{k}") for k, c in p.items()]
+    part = spec.partial(args)
+    cap = int(os.environ.get(cap_env, str(32 << 20)))
+    est = _plan_size_bytes(ev)
+    if est <= cap:
+        return ev.groupBy(*group_cols).agg(*cols(part))
+    nsh = max(2, min(1024, est // (8 << 20)))
+    return (ev.withColumn("__shard",
+                          F.pmod(F.xxhash64("event_id"), F.lit(nsh)))
+            .groupBy(*group_cols, "__shard").agg(*cols(part))
+            .groupBy(*group_cols)
+            .agg(*cols(spec.merge(lambda suf: F.col(f"{prefix}{suf}")))))
+
+
 @query("bucket_agg_latest", """
 WITH b AS (
   SELECT event_type, user_id,
@@ -2318,9 +2355,13 @@ def bucket_agg_latest(spark, sf_dir):
     args = ["user_id", "CAST(FLOOR(value) AS INT) % 4",
             "unix_micros(CAST(ts AS TIMESTAMP))"]
     ev = t(spark, sf_dir, "events")
-    part = spec.partial(args)
-    st = ev.groupBy("event_type").agg(
-        *[c.alias(f"ba__{k}") for k, c in part.items()])
+    # same O(group rows) one-shot collect_list state as
+    # json_object_sums — sharded above the gate via the spec's
+    # engine-tested merge limb (per-key latest is associative across
+    # shards; ties keep the state's (key, -ts, bucket) sort order
+    # either way).  See _sharded_one_shot.
+    st = _sharded_one_shot(ev, ["event_type"], spec, args, "ba__",
+                           "SPARK_GRAFT_BUCKETAGG_ONE_SHOT_CAP")
     fin = spec.finalize(lambda suf: F.col(f"ba__{suf}"), args)
     return (st.select("event_type", F.explode(fin).alias("e"))
             .select("event_type",
@@ -2351,43 +2392,14 @@ def json_object_sums(spark, sf_dir):
     exercised; the oracle rebuilds the exact output string — map keys
     serialize sorted ('k' < 't_…' always), no spaces, matching
     Spark's to_json."""
-    import os
-
     from pipelinedb_spark.aggregates import REGISTRY
-    from pipelinedb_spark.operators.similarity import _plan_size_bytes
     spec = REGISTRY.get("json_object_int_sum")
     args = ["to_json(map("
             "'k', CAST(get_json_object(props, '$.k') AS BIGINT), "
             "concat('t_', event_type), user_id % 10))"]
     ev = t(spark, sf_dir, "events")
-    part = spec.partial(args)
-    partial_cols = lambda p: [c.alias(f"js__{k}") for k, c in p.items()]
-    # size-gated two-level aggregation (r16; guide §2.5 two-level agg,
-    # §5 per-task state): the spec's one-shot partial materializes a
-    # whole group's entries in ONE collect_list before its fold — an
-    # O(group rows) aggregation state that heap-OOMed the sf10 sweep
-    # (10M events, 5 groups, 8g local heap).  Above the gate the rows
-    # are salted into shards sized off the Catalyst estimate, the
-    # partial folds each shard to its O(distinct keys) state, and the
-    # spec's engine-tested MERGE limb recombines shard states — the
-    # same partial→merge split the engine worker/combiner runs, so the
-    # result is identical (integer per-key sums are order-independent
-    # and finalize sorts entries before serializing).  Below the gate
-    # the one-shot plan is byte-unchanged (sf0.1 estimate: 2 MiB).
-    cap = int(os.environ.get("SPARK_GRAFT_JSONSUM_ONE_SHOT_CAP",
-                             str(32 << 20)))
-    est = _plan_size_bytes(ev)
-    if est > cap:
-        nsh = max(2, min(1024, est // (8 << 20)))
-        st = (ev.withColumn("__shard",
-                            F.pmod(F.xxhash64("event_id"), F.lit(nsh)))
-              .groupBy("event_type", "__shard")
-              .agg(*partial_cols(part))
-              .groupBy("event_type")
-              .agg(*partial_cols(
-                  spec.merge(lambda suf: F.col(f"js__{suf}")))))
-    else:
-        st = ev.groupBy("event_type").agg(*partial_cols(part))
+    st = _sharded_one_shot(ev, ["event_type"], spec, args, "js__",
+                           "SPARK_GRAFT_JSONSUM_ONE_SHOT_CAP")
     fin = spec.finalize(lambda suf: F.col(f"js__{suf}"), args)
     return st.select("event_type", fin.alias("sums"))
 

@@ -307,7 +307,12 @@ def test_broadcast_matrix_scores_missing_pair_id_raises(spark):
 # json_object_sums: size-gated two-level aggregation
 # ---------------------------------------------------------------------------
 
-def test_json_object_sums_two_level_exact(spark, sf_dir, monkeypatch):
+@pytest.mark.parametrize("qname,cap_env", [
+    ("json_object_sums", "SPARK_GRAFT_JSONSUM_ONE_SHOT_CAP"),
+    ("bucket_agg_latest", "SPARK_GRAFT_BUCKETAGG_ONE_SHOT_CAP"),
+])
+def test_sharded_one_shot_two_level_exact(spark, sf_dir, monkeypatch,
+                                          qname, cap_env):
     """The salted partial -> spec-merge two-level shape (engaged above
     the 32 MiB gate; the one-shot partial's collect_list held a whole
     group's entries, heap-OOMing the 10M-row sweep) must produce the
@@ -315,13 +320,13 @@ def test_json_object_sums_two_level_exact(spark, sf_dir, monkeypatch):
     one-shot plan at fixture scale."""
     from pipelinedb_spark.querybank import Q
 
-    fn = Q["json_object_sums"]
-    monkeypatch.delenv("SPARK_GRAFT_JSONSUM_ONE_SHOT_CAP", raising=False)
+    fn = Q[qname]
+    monkeypatch.delenv(cap_env, raising=False)
     one_df = fn(spark, sf_dir)
     assert "__shard" not in one_df._jdf.queryExecution() \
         .optimizedPlan().toString()
     one = sorted(tuple(r) for r in one_df.collect())
-    monkeypatch.setenv("SPARK_GRAFT_JSONSUM_ONE_SHOT_CAP", "0")
+    monkeypatch.setenv(cap_env, "0")
     two_df = fn(spark, sf_dir)
     assert "__shard" in two_df._jdf.queryExecution() \
         .optimizedPlan().toString()
