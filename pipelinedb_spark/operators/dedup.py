@@ -231,32 +231,46 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     # materialize the gram kernel once AS PER-DOC ARRAYS: the index
     # feeds both self-join sides (exploded — same 16-byte rows as the
-    # former shingle_index shape) and the size table, which is now a
-    # free `F.size(grams)` projection instead of a count-aggregation
-    # pass over the whole exploded index (one exchange fewer, same
-    # gram hashes — gram_array_index shares shingle_index's kernel
-    # seed; r15 §9 follow-up)
+    # former shingle_index shape) and the per-doc gram-set size, which
+    # is a free `F.size(grams)` projection (same gram hashes —
+    # gram_array_index shares shingle_index's kernel seed; r15 §9)
     g = gram_array_index(df, id_col, text_col, n) \
         .localCheckpoint(eager=False)
-    sh = g.select("doc_id", F.explode("grams").alias("s"))
-    sizes = g.select("doc_id", F.size("grams").alias("sz"))
+    sh = g.select("doc_id", F.size("grams").alias("sz"),
+                  F.explode("grams").alias("s"))
     a = sh.alias("a")
     # the exploded shingle index scales with the corpus — broadcasting
     # it (Spark's pick under the 64 MB threshold at small SF) is the
     # wrong plan at any scale; pin the shuffle-hash join on the 8-byte
     # hashed-shingle keys
     b = sh.alias("b").hint("shuffle_hash")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                    (F.col("a.doc_id") < F.col("b.doc_id")))
+    # SIZE PREFILTER (r16; guide §2.3 shuffle fewer bytes): J(x,y) =
+    # |x∩y|/|x∪y| ≤ min(|x|,|y|)/max(|x|,|y|), so J ≥ t needs
+    # t·|x| ≤ |y| and t·|y| ≤ |x| — checked per emitted join row from
+    # the riding sizes, BEFORE the pair aggregation exchange.  Exact
+    # (never drops a qualifying pair); the (1−1e-9) slack makes the
+    # real-arithmetic bound safe against the final filter's own
+    # double rounding.  sf10: 126.6M → 96.5M rows into the agg, the
+    # query's dominant exchange (measured 30.0 → 23.8 s best-of-3).
+    ts = threshold * (1.0 - 1e-9)
+    cond = ((F.col("a.s") == F.col("b.s")) &
+            (F.col("a.doc_id") < F.col("b.doc_id")) &
+            (F.col("a.sz") * ts <= F.col("b.sz")) &
+            (F.col("b.sz") * ts <= F.col("a.sz")))
+    # sizes ride the aggregation (constant per doc, so max() is just
+    # "the value") instead of being joined back on afterwards: the
+    # post-agg size joins were broadcasts at bench SF but corpus-sized
+    # exchanges of the pair table at real scale — two shuffles gone
+    # for +16 bytes per pre-agg row.
+    inter = (a.join(b, cond)
              .groupBy(F.col("a.doc_id").alias("d1"),
                       F.col("b.doc_id").alias("d2"))
-             .agg(F.count("*").alias("inter")))
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    j = (inter.join(s1, "d1").join(s2, "d2")
-         .withColumn("jaccard",
-                     F.col("inter").cast("double") /
-                     (F.col("sz1") + F.col("sz2") - F.col("inter"))))
+             .agg(F.count("*").alias("inter"),
+                  F.max(F.col("a.sz")).alias("sz1"),
+                  F.max(F.col("b.sz")).alias("sz2")))
+    j = inter.withColumn("jaccard",
+                         F.col("inter").cast("double") /
+                         (F.col("sz1") + F.col("sz2") - F.col("inter")))
     return (j.filter(F.col("jaccard") >= threshold)
             .select("d1", "d2", "jaccard"))
 
@@ -537,7 +551,17 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     both keyed by doc/cluster id; per-round localCheckpoints are
     released as soon as the next one materializes (the kcenter
     pattern — at most two label copies live in executor storage).
+
+    One job per round (r16; guide §1.2 constant work): the
+    convergence probe rides the round's own checkpoint
+    materialization as an Observation counting rows whose label
+    changed — the former separate new⋈old join + take(1) job (a full
+    label-table comparison pass on the converging round) is gone.
+    Labels are monotone non-increasing, so "no row changed" is still
+    exactly the fixpoint test.
     """
+    from pyspark.sql import Observation
+
     from .similarity import _release_local_checkpoint
 
     edges = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
@@ -556,6 +580,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                         .agg(F.min("cluster_id").alias("nbr_min")))
         prop = (labels.join(neighbor_min, "doc_id", "left")
                 .select("doc_id",
+                        F.col("cluster_id").alias("__old"),
                         F.least(F.col("cluster_id"),
                                 F.coalesce(F.col("nbr_min"),
                                            F.col("cluster_id")))
@@ -566,6 +591,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         # value is a node id present there, so the join is total;
         # least() keeps monotonicity, and the jump only accelerates —
         # the fixpoint/correctness argument is plain min-propagation's.
+        obs = Observation()
         new_labels = (prop
                       .join(labels.select(
                           F.col("doc_id").alias("__p"),
@@ -574,12 +600,14 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                       .select("doc_id",
                               F.least(F.col("cluster_id"),
                                       F.col("__pc"))
-                              .alias("cluster_id"))
+                              .alias("cluster_id"),
+                              F.col("__old"))
+                      .observe(obs, F.count_if(
+                          F.col("cluster_id") < F.col("__old"))
+                          .alias("chg"))
+                      .drop("__old")
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .take(1))
+        changed = int(obs.get["chg"])
         if prev_ckpt is not None:
             _release_local_checkpoint(prev_ckpt)
         prev_ckpt = new_labels

@@ -364,3 +364,87 @@ def test_empty_df_insert_single_view_commits_nothing(spark, tmp_path):
         assert (r["n"], r["sv"]) == (1, 2)
     finally:
         ctx.close()
+
+
+# ---------------------------------------------------------------------------
+# jaccard_pairs size prefilter (r16): exactness vs a brute-force
+# python oracle on a varied-size corpus, including pairs right at the
+# size-ratio boundary the prefilter cuts on
+# ---------------------------------------------------------------------------
+
+def _py_grams(text: str, n: int = 3) -> set:
+    ws = text.split(" ")
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_jaccard_pairs_size_prefilter_exact(spark, threshold):
+    """The join-side size prefilter (t·|x| ≤ |y| ≤ |x|/t) must never
+    drop a qualifying pair: differential-check jaccard_pairs against
+    a brute-force python jaccard over a corpus with doc sizes spread
+    4–60 grams, containing near-dup pairs whose SIZES sit exactly at
+    the ratio boundary (|y| = t·|x|) as well as well inside it."""
+    import itertools
+    import random
+
+    from pipelinedb_spark.operators.dedup import jaccard_pairs
+
+    rnd = random.Random(1616)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    # random base docs, sizes 6..62 tokens
+    for i in range(40):
+        k = rnd.randrange(6, 63)
+        docs.append((i, " ".join(rnd.choice(vocab) for _ in range(k))))
+    # near-dup families: clone + prefix-extend so pair sizes straddle
+    # the ratio boundary (a doc of g grams vs its extension to ~g/t)
+    for i in range(40, 52, 3):
+        base = ["b%d_%d" % (i, j) for j in range(12)]
+        docs.append((i, " ".join(base)))
+        docs.append((i + 1, " ".join(base + base[:1])))
+        docs.append((i + 2, " ".join(
+            base + ["x%d_%d" % (i, j) for j in range(12)])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    grams = {d: _py_grams(t) for d, t in docs}
+    grams = {d: g for d, g in grams.items() if g}
+    want = {}
+    for d1, d2 in itertools.combinations(sorted(grams), 2):
+        inter = len(grams[d1] & grams[d2])
+        if inter == 0:
+            continue
+        j = inter / (len(grams[d1]) + len(grams[d2]) - inter)
+        if j >= threshold:
+            want[(d1, d2)] = j
+    got = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in jaccard_pairs(df, threshold=threshold).collect()}
+    assert want, "fixture must contain qualifying pairs"
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters: one job per round (the convergence probe rides the
+# round's checkpoint as an Observation — no separate take(1) job)
+# ---------------------------------------------------------------------------
+
+def test_dedup_clusters_fused_convergence_job_ceiling(spark):
+    """A path graph of diameter 8 converges in 5 pointer-jumping
+    rounds.  With the convergence probe riding each round's
+    checkpoint as an Observation, the loop (incl. AQE stage-jobs)
+    submits 43 jobs; the former per-round new⋈old take(1) comparison
+    shape submitted 59 (measured side by side on this exact graph).
+    Ceiling at 45 so a reintroduced comparison job trips the seat
+    while AQE stage-count jitter does not."""
+    from pipelinedb_spark.operators.dedup import dedup_clusters
+
+    path = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(path, "d1 long, d2 long")
+    out = {}
+
+    def run():
+        out["labels"] = {r["doc_id"]: r["cluster_id"]
+                         for r in dedup_clusters(df).collect()}
+
+    n_jobs = _jobs_for(spark, run)
+    assert out["labels"] == {i: 0 for i in range(9)}
+    assert n_jobs <= 45, n_jobs
