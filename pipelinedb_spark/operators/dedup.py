@@ -408,17 +408,36 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     completeness inside oversized buckets is intentionally given up —
     same bounded-state trade FSS top-k makes.  None (default) keeps
     exact all-pairs output (the oracle shape)."""
+    import os
+
+    from .similarity import _plan_size_bytes
+
     sigs = _lsh_signature_frame(df, id_col, text_col, num_hashes,
                                 bands, shingle_n)
-    # Shape note: signatures ride the bucket join and the pair-dedup
-    # shuffle (~2K·8 bytes per candidate row).  The alternative —
-    # dedup bare id pairs, then join both signatures back from `sigs`
-    # — was measured SLOWER end-to-end (2.61 s vs 1.72 s at sf0.1):
-    # the two extra corpus-sized joins shuffle comparable bytes
-    # (docs × K·8 each) and add two stages, while band-duplicate
-    # candidate pairs are rare below ~0.9 similarity.  Revisit only if
-    # a corpus shows heavy cross-band duplication.
-    cands = _band_candidate_pairs(sigs, max_bucket_size, carry_sig=True)
+    # Shape gate (r16; guide §2.3 shuffle fewer bytes): carrying both
+    # signatures through the band join puts ``bands`` copies of every
+    # doc's K·8-byte signature through the join exchange — ~8.6 GB at
+    # sf10 (500k docs × 16 bands × 512 B × 2 sides) to move 365k
+    # candidate pairs.  Above the gate, the band join dedups BARE id
+    # pairs (24-byte rows) and the two signatures join back from the
+    # already-materialized `sigs` frame — one docs×512 B exchange per
+    # side, a ~16× byte cut on the dominant shuffle.  Below the gate
+    # the r15 measurement stands (carry-sig 1.72 s vs 2.61 s at
+    # sf0.1: two extra join stages cost more than the tiny shuffle
+    # saves) and the plan is byte-unchanged.
+    cap = int(os.environ.get("SPARK_GRAFT_LSH_CARRY_SIG_CAP",
+                             str(8 << 20)))
+    if _plan_size_bytes(df) > cap:
+        cands = _band_candidate_pairs(sigs, max_bucket_size,
+                                      carry_sig=False)
+        s1 = sigs.select(F.col("doc_id").alias("d1"),
+                         F.col("sig").alias("sig1"))
+        s2 = sigs.select(F.col("doc_id").alias("d2"),
+                         F.col("sig").alias("sig2"))
+        cands = cands.join(s1, "d1").join(s2, "d2")
+    else:
+        cands = _band_candidate_pairs(sigs, max_bucket_size,
+                                      carry_sig=True)
     est = F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
                           lambda eq: eq)) / F.lit(float(num_hashes))
     return cands.select("d1", "d2", est.alias("est_jaccard"))

@@ -448,3 +448,29 @@ def test_dedup_clusters_fused_convergence_job_ceiling(spark):
     n_jobs = _jobs_for(spark, run)
     assert out["labels"] == {i: 0 for i in range(9)}
     assert n_jobs <= 45, n_jobs
+
+
+# ---------------------------------------------------------------------------
+# lsh_candidates join-back shape (r16): above the size gate the band
+# join dedups bare id pairs and joins both signatures back — rows must
+# be identical to the carry-sig shape the bench SFs keep
+# ---------------------------------------------------------------------------
+
+def test_lsh_candidates_joinback_rows_identical(spark, monkeypatch):
+    """Force the join-back shape (cap=0) and the carry-sig shape
+    (cap=huge) over the same corpus: identical (d1, d2, est_jaccard)
+    row sets — the gate changes shuffle bytes, never output.  Also
+    covers the skew-guard path (max_bucket_size) both sides."""
+    from pipelinedb_spark.operators.dedup import lsh_candidates
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    rows = {}
+    for cap, tag in (("0", "joinback"), (str(1 << 60), "carrysig")):
+        monkeypatch.setenv("SPARK_GRAFT_LSH_CARRY_SIG_CAP", cap)
+        rows[tag] = sorted(map(tuple, lsh_candidates(docs).collect()))
+        rows[tag + "_guard"] = sorted(map(tuple, lsh_candidates(
+            docs, max_bucket_size=3).collect()))
+    assert rows["joinback"], "fixture corpus should yield candidates"
+    assert rows["joinback"] == rows["carrysig"]
+    assert rows["joinback_guard"] == rows["carrysig_guard"]
