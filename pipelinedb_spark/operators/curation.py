@@ -14,20 +14,8 @@ Scale stance (100 TB corpus, small eval sets / fraction tables):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _gram_hashes(text: Column, n: int) -> Column:
-    """xxhash64 of each n-token shingle (token-concat with a separator
-    that cannot appear inside whitespace tokens)."""
-    ws = F.split(text, " ")
-    # the r13 linear-time chained-zip shape, shared across every text
-    # operator (functions/ngrams.py); hash inputs are bit-identical
-    # to the old index formulation (chained concat_ws associates)
-    from pipelinedb_spark.functions.ngrams import chained_ngrams
-    return F.transform(chained_ngrams(ws, n, "\x1f"),
-                       lambda g: F.xxhash64(g))
 
 
 def contamination_pairs(corpus: DataFrame, eval_set: DataFrame,
@@ -43,17 +31,26 @@ def contamination_pairs(corpus: DataFrame, eval_set: DataFrame,
     the eval set, as popularized by public LM training reports).
     Returns (doc_id, eval_id, n_hits).  The eval gram table is
     broadcast — eval sets are benchmark-sized; the corpus side stays a
-    single scan with no self-shuffle."""
-    eval_grams = (eval_set
-                  .select(F.col(eval_id_col),
-                          F.explode(F.array_distinct(
-                              _gram_hashes(F.col(text_col), ngram)))
-                          .alias("__g"))
-                  .distinct())
-    doc_grams = corpus.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_gram_hashes(F.col(text_col), ngram)))
-        .alias("__g"))
+    single scan with no self-shuffle.
+
+    Gram hashing runs in the dedup Arrow kernel (r16; guide §4.2
+    native batch work over interpreted expressions): the Catalyst
+    ``transform(chained_ngrams, xxhash64)`` expression tree evaluated
+    its lambda per ELEMENT and measured 11–12 s of this operator's
+    ~14 s at 50k docs; ``gram_array_index`` computes the same distinct
+    gram sets vectorized (~10×).  Hit counts only need the hash to be
+    collision-free and CONSISTENT across the two join sides — the
+    same argument the xxhash64 form already relied on vs the
+    string-gram oracle — and the kernel's 64-bit gram hash is both
+    (it is shingle_index's hash; pinned against duckdb string grams
+    by test_curation.py)."""
+    from .dedup import gram_array_index
+    eval_grams = (gram_array_index(eval_set, eval_id_col, text_col, ngram)
+                  .select(F.col("doc_id").alias(eval_id_col),
+                          F.explode("grams").alias("__g")))
+    doc_grams = (gram_array_index(corpus, id_col, text_col, ngram)
+                 .select(F.col("doc_id").alias(id_col),
+                         F.explode("grams").alias("__g")))
     hits = (doc_grams
             .join(F.broadcast(eval_grams), "__g")
             .groupBy(id_col, eval_id_col)
